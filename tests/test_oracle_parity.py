@@ -1,0 +1,31 @@
+"""The same check the driver runs: every queries() entry with an
+oracle must hash-match DuckDB on the test tables."""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from .oracle_utils import compare_query
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0 and df.columns
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(spark, sf_dir, name):
+    assert name in QUERIES, f"oracle {name} has no queries() entry"
+    compare_query(spark, QUERIES[name], ORACLES[name], sf_dir, name)
+
+
+def test_every_query_declared(spark):
+    # every queries() entry should either have an oracle or be a
+    # documented rows-only op (ml_*, streaming, lsh buckets, multimodal)
+    rows_only_prefixes = ("ml_", "stream_", "ann_lsh", "multimodal", "encoderizer")
+    for name in QUERIES:
+        if name not in ORACLES:
+            assert name.startswith(rows_only_prefixes), name
