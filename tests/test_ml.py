@@ -1,0 +1,140 @@
+"""Local estimator library tests (no Spark needed)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from skdist_spark.ml import (
+    DecisionTreeClassifier,
+    DecisionTreeRegressor,
+    DummyClassifier,
+    GaussianNB,
+    KFold,
+    KNeighborsClassifier,
+    LinearRegression,
+    LogisticRegression,
+    ParameterGrid,
+    ParameterSampler,
+    Ridge,
+    StratifiedKFold,
+    accuracy_score,
+    clone,
+    get_scorer,
+    is_classifier,
+    log_loss,
+    roc_auc_score,
+    train_test_split,
+)
+
+
+def _blobs(n=300, d=8, k=3, seed=0):
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(k, d) * 4
+    y = rng.randint(0, k, n)
+    X = centers[y] + rng.randn(n, d)
+    return X, y
+
+
+@pytest.mark.parametrize(
+    "est",
+    [
+        LogisticRegression(max_iter=300),
+        DecisionTreeClassifier(max_depth=8),
+        GaussianNB(),
+        KNeighborsClassifier(),
+    ],
+)
+def test_classifiers_learn_blobs(est):
+    X, y = _blobs()
+    est.fit(X, y)
+    assert accuracy_score(y, est.predict(X)) > 0.9
+    proba = est.predict_proba(X)
+    assert proba.shape == (len(y), 3)
+    np.testing.assert_allclose(proba.sum(axis=1), 1.0, atol=1e-6)
+
+
+def test_classifiers_deterministic():
+    X, y = _blobs()
+    a = LogisticRegression().fit(X, y).predict_proba(X)
+    b = LogisticRegression().fit(X, y).predict_proba(X)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_regressors():
+    rng = np.random.RandomState(0)
+    X = rng.randn(200, 5)
+    y = X @ np.array([1.0, -2.0, 0.5, 0, 3.0]) + 0.7
+    for est in [LinearRegression(), Ridge(alpha=1e-6), DecisionTreeRegressor(max_depth=12)]:
+        est.fit(X, y)
+        assert est.score(X, y) > 0.95, type(est).__name__
+
+
+def test_clone_and_params():
+    est = LogisticRegression(C=2.5, max_iter=50)
+    c = clone(est)
+    assert c is not est and c.get_params()["C"] == 2.5
+    est.set_params(C=9.0)
+    assert c.C == 2.5
+    assert is_classifier(est) and not is_classifier(LinearRegression())
+
+
+def test_string_labels():
+    X, y_int = _blobs(k=2)
+    y = np.where(y_int == 0, "cat", "dog")
+    m = LogisticRegression().fit(X, y)
+    assert set(m.predict(X)) <= {"cat", "dog"}
+    auc = roc_auc_score(y, m.predict_proba(X)[:, 1])
+    assert auc > 0.9
+
+
+@given(st.integers(min_value=2, max_value=8), st.integers(min_value=20, max_value=100))
+@settings(max_examples=20, deadline=None)
+def test_kfold_partitions(k, n):
+    X = np.zeros(n)
+    folds = list(KFold(n_splits=k).split(X))
+    assert len(folds) == k
+    all_test = np.concatenate([t for _, t in folds])
+    assert sorted(all_test) == list(range(n))
+    for train, test in folds:
+        assert set(train) | set(test) == set(range(n))
+        assert not set(train) & set(test)
+
+
+def test_stratified_kfold_balance():
+    y = np.array([0] * 50 + [1] * 10)
+    for train, test in StratifiedKFold(5).split(np.zeros(60), y):
+        assert (y[test] == 1).sum() == 2
+
+
+def test_parameter_grid_and_sampler():
+    grid = ParameterGrid({"a": [1, 2, 3], "b": ["x", "y"]})
+    combos = list(grid)
+    assert len(grid) == len(combos) == 6
+    samp = list(ParameterSampler({"a": [1, 2, 3], "b": ["x", "y"]}, n_iter=4, random_state=0))
+    assert len(samp) == 4 and all(s["a"] in (1, 2, 3) for s in samp)
+    # deterministic under fixed seed
+    samp2 = list(ParameterSampler({"a": [1, 2, 3], "b": ["x", "y"]}, n_iter=4, random_state=0))
+    assert samp == samp2
+
+
+def test_train_test_split_stratified():
+    X, y = _blobs(n=100, k=2)
+    X_tr, X_te, y_tr, y_te = train_test_split(X, y, test_size=0.2, random_state=0, stratify=y)
+    assert len(X_te) + len(X_tr) == 100
+    assert abs(np.mean(y_te) - np.mean(y)) < 0.15
+
+
+def test_scorers():
+    X, y = _blobs(k=2)
+    m = LogisticRegression().fit(X, y)
+    for name in ["accuracy", "f1", "f1_macro", "neg_log_loss", "roc_auc"]:
+        s = get_scorer(name)(m, X, y)
+        assert np.isfinite(s)
+    assert get_scorer("neg_log_loss")(m, X, y) == -log_loss(y, m.predict_proba(X), labels=m.classes_)
+
+
+def test_dummy():
+    X, y = _blobs(k=2)
+    d = DummyClassifier().fit(X, y)
+    assert len(d.predict(X)) == len(y)
