@@ -123,10 +123,14 @@ _SCORERS = {
 }
 
 
+def _default_scorer(est, X, y):
+    return est.score(X, y)
+
+
 def get_scorer(scoring):
     """Resolve a scoring spec (None | name | callable) to a scorer."""
     if scoring is None:
-        return lambda est, X, y: est.score(X, y)
+        return _default_scorer
     if callable(scoring):
         return scoring
     if scoring in _SCORERS:

@@ -15,9 +15,11 @@ _LEAF = -1
 
 
 class _Tree:
-    """Flat-array tree: feature, threshold, left, right, value-per-node."""
+    """Flat-array tree: feature, threshold, left, right, value-per-node.
 
-    __slots__ = ("feature", "threshold", "left", "right", "value")
+    No __slots__: instances cross the Spark boundary via cloudpickle's
+    by-value class path, which requires a plain __dict__.
+    """
 
     def __init__(self):
         self.feature: list[int] = []
@@ -93,6 +95,7 @@ class _BaseDecisionTree(BaseEstimator):
         max_depth = np.inf if self.max_depth is None else self.max_depth
         k_feat = self._n_features_to_try(d)
 
+        importances = np.zeros(d)
         stack = [(np.arange(n), 0, None, False)]  # indices, depth, parent, is_right
         while stack:
             idx, depth, parent, is_right = stack.pop()
@@ -114,16 +117,19 @@ class _BaseDecisionTree(BaseEstimator):
             best = self._best_split(X[idx], y_enc[idx], sw[idx], feats, n_out)
             if best is None:
                 continue
-            f, thr = best
+            f, thr, gain = best
             mask = X[idx, f] <= thr
             if mask.sum() < self.min_samples_leaf or (~mask).sum() < self.min_samples_leaf:
                 continue
+            importances[f] += gain
             tree.feature[node_id] = int(f)
             tree.threshold[node_id] = float(thr)
             stack.append((idx[mask], depth + 1, node_id, False))
             stack.append((idx[~mask], depth + 1, node_id, True))
         self.tree_ = tree
         self.n_features_in_ = d
+        total = importances.sum()
+        self.feature_importances_ = importances / total if total > 0 else importances
         return self
 
     def _best_split(self, X, y, sw, feats, n_out):
@@ -142,10 +148,7 @@ class _BaseDecisionTree(BaseEstimator):
             i = int(np.argmax(gain))
             if gain[i] > best_gain * total_w:
                 best_gain = gain[i] / total_w
-                best = (f, (xs[i] + xs[i + 1]) / 2.0)
-        if best is None:
-            return None
-        # guard: midpoint can collapse onto the right value with float rounding
+                best = (f, (xs[i] + xs[i + 1]) / 2.0, best_gain)
         return best
 
     def apply(self, X):

@@ -1,0 +1,26 @@
+from .eliminate import DistFeatureEliminator
+from .ensemble import (
+    DistExtraTreesClassifier,
+    DistExtraTreesRegressor,
+    DistRandomForestClassifier,
+    DistRandomForestRegressor,
+    DistRandomTreesEmbedding,
+)
+from .multiclass import DistOneVsOneClassifier, DistOneVsRestClassifier
+from .predict import get_prediction_udf
+from .search import DistGridSearchCV, DistMultiModelSearch, DistRandomizedSearchCV
+
+__all__ = [
+    "DistGridSearchCV",
+    "DistRandomizedSearchCV",
+    "DistMultiModelSearch",
+    "DistOneVsRestClassifier",
+    "DistOneVsOneClassifier",
+    "DistRandomForestClassifier",
+    "DistRandomForestRegressor",
+    "DistExtraTreesClassifier",
+    "DistExtraTreesRegressor",
+    "DistRandomTreesEmbedding",
+    "DistFeatureEliminator",
+    "get_prediction_udf",
+]

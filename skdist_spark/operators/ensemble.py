@@ -1,0 +1,220 @@
+"""Distributed tree ensembles — one Spark task per tree.
+
+Reference parity: DistRandomForestClassifier/Regressor,
+DistExtraTreesClassifier/Regressor, DistRandomTreesEmbedding
+(skdist/distribute/ensemble.py:365-716). Each tree trains on broadcast
+data in its own Spark task (bootstrap resample for forests, full
+sample + random splits for extra-trees), then ships back pickled; the
+ensemble aggregates probabilities/means on the driver at predict time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ml.base import BaseEstimator, ClassifierMixin, RegressorMixin, clone
+from ..ml.tree import DecisionTreeClassifier, DecisionTreeRegressor
+from ._engine import run_tasks, strip_spark
+
+
+def _fit_tree_task(task: dict, shared: dict) -> bytes:
+    from pyspark import cloudpickle as pickle
+
+    X = np.asarray(shared["X"], dtype=np.float64)
+    y = np.asarray(shared["y"])
+    seed = task["seed"]
+    rng = np.random.RandomState(seed)
+    est = clone(shared["base_tree"])
+    est.set_params(random_state=seed)
+    n = len(X)
+    if shared["bootstrap"]:
+        idx = rng.randint(0, n, n)
+        sw = np.bincount(idx, minlength=n).astype(np.float64)
+        est.fit(X, y, sample_weight=sw)
+    else:
+        est.fit(X, y)
+    return pickle.dumps(est)
+
+
+class _DistBaseForest(BaseEstimator):
+    def __init__(
+        self,
+        n_estimators=100,
+        sc=None,
+        partitions="auto",
+        max_depth=None,
+        min_samples_split=2,
+        min_samples_leaf=1,
+        max_features="sqrt",
+        bootstrap=True,
+        random_state=None,
+        verbose=0,
+    ):
+        self.n_estimators = n_estimators
+        self.sc = sc
+        self.partitions = partitions
+        self.max_depth = max_depth
+        self.min_samples_split = min_samples_split
+        self.min_samples_leaf = min_samples_leaf
+        self.max_features = max_features
+        self.bootstrap = bootstrap
+        self.random_state = random_state
+        self.verbose = verbose
+
+    _tree_cls = DecisionTreeClassifier
+
+    def _base_tree(self):
+        return self._tree_cls(
+            max_depth=self.max_depth,
+            min_samples_split=self.min_samples_split,
+            min_samples_leaf=self.min_samples_leaf,
+            max_features=self.max_features,
+        )
+
+    def _fit_forest(self, X, y):
+        import pickle
+
+        ss = np.random.SeedSequence(self.random_state)
+        seeds = [int(s) % (2**31 - 1) for s in ss.generate_state(self.n_estimators)]
+        tasks = [{"seed": s} for s in seeds]
+        shared = {
+            "X": np.asarray(X, dtype=np.float64),
+            "y": np.asarray(y),
+            "base_tree": self._base_tree(),
+            "bootstrap": self.bootstrap,
+        }
+        payloads = run_tasks(self.sc, tasks, _fit_tree_task, shared, self.partitions)
+        self.estimators_ = [pickle.loads(p) for p in payloads]
+        strip_spark(self)
+        return self
+
+
+class DistRandomForestClassifier(_DistBaseForest, ClassifierMixin):
+    _tree_cls = DecisionTreeClassifier
+
+    def fit(self, X, y, sample_weight=None):
+        self.classes_ = np.unique(np.asarray(y))
+        return self._fit_forest(X, y)
+
+    def predict_proba(self, X):
+        # trees were fit on the full class set (classes_ from full y),
+        # so per-tree probability matrices align by construction
+        probs = None
+        for est in self.estimators_:
+            p = est.predict_proba(X)
+            probs = p if probs is None else probs + p
+        return probs / len(self.estimators_)
+
+    def predict_log_proba(self, X):
+        return np.log(self.predict_proba(X) + 1e-15)
+
+    def predict(self, X):
+        return self.classes_[np.argmax(self.predict_proba(X), axis=1)]
+
+
+class DistRandomForestRegressor(_DistBaseForest, RegressorMixin):
+    _tree_cls = DecisionTreeRegressor
+
+    def fit(self, X, y, sample_weight=None):
+        return self._fit_forest(X, y)
+
+    def predict(self, X):
+        preds = np.zeros(len(np.asarray(X)))
+        for est in self.estimators_:
+            preds += est.predict(X)
+        return preds / len(self.estimators_)
+
+
+class DistExtraTreesClassifier(DistRandomForestClassifier):
+    """Extra-trees: no bootstrap by default (reference semantics)."""
+
+    def __init__(self, n_estimators=100, sc=None, partitions="auto", max_depth=None,
+                 min_samples_split=2, min_samples_leaf=1, max_features="sqrt",
+                 bootstrap=False, random_state=None, verbose=0):
+        super().__init__(
+            n_estimators=n_estimators, sc=sc, partitions=partitions,
+            max_depth=max_depth, min_samples_split=min_samples_split,
+            min_samples_leaf=min_samples_leaf, max_features=max_features,
+            bootstrap=bootstrap, random_state=random_state, verbose=verbose,
+        )
+
+
+class DistExtraTreesRegressor(DistRandomForestRegressor):
+    def __init__(self, n_estimators=100, sc=None, partitions="auto", max_depth=None,
+                 min_samples_split=2, min_samples_leaf=1, max_features="sqrt",
+                 bootstrap=False, random_state=None, verbose=0):
+        super().__init__(
+            n_estimators=n_estimators, sc=sc, partitions=partitions,
+            max_depth=max_depth, min_samples_split=min_samples_split,
+            min_samples_leaf=min_samples_leaf, max_features=max_features,
+            bootstrap=bootstrap, random_state=random_state, verbose=verbose,
+        )
+
+
+def _fit_embed_tree_task(task: dict, shared: dict) -> bytes:
+    from pyspark import cloudpickle as pickle
+
+    X = np.asarray(shared["X"], dtype=np.float64)
+    seed = task["seed"]
+    rng = np.random.RandomState(seed)
+    # unsupervised trick: regress on uniform random targets so splits
+    # become data-density partitions (sklearn RandomTreesEmbedding idea)
+    y_rand = rng.uniform(size=len(X))
+    est = DecisionTreeRegressor(
+        max_depth=shared["max_depth"], max_features=1, random_state=seed,
+        min_samples_leaf=shared["min_samples_leaf"],
+    )
+    est.fit(X, y_rand)
+    return pickle.dumps(est)
+
+
+class DistRandomTreesEmbedding(BaseEstimator):
+    """Unsupervised leaf-index embedding (one tree per Spark task)."""
+
+    def __init__(self, n_estimators=100, sc=None, partitions="auto",
+                 max_depth=5, min_samples_leaf=1, random_state=None):
+        self.n_estimators = n_estimators
+        self.sc = sc
+        self.partitions = partitions
+        self.max_depth = max_depth
+        self.min_samples_leaf = min_samples_leaf
+        self.random_state = random_state
+
+    def fit(self, X, y=None, sample_weight=None):
+        import pickle
+
+        ss = np.random.SeedSequence(self.random_state)
+        seeds = [int(s) % (2**31 - 1) for s in ss.generate_state(self.n_estimators)]
+        tasks = [{"seed": s} for s in seeds]
+        shared = {
+            "X": np.asarray(X, dtype=np.float64),
+            "max_depth": self.max_depth,
+            "min_samples_leaf": self.min_samples_leaf,
+        }
+        payloads = run_tasks(self.sc, tasks, _fit_embed_tree_task, shared, self.partitions)
+        self.estimators_ = [pickle.loads(p) for p in payloads]
+        # map each tree's leaf node-ids to embedding columns
+        self._leaf_maps = []
+        offset = 0
+        for est in self.estimators_:
+            leaves = sorted(
+                i for i, f in enumerate(est.tree_.feature) if f == -1
+            )
+            mapping = {leaf: offset + j for j, leaf in enumerate(leaves)}
+            self._leaf_maps.append(mapping)
+            offset += len(leaves)
+        self.n_output_features_ = offset
+        strip_spark(self)
+        return self
+
+    def transform(self, X):
+        n = len(np.asarray(X))
+        out = np.zeros((n, self.n_output_features_))
+        for est, mapping in zip(self.estimators_, self._leaf_maps):
+            nodes = est.apply(X)
+            for i, node in enumerate(nodes):
+                out[i, mapping[int(node)]] = 1.0
+        return out
+
+    def fit_transform(self, X, y=None, sample_weight=None):
+        return self.fit(X, y, sample_weight).transform(X)

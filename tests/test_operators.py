@@ -1,0 +1,205 @@
+"""Distributed meta-estimator tests (mirrors reference test suites
+skdist/distribute/tests/test_search.py, test_multiclass.py,
+test_ensemble.py, test_eliminate.py, test_predict.py)."""
+
+import pickle
+
+import numpy as np
+import pytest
+
+from skdist_spark.ml import DecisionTreeClassifier, LogisticRegression, Ridge
+from skdist_spark.operators import (
+    DistFeatureEliminator,
+    DistGridSearchCV,
+    DistMultiModelSearch,
+    DistOneVsOneClassifier,
+    DistOneVsRestClassifier,
+    DistRandomForestClassifier,
+    DistRandomForestRegressor,
+    DistRandomTreesEmbedding,
+    DistRandomizedSearchCV,
+    get_prediction_udf,
+)
+
+
+def _blobs(n=240, d=6, k=3, seed=1):
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(k, d) * 4
+    y = rng.randint(0, k, n)
+    X = centers[y] + rng.randn(n, d)
+    return X, y
+
+
+@pytest.fixture(scope="module")
+def data():
+    return _blobs()
+
+
+def test_grid_search_spark_matches_local(spark, data):
+    X, y = data
+    grid = {"C": [0.1, 1.0], "max_iter": [60, 120]}
+    local = DistGridSearchCV(LogisticRegression(), grid, sc=None, cv=3).fit(X, y)
+    dist = DistGridSearchCV(LogisticRegression(), grid, sc=spark, cv=3).fit(X, y)
+    assert dist.best_params_ == local.best_params_
+    np.testing.assert_allclose(
+        dist.cv_results_["mean_test_score"], local.cv_results_["mean_test_score"]
+    )
+    assert dist.best_score_ > 0.8
+    assert len(dist.cv_results_["params"]) == 4
+    assert set(dist.cv_results_) >= {
+        "mean_test_score", "std_test_score", "rank_test_score",
+        "mean_fit_time", "params", "param_C",
+    }
+    # spark artifacts stripped -> picklable (reference README guarantee)
+    blob = pickle.dumps(dist)
+    assert pickle.loads(blob).predict(X).shape == y.shape
+
+
+def test_grid_search_preds(spark, data):
+    X, y = data
+    m = DistGridSearchCV(
+        LogisticRegression(), {"C": [1.0]}, sc=spark, cv=3, preds=True
+    ).fit(X, y)
+    assert m.get_preds().shape == (len(y), 3)
+    m.drop_preds()
+    assert m.get_preds() is None
+
+
+def test_randomized_search(spark, data):
+    X, y = data
+    m = DistRandomizedSearchCV(
+        LogisticRegression(),
+        {"C": [0.01, 0.1, 1.0, 10.0], "lr": [0.05, 0.1, 0.2]},
+        sc=spark,
+        n_iter=5,
+        cv=3,
+        random_state=42,
+    ).fit(X, y)
+    assert len(m.cv_results_["params"]) == 5
+    assert m.best_score_ > 0.8
+
+
+def test_multi_model_search(spark, data):
+    X, y = data
+    models = [
+        ("lr", LogisticRegression(), {"C": [0.1, 1.0]}),
+        ("tree", DecisionTreeClassifier(), {"max_depth": [3, 6]}),
+    ]
+    m = DistMultiModelSearch(models, sc=spark, n=2, cv=3, random_state=0).fit(X, y)
+    assert m.best_model_name_ in ("lr", "tree")
+    assert 0 < m.best_score_ <= 1
+    assert len(m.cv_results_["model_name"]) == 4
+    assert m.predict(X).shape == y.shape
+
+
+def test_ovr(spark, data):
+    X, y = data
+    m = DistOneVsRestClassifier(LogisticRegression(), sc=spark).fit(X, y)
+    assert len(m.estimators_) == 3
+    acc = np.mean(m.predict(X) == y)
+    assert acc > 0.85
+    proba = m.predict_proba(X)
+    np.testing.assert_allclose(proba.sum(axis=1), 1.0, atol=1e-6)
+    # meta-estimator base: inner grid search unwraps to best_estimator_
+    inner = DistGridSearchCV(LogisticRegression(), {"C": [0.1, 1.0]}, cv=3)
+    m2 = DistOneVsRestClassifier(inner, sc=spark).fit(X, y)
+    assert type(m2.estimators_[0]).__name__ == "LogisticRegression"
+
+
+def test_ovr_max_negatives(spark, data):
+    X, y = data
+    m = DistOneVsRestClassifier(
+        LogisticRegression(), sc=spark, max_negatives=1.5, method="ratio", random_state=0
+    ).fit(X, y)
+    assert np.mean(m.predict(X) == y) > 0.7
+
+
+def test_ovo(spark, data):
+    X, y = data
+    m = DistOneVsOneClassifier(LogisticRegression(), sc=spark).fit(X, y)
+    assert len(m.estimators_) == 3  # C(3,2)
+    assert np.mean(m.predict(X) == y) > 0.85
+
+
+def test_forest_classifier(spark, data):
+    X, y = data
+    m = DistRandomForestClassifier(
+        n_estimators=20, sc=spark, max_depth=6, random_state=7
+    ).fit(X, y)
+    assert len(m.estimators_) == 20
+    assert np.mean(m.predict(X) == y) > 0.9
+    # determinism under fixed seed
+    m2 = DistRandomForestClassifier(
+        n_estimators=20, sc=spark, max_depth=6, random_state=7
+    ).fit(X, y)
+    np.testing.assert_array_equal(m.predict_proba(X), m2.predict_proba(X))
+
+
+def test_forest_regressor(spark):
+    rng = np.random.RandomState(3)
+    X = rng.randn(300, 5)
+    y = X @ np.array([2.0, -1.0, 0.5, 0.0, 1.0]) + 0.1 * rng.randn(300)
+    m = DistRandomForestRegressor(n_estimators=20, sc=spark, max_depth=8, random_state=1).fit(X, y)
+    assert m.score(X, y) > 0.8
+
+
+def test_random_trees_embedding(spark, data):
+    X, _ = data
+    m = DistRandomTreesEmbedding(n_estimators=8, sc=spark, max_depth=4, random_state=0).fit(X)
+    T = m.transform(X)
+    assert T.shape == (len(X), m.n_output_features_)
+    # exactly one active leaf per tree per row
+    assert np.all(T.sum(axis=1) == 8)
+
+
+def test_feature_eliminator(spark):
+    rng = np.random.RandomState(0)
+    X_good, y = _blobs(n=200, d=4, k=2, seed=5)
+    X = np.hstack([X_good, rng.randn(200, 6)])  # 6 noise features
+    m = DistFeatureEliminator(
+        LogisticRegression(), sc=spark, min_features_to_select=2, step=2, cv=3
+    ).fit(X, y)
+    assert m.n_features_ <= 10
+    assert m.best_score_ > 0.85
+    assert m.predict(X).shape == y.shape
+
+
+def test_prediction_udf_numpy(spark, data):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    X, y = data
+    model = LogisticRegression().fit(X, y)
+    sdf = spark.createDataFrame(pd.DataFrame(X, columns=[f"f{i}" for i in range(X.shape[1])]))
+    predict = get_prediction_udf(model, method="predict")
+    predict_proba = get_prediction_udf(model, method="predict_proba")
+    cols = [F.col(c) for c in sdf.columns]
+    out = (
+        sdf.withColumn("pred", predict(*cols))
+        .withColumn("scores", predict_proba(*cols))
+        .select("pred", "scores")
+        .toPandas()
+    )
+    assert len(out) == len(X)
+    local_preds = model.predict(X)
+    np.testing.assert_array_equal(np.sort(out["pred"].unique()), np.unique(local_preds))
+    agree = np.mean(out["pred"].values == local_preds)
+    assert agree > 0.99  # row order preserved in local mode
+    np.testing.assert_allclose(np.vstack(out["scores"].values).sum(axis=1), 1.0, atol=1e-6)
+
+
+def test_prediction_udf_text(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    # hashing-features text classifier through the 'text' feature path
+    class HashModel:
+        classes_ = np.array(["neg", "pos"])
+
+        def predict(self, texts):
+            return np.where([("good" in t) for t in texts], "pos", "neg")
+
+    sdf = spark.createDataFrame(pd.DataFrame({"txt": ["good day", "bad day"] * 10}))
+    predict = get_prediction_udf(HashModel(), method="predict", feature_type="text")
+    out = sdf.withColumn("pred", predict(F.col("txt"))).toPandas()
+    assert set(out["pred"]) == {"pos", "neg"}
