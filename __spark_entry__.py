@@ -20,9 +20,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from skdist_spark.operators import dedup, similarity, text  # noqa: E402
 from skdist_spark.plans import tpch, windows  # noqa: E402
 
-_MODULES = [tpch, windows]
+_MODULES = [tpch, windows, dedup, text, similarity]
 
 
 def entry(spark: SparkSession) -> DataFrame:

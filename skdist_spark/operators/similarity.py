@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns.
+
+- ann_topk: exact brute-force cosine top-k for a bounded query set —
+  broadcast the queries, one pass over the corpus, per-query top-k via
+  ranked window. The exactness baseline.
+- ann_lsh: random-hyperplane (sign) LSH bucketing — the 100 TB path:
+  candidates meet in buckets via an equi-join instead of a cross join.
+  Hyperplanes are derived deterministically from md5, so results are
+  reproducible (rows-only driver check; sign-LSH isn't ANSI-SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+LSH_BITS = 8
+
+_DOT = "aggregate(zip_with(q.v, c.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+_NORM = "sqrt(aggregate(transform({0}, x -> x * x), 0D, (acc, x) -> acc + x))"
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: queries (vec_id < N_QUERIES) x corpus.
+
+    The query side is broadcast, so the "cross join" is really a map-side
+    nested loop over a few rows — linear in corpus size, no shuffle of
+    the big side; top-k via window on the query key.
+    """
+    emb = _emb(spark, sf_dir)
+    queries = F.broadcast(emb.where(F.col("vec_id") < N_QUERIES)).alias("q")
+    corpus = emb.alias("c")
+    cos = f"{_DOT} / ({_NORM.format('q.v')} * {_NORM.format('c.v')})"
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        queries.join(corpus, F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.expr(cos).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN: 8-bit signatures from deterministic
+    pseudo-random hyperplanes; neighbors retrieved per bucket.
+
+    Hyperplane r_b[i] = +1/-1 from a md5-derived bit — reproducible
+    everywhere without shipping a matrix. Output: bucket stats +
+    within-bucket top pair per bucket (rows-only check).
+    """
+    emb = _emb(spark, sf_dir)
+    # bit b of the signature: sign of dot(v, r_b), r_b[i] in {+1,-1}
+    # via md5(b:i) first hex nibble high bit
+    bit_exprs = []
+    for b in range(LSH_BITS):
+        proj = (
+            f"aggregate(zip_with(v, sequence(0, size(v) - 1),"
+            f" (x, i) -> CASE WHEN substring(md5(concat('{b}:', i)), 1, 1)"
+            f" IN ('8','9','a','b','c','d','e','f') THEN x ELSE -x END),"
+            f" 0D, (acc, x) -> acc + x)"
+        )
+        bit_exprs.append(f"(CASE WHEN {proj} > 0 THEN {2**b} ELSE 0 END)")
+    sig = " + ".join(bit_exprs)
+    buckets = emb.withColumn("bucket", F.expr(sig).cast("int"))
+    return (
+        buckets.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "ann_topk": f"""
+        WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+                     / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                        * sqrt(list_sum(list_transform(c.v, x -> x * x)))) AS cosine
+            FROM e q JOIN e c ON q.vec_id != c.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """,
+}
+
+QUERIES = {
+    "ann_topk": ann_topk,
+    "ann_lsh": ann_lsh,
+}

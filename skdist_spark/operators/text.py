@@ -1,0 +1,178 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, and document fingerprinting.
+
+Pure Spark SQL expressions (split/filter/aggregate/md5) — single scan,
+no UDFs, whole-stage codegen end-to-end — each with a value-identical
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+_SPARK_WORDS = "filter(split(trim(text), '\\\\s+'), x -> x != '')"
+_DUCK_WORDS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')"
+
+# stopword profiles for the language-ID heuristic (hit-count argmax,
+# deterministic priority order on ties, 'und' when nothing matches)
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une"),
+    "de": ("der", "die", "das", "und", "ist", "von", "den", "ein"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不"),
+}
+
+
+def _hits_expr(words: str, stopwords: tuple[str, ...], engine: str) -> str:
+    quoted = ", ".join(f"'{w}'" for w in stopwords)
+    if engine == "spark":
+        return f"size(filter({words}, t -> t IN ({quoted})))"
+    return f"len(list_filter({words}, t -> t IN ({quoted})))"
+
+
+def _langid_exprs(engine: str) -> tuple[str, str]:
+    """(pred_lang_expr, n_hits_expr): argmax of profile hits."""
+    words = _SPARK_WORDS if engine == "spark" else _DUCK_WORDS
+    hits = {lang: _hits_expr(words, sw, engine) for lang, sw in LANG_PROFILES.items()}
+    greatest = f"greatest({', '.join(hits.values())})"
+    # deterministic priority: dict order breaks ties
+    cases = " ".join(
+        f"WHEN {h} = {greatest} AND {greatest} > 0 THEN '{lang}'"
+        for lang, h in hits.items()
+    )
+    return f"(CASE {cases} ELSE 'und' END)", greatest
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    pred, n_hits = _langid_exprs("spark")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.expr(pred).alias("pred_lang"),
+        F.expr(n_hits).cast("int").alias("n_hits"),
+    ).orderBy("doc_id")
+
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts: whitespace tokens, BPE-ish subword pieces
+    (letter-runs / digit-runs / single other chars), distinct ratio."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = _SPARK_WORDS
+    bpe = "size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0))"
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({words})").alias("n_tokens_ws"),
+        F.expr(bpe).alias("n_tokens_bpe"),
+        F.expr(f"size(array_distinct({words}))").alias("n_tokens_distinct"),
+        F.length("text").alias("n_chars_measured"),
+    ).orderBy("doc_id")
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality metrics: length, mean word length, distinct-token ratio,
+    stopword ratio, and a composite keep/filter verdict — the standard
+    pre-training corpus filters (Gopher-style rules) as one scan."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = _SPARK_WORDS
+    en_hits = _hits_expr(words, LANG_PROFILES["en"], "spark")
+    n_words = f"size({words})"
+    mean_wl = f"(CAST(length(replace(text, ' ', '')) AS DOUBLE) / {n_words})"
+    distinct_ratio = f"(CAST(size(array_distinct({words})) AS DOUBLE) / {n_words})"
+    stop_ratio = f"(CAST({en_hits} AS DOUBLE) / {n_words})"
+    keep = (
+        f"({n_words} >= 10 AND {n_words} <= 1000 AND {mean_wl} >= 2"
+        f" AND {mean_wl} <= 12 AND {distinct_ratio} >= 0.1)"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(n_words).alias("n_words"),
+        F.expr(mean_wl).alias("mean_word_len"),
+        F.expr(distinct_ratio).alias("distinct_ratio"),
+        F.expr(stop_ratio).alias("stopword_ratio"),
+        F.expr(keep).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: the k smallest md5 hashes of word 4-gram
+    shingles (a bottom-k sketch), concatenated and re-hashed into one
+    stable signature. Containment-comparable across corpora."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = _SPARK_WORDS
+    shingles = (
+        f"transform(sequence(1, greatest(size({words}) - 3, 1)),"
+        f" i -> md5(concat_ws(' ', slice({words}, i, 4))))"
+    )
+    bottomk = f"slice(array_sort({shingles}), 1, 4)"
+    return docs.select(
+        "doc_id",
+        F.expr(f"md5(concat_ws('', {bottomk}))").alias("fingerprint"),
+        F.expr(f"element_at(array_sort({shingles}), 1)").alias("min_shingle_hash"),
+    ).orderBy("doc_id")
+
+
+def _duck_quality_sql() -> str:
+    words = _DUCK_WORDS
+    en_hits = _hits_expr(words, LANG_PROFILES["en"], "duck")
+    n_words = f"len({words})"
+    mean_wl = f"(CAST(length(replace(text, ' ', '')) AS DOUBLE) / {n_words})"
+    distinct_ratio = f"(CAST(len(list_distinct({words})) AS DOUBLE) / {n_words})"
+    stop_ratio = f"(CAST({en_hits} AS DOUBLE) / {n_words})"
+    keep = (
+        f"({n_words} >= 10 AND {n_words} <= 1000 AND {mean_wl} >= 2"
+        f" AND {mean_wl} <= 12 AND {distinct_ratio} >= 0.1)"
+    )
+    return f"""
+        SELECT doc_id,
+               CAST({n_words} AS INTEGER) AS n_words,
+               {mean_wl} AS mean_word_len,
+               {distinct_ratio} AS distinct_ratio,
+               {stop_ratio} AS stopword_ratio,
+               {keep} AS keep
+        FROM documents ORDER BY doc_id
+    """
+
+
+_DUCK_PRED, _DUCK_HITS = _langid_exprs("duck")
+
+ORACLE_SQL: dict[str, str] = {
+    "text_langid": f"""
+        SELECT doc_id, lang, {_DUCK_PRED} AS pred_lang,
+               CAST({_DUCK_HITS} AS INTEGER) AS n_hits
+        FROM documents ORDER BY doc_id
+    """,
+    "text_tokens": f"""
+        SELECT doc_id,
+               CAST(len({_DUCK_WORDS}) AS INTEGER) AS n_tokens_ws,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)) AS INTEGER) AS n_tokens_bpe,
+               CAST(len(list_distinct({_DUCK_WORDS})) AS INTEGER) AS n_tokens_distinct,
+               CAST(length(text) AS INTEGER) AS n_chars_measured
+        FROM documents ORDER BY doc_id
+    """,
+    "text_quality": _duck_quality_sql(),
+    "text_fingerprint": f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_sort(list_transform(
+                       range(1, greatest(len({_DUCK_WORDS}) - 3, 1) + 1),
+                       i -> md5(array_to_string(({_DUCK_WORDS})[i:i+3], ' ')))) AS hashes
+            FROM documents
+        )
+        SELECT doc_id,
+               md5(array_to_string(hashes[1:4], '')) AS fingerprint,
+               hashes[1] AS min_shingle_hash
+        FROM sh ORDER BY doc_id
+    """,
+}
+
+QUERIES = {
+    "text_langid": text_langid,
+    "text_tokens": text_tokens,
+    "text_quality": text_quality,
+    "text_fingerprint": text_fingerprint,
+}
