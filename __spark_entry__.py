@@ -20,10 +20,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from skdist_spark.operators import dedup, similarity, text  # noqa: E402
-from skdist_spark.plans import tpch, windows  # noqa: E402
+from skdist_spark.operators import dedup, multimodal, similarity, text  # noqa: E402
+from skdist_spark.plans import ml_queries, tpch, windows  # noqa: E402
+from skdist_spark.streaming import ops as streaming_ops  # noqa: E402
 
-_MODULES = [tpch, windows, dedup, text, similarity]
+_MODULES = [tpch, windows, dedup, text, similarity, multimodal, ml_queries, streaming_ops]
 
 
 def entry(spark: SparkSession) -> DataFrame:

