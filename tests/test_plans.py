@@ -1,0 +1,40 @@
+"""Physical-plan assertions: the optimizations we designed for must
+actually appear in the executed plan (pushdown, pruning, broadcast)."""
+
+from skdist_spark.plans import tpch
+
+
+def _explain(spark, df, mode="formatted"):
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_q6_filters_pushed_and_columns_pruned(spark, sf_dir):
+    plan = _explain(spark, tpch.q6(spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, "no PushedFilters in scan"
+    line = pushed[0]
+    assert "l_shipdate" in line and "l_discount" in line and "l_quantity" in line
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # only the 4 needed columns are read from a 11-column table
+    assert read.count(":") <= 5, read
+    assert "l_returnflag" not in read
+
+
+def test_q5_uses_broadcast_joins(spark, sf_dir):
+    plan = _explain(spark, tpch.q5(spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    # map-side partial agg before the shuffle (HashAggregate x2)
+    plan = _explain(spark, tpch.q1(spark, sf_dir), mode="simple")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_minhash_no_cartesian(spark, sf_dir):
+    from skdist_spark.operators import dedup
+
+    plan = _explain(spark, dedup.dedup_minhash(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan
