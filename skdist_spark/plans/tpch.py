@@ -131,8 +131,35 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order priority checking (TPC-H Q4, adapted: no l_commitdate /
+    l_receiptdate in the reduced schema — the EXISTS predicate counts
+    orders with at least one returned lineitem instead).
+
+    The EXISTS becomes a LEFT SEMI join: lineitem is pre-filtered and
+    projected to the single join key before the shuffle, so only
+    (l_orderkey) rows move; Catalyst deduplicates semi-join build rows.
+    """
+    orders = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-04-01")))
+    )
+    returned = (
+        load_table(spark, "lineitem", sf_dir)
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
 def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Volume shipping (TPC-H Q7): bilateral trade FRANCE<->GERMANY."""
+    """Volume shipping (TPC-H Q7): bilateral trade NATION_1<->NATION_2
+    (the synthetic catalog's nation names)."""
     nation = F.broadcast(load_table(spark, "nation", sf_dir))
     supplier = F.broadcast(load_table(spark, "supplier", sf_dir))
     cust = load_table(spark, "customer", sf_dir)
@@ -155,12 +182,85 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n1, supplier.s_nationkey == F.col("n1_key"))
         .join(n2, cust.c_nationkey == F.col("n2_key"))
         .where(
-            ((F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY"))
-            | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
         )
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(_money(volume).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8): NATION_1 suppliers' share of
+    ECONOMY-part revenue sold into the ASIA market, by order year.
+
+    Shape: fact(lineitem) joined to filtered broadcast dims (part,
+    supplier, nation, region); the conditional-share numerator is a
+    CASE inside one aggregate pass — no second scan/join.
+    """
+    part = F.broadcast(
+        load_table(spark, "part", sf_dir).where(F.col("p_type") == "ECONOMY")
+    )
+    supplier = F.broadcast(load_table(spark, "supplier", sf_dir))
+    nation = load_table(spark, "nation", sf_dir)
+    n_supp = F.broadcast(
+        nation.select(F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation"))
+    )
+    n_cust = F.broadcast(
+        nation.select(F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("cust_regionkey"))
+    )
+    region = F.broadcast(load_table(spark, "region", sf_dir).where(F.col("r_name") == "ASIA"))
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    volume = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_1", volume).otherwise(F.lit(0).cast(_DEC))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(n_supp, supplier.s_nationkey == F.col("ns_key"))
+        .join(n_cust, cust.c_nationkey == F.col("nc_key"))
+        .join(region, F.col("cust_regionkey") == region.r_regionkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(target).cast("double") / F.sum(volume).cast("double")).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product type profit (TPC-H Q9, adapted: no partsupp table, so
+    supply cost is proxied by p_retailprice * l_quantity * 0.10).
+
+    Profit per supplier nation per year over parts whose name contains
+    '1'. part is broadcast after the LIKE filter; the single wide fact
+    pass aggregates map-side before the (n_name, o_year) shuffle.
+    """
+    part = F.broadcast(
+        load_table(spark, "part", sf_dir).where(F.col("p_name").contains("1"))
+    )
+    supplier = F.broadcast(load_table(spark, "supplier", sf_dir))
+    nation = F.broadcast(load_table(spark, "nation", sf_dir))
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    amount = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount")) - (
+        _dec("p_retailprice") * _dec("l_quantity") * F.lit("0.10").cast("decimal(18,2)")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("supp_nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(_money(amount).alias("sum_profit"))
+        .orderBy("supp_nation", F.desc("o_year"))
     )
 
 
@@ -207,6 +307,27 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13): LEFT OUTER join
+    preserving order-less customers, then a histogram of the counts.
+
+    Two aggregations: the first shuffles on c_custkey (high cardinality,
+    even); the second on c_count is tiny. No driver-side work.
+    """
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey")
+    orders = load_table(spark, "orders", sf_dir).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
 def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Promotion effect (TPC-H Q14): conditional revenue ratio."""
     part = F.broadcast(load_table(spark, "part", sf_dir))
@@ -223,6 +344,71 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(100.0) * F.sum(promo).cast("double") / F.sum(revenue).cast("double")
             ).alias("promo_revenue")
         )
+    )
+
+
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (TPC-H Q15): supplier(s) with the maximum quarterly
+    revenue.
+
+    The max is matched on the EXACT decimal aggregate (cast to double
+    only in the output), so the equality predicate is deterministic in
+    both engines regardless of aggregation order. The 1-row max is
+    broadcast — no second shuffle of the revenue table.
+    """
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01")))
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+    rev = li.groupBy("l_suppkey").agg(F.sum(revenue).alias("rev_dec"))
+    mx = rev.agg(F.max("rev_dec").alias("mx"))
+    supplier = F.broadcast(load_table(spark, "supplier", sf_dir))
+    return (
+        rev.join(F.broadcast(mx), rev.rev_dec == F.col("mx"))
+        .join(supplier, rev.l_suppkey == supplier.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17): lineitems below 20% of
+    their part's average quantity, for one brand.
+
+    The correlated AVG subquery becomes a per-part aggregate joined
+    back; the threshold test ``qty < 0.2 * avg(qty)`` is algebraically
+    rewritten to ``5 * qty * cnt < sum_qty`` so it evaluates in EXACT
+    decimal arithmetic — no float-rounding disagreement at the boundary.
+    """
+    part = F.broadcast(
+        load_table(spark, "part", sf_dir)
+        .where(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_li = li.join(part, li.l_partkey == part.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    per_part = brand_li.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        F.sum(_dec("l_quantity")).alias("sum_qty_pp"),
+        F.count(F.lit(1)).alias("cnt_pp"),
+    )
+    small = (
+        brand_li.join(F.broadcast(per_part), brand_li.l_partkey == F.col("pp_key"))
+        .where(
+            F.lit(5).cast(_DEC) * _dec("l_quantity") * F.col("cnt_pp").cast(_DEC)
+            < F.col("sum_qty_pp")
+        )
+    )
+    return small.agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly")
     )
 
 
@@ -264,6 +450,37 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 35)) & (F.col("l_quantity").between(20, 30)))
     )
     return joined.where(cond).agg(_money(revenue).alias("revenue"))
+
+
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sales opportunity (TPC-H Q22, adapted: no c_phone column —
+    grouped by nation instead of phone country code).
+
+    Customers with above-average positive balance and NO orders:
+    the scalar average is a 1-row aggregate cross-broadcast (never
+    collected to the driver), the comparison is the exact-decimal
+    rewrite ``acctbal * cnt > sum``, and "no orders" is a LEFT ANTI
+    join on a key-only projection of orders.
+    """
+    cust = load_table(spark, "customer", sf_dir)
+    stats = cust.where(F.col("c_acctbal") > 0).agg(
+        F.sum(_dec("c_acctbal")).alias("bal_sum"),
+        F.count(F.lit(1)).alias("bal_cnt"),
+    )
+    orders = load_table(spark, "orders", sf_dir).select("o_custkey")
+    nation = F.broadcast(load_table(spark, "nation", sf_dir))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .crossJoin(F.broadcast(stats))
+        .where(_dec("c_acctbal") * F.col("bal_cnt").cast(_DEC) > F.col("bal_sum"))
+        .join(nation, F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -322,6 +539,18 @@ ORACLE_SQL: dict[str, str] = {
           AND l_discount >= 0.05 AND l_discount <= 0.07
           AND l_quantity < 24
     """,
+    "q4": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-04-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
     "q7": """
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
@@ -333,10 +562,45 @@ ORACLE_SQL: dict[str, str] = {
         JOIN nation n1 ON s_nationkey = n1.n_nationkey
         JOIN nation n2 ON c_nationkey = n2.n_nationkey
         WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
-          AND ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-            OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
         GROUP BY supp_nation, cust_nation, l_year
         ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "q8": """
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+               CAST(SUM(CASE WHEN n1.n_name = 'NATION_1'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region ON n2.n_regionkey = r_regionkey
+        WHERE p_type = 'ECONOMY'
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    "q9": """
+        SELECT n_name AS supp_nation,
+               CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                        - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) * CAST(0.10 AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%1%'
+        GROUP BY supp_nation, o_year
+        ORDER BY supp_nation, o_year DESC
     """,
     "q10": """
         SELECT c_custkey, c_name, c_acctbal, n_name,
@@ -363,6 +627,16 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY l_returnflag
         ORDER BY l_returnflag
     """,
+    "q13": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
     "q14": """
         SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
                      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
@@ -372,6 +646,36 @@ ORACLE_SQL: dict[str, str] = {
         JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1997-06-01'
           AND l_shipdate < TIMESTAMP '1997-07-01'
+    """,
+    "q15": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+        FROM rev
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
+        ORDER BY s_suppkey
+    """,
+    "q17": """
+        WITH brand_li AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#1'
+        ), per_part AS (
+            SELECT l_partkey AS pp_key,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_pp,
+                   COUNT(*) AS cnt_pp
+            FROM brand_li GROUP BY l_partkey
+        )
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM brand_li JOIN per_part ON l_partkey = pp_key
+        WHERE CAST(5 AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) * CAST(cnt_pp AS DECIMAL(18,2)) < sum_qty_pp
     """,
     "q18": """
         SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
@@ -393,17 +697,38 @@ ORACLE_SQL: dict[str, str] = {
            OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
     """,
+    "q22": """
+        WITH stats AS (
+            SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum, COUNT(*) AS bal_cnt
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT n_name, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM customer, stats
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          AND CAST(c_acctbal AS DECIMAL(18,2)) * CAST(bal_cnt AS DECIMAL(18,2)) > bal_sum
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
 }
 
 QUERIES = {
     "q1": q1,
     "q3": q3,
+    "q4": q4,
     "q5": q5,
     "q6": q6,
     "q7": q7,
+    "q8": q8,
+    "q9": q9,
     "q10": q10,
     "q12": q12,
+    "q13": q13,
     "q14": q14,
+    "q15": q15,
+    "q17": q17,
     "q18": q18,
     "q19": q19,
+    "q22": q22,
 }
