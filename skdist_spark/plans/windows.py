@@ -133,6 +133,128 @@ def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: fixed time_bucket (1 day)
+    x event_type rollup with exact distinct users.
+
+    At scale this is the materialized-rollup pattern: the bucket key is
+    derivable from the raw timestamp (date_trunc), so partition pruning
+    on bucket ranges works, and the groupBy pre-aggregates map-side.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.withColumn("bucket", F.date_trunc("DAY", F.col("ts")))
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+RANGE_JOIN_WINDOW_S = 1800
+
+
+def range_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval range join: for each error event, how many clicks by the
+    same user within +/-30 minutes.
+
+    Spark-first plan: a naive ``ON abs(e.ts - c.ts) <= w`` inequality
+    join becomes a broadcast-nested-loop. Instead each error explodes
+    to its 3 candidate 30-min buckets and the join is an EQUI-join on
+    (user_id, bucket) followed by the exact interval filter — shuffle
+    hash/sort-merge joinable, linear in events, skew bounded by bucket
+    cardinality. Exact integer microsecond arithmetic on both faces.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    w_us = RANGE_JOIN_WINDOW_S * 1_000_000
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id"),
+            F.unix_micros("ts").alias("err_us"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    (F.col("err_us") / w_us).cast("long") - 1,
+                    (F.col("err_us") / w_us).cast("long"),
+                    (F.col("err_us") / w_us).cast("long") + 1,
+                )
+            ),
+        )
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.unix_micros("ts").alias("click_us"),
+        (F.unix_micros("ts") / w_us).cast("long").alias("c_bucket"),
+    )
+    return (
+        errors.join(
+            clicks,
+            (errors.user_id == clicks.c_user) & (errors.bucket == clicks.c_bucket),
+        )
+        .where(F.abs(F.col("err_us") - F.col("click_us")) <= w_us)
+        .groupBy("error_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_nearby_clicks"))
+        .orderBy("error_id")
+    )
+
+
+def user_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users + events per event_type (the exact face of
+    the HLL sketch below; Catalyst expands countDistinct to a two-phase
+    partial aggregate, no driver work)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def approx_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch distinct users per event_type (rows-only: sketch
+    estimates are engine-specific so there is no DuckDB oracle; the
+    test asserts <5% relative error vs the exact face).
+
+    This is the 100 TB path: approx_count_distinct keeps a bounded
+    sketch per group (mergeable, map-side combined) where exact
+    distinct re-shuffles every (group, user) pair.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"))
+        .orderBy("event_type")
+    )
+
+
+def order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90) of order totals per
+    priority. Spark's ``percentile`` and DuckDB's ``quantile_cont``
+    share linear-interpolation semantics; outputs are rounded to 4
+    decimals on both faces to absorb last-ulp interpolation drift.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50_total"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "events_topn": """
         SELECT event_type, event_id, user_id, value, rn FROM (
@@ -180,6 +302,43 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY user_id, session_idx
         ORDER BY user_id, session_idx
     """,
+    "time_bucket_rollup": """
+        SELECT date_trunc('day', ts) AS bucket, event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY bucket, event_type
+        ORDER BY bucket, event_type
+    """,
+    "range_join_clicks": f"""
+        SELECT e.event_id AS error_id, e.user_id,
+               COUNT(*) AS n_nearby_clicks
+        FROM events e
+        JOIN events c
+          ON e.user_id = c.user_id
+         AND ABS(epoch_us(e.ts) - epoch_us(c.ts)) <= {RANGE_JOIN_WINDOW_S * 1_000_000}
+        WHERE e.event_type = 'error' AND c.event_type = 'click'
+        GROUP BY error_id, e.user_id
+        ORDER BY error_id
+    """,
+    "user_distinct_counts": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "order_percentiles": """
+        SELECT o_orderpriority,
+               ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_total,
+               ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_total,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
     "events_json": """
         SELECT event_type,
                CAST(SUM(TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER)) AS BIGINT) AS sum_k,
@@ -205,4 +364,9 @@ QUERIES = {
     "asof_join": asof_join,
     "sessionize_events": sessionize_events,
     "events_json": events_json,
+    "time_bucket_rollup": time_bucket_rollup,
+    "range_join_clicks": range_join_clicks,
+    "user_distinct_counts": user_distinct_counts,
+    "approx_user_distinct": approx_user_distinct,
+    "order_percentiles": order_percentiles,
 }

@@ -38,3 +38,29 @@ def test_minhash_no_cartesian(spark, sf_dir):
 
     plan = _explain(spark, dedup.dedup_minhash(spark, sf_dir), mode="simple")
     assert "CartesianProduct" not in plan
+
+
+def test_range_join_is_equi_join(spark, sf_dir):
+    # the bucketed rewrite must avoid the nested-loop plan a raw
+    # interval predicate would produce
+    from skdist_spark.plans import windows
+
+    plan = _explain(spark, windows.range_join_clicks(spark, sf_dir), mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_approx_distinct_within_error(spark, sf_dir):
+    from skdist_spark.plans import windows
+
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in windows.user_distinct_counts(spark, sf_dir).collect()
+    }
+    approx = {
+        r["event_type"]: r["n_users_approx"]
+        for r in windows.approx_user_distinct(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= max(2, 0.05 * v), (k, v, approx[k])
