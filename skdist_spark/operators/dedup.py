@@ -1,9 +1,11 @@
 """Deduplication operators over the documents corpus — exact, MinHash
 +LSH, SimHash, blocked n-gram Jaccard, and embedding-cosine near-dup.
 
-All variants are pure Spark SQL expressions (md5, higher-order array
+Text variants are pure Spark SQL expressions (md5, higher-order array
 functions) — no Python in the hot path — so Catalyst keeps pushdown /
-codegen, and every operator has a value-identical DuckDB oracle.
+codegen; the embedding variant is blocked-GEMM numpy over Arrow
+(``mapInPandas``), the right tool for dense vector math. Every
+operator has a value-identical DuckDB oracle.
 
 Cross-engine determinism notes:
 - hashes are md5 hex strings (identical in Spark and DuckDB); MinHash
@@ -250,81 +252,92 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_BLOCK = 512  # rows per GEMM block
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine >= threshold over all pairs.
 
-    The dot product is a strict left fold (aggregate over zip_with) so
-    double summation order is fixed and matches the oracle's list_sum.
-    At 100 TB the all-pairs join is replaced by the LSH-bucketed path
-    (similarity.ann_lsh); this operator is the exact small-N verifier.
+    Dense linear algebra is the one dedup where SQL expressions are the
+    wrong tool (interpreted per-element lambdas: ~100x slower than
+    Arrow+numpy), so this operator uses the blocked-GEMM distribution
+    pattern: vectors are grouped into EMB_BLOCK-row blocks, the
+    upper-triangle of block PAIRS becomes the task list, and each task
+    computes its (block_a x block_b) cosine tile inside ``mapInPandas``
+    — vectorized numpy, no driver collect, shuffle volume O(N * N/B).
+    The all-pairs exactness is inherent (this is the small-N verifier;
+    the 100 TB screening path is the LSH/IVF bucketed operators).
+
+    Determinism: the tile product accumulates one DIMENSION at a time
+    (64 vectorized outer-product adds), which reproduces the strict
+    left-fold summation of the DuckDB oracle's list_sum bit-for-bit —
+    same floats, same hash, while being plain numpy inside.
     """
+    import pandas as pd
+
     emb_raw = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    # normalize each vector ONCE (norm as a column, then one division
-    # pass) so the pair loop is a single dot-product fold — 3x less
-    # per-pair work than cosine-with-norms-inline
-    with_norm = emb_raw.select(
-        "vec_id",
-        "v",
-        F.expr(
-            "sqrt(aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x))"
-        ).alias("nrm"),
+    blocks = (
+        emb_raw.withColumn("blk", (F.col("vec_id") / F.lit(EMB_BLOCK)).cast("long"))
+        .groupBy("blk")
+        .agg(
+            F.collect_list(F.struct("vec_id", "v")).alias("rows"),
+        )
     )
-    emb = with_norm.select(
-        "vec_id", F.expr("transform(v, x -> x / nrm)").alias("v")
-    )
-    # LOSSLESS prune (engaged for tight thresholds): for unit vectors,
-    # cos>=T implies per-coordinate |a_i-b_i| <= sqrt(2-2T). Binning two
-    # coordinates at that width turns the cross join into an equi-join
-    # on (cell_x, cell_y) with a 9-cell neighborhood explode on one side
-    # — same result set, far fewer exact dot products. For loose
-    # thresholds the cell width exceeds the coordinate spread and the
-    # prune would only add explode overhead, so fall back to the plain
-    # pair join. The prune never changes results, so the DuckDB oracle
-    # uses the plain formulation either way.
-    gap = (2 * (1 - COSINE_THRESHOLD)) ** 0.5
-    dot = "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-    if gap <= 0.5:
-        binned = emb.select(
-            "vec_id",
-            "v",
-            F.floor(F.expr("v[0]") / gap).cast("long").alias("cx"),
-            F.floor(F.expr("v[1]") / gap).cast("long").alias("cy"),
-        )
-        probe = binned.select(
-            "vec_id",
-            "v",
-            F.explode(
-                F.expr("transform(sequence(-1, 1), d -> cx + d)")
-            ).alias("cx"),
-            F.col("cy").alias("cy0"),
-        ).select(
-            "vec_id",
-            "v",
-            "cx",
-            F.explode(F.expr("transform(sequence(-1, 1), d -> cy0 + d)")).alias("cy"),
-        )
-        a, b = probe.alias("a"), binned.alias("b")
-        joined = a.join(
-            b,
-            (F.col("a.cx") == F.col("b.cx"))
-            & (F.col("a.cy") == F.col("b.cy"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-    else:
-        a, b = emb.alias("a"), emb.alias("b")
-        joined = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-    return (
-        joined
+    pairs = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), F.col("a.blk") <= F.col("b.blk"))
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.expr(dot).alias("cosine"),
+            F.col("a.rows").alias("rows_a"),
+            F.col("b.rows").alias("rows_b"),
+            (F.col("a.blk") == F.col("b.blk")).alias("same_blk"),
         )
-        .where(F.col("cosine") >= COSINE_THRESHOLD)
-        .orderBy("vec_a", "vec_b")
     )
+    thr = COSINE_THRESHOLD
+
+    def _tile(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for rows_a, rows_b, same in zip(
+                pdf["rows_a"], pdf["rows_b"], pdf["same_blk"]
+            ):
+                ids_a = np.array([r["vec_id"] for r in rows_a], dtype=np.int64)
+                ids_b = np.array([r["vec_id"] for r in rows_b], dtype=np.int64)
+                A = np.array([r["v"] for r in rows_a], dtype=np.float64)
+                B = np.array([r["v"] for r in rows_b], dtype=np.float64)
+                # normalize: left-fold sum of squares per vector, then
+                # one IEEE division — same op sequence as the oracle
+                for M in (A, B):
+                    acc = np.zeros(len(M))
+                    for i in range(M.shape[1]):
+                        acc += M[:, i] * M[:, i]
+                    M /= np.sqrt(acc)[:, None]
+                # cosine tile: accumulate dimension-by-dimension so each
+                # entry is the exact left-fold sum a0*b0 + a1*b1 + ...
+                tile = np.zeros((len(A), len(B)))
+                for i in range(A.shape[1]):
+                    tile += np.outer(A[:, i], B[:, i])
+                ia, ib = np.nonzero(
+                    (tile >= thr) & (ids_a[:, None] < ids_b[None, :])
+                )
+                out_a.append(ids_a[ia])
+                out_b.append(ids_b[ib])
+                out_c.append(tile[ia, ib])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.concatenate(out_a),
+                        "vec_b": np.concatenate(out_b),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    return pairs.mapInPandas(
+        _tile, schema="vec_a long, vec_b long, cosine double"
+    ).orderBy("vec_a", "vec_b")
 
 
 _DUCK_SH = _duck_shingles()

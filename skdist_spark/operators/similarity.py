@@ -88,6 +88,73 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_NLIST = 16
+IVF_NPROBE = 4
+_CENTROID_BASE = 100  # corpus vectors used as deterministic centroids
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: corpus partitioned into NLIST cells by
+    nearest centroid; each query probes only its NPROBE nearest cells.
+
+    Centroids are a deterministic data sample (vec_ids 100..115) in
+    place of a k-means pass — the plan shape is identical to trained
+    IVF. Everything is DataFrame ops: assignment is a broadcast
+    corpus x centroids score + ``max_by`` argmax (map-side, no
+    shuffle of the corpus beyond one groupBy on vec_id); probing
+    explodes each query to NPROBE cells; candidate retrieval is an
+    EQUI-join on cell id (this is what kills the cross join at 100 TB:
+    candidates per query drop by ~NLIST/NPROBE); exact cosine re-rank
+    inside candidates only. Rows-only (recall-vs-exact is tested).
+    """
+    emb = _emb(spark, sf_dir)
+    cents = F.broadcast(
+        emb.where(
+            (F.col("vec_id") >= _CENTROID_BASE)
+            & (F.col("vec_id") < _CENTROID_BASE + IVF_NLIST)
+        ).select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
+    )
+    dot_cv = "aggregate(zip_with(v, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    norm = "sqrt(aggregate(transform({0}, x -> x * x), 0D, (acc, x) -> acc + x))"
+    cent_cos = F.expr(f"{dot_cv} / ({norm.format('v')} * {norm.format('cv')})")
+
+    scored = emb.crossJoin(cents).withColumn("cent_cos", cent_cos)
+    # argmax centroid per corpus vector (cell assignment)
+    cells = scored.groupBy("vec_id").agg(
+        F.max_by("cent_id", F.struct("cent_cos", "cent_id")).alias("cell"),
+        F.first("v").alias("v"),
+    )
+    # queries probe their NPROBE nearest cells
+    w_probe = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))
+    probes = (
+        scored.where(F.col("vec_id") < N_QUERIES)
+        .withColumn("probe_rank", F.row_number().over(w_probe))
+        .where(F.col("probe_rank") <= IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("cent_id").alias("cell"),
+        )
+    )
+    cand_cos = (
+        "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+        f" / ({norm.format('qv')} * {norm.format('v')})"
+    )
+    w_k = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        probes.join(cells, "cell")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(cand_cos).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w_k))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "ann_topk": f"""
         WITH e AS (
@@ -113,4 +180,5 @@ ORACLE_SQL: dict[str, str] = {
 QUERIES = {
     "ann_topk": ann_topk,
     "ann_lsh": ann_lsh,
+    "ann_ivf": ann_ivf,
 }

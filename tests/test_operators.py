@@ -203,3 +203,21 @@ def test_prediction_udf_text(spark):
     predict = get_prediction_udf(HashModel(), method="predict", feature_type="text")
     out = sdf.withColumn("pred", predict(F.col("txt"))).toPandas()
     assert set(out["pred"]) == {"pos", "neg"}
+
+
+def test_ann_ivf_recall_vs_exact(spark, sf_dir):
+    from collections import defaultdict
+
+    from skdist_spark.operators import similarity
+
+    ex, iv = defaultdict(set), defaultdict(set)
+    for r in similarity.ann_topk(spark, sf_dir).collect():
+        ex[r.query_id].add(r.neighbor_id)
+    for r in similarity.ann_ivf(spark, sf_dir).collect():
+        iv[r.query_id].add(r.neighbor_id)
+    assert set(iv) == set(ex)
+    assert all(len(v) == similarity.TOP_K for v in iv.values())
+    recalls = [len(ex[q] & iv[q]) / len(ex[q]) for q in ex]
+    # nprobe/nlist = 4/16 on weakly-clustered synthetic vectors; the
+    # floor guards the plumbing (cell assignment + probing), not tuning
+    assert sum(recalls) / len(recalls) >= 0.3, recalls

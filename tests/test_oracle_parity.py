@@ -25,7 +25,9 @@ def test_oracle_parity(spark, sf_dir, name):
 def test_every_query_declared(spark):
     # every queries() entry should either have an oracle or be a
     # documented rows-only op (ml_*, streaming, lsh buckets, multimodal)
-    rows_only_prefixes = ("ml_", "stream_", "ann_lsh", "multimodal", "encoderizer", "approx_")
+    rows_only_prefixes = (
+        "ml_", "stream_", "ann_lsh", "ann_ivf", "multimodal", "encoderizer", "approx_",
+    )
     for name in QUERIES:
         if name not in ORACLES:
             assert name.startswith(rows_only_prefixes), name
