@@ -55,16 +55,26 @@ def _duck_shingles(words: str = _DUCK_WORDS, n: int = SHINGLE) -> str:
 
 
 def _minhash_sig_exprs(shingles_expr: str, engine: str) -> list[str]:
-    """One min-hash per seed: min over shingles of md5('<k>:'||shingle)."""
+    """N_HASHES min-hashes from N_HASHES/4 md5 calls per shingle: each
+    128-bit md5 is split into four non-overlapping 8-hex-char (32-bit)
+    windows, each an independent hash whose minimum is taken over the
+    shingle set (string min over fixed-width lowercase hex == numeric
+    min). 4x fewer digest evaluations than one md5 per hash seed —
+    this is the dominant cost of MinHash at scale.
+    """
     out = []
     for k in range(N_HASHES):
+        seed, win = divmod(k, 4)
+        lo = 1 + win * 8
         if engine == "spark":
             out.append(
-                f"array_min(transform({shingles_expr}, s -> md5(concat('{k}:', s))))"
+                f"array_min(transform({shingles_expr},"
+                f" s -> substring(md5(concat('{seed}:', s)), {lo}, 8)))"
             )
         else:
             out.append(
-                f"list_min(list_transform({shingles_expr}, s -> md5('{k}:' || s)))"
+                f"list_min(list_transform({shingles_expr},"
+                f" s -> md5('{seed}:' || s)[{lo}:{lo + 7}]))"
             )
     return out
 
@@ -99,10 +109,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> equi-join on band hash -> exact Jaccard on candidates only.
     """
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    # materialize shingles ONCE per doc; every signature derives from the
-    # column (re-inlining the expression would recompute the shingle
-    # array per hash seed — 9x the work)
-    sh_df = docs.select("doc_id", F.expr(_spark_shingles()).alias("shingles"))
+    # materialize the WORD ARRAY as a column before shingling: inlining
+    # the split into the shingle lambda re-executes the regex split per
+    # shingle element (~50x per doc); then materialize shingles once so
+    # every signature reads the column
+    words_df = docs.select("doc_id", F.expr(_SPARK_WORDS).alias("wd"))
+    sh_df = words_df.select(
+        "doc_id", F.expr(_spark_shingles(words="wd")).alias("shingles")
+    )
     sigs = _minhash_sig_exprs("shingles", "spark")
     with_sig = sh_df.select(
         "doc_id",
@@ -117,7 +131,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.md5(F.concat(F.col(f"sig{2 * b}"), F.col(f"sig{2 * b + 1}"))).alias(
+                        # 2 fixed-width sig windows concatenated ARE the
+                        # band key — no digest needed on top
+                        F.concat(F.col(f"sig{2 * b}"), F.col(f"sig{2 * b + 1}")).alias(
                             "band_hash"
                         ),
                     )
@@ -138,12 +154,22 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sa = sh_df.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh_df.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    # exact-Jaccard verify recomputes shingles ONLY for candidate docs
+    # (joined from the raw text, not the full sh_df subtree): candidates
+    # are a tiny fraction of the corpus, so the expensive shingling runs
+    # on |candidates| rows instead of 2x the corpus
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    wa = "filter(split(trim(text_a), '\\\\s+'), x -> x != '')"
+    wb = "filter(split(trim(text_b), '\\\\s+'), x -> x != '')"
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("wd_a", F.expr(wa))
+        .withColumn("wd_b", F.expr(wb))
+        .withColumn("sh_a", F.expr(_spark_shingles(words="wd_a")))
+        .withColumn("sh_b", F.expr(_spark_shingles(words="wd_b")))
         .withColumn(
             "jaccard",
             inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter),
@@ -158,8 +184,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact n-gram Jaccard: all pairs within a blocking key
     (source), keep pairs over threshold. The block bounds the pair
     explosion at scale (per-block cartesian, shuffled on the key)."""
-    docs = load_table(spark, "documents", sf_dir).select(
-        "doc_id", "source", F.expr(_spark_shingles()).alias("sh")
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", "source", F.expr(_SPARK_WORDS).alias("wd"))
+        .select("doc_id", "source", F.expr(_spark_shingles(words="wd")).alias("sh"))
     )
     sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
     # inverted-index (sparse) similarity join: explode to postings,
@@ -361,7 +389,7 @@ ORACLE_SQL: dict[str, str] = {
         ), bands AS (
             SELECT doc_id, sh, band_idx,
                    CASE band_idx
-                        {' '.join(f'WHEN {b} THEN md5(sig{2 * b} || sig{2 * b + 1})' for b in range(N_BANDS))}
+                        {' '.join(f'WHEN {b} THEN sig{2 * b} || sig{2 * b + 1}' for b in range(N_BANDS))}
                    END AS band_hash
             FROM sig, UNNEST([{', '.join(str(b) for b in range(N_BANDS))}]) AS t(band_idx)
         ), pairs AS (

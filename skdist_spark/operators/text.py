@@ -34,9 +34,10 @@ def _hits_expr(words: str, stopwords: tuple[str, ...], engine: str) -> str:
     return f"len(list_filter({words}, t -> t IN ({quoted})))"
 
 
-def _langid_exprs(engine: str) -> tuple[str, str]:
+def _langid_exprs(engine: str, words: str | None = None) -> tuple[str, str]:
     """(pred_lang_expr, n_hits_expr): argmax of profile hits."""
-    words = _SPARK_WORDS if engine == "spark" else _DUCK_WORDS
+    if words is None:
+        words = _SPARK_WORDS if engine == "spark" else _DUCK_WORDS
     hits = {lang: _hits_expr(words, sw, engine) for lang, sw in LANG_PROFILES.items()}
     greatest = f"greatest({', '.join(hits.values())})"
     # deterministic priority: dict order breaks ties
@@ -49,8 +50,11 @@ def _langid_exprs(engine: str) -> tuple[str, str]:
 
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    pred, n_hits = _langid_exprs("spark")
-    return docs.select(
+    # tokenize ONCE into a column; the 10+ hit-count lambdas all read it
+    # (inlining would re-split per profile term check)
+    words_df = docs.select("doc_id", "lang", F.expr(_SPARK_WORDS).alias("wd"))
+    pred, n_hits = _langid_exprs("spark", words="wd")
+    return words_df.select(
         "doc_id",
         "lang",
         F.expr(pred).alias("pred_lang"),
@@ -62,13 +66,13 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts: whitespace tokens, BPE-ish subword pieces
     (letter-runs / digit-runs / single other chars), distinct ratio."""
     docs = load_table(spark, "documents", sf_dir)
-    words = _SPARK_WORDS
+    words_df = docs.select("doc_id", "text", F.expr(_SPARK_WORDS).alias("wd"))
     bpe = "size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0))"
-    return docs.select(
+    return words_df.select(
         "doc_id",
-        F.expr(f"size({words})").alias("n_tokens_ws"),
+        F.expr("size(wd)").alias("n_tokens_ws"),
         F.expr(bpe).alias("n_tokens_bpe"),
-        F.expr(f"size(array_distinct({words}))").alias("n_tokens_distinct"),
+        F.expr("size(array_distinct(wd))").alias("n_tokens_distinct"),
         F.length("text").alias("n_chars_measured"),
     ).orderBy("doc_id")
 
@@ -78,7 +82,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword ratio, and a composite keep/filter verdict — the standard
     pre-training corpus filters (Gopher-style rules) as one scan."""
     docs = load_table(spark, "documents", sf_dir)
-    words = _SPARK_WORDS
+    docs = docs.select("doc_id", "text", F.expr(_SPARK_WORDS).alias("wd"))
+    words = "wd"
     en_hits = _hits_expr(words, LANG_PROFILES["en"], "spark")
     n_words = f"size({words})"
     mean_wl = f"(CAST(length(replace(text, ' ', '')) AS DOUBLE) / {n_words})"
@@ -103,16 +108,21 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles (a bottom-k sketch), concatenated and re-hashed into one
     stable signature. Containment-comparable across corpora."""
     docs = load_table(spark, "documents", sf_dir)
-    words = _SPARK_WORDS
-    shingles = (
-        f"transform(sequence(1, greatest(size({words}) - 3, 1)),"
-        f" i -> md5(concat_ws(' ', slice({words}, i, 4))))"
-    )
-    bottomk = f"slice(array_sort({shingles}), 1, 4)"
-    return docs.select(
+    # three-stage materialization: words column -> sorted hash column ->
+    # two cheap derivations. Inlining would re-split per shingle AND
+    # shingle+sort the whole array twice (once per output column).
+    words_df = docs.select("doc_id", F.expr(_SPARK_WORDS).alias("wd"))
+    hashes_df = words_df.select(
         "doc_id",
-        F.expr(f"md5(concat_ws('', {bottomk}))").alias("fingerprint"),
-        F.expr(f"element_at(array_sort({shingles}), 1)").alias("min_shingle_hash"),
+        F.expr(
+            "array_sort(transform(sequence(1, greatest(size(wd) - 3, 1)),"
+            " i -> md5(concat_ws(' ', slice(wd, i, 4)))))"
+        ).alias("hashes"),
+    )
+    return hashes_df.select(
+        "doc_id",
+        F.expr("md5(concat_ws('', slice(hashes, 1, 4)))").alias("fingerprint"),
+        F.expr("element_at(hashes, 1)").alias("min_shingle_hash"),
     ).orderBy("doc_id")
 
 
