@@ -65,14 +65,26 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = _emb(spark, sf_dir)
     # bit b of the signature: sign of dot(v, r_b), r_b[i] in {+1,-1}
-    # via md5(b:i) first hex nibble high bit
+    # from the high bit of md5(b:i)'s first hex nibble. The md5 depends
+    # only on (b, i), so the whole sign matrix is computed ONCE here and
+    # inlined as +/-x literals — the per-row lambda is pure arithmetic
+    # (the naive spelling re-hashes inside the lambda: rows x bits x dims
+    # digest evaluations for 512 distinct values).
+    import hashlib
+
+    dims = 64  # embeddings are fixed 64-d (TESTDATA.md)
     bit_exprs = []
     for b in range(LSH_BITS):
+        signs = [
+            "x" if hashlib.md5(f"{b}:{i}".encode()).hexdigest()[0] in "89abcdef" else "-x"
+            for i in range(dims)
+        ]
+        sign_arr = ", ".join(
+            "1D" if s == "x" else "-1D" for s in signs
+        )
         proj = (
-            f"aggregate(zip_with(v, sequence(0, size(v) - 1),"
-            f" (x, i) -> CASE WHEN substring(md5(concat('{b}:', i)), 1, 1)"
-            f" IN ('8','9','a','b','c','d','e','f') THEN x ELSE -x END),"
-            f" 0D, (acc, x) -> acc + x)"
+            f"aggregate(zip_with(v, array({sign_arr}),"
+            f" (x, s) -> x * s), 0D, (acc, x) -> acc + x)"
         )
         bit_exprs.append(f"(CASE WHEN {proj} > 0 THEN {2**b} ELSE 0 END)")
     sig = " + ".join(bit_exprs)

@@ -68,20 +68,36 @@ def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+STREAM_STATE_PARTITIONS = 8
+
+
 def run_stream_to_df(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:
     """Drain a streaming DataFrame through a memory sink and return the
     materialized result. Trigger.AvailableNow = process everything
-    currently available, then stop (deterministic for static input)."""
-    name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    currently available, then stop (deterministic for static input).
+
+    Stateful operators get a reduced shuffle-partition count for the
+    query's lifetime: each state partition pays a state-store +
+    Python-worker startup per microbatch, so 32 partitions of tiny
+    per-partition state is all fixed cost. (On a real cluster this is
+    sized to executor count; state partitioning is fixed at first run
+    by checkpoint anyway.)
+    """
     spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        name = f"sink_{uuid.uuid4().hex[:12]}"
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
