@@ -237,6 +237,42 @@ def approx_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SALT_BUCKETS = 8
+
+
+def salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation: two-stage salted groupBy on event_type
+    (5 hot keys — the worst-case skew shape, where a plain groupBy
+    bottlenecks 5 reducers no matter how many executors exist).
+
+    Stage 1 groups on (event_type, salt) — SALT_BUCKETS x more
+    parallelism for the heavy map-side combine; stage 2 merges the
+    bounded per-salt partials. The salt derives deterministically from
+    event_id (never rand(): retries/speculative tasks must re-salt
+    identically). Decimal partials make the two-stage sum EXACTLY equal
+    to the single-stage oracle regardless of merge order.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    partial = (
+        ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(SALT_BUCKETS)))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("n_partial"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_partial"),
+            F.max("value").alias("max_partial"),
+        )
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("n_partial").alias("n_events"),
+            F.sum("sum_partial").cast("double").alias("sum_value"),
+            F.max("max_partial").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (p50/p90) of order totals per
     priority. Spark's ``percentile`` and DuckDB's ``quantile_cont``
@@ -330,6 +366,15 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY event_type
         ORDER BY event_type
     """,
+    "salted_event_totals": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+               MAX(value) AS max_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "order_percentiles": """
         SELECT o_orderpriority,
                ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_total,
@@ -369,4 +414,5 @@ QUERIES = {
     "user_distinct_counts": user_distinct_counts,
     "approx_user_distinct": approx_user_distinct,
     "order_percentiles": order_percentiles,
+    "salted_event_totals": salted_event_totals,
 }

@@ -1,0 +1,122 @@
+"""Format-agnostic read/write helpers — the source/sink surface.
+
+One entry point per direction; format-specific options centralized so
+every pipeline stage reads/writes through the same tuned path:
+
+- parquet: the default interchange + storage format (columnar,
+  predicate pushdown, column pruning);
+- orc: same posture as parquet where the warehouse is ORC-based;
+- csv / json(l): ingest formats — header/schema handling and
+  compression defaults set here; these are SCAN-ONLY formats (no
+  pushdown beyond partition pruning), so pipelines should land them
+  into parquet early (``convert_to_parquet``);
+- partitioned writes: ``partition_by`` produces hive-style directory
+  partitioning (enables partition pruning on read);
+- bucketed writes: ``bucket_by`` pre-shuffles into N buckets on the
+  join/agg key so repeated joins on that key skip the shuffle
+  (saveAsTable path, needs a metastore-backed table name).
+
+At 100 TB, the defaults that matter: snappy parquet (splittable,
+cheap to decode), maxRecordsPerFile bounds file sizes for downstream
+parallelism, and partition columns chosen with bounded cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+READ_FORMATS = ("parquet", "orc", "csv", "json")
+
+_CSV_READ_OPTS = {"header": "true", "inferSchema": "false", "mode": "PERMISSIVE"}
+_WRITE_COMPRESSION = {"parquet": "snappy", "orc": "zlib", "csv": "gzip", "json": "gzip"}
+
+
+def read_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Read ``path`` in ``fmt``. Pass an explicit DDL ``schema`` for
+    csv/json in production paths — schema inference is a full extra
+    scan and non-deterministic under dirty data."""
+    if fmt not in READ_FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; known: {READ_FORMATS}")
+    reader = spark.read
+    if fmt == "csv":
+        for k, v in _CSV_READ_OPTS.items():
+            reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt == "csv":
+        reader = reader.option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.format(fmt).load(path)
+
+
+def write_sink(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int = 5_000_000,
+    **options: str,
+) -> None:
+    """Write ``df`` to ``path`` in ``fmt`` with scale-safe defaults
+    (splittable compression, bounded file sizes, optional hive-style
+    partitioning)."""
+    if fmt not in READ_FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; known: {READ_FORMATS}")
+    writer = (
+        df.write.mode(mode)
+        .option("compression", _WRITE_COMPRESSION[fmt])
+        .option("maxRecordsPerFile", str(max_records_per_file))
+    )
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.format(fmt).save(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a BUCKETED managed table: rows pre-shuffled
+    into ``n_buckets`` by ``bucket_cols`` (and optionally sorted within
+    buckets), so later equi-joins / aggregations on those columns read
+    co-located buckets instead of shuffling — the standard answer to
+    "this fact table is joined on the same key every day".
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
+
+
+def convert_to_parquet(
+    spark: SparkSession,
+    src_path: str,
+    src_fmt: str,
+    dest_path: str,
+    schema: str | None = None,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Land a scan-only ingest format (csv/json) into parquet so every
+    downstream read gets pushdown + pruning."""
+    write_sink(
+        read_source(spark, src_path, src_fmt, schema=schema),
+        dest_path,
+        "parquet",
+        partition_by=partition_by,
+    )

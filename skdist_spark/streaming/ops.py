@@ -184,8 +184,30 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "session_start")
 
 
+def stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: first occurrence per (user_id, event_type) via
+    watermarked dropDuplicates — streaming state holds one key per pair
+    and the watermark bounds it. Output is the deterministic KEY SET
+    (which physical row arrived first is arrival-order dependent, so
+    only keys are emitted), then a batch rollup of unique users per
+    type."""
+    ev = _read_event_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    out = run_stream_to_df(deduped, output_mode="append")
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_users"))
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "stream_windowed_counts": stream_windowed_counts,
     "stream_sessionize": stream_sessionize,
+    "stream_dedup_users": stream_dedup_users,
 }
 ORACLE_SQL: dict[str, str] = {}

@@ -1,0 +1,66 @@
+"""Source/sink round-trips through skdist_spark.sources.io."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from skdist_spark.sources.catalog import load_table
+from skdist_spark.sources.io import convert_to_parquet, read_source, write_sink
+
+
+@pytest.fixture()
+def nation_df(spark, sf_dir):
+    return load_table(spark, "nation", sf_dir)
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
+def test_roundtrip(spark, nation_df, fmt):
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, f"nation_{fmt}")
+        write_sink(nation_df, path, fmt)
+        back = read_source(
+            spark,
+            path,
+            fmt,
+            schema="n_nationkey bigint, n_name string, n_regionkey bigint",
+        )
+        got = {r.n_nationkey: (r.n_name, r.n_regionkey) for r in back.collect()}
+        want = {r.n_nationkey: (r.n_name, r.n_regionkey) for r in nation_df.collect()}
+        assert got == want
+
+
+def test_partitioned_write_prunes(spark, nation_df):
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "nation_part")
+        write_sink(nation_df, path, "parquet", partition_by=["n_regionkey"])
+        # hive-style layout exists
+        assert any(p.startswith("n_regionkey=") for p in os.listdir(path))
+        back = read_source(spark, path).where(F.col("n_regionkey") == 2)
+        assert back.count() == nation_df.where("n_regionkey = 2").count()
+        # partition filter prunes at planning time: only one partition dir read
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "n_regionkey=2" in plan or "PartitionFilters" in plan
+
+
+def test_convert_to_parquet(spark, nation_df):
+    with tempfile.TemporaryDirectory() as d:
+        csv_path = os.path.join(d, "nation_csv")
+        pq_path = os.path.join(d, "nation_pq")
+        write_sink(nation_df, csv_path, "csv")
+        convert_to_parquet(
+            spark,
+            csv_path,
+            "csv",
+            pq_path,
+            schema="n_nationkey bigint, n_name string, n_regionkey bigint",
+        )
+        assert read_source(spark, pq_path).count() == nation_df.count()
+
+
+def test_unknown_format_rejected(spark, nation_df):
+    with pytest.raises(ValueError):
+        read_source(spark, "/tmp/x", "avro")
+    with pytest.raises(ValueError):
+        write_sink(nation_df, "/tmp/x", "xml")
