@@ -54,28 +54,40 @@ def _duck_shingles(words: str = _DUCK_WORDS, n: int = SHINGLE) -> str:
     )
 
 
-def _minhash_sig_exprs(shingles_expr: str, engine: str) -> list[str]:
-    """N_HASHES min-hashes from N_HASHES/4 md5 calls per shingle: each
-    128-bit md5 is split into four non-overlapping 8-hex-char (32-bit)
-    windows, each an independent hash whose minimum is taken over the
-    shingle set (string min over fixed-width lowercase hex == numeric
-    min). 4x fewer digest evaluations than one md5 per hash seed —
-    this is the dominant cost of MinHash at scale.
-    """
+N_SEEDS = N_HASHES // 4  # one md5 seed yields 4 independent 32-bit hashes
+
+
+def _minhash_digest_exprs(shingles_expr: str, engine: str) -> list[str]:
+    """Per-seed digest ARRAYS (materialized once per doc): each 128-bit
+    md5 is later split into four non-overlapping 8-hex-char (32-bit)
+    windows. Materializing the digest array is the key cost move — the
+    naive form re-hashes every shingle inside each of the N_HASHES
+    signature lambdas (N_HASHES x the digests; digests dominate MinHash
+    cost at scale)."""
+    if engine == "spark":
+        return [
+            f"transform({shingles_expr}, s -> md5(concat('{seed}:', s)))"
+            for seed in range(N_SEEDS)
+        ]
+    return [
+        f"list_transform({shingles_expr}, s -> md5('{seed}:' || s))"
+        for seed in range(N_SEEDS)
+    ]
+
+
+def _minhash_sig_exprs(engine: str, digest_col: str = "h{seed}") -> list[str]:
+    """N_HASHES min-hash signatures reading the pre-materialized digest
+    arrays: min over 8-hex windows (string min over fixed-width
+    lowercase hex == numeric min)."""
     out = []
     for k in range(N_HASHES):
         seed, win = divmod(k, 4)
+        col = digest_col.format(seed=seed)
         lo = 1 + win * 8
         if engine == "spark":
-            out.append(
-                f"array_min(transform({shingles_expr},"
-                f" s -> substring(md5(concat('{seed}:', s)), {lo}, 8)))"
-            )
+            out.append(f"array_min(transform({col}, h -> substring(h, {lo}, 8)))")
         else:
-            out.append(
-                f"list_min(list_transform({shingles_expr},"
-                f" s -> md5('{seed}:' || s)[{lo}:{lo + 7}]))"
-            )
+            out.append(f"list_min(list_transform({col}, h -> h[{lo}:{lo + 7}]))")
     return out
 
 
@@ -117,8 +129,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_df = words_df.select(
         "doc_id", F.expr(_spark_shingles(words="wd")).alias("shingles")
     )
-    sigs = _minhash_sig_exprs("shingles", "spark")
-    with_sig = sh_df.select(
+    digests = _minhash_digest_exprs("shingles", "spark")
+    dig_df = sh_df.select(
+        "doc_id",
+        *[F.expr(d).alias(f"h{seed}") for seed, d in enumerate(digests)],
+    )
+    sigs = _minhash_sig_exprs("spark")
+    with_sig = dig_df.select(
         "doc_id",
         *[F.expr(sigs[k]).alias(f"sig{k}") for k in range(N_HASHES)],
     )
@@ -142,8 +159,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_hash")
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # merge hint: broadcast would evaluate the signature subtree twice
+    # (build + probe); sort-merge shuffles both sides on the band key
+    # with identical child plans, letting the exchange be computed once
+    a = bands.alias("a").hint("merge")
+    b = bands.alias("b").hint("merge")
     pairs = (
         a.join(
             b,
@@ -195,8 +215,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Only pairs with >=1 shared shingle ever materialize, and the join
     # is a shuffle on a short key — the shape that survives 100 TB,
     # unlike per-pair array intersections.
+    # explode_OUTER: plain explode triggers InferFiltersFromGenerate,
+    # which re-inlines the whole shingle expression into a pushed-down
+    # size()>0 filter (re-splitting per row). Shingle arrays are never
+    # empty (greatest(..,1)), so outer semantics are identical.
     postings = docs.select(
-        "doc_id", "source", F.explode("sh").alias("shingle")
+        "doc_id", "source", F.explode_outer("sh").alias("shingle")
     )
     a, b = postings.alias("a"), postings.alias("b")
     inter_counts = (
@@ -369,7 +393,8 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DUCK_SH = _duck_shingles()
-_DUCK_SIGS = _minhash_sig_exprs("sh", "duck")
+_DUCK_DIGESTS = _minhash_digest_exprs("sh", "duck")
+_DUCK_SIGS = _minhash_sig_exprs("duck")
 
 ORACLE_SQL: dict[str, str] = {
     "dedup_exact": """
@@ -382,10 +407,14 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_minhash": f"""
         WITH sh AS (
             SELECT doc_id, {_DUCK_SH} AS sh FROM documents
+        ), dig AS (
+            SELECT doc_id, sh,
+                   {', '.join(f'{d} AS h{seed}' for seed, d in enumerate(_DUCK_DIGESTS))}
+            FROM sh
         ), sig AS (
             SELECT doc_id, sh,
                    {', '.join(f'{s} AS sig{k}' for k, s in enumerate(_DUCK_SIGS))}
-            FROM sh
+            FROM dig
         ), bands AS (
             SELECT doc_id, sh, band_idx,
                    CASE band_idx

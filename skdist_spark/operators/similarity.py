@@ -131,21 +131,28 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_cos = F.expr(f"{dot_cv} / ({norm.format('v')} * {norm.format('cv')})")
 
     scored = emb.crossJoin(cents).withColumn("cent_cos", cent_cos)
-    # argmax centroid per corpus vector (cell assignment)
-    cells = scored.groupBy("vec_id").agg(
+    # ONE aggregation pass produces both the argmax cell assignment and
+    # the top-NPROBE probe list: cells and probes then share an
+    # identical shuffle child, so the expensive scoring cross join is
+    # evaluated once (exchange reuse) instead of once per consumer.
+    assigned = scored.groupBy("vec_id").agg(
         F.max_by("cent_id", F.struct("cent_cos", "cent_id")).alias("cell"),
         F.first("v").alias("v"),
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct(F.negate(F.col("cent_cos")).alias("neg"), F.col("cent_id")))
+            ),
+            1,
+            IVF_NPROBE,
+        ).alias("probe_cells"),
     )
-    # queries probe their NPROBE nearest cells
-    w_probe = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))
+    cells = assigned.select("vec_id", "cell", "v")
     probes = (
-        scored.where(F.col("vec_id") < N_QUERIES)
-        .withColumn("probe_rank", F.row_number().over(w_probe))
-        .where(F.col("probe_rank") <= IVF_NPROBE)
+        assigned.where(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
-            F.col("cent_id").alias("cell"),
+            F.explode_outer(F.col("probe_cells.cent_id")).alias("cell"),
         )
     )
     cand_cos = (
