@@ -50,6 +50,47 @@ def test_range_join_is_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_q8_broadcasts_all_dims(spark, sf_dir):
+    plan = _explain(spark, tpch.q8(spark, sf_dir), mode="simple")
+    # 6 dim joins broadcast; only the fact-side joins shuffle
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_time_bucket_pushes_column_pruning(spark, sf_dir):
+    from skdist_spark.plans import windows
+
+    plan = _explain(spark, windows.time_bucket_rollup(spark, sf_dir))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    if read:  # events goes through the nanos-rebuild path; prune still applies
+        assert "props" not in read[0]
+
+
+def test_salted_agg_two_stage(spark, sf_dir):
+    from skdist_spark.plans import windows
+
+    plan = _explain(spark, windows.salted_event_totals(spark, sf_dir), mode="simple")
+    # two aggregation levels (salted partial + merge), each with its own
+    # partial/final pair
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_ngram_jaccard_no_inferred_refilter(spark, sf_dir):
+    # the explode_outer rewrite must keep the split/shingle pipeline
+    # evaluated once — a plain explode reintroduces an inferred filter
+    # that re-inlines the whole expression below the projections
+    from skdist_spark.operators import dedup
+
+    opt = (
+        dedup.dedup_ngram_jaccard(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # one split per posting side + 2 for the candidate-verify columns
+    assert opt.count("split") <= 4, opt.count("split")
+
+
 def test_approx_distinct_within_error(spark, sf_dir):
     from skdist_spark.plans import windows
 
