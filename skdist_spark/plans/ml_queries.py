@@ -61,6 +61,34 @@ def ml_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank", "params")
 
 
+def ml_random_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed randomized search: n_iter sampled candidates x folds,
+    seeded sampler -> deterministic params and ranks."""
+    from ..operators.search import DistRandomizedSearchCV
+
+    _, X, y = _load_xy(spark, sf_dir)
+    rs = DistRandomizedSearchCV(
+        LogisticRegression(max_iter=80),
+        {"C": [0.03, 0.1, 0.3, 1.0, 3.0], "lr": [0.03, 0.1, 0.3]},
+        sc=spark,
+        n_iter=5,
+        cv=3,
+        scoring="accuracy",
+        random_state=11,
+    ).fit(X, y)
+    rows = [
+        (json.dumps(p, sort_keys=True), float(round(s, 9)), int(r))
+        for p, s, r in zip(
+            rs.cv_results_["params"],
+            rs.cv_results_["mean_test_score"],
+            rs.cv_results_["rank_test_score"],
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "params string, mean_test_score double, rank int"
+    ).orderBy("rank", "params")
+
+
 def ml_ovr_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OvR (one task per class) train + in-sample predictions."""
     ids, X, y = _load_xy(spark, sf_dir)
@@ -181,6 +209,7 @@ def encoderizer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "ml_grid_search": ml_grid_search,
+    "ml_random_search": ml_random_search,
     "ml_ovr_predict": ml_ovr_predict,
     "ml_forest_predict": ml_forest_predict,
     "ml_feature_elimination": ml_feature_elimination,

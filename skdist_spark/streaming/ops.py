@@ -205,8 +205,28 @@ def stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the static
+    customer dimension (micro-batch side looks up the static side,
+    which Spark re-plans per batch — broadcast when small). Output is
+    the per-mktsegment event rollup, deterministic for static input."""
+    from ..sources.catalog import load_table
+
+    ev = _read_event_stream(spark, sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = ev.join(F.broadcast(cust), "user_id", "inner")
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    out = run_stream_to_df(agg, output_mode="complete")
+    return out.orderBy("c_mktsegment", "event_type")
+
+
 QUERIES = {
     "stream_windowed_counts": stream_windowed_counts,
+    "stream_static_enrich": stream_static_enrich,
     "stream_sessionize": stream_sessionize,
     "stream_dedup_users": stream_dedup_users,
 }
