@@ -91,6 +91,31 @@ def test_ngram_jaccard_no_inferred_refilter(spark, sf_dir):
     assert opt.count("split") <= 4, opt.count("split")
 
 
+def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
+    """Blanket audit: every oracle-checked DataFrame query must compile
+    to a plan free of CartesianProduct and BroadcastNestedLoopJoin.
+    (Rows-only ops like ann_topk/ann_ivf intentionally use a bounded
+    broadcast cross join and are excluded by construction.)"""
+    import __spark_entry__ as entry_mod
+
+    queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    bad = {}
+    for name in sorted(oracles):
+        df = queries[name](spark, sf_dir)
+        plan = _explain(spark, df, mode="simple")
+        joins = [
+            j for j in ("CartesianProduct", "BroadcastNestedLoopJoin") if j in plan
+        ]
+        # sanctioned bounded nested-loop shapes:
+        #   q22 — broadcast of a ONE-row scalar aggregate;
+        #   ann_topk — broadcast of the bounded (N_QUERIES) query side;
+        #   dedup_embedding — block-pair triangle join over N/512 block
+        #   descriptors (the blocked-GEMM task list, not row pairs)
+        if joins and name not in ("q22", "ann_topk", "dedup_embedding"):
+            bad[name] = joins
+    assert not bad, bad
+
+
 def test_approx_distinct_within_error(spark, sf_dir):
     from skdist_spark.plans import windows
 
