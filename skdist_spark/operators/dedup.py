@@ -252,29 +252,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_col_exprs(engine: str, bits: int = 16) -> str:
-    """SimHash reading a pre-materialized token column ``w``."""
-    return _simhash_exprs(engine, bits=bits, words="w")
-
-
-def _simhash_exprs(engine: str, bits: int = 16, words: str | None = None) -> str:
-    """SimHash over word tokens: bit j votes +1 when the j-th hex nibble
-    of md5(token) has its high bit set (nibble in 89abcdef)."""
-    if words is None:
-        words = _SPARK_WORDS if engine == "spark" else _DUCK_WORDS
+    """SimHash reading a pre-materialized token-DIGEST column ``hs``
+    (one md5 per token, computed once; the naive form re-hashes every
+    token inside each of the 16 bit-vote lambdas). Bit j votes +1 when
+    the j-th hex nibble of the token digest has its high bit set."""
     terms = []
     for j in range(bits):
         if engine == "spark":
             hits = (
-                f"size(filter({words}, t -> substring(md5(t), {j + 1}, 1) IN"
+                f"size(filter(hs, h -> substring(h, {j + 1}, 1) IN"
                 f" ('8','9','a','b','c','d','e','f')))"
             )
-            votes = f"(2 * {hits} - size({words}))"
+            votes = f"(2 * {hits} - size(hs))"
         else:
             hits = (
-                f"len(list_filter({words}, t -> md5(t)[{j + 1}:{j + 1}] IN"
+                f"len(list_filter(hs, h -> h[{j + 1}:{j + 1}] IN"
                 f" ('8','9','a','b','c','d','e','f')))"
             )
-            votes = f"(2 * {hits} - len({words}))"
+            votes = f"(2 * {hits} - len(hs))"
         terms.append(f"(CASE WHEN {votes} > 0 THEN {2**j} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
 
@@ -285,10 +280,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     from pyspark.sql import Window
 
-    # materialize the token array once; the 16 bit-vote expressions all
-    # read the column instead of re-splitting the text 32 times
+    # materialize tokens, then one md5 PER TOKEN; the 16 bit-vote
+    # expressions read the digest column (inlining would re-split and
+    # re-hash per bit — 32x the regex work, 16x the digests)
     words_df = docs.select("doc_id", F.expr(_SPARK_WORDS).alias("w"))
-    sim = words_df.select(
+    dig_df = words_df.select(
+        "doc_id", F.expr("transform(w, t -> md5(t))").alias("hs")
+    )
+    sim = dig_df.select(
         "doc_id", F.expr(_simhash_col_exprs("spark")).cast("long").alias("simhash")
     )
     w = Window.partitionBy("simhash")
@@ -462,9 +461,11 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_simhash": f"""
         WITH wt AS (
             SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+        ), dig AS (
+            SELECT doc_id, list_transform(w, t -> md5(t)) AS hs FROM wt
         ), sim AS (
             SELECT doc_id, CAST({_simhash_col_exprs('duck')} AS BIGINT) AS simhash
-            FROM wt
+            FROM dig
         )
         SELECT doc_id, simhash,
                MIN(doc_id) OVER (PARTITION BY simhash) AS canonical_id,

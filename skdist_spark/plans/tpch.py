@@ -378,6 +378,31 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts/supplier relationship (TPC-H Q16, adapted: no partsupp —
+    the observed part-supplier relation is derived from lineitem).
+
+    Distinct supplier count per (brand, type, size) bucket excluding
+    one brand. The (l_partkey, l_suppkey) projection is deduplicated
+    BEFORE the part join so the join input is bounded by the true
+    relation size, not lineitem cardinality.
+    """
+    part = F.broadcast(
+        load_table(spark, "part", sf_dir).where(F.col("p_brand") != "Brand#1")
+    )
+    ps = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_partkey", "l_suppkey")
+        .dropDuplicates(["l_partkey", "l_suppkey"])
+    )
+    return (
+        ps.join(part, ps.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
 def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-quantity-order revenue (TPC-H Q17): lineitems below 20% of
     their part's average quantity, for one brand.
@@ -670,6 +695,15 @@ ORACLE_SQL: dict[str, str] = {
         WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
         ORDER BY s_suppkey
     """,
+    "q16": """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
     "q17": """
         WITH brand_li AS (
             SELECT l_partkey, l_quantity, l_extendedprice
@@ -736,6 +770,7 @@ QUERIES = {
     "q13": q13,
     "q14": q14,
     "q15": q15,
+    "q16": q16,
     "q17": q17,
     "q18": q18,
     "q19": q19,
