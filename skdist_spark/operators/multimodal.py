@@ -118,6 +118,56 @@ def frame_sample(df: DataFrame, n_frames: int = 4, frame_bytes: int = 32) -> Dat
     return df.mapInPandas(run, schema="doc_id long, frame_idx int, offset long, frame binary")
 
 
+def resize(df: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Resize stub: decimate each payload to ``target_bytes`` by
+    even-stride byte sampling — the image-resize slot (same signature a
+    real PIL ``thumbnail`` call would occupy; swap the body when codecs
+    are available). Output keeps the binary column contract so resize
+    composes with extract_features / frame_sample."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                b = bytes(p) if p is not None else b""
+                if len(b) <= target_bytes:
+                    out.append(b)
+                else:
+                    stride = len(b) / target_bytes
+                    out.append(bytes(b[int(i * stride)] for i in range(target_bytes)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": out,
+                }
+            )
+
+    return df.mapInPandas(run, schema="doc_id long, media_type string, payload binary")
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: resize -> frame-sample pipeline over blobs; emits
+    per-doc frame stats (deterministic; rows-only)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    frames = frame_sample(resize(attach_payload(docs)))
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("offset").alias("max_offset"),
+            # sort by frame_idx before digesting: collect_list order is
+            # arrival-order (nondeterministic under parallelism)
+            F.expr(
+                "md5(concat_ws('', transform("
+                "array_sort(collect_list(struct(frame_idx AS i, hex(frame) AS h))),"
+                " s -> s.h)))"
+            ).alias("frames_digest"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: full plumbing pass over documents-as-blobs.
 
@@ -133,5 +183,8 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-QUERIES = {"multimodal_meta": multimodal_meta}
+QUERIES = {
+    "multimodal_meta": multimodal_meta,
+    "multimodal_frames": multimodal_frames,
+}
 ORACLE_SQL: dict[str, str] = {}
