@@ -224,9 +224,52 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("c_mktsegment", "event_type")
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time range condition:
+    purchases joined to clicks by the same user within the preceding
+    30 minutes. Both sides carry watermarks so the join state is
+    bounded (Spark drops buffered rows older than watermark + range).
+
+    Output keys only + batch rollup: which click matched is
+    deterministic (all within-range clicks emit), so the per-user
+    match count is stable. rows-only (stream-stream joins aren't
+    ANSI-SQL; the batch-side range_join_clicks carries the oracle
+    for the same join semantics)."""
+    clicks = (
+        _read_event_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _read_event_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "inner",
+    ).select("purchase_id", "user_id")
+    out = run_stream_to_df(joined, output_mode="append")
+    return (
+        out.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_click_attributed"))
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "stream_windowed_counts": stream_windowed_counts,
     "stream_static_enrich": stream_static_enrich,
+    "stream_stream_join": stream_stream_join,
     "stream_sessionize": stream_sessionize,
     "stream_dedup_users": stream_dedup_users,
 }
