@@ -113,6 +113,23 @@ def ml_forest_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "vec_id long, pred int").orderBy("vec_id")
 
 
+def ml_forest_regress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-forest REGRESSION (one task per tree) against a synthetic
+    continuous target derived deterministically from the embeddings
+    (sum of first 8 dims) — exercises the regressor task path and
+    averaged-prediction combine."""
+    from ..operators.ensemble import DistRandomForestRegressor
+
+    ids, X, _ = _load_xy(spark, sf_dir)
+    y = X[:, :8].sum(axis=1)
+    m = DistRandomForestRegressor(
+        n_estimators=8, max_depth=6, random_state=3, sc=spark
+    ).fit(X, y)
+    pred = m.predict(X)
+    rows = [(int(i), float(round(p, 9))) for i, p in zip(ids, pred)]
+    return spark.createDataFrame(rows, "vec_id long, pred double").orderBy("vec_id")
+
+
 def ml_feature_elimination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CV-scored stepped feature elimination, distributed."""
     _, X, y = _load_xy(spark, sf_dir)
@@ -212,6 +229,7 @@ QUERIES = {
     "ml_random_search": ml_random_search,
     "ml_ovr_predict": ml_ovr_predict,
     "ml_forest_predict": ml_forest_predict,
+    "ml_forest_regress": ml_forest_regress,
     "ml_feature_elimination": ml_feature_elimination,
     "ml_multi_model_search": ml_multi_model_search,
     "ml_predict_udf": ml_predict_udf,

@@ -44,3 +44,65 @@ def test_stream_sessionize_agrees_with_batch(spark, sf_dir):
     }
     got = {(r.user_id, r.session_start, r.session_end, r.n_events) for r in out}
     assert got == expected
+
+
+def test_stream_dedup_matches_batch_distinct(spark, sf_dir):
+    from skdist_spark.streaming.ops import stream_dedup_users
+
+    out = {r.event_type: r.n_unique_users for r in stream_dedup_users(spark, sf_dir).collect()}
+    ev = load_table(spark, "events", sf_dir)
+    batch = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert out == batch
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir):
+    from skdist_spark.streaming.ops import stream_static_enrich
+
+    out = {
+        (r.c_mktsegment, r.event_type): r.n_events
+        for r in stream_static_enrich(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, "events", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    batch = {
+        (r.c_mktsegment, r.event_type): r.n
+        for r in ev.join(cust, "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert out == batch
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    from skdist_spark.streaming.ops import stream_stream_join
+
+    out = {
+        r.user_id: r.n_click_attributed
+        for r in stream_stream_join(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.where("event_type = 'click'").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    batch = {
+        r.user_id: r.n
+        for r in purchases.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("click_ts") <= F.col("purchase_ts")),
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert out == batch
