@@ -210,6 +210,36 @@ class Encoderizer(BaseEstimator, TransformerMixin):
     def fit_transform(self, X, y=None, **fit_params):
         return self.fit(X, y).transform(X)
 
+    def transform_distributed(self, sdf, id_col: str):
+        """Apply the FITTED encoder to a Spark DataFrame via Arrow-
+        batched ``mapInPandas`` — the scale path for encoding a corpus
+        (the plain ``transform`` is the driver-local pandas path).
+        Returns (id_col, features array<double>); the fitted
+        transformer list ships inside the closure (cloudpickle), one
+        deserialize per task, vectorized transform per batch.
+        """
+        from pyspark import cloudpickle
+
+        payload = cloudpickle.dumps(
+            (self.transformer_list, self.transformer_weights, self.fields_)
+        )
+
+        def run(batches):
+            import pickle as _pickle
+
+            tl, tw, fields = _pickle.loads(payload)
+            fu = FeatureUnion(tl, transformer_weights=tw)
+            for pdf in batches:
+                T = np.asarray(fu.transform(pdf[fields]), dtype=np.float64)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "features": [row.tolist() for row in T],
+                    }
+                )
+
+        return sdf.mapInPandas(run, schema=f"{id_col} long, features array<double>")
+
     # -- reference extras ----------------------------------------------
     @property
     def step_names(self):

@@ -195,32 +195,43 @@ def ml_predict_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def encoderizer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encoderizer over the documents table (numeric+onehot+text
-    hashing), summarized as a stable shape/checksum row."""
+    hashing): per-step FITS fan out as Spark tasks, then the fitted
+    encoder TRANSFORMS the corpus distributed (Arrow mapInPandas) —
+    both directions scale. Summarized as a stable shape/checksum row
+    (exact decimal sum -> order-independent under parallel agg).
+    """
     from ..operators.encoder import Encoderizer
 
-    pdf = (
-        load_table(spark, "documents", sf_dir)
-        .select("doc_id", "lang", "source", "n_chars", "text")
-        .orderBy("doc_id")
-        .toPandas()
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "source", "n_chars", "text"
     )
+    pdf = docs.orderBy("doc_id").toPandas()
     enc = Encoderizer(size="small", sc=spark, config={
         "n_chars": "numeric",
         "lang": "onehotencoder",
         "source": "onehotencoder",
         "text": "string_vectorizer",
     })
-    T = enc.fit_transform(pdf[["n_chars", "lang", "source", "text"]])
-    return spark.createDataFrame(
-        [
-            (
-                int(T.shape[0]),
-                int(T.shape[1]),
-                len(enc.step_names),
-                float(round(float(np.abs(T).sum()), 6)),
-            )
-        ],
-        "n_rows int, n_features int, n_steps int, abs_sum double",
+    enc.fit(pdf[["n_chars", "lang", "source", "text"]])
+    n_features = int(sum(enc.transformer_lengths))
+    feats = enc.transform_distributed(docs, id_col="doc_id")
+    abs_sum = F.expr(
+        "aggregate(features, CAST(0 AS DECIMAL(28,6)),"
+        " (acc, x) -> CAST(acc + CAST(round(abs(x), 6) AS DECIMAL(28,6))"
+        " AS DECIMAL(28,6)))"
+    )
+    return (
+        feats.select(F.col("doc_id"), abs_sum.alias("row_abs"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_rows"),
+            F.sum("row_abs").cast("double").alias("abs_sum"),
+        )
+        .select(
+            "n_rows",
+            F.lit(n_features).cast("int").alias("n_features"),
+            F.lit(len(enc.step_names)).cast("int").alias("n_steps"),
+            "abs_sum",
+        )
     )
 
 
