@@ -64,3 +64,30 @@ def test_unknown_format_rejected(spark, nation_df):
         read_source(spark, "/tmp/x", "avro")
     with pytest.raises(ValueError):
         write_sink(nation_df, "/tmp/x", "xml")
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
+    import uuid
+
+    from skdist_spark.sources.io import write_bucketed_table
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    suffix = uuid.uuid4().hex[:8]
+    t_orders, t_cust = f"b_orders_{suffix}", f"b_cust_{suffix}"
+    try:
+        write_bucketed_table(orders, t_orders, ["o_custkey"], n_buckets=8)
+        write_bucketed_table(cust, t_cust, ["c_custkey"], n_buckets=8)
+        joined = spark.table(t_orders).join(
+            spark.table(t_cust),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-bucketed equi-join: no shuffle exchange on either side
+        assert "Exchange hashpartitioning" not in plan, plan[:1500]
+        assert joined.count() == orders.join(
+            cust, orders.o_custkey == cust.c_custkey
+        ).count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_cust}")
