@@ -1,4 +1,5 @@
 from .eliminate import DistFeatureEliminator
+from .encoder import Encoderizer, EncoderizerExtractor
 from .ensemble import (
     DistExtraTreesClassifier,
     DistExtraTreesRegressor,
@@ -22,5 +23,7 @@ __all__ = [
     "DistExtraTreesRegressor",
     "DistRandomTreesEmbedding",
     "DistFeatureEliminator",
+    "Encoderizer",
+    "EncoderizerExtractor",
     "get_prediction_udf",
 ]
