@@ -479,6 +479,46 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.where(cond).agg(_money(revenue).alias("revenue"))
 
 
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21, adapted: no
+    commit/receipt dates — "late" is proxied by a returned lineitem).
+
+    Suppliers with a returned lineitem on a multi-supplier order where
+    NO other supplier on that order also had a return: the canonical
+    EXISTS / NOT EXISTS pair becomes a LEFT SEMI + LEFT ANTI join
+    cascade, all on the l_orderkey equi-key (shuffle-join friendly;
+    no correlated per-row subquery execution).
+    """
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    supplier = F.broadcast(load_table(spark, "supplier", sf_dir))
+    l1 = li.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", F.col("l_suppkey").alias("s1")
+    ).dropDuplicates(["l_orderkey", "s1"])
+    # EXISTS: another supplier on the same order
+    l2 = li.select("l_orderkey", F.col("l_suppkey").alias("s2")).dropDuplicates()
+    has_other = l1.join(
+        l2,
+        (l1.l_orderkey == l2.l_orderkey) & (F.col("s1") != F.col("s2")),
+        "left_semi",
+    )
+    # NOT EXISTS: another supplier on the same order who ALSO returned
+    l3 = l1.select(F.col("l_orderkey").alias("o3"), F.col("s1").alias("s3"))
+    sole_blame = has_other.join(
+        l3,
+        (has_other.l_orderkey == F.col("o3")) & (F.col("s1") != F.col("s3")),
+        "left_anti",
+    )
+    return (
+        sole_blame.join(supplier, F.col("s1") == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
 def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global sales opportunity (TPC-H Q22, adapted: no c_phone column —
     grouped by nation instead of phone country code, and "never
@@ -739,6 +779,27 @@ ORACLE_SQL: dict[str, str] = {
            OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
     """,
+    "q21": """
+        WITH l1 AS (
+            SELECT DISTINCT l_orderkey, l_suppkey AS s1
+            FROM lineitem WHERE l_returnflag = 'R'
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM l1
+        JOIN supplier ON s1 = s_suppkey
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey != l1.s1
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey != l1.s1
+              AND l3.l_returnflag = 'R'
+        )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
     "q22": """
         WITH stats AS (
             SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum, COUNT(*) AS bal_cnt
@@ -774,5 +835,6 @@ QUERIES = {
     "q17": q17,
     "q18": q18,
     "q19": q19,
+    "q21": q21,
     "q22": q22,
 }

@@ -237,6 +237,36 @@ def approx_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling order revenue: daily totals + a RANGE window over
+    event time (the moving-aggregate pattern; two shuffles total — one
+    for the daily rollup, one global sort for the window, which at
+    scale is partitioned by a coarser key e.g. month).
+
+    Both aggregation levels stay in DECIMAL until the final cast, so
+    window merge order can't perturb the float result.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    daily = (
+        orders.withColumn("day", F.date_trunc("DAY", "o_orderdate"))
+        .groupBy("day")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("day_rev"))
+    )
+    w = (
+        Window.orderBy(F.unix_timestamp("day"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return (
+        daily.withColumn("rolling_7d", F.sum("day_rev").over(w))
+        .select(
+            "day",
+            F.col("day_rev").cast("double").alias("day_rev"),
+            F.col("rolling_7d").cast("double").alias("rolling_7d"),
+        )
+        .orderBy("day")
+    )
+
+
 SALT_BUCKETS = 8
 
 
@@ -366,6 +396,20 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY event_type
         ORDER BY event_type
     """,
+    "rolling_revenue": """
+        WITH daily AS (
+            SELECT date_trunc('day', o_orderdate) AS day,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_rev
+            FROM orders GROUP BY day
+        )
+        SELECT day,
+               CAST(day_rev AS DOUBLE) AS day_rev,
+               CAST(SUM(day_rev) OVER (ORDER BY day
+                    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS rolling_7d
+        FROM daily
+        ORDER BY day
+    """,
     "salted_event_totals": """
         SELECT event_type,
                COUNT(*) AS n_events,
@@ -415,4 +459,5 @@ QUERIES = {
     "approx_user_distinct": approx_user_distinct,
     "order_percentiles": order_percentiles,
     "salted_event_totals": salted_event_totals,
+    "rolling_revenue": rolling_revenue,
 }
