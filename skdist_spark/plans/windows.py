@@ -267,6 +267,24 @@ def rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event counts, one column per event type. The
+    pivot value list is EXPLICIT — with it, Spark skips the extra
+    distinct-values job and the output schema is fixed at plan time
+    (required at scale, and required for a stable oracle contract)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+        .orderBy("user_id")
+    )
+
+
 SALT_BUCKETS = 8
 
 
@@ -396,6 +414,13 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY event_type
         ORDER BY event_type
     """,
+    "events_pivot": f"""
+        SELECT user_id,
+               {', '.join(f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in EVENT_TYPES)}
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
     "rolling_revenue": """
         WITH daily AS (
             SELECT date_trunc('day', o_orderdate) AS day,
@@ -460,4 +485,5 @@ QUERIES = {
     "order_percentiles": order_percentiles,
     "salted_event_totals": salted_event_totals,
     "rolling_revenue": rolling_revenue,
+    "events_pivot": events_pivot,
 }

@@ -106,3 +106,25 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
         .collect()
     }
     assert out == batch
+
+
+def test_streaming_parquet_sink_roundtrip(spark, sf_dir, tmp_path):
+    """File sink coverage: stream -> parquet sink (append, checkpointed)
+    -> batch read-back matches the batch equivalent."""
+    from skdist_spark.streaming.ops import _read_event_stream
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ev = _read_event_stream(spark, sf_dir).select("event_id", "event_type", "value")
+    q = (
+        ev.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out_dir)
+    n_batch = load_table(spark, "events", sf_dir).count()
+    assert back.count() == n_batch
+    assert set(back.columns) == {"event_id", "event_type", "value"}
