@@ -1,5 +1,6 @@
 from .eliminate import DistFeatureEliminator
 from .encoder import Encoderizer, EncoderizerExtractor
+from .joins import asof_join, interval_join
 from .ensemble import (
     DistExtraTreesClassifier,
     DistExtraTreesRegressor,
@@ -25,5 +26,7 @@ __all__ = [
     "DistFeatureEliminator",
     "Encoderizer",
     "EncoderizerExtractor",
+    "asof_join",
+    "interval_join",
     "get_prediction_udf",
 ]
