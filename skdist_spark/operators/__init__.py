@@ -1,5 +1,12 @@
 from .eliminate import DistFeatureEliminator
 from .encoder import Encoderizer, EncoderizerExtractor
+from .dedup import (
+    embedding_dedup,
+    exact_dedup,
+    minhash_dedup,
+    ngram_jaccard_dedup,
+    simhash_dedup,
+)
 from .joins import asof_join, interval_join
 from .ensemble import (
     DistExtraTreesClassifier,
@@ -28,5 +35,10 @@ __all__ = [
     "EncoderizerExtractor",
     "asof_join",
     "interval_join",
+    "exact_dedup",
+    "minhash_dedup",
+    "simhash_dedup",
+    "ngram_jaccard_dedup",
+    "embedding_dedup",
     "get_prediction_udf",
 ]

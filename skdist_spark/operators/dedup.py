@@ -91,26 +91,37 @@ def _minhash_sig_exprs(engine: str, digest_col: str = "h{seed}") -> list[str]:
     return out
 
 
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: canonical doc per md5(text) group.
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Generic exact dedup: canonical row per md5(text) group.
 
-    Output: (doc_id, text_hash, canonical_id, is_dup). At 100 TB this
-    is one shuffle on a 128-bit key with map-side pre-aggregation.
+    Output: (id, text_hash, canonical_id, is_dup). At 100 TB this is
+    one shuffle on a 128-bit key with map-side pre-aggregation.
     """
-    docs = load_table(spark, "documents", sf_dir)
     from pyspark.sql import Window
 
     w = Window.partitionBy("text_hash")
     return (
-        docs.withColumn("text_hash", F.md5("text"))
-        .withColumn("canonical_id", F.min("doc_id").over(w))
+        df.withColumn("text_hash", F.md5(text_col))
+        .withColumn("canonical_id", F.min(id_col).over(w))
         .select(
-            "doc_id",
+            id_col,
             "text_hash",
             "canonical_id",
-            (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
+            (F.col(id_col) != F.col("canonical_id")).alias("is_dup"),
         )
-        .orderBy("doc_id")
+        .orderBy(id_col)
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: exact_dedup over the documents table."""
+    return exact_dedup(load_table(spark, "documents", sf_dir))
+
+
+def minhash_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Generic MinHash+LSH near-dup pairs over any (id, text) frame."""
+    return _minhash_impl(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     )
 
 
@@ -120,7 +131,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature (8 md5 min-hashes over 3-gram shingles) -> 4 bands of 2
     -> equi-join on band hash -> exact Jaccard on candidates only.
     """
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return _minhash_impl(load_table(spark, "documents", sf_dir).select("doc_id", "text"))
+
+
+def _minhash_impl(docs: DataFrame) -> DataFrame:
     # materialize the WORD ARRAY as a column before shingling: inlining
     # the split into the shingle lambda re-executes the regex split per
     # shingle element (~50x per doc); then materialize shingles once so
@@ -200,12 +214,32 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ngram_jaccard_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "source",
+) -> DataFrame:
+    """Generic blocked n-gram Jaccard near-dup pairs."""
+    return _ngram_jaccard_impl(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+            F.col(block_col).alias("source"),
+        )
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact n-gram Jaccard: all pairs within a blocking key
     (source), keep pairs over threshold. The block bounds the pair
     explosion at scale (per-block cartesian, shuffled on the key)."""
+    return _ngram_jaccard_impl(load_table(spark, "documents", sf_dir))
+
+
+def _ngram_jaccard_impl(raw: DataFrame) -> DataFrame:
     docs = (
-        load_table(spark, "documents", sf_dir)
+        raw
         .select("doc_id", "source", F.expr(_SPARK_WORDS).alias("wd"))
         .select("doc_id", "source", F.expr(_spark_shingles(words="wd")).alias("sh"))
     )
@@ -274,10 +308,20 @@ def _simhash_col_exprs(engine: str, bits: int = 16) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def simhash_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Generic SimHash fingerprint dedup over any (id, text) frame."""
+    return _simhash_impl(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint dedup: docs sharing a fingerprint
     form a duplicate group (canonical = min doc_id)."""
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return _simhash_impl(load_table(spark, "documents", sf_dir).select("doc_id", "text"))
+
+
+def _simhash_impl(docs: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     # materialize tokens, then one md5 PER TOKEN; the 16 bit-vote
@@ -306,6 +350,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_BLOCK = 512  # rows per GEMM block
 
 
+def embedding_dedup(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Generic embedding-cosine near-dup pairs over any (id, vector)
+    frame (see dedup_embedding for the plan shape)."""
+    return _embedding_impl(
+        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    )
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine >= threshold over all pairs.
 
@@ -324,9 +378,13 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-fold summation of the DuckDB oracle's list_sum bit-for-bit —
     same floats, same hash, while being plain numpy inside.
     """
+    return _embedding_impl(load_table(spark, "embeddings", sf_dir))
+
+
+def _embedding_impl(raw: DataFrame) -> DataFrame:
     import pandas as pd
 
-    emb_raw = load_table(spark, "embeddings", sf_dir).select(
+    emb_raw = raw.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     blocks = (

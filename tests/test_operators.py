@@ -221,3 +221,51 @@ def test_ann_ivf_recall_vs_exact(spark, sf_dir):
     # nprobe/nlist = 4/16 on weakly-clustered synthetic vectors; the
     # floor guards the plumbing (cell assignment + probing), not tuning
     assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_generic_dedup_apis_on_renamed_frame(spark, sf_dir):
+    """The DataFrame-level dedup APIs must work on arbitrary column
+    names, and agree with the fixed driver queries on the same data."""
+    from pyspark.sql import functions as F
+
+    from skdist_spark.operators import dedup
+    from skdist_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        F.col("doc_id").alias("my_id"),
+        F.col("text").alias("body"),
+        F.col("source").alias("bucket"),
+    )
+    got = {r.my_id: r.is_dup for r in dedup.exact_dedup(docs, "my_id", "body").collect()}
+    want = {r.doc_id: r.is_dup for r in dedup.dedup_exact(spark, sf_dir).collect()}
+    assert got == want
+
+    got_p = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_dedup(docs, "my_id", "body").collect()
+    }
+    want_p = {
+        (r.doc_a, r.doc_b) for r in dedup.dedup_minhash(spark, sf_dir).collect()
+    }
+    assert got_p == want_p
+
+    got_j = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_dedup(docs, "my_id", "body", "bucket").collect()
+    }
+    want_j = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    assert got_j == want_j
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        F.col("vec_id").alias("eid"), F.col("embedding").alias("v")
+    )
+    got_e = {
+        (r.vec_a, r.vec_b) for r in dedup.embedding_dedup(emb, "eid", "v").collect()
+    }
+    want_e = {
+        (r.vec_a, r.vec_b) for r in dedup.dedup_embedding(spark, sf_dir).collect()
+    }
+    assert got_e == want_e
