@@ -8,6 +8,7 @@ from .dedup import (
     simhash_dedup,
 )
 from .joins import asof_join, interval_join
+from .text import fingerprint, language_id, quality_score
 from .ensemble import (
     DistExtraTreesClassifier,
     DistExtraTreesRegressor,
@@ -40,5 +41,8 @@ __all__ = [
     "simhash_dedup",
     "ngram_jaccard_dedup",
     "embedding_dedup",
+    "language_id",
+    "quality_score",
+    "fingerprint",
     "get_prediction_udf",
 ]

@@ -48,6 +48,19 @@ def _langid_exprs(engine: str, words: str | None = None) -> tuple[str, str]:
     return f"(CASE {cases} ELSE 'und' END)", greatest
 
 
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Generic language-ID over any (id, text) frame (stopword-profile
+    argmax; columns: id, pred_lang, n_hits)."""
+    docs = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    words_df = docs.select("doc_id", F.expr(_SPARK_WORDS).alias("wd"))
+    pred, n_hits = _langid_exprs("spark", words="wd")
+    return words_df.select(
+        "doc_id",
+        F.expr(pred).alias("pred_lang"),
+        F.expr(n_hits).cast("int").alias("n_hits"),
+    )
+
+
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     # tokenize ONCE into a column; the 10+ hit-count lambdas all read it
@@ -77,12 +90,23 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Generic quality scoring over any (id, text) frame — same metric
+    set as text_quality."""
+    return _quality_impl(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    )
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality metrics: length, mean word length, distinct-token ratio,
     stopword ratio, and a composite keep/filter verdict — the standard
     pre-training corpus filters (Gopher-style rules) as one scan."""
-    docs = load_table(spark, "documents", sf_dir)
-    docs = docs.select("doc_id", "text", F.expr(_SPARK_WORDS).alias("wd"))
+    return _quality_impl(load_table(spark, "documents", sf_dir))
+
+
+def _quality_impl(raw: DataFrame) -> DataFrame:
+    docs = raw.select("doc_id", "text", F.expr(_SPARK_WORDS).alias("wd"))
     words = "wd"
     en_hits = _hits_expr(words, LANG_PROFILES["en"], "spark")
     n_words = f"size({words})"
@@ -103,11 +127,21 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Generic bottom-k shingle fingerprint over any (id, text) frame."""
+    return _fingerprint_impl(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    )
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: the k smallest md5 hashes of word 4-gram
     shingles (a bottom-k sketch), concatenated and re-hashed into one
     stable signature. Containment-comparable across corpora."""
-    docs = load_table(spark, "documents", sf_dir)
+    return _fingerprint_impl(load_table(spark, "documents", sf_dir))
+
+
+def _fingerprint_impl(docs: DataFrame) -> DataFrame:
     # three-stage materialization: words column -> sorted hash column ->
     # two cheap derivations. Inlining would re-split per shingle AND
     # shingle+sort the whole array twice (once per output column).
