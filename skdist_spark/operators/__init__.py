@@ -8,6 +8,7 @@ from .dedup import (
     simhash_dedup,
 )
 from .joins import asof_join, interval_join
+from .similarity import cosine_topk
 from .text import fingerprint, language_id, quality_score
 from .ensemble import (
     DistExtraTreesClassifier,
@@ -44,5 +45,6 @@ __all__ = [
     "language_id",
     "quality_score",
     "fingerprint",
+    "cosine_topk",
     "get_prediction_udf",
 ]

@@ -100,6 +100,42 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cosine_topk(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = TOP_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Generic exact cosine top-k: for each query vector, the k nearest
+    corpus vectors. The query side is broadcast (bounded by contract),
+    so the scan is one map-side pass over the corpus — same plan shape
+    as ann_topk but over arbitrary frames. Self-matches (equal ids)
+    are excluded.
+    """
+    q = F.broadcast(
+        queries_df.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+    )
+    c = corpus_df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    dot = "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    nrm = "sqrt(aggregate(transform({0}, x -> x * x), 0D, (acc, x) -> acc + x))"
+    cos = f"{dot} / ({nrm.format('qv')} * {nrm.format('cv')})"
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.expr(cos).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 IVF_NLIST = 16
 IVF_NPROBE = 4
 _CENTROID_BASE = 100  # corpus vectors used as deterministic centroids

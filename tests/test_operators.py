@@ -269,3 +269,25 @@ def test_generic_dedup_apis_on_renamed_frame(spark, sf_dir):
         (r.vec_a, r.vec_b) for r in dedup.dedup_embedding(spark, sf_dir).collect()
     }
     assert got_e == want_e
+
+
+def test_cosine_topk_generic_matches_ann_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from skdist_spark.operators import similarity
+    from skdist_spark.operators.similarity import cosine_topk
+    from skdist_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        F.col("vec_id").alias("eid"), F.col("embedding").alias("v")
+    )
+    queries = emb.where(F.col("eid") < similarity.N_QUERIES)
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk(queries, emb, id_col="eid", vec_col="v").collect()
+    }
+    want = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in similarity.ann_topk(spark, sf_dir).collect()
+    }
+    assert got == want
