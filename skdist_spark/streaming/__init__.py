@@ -1,3 +1,13 @@
-from .ops import run_stream_to_df, stream_sessionize, stream_windowed_counts
+from .ops import (
+    run_stream_to_df,
+    sessionize_stream,
+    stream_sessionize,
+    stream_windowed_counts,
+)
 
-__all__ = ["stream_windowed_counts", "stream_sessionize", "run_stream_to_df"]
+__all__ = [
+    "stream_windowed_counts",
+    "stream_sessionize",
+    "sessionize_stream",
+    "run_stream_to_df",
+]

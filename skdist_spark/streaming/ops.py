@@ -127,7 +127,7 @@ def _sessionize_group(
     """Per-user gap sessionizer: emit sessions closed by an in-batch
     gap; keep the trailing open session in state for the next batch."""
     (user_id,) = key
-    rows = pd.concat(list(batches)).sort_values(["ts", "event_id"])
+    rows = pd.concat(list(batches)).sort_values("ts", kind="mergesort")
     if state.exists:
         start_us, last_us, n_events, sum_value = state.get
     else:
@@ -160,11 +160,24 @@ _SESSION_OUT_SCHEMA = (
 _SESSION_STATE_SCHEMA = "start_us long, last_us long, n_events long, sum_value double"
 
 
-def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful streaming sessionization via applyInPandasWithState."""
-    ev = _read_event_stream(spark, sf_dir)
-    sessions = (
-        ev.withWatermark("ts", "1 hour")
+def sessionize_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Generic stateful sessionizer for ANY streaming frame with
+    (user, timestamp, value) columns: watermarked per-user state via
+    ``applyInPandasWithState``, emitting gap-closed sessions. Returns
+    the (still streaming) session frame — compose with any sink."""
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("value"),
+    )
+    return (
+        ev.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             _sessionize_group,
@@ -174,6 +187,11 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization via applyInPandasWithState."""
+    sessions = sessionize_stream(_read_event_stream(spark, sf_dir))
     out = run_stream_to_df(sessions, output_mode="append")
     return out.select(
         "user_id",
