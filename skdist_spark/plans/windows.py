@@ -339,7 +339,128 @@ def order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS over (year, priority): the explicit multi-grain
+    aggregate — (year, priority), (year), (priority), and grand total
+    in ONE pass. Spark expands the sets into a single Expand + hash
+    aggregate, so the input is scanned once regardless of how many
+    grains are requested (vs 4 separate groupBys = 4 scans + shuffles).
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.withColumn("o_year", F.year("o_orderdate"))
+        .groupingSets(
+            [["o_year", "o_orderpriority"], ["o_year"], ["o_orderpriority"], []],
+            "o_year",
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_sales"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.asc_nulls_first("o_year"), F.asc_nulls_first("o_orderpriority"))
+    )
+
+
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(event_type, year): all 4 grain combinations in one Expand
+    pass. Same single-scan property as grouping sets; decimal partials
+    keep the double output merge-order-independent."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.withColumn("ev_year", F.year("ts"))
+        .cube("event_type", "ev_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .orderBy(F.asc_nulls_first("event_type"), F.asc_nulls_first("ev_year"))
+    )
+
+
+TOPK_USERS = 20
+
+
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: top-20 users by event count. The exact face
+    of the CMS sketch below — groupBy + TakeOrderedAndProject (no full
+    sort; each partition keeps only its local top-k)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(TOPK_USERS)
+    )
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 8192
+
+
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (rows-only: estimates are
+    sketch-specific; the test asserts est >= exact and bounded error).
+
+    Pure-DataFrame CMS: each event row expands to CMS_DEPTH (row j,
+    bucket h_j(key)) cells via xxhash64(key, j) % width — the sketch is
+    then a groupBy over at most DEPTH*WIDTH cells (bounded state,
+    map-side combined, mergeable across any partitioning: the 100 TB
+    path where exact per-key counts would shuffle every key). Probing
+    re-derives each candidate's cells and takes MIN over depths via a
+    broadcast equi-join against the tiny sketch.
+
+    Candidates here are the exact top-k (so the test can compare); in
+    production the candidate set is any stream of keys to interrogate.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    depths = F.array(*[F.lit(j) for j in range(CMS_DEPTH)])
+    cells = (
+        ev.select(F.col("user_id"))
+        .withColumn("j", F.explode(depths))
+        .select("j", F.pmod(F.xxhash64("user_id", "j"), F.lit(CMS_WIDTH)).alias("bucket"))
+    )
+    sketch = cells.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cell_count"))
+    candidates = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("user_id"))
+        .limit(TOPK_USERS)
+        .withColumn("j", F.explode(depths))
+        .withColumn("bucket", F.pmod(F.xxhash64("user_id", "j"), F.lit(CMS_WIDTH)))
+    )
+    return (
+        candidates.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("cell_count").alias("cms_count"))
+        .orderBy(F.desc("exact_count"), F.asc("user_id"))
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "sales_grouping_sets": """
+        SELECT o_year, o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+               COUNT(*) AS n_orders
+        FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year, o_orderpriority, o_totalprice FROM orders)
+        GROUP BY GROUPING SETS ((o_year, o_orderpriority), (o_year), (o_orderpriority), ())
+        ORDER BY o_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """,
+    "events_cube": """
+        SELECT event_type, ev_year,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM (SELECT event_type, CAST(EXTRACT(year FROM ts) AS INTEGER) AS ev_year, value FROM events)
+        GROUP BY CUBE (event_type, ev_year)
+        ORDER BY event_type ASC NULLS FIRST, ev_year ASC NULLS FIRST
+    """,
+    "heavy_hitters": f"""
+        SELECT user_id, COUNT(*) AS n_events
+        FROM events
+        GROUP BY user_id
+        ORDER BY n_events DESC, user_id ASC
+        LIMIT {TOPK_USERS}
+    """,
     "events_topn": """
         SELECT event_type, event_id, user_id, value, rn FROM (
             SELECT event_type, event_id, user_id, value,
@@ -486,4 +607,8 @@ QUERIES = {
     "salted_event_totals": salted_event_totals,
     "rolling_revenue": rolling_revenue,
     "events_pivot": events_pivot,
+    "sales_grouping_sets": sales_grouping_sets,
+    "events_cube": events_cube,
+    "heavy_hitters": heavy_hitters,
+    "heavy_hitters_cms": heavy_hitters_cms,
 }

@@ -130,3 +130,27 @@ def test_approx_distinct_within_error(spark, sf_dir):
     assert set(exact) == set(approx)
     for k, v in exact.items():
         assert abs(approx[k] - v) <= max(2, 0.05 * v), (k, v, approx[k])
+
+
+def test_cms_never_underestimates_and_bounded(spark, sf_dir):
+    from skdist_spark.plans import windows
+
+    pdf = windows.heavy_hitters_cms(spark, sf_dir).toPandas()
+    assert 1 <= len(pdf) <= windows.TOPK_USERS
+    assert (pdf.cms_count >= pdf.exact_count).all()
+    # CMS overestimate bound: with width 8192 and depth 4 the expected
+    # additive error is ~2N/width per row; allow 3x slack
+    n_total = sum(pdf.exact_count)
+    slack = max(3, 6 * n_total / windows.CMS_WIDTH)
+    assert ((pdf.cms_count - pdf.exact_count) <= slack).all()
+
+
+def test_grouping_sets_single_expand_scan(spark, sf_dir):
+    """GROUPING SETS must be one Expand over one scan, not 4 unioned scans."""
+    from skdist_spark.plans import windows
+
+    plan = windows.sales_grouping_sets(spark, sf_dir)._sc._jvm.PythonSQLUtils.explainString(
+        windows.sales_grouping_sets(spark, sf_dir)._jdf.queryExecution(), "simple"
+    )
+    assert plan.count("Expand") == 1
+    assert plan.count("FileScan") == 1
