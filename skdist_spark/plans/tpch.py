@@ -560,7 +560,266 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB oracle SQL — same semantics, same aliases, same decimal contract.
 # ---------------------------------------------------------------------------
 
+def _supply_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapted partsupp: the schema has no partsupp table, so q2/q11/q20
+    derive a supply relation from lineitem — supplycost proxy = min unit
+    price, availqty proxy = total shipped quantity.
+
+    Determinism: the unit price is floored to integer MICROS first
+    (``floor((price * 1e6) / qty)`` — the same IEEE double ops in both
+    engines, then an exact integer), and only then converted to DECIMAL
+    via an exact decimal multiply. ``round(double, n)`` is NOT used:
+    Spark rounds the double's exact decimal expansion while DuckDB
+    rounds via float arithmetic, and they disagree at scale-4
+    boundaries often enough to corrupt sums.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    unit_micros = F.floor(
+        (F.col("l_extendedprice") * F.lit(1000000.0)) / F.col("l_quantity")
+    )
+    return (
+        li.groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            (
+                F.min(unit_micros).cast("decimal(18,0)")
+                * F.lit("0.000001").cast("decimal(8,6)")
+            ).alias("ps_supplycost"),
+            F.sum(_dec("l_quantity")).alias("ps_availqty"),
+        )
+    )
+
+
+_PS_SQL = """
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               CAST(MIN(CAST(FLOOR((l_extendedprice * 1000000.0) / l_quantity) AS BIGINT)) AS DECIMAL(18,0))
+                   * CAST(0.000001 AS DECIMAL(8,6)) AS ps_supplycost,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS ps_availqty
+        FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (TPC-H Q2, adapted: supply relation derived
+    from lineitem; filter p_size=15, p_type=LARGE, region EUROPE).
+
+    Plan shape: the supply relation is the only big input; part /
+    supplier / nation / region are broadcast. The per-part minimum is a
+    window over ps_partkey — one shuffle, reused by the equality filter
+    (vs the classic correlated-subquery rewrite's second join).
+    """
+    ps = _supply_relation(spark, sf_dir)
+    part = F.broadcast(
+        load_table(spark, "part", sf_dir).where(
+            (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+        )
+    )
+    supplier = F.broadcast(load_table(spark, "supplier", sf_dir))
+    nation = F.broadcast(load_table(spark, "nation", sf_dir))
+    region = F.broadcast(
+        load_table(spark, "region", sf_dir).where(F.col("r_name") == "EUROPE")
+    )
+    from pyspark.sql import Window
+
+    eu = (
+        ps.join(supplier, ps.ps_suppkey == supplier.s_suppkey)
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .join(part, ps.ps_partkey == part.p_partkey)
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        eu.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .where(F.col("ps_supplycost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("ps_supplycost").cast("double").alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock identification (TPC-H Q11, adapted: supply
+    relation from lineitem; nations NATION_3/NATION_8 stand in for the
+    single-nation filter).
+
+    The scalar threshold (0.1% of total stock value) is computed once
+    and broadcast into the HAVING — exact decimal arithmetic end-to-end
+    so the Spark and DuckDB inequality decisions are identical.
+    """
+    ps = _supply_relation(spark, sf_dir)
+    supplier = F.broadcast(load_table(spark, "supplier", sf_dir))
+    nation = F.broadcast(
+        load_table(spark, "nation", sf_dir).where(
+            F.col("n_name").isin("NATION_3", "NATION_8")
+        )
+    )
+    scoped = (
+        ps.join(supplier, ps.ps_suppkey == supplier.s_suppkey)
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .withColumn("stock_value", F.col("ps_supplycost") * F.col("ps_availqty"))
+    )
+    total = scoped.agg(
+        (F.sum("stock_value") * F.lit(0.001).cast("decimal(10,4)")).alias("threshold")
+    )
+    return (
+        scoped.groupBy("ps_partkey")
+        .agg(F.sum("stock_value").alias("part_value"))
+        .join(F.broadcast(total))
+        .where(F.col("part_value") > F.col("threshold"))
+        .select("ps_partkey", F.col("part_value").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "ps_partkey")
+    )
+
+
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential part promotion (TPC-H Q20, adapted: supply relation
+    from lineitem, p_name LIKE 'red%', ship-year 1997, nations in ASIA).
+
+    Semi-join cascade: red parts (broadcast) -> their supply rows ->
+    1997 shipped quantity per (part, supp) -> availqty > 0.5 * shipped
+    -> DISTINCT suppliers -> semi-join suppliers in ASIA. Every join is
+    an equi-join; the quantity comparison is exact decimal.
+    """
+    ps = _supply_relation(spark, sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    red_parts = F.broadcast(
+        load_table(spark, "part", sf_dir)
+        .where(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        li.where(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("shipped_qty"))
+    )
+    qualifying = (
+        ps.join(red_parts, ps.ps_partkey == F.col("p_partkey"))
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey) & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .where(
+            F.col("ps_availqty")
+            > F.lit(0.5).cast("decimal(10,4)") * F.col("shipped_qty")
+        )
+        .select("ps_suppkey")
+        .distinct()
+    )
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = F.broadcast(
+        load_table(spark, "nation", sf_dir).where(F.col("n_name").isin(
+            "NATION_2", "NATION_7", "NATION_12", "NATION_17", "NATION_22"
+        ))
+    )
+    return (
+        supplier.join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .join(qualifying, supplier.s_suppkey == qualifying.ps_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+def bloom_semi_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority totals for BUILDING-segment customers, with the
+    orders scan pruned by a broadcast Bloom filter of the segment's
+    custkeys BEFORE any shuffle (operators.joins.bloom_semi_join).
+
+    The result is exact — bloom false positives are removed by the
+    final semi-join — so it oracle-matches the plain semi-join SQL.
+    At 100 TB the bloom probe drops ~80% of orders at the scan instead
+    of shuffling them.
+    """
+    from ..operators.joins import bloom_semi_join
+
+    orders = load_table(spark, "orders", sf_dir)
+    building = load_table(spark, "customer", sf_dir).where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    pruned = bloom_semi_join(orders, building, "o_custkey", "c_custkey")
+    return (
+        pruned.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_sales"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "q2": f"""
+        WITH ps AS ({_PS_SQL}),
+        eu AS (
+            SELECT ps.*, s_acctbal, s_name, n_name, p_partkey, p_name
+            FROM ps
+            JOIN supplier ON ps_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+            JOIN part ON ps_partkey = p_partkey AND p_size = 15 AND p_type = 'LARGE'
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+               CAST(ps_supplycost AS DOUBLE) AS supplycost
+        FROM (SELECT *, MIN(ps_supplycost) OVER (PARTITION BY ps_partkey) AS min_cost FROM eu)
+        WHERE ps_supplycost = min_cost
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    "q11": f"""
+        WITH ps AS ({_PS_SQL}),
+        scoped AS (
+            SELECT ps_partkey, ps_supplycost * ps_availqty AS stock_value
+            FROM ps
+            JOIN supplier ON ps_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey AND n_name IN ('NATION_3', 'NATION_8')
+        )
+        SELECT ps_partkey, CAST(SUM(stock_value) AS DOUBLE) AS part_value
+        FROM scoped
+        GROUP BY ps_partkey
+        HAVING SUM(stock_value) > (SELECT SUM(stock_value) * CAST(0.001 AS DECIMAL(10,4)) FROM scoped)
+        ORDER BY part_value DESC, ps_partkey
+    """,
+    "q20": f"""
+        WITH ps AS ({_PS_SQL}),
+        shipped AS (
+            SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS shipped_qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2
+        ),
+        qualifying AS (
+            SELECT DISTINCT ps_suppkey
+            FROM ps
+            JOIN part ON ps_partkey = p_partkey AND p_name LIKE 'red%'
+            JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+            WHERE ps_availqty > CAST(0.5 AS DECIMAL(10,4)) * shipped_qty
+        )
+        SELECT s_name, s_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+             AND n_name IN ('NATION_2', 'NATION_7', 'NATION_12', 'NATION_17', 'NATION_22')
+        WHERE s_suppkey IN (SELECT ps_suppkey FROM qualifying)
+        ORDER BY s_name
+    """,
+    "bloom_semi_sales": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
     "q1": """
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -819,6 +1078,7 @@ ORACLE_SQL: dict[str, str] = {
 
 QUERIES = {
     "q1": q1,
+    "q2": q2,
     "q3": q3,
     "q4": q4,
     "q5": q5,
@@ -827,6 +1087,7 @@ QUERIES = {
     "q8": q8,
     "q9": q9,
     "q10": q10,
+    "q11": q11,
     "q12": q12,
     "q13": q13,
     "q14": q14,
@@ -835,6 +1096,8 @@ QUERIES = {
     "q17": q17,
     "q18": q18,
     "q19": q19,
+    "q20": q20,
     "q21": q21,
     "q22": q22,
+    "bloom_semi_sales": bloom_semi_sales,
 }

@@ -66,3 +66,42 @@ def test_interval_join_plan_is_equi(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_semi_join_exact_and_prunes(spark, sf_dir):
+    from skdist_spark.operators.joins import bloom_semi_join
+
+    orders = load_table(spark, "orders", sf_dir)
+    building = load_table(spark, "customer", sf_dir).where(
+        "c_mktsegment = 'BUILDING'"
+    )
+    got = {r.o_orderkey for r in bloom_semi_join(orders, building, "o_custkey", "c_custkey").collect()}
+    want = {
+        r.o_orderkey
+        for r in orders.join(building, orders.o_custkey == building.c_custkey, "left_semi").collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_bloom_semi_join_string_keys(spark, sf_dir):
+    from skdist_spark.operators.joins import bloom_semi_join
+
+    docs = load_table(spark, "documents", sf_dir)
+    en = docs.where("lang = 'en'").select("lang").distinct()
+    got = bloom_semi_join(docs, en, "lang").count()
+    want = docs.where("lang = 'en'").count()
+    assert got == want > 0
+
+
+def test_bloom_filter_false_positive_rate(spark, sf_dir):
+    """With 2^22 bits and k=5, FP rate for a few hundred keys is ~0;
+    verify the bloom probe alone (pre exact-join) prunes non-members."""
+    import numpy as np
+    from skdist_spark.operators import joins as J
+
+    spark_df = load_table(spark, "orders", sf_dir)
+    # members: even custkeys; probes: odd custkeys must mostly miss
+    members = spark_df.where("o_custkey % 2 = 0").select("o_custkey").distinct()
+    probes = spark_df.where("o_custkey % 2 = 1").select("o_custkey").distinct()
+    out = J.bloom_semi_join(probes, members, "o_custkey")
+    assert out.count() == 0

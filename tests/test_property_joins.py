@@ -1,0 +1,96 @@
+"""Hypothesis property tests for the generic join and dedup operators:
+random small inputs, compared against a brute-force pandas model of the
+declared semantics. Few examples (Spark round-trip per example is
+expensive) but each example is adversarially shrunk on failure.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from skdist_spark.operators.joins import asof_join, bloom_semi_join, interval_join
+
+_BASE = dt.datetime(2024, 1, 1)
+
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # key
+        st.integers(min_value=0, max_value=3600),  # offset seconds
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _mk(spark, rows, extra=0):
+    pdf = pd.DataFrame(
+        {
+            "key": [k for k, _ in rows],
+            "ts": [_BASE + dt.timedelta(seconds=s + extra) for _, s in rows],
+            "rid": list(range(len(rows))),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+@given(left=_events, right=_events)
+@_SETTINGS
+def test_asof_join_matches_brute_force(spark, left, right):
+    ldf, rdf = _mk(spark, left), _mk(spark, right)
+    got = {
+        (r.rid, r.asof_ts)
+        for r in asof_join(ldf, rdf, "key", "ts", "ts", value_cols=["ts"]).collect()
+    }
+    want = set()
+    for i, (lk, ls) in enumerate(left):
+        lts = _BASE + dt.timedelta(seconds=ls)
+        prior = [
+            _BASE + dt.timedelta(seconds=rs)
+            for rk, rs in right
+            if rk == lk and _BASE + dt.timedelta(seconds=rs) < lts
+        ]
+        want.add((i, max(prior) if prior else None))
+    assert got == want
+
+
+@given(left=_events, right=_events, lo=st.integers(-600, 0), span=st.integers(1, 1200))
+@_SETTINGS
+def test_interval_join_matches_brute_force(spark, left, right, lo, span):
+    ldf, rdf = _mk(spark, left), _mk(spark, right)
+    hi = lo + span
+    got = sorted(
+        (r.rid, r.right_ts)
+        for r in interval_join(
+            ldf, rdf.drop("rid"), "key", "ts", "ts", float(lo), float(hi)
+        ).collect()
+    )
+    want = sorted(
+        (i, _BASE + dt.timedelta(seconds=rs))
+        for i, (lk, ls) in enumerate(left)
+        for rk, rs in right
+        if rk == lk and ls + lo <= rs <= ls + hi
+    )
+    assert got == want
+
+
+@given(
+    left=st.lists(st.integers(0, 50), min_size=1, max_size=40),
+    right=st.lists(st.integers(0, 50), min_size=1, max_size=40),
+)
+@_SETTINGS
+def test_bloom_semi_join_matches_set_semantics(spark, left, right):
+    ldf = spark.createDataFrame(pd.DataFrame({"k": left, "rid": range(len(left))}))
+    rdf = spark.createDataFrame(pd.DataFrame({"k": right}))
+    got = sorted(r.rid for r in bloom_semi_join(ldf, rdf, "k", num_bits=1 << 12).collect())
+    want = sorted(i for i, k in enumerate(left) if k in set(right))
+    assert got == want
