@@ -20,11 +20,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from skdist_spark.operators import dedup, multimodal, similarity, text  # noqa: E402
+from skdist_spark.operators import (  # noqa: E402
+    dedup, graph, multimodal, similarity, sketches, text,
+)
 from skdist_spark.plans import ml_queries, tpch, windows  # noqa: E402
 from skdist_spark.streaming import ops as streaming_ops  # noqa: E402
 
-_MODULES = [tpch, windows, dedup, text, similarity, multimodal, ml_queries, streaming_ops]
+_MODULES = [
+    tpch, windows, dedup, graph, text, similarity, sketches, multimodal,
+    ml_queries, streaming_ops,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:

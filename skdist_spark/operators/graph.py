@@ -1,0 +1,133 @@
+"""Graph operators: connected components over pair/edge DataFrames.
+
+The missing last step of every near-dup pipeline: LSH/Jaccard emit
+duplicate PAIRS, but retention decisions need duplicate CLUSTERS
+(keep one doc per component). ``connected_components`` computes them
+with iterative min-label propagation expressed as DataFrame joins:
+
+  label(n) <- min(label(n), min over neighbors' labels)
+
+Each iteration is one equi-join + groupBy (fully distributed, AQE
+handles skew); lineage is cut with localCheckpoint per round, and
+convergence is detected by the (monotonically decreasing) global label
+sum — one cheap scalar agg per round, no driver-side graph state.
+Iterations needed = component diameter, which for near-dup clusters
+(dense, clique-ish) is tiny. For adversarial long-chain graphs at
+100 TB the same loop accepts a higher ``max_iterations``; the
+large-star/small-star variant halves rounds but each round here is
+already a single shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+__all__ = ["connected_components", "dedup_clusters"]
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Return (node, cluster_id) where cluster_id = min node id in the
+    connected component. Nodes are those appearing in ``edges``.
+    """
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = und.union(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    und = und.localCheckpoint()
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iterations):
+        nbr_min = (
+            und.join(labels, und.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("node", F.col("lbl").alias("cluster_id"))
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the blocked n-gram
+    Jaccard pair graph (the retention unit of a dedup pipeline)."""
+    from .dedup import _ngram_jaccard_impl
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = _ngram_jaccard_impl(docs)
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id").orderBy("doc_id")
+
+
+def _pairs_cte() -> str:
+    """The dedup_ngram_jaccard pair derivation as DuckDB CTE bodies."""
+    from .dedup import BLOCK_JACCARD_THRESHOLD, _duck_shingles
+
+    return f"""
+        sh AS (
+            SELECT doc_id, source, {_duck_shingles()} AS sh FROM documents
+        ), sizes AS (
+            SELECT doc_id, len(sh) AS n_sh FROM sh
+        ), postings AS (
+            SELECT doc_id, source, unnest(sh) AS shingle FROM sh
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+            FROM postings a JOIN postings b
+              ON a.source = b.source AND a.shingle = b.shingle
+             AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= {BLOCK_JACCARD_THRESHOLD}
+        )
+    """
+
+
+def _dedup_clusters_sql() -> str:
+    return f"""
+        WITH RECURSIVE {_pairs_cte()},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(node, lbl) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.b AS node, r.lbl
+            FROM reach r JOIN edges e ON e.a = r.node
+        )
+        SELECT node AS doc_id, MIN(lbl) AS cluster_id
+        FROM reach GROUP BY node ORDER BY doc_id
+    """
+
+
+ORACLE_SQL: dict[str, str] = {"dedup_clusters": _dedup_clusters_sql()}
+
+QUERIES = {"dedup_clusters": dedup_clusters}

@@ -1,0 +1,130 @@
+"""Distinct-set sketches: KMV (k-minimum-values) estimates for
+set cardinality, union, and intersection across groups.
+
+The theta-sketch family's workhorse: keep the k smallest normalized
+hash values per set; the k-th smallest value v_k estimates the
+cardinality as (k-1)/v_k, and two sketches combine by taking the k
+smallest of their union — supporting |A ∪ B| and, via the inclusion
+fraction rho, |A ∩ B|. All mergeable, all bounded at k rows per set.
+
+Spark-first shape: hashes are xxhash64 (JVM codegen); the per-set
+top-k is a row_number window over DISTINCT hashes — one shuffle on the
+set key, never a collect_set of the whole domain. At 100 TB the sketch
+stays k rows per set no matter the input (the exact face re-shuffles
+every distinct member).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+__all__ = ["kmv_sketch", "kmv_user_overlap", "user_overlap_exact"]
+
+KMV_K = 256
+_TWO64 = float(1 << 64)
+
+
+def kmv_sketch(df: DataFrame, set_col: str, member_col: str, k: int = KMV_K) -> DataFrame:
+    """Per-set KMV sketch: the k smallest distinct normalized hashes.
+
+    Returns (set_col, h, rn) with rn in 1..k — bounded k rows per set.
+    """
+    hashed = df.select(
+        F.col(set_col),
+        ((F.xxhash64(F.col(member_col)).cast("double") / F.lit(_TWO64)) + 0.5).alias("h"),
+    ).distinct()
+    w = Window.partitionBy(set_col).orderBy("h")
+    return hashed.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+def _kmv_estimate(k: int):
+    """Estimate distinct count from a sketch aggregate: exact when the
+    set has fewer than k members (the sketch holds them all)."""
+    return F.when(
+        F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+    ).otherwise((F.lit(float(k - 1))) / F.max("h"))
+
+
+def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV estimates of |click users|, |purchase users|, their union
+    and intersection (rows-only: sketch estimates; the test bounds the
+    relative error vs ``user_overlap_exact``)."""
+    ev = load_table(spark, "events", sf_dir)
+    pair = ev.where(F.col("event_type").isin("click", "purchase"))
+    sk = kmv_sketch(pair, "event_type", "user_id").cache()
+
+    per_set = sk.groupBy("event_type").agg(_kmv_estimate(KMV_K).alias("est"))
+
+    # union sketch: k smallest distinct hashes across both sketches;
+    # rho = fraction of union-sketch entries present in BOTH sketches
+    merged = (
+        sk.select("h", "event_type")
+        .groupBy("h")
+        .agg(F.countDistinct("event_type").alias("n_sets"))
+        .orderBy("h")
+        .limit(KMV_K)
+    )
+    union_est = merged.agg(
+        _kmv_estimate(KMV_K).alias("est_union"),
+        (F.sum(F.when(F.col("n_sets") == 2, 1).otherwise(0)) / F.count(F.lit(1))).alias(
+            "rho"
+        ),
+    )
+    wide = (
+        per_set.groupBy()
+        .pivot("event_type", ["click", "purchase"])
+        .agg(F.first("est"))
+        .join(F.broadcast(union_est))
+    )
+    return wide.select(
+        F.round("click", 2).alias("est_click_users"),
+        F.round("purchase", 2).alias("est_purchase_users"),
+        F.round("est_union", 2).alias("est_union_users"),
+        F.round(F.col("rho") * F.col("est_union"), 2).alias("est_intersect_users"),
+    )
+
+
+def user_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact face of the KMV overlap: distinct click users, purchase
+    users, union and intersection sizes (one row)."""
+    ev = load_table(spark, "events", sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id")
+        .distinct()
+        .withColumn("in_c", F.lit(1))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("in_p", F.lit(1))
+    )
+    return clicks.join(purchases, "user_id", "full_outer").agg(
+        F.count("in_c").alias("n_click_users"),
+        F.count("in_p").alias("n_purchase_users"),
+        F.count(F.lit(1)).alias("n_union_users"),
+        F.sum(
+            F.when(F.col("in_c").isNotNull() & F.col("in_p").isNotNull(), 1).otherwise(0)
+        ).alias("n_intersect_users"),
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "user_overlap_exact": """
+        WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+             p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        SELECT (SELECT COUNT(*) FROM c) AS n_click_users,
+               (SELECT COUNT(*) FROM p) AS n_purchase_users,
+               (SELECT COUNT(*) FROM (SELECT user_id FROM c UNION SELECT user_id FROM p)) AS n_union_users,
+               (SELECT COUNT(*) FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)) AS n_intersect_users
+    """,
+}
+
+QUERIES = {
+    "user_overlap_exact": user_overlap_exact,
+    "kmv_user_overlap": kmv_user_overlap,
+}

@@ -182,9 +182,183 @@ def _duck_quality_sql() -> str:
     """
 
 
+_URL_RE = r"https?://\S+"
+_EMAIL_RE = r"\S+@\S+"
+
+
+def clean_text(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Normalize raw text for training: strip URLs and emails, lowercase,
+    collapse whitespace. Single pass of JVM regexp_replace — no UDF.
+
+    Returns id, cleaned text, and removed-span counts.
+    """
+    stripped = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), _URL_RE, " "), _EMAIL_RE, " "
+    )
+    cleaned = F.trim(F.regexp_replace(F.lower(stripped), r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        cleaned.alias("clean_text"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(_URL_RE), F.lit(0))).alias("n_urls"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+    )
+
+
+def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: cleaned-text digest per document (md5 so the
+    oracle compare ships hashes, not full text)."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = clean_text(docs)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+        F.length("clean_text").cast("int").alias("n_chars_clean"),
+        "n_urls",
+        "n_emails",
+    ).orderBy("doc_id")
+
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token-window chunks (the
+    context-window packing step of an LLM data pipeline).
+
+    Tokens are materialized ONCE as an array column; chunk starts come
+    from ``sequence`` + ``explode`` and each chunk is an O(1) ``slice``
+    of the shared array — no shuffle at all: chunking is embarrassingly
+    parallel per input partition, so at 100 TB it scales with the scan.
+    """
+    toks = F.expr(
+        f"filter(split(trim({text_col}), '\\\\s+'), x -> x != '')"
+    )
+    with_toks = df.select(F.col(id_col), toks.alias("__toks")).where(
+        F.size("__toks") > 0
+    )
+    # ceil((n - W) / stride) + 1: the last start is the smallest whose
+    # window reaches the end — never a chunk fully contained in the
+    # previous one, every non-last chunk exactly full-width
+    n_chunks = (
+        F.greatest(F.ceil((F.size("__toks") - chunk_tokens) / F.lit(stride)), F.lit(0))
+        + 1
+    )
+    return (
+        with_toks.withColumn("chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .withColumn("__chunk", F.slice("__toks", F.col("chunk_id") * stride + 1, chunk_tokens))
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.size("__chunk").alias("n_chunk_tokens"),
+            F.md5(F.array_join("__chunk", " ")).alias("chunk_md5"),
+        )
+    )
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return chunk_documents(docs).orderBy("doc_id", "chunk_id")
+
+
+# deterministic per-language sampling rates, permille (stratified
+# downsampling of overrepresented languages)
+SAMPLE_PERMILLE: dict[str, int] = {"en": 100, "es": 300, "fr": 300, "de": 300}
+SAMPLE_DEFAULT_PERMILLE = 500
+_KNUTH = 2654435761
+_MOD32 = 4294967296
+
+
+def sample_stratified(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    permille: dict[str, int],
+    default_permille: int,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff
+    ``knuth_hash(id) % 1000 < rate(stratum)``. Unlike ``sampleBy`` this
+    is reproducible across retries/speculative tasks (no rand()) and
+    portable (pure BIGINT arithmetic — the DuckDB oracle reproduces it
+    bit-for-bit). Pure map-side filter: no shuffle, scales with scan.
+    """
+    bucket = F.pmod((F.col(id_col).cast("bigint") * _KNUTH) % _MOD32, F.lit(1000))
+    rate = F.lit(default_permille)
+    for stratum, p in sorted(permille.items()):
+        rate = F.when(F.col(stratum_col) == stratum, p).otherwise(rate)
+    return df.where(bucket < rate)
+
+
+def sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: per-language doc counts after deterministic
+    stratified sampling (exactly reproducible in the oracle)."""
+    docs = load_table(spark, "documents", sf_dir)
+    kept = sample_stratified(
+        docs, "doc_id", "lang", SAMPLE_PERMILLE, SAMPLE_DEFAULT_PERMILLE
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sample_rate_sql() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{s}' THEN {p}" for s, p in sorted(SAMPLE_PERMILLE.items())
+    )
+    return f"CASE {cases} ELSE {SAMPLE_DEFAULT_PERMILLE} END"
+
+
 _DUCK_PRED, _DUCK_HITS = _langid_exprs("duck")
 
 ORACLE_SQL: dict[str, str] = {
+    "text_clean": f"""
+        WITH cleaned AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(
+                       regexp_replace(regexp_replace(text, '{_URL_RE}', ' ', 'g'),
+                                      '{_EMAIL_RE}', ' ', 'g')),
+                       '\\s+', ' ', 'g')) AS clean_text,
+                   CAST(len(regexp_extract_all(text, '{_URL_RE}', 0)) AS INTEGER) AS n_urls,
+                   CAST(len(regexp_extract_all(text, '{_EMAIL_RE}', 0)) AS INTEGER) AS n_emails
+            FROM documents
+        )
+        SELECT doc_id, md5(clean_text) AS clean_md5,
+               CAST(length(clean_text) AS INTEGER) AS n_chars_clean,
+               n_urls, n_emails
+        FROM cleaned ORDER BY doc_id
+    """,
+    "doc_chunks": f"""
+        WITH t AS (
+            SELECT doc_id, {_DUCK_WORDS} AS toks FROM documents
+        ), n AS (
+            SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+        ), e AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, greatest(CAST(ceil((n - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0) AS BIGINT), 0) + 1)) AS chunk_id
+            FROM n
+        )
+        SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+               CAST(len(toks[chunk_id * {CHUNK_STRIDE} + 1 : chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS INTEGER) AS n_chunk_tokens,
+               md5(array_to_string(toks[chunk_id * {CHUNK_STRIDE} + 1 : chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ')) AS chunk_md5
+        FROM e ORDER BY doc_id, chunk_id
+    """,
+    "sample_documents": f"""
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+        FROM documents
+        WHERE (doc_id * {_KNUTH}) % {_MOD32} % 1000 < {_sample_rate_sql()}
+        GROUP BY lang ORDER BY lang
+    """,
     "text_langid": f"""
         SELECT doc_id, lang, {_DUCK_PRED} AS pred_lang,
                CAST({_DUCK_HITS} AS INTEGER) AS n_hits
@@ -219,4 +393,7 @@ QUERIES = {
     "text_tokens": text_tokens,
     "text_quality": text_quality,
     "text_fingerprint": text_fingerprint,
+    "text_clean": text_clean,
+    "doc_chunks": doc_chunks,
+    "sample_documents": sample_documents,
 }

@@ -437,7 +437,142 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event ML feature extraction over user timelines: previous /
+    next event type (lag/lead), seconds since previous event, value
+    quartile within user (ntile), and rank position (percent_rank).
+
+    One shuffle on user_id serves ALL the window features (same
+    partition+order spec); this is the feature-engineering shape that
+    feeds sequence models — at 100 TB it stays a single exchange.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = Window.partitionBy("user_id")
+    # percent_rank in parts-per-million via pure INTEGER arithmetic
+    # ((rank-1)*1e6 div (n-1)): floor(double) can drift a ulp between
+    # engines when the doubles themselves differ; integer div cannot
+    n_in_user = F.count(F.lit(1)).over(wp)
+    rnk = F.rank().over(w)
+    ppm = F.when(
+        n_in_user > 1,
+        F.expr(
+            "(cast(rank() over (partition by user_id order by ts, event_id) as bigint) - 1)"
+            " * 1000000 div (count(1) over (partition by user_id) - 1)"
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+            # integer micros div 1e6, NOT unix_timestamp diff: events
+            # carry sub-second precision and per-timestamp truncation
+            # vs DuckDB's fractional EPOCH rounds differently
+            F.expr(
+                "(unix_micros(ts) - unix_micros(lag(ts) over "
+                "(partition by user_id order by ts, event_id))) div 1000000"
+            ).alias("secs_since_prev"),
+            F.ntile(4).over(w).alias("time_quartile"),
+            ppm.alias("pct_rank_ppm"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts between consecutive event types per
+    user timeline (sequence bigrams) — the secondary-sort pattern
+    expressed Spark-first: a lag window over (user_id, ts) instead of
+    repartitionAndSortWithinPartitions + imperative iteration."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-profiling aggregate over documents: row count,
+    null counts, distinct counts, and numeric min/max — the data-quality
+    gate that runs before any training pipeline consumes a table.
+
+    ONE job computes every stat (Catalyst expands the multi-distinct
+    into an Expand + two-phase aggregate); never one job per column.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("text_nulls"),
+        F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0)).alias("lang_nulls"),
+        F.countDistinct("lang").alias("lang_distinct"),
+        F.countDistinct("source").alias("source_distinct"),
+        F.min("n_chars").alias("n_chars_min"),
+        F.max("n_chars").alias("n_chars_max"),
+        F.sum("n_chars").alias("n_chars_sum"),
+    )
+
+
+def order_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90 per priority via approx_percentile
+    (Greenwald-Khanna sketch; rows-only — the test bounds error vs the
+    exact face). The 100 TB path: GK partials are bounded and
+    mergeable; exact percentile must materialize each group sorted.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("p50_approx"),
+            F.expr("approx_percentile(o_totalprice, 0.9, 10000)").alias("p90_approx"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "profile_documents": """
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS text_nulls,
+               CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lang_nulls,
+               COUNT(DISTINCT lang) AS lang_distinct,
+               COUNT(DISTINCT source) AS source_distinct,
+               MIN(n_chars) AS n_chars_min,
+               MAX(n_chars) AS n_chars_max,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum
+        FROM documents
+    """,
+    "user_event_features": """
+        SELECT event_id, user_id, event_type,
+               LAG(event_type) OVER w AS prev_type,
+               LEAD(event_type) OVER w AS next_type,
+               CAST((epoch_us(ts) - epoch_us(LAG(ts) OVER w)) // 1000000 AS BIGINT) AS secs_since_prev,
+               CAST(NTILE(4) OVER w AS INTEGER) AS time_quartile,
+               CAST(CASE WHEN COUNT(*) OVER (PARTITION BY user_id) > 1
+                    THEN (RANK() OVER w - 1) * 1000000 // (COUNT(*) OVER (PARTITION BY user_id) - 1)
+                    ELSE 0 END AS BIGINT) AS pct_rank_ppm
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id
+    """,
+    "event_transitions": """
+        SELECT prev_type AS from_type, event_type AS to_type,
+               COUNT(*) AS n_transitions
+        FROM (
+            SELECT event_type,
+                   LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+            FROM events
+        )
+        WHERE prev_type IS NOT NULL
+        GROUP BY from_type, to_type
+        ORDER BY from_type, to_type
+    """,
     "sales_grouping_sets": """
         SELECT o_year, o_orderpriority,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
@@ -611,4 +746,8 @@ QUERIES = {
     "events_cube": events_cube,
     "heavy_hitters": heavy_hitters,
     "heavy_hitters_cms": heavy_hitters_cms,
+    "user_event_features": user_event_features,
+    "event_transitions": event_transitions,
+    "profile_documents": profile_documents,
+    "order_percentiles_approx": order_percentiles_approx,
 }

@@ -91,3 +91,16 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
         spark.sql(f"DROP TABLE IF EXISTS {t_cust}")
+
+
+def test_kafka_source_gated(spark):
+    from skdist_spark.sources import kafka
+
+    if kafka.kafka_available(spark):
+        df = kafka.read_kafka_stream(spark, "localhost:9092", "t")
+        assert df.isStreaming
+    else:
+        import pytest
+
+        with pytest.raises(RuntimeError, match="Kafka connector"):
+            kafka.read_kafka_stream(spark, "localhost:9092", "t")

@@ -291,3 +291,86 @@ def test_cosine_topk_generic_matches_ann_topk(spark, sf_dir):
         for r in similarity.ann_topk(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_chunk_documents_covers_all_tokens(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from skdist_spark.operators.text import (
+        CHUNK_STRIDE, CHUNK_TOKENS, chunk_documents,
+    )
+    from skdist_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    chunks = chunk_documents(docs).toPandas()
+    toks = docs.select(
+        "doc_id",
+        F.size(F.expr("filter(split(trim(text), '\\\\s+'), x -> x != '')")).alias("n"),
+    ).toPandas()
+    n_by_doc = dict(zip(toks.doc_id, toks.n))
+    for doc_id, grp in chunks.groupby("doc_id"):
+        n = n_by_doc[doc_id]
+        # every token position is inside some chunk window
+        last_start = grp.chunk_id.max() * CHUNK_STRIDE
+        assert last_start < n <= last_start + CHUNK_TOKENS
+        # all but the last chunk are full-width
+        full = grp[grp.chunk_id < grp.chunk_id.max()]
+        assert (full.n_chunk_tokens == CHUNK_TOKENS).all() or n <= CHUNK_TOKENS
+
+
+def test_sample_stratified_deterministic(spark, sf_dir):
+    from skdist_spark.operators.text import (
+        SAMPLE_DEFAULT_PERMILLE, SAMPLE_PERMILLE, sample_stratified,
+    )
+    from skdist_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    a = sample_stratified(docs, "doc_id", "lang", SAMPLE_PERMILLE, SAMPLE_DEFAULT_PERMILLE)
+    b = sample_stratified(docs, "doc_id", "lang", SAMPLE_PERMILLE, SAMPLE_DEFAULT_PERMILLE)
+    ids_a = sorted(r.doc_id for r in a.collect())
+    ids_b = sorted(r.doc_id for r in b.collect())
+    assert ids_a == ids_b and 0 < len(ids_a) < docs.count()
+
+
+def test_kmv_overlap_matches_exact_at_small_cardinality(spark, sf_dir):
+    from skdist_spark.operators import sketches
+
+    est = sketches.kmv_user_overlap(spark, sf_dir).collect()[0]
+    exact = sketches.user_overlap_exact(spark, sf_dir).collect()[0]
+    # below k the sketch holds every member -> estimates are exact
+    assert est.est_click_users == exact.n_click_users
+    assert est.est_union_users == exact.n_union_users
+    assert est.est_intersect_users == exact.n_intersect_users
+
+
+def test_kmv_estimator_error_bound_high_cardinality(spark):
+    from pyspark.sql import functions as F
+
+    from skdist_spark.operators.sketches import KMV_K, kmv_sketch
+
+    n = 50_000
+    df = spark.range(n).select(
+        F.lit("s").alias("set_id"), F.col("id").alias("member")
+    )
+    sk = kmv_sketch(df, "set_id", "member")
+    row = sk.groupBy("set_id").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("h").alias("vk")
+    ).collect()[0]
+    assert row.cnt == KMV_K
+    est = (KMV_K - 1) / row.vk
+    # KMV relative std error ~ 1/sqrt(k) ~= 6.3%; allow 4 sigma
+    assert abs(est - n) / n < 0.25, est
+
+
+def test_connected_components_synthetic(spark):
+    from skdist_spark.operators.graph import connected_components
+
+    # two chains and a singleton-free triangle: {1-2-3-4}, {10-11}, {20-21-22}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "src bigint, dst bigint",
+    )
+    got = {
+        r.node: r.cluster_id for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}

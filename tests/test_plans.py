@@ -107,11 +107,11 @@ def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
             j for j in ("CartesianProduct", "BroadcastNestedLoopJoin") if j in plan
         ]
         # sanctioned bounded nested-loop shapes:
-        #   q22 — broadcast of a ONE-row scalar aggregate;
+        #   q11/q22 — broadcast of a ONE-row scalar aggregate;
         #   ann_topk — broadcast of the bounded (N_QUERIES) query side;
         #   dedup_embedding — block-pair triangle join over N/512 block
         #   descriptors (the blocked-GEMM task list, not row pairs)
-        if joins and name not in ("q22", "ann_topk", "dedup_embedding"):
+        if joins and name not in ("q11", "q22", "ann_topk", "dedup_embedding"):
             bad[name] = joins
     assert not bad, bad
 
@@ -153,4 +153,30 @@ def test_grouping_sets_single_expand_scan(spark, sf_dir):
         windows.sales_grouping_sets(spark, sf_dir)._jdf.queryExecution(), "simple"
     )
     assert plan.count("Expand") == 1
+    assert plan.count("FileScan") == 1
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    from skdist_spark.plans import windows
+
+    exact = {
+        r.o_orderpriority: (r.p50_total, r.p90_total)
+        for r in windows.order_percentiles(spark, sf_dir).collect()
+    }
+    approx = {
+        r.o_orderpriority: (r.p50_approx, r.p90_approx)
+        for r in windows.order_percentiles_approx(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, (p50, p90) in exact.items():
+        a50, a90 = approx[k]
+        assert abs(a50 - p50) / p50 < 0.05
+        assert abs(a90 - p90) / p90 < 0.05
+
+
+def test_profile_documents_single_job(spark, sf_dir):
+    from skdist_spark.plans import windows
+
+    df = windows.profile_documents(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 1
