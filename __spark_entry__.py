@@ -21,14 +21,14 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from skdist_spark.operators import (  # noqa: E402
-    dedup, graph, multimodal, similarity, sketches, text,
+    clustering, dedup, graph, multimodal, similarity, sketches, text,
 )
 from skdist_spark.plans import ml_queries, tpch, windows  # noqa: E402
 from skdist_spark.streaming import ops as streaming_ops  # noqa: E402
 
 _MODULES = [
-    tpch, windows, dedup, graph, text, similarity, sketches, multimodal,
-    ml_queries, streaming_ops,
+    tpch, windows, dedup, graph, text, similarity, sketches, clustering,
+    multimodal, ml_queries, streaming_ops,
 ]
 
 

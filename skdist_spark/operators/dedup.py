@@ -134,7 +134,12 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_impl(load_table(spark, "documents", sf_dir).select("doc_id", "text"))
 
 
-def _minhash_impl(docs: DataFrame) -> DataFrame:
+def minhash_bands(docs: DataFrame) -> DataFrame:
+    """LSH band keys (doc_id, band_idx, band_hash) for a (doc_id, text)
+    frame — the shared candidate-generation stage of batch AND
+    streaming MinHash dedup (pure column expressions, so it runs
+    unchanged on a streaming DataFrame).
+    """
     # materialize the WORD ARRAY as a column before shingling: inlining
     # the split into the shingle lambda re-executes the regex split per
     # shingle element (~50x per doc); then materialize shingles once so
@@ -153,9 +158,8 @@ def _minhash_impl(docs: DataFrame) -> DataFrame:
         "doc_id",
         *[F.expr(sigs[k]).alias(f"sig{k}") for k in range(N_HASHES)],
     )
-    # slim band table: the self-join shuffles only (doc_id, band) rows —
-    # shingle arrays rejoin AFTER candidate pruning
-    bands = with_sig.select(
+    # slim band table: downstream joins shuffle only (doc_id, band) rows
+    return with_sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -173,6 +177,10 @@ def _minhash_impl(docs: DataFrame) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_hash")
+
+
+def _minhash_impl(docs: DataFrame) -> DataFrame:
+    bands = minhash_bands(docs)
     # merge hint: broadcast would evaluate the signature subtree twice
     # (build + probe); sort-merge shuffles both sides on the band key
     # with identical child plans, letting the exchange be computed once

@@ -152,3 +152,53 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite", **options: str
             "Spark version (e.g. --packages org.apache.spark:spark-avro_2.13:<version>)."
         )
     df.write.format("avro").options(**options).mode(mode).save(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Ingest opaque binary assets (images/audio/video) as a DataFrame
+    of (path, modificationTime, length, content binary) via Spark's
+    binaryFile source — the entry point of the multimodal pipeline
+    (operators.multimodal consumes the ``content`` column).
+
+    Files are NOT splittable; parallelism = file count, so at 100 TB
+    the asset store should hold many medium files, not few huge ones.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def z_value(cols: list[str], bits: int = 16):
+    """Morton (z-order) value: bit-interleave the low ``bits`` of the
+    given non-negative integer columns into one clustering key — a
+    single fold expression, JVM-codegen, no UDF."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    terms = " + ".join(
+        f"shiftleft(shiftright(cast({c} as bigint), i) & 1L, {n} * i + {j})"
+        for j, c in enumerate(cols)
+    )
+    return F.expr(f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> acc + ({terms}))")
+
+
+def zorder_by(df: DataFrame, cols: list[str], num_files: int, bits: int = 16) -> DataFrame:
+    """Cluster a frame for multi-dimensional locality: range-partition +
+    sort by the Morton value of ``cols`` so parquet file/row-group
+    min-max spans stay narrow on EVERY listed column — scans filtering
+    any of them prune most files (the Delta/Iceberg OPTIMIZE ZORDER
+    pattern, expressed with plain Spark primitives).
+
+    Columns must be non-negative integers fitting in ``bits`` bits;
+    scale/offset continuous domains first.
+    """
+    z = z_value(cols, bits)
+    return (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )

@@ -284,11 +284,93 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MINHASH_OUT_SCHEMA = "canonical_id long, doc_id long, band_idx int"
+_MINHASH_STATE_SCHEMA = "canonical_id long"
+
+
+def _band_group(key, pdf_iter, state):
+    """Per-(band_idx, band_hash) state: the FIRST doc id seen in this
+    LSH bucket. Every later arrival is emitted as a candidate-duplicate
+    edge (canonical_id -> doc_id); connected components over the edge
+    stream reconstruct full duplicate clusters downstream."""
+    import pandas as pd
+
+    canonical = state.get[0] if state.exists else None
+    out = []
+    for pdf in pdf_iter:
+        for doc_id in sorted(pdf["doc_id"].tolist()):
+            if canonical is None:
+                canonical = int(doc_id)
+            elif doc_id != canonical:
+                out.append((canonical, int(doc_id), int(key[0])))
+    state.update((canonical,))
+    if out:
+        yield pd.DataFrame(out, columns=["canonical_id", "doc_id", "band_idx"])
+
+
+def minhash_pairs_stream(docs_stream: DataFrame) -> DataFrame:
+    """Incremental (streaming) MinHash near-dup detection over a
+    (doc_id, text) stream: the batch LSH band derivation runs unchanged
+    on the stream (pure column expressions), then per-bucket state via
+    ``applyInPandasWithState`` emits candidate edges as documents
+    arrive — each new doc joins its bucket's canonical doc.
+
+    State is ONE long per non-empty LSH bucket (bounded by corpus
+    band-hash cardinality; production adds a state TTL via timeout for
+    unbounded streams). Emitted edges are candidates (band collision),
+    the same pre-verification stage as batch ``dedup_minhash``; exact
+    Jaccard verification composes downstream where text is available.
+    """
+    from ..operators.dedup import minhash_bands
+
+    bands = minhash_bands(docs_stream)
+    return bands.groupBy("band_idx", "band_hash").applyInPandasWithState(
+        _band_group,
+        outputStructType=_MINHASH_OUT_SCHEMA,
+        stateStructType=_MINHASH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def stream_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: streaming MinHash candidate edges over the
+    documents table as a file stream, drained to a static frame."""
+    import hashlib
+    import os
+
+    stage = f"/tmp/skdist_stream_docs_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    docs = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .format("parquet")
+        .load(stage)
+        .select("doc_id", "text")
+    )
+    out = run_stream_to_df(minhash_pairs_stream(docs))
+    return out.orderBy("canonical_id", "doc_id", "band_idx")
+
+
 QUERIES = {
     "stream_windowed_counts": stream_windowed_counts,
     "stream_static_enrich": stream_static_enrich,
     "stream_stream_join": stream_stream_join,
     "stream_sessionize": stream_sessionize,
     "stream_dedup_users": stream_dedup_users,
+    "stream_minhash_pairs": stream_minhash_pairs,
 }
 ORACLE_SQL: dict[str, str] = {}

@@ -104,3 +104,63 @@ def test_kafka_source_gated(spark):
 
         with pytest.raises(RuntimeError, match="Kafka connector"):
             kafka.read_kafka_stream(spark, "localhost:9092", "t")
+
+
+def test_read_binary_files(spark, tmp_path):
+    from skdist_spark.sources.io import read_binary_files
+
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01\x02")
+    (tmp_path / "b.bin").write_bytes(b"hello")
+    (tmp_path / "skip.txt").write_bytes(b"x")
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = {r.path.split("/")[-1]: bytes(r.content) for r in df.collect()}
+    assert rows == {"a.bin": b"\x00\x01\x02", "b.bin": b"hello"}
+    assert set(df.columns) == {"path", "modificationTime", "length", "content"}
+
+
+def test_z_value_is_morton_code(spark):
+    from pyspark.sql import functions as F
+
+    from skdist_spark.sources.io import z_value
+
+    def morton(x, y, bits=16):
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], "x bigint, y bigint"
+    ).withColumn("z", z_value(["x", "y"]))
+    for r in df.collect():
+        assert r.z == morton(r.x, r.y), (r.x, r.y, r.z)
+
+
+def test_zorder_write_clusters_both_dims(spark, tmp_path):
+    """Z-ordered files must have narrow min-max spans on BOTH columns
+    vs the global domain (the property file-skipping relies on)."""
+    import random
+
+    from skdist_spark.sources.io import zorder_by
+
+    random.seed(7)
+    n, side = 4096, 256
+    data = [(random.randrange(side), random.randrange(side)) for _ in range(n)]
+    df = spark.createDataFrame(data, "x bigint, y bigint")
+    out = str(tmp_path / "zorder")
+    zorder_by(df, ["x", "y"], num_files=16).write.parquet(out)
+
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    areas = []
+    for f in g.glob(out + "/*.parquet"):
+        t = pq.read_table(f).to_pandas()
+        if len(t):
+            areas.append(
+                (t.x.max() - t.x.min() + 1) * (t.y.max() - t.y.min() + 1)
+            )
+    # random placement would give each file ~the full domain area;
+    # z-order keeps the average file's bounding box far below it
+    assert sum(areas) / len(areas) < (side * side) / 3

@@ -374,3 +374,22 @@ def test_connected_components_synthetic(spark):
         r.node: r.cluster_id for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_kmeans_inertia_decreases_and_covers_all(spark, sf_dir):
+    import numpy as np
+
+    from skdist_spark.operators.clustering import dist_kmeans, kmeans_assign
+    from skdist_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    n = emb.count()
+
+    def inertia(iters):
+        c = dist_kmeans(emb, k=4, max_iterations=iters)
+        a = kmeans_assign(emb, c)
+        assert a.count() == n
+        return a.agg({"sq_dist": "sum"}).collect()[0][0]
+
+    i1, i5 = inertia(1), inertia(5)
+    assert i5 <= i1 + 1e-9, (i1, i5)

@@ -128,3 +128,24 @@ def test_streaming_parquet_sink_roundtrip(spark, sf_dir, tmp_path):
     n_batch = load_table(spark, "events", sf_dir).count()
     assert back.count() == n_batch
     assert set(back.columns) == {"event_id", "event_type", "value"}
+
+
+def test_stream_minhash_pairs_cover_batch_pairs(spark, sf_dir):
+    """Every batch-verified MinHash duplicate pair must be connected
+    through the streaming candidate-edge graph (the stream emits star
+    edges per LSH bucket, so connectivity — not pair identity — is the
+    invariant)."""
+    from skdist_spark.operators.dedup import dedup_minhash
+    from skdist_spark.operators.graph import connected_components
+    from skdist_spark.streaming.ops import stream_minhash_pairs
+
+    edges = stream_minhash_pairs(spark, sf_dir)
+    assert edges.count() > 0
+    cc = {
+        r.node: r.cluster_id
+        for r in connected_components(edges, "canonical_id", "doc_id").collect()
+    }
+    for r in dedup_minhash(spark, sf_dir).collect():
+        assert cc.get(r.doc_a) is not None and cc[r.doc_a] == cc.get(r.doc_b), (
+            r.doc_a, r.doc_b,
+        )
