@@ -29,12 +29,19 @@ def main() -> None:
         pass
 
     times: dict[str, float] = {}
+    exchanges: dict[str, int] = {}
     t_all = time.perf_counter()
     for name in sorted(queries):
         t0 = time.perf_counter()
         try:
-            queries[name](spark, sf_dir).collect()
+            df = queries[name](spark, sf_dir)
+            df.collect()
             times[name] = round(time.perf_counter() - t0, 4)
+            # static efficiency signal: shuffle count in the plan
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            exchanges[name] = plan.count("Exchange hashpartitioning") + plan.count(
+                "Exchange rangepartitioning"
+            )
         except Exception as exc:  # pragma: no cover
             times[name] = -1.0
             print(f"# bench error {name}: {exc}", file=sys.stderr)
@@ -48,6 +55,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "plan_shuffles": exchanges,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

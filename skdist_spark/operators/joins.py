@@ -207,3 +207,39 @@ def bloom_semi_join(
         pruned[left_on] == F.col("__bk"),
         "left_semi",
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the LEFT (large, skewed) side's key
+    with a deterministic bucket and replicate the RIGHT side once per
+    salt, so a hot key's rows spread over ``num_salts`` reducers
+    instead of hammering one.
+
+    This is the manual form of what AQE's skew-join split does at
+    runtime; placing it by hand helps when the skew is known a priori
+    (power-law user ids, null-heavy keys) or when AQE is unavailable
+    (streaming joins). The salt derives from a hash of the whole left
+    row's key + a per-row uniform component built from xxhash64 of the
+    key and a monotonically increasing id — NOT rand(), so retries and
+    speculative tasks resalt identically.
+
+    Supports 'inner' and 'left' joins (semantics preserved exactly:
+    each left row carries ONE salt; right replication covers all).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left'")
+    salt = F.pmod(
+        F.xxhash64(F.col(on), F.monotonically_increasing_id()), F.lit(num_salts)
+    )
+    l_salted = left.withColumn("__salt", salt)
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
+    )
+    out = l_salted.join(r_salted, [on, "__salt"], how)
+    return out.drop("__salt")

@@ -1,0 +1,34 @@
+"""Deterministic distributed sampling / splitting.
+
+Complements ``operators.text.sample_stratified`` (stratified permille
+sampling): here the train/test split every distributed training
+pipeline needs. Both use the same Knuth multiplicative hash on the id
+column — pure BIGINT arithmetic, so splits are reproducible across
+retries, speculative tasks, cluster sizes, AND engines (unlike
+``DataFrame.randomSplit``, whose assignment depends on partitioning),
+and a row's membership never changes as the dataset grows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import _KNUTH, _MOD32
+
+__all__ = ["train_test_split_df"]
+
+
+def train_test_split_df(
+    df: DataFrame, id_col: str, test_fraction: float = 0.2
+) -> tuple[DataFrame, DataFrame]:
+    """Split into (train, test) by deterministic id-hash buckets.
+
+    Map-side filter only — no shuffle, no sampling state; the split is
+    a property of the row, not of the run.
+    """
+    if not 0.0 < test_fraction < 1.0:
+        raise ValueError("test_fraction must be in (0, 1)")
+    permille = int(round(test_fraction * 1000))
+    bucket = F.pmod((F.col(id_col).cast("bigint") * _KNUTH) % _MOD32, F.lit(1000))
+    return df.where(bucket >= permille), df.where(bucket < permille)

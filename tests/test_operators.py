@@ -393,3 +393,51 @@ def test_kmeans_inertia_decreases_and_covers_all(spark, sf_dir):
 
     i1, i5 = inertia(1), inertia(5)
     assert i5 <= i1 + 1e-9, (i1, i5)
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from skdist_spark.operators.joins import salted_join
+    from skdist_spark.sources.catalog import load_table
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    r = cust.withColumnRenamed("c_custkey", "o_custkey")
+    plain = sorted(
+        (x.o_orderkey, x.c_mktsegment)
+        for x in orders.join(r, "o_custkey").collect()
+    )
+    salted = sorted(
+        (x.o_orderkey, x.c_mktsegment)
+        for x in salted_join(orders, r, "o_custkey").collect()
+    )
+    assert plain == salted and len(plain) > 0
+    # left join keeps unmatched rows exactly once
+    some = r.where("c_mktsegment = 'BUILDING'")
+    plain_l = sorted(
+        (x.o_orderkey, x.c_mktsegment)
+        for x in orders.join(some, "o_custkey", "left").collect()
+    )
+    salted_l = sorted(
+        (x.o_orderkey, x.c_mktsegment)
+        for x in salted_join(orders, some, "o_custkey", how="left").collect()
+    )
+    assert plain_l == salted_l
+
+
+def test_train_test_split_deterministic_partition(spark, sf_dir):
+    from skdist_spark.operators.sampling import train_test_split_df
+    from skdist_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    tr, te = train_test_split_df(docs, "doc_id", 0.25)
+    n, ntr, nte = docs.count(), tr.count(), te.count()
+    assert ntr + nte == n
+    assert set(r.doc_id for r in tr.collect()).isdisjoint(
+        r.doc_id for r in te.collect()
+    )
+    # repartitioning must not change membership
+    tr2, _ = train_test_split_df(docs.repartition(13), "doc_id", 0.25)
+    assert sorted(r.doc_id for r in tr2.collect()) == sorted(
+        r.doc_id for r in tr.collect()
+    )
+    assert 0.10 < nte / n < 0.40
