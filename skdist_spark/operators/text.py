@@ -319,9 +319,167 @@ def _sample_rate_sql() -> str:
     return f"CASE {cases} ELSE {SAMPLE_DEFAULT_PERMILLE} END"
 
 
+CONTAM_SHINGLE = 3
+CONTAM_MIN_SHARED = 3
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = CONTAM_MIN_SHARED,
+) -> DataFrame:
+    """Decontamination: flag corpus documents sharing >= ``min_shared``
+    distinct word n-grams with ANY benchmark document (the eval-set
+    leakage gate every LLM training pipeline runs).
+
+    Shape: benchmark explodes to a DISTINCT shingle set (bounded by
+    benchmark size — the small side, broadcastable); the corpus posting
+    list semi-joins it and counts matches per doc. Never a doc x doc
+    comparison: cost is |corpus shingles| + |benchmark shingles|.
+    """
+    from .dedup import _spark_shingles
+
+    def _shingles(df):
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(_SPARK_WORDS.replace("text", text_col)).alias("wd"),
+        ).select("doc_id", F.expr(_spark_shingles(words="wd")).alias("sh"))
+
+    bench_sh = (
+        _shingles(benchmark)
+        .select(F.explode_outer("sh").alias("shingle"))
+        .distinct()
+    )
+    corpus_sh = _shingles(corpus)
+    postings = corpus_sh.select(
+        "doc_id", F.explode_outer("sh").alias("shingle")
+    ).distinct()
+    shared = (
+        postings.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return shared
+
+
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: treat every 20th document as the held-out
+    benchmark; flag the rest of the corpus for shingle overlap."""
+    docs = load_table(spark, "documents", sf_dir)
+    benchmark = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    return contamination_check(corpus, benchmark).orderBy("doc_id")
+
+
+PACK_BUDGET = 512
+PACK_PARTITIONS = 16
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    budget: int = PACK_BUDGET,
+    num_partitions: int = PACK_PARTITIONS,
+) -> DataFrame:
+    """Greedy sequence packing: assign items (chunks with token
+    lengths) to bins of at most ``budget`` tokens — the context-window
+    packing step that turns chunks into dense training sequences.
+
+    Packing is per-partition (embarrassingly parallel — no shuffle
+    beyond one deterministic hash repartition); first-fit-decreasing
+    within each partition; bin ids are globally unique
+    (partition_id * 2^32 + local bin). Items longer than ``budget``
+    get a bin of their own. Deterministic for a fixed
+    ``num_partitions`` (hash partitioning + in-partition sort, never
+    rand()).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import spark_partition_id
+
+    def _pack(batches):
+        bins: list[int] = []  # remaining capacity per open bin
+        part_base = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if part_base is None:
+                part_base = int(pdf["__pid"].iloc[0]) << 32
+            order = pdf.sort_values([len_col, id_col], ascending=[False, True])
+            out_ids, out_bins = [], []
+            for item_id, ln in zip(order[id_col], order[len_col]):
+                ln = int(ln)
+                placed = None
+                for bi, cap in enumerate(bins):
+                    if cap >= ln:
+                        placed = bi
+                        bins[bi] = cap - ln
+                        break
+                if placed is None:
+                    bins.append(max(budget - ln, 0))
+                    placed = len(bins) - 1
+                out_ids.append(int(item_id))
+                out_bins.append(part_base + placed)
+            yield pd.DataFrame({id_col: out_ids, "bin_id": out_bins})
+
+    items = (
+        df.select(F.col(id_col), F.col(len_col))
+        .repartition(num_partitions, F.col(id_col))
+        .withColumn("__pid", spark_partition_id())
+    )
+    assignments = items.mapInPandas(_pack, schema=f"{id_col} long, bin_id long")
+    return assignments
+
+
+def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: pack document chunks into 512-token training bins;
+    per-bin fill statistics (rows-only: greedy packing has no SQL
+    equivalent)."""
+    docs = load_table(spark, "documents", sf_dir)
+    chunks = chunk_documents(docs).withColumn(
+        "chunk_uid",
+        F.col("doc_id") * 10000 + F.col("chunk_id"),
+    )
+    packed = pack_sequences(chunks, "chunk_uid", "n_chunk_tokens")
+    lens = chunks.select("chunk_uid", "n_chunk_tokens")
+    return (
+        packed.join(lens, "chunk_uid")
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chunk_tokens").alias("fill_tokens"),
+        )
+        .orderBy("bin_id")
+    )
+
+
 _DUCK_PRED, _DUCK_HITS = _langid_exprs("duck")
 
+
+def _decontaminate_sql() -> str:
+    from .dedup import _duck_shingles
+
+    return f"""
+        WITH bench AS (
+            SELECT DISTINCT unnest({_duck_shingles()}) AS shingle
+            FROM documents WHERE doc_id % 20 = 0
+        ), postings AS (
+            SELECT DISTINCT doc_id, unnest({_duck_shingles()}) AS shingle
+            FROM documents WHERE doc_id % 20 != 0
+        )
+        SELECT doc_id, COUNT(*) AS n_shared
+        FROM postings JOIN bench USING (shingle)
+        GROUP BY doc_id
+        HAVING COUNT(*) >= {CONTAM_MIN_SHARED}
+        ORDER BY doc_id
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
+    "decontaminate_docs": _decontaminate_sql(),
     "text_clean": f"""
         WITH cleaned AS (
             SELECT doc_id,
@@ -396,4 +554,6 @@ QUERIES = {
     "text_clean": text_clean,
     "doc_chunks": doc_chunks,
     "sample_documents": sample_documents,
+    "decontaminate_docs": decontaminate_docs,
+    "pack_chunks": pack_chunks,
 }

@@ -577,8 +577,14 @@ def _supply_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit_micros = F.floor(
         (F.col("l_extendedprice") * F.lit(1000000.0)) / F.col("l_quantity")
     )
+    # repartition by PARTKEY ALONE before the (partkey, suppkey) groupBy:
+    # hash(pk) satisfies the grouping's clustered distribution, so the
+    # aggregate adds NO exchange — and every consumer keyed on ps_partkey
+    # (q2's window, q11's re-aggregation, q20's part joins) reuses the
+    # same partitioning. Measured 2.6x on the q2 shape at sf0.1.
     return (
-        li.groupBy(
+        li.repartition("l_partkey")
+        .groupBy(
             F.col("l_partkey").alias("ps_partkey"),
             F.col("l_suppkey").alias("ps_suppkey"),
         )
@@ -696,11 +702,15 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("p_name").like("red%"))
         .select("p_partkey")
     )
+    # same partkey-only repartition as _supply_relation: the ps-shipped
+    # sort-merge join then sees both sides hash(pk)-co-partitioned and
+    # adds no exchange of its own
     shipped = (
         li.where(
             (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
             & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
         )
+        .repartition("l_partkey")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(_dec("l_quantity")).alias("shipped_qty"))
     )

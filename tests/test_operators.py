@@ -441,3 +441,37 @@ def test_train_test_split_deterministic_partition(spark, sf_dir):
         r.doc_id for r in tr.collect()
     )
     assert 0.10 < nte / n < 0.40
+
+
+def test_pack_sequences_respects_budget(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from skdist_spark.operators.text import (
+        PACK_BUDGET, chunk_documents, pack_sequences,
+    )
+    from skdist_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    chunks = chunk_documents(docs).withColumn(
+        "chunk_uid", F.col("doc_id") * 10000 + F.col("chunk_id")
+    )
+    packed = pack_sequences(chunks, "chunk_uid", "n_chunk_tokens")
+    n_items = chunks.count()
+    assert packed.count() == n_items  # every chunk assigned exactly once
+    assert packed.select("chunk_uid").distinct().count() == n_items
+    fills = (
+        packed.join(chunks.select("chunk_uid", "n_chunk_tokens"), "chunk_uid")
+        .groupBy("bin_id")
+        .agg(
+            F.sum("n_chunk_tokens").alias("fill"),
+            F.max("n_chunk_tokens").alias("biggest"),
+        )
+        .collect()
+    )
+    for r in fills:
+        # a bin may exceed budget only when a single oversized item owns it
+        assert r.fill <= PACK_BUDGET or r.biggest > PACK_BUDGET
+    # packing efficiency: average fill of multi-item bins is decent
+    multi = [r.fill for r in fills if r.fill <= PACK_BUDGET]
+    if multi:
+        assert sum(multi) / len(multi) > PACK_BUDGET * 0.5

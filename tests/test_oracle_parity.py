@@ -27,7 +27,7 @@ def test_every_query_declared(spark):
     # documented rows-only op (ml_*, streaming, lsh buckets, multimodal)
     rows_only_prefixes = (
         "ml_", "stream_", "ann_lsh", "ann_ivf", "multimodal", "encoderizer", "approx_",
-        "heavy_hitters_cms", "kmv_", "order_percentiles_approx",
+        "heavy_hitters_cms", "kmv_", "order_percentiles_approx", "pack_chunks",
     )
     for name in QUERIES:
         if name not in ORACLES:
