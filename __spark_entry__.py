@@ -23,12 +23,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from skdist_spark.operators import (  # noqa: E402
     clustering, dedup, graph, multimodal, similarity, sketches, text,
 )
+from skdist_spark import pipeline  # noqa: E402
 from skdist_spark.plans import ml_queries, tpch, windows  # noqa: E402
 from skdist_spark.streaming import ops as streaming_ops  # noqa: E402
 
 _MODULES = [
     tpch, windows, dedup, graph, text, similarity, sketches, clustering,
-    multimodal, ml_queries, streaming_ops,
+    multimodal, ml_queries, streaming_ops, pipeline,
 ]
 
 

@@ -1,0 +1,107 @@
+"""End-to-end training-corpus construction: the composition every
+individual operator in this engine exists to serve, as ONE DataFrame
+program:
+
+    raw documents
+      -> normalize (clean_text)
+      -> language filter (language_id)
+      -> quality filter (quality_score)
+      -> exact dedup (md5 canonical)
+      -> near-dup dedup (MinHash pairs -> connected components,
+         keep each cluster's minimum doc id)
+      -> eval-set decontamination (benchmark shingle overlap)
+      -> chunk into token windows (chunk_documents)
+      -> pack chunks into fixed-budget training bins (pack_sequences)
+
+Everything upstream of packing is pure Catalyst (filters compose into
+single scans where possible); the near-dup stage is the only iterative
+piece. At 100 TB each stage is the already-audited operator — this
+module adds no new physics, only the composition contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.dedup import minhash_dedup
+from .operators.graph import connected_components
+from .operators.text import (
+    chunk_documents,
+    clean_text,
+    contamination_check,
+    language_id,
+    pack_sequences,
+    quality_score,
+)
+from .sources.catalog import load_table
+
+__all__ = ["build_training_corpus", "corpus_pipeline"]
+
+KEEP_LANGS = ("en", "es", "fr", "de")
+MIN_WORDS = 5
+MAX_STOPWORD_RATIO = 0.95
+
+
+def build_training_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    budget: int = 512,
+) -> DataFrame:
+    """Run the full pipeline; returns packed chunk assignments
+    (doc_id, chunk_id, n_chunk_tokens, bin_id)."""
+    cleaned = clean_text(docs).select("doc_id", F.col("clean_text").alias("text"))
+
+    lang = language_id(cleaned).where(F.col("pred_lang").isin(*KEEP_LANGS))
+    quality = quality_score(cleaned).where(
+        (F.col("n_words") >= MIN_WORDS)
+        & (F.col("stopword_ratio") <= MAX_STOPWORD_RATIO)
+    )
+    kept = (
+        cleaned.join(lang.select("doc_id"), "doc_id", "left_semi")
+        .join(quality.select("doc_id"), "doc_id", "left_semi")
+    )
+
+    # exact dedup: keep the minimum doc id per identical cleaned text
+    canonical = kept.withColumn(
+        "keep",
+        F.col("doc_id") == F.min("doc_id").over(Window.partitionBy(F.md5("text"))),
+    ).where("keep").drop("keep")
+
+    # near-dup dedup: verified MinHash pairs -> components -> keep the
+    # cluster minimum (docs in no pair are singletons and kept)
+    pairs = minhash_dedup(canonical, "doc_id", "text")
+    clusters = connected_components(pairs, "doc_a", "doc_b")
+    dup_losers = clusters.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    deduped = canonical.join(dup_losers, "doc_id", "left_anti")
+
+    # decontamination against the benchmark set
+    contaminated = contamination_check(deduped, benchmark).select("doc_id")
+    clean_corpus = deduped.join(contaminated, "doc_id", "left_anti")
+
+    chunks = chunk_documents(clean_corpus).withColumn(
+        "chunk_uid", F.col("doc_id") * 10000 + F.col("chunk_id")
+    )
+    packed = pack_sequences(chunks, "chunk_uid", "n_chunk_tokens", budget=budget)
+    return (
+        chunks.join(packed, "chunk_uid")
+        .select("doc_id", "chunk_id", "n_chunk_tokens", "bin_id")
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the full corpus build with every 20th document as
+    the held-out benchmark (rows-only: composes iterative near-dup
+    clustering and greedy packing)."""
+    docs = load_table(spark, "documents", sf_dir)
+    benchmark = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    return build_training_corpus(corpus, benchmark)
+
+
+ORACLE_SQL: dict[str, str] = {}
+
+QUERIES = {"corpus_pipeline": corpus_pipeline}

@@ -475,3 +475,32 @@ def test_pack_sequences_respects_budget(spark, sf_dir):
     multi = [r.fill for r in fills if r.fill <= PACK_BUDGET]
     if multi:
         assert sum(multi) / len(multi) > PACK_BUDGET * 0.5
+
+
+def test_corpus_pipeline_invariants(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from skdist_spark import pipeline
+    from skdist_spark.operators.text import PACK_BUDGET
+    from skdist_spark.sources.catalog import load_table
+
+    out = pipeline.corpus_pipeline(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    # benchmark docs (doc_id % 20 == 0) never appear in the corpus
+    assert (out.doc_id % 20 != 0).all()
+    # chunk ids contiguous from 0 per doc
+    for doc_id, grp in out.groupby("doc_id"):
+        assert sorted(grp.chunk_id) == list(range(len(grp)))
+    # bin budget respected (oversized single chunks impossible: chunk
+    # windows are CHUNK_TOKENS <= budget)
+    fills = out.groupby("bin_id").n_chunk_tokens.sum()
+    assert (fills <= PACK_BUDGET).all()
+    # every surviving doc passed the language + quality + dedup gates:
+    # spot-check that known-duplicate texts collapsed to one doc
+    docs = load_table(spark, "documents", sf_dir)
+    kept_ids = set(out.doc_id)
+    texts = {
+        r.doc_id: r.text
+        for r in docs.where(F.col("doc_id").isin(list(kept_ids))).collect()
+    }
+    assert len(set(texts.values())) == len(texts), "identical texts survived dedup"
