@@ -320,7 +320,7 @@ def _sample_rate_sql() -> str:
 
 
 CONTAM_SHINGLE = 3
-CONTAM_MIN_SHARED = 3
+CONTAM_MIN_RATIO = 0.5
 
 
 def contamination_check(
@@ -328,11 +328,16 @@ def contamination_check(
     benchmark: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    min_shared: int = CONTAM_MIN_SHARED,
+    min_ratio: float = CONTAM_MIN_RATIO,
 ) -> DataFrame:
-    """Decontamination: flag corpus documents sharing >= ``min_shared``
-    distinct word n-grams with ANY benchmark document (the eval-set
-    leakage gate every LLM training pipeline runs).
+    """Decontamination: flag corpus documents whose distinct word
+    n-grams overlap the benchmark's shingle set by >= ``min_ratio``
+    (the eval-set leakage gate every LLM training pipeline runs).
+
+    A RATIO, not an absolute count: in any real corpus the common
+    n-grams of the language appear in both sets, so a fixed shared
+    count degenerates to flagging everything as the corpus grows; a
+    document is leakage when MOST of it appears in the benchmark.
 
     Shape: benchmark explodes to a DISTINCT shingle set (bounded by
     benchmark size — the small side, broadcastable); the corpus posting
@@ -352,17 +357,24 @@ def contamination_check(
         .select(F.explode_outer("sh").alias("shingle"))
         .distinct()
     )
-    corpus_sh = _shingles(corpus)
-    postings = corpus_sh.select(
-        "doc_id", F.explode_outer("sh").alias("shingle")
-    ).distinct()
+    postings = (
+        _shingles(corpus)
+        .select("doc_id", F.explode_outer("sh").alias("shingle"))
+        .distinct()
+    )
+    totals = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     shared = (
         postings.join(F.broadcast(bench_sh), "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
-        .where(F.col("n_shared") >= min_shared)
     )
-    return shared
+    # integer-exact threshold: shared/total >= r  <=>  shared*SCALE >= total*(r*SCALE)
+    scaled = int(round(min_ratio * 1000))
+    return (
+        shared.join(totals, "doc_id")
+        .where(F.col("n_shared") * 1000 >= F.col("n_sh") * scaled)
+        .select("doc_id", "n_shared", "n_sh")
+    )
 
 
 def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -462,6 +474,7 @@ _DUCK_PRED, _DUCK_HITS = _langid_exprs("duck")
 def _decontaminate_sql() -> str:
     from .dedup import _duck_shingles
 
+    scaled = int(round(CONTAM_MIN_RATIO * 1000))
     return f"""
         WITH bench AS (
             SELECT DISTINCT unnest({_duck_shingles()}) AS shingle
@@ -469,11 +482,16 @@ def _decontaminate_sql() -> str:
         ), postings AS (
             SELECT DISTINCT doc_id, unnest({_duck_shingles()}) AS shingle
             FROM documents WHERE doc_id % 20 != 0
+        ), totals AS (
+            SELECT doc_id, COUNT(*) AS n_sh FROM postings GROUP BY doc_id
+        ), shared AS (
+            SELECT doc_id, COUNT(*) AS n_shared
+            FROM postings JOIN bench USING (shingle)
+            GROUP BY doc_id
         )
-        SELECT doc_id, COUNT(*) AS n_shared
-        FROM postings JOIN bench USING (shingle)
-        GROUP BY doc_id
-        HAVING COUNT(*) >= {CONTAM_MIN_SHARED}
+        SELECT doc_id, n_shared, n_sh
+        FROM shared JOIN totals USING (doc_id)
+        WHERE n_shared * 1000 >= n_sh * {scaled}
         ORDER BY doc_id
     """
 

@@ -62,11 +62,19 @@ def build_training_corpus(
         .join(quality.select("doc_id"), "doc_id", "left_semi")
     )
 
-    # exact dedup: keep the minimum doc id per identical cleaned text
-    canonical = kept.withColumn(
-        "keep",
-        F.col("doc_id") == F.min("doc_id").over(Window.partitionBy(F.md5("text"))),
-    ).where("keep").drop("keep")
+    # exact dedup: keep the minimum doc id per identical cleaned text.
+    # localCheckpoint: this frame feeds BOTH the MinHash pair stage and
+    # the final anti-joins — without it the whole clean+filter subtree
+    # (regex-heavy) re-executes once per consumer.
+    canonical = (
+        kept.withColumn(
+            "keep",
+            F.col("doc_id") == F.min("doc_id").over(Window.partitionBy(F.md5("text"))),
+        )
+        .where("keep")
+        .drop("keep")
+        .localCheckpoint()
+    )
 
     # near-dup dedup: verified MinHash pairs -> components -> keep the
     # cluster minimum (docs in no pair are singletons and kept)
