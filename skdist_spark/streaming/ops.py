@@ -288,27 +288,40 @@ _MINHASH_OUT_SCHEMA = "canonical_id long, doc_id long, band_idx int"
 _MINHASH_STATE_SCHEMA = "canonical_id long"
 
 
-def _band_group(key, pdf_iter, state):
-    """Per-(band_idx, band_hash) state: the FIRST doc id seen in this
-    LSH bucket. Every later arrival is emitted as a candidate-duplicate
-    edge (canonical_id -> doc_id); connected components over the edge
-    stream reconstruct full duplicate clusters downstream."""
-    import pandas as pd
+def _band_group_factory(ttl_ms: int | None):
+    def _band_group(key, pdf_iter, state):
+        """Per-(band_idx, band_hash) state: the FIRST doc id seen in
+        this LSH bucket. Every later arrival is emitted as a
+        candidate-duplicate edge (canonical_id -> doc_id); connected
+        components over the edge stream reconstruct full duplicate
+        clusters downstream. With a TTL, idle buckets expire (bounded
+        state on unbounded streams — dedup scope becomes 'within TTL
+        of the canonical', the standard streaming-dedup contract)."""
+        import pandas as pd
 
-    canonical = state.get[0] if state.exists else None
-    out = []
-    for pdf in pdf_iter:
-        for doc_id in sorted(pdf["doc_id"].tolist()):
-            if canonical is None:
-                canonical = int(doc_id)
-            elif doc_id != canonical:
-                out.append((canonical, int(doc_id), int(key[0])))
-    state.update((canonical,))
-    if out:
-        yield pd.DataFrame(out, columns=["canonical_id", "doc_id", "band_idx"])
+        if state.hasTimedOut:
+            state.remove()
+            return
+        canonical = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdf_iter:
+            for doc_id in sorted(pdf["doc_id"].tolist()):
+                if canonical is None:
+                    canonical = int(doc_id)
+                elif doc_id != canonical:
+                    out.append((canonical, int(doc_id), int(key[0])))
+        state.update((canonical,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if out:
+            yield pd.DataFrame(out, columns=["canonical_id", "doc_id", "band_idx"])
+
+    return _band_group
 
 
-def minhash_pairs_stream(docs_stream: DataFrame) -> DataFrame:
+def minhash_pairs_stream(
+    docs_stream: DataFrame, state_ttl_minutes: int | None = None
+) -> DataFrame:
     """Incremental (streaming) MinHash near-dup detection over a
     (doc_id, text) stream: the batch LSH band derivation runs unchanged
     on the stream (pure column expressions), then per-bucket state via
@@ -325,11 +338,17 @@ def minhash_pairs_stream(docs_stream: DataFrame) -> DataFrame:
 
     bands = minhash_bands(docs_stream)
     return bands.groupBy("band_idx", "band_hash").applyInPandasWithState(
-        _band_group,
+        _band_group_factory(
+            None if state_ttl_minutes is None else state_ttl_minutes * 60_000
+        ),
         outputStructType=_MINHASH_OUT_SCHEMA,
         stateStructType=_MINHASH_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_ttl_minutes is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
 
 

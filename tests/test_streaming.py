@@ -149,3 +149,52 @@ def test_stream_minhash_pairs_cover_batch_pairs(spark, sf_dir):
         assert cc.get(r.doc_a) is not None and cc[r.doc_a] == cc.get(r.doc_b), (
             r.doc_a, r.doc_b,
         )
+
+
+def test_stream_minhash_with_ttl_same_single_batch_result(spark, sf_dir):
+    """Within one micro-batch no state expires, so TTL mode must emit
+    the same edges as NoTimeout (validates the timeout wiring).
+
+    ProcessingTimeTimeout queries never become idle under an
+    availableNow drain (the timeout clock keeps scheduling batches), so
+    the TTL run uses a manually-stopped continuous micro-batch query.
+    """
+    import hashlib
+    import os
+    import time
+    import uuid
+
+    from skdist_spark.streaming.ops import (
+        _DOCS_SCHEMA, minhash_pairs_stream, run_stream_to_df,
+    )
+
+    stage = f"/tmp/skdist_stream_docs_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    docs = (
+        spark.readStream.schema(_DOCS_SCHEMA).format("parquet").load(stage)
+        .select("doc_id", "text")
+    )
+    plain = run_stream_to_df(minhash_pairs_stream(docs)).collect()
+
+    name = f"ttl_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        minhash_pairs_stream(docs, state_ttl_minutes=60)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).count() >= len(plain):
+                break
+            time.sleep(1)
+        with_ttl = spark.table(name).collect()
+    finally:
+        q.stop()
+    key = lambda r: (r.canonical_id, r.doc_id, r.band_idx)
+    assert sorted(map(key, plain)) == sorted(map(key, with_ttl))
