@@ -60,6 +60,47 @@ def _partials_factory(centroids: np.ndarray, id_col: str, vec_col: str):
     return _partials
 
 
+def _farthest_first_init(
+    vecs: DataFrame, id_col: str, vec_col: str, k: int
+) -> np.ndarray:
+    """Deterministic k-center seeding (farthest-first traversal): start
+    from the lowest-id point, repeatedly add the point farthest from
+    the current center set (ties -> lowest id). The deterministic
+    stand-in for KMeans|| — no rand(), identical under retries — at the
+    cost of k-1 distributed min-distance passes (fine for small k; use
+    init='first' for large k).
+    """
+    first = vecs.orderBy(id_col).limit(1).collect()[0]
+    centers = [np.asarray(first[vec_col], dtype=float)]
+    for _ in range(k - 1):
+        c = np.vstack(centers)
+
+        def _mind(batches):
+            import pandas as pd
+
+            c_norms = (c * c).sum(axis=1)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = np.vstack(pdf[vec_col].to_numpy())
+                d2 = (
+                    (x * x).sum(axis=1)[:, None]
+                    - 2.0 * (x @ c.T)
+                    + c_norms[None, :]
+                ).min(axis=1)
+                yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "d2": d2})
+
+        far = (
+            vecs.mapInPandas(_mind, schema=f"{id_col} long, d2 double")
+            .orderBy(F.desc("d2"), F.asc(id_col))
+            .limit(1)
+            .collect()[0]
+        )
+        row = vecs.where(F.col(id_col) == far[id_col]).collect()[0]
+        centers.append(np.asarray(row[vec_col], dtype=float))
+    return np.vstack(centers)
+
+
 def dist_kmeans(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -67,14 +108,25 @@ def dist_kmeans(
     k: int = K_CLUSTERS,
     max_iterations: int = KMEANS_ITERS,
     tol: float = 1e-6,
+    init: str = "first",
 ) -> np.ndarray:
-    """Fit KMeans; returns the k x d centroid matrix."""
+    """Fit KMeans; returns the k x d centroid matrix.
+
+    ``init``: 'first' seeds from the k lowest-id points (one cheap
+    pass); 'farthest' runs deterministic farthest-first traversal
+    (better-spread seeds, k-1 extra passes).
+    """
     vecs = df.select(
         F.col(id_col).alias(id_col),
         F.col(vec_col).cast("array<double>").alias(vec_col),
     )
-    init = vecs.orderBy(id_col).limit(k).collect()
-    centroids = np.vstack([np.asarray(r[vec_col]) for r in init])
+    if init == "farthest":
+        centroids = _farthest_first_init(vecs, id_col, vec_col, k)
+    elif init == "first":
+        rows = vecs.orderBy(id_col).limit(k).collect()
+        centroids = np.vstack([np.asarray(r[vec_col]) for r in rows])
+    else:
+        raise ValueError("init must be 'first' or 'farthest'")
     for _ in range(max_iterations):
         partials = vecs.mapInPandas(
             _partials_factory(centroids, id_col, vec_col),

@@ -768,7 +768,86 @@ def bloom_semi_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operator coverage: customers who ordered in 1996 vs 1997 —
+    INTERSECT (both years), EXCEPT (1996 only), UNION (either) sizes.
+    Spark compiles these to aggregate/join shapes; one row out."""
+    orders = load_table(spark, "orders", sf_dir)
+
+    def year_custs(y: int, flag: str) -> DataFrame:
+        return (
+            orders.where(F.year("o_orderdate") == y)
+            .select("o_custkey")
+            .distinct()
+            .withColumn(flag, F.lit(1))
+        )
+
+    c96 = year_custs(1996, "in96")
+    c97 = year_custs(1997, "in97")
+    # one full-outer join computes all three set sizes in a single job
+    # (INTERSECT/EXCEPT/UNION as flag aggregates — the same physical
+    # shape Catalyst lowers the set operators to, minus two extra scans)
+    return c96.join(c97, "o_custkey", "full_outer").agg(
+        F.sum(
+            F.when(F.col("in96").isNotNull() & F.col("in97").isNotNull(), 1).otherwise(0)
+        ).cast("int").alias("n_both"),
+        F.sum(
+            F.when(F.col("in96").isNotNull() & F.col("in97").isNull(), 1).otherwise(0)
+        ).cast("int").alias("n_only_1996"),
+        F.count(F.lit(1)).cast("int").alias("n_either"),
+    )
+
+
+def fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: part-name pairs within edit distance 2,
+    blocked by (p_type, p_size) so the candidate space is per-block,
+    never corpus x corpus — the blocked fuzzy-join pattern (same
+    posture as the dedup suite: block -> candidate equi-join -> exact
+    verify with levenshtein, a JVM builtin in both engines)."""
+    part = load_table(spark, "part", sf_dir).select(
+        "p_partkey", "p_name", "p_type", "p_size"
+    )
+    a, b = part.alias("a"), part.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_type") == F.col("b.p_type"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            # cheap length prefilter before the O(nm) edit distance
+            & (
+                F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))) <= 2
+            ),
+        )
+        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 2)
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("edit_dist"),
+        )
+        .orderBy("part_a", "part_b")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "setops_customers": """
+        WITH c96 AS (SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996),
+             c97 AS (SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997)
+        SELECT
+            CAST((SELECT COUNT(*) FROM (SELECT * FROM c96 INTERSECT SELECT * FROM c97)) AS INTEGER) AS n_both,
+            CAST((SELECT COUNT(*) FROM (SELECT * FROM c96 EXCEPT SELECT * FROM c97)) AS INTEGER) AS n_only_1996,
+            CAST((SELECT COUNT(*) FROM (SELECT * FROM c96 UNION SELECT * FROM c97)) AS INTEGER) AS n_either
+    """,
+    "fuzzy_part_match": """
+        SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+        FROM part a JOIN part b
+          ON a.p_type = b.p_type AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+         AND ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= 2
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+        ORDER BY part_a, part_b
+    """,
     "q2": f"""
         WITH ps AS ({_PS_SQL}),
         eu AS (
@@ -1110,4 +1189,6 @@ QUERIES = {
     "q21": q21,
     "q22": q22,
     "bloom_semi_sales": bloom_semi_sales,
+    "setops_customers": setops_customers,
+    "fuzzy_part_match": fuzzy_part_match,
 }

@@ -504,3 +504,22 @@ def test_corpus_pipeline_invariants(spark, sf_dir):
         for r in docs.where(F.col("doc_id").isin(list(kept_ids))).collect()
     }
     assert len(set(texts.values())) == len(texts), "identical texts survived dedup"
+
+
+def test_kmeans_farthest_init_spreads_centers(spark, sf_dir):
+    import numpy as np
+
+    from skdist_spark.operators.clustering import dist_kmeans, kmeans_assign
+    from skdist_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    c_first = dist_kmeans(emb, k=4, max_iterations=3, init="first")
+    c_far = dist_kmeans(emb, k=4, max_iterations=3, init="farthest")
+    assert c_far.shape == c_first.shape
+    # farthest-first seeds are pairwise distinct and well spread
+    d = ((c_far[:, None, :] - c_far[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d, np.inf)
+    assert d.min() > 0
+    # both converge to full coverage
+    n = emb.count()
+    assert kmeans_assign(emb, c_far).count() == n
