@@ -384,6 +384,35 @@ def stream_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("canonical_id", "doc_id", "band_idx")
 
 
+def stream_to_partitioned_parquet(
+    stream_df: DataFrame,
+    path: str,
+    partition_col: str,
+    checkpoint: str,
+):
+    """foreachBatch sink: land a stream into hive-partitioned parquet.
+
+    foreachBatch is the escape hatch when the built-in file sink can't
+    express the write (dynamic partition overwrite, merges, multiple
+    sinks): each micro-batch arrives as a BATCH DataFrame with exactly-
+    once bookkeeping from the checkpoint. Partitioning by a bounded-
+    cardinality column keeps downstream partition pruning effective.
+
+    Returns the started StreamingQuery (availableNow trigger: drains
+    what exists, then stops — call .awaitTermination()).
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").partitionBy(partition_col).parquet(path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 QUERIES = {
     "stream_windowed_counts": stream_windowed_counts,
     "stream_static_enrich": stream_static_enrich,

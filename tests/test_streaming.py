@@ -198,3 +198,31 @@ def test_stream_minhash_with_ttl_same_single_batch_result(spark, sf_dir):
         q.stop()
     key = lambda r: (r.canonical_id, r.doc_id, r.band_idx)
     assert sorted(map(key, plain)) == sorted(map(key, with_ttl))
+
+
+def test_stream_to_partitioned_parquet(spark, sf_dir, tmp_path):
+    import os
+
+    from skdist_spark.sources.catalog import load_table
+    from skdist_spark.streaming.ops import (
+        _read_event_stream, stream_to_partitioned_parquet,
+    )
+
+    out = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+    ev = _read_event_stream(spark, sf_dir).select("event_id", "event_type", "value")
+    q = stream_to_partitioned_parquet(ev, out, "event_type", ckpt)
+    q.awaitTermination()
+    landed = spark.read.parquet(out)
+    src = load_table(spark, "events", sf_dir)
+    assert landed.count() == src.count()
+    # hive-style partition dirs exist per event type
+    dirs = {d for d in os.listdir(out) if d.startswith("event_type=")}
+    types = {r.event_type for r in src.select("event_type").distinct().collect()}
+    assert dirs == {f"event_type={t}" for t in types}
+    # partition pruning: filtered read scans one partition
+    plan = (
+        landed.where("event_type = 'click'")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(event_type" in plan
