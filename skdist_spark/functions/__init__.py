@@ -1,0 +1,26 @@
+"""Reusable column-expression builders (the `functions/` layer).
+
+Pure Column-in/Column-out helpers shared by the operator and plan
+modules — every one stays inside whole-stage codegen (no UDFs), and the
+deterministic ones (hash buckets, integer ppm, micros arithmetic) are
+the building blocks of this engine's Spark-vs-DuckDB exactness
+contract.
+"""
+
+from .columns import (
+    decimal_money,
+    epoch_micros_diff_seconds,
+    knuth_bucket,
+    morton_value,
+    ppm_of_rank,
+    words_array,
+)
+
+__all__ = [
+    "decimal_money",
+    "epoch_micros_diff_seconds",
+    "knuth_bucket",
+    "morton_value",
+    "ppm_of_rank",
+    "words_array",
+]

@@ -536,7 +536,47 @@ def order_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar feature extraction per order: year/quarter/month,
+    day-of-week, day-of-year, ISO week, end-of-month day, days since
+    epoch start — all integer-exact, all single-scan projections.
+
+    Engine alignment notes: Spark dayofweek is 1=Sunday..7=Saturday
+    while DuckDB's dayofweek is 0=Sunday..6=Saturday (the oracle adds
+    1); weekofyear is ISO in both.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("o_year"),
+            F.quarter("o_orderdate").alias("o_quarter"),
+            F.month("o_orderdate").alias("o_month"),
+            F.dayofweek("o_orderdate").alias("dow"),
+            F.dayofyear("o_orderdate").alias("doy"),
+            F.weekofyear("o_orderdate").alias("iso_week"),
+            F.dayofmonth(F.last_day("o_orderdate")).alias("eom_day"),
+            F.date_diff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+            .alias("days_since_start"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "orders_date_features": """
+        SELECT o_orderkey,
+               CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+               CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS o_quarter,
+               CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS o_month,
+               CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+               CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+               CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+               CAST(EXTRACT(day FROM last_day(CAST(o_orderdate AS DATE))) AS INTEGER) AS eom_day,
+               CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INTEGER) AS days_since_start
+        FROM orders
+        ORDER BY o_orderkey
+    """,
     "profile_documents": """
         SELECT COUNT(*) AS n_rows,
                CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS text_nulls,
@@ -750,4 +790,5 @@ QUERIES = {
     "event_transitions": event_transitions,
     "profile_documents": profile_documents,
     "order_percentiles_approx": order_percentiles_approx,
+    "orders_date_features": orders_date_features,
 }
