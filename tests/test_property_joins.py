@@ -94,3 +94,35 @@ def test_bloom_semi_join_matches_set_semantics(spark, left, right):
     got = sorted(r.rid for r in bloom_semi_join(ldf, rdf, "k", num_bits=1 << 12).collect())
     want = sorted(i for i, k in enumerate(left) if k in set(right))
     assert got == want
+
+
+@given(
+    left=st.lists(
+        # power-law-ish: key 0 is hot
+        st.integers(0, 6).map(lambda k: 0 if k > 3 else k),
+        min_size=1,
+        max_size=60,
+    ),
+    right=st.lists(st.integers(0, 6), min_size=0, max_size=10),
+    how=st.sampled_from(["inner", "left"]),
+)
+@_SETTINGS
+def test_salted_join_property(spark, left, right, how):
+    from skdist_spark.operators.joins import salted_join
+
+    ldf = spark.createDataFrame(
+        pd.DataFrame({"k": left, "rid": range(len(left))})
+    )
+    rdf = spark.createDataFrame(pd.DataFrame({"k": right, "v": range(len(right))})) \
+        if right else spark.createDataFrame(pd.DataFrame({"k": [], "v": []}),
+                                            "k bigint, v bigint")
+    plain = sorted(
+        (r.rid, r.v) for r in ldf.join(rdf, "k", how).select("rid", "v").collect()
+    )
+    salted = sorted(
+        (r.rid, r.v)
+        for r in salted_join(ldf, rdf, "k", num_salts=4, how=how)
+        .select("rid", "v")
+        .collect()
+    )
+    assert plain == salted
