@@ -563,7 +563,75 @@ def orders_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining window-function family coverage in one query:
+    first_value / last_value / nth_value over a running frame,
+    multi-offset lag/lead, a 3-row moving average (decimal-exact
+    numerator), dense_rank, and integer-exact cume_dist (ppm).
+
+    Every spec partitions by user_id, so the plan has ONE exchange;
+    the differing sort orders (ts vs value desc) add Window operators
+    that re-sort within partitions but never re-shuffle.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    last3 = w.rowsBetween(-2, 0)
+    n_user = F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+    # cume_dist = rank_of_last_peer / n  -> exact ppm via integer div
+    cd_num = F.count(F.lit(1)).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    ).cast("bigint") * 1_000_000
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.first("event_type").over(run).alias("first_type"),
+            F.last("event_type").over(run).alias("latest_type"),
+            F.nth_value("event_id", 2).over(run).alias("second_event_id"),
+            F.lag("event_id", 2).over(w).alias("lag2_event_id"),
+            F.lead("event_id", 2).over(w).alias("lead2_event_id"),
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).over(last3).cast("double")
+                / F.count(F.lit(1)).over(last3)
+            ).alias("avg3_value"),
+            F.dense_rank().over(
+                Window.partitionBy("user_id").orderBy(F.desc("value"))
+            ).alias("value_dense_rank"),
+            # exact multiple of n_user <= 2^53, so the divide is exact
+            ((cd_num - F.pmod(cd_num, n_user)) / n_user).cast("bigint").alias(
+                "cume_dist_ppm"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "events_value_windows": """
+        SELECT event_id, user_id,
+               FIRST_VALUE(event_type) OVER run AS first_type,
+               LAST_VALUE(event_type) OVER run AS latest_type,
+               NTH_VALUE(event_id, 2) OVER run AS second_event_id,
+               LAG(event_id, 2) OVER w AS lag2_event_id,
+               LEAD(event_id, 2) OVER w AS lead2_event_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER last3 AS DOUBLE)
+                   / COUNT(*) OVER last3 AS avg3_value,
+               CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY value DESC) AS INTEGER)
+                   AS value_dense_rank,
+               CAST((COUNT(*) OVER cume * 1000000)
+                    // (COUNT(*) OVER (PARTITION BY user_id)) AS BIGINT) AS cume_dist_ppm
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               run AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               last3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+               cume AS (PARTITION BY user_id ORDER BY ts, event_id
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """,
     "orders_date_features": """
         SELECT o_orderkey,
                CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
@@ -791,4 +859,5 @@ QUERIES = {
     "profile_documents": profile_documents,
     "order_percentiles_approx": order_percentiles_approx,
     "orders_date_features": orders_date_features,
+    "events_value_windows": events_value_windows,
 }
