@@ -608,7 +608,39 @@ def events_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured JSON parsing with an explicit schema (`from_json`),
+    vs the regex extraction in events_json: the schema-on-read path —
+    parse once into a typed struct column, then aggregate typed fields.
+    An explicit schema keeps the parse inside codegen and the output
+    schema fixed at plan time (no sampling pass, required at scale).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    parsed = ev.withColumn("p", F.from_json(F.col("props"), "k INT"))
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.sum(F.col("p.k")).alias("sum_k"),
+            F.min(F.col("p.k")).alias("min_k"),
+            F.max(F.col("p.k")).alias("max_k"),
+            F.sum(F.when(F.col("p.k").isNull(), 1).otherwise(0)).alias("n_unparsed"),
+        )
+        .orderBy("event_type")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "events_json_schema": """
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+               MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+               MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k,
+               CAST(SUM(CASE WHEN TRY_CAST(json_extract(props, '$.k') AS INTEGER) IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_unparsed
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "events_value_windows": """
         SELECT event_id, user_id,
                FIRST_VALUE(event_type) OVER run AS first_type,
@@ -860,4 +892,5 @@ QUERIES = {
     "order_percentiles_approx": order_percentiles_approx,
     "orders_date_features": orders_date_features,
     "events_value_windows": events_value_windows,
+    "events_json_schema": events_json_schema,
 }
