@@ -24,12 +24,12 @@ from skdist_spark.operators import (  # noqa: E402
     clustering, dedup, graph, multimodal, similarity, sketches, text,
 )
 from skdist_spark import pipeline  # noqa: E402
-from skdist_spark.plans import ml_queries, tpch, windows  # noqa: E402
+from skdist_spark.plans import behavior, ml_queries, tpch, windows  # noqa: E402
 from skdist_spark.streaming import ops as streaming_ops  # noqa: E402
 
 _MODULES = [
-    tpch, windows, dedup, graph, text, similarity, sketches, clustering,
-    multimodal, ml_queries, streaming_ops, pipeline,
+    tpch, windows, behavior, dedup, graph, text, similarity, sketches,
+    clustering, multimodal, ml_queries, streaming_ops, pipeline,
 ]
 
 

@@ -14,6 +14,54 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _walk_plan(node, visit) -> None:
+    """Walk a JVM SparkPlan tree, descending through AQE wrapper nodes
+    (AdaptiveSparkPlanExec holds the final plan, QueryStageExec wraps a
+    materialized stage subtree)."""
+    visit(node)
+    cls = node.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        _walk_plan(node.executedPlan(), visit)
+        return
+    if cls.endswith("QueryStageExec"):
+        _walk_plan(node.plan(), visit)
+        return
+    children = node.children()
+    for i in range(children.size()):
+        _walk_plan(children.apply(i), visit)
+
+
+def shuffle_stats(df) -> dict[str, int]:
+    """Post-execution shuffle stats from the executed plan's SQL metrics:
+    actual bytes written to shuffle (the scale-limiting resource) plus
+    exchange/record counts. Runtime metrics, not a static plan guess —
+    AQE-elided exchanges report 0. ReusedExchange nodes are leaves, so
+    a reused shuffle is counted once at its original site."""
+    totals = {"shuffle_bytes": 0, "shuffle_records": 0, "exchanges": 0}
+
+    def visit(node):
+        cls = node.getClass().getSimpleName()
+        if cls == "ShuffleExchangeExec":
+            totals["exchanges"] += 1
+        try:
+            it = node.metrics().iterator()
+        except Exception:
+            return
+        while it.hasNext():
+            kv = it.next()
+            key = kv._1()
+            if key == "shuffleBytesWritten":
+                totals["shuffle_bytes"] += int(kv._2().value())
+            elif key == "shuffleRecordsWritten":
+                totals["shuffle_records"] += int(kv._2().value())
+
+    try:
+        _walk_plan(df._jdf.queryExecution().executedPlan(), visit)
+    except Exception:  # pragma: no cover - metric extraction must never fail a bench
+        pass
+    return totals
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entry_mod
@@ -30,6 +78,7 @@ def main() -> None:
 
     times: dict[str, float] = {}
     exchanges: dict[str, int] = {}
+    shuffle_bytes: dict[str, int] = {}
     t_all = time.perf_counter()
     for name in sorted(queries):
         t0 = time.perf_counter()
@@ -37,11 +86,10 @@ def main() -> None:
             df = queries[name](spark, sf_dir)
             df.collect()
             times[name] = round(time.perf_counter() - t0, 4)
-            # static efficiency signal: shuffle count in the plan
-            plan = df._jdf.queryExecution().executedPlan().toString()
-            exchanges[name] = plan.count("Exchange hashpartitioning") + plan.count(
-                "Exchange rangepartitioning"
-            )
+            # runtime efficiency signal: actual shuffle volume + count
+            stats = shuffle_stats(df)
+            exchanges[name] = stats["exchanges"]
+            shuffle_bytes[name] = stats["shuffle_bytes"]
         except Exception as exc:  # pragma: no cover
             times[name] = -1.0
             print(f"# bench error {name}: {exc}", file=sys.stderr)
@@ -56,6 +104,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "plan_shuffles": exchanges,
+                "shuffle_bytes": shuffle_bytes,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -1,0 +1,210 @@
+"""User-behavior analytics over the events table: ordered funnels,
+cohort retention, and calendar gap-fill — the product-analytics
+operator family (Amplitude/Mixpanel-style) an analytics engine needs
+beyond plain aggregation.
+
+Same two-faced layout as plans.tpch: each DataFrame builder has a
+DuckDB oracle with matching column aliases.
+
+Scale posture (100 TB): every query here shuffles on ``user_id`` (or
+``event_type``) exactly once and reuses that clustering across its
+window / aggregation consumers; funnel step resolution is chained
+window passes over ONE partitioning, not per-step self-joins (k-step
+funnel = k window expressions, still one exchange). Counts stay
+integer-exact; value sums aggregate in DECIMAL and cast to DOUBLE at
+the edge so the DuckDB oracle hash-matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+# Epoch anchor for integer week indexing (data starts 2024-01-01).
+_WEEK_EPOCH = "2024-01-01"
+
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (signup -> click -> purchase): how many
+    users completed each prefix, with strictly increasing timestamps.
+
+    Plan: one shuffle on user_id; step k's first-completion time is a
+    windowed MIN over the same partitioning referencing step k-1's
+    column, so Catalyst stacks the three Window nodes on a single
+    Exchange+Sort. The alternative k-way self-join would shuffle k
+    times and skew on power users.
+    """
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    s1, s2, s3 = FUNNEL_STEPS
+    staged = (
+        ev.withColumn("t1", F.min(F.when(F.col("event_type") == s1, F.col("ts"))).over(w))
+        .withColumn(
+            "t2",
+            F.min(
+                F.when((F.col("event_type") == s2) & (F.col("ts") > F.col("t1")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when((F.col("event_type") == s3) & (F.col("ts") > F.col("t2")), F.col("ts"))
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_signup_click"),
+        F.count("t3").alias("n_full_funnel"),
+    )
+
+
+def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the week of their
+    first event; for each (cohort_week, week_offset) the count of
+    distinct users active that many weeks later.
+
+    Week indexes are integer day-diffs floor-divided by 7 from a fixed
+    epoch — engine-aligned (no locale week-start semantics). Both the
+    first-event aggregate and the activity dedup shuffle on user_id,
+    so AQE reuses one exchange for the self-join.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    activity = ev.distinct()
+    joined = activity.join(firsts, "user_id").select(
+        "user_id",
+        (F.floor(F.datediff(F.col("first_day"), F.lit(_WEEK_EPOCH).cast("date")) / 7))
+        .cast("int")
+        .alias("cohort_week"),
+        (F.floor(F.datediff(F.col("day"), F.col("first_day")) / 7)).cast("int").alias("week_offset"),
+    )
+    return (
+        joined.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily value totals on a GAP-FREE calendar:
+    missing days appear with sum_value = 0, plus a forward-filled
+    last-observed total (the standard time-series densify + ffill).
+
+    Plan: daily aggregate (shuffle on (type, day)), per-type bounds
+    collapse to one row per type, `sequence()` explodes the calendar
+    executor-side (no driver loop), and the left join back is
+    broadcast-able: the calendar is |types| x |days| rows — tiny
+    relative to the fact table at any scale factor.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    # day as a midnight TIMESTAMP (date_trunc), the repo-wide convention
+    # for oracle-compared calendar buckets
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("DAY", "ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("v"))
+    calendar = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        calendar.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce(F.col("v"), F.lit(0)).cast("double").alias("sum_value"),
+            F.last("v", ignorenulls=True).over(w).cast("double").alias("filled_value"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_S1, _S2, _S3 = FUNNEL_STEPS
+
+ORACLE_SQL: dict[str, str] = {
+    "events_funnel": f"""
+        WITH w1 AS (
+          SELECT user_id, event_type, ts,
+                 MIN(CASE WHEN event_type = '{_S1}' THEN ts END)
+                     OVER (PARTITION BY user_id) AS t1
+          FROM events),
+        w2 AS (
+          SELECT *, MIN(CASE WHEN event_type = '{_S2}' AND ts > t1 THEN ts END)
+                        OVER (PARTITION BY user_id) AS t2
+          FROM w1),
+        w3 AS (
+          SELECT *, MIN(CASE WHEN event_type = '{_S3}' AND ts > t2 THEN ts END)
+                        OVER (PARTITION BY user_id) AS t3
+          FROM w2),
+        per_user AS (
+          SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+          FROM w3 GROUP BY user_id)
+        SELECT COUNT(*) AS n_users,
+               COUNT(t1) AS n_signup,
+               COUNT(t2) AS n_signup_click,
+               COUNT(t3) AS n_full_funnel
+        FROM per_user
+    """,
+    "user_retention": f"""
+        WITH firsts AS (
+          SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+          FROM events GROUP BY user_id),
+        activity AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        j AS (
+          SELECT a.user_id,
+                 CAST(date_diff('day', DATE '{_WEEK_EPOCH}', f.first_day) // 7 AS INTEGER)
+                     AS cohort_week,
+                 CAST(date_diff('day', f.first_day, a.day) // 7 AS INTEGER) AS week_offset
+          FROM activity a JOIN firsts f USING (user_id))
+        SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS n_users
+        FROM j GROUP BY cohort_week, week_offset
+        ORDER BY cohort_week, week_offset
+    """,
+    "daily_gapfill": """
+        WITH daily AS (
+          SELECT event_type, date_trunc('day', ts) AS day,
+                 SUM(CAST(value AS DECIMAL(18,6))) AS v
+          FROM events GROUP BY event_type, date_trunc('day', ts)),
+        bounds AS (
+          SELECT event_type, MIN(day) AS mn, MAX(day) AS mx FROM daily GROUP BY event_type),
+        calendar AS (
+          SELECT event_type,
+                 unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+          FROM bounds)
+        SELECT c.event_type, c.day,
+               CAST(COALESCE(d.v, 0) AS DOUBLE) AS sum_value,
+               CAST(LAST_VALUE(d.v IGNORE NULLS) OVER (
+                        PARTITION BY c.event_type ORDER BY c.day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   AS filled_value
+        FROM calendar c
+        LEFT JOIN daily d ON c.event_type = d.event_type AND c.day = d.day
+        ORDER BY c.event_type, c.day
+    """,
+}
+
+QUERIES = {
+    "events_funnel": events_funnel,
+    "user_retention": user_retention,
+    "daily_gapfill": daily_gapfill,
+}

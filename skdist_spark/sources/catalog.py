@@ -36,23 +36,27 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Load one catalog table as a DataFrame (lazy parquet scan).
 
-    ``events.parquet`` is written with nanosecond timestamps, which
-    Spark's vectorized parquet reader rejects; we read nanos as long
-    (legacy conf, safe to set per-session at runtime) and rebuild a
-    microsecond timestamp column. Micro truncation is lossless for the
-    driver data (micro-precision generator) and keeps the schema
-    identical to what DuckDB reports.
+    The driver has shipped ``events.parquet`` with different physical
+    ``ts`` layouts over time (TIMESTAMP(NANOS), which the vectorized
+    reader only accepts as long via the legacy conf, and TIMESTAMP_NTZ
+    micros). Normalize every layout to a session-tz TimestampType
+    column so downstream operators (`unix_micros`, watermarks, window
+    ranges) see one type. The session tz is pinned to UTC, so the
+    NTZ -> TZ cast is value-identity and matches what DuckDB reads
+    from the same file.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    df = None
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # nanos-as-long layout
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type != "timestamp":  # timestamp_ntz layout
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

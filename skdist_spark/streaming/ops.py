@@ -21,7 +21,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -30,17 +29,6 @@ from pyspark.sql.types import (
 )
 
 SESSION_GAP_MIN = 30
-
-_EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanos (parquet TIMESTAMP(NANOS) read as long)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
 
 
 def _stage_stream_dir(sf_dir: str) -> str:
@@ -58,14 +46,31 @@ def _stage_stream_dir(sf_dir: str) -> str:
 
 
 def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of the events table (nanos -> micro ts)."""
+    """File-source stream of the events table.
+
+    The file stream source needs an explicit schema, and the driver has
+    shipped the events table with different physical ``ts`` layouts over
+    time (TIMESTAMP(NANOS) read as long, TIMESTAMP_NTZ micros). Derive
+    the schema from the static parquet footer once per call (a
+    footer-only read, no data scan) and normalize ``ts`` to a
+    session-tz TimestampType so watermarks behave identically either
+    way.
+    """
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     raw = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
+        spark.readStream.schema(static_schema)
         .format("parquet")
         .load(_stage_stream_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = static_schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":  # legacy nanos-as-long layout
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type != "timestamp":  # timestamp_ntz -> session-tz timestamp
+        return raw.withColumn("ts", F.col("ts").cast(TimestampType()))
+    return raw
 
 
 STREAM_STATE_PARTITIONS = 8
