@@ -160,6 +160,190 @@ def _fingerprint_impl(docs: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Gopher-style repetition thresholds (ppm): a doc whose single most
+# frequent bigram exceeds 18% of all bigrams, or whose duplicated
+# bigrams cover more than 60%, is boilerplate/spam-shaped.
+_TOP_BIGRAM_PPM_MAX = 180_000
+_DUP_BIGRAM_PPM_MAX = 600_000
+
+# run-length scan over the SORTED bigram array: one fold computes the
+# max duplicate-group size (best) and the total occurrences inside
+# duplicated groups (dup) — O(n log n) per row, zero shuffles, vs the
+# explode + (doc, bigram) groupBy which shuffles every bigram. On this
+# synthetic corpus the fold is the whole query; at 100 TB it's the
+# difference between a map-only scan and a corpus-wide exchange.
+_REP_FOLD = """
+    aggregate(
+      CASE WHEN size(wd) >= 2
+           THEN array_sort(transform(sequence(0, size(wd) - 2),
+                                     i -> concat(wd[i], ' ', wd[i + 1])))
+           ELSE array() END,
+      named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT),
+                   'best', CAST(0 AS BIGINT), 'dup', CAST(0 AS BIGINT)),
+      (acc, x) -> named_struct(
+        'prev', x,
+        'run', IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)),
+        'best', greatest(acc.best,
+                         IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, CAST(1 AS BIGINT))),
+        'dup', acc.dup + CASE WHEN acc.prev IS NOT NULL AND x = acc.prev
+                              THEN IF(acc.run = 1, CAST(2 AS BIGINT), CAST(1 AS BIGINT))
+                              ELSE CAST(0 AS BIGINT) END))
+"""
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Generic Gopher-style repetition filter over any (id, text) frame:
+    integer-ppm top-bigram and duplicated-bigram fractions + keep flag."""
+    return _repetition_impl(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    )
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (Gopher rules): the fraction of
+    word bigrams taken by the most frequent bigram and by all duplicated
+    bigrams, exact in integer ppm, with a keep verdict."""
+    return _repetition_impl(load_table(spark, "documents", sf_dir))
+
+
+def _repetition_impl(docs: DataFrame) -> DataFrame:
+    words_df = docs.select("doc_id", F.expr(_SPARK_WORDS).alias("wd"))
+    staged = words_df.select(
+        "doc_id",
+        F.expr("greatest(size(wd) - 1, 0)").cast("long").alias("n_bigrams"),
+        F.expr(_REP_FOLD).alias("rep"),
+    ).select(
+        "doc_id",
+        "n_bigrams",
+        F.col("rep.best").alias("top_bigram_n"),
+        F.expr("IF(n_bigrams > 0, rep.best * 1000000 div n_bigrams, CAST(0 AS BIGINT))").alias(
+            "top_bigram_ppm"
+        ),
+        F.expr("IF(n_bigrams > 0, rep.dup * 1000000 div n_bigrams, CAST(0 AS BIGINT))").alias(
+            "dup_bigram_ppm"
+        ),
+    )
+    return staged.select(
+        "doc_id",
+        "n_bigrams",
+        "top_bigram_n",
+        "top_bigram_ppm",
+        "dup_bigram_ppm",
+        (
+            (F.col("top_bigram_ppm") <= _TOP_BIGRAM_PPM_MAX)
+            & (F.col("dup_bigram_ppm") <= _DUP_BIGRAM_PPM_MAX)
+        ).alias("keep"),
+    ).orderBy("doc_id")
+
+
+# fixed query vocabulary for the TF-IDF ranking demo; idf stays
+# integer-exact as floor(1e6 * N / df) so both engines hash-match
+TFIDF_TERMS = ("spark", "join", "window", "stream")
+
+
+def tfidf_rank(
+    df: DataFrame,
+    terms: tuple[str, ...] = TFIDF_TERMS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Generic integer-exact TF-IDF keyword ranking over any (id, text)
+    frame: score = sum_t tf_t * floor(1e6 * N / df_t), top-k rows."""
+    docs = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    words_df = docs.select("doc_id", F.expr(_SPARK_WORDS).alias("wd"))
+    tf_cols = [
+        F.expr(f"CAST(size(filter(wd, x -> x = '{t}')) AS BIGINT)").alias(f"tf_{t}")
+        for t in terms
+    ]
+    tf = words_df.select("doc_id", *tf_cols)
+    # corpus stats collapse to ONE row (doc count + per-term doc freq);
+    # broadcast it back so scoring stays map-side
+    stats = tf.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum(F.expr(f"IF(tf_{t} > 0, 1, 0)")).cast("long").alias(f"df_{t}")
+            for t in terms
+        ],
+    )
+    score = " + ".join(
+        f"tf_{t} * IF(df_{t} > 0, 1000000 * n_docs div df_{t}, CAST(0 AS BIGINT))"
+        for t in terms
+    )
+    return (
+        tf.join(F.broadcast(stats))
+        .select("doc_id", F.expr(f"CAST({score} AS BIGINT)").alias("score_ppm"))
+        .where(F.col("score_ppm") > 0)
+        .orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword search: top-20 documents by integer-exact TF-IDF score
+    over a fixed query vocabulary."""
+    return tfidf_rank(load_table(spark, "documents", sf_dir))
+
+
+def _duck_repetition_sql() -> str:
+    w = _DUCK_WORDS
+    return f"""
+        WITH words AS (SELECT doc_id, {w} AS w FROM documents),
+        big AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS bg
+          FROM words WHERE len(w) >= 2),
+        cnts AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY doc_id, bg),
+        agg AS (SELECT doc_id, MAX(c) AS best,
+                       SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+                FROM cnts GROUP BY doc_id),
+        staged AS (
+          SELECT w.doc_id,
+                 CAST(greatest(len(w.w) - 1, 0) AS BIGINT) AS n_bigrams,
+                 CAST(COALESCE(a.best, 0) AS BIGINT) AS top_bigram_n,
+                 CAST(CASE WHEN len(w.w) >= 2
+                      THEN COALESCE(a.best, 0) * 1000000 // (len(w.w) - 1)
+                      ELSE 0 END AS BIGINT) AS top_bigram_ppm,
+                 CAST(CASE WHEN len(w.w) >= 2
+                      THEN COALESCE(a.dup, 0) * 1000000 // (len(w.w) - 1)
+                      ELSE 0 END AS BIGINT) AS dup_bigram_ppm
+          FROM words w LEFT JOIN agg a USING (doc_id))
+        SELECT doc_id, n_bigrams, top_bigram_n, top_bigram_ppm, dup_bigram_ppm,
+               (top_bigram_ppm <= {_TOP_BIGRAM_PPM_MAX}
+                AND dup_bigram_ppm <= {_DUP_BIGRAM_PPM_MAX}) AS keep
+        FROM staged ORDER BY doc_id
+    """
+
+
+def _duck_tfidf_sql() -> str:
+    w = _DUCK_WORDS
+    tf_cols = ",\n               ".join(
+        f"CAST(len(list_filter(w, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in TFIDF_TERMS
+    )
+    df_cols = ",\n                 ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in TFIDF_TERMS
+    )
+    score = " + ".join(
+        f"tf_{t} * (CASE WHEN df_{t} > 0 THEN 1000000 * n_docs // df_{t} ELSE 0 END)"
+        for t in TFIDF_TERMS
+    )
+    return f"""
+        WITH words AS (SELECT doc_id, {w} AS w FROM documents),
+        tf AS (SELECT doc_id,
+               {tf_cols}
+               FROM words),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 {df_cols}
+                 FROM tf)
+        SELECT doc_id, CAST({score} AS BIGINT) AS score_ppm
+        FROM tf, stats
+        WHERE {score} > 0
+        ORDER BY score_ppm DESC, doc_id ASC
+        LIMIT 20
+    """
+
+
 def _duck_quality_sql() -> str:
     words = _DUCK_WORDS
     en_hits = _hits_expr(words, LANG_PROFILES["en"], "duck")
@@ -549,6 +733,8 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents ORDER BY doc_id
     """,
     "text_quality": _duck_quality_sql(),
+    "text_repetition": _duck_repetition_sql(),
+    "tfidf_search": _duck_tfidf_sql(),
     "text_fingerprint": f"""
         WITH sh AS (
             SELECT doc_id,
@@ -568,6 +754,8 @@ QUERIES = {
     "text_langid": text_langid,
     "text_tokens": text_tokens,
     "text_quality": text_quality,
+    "text_repetition": text_repetition,
+    "tfidf_search": tfidf_search,
     "text_fingerprint": text_fingerprint,
     "text_clean": text_clean,
     "doc_chunks": doc_chunks,

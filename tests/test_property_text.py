@@ -78,3 +78,53 @@ def test_packing_budget_and_coverage(spark, lengths):
     )
     for _, r in fills.iterrows():
         assert r.fill <= 512 or (r.n == 1 and r.biggest > 512)
+
+
+@given(texts=_corpus)
+@_SETTINGS
+def test_repetition_fold_matches_counter(spark, texts):
+    """The sorted-run fold must equal a literal Counter over bigrams."""
+    from collections import Counter
+
+    from skdist_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    for i, t in enumerate(texts):
+        words = t.split()
+        bigrams = [f"{a} {b}" for a, b in zip(words, words[1:])]
+        counts = Counter(bigrams)
+        r = rows[i]
+        assert r.n_bigrams == len(bigrams)
+        assert r.top_bigram_n == (max(counts.values()) if counts else 0)
+        dup = sum(c for c in counts.values() if c >= 2)
+        if bigrams:
+            assert r.dup_bigram_ppm == dup * 1_000_000 // len(bigrams)
+        else:
+            assert r.dup_bigram_ppm == 0
+
+
+@given(texts=_corpus)
+@_SETTINGS
+def test_tfidf_rank_matches_reference_scoring(spark, texts):
+    """Integer TF-IDF scores must equal the closed-form computation."""
+    from skdist_spark.operators.text import tfidf_rank
+
+    terms = ("alpha", "beta")
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = {r.doc_id: r.score_ppm for r in tfidf_rank(df, terms=terms, k=100).collect()}
+    n = len(texts)
+    tf = {i: {t: texts[i].split().count(t) for t in terms} for i in range(n)}
+    dfreq = {t: sum(1 for i in range(n) if tf[i][t] > 0) for t in terms}
+    for i in range(n):
+        expect = sum(
+            tf[i][t] * (1_000_000 * n // dfreq[t] if dfreq[t] else 0) for t in terms
+        )
+        if expect > 0:
+            assert got[i] == expect
+        else:
+            assert i not in got
