@@ -67,3 +67,12 @@ def morton_value(cols: list[str], bits: int = 16) -> Column:
     from ..sources.io import z_value
 
     return z_value(cols, bits)
+
+
+def hilbert_index(x_col: str, y_col: str, bits: int = 16) -> Column:
+    """2-D Hilbert curve index — higher-locality alternative to
+    morton_value; one fold expression, JVM codegen; see
+    sources.io.hilbert_order_by."""
+    from ..sources.io import hilbert_value
+
+    return hilbert_value(x_col, y_col, bits)

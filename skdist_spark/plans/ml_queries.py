@@ -235,6 +235,52 @@ def encoderizer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level quality classifier composed from the scoring
+    primitives: weak labels come from the repetition filter (a doc is
+    "quality" when its duplicated-bigram fraction is low), features
+    come from the ORTHOGONAL quality_score ratios (length, word length,
+    distinct-token and stopword ratios), so the model has to learn the
+    correlation rather than echo its own input.
+
+    Train: deterministic bounded sample to the driver (the 100 TB path
+    is the same features through sample_stratified), numpy logistic
+    fit. Score: Arrow-batch pandas UDF over the full corpus —
+    prediction stays distributed exactly like reference predict.py.
+    """
+    from ..operators.text import quality_score, repetition_stats
+
+    docs = load_table(spark, "documents", sf_dir)
+    q = quality_score(docs).select(
+        "doc_id", "n_words", "mean_word_len", "distinct_ratio", "stopword_ratio"
+    )
+    labels = repetition_stats(docs).select(
+        "doc_id", (F.col("dup_bigram_ppm") <= 52_000).cast("int").alias("label_weak")
+    )
+    feats = q.join(labels, "doc_id").select(
+        "doc_id",
+        (F.col("n_words") / 100.0).alias("f_len"),
+        (F.col("mean_word_len") / 10.0).alias("f_wlen"),
+        F.col("distinct_ratio").alias("f_distinct"),
+        F.col("stopword_ratio").alias("f_stop"),
+        "label_weak",
+    )
+    feature_cols = ("f_len", "f_wlen", "f_distinct", "f_stop")
+    train = feats.orderBy("doc_id").limit(2000).toPandas()
+    model = LogisticRegression(max_iter=200).fit(
+        train[list(feature_cols)].to_numpy(), train["label_weak"].to_numpy()
+    )
+    predict = get_prediction_udf(model, method="predict")
+    proba = get_prediction_udf(model, method="predict_proba")
+    cols = [F.col(c) for c in feature_cols]
+    return (
+        feats.withColumn("pred", predict(*cols))
+        .withColumn("p_quality", F.round(F.element_at(proba(*cols), 2), 9))
+        .select("doc_id", "label_weak", "pred", "p_quality")
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "ml_grid_search": ml_grid_search,
     "ml_random_search": ml_random_search,
@@ -245,5 +291,6 @@ QUERIES = {
     "ml_multi_model_search": ml_multi_model_search,
     "ml_predict_udf": ml_predict_udf,
     "encoderizer_features": encoderizer_features,
+    "ml_quality_classifier": ml_quality_classifier,
 }
 ORACLE_SQL: dict[str, str] = {}

@@ -185,6 +185,55 @@ def z_value(cols: list[str], bits: int = 16):
     return F.expr(f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> acc + ({terms}))")
 
 
+def hilbert_value(x_col: str, y_col: str, bits: int = 16):
+    """2-D Hilbert curve index of two non-negative integer columns —
+    strictly better locality than the Morton value (every unit step
+    along the curve moves to a spatially ADJACENT cell; z-order jumps
+    across the domain at power-of-two seams), so file bounding boxes
+    come out tighter for the same file count.
+
+    The classic xy2d bit walk is a stateful loop (each level rotates /
+    flips the remaining coordinates), expressed here as one `aggregate`
+    fold over bit levels with a (d, x, y) struct accumulator — pure
+    JVM codegen, no UDF, same execution shape as z_value.
+    """
+    from pyspark.sql import functions as F
+
+    n = 1 << bits  # full grid size; flips reflect within it
+    rx = "IF((acc.x & shiftleft(1L, i)) > 0, 1L, 0L)"
+    ry = "IF((acc.y & shiftleft(1L, i)) > 0, 1L, 0L)"
+    return F.expr(
+        f"""aggregate(
+          sequence({bits - 1}, 0, -1),
+          named_struct('d', 0L, 'x', CAST({x_col} AS BIGINT), 'y', CAST({y_col} AS BIGINT)),
+          (acc, i) -> named_struct(
+            'd', acc.d + shiftleft(1L, 2 * i) * ((3 * {rx}) ^ {ry}),
+            'x', IF({ry} = 0,
+                    IF({rx} = 1, {n - 1}L - acc.y, acc.y),
+                    acc.x),
+            'y', IF({ry} = 0,
+                    IF({rx} = 1, {n - 1}L - acc.x, acc.x),
+                    acc.y)),
+          acc -> acc.d)"""
+    )
+
+
+def hilbert_order_by(
+    df: DataFrame, x_col: str, y_col: str, num_files: int, bits: int = 16
+) -> DataFrame:
+    """Cluster a frame along the 2-D Hilbert curve (range-partition +
+    sort on the Hilbert index): the higher-locality alternative to
+    ``zorder_by`` for two-dimensional layouts. Columns must be
+    non-negative integers fitting in ``bits`` bits."""
+    h = hilbert_value(x_col, y_col, bits)
+    return (
+        df.withColumn("__h", h)
+        .repartitionByRange(num_files, "__h")
+        .sortWithinPartitions("__h")
+        .drop("__h")
+    )
+
+
 def zorder_by(df: DataFrame, cols: list[str], num_files: int, bits: int = 16) -> DataFrame:
     """Cluster a frame for multi-dimensional locality: range-partition +
     sort by the Morton value of ``cols`` so parquet file/row-group

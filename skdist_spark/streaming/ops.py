@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import uuid
 from collections.abc import Iterator
+from contextlib import contextmanager
 from typing import Any
 
 import pandas as pd
@@ -74,6 +75,45 @@ def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_STATE_PARTITIONS = 8
+
+# Spark's built-in RocksDB state store: off-heap, disk-backed state
+# with incremental (changelog) checkpoints. The default HDFS-backed
+# store keeps every key in executor heap — fine for bounded watermarked
+# aggregations, but large stateful jobs (high-cardinality dedup /
+# sessionization over 100 TB) need state >> heap, which is exactly
+# what RocksDB provides.
+ROCKSDB_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+_STATE_CONF = "spark.sql.streaming.stateStore.providerClass"
+_CHANGELOG_CONF = (
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+)
+
+
+@contextmanager
+def rocksdb_state(spark: SparkSession, changelog_checkpointing: bool = True):
+    """Scope streaming queries to the RocksDB state store.
+
+    Any stream STARTED inside the block uses RocksDB state (the
+    provider is fixed per query at start, so already-running queries
+    are unaffected). Changelog checkpointing uploads per-batch deltas
+    instead of full snapshots — the difference between O(delta) and
+    O(state) checkpoint cost once state is large.
+    """
+    prev_provider = spark.conf.get(_STATE_CONF, None)
+    prev_changelog = spark.conf.get(_CHANGELOG_CONF, None)
+    spark.conf.set(_STATE_CONF, ROCKSDB_STATE_PROVIDER)
+    spark.conf.set(_CHANGELOG_CONF, str(changelog_checkpointing).lower())
+    try:
+        yield spark
+    finally:
+        for key, prev in ((_STATE_CONF, prev_provider), (_CHANGELOG_CONF, prev_changelog)):
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
 
 
 def run_stream_to_df(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:

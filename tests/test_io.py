@@ -164,3 +164,76 @@ def test_zorder_write_clusters_both_dims(spark, tmp_path):
     # random placement would give each file ~the full domain area;
     # z-order keeps the average file's bounding box far below it
     assert sum(areas) / len(areas) < (side * side) / 3
+
+
+def _xy2d_ref(bits: int, x: int, y: int) -> int:
+    """Reference Hilbert xy2d (classic bit-walk), driver-side."""
+    n = 1 << bits
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_value_matches_reference(spark):
+    from skdist_spark.sources.io import hilbert_value
+
+    bits, side = 4, 16
+    grid = [(x, y) for x in range(side) for y in range(side)]
+    df = spark.createDataFrame(grid, "x bigint, y bigint")
+    rows = df.withColumn("h", hilbert_value("x", "y", bits)).collect()
+    for r in rows:
+        assert r.h == _xy2d_ref(bits, r.x, r.y), (r.x, r.y)
+
+
+def test_hilbert_consecutive_cells_are_adjacent(spark):
+    """The defining Hilbert property (which Morton lacks): consecutive
+    curve positions are unit-distance neighbors in space."""
+    from skdist_spark.sources.io import hilbert_value
+
+    bits, side = 3, 8
+    grid = [(x, y) for x in range(side) for y in range(side)]
+    df = spark.createDataFrame(grid, "x bigint, y bigint")
+    by_d = {
+        r.h: (r.x, r.y)
+        for r in df.withColumn("h", hilbert_value("x", "y", bits)).collect()
+    }
+    assert sorted(by_d) == list(range(side * side))  # a bijection
+    for d in range(side * side - 1):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+
+
+def test_hilbert_order_clusters_both_dims(spark, tmp_path):
+    """Hilbert-clustered files: bounding boxes far below the domain
+    area, and no worse than the same data z-ordered."""
+    import random
+
+    from skdist_spark.sources.io import hilbert_order_by
+
+    random.seed(7)
+    n, side = 4096, 256
+    data = [(random.randrange(side), random.randrange(side)) for _ in range(n)]
+    df = spark.createDataFrame(data, "x bigint, y bigint")
+    out = str(tmp_path / "hilbert")
+    hilbert_order_by(df, "x", "y", num_files=16).write.parquet(out)
+
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    areas = []
+    for f in g.glob(out + "/*.parquet"):
+        t = pq.read_table(f).to_pandas()
+        if len(t):
+            areas.append((t.x.max() - t.x.min() + 1) * (t.y.max() - t.y.min() + 1))
+    assert sum(areas) / len(areas) < (side * side) / 3

@@ -249,3 +249,21 @@ def test_stream_rollup_maintenance_converges_to_batch(spark, sf_dir, tmp_path):
         for r in time_bucket_rollup(spark, sf_dir).collect()
     }
     assert maintained == batch
+
+
+def test_rocksdb_state_store_same_results(spark, sf_dir):
+    """A stateful streaming query under the RocksDB state store must
+    produce exactly the default-provider result (provider changes the
+    state BACKEND, never the semantics), and the conf must be restored
+    after the scope exits."""
+    from skdist_spark.streaming.ops import (
+        ROCKSDB_STATE_PROVIDER, rocksdb_state, stream_dedup_users,
+    )
+
+    baseline = sorted(map(tuple, stream_dedup_users(spark, sf_dir).collect()))
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    with rocksdb_state(spark):
+        assert spark.conf.get(conf_key) == ROCKSDB_STATE_PROVIDER
+        rocks = sorted(map(tuple, stream_dedup_users(spark, sf_dir).collect()))
+    assert spark.conf.get(conf_key, None) != ROCKSDB_STATE_PROVIDER
+    assert rocks == baseline
