@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
 
-__all__ = ["connected_components", "dedup_clusters"]
+__all__ = ["connected_components", "dedup_clusters", "pagerank", "event_pagerank"]
 
 
 def connected_components(
@@ -81,6 +81,98 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("node").alias("doc_id"), "cluster_id").orderBy("doc_id")
 
 
+_PR_DEC = "decimal(28,12)"
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+    iterations: int = 15,
+) -> DataFrame:
+    """Weighted PageRank over an edge DataFrame -> (node, rank).
+
+    Same iterative-op posture as connected_components: each round is
+    one equi-join + groupBy (contributions flow src -> dst), lineage
+    cut per round with localCheckpoint, driver state a single scalar
+    (the dangling-node mass). All arithmetic runs in DECIMAL(28,12)
+    with explicit rounding, so partial-sum merge order cannot perturb
+    results — two runs (or a retried stage) produce identical ranks.
+
+    A fixed iteration count (not a float tolerance) keeps the plan
+    depth bounded and the output deterministic; 15 rounds is <1e-6 from
+    the fixed point for damping 0.85 on typical graphs.
+    """
+    d = F.lit(damping).cast(_PR_DEC)
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        (F.col(weight) if weight else F.lit(1)).cast(_PR_DEC).alias("w"),
+    )
+    out_w = e.groupBy("src").agg(F.sum("w").cast(_PR_DEC).alias("out_w"))
+    # per-edge share of its source's rank, fixed across iterations
+    frac = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).cast(_PR_DEC).alias("frac"))
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    base = F.lit((1.0 - damping) / n).cast(_PR_DEC)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n).cast(_PR_DEC)).localCheckpoint()
+    has_out = out_w.select(F.col("src").alias("node"))
+    for _ in range(iterations):
+        dangling = (
+            ranks.join(has_out, "node", "left_anti").agg(F.sum("rank")).collect()[0][0]
+        ) or 0
+        contribs = (
+            frac.join(ranks, frac.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.expr(f"CAST(rank * frac AS {_PR_DEC})")).alias("c"))
+        )
+        redist = F.lit(float(dangling) / n).cast(_PR_DEC)
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (base + d * (F.coalesce(F.col("c"), F.lit(0)).cast(_PR_DEC) + redist))
+                .cast(_PR_DEC)
+                .alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.col("rank").cast("double").alias("rank"))
+
+
+def event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph (edges = per-user
+    consecutive event pairs, weighted by transition count)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        pagerank(edges, weight="n")
+        .select(F.col("node").alias("event_type"), F.round("rank", 9).alias("rank"))
+        .orderBy("event_type")
+    )
+
+
 def _pairs_cte() -> str:
     """The dedup_ngram_jaccard pair derivation as DuckDB CTE bodies."""
     from .dedup import BLOCK_JACCARD_THRESHOLD, _duck_shingles
@@ -130,4 +222,4 @@ def _dedup_clusters_sql() -> str:
 
 ORACLE_SQL: dict[str, str] = {"dedup_clusters": _dedup_clusters_sql()}
 
-QUERIES = {"dedup_clusters": dedup_clusters}
+QUERIES = {"dedup_clusters": dedup_clusters, "event_pagerank": event_pagerank}

@@ -523,3 +523,50 @@ def test_kmeans_farthest_init_spreads_centers(spark, sf_dir):
     # both converge to full coverage
     n = emb.count()
     assert kmeans_assign(emb, c_far).count() == n
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    """On a directed cycle every node's rank must be exactly 1/N."""
+    from skdist_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], "src string, dst string"
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, iterations=10).collect()}
+    for v in ranks.values():
+        assert abs(v - 0.25) < 1e-9
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Distributed ranks must match a dense numpy power iteration on a
+    small weighted graph with a dangling node."""
+    import numpy as np
+
+    from skdist_spark.operators.graph import pagerank
+
+    edges = [
+        ("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 1.0),
+        ("c", "a", 1.0), ("c", "d", 3.0),  # d is dangling (no out-edges)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    got = {r.node: r.rank for r in pagerank(df, weight="w", iterations=25).collect()}
+
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n, damp = len(nodes), 0.85
+    M = np.zeros((n, n))
+    for s, t, w in edges:
+        M[idx[t], idx[s]] += w
+    col_sums = M.sum(axis=0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(25):
+        contrib = np.zeros(n)
+        dangling = 0.0
+        for j in range(n):
+            if col_sums[j] > 0:
+                contrib += M[:, j] / col_sums[j] * r[j]
+            else:
+                dangling += r[j]
+        r = (1 - damp) / n + damp * (contrib + dangling / n)
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-6, (v, got[v], r[idx[v]])

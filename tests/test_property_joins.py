@@ -126,3 +126,50 @@ def test_salted_join_property(spark, left, right, how):
         .collect()
     )
     assert plain == salted
+
+
+@given(
+    n=st.integers(min_value=50, max_value=300),
+    num_salts=st.sampled_from([2, 4, 16]),
+)
+@_SETTINGS
+def test_salted_agg_power_law_equivalence(spark, n, num_salts):
+    """Two-stage salted aggregation over power-law (Zipf-shaped) keys
+    must exactly equal the plain single-stage groupBy — the worst-case
+    skew shape, where one key owns most rows."""
+    import pandas as pd
+
+    from skdist_spark.operators.aggregates import salted_agg
+
+    # deterministic Zipf-ish keys: rank r gets ~ n/r rows
+    rows = []
+    rid = 0
+    for rank in range(1, 8):
+        for _ in range(max(n // rank, 1)):
+            rows.append((rid, f"k{rank}", float((rid * 37) % 101) / 7.0))
+            rid += 1
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["row_id", "k", "v"])
+    )
+
+    got = {
+        r.k: (r.n_rows, round(r.sum_v, 6), r.min_v, r.max_v)
+        for r in salted_agg(
+            df, ["k"], sum_cols=["v"], min_cols=["v"], max_cols=["v"],
+            salt_src="row_id", num_salts=num_salts,
+        ).collect()
+    }
+    from pyspark.sql import functions as F
+
+    want = {
+        r.k: (r.n_rows, round(r.sum_v, 6), r.min_v, r.max_v)
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("v").cast("decimal(28,6)")).cast("double").alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        .collect()
+    }
+    assert got == want
