@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from .text import _KNUTH, _MOD32
 
-__all__ = ["train_test_split_df"]
+__all__ = ["train_test_split_df", "sample_k_per_group"]
 
 
 def train_test_split_df(
@@ -32,3 +32,27 @@ def train_test_split_df(
     permille = int(round(test_fraction * 1000))
     bucket = F.pmod((F.col(id_col).cast("bigint") * _KNUTH) % _MOD32, F.lit(1000))
     return df.where(bucket >= permille), df.where(bucket < permille)
+
+
+def sample_k_per_group(
+    df: DataFrame, group_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Deterministic uniform-ish sample of exactly min(k, |group|) rows
+    per group: rank rows inside each group by the Knuth hash of their
+    id (id as final tiebreaker) and keep the first k.
+
+    The distributed replacement for per-group reservoir sampling:
+    one shuffle on the group key, membership is a pure function of
+    (id, k) — stable across retries, partitionings, and engines, and
+    a row keeps/loses its slot only if ids around it change, not when
+    unrelated partitions do.
+    """
+    from pyspark.sql import Window
+
+    h = F.pmod((F.col(id_col).cast("bigint") * _KNUTH) % _MOD32, F.lit(_MOD32))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -210,7 +210,101 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# feature-moment correlation: dims quantized to exact integer
+# micro-units (float x 1e6 is exact in double: 24-bit mantissa x 20-bit
+# scale < 53 bits), so every cross-engine moment is a bit-identical
+# BIGINT and the final double formula is bit-identical too — the only
+# way a corpus-order-independent Pearson matrix hash-matches DuckDB.
+CORR_DIMS = 4
+
+
+def feature_corr(
+    df: DataFrame, vec_col: str = "embedding", n_dims: int = CORR_DIMS
+) -> DataFrame:
+    """Pearson correlation matrix of the first ``n_dims`` vector
+    dimensions in ONE pass: 2d + d(d-1)/2 integer moments, all
+    map-side combinable — at 100 TB this is a single scan + one
+    scalar-row reduce, vs d^2 separate corr() passes.
+    Returns (dim_i, dim_j, n, corr) for i < j.
+    """
+    q = [
+        F.expr(
+            f"CAST(floor(CAST(element_at({vec_col}, {i + 1}) AS DOUBLE) * 1000000) AS BIGINT)"
+        ).alias(f"x{i}")
+        for i in range(n_dims)
+    ]
+    qdf = df.select(*q)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(n_dims):
+        aggs.append(F.sum(F.col(f"x{i}").cast("decimal(38,0)")).alias(f"s{i}"))
+        aggs.append(
+            F.sum(F.expr(f"CAST(x{i} AS DECIMAL(19,0)) * x{i}").cast("decimal(38,0)")).alias(f"ss{i}")
+        )
+    pairs = [(i, j) for i in range(n_dims) for j in range(n_dims) if i < j]
+    for i, j in pairs:
+        aggs.append(
+            F.sum(F.expr(f"CAST(x{i} AS DECIMAL(19,0)) * x{j}").cast("decimal(38,0)")).alias(f"c{i}_{j}")
+        )
+    m = qdf.agg(*aggs)
+    corr_exprs = []
+    for i, j in pairs:
+        num = f"(CAST(n AS DOUBLE) * CAST(c{i}_{j} AS DOUBLE) - CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE))"
+        den = (
+            f"sqrt(CAST(n AS DOUBLE) * CAST(ss{i} AS DOUBLE) - CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE))"
+            f" * sqrt(CAST(n AS DOUBLE) * CAST(ss{j} AS DOUBLE) - CAST(s{j} AS DOUBLE) * CAST(s{j} AS DOUBLE))"
+        )
+        corr_exprs.append(f"{i}, {j}, n, {num} / ({den})")
+    stacked = ", ".join(corr_exprs)
+    return m.select(
+        F.expr(
+            f"stack({len(pairs)}, {stacked}) AS (dim_i, dim_j, n, corr)"
+        )
+    ).orderBy("dim_i", "dim_j")
+
+
+def embedding_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation matrix of the first 4 embedding dimensions."""
+    return feature_corr(load_table(spark, "embeddings", sf_dir))
+
+
+def _duck_corr_sql() -> str:
+    dims = range(CORR_DIMS)
+    qcols = ", ".join(
+        f"CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000) AS BIGINT) AS x{i}"
+        for i in dims
+    )
+    moments = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for i in dims:
+        moments.append(f"CAST(SUM(CAST(x{i} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s{i}")
+        moments.append(
+            f"CAST(SUM(CAST(x{i} AS DECIMAL(19,0)) * x{i}) AS DECIMAL(38,0)) AS ss{i}"
+        )
+    pairs = [(i, j) for i in dims for j in dims if i < j]
+    for i, j in pairs:
+        moments.append(
+            f"CAST(SUM(CAST(x{i} AS DECIMAL(19,0)) * x{j}) AS DECIMAL(38,0)) AS c{i}_{j}"
+        )
+    selects = []
+    for i, j in pairs:
+        num = f"(CAST(n AS DOUBLE) * CAST(c{i}_{j} AS DOUBLE) - CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE))"
+        den = (
+            f"sqrt(CAST(n AS DOUBLE) * CAST(ss{i} AS DOUBLE) - CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE))"
+            f" * sqrt(CAST(n AS DOUBLE) * CAST(ss{j} AS DOUBLE) - CAST(s{j} AS DOUBLE) * CAST(s{j} AS DOUBLE))"
+        )
+        selects.append(
+            f"SELECT {i} AS dim_i, {j} AS dim_j, n, {num} / ({den}) AS corr FROM m"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+        WITH q AS (SELECT {qcols} FROM embeddings),
+        m AS (SELECT {", ".join(moments)} FROM q)
+        {union}
+        ORDER BY dim_i, dim_j
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
+    "embedding_corr": _duck_corr_sql(),
     "ann_topk": f"""
         WITH e AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -236,4 +330,5 @@ QUERIES = {
     "ann_topk": ann_topk,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
+    "embedding_corr": embedding_corr,
 }

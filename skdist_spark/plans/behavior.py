@@ -138,9 +138,37 @@ def daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_K = 5
+
+
+def sample_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample: exactly min(k, |events|) events
+    per user, chosen by Knuth-hash rank of event_id (the distributed
+    reservoir-sampling replacement — membership is a pure function of
+    the ids, not the run)."""
+    from ..operators.sampling import sample_k_per_group
+
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_id", "event_type")
+    return sample_k_per_group(ev, "user_id", "event_id", SAMPLE_K).orderBy(
+        "user_id", "event_id"
+    )
+
+
 _S1, _S2, _S3 = FUNNEL_STEPS
 
+_KNUTH = 2654435761
+_MOD32 = 4294967296
+
 ORACLE_SQL: dict[str, str] = {
+    "sample_events_per_user": f"""
+        SELECT user_id, event_id, event_type FROM (
+          SELECT user_id, event_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                     ORDER BY (event_id * {_KNUTH}) % {_MOD32}, event_id) AS rn
+          FROM events)
+        WHERE rn <= {SAMPLE_K}
+        ORDER BY user_id, event_id
+    """,
     "events_funnel": f"""
         WITH w1 AS (
           SELECT user_id, event_type, ts,
@@ -207,4 +235,5 @@ QUERIES = {
     "events_funnel": events_funnel,
     "user_retention": user_retention,
     "daily_gapfill": daily_gapfill,
+    "sample_events_per_user": sample_events_per_user,
 }

@@ -28,7 +28,7 @@ def test_every_query_declared(spark):
     rows_only_prefixes = (
         "ml_", "stream_", "ann_lsh", "ann_ivf", "multimodal", "encoderizer", "approx_",
         "heavy_hitters_cms", "kmv_", "order_percentiles_approx", "pack_chunks",
-        "corpus_pipeline",
+        "corpus_pipeline", "event_pagerank",
     )
     for name in QUERIES:
         if name not in ORACLES:
