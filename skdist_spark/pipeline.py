@@ -27,12 +27,11 @@ from pyspark.sql import functions as F
 from .operators.dedup import minhash_dedup
 from .operators.graph import connected_components
 from .operators.text import (
+    LANG_PROFILES,
     chunk_documents,
     clean_text,
     contamination_check,
-    language_id,
     pack_sequences,
-    quality_score,
 )
 from .sources.catalog import load_table
 
@@ -52,14 +51,26 @@ def build_training_corpus(
     (doc_id, chunk_id, n_chunk_tokens, bin_id)."""
     cleaned = clean_text(docs).select("doc_id", F.col("clean_text").alias("text"))
 
-    lang = language_id(cleaned).where(F.col("pred_lang").isin(*KEEP_LANGS))
-    quality = quality_score(cleaned).where(
-        (F.col("n_words") >= MIN_WORDS)
-        & (F.col("stopword_ratio") <= MAX_STOPWORD_RATIO)
-    )
+    # language + quality gates are ROW-LOCAL expressions (language_id /
+    # quality_score with the same constants) — inline them as filter
+    # columns over one tokenization instead of materializing two
+    # side frames and semi-joining them back: two fewer shuffles and
+    # two fewer passes over the regex-heavy cleaned text.
+    from .operators.text import _SPARK_WORDS, _hits_expr, _langid_exprs
+
+    pred_lang, _ = _langid_exprs("spark", words="wd")
+    en_hits = _hits_expr("wd", LANG_PROFILES["en"], "spark")
     kept = (
-        cleaned.join(lang.select("doc_id"), "doc_id", "left_semi")
-        .join(quality.select("doc_id"), "doc_id", "left_semi")
+        cleaned.withColumn("wd", F.expr(_SPARK_WORDS))
+        .where(
+            F.expr(pred_lang).isin(*KEEP_LANGS)
+            & (F.expr("size(wd)") >= MIN_WORDS)
+            & (
+                (F.expr(en_hits).cast("double") / F.expr("size(wd)"))
+                <= MAX_STOPWORD_RATIO
+            )
+        )
+        .select("doc_id", "text")
     )
 
     # exact dedup: keep the minimum doc id per identical cleaned text.
@@ -89,8 +100,13 @@ def build_training_corpus(
     contaminated = contamination_check(deduped, benchmark).select("doc_id")
     clean_corpus = deduped.join(contaminated, "doc_id", "left_anti")
 
-    chunks = chunk_documents(clean_corpus).withColumn(
-        "chunk_uid", F.col("doc_id") * 10000 + F.col("chunk_id")
+    # chunks feeds BOTH the packer and the final assignment join;
+    # without the checkpoint the contamination anti-joins + chunk
+    # explode execute twice (measured ~2.5s of the sf0.1 run).
+    chunks = (
+        chunk_documents(clean_corpus)
+        .withColumn("chunk_uid", F.col("doc_id") * 10000 + F.col("chunk_id"))
+        .localCheckpoint()
     )
     packed = pack_sequences(chunks, "chunk_uid", "n_chunk_tokens", budget=budget)
     return (
