@@ -185,6 +185,68 @@ def z_value(cols: list[str], bits: int = 16):
     return F.expr(f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> acc + ({terms}))")
 
 
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+    order_col: str | None = None,
+) -> None:
+    """CDC-style MERGE (upsert by key) into a hive-partitioned parquet
+    table, without a table format.
+
+    Only the partitions present in ``updates`` are read and rewritten:
+    existing rows whose key collides with an update are replaced, new
+    keys are appended, and every untouched partition's files are left
+    byte-identical (dynamic partition overwrite). ``order_col`` breaks
+    ties WITHIN the update batch (highest wins) — the standard CDC
+    latest-record rule; with no order_col the update batch must be
+    key-unique.
+
+    At 100 TB this is maintenance cost proportional to the touched
+    partitions, not the table — the batch face of the streaming
+    continuous-aggregate sink (stream_rollup_maintenance).
+    """
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if order_col is not None:
+        w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+        updates = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    if not os.path.exists(target_path):
+        updates.write.partitionBy(partition_col).parquet(target_path)
+        return
+
+    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    existing = spark.read.parquet(target_path).where(
+        F.col(partition_col).isin(touched)
+    )
+    # align the update batch to the target schema (extra columns such
+    # as the order_col tiebreaker are metadata, not payload)
+    updates = updates.select(*existing.columns)
+    survivors = existing.join(
+        updates.select(*key_cols), key_cols, "left_anti"
+    )
+    # materialize BEFORE the overwrite: Spark cannot overwrite files a
+    # lazy plan is still set to read (self-overwrite hazard)
+    merged = survivors.unionByName(updates).localCheckpoint()
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def hilbert_value(x_col: str, y_col: str, bits: int = 16):
     """2-D Hilbert curve index of two non-negative integer columns —
     strictly better locality than the Morton value (every unit step

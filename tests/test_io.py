@@ -237,3 +237,45 @@ def test_hilbert_order_clusters_both_dims(spark, tmp_path):
         if len(t):
             areas.append((t.x.max() - t.x.min() + 1) * (t.y.max() - t.y.min() + 1))
     assert sum(areas) / len(areas) < (side * side) / 3
+
+
+def test_merge_upsert_touches_only_updated_partitions(spark, tmp_path):
+    """Upsert must replace collided keys, append new keys, and leave
+    untouched partitions' files byte-identical."""
+    import glob as g
+    import os
+
+    from skdist_spark.sources.io import merge_upsert
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "d1", 10.0), (2, "d1", 20.0), (3, "d2", 30.0), (4, "d3", 40.0)],
+        "id bigint, day string, v double",
+    )
+    merge_upsert(spark, target, base, ["id"], "day")
+
+    untouched_before = {
+        f: os.path.getmtime(f) for f in g.glob(target + "/day=d3/*.parquet")
+    }
+    assert untouched_before
+
+    updates = spark.createDataFrame(
+        [
+            (2, "d1", 21.0, 1), (2, "d1", 22.0, 2),  # order_col picks 22.0
+            (5, "d2", 50.0, 1),                       # new key
+        ],
+        "id bigint, day string, v double, seq int",
+    )
+    merge_upsert(spark, target, updates, ["id"], "day", order_col="seq")
+
+    got = {
+        (r.id, r.day): r.v
+        for r in spark.read.parquet(target).select("id", "day", "v").collect()
+    }
+    assert got == {
+        (1, "d1"): 10.0, (2, "d1"): 22.0, (3, "d2"): 30.0,
+        (4, "d3"): 40.0, (5, "d2"): 50.0,
+    }
+    # d3 was not in the update batch: files untouched
+    for f, mtime in untouched_before.items():
+        assert os.path.getmtime(f) == mtime, f
