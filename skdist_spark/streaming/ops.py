@@ -247,6 +247,134 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "session_start")
 
 
+class _SessionProcessor:
+    """transformWithStateInPandas face of the gap sessionizer — the
+    Spark 4 arbitrary-state API (typed value state via a handle,
+    timer support, state schema evolution) that supersedes
+    applyInPandasWithState. Emits the SAME sessions as
+    _sessionize_group so the two faces are interchangeable.
+    Lazily subclassed because StatefulProcessor lives in pyspark 4+.
+    """
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        self._state = handle.getValueState(
+            "session",
+            StructType(
+                [
+                    StructField("start_us", LongType()),
+                    StructField("last_us", LongType()),
+                    StructField("n_events", LongType()),
+                    StructField("sum_value", DoubleType()),
+                ]
+            ),
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        batch = pd.concat(list(rows)).sort_values("ts", kind="mergesort")
+        if self._state.exists():
+            start_us, last_us, n_events, sum_value = self._state.get()
+        else:
+            start_us = last_us = None
+            n_events, sum_value = 0, 0.0
+        gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+        out = []
+        for ts, value in zip(batch["ts"], batch["value"]):
+            ts_us = int(ts.value // 1000)
+            if last_us is not None and ts_us - last_us > gap_us:
+                out.append((user_id, start_us, last_us, n_events, sum_value))
+                start_us, n_events, sum_value = ts_us, 0, 0.0
+            if start_us is None:
+                start_us = ts_us
+            last_us = ts_us
+            n_events += 1
+            sum_value += float(value)
+        self._state.update((start_us, last_us, n_events, sum_value))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "session_start_us", "session_end_us",
+                "n_events", "sum_value",
+            ],
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas runs a protobuf-based state server in
+    the Python worker; without google.protobuf the worker crashes at
+    runtime, so gate on the import like the Kafka/Avro connectors."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def sessionize_stream_tws(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap sessionization via ``transformWithStateInPandas`` — output
+    is identical to ``sessionize_stream``; only the state API differs.
+
+    Requires the ``protobuf`` package at RUNTIME (worker-side state
+    server); raises immediately with a clear message when absent.
+    """
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(google.protobuf) in the Python environment; install it or "
+            "use sessionize_stream (applyInPandasWithState), which "
+            "produces identical sessions."
+        )
+    from pyspark.sql.streaming import StatefulProcessor
+
+    processor_cls = type("SessionProcessor", (_SessionProcessor, StatefulProcessor), {})
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("value"),
+    )
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=processor_cls(),
+            outputStructType=_SESSION_OUT_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+    )
+
+
+def stream_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization via the Spark 4
+    transformWithStateInPandas API (same result as stream_sessionize)."""
+    sessions = sessionize_stream_tws(_read_event_stream(spark, sf_dir))
+    out = run_stream_to_df(sessions, output_mode="append")
+    return out.select(
+        "user_id",
+        F.timestamp_micros(F.col("session_start_us")).alias("session_start"),
+        F.timestamp_micros(F.col("session_end_us")).alias("session_end"),
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    ).orderBy("user_id", "session_start")
+
+
 def stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup: first occurrence per (user_id, event_type) via
     watermarked dropDuplicates — streaming state holds one key per pair

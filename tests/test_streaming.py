@@ -267,3 +267,23 @@ def test_rocksdb_state_store_same_results(spark, sf_dir):
         rocks = sorted(map(tuple, stream_dedup_users(spark, sf_dir).collect()))
     assert spark.conf.get(conf_key, None) != ROCKSDB_STATE_PROVIDER
     assert rocks == baseline
+
+
+def test_tws_sessionize_matches_apip_face(spark, sf_dir):
+    """transformWithStateInPandas sessionizer must equal the
+    applyInPandasWithState face (skipped where protobuf is absent;
+    the gate must then raise a clear error instead of crashing the
+    stream mid-query)."""
+    import pytest
+
+    from skdist_spark.streaming.ops import (
+        stream_sessionize, stream_sessionize_tws, tws_available,
+    )
+
+    if not tws_available():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            stream_sessionize_tws(spark, sf_dir)
+        pytest.skip("protobuf not installed; TWS runtime unavailable")
+    a = sorted(map(tuple, stream_sessionize(spark, sf_dir).collect()))
+    b = sorted(map(tuple, stream_sessionize_tws(spark, sf_dir).collect()))
+    assert a == b
