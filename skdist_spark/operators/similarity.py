@@ -11,6 +11,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -210,6 +212,148 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- Product quantization ANN ----------------------------------------
+# The memory-scale path beyond IVF: 64-dim float vectors compress to
+# M one-byte codes (16x here), and search happens against CODES with
+# per-query lookup tables (asymmetric distance computation) — at 100 TB
+# the corpus resident set shrinks from 256 GB of floats to 16 GB of
+# codes while scans stay sequential. Codebooks are trained once on a
+# bounded deterministic driver sample (k-means is the reference PQ
+# construction); encoding and search are Arrow-batch numpy (dense
+# linear algebra — the one place SQL lambdas lose by ~10x, same
+# precedent as the blocked-GEMM embedding dedup).
+
+PQ_M = 8          # subspaces (64 dims -> 8 per subspace)
+PQ_K = 16         # centroids per subspace -> 4-bit codes
+PQ_SAMPLE = 2000  # training sample rows (driver-side, bounded)
+PQ_ITERS = 10
+
+
+def _pq_lloyd(sub: "np.ndarray", k: int, iters: int) -> "np.ndarray":
+    """Deterministic local k-means for one subspace: farthest-first
+    seeding from row 0, fixed iteration count, empty clusters re-seeded
+    from the worst-fit point."""
+    import numpy as np
+
+    cents = [sub[0]]
+    d2 = ((sub - cents[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        cents.append(sub[int(np.argmax(d2))])
+        d2 = np.minimum(d2, ((sub - cents[-1]) ** 2).sum(axis=1))
+    c = np.stack(cents)
+    for _ in range(iters):
+        dist = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = dist.argmin(axis=1)
+        for j in range(k):
+            members = sub[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+            else:
+                c[j] = sub[int(dist.min(axis=1).argmax())]
+    return c
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = PQ_M,
+    k: int = PQ_K,
+) -> "np.ndarray":
+    """Train PQ codebooks (m, k, d/m) on a deterministic bounded sample
+    of L2-NORMALIZED vectors (normalized so approx-L2 ranking equals
+    cosine ranking downstream)."""
+    import numpy as np
+
+    sample = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(PQ_SAMPLE).toPandas()
+    )
+    x = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    d = x.shape[1]
+    sub_d = d // m
+    return np.stack(
+        [_pq_lloyd(x[:, i * sub_d : (i + 1) * sub_d], k, PQ_ITERS) for i in range(m)]
+    )
+
+
+def pq_encode(df: DataFrame, codebooks, vec_col: str = "embedding") -> DataFrame:
+    """Attach ``codes`` (array<int>, one code per subspace): nearest
+    centroid per normalized sub-vector, vectorized per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cb = codebooks  # (m, k, sub_d) — serialized once per executor
+    m, _, sub_d = cb.shape
+
+    def _encode(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for i in range(m):
+            subx = x[:, i * sub_d : (i + 1) * sub_d]
+            dist = ((subx[:, None, :] - cb[i][None, :, :]) ** 2).sum(axis=2)
+            codes[:, i] = dist.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    encode = F.pandas_udf(_encode, ArrayType(IntegerType()))
+    return df.withColumn("codes", encode(F.col(vec_col)))
+
+
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ANN: top-k neighbors per query by asymmetric distance
+    (exact query sub-vectors against corpus codes via per-query lookup
+    tables). Same query/corpus split and output shape as ann_topk."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    codebooks = train_pq_codebooks(emb)
+    m, k, sub_d = codebooks.shape
+    corpus = pq_encode(emb.where(F.col("vec_id") >= N_QUERIES), codebooks).select(
+        "vec_id", "codes"
+    )
+
+    qrows = (
+        emb.where(F.col("vec_id") < N_QUERIES).orderBy("vec_id").toPandas()
+    )
+    q = np.stack(qrows["embedding"].to_numpy()).astype(np.float64)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    # LUT[query, subspace, code] = squared L2 from the query sub-vector
+    lut = np.empty((len(q), m, k))
+    for i in range(m):
+        subq = q[:, i * sub_d : (i + 1) * sub_d]
+        lut[:, i, :] = ((subq[:, None, :] - codebooks[i][None, :, :]) ** 2).sum(axis=2)
+    qids = qrows["vec_id"].to_numpy()
+
+    out_schema = "query_id long, neighbor_id long, approx_dist double"
+
+    def score(batches):
+        for pdf in batches:
+            codes = np.stack(pdf["codes"].to_numpy())  # (B, m)
+            # ADC: gather per-subspace table entries and sum -> (Q, B)
+            dists = lut[:, np.arange(m)[None, :], codes].sum(axis=2)
+            b = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, b),
+                    "neighbor_id": np.tile(pdf["vec_id"].to_numpy(), len(qids)),
+                    "approx_dist": np.round(dists, 9).ravel(),
+                }
+            )
+
+    scored = corpus.mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
 # feature-moment correlation: dims quantized to exact integer
 # micro-units (float x 1e6 is exact in double: 24-bit mantissa x 20-bit
 # scale < 53 bits), so every cross-engine moment is a bit-identical
@@ -330,5 +474,6 @@ QUERIES = {
     "ann_topk": ann_topk,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
+    "ann_pq": ann_pq,
     "embedding_corr": embedding_corr,
 }

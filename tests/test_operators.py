@@ -570,3 +570,24 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         r = (1 - damp) / n + damp * (contrib + dangling / n)
     for v in nodes:
         assert abs(got[v] - r[idx[v]]) < 1e-6, (v, got[v], r[idx[v]])
+
+
+def test_ann_pq_recall_vs_exact(spark, sf_dir):
+    """PQ codes with per-query lookup tables must recover a meaningful
+    share of the exact cosine top-k (floor guards the train/encode/ADC
+    plumbing, not tuning), deterministically."""
+    from collections import defaultdict
+
+    from skdist_spark.operators import similarity
+
+    ex, pq = defaultdict(set), defaultdict(set)
+    for r in similarity.ann_topk(spark, sf_dir).collect():
+        ex[r.query_id].add(r.neighbor_id)
+    rows1 = similarity.ann_pq(spark, sf_dir).collect()
+    for r in rows1:
+        pq[r.query_id].add(r.neighbor_id)
+    assert set(pq) == set(ex)
+    assert all(len(v) == similarity.TOP_K for v in pq.values())
+    recalls = [len(ex[q] & pq[q]) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
+    assert similarity.ann_pq(spark, sf_dir).collect() == rows1  # deterministic
