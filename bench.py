@@ -37,7 +37,7 @@ def shuffle_stats(df) -> dict[str, int]:
     exchange/record counts. Runtime metrics, not a static plan guess —
     AQE-elided exchanges report 0. ReusedExchange nodes are leaves, so
     a reused shuffle is counted once at its original site."""
-    totals = {"shuffle_bytes": 0, "shuffle_records": 0, "exchanges": 0}
+    totals = {"shuffle_bytes": 0, "shuffle_records": 0, "exchanges": 0, "spill_bytes": 0}
 
     def visit(node):
         cls = node.getClass().getSimpleName()
@@ -54,6 +54,8 @@ def shuffle_stats(df) -> dict[str, int]:
                 totals["shuffle_bytes"] += int(kv._2().value())
             elif key == "shuffleRecordsWritten":
                 totals["shuffle_records"] += int(kv._2().value())
+            elif key == "spillSize":  # sort/aggregate disk spill
+                totals["spill_bytes"] += max(int(kv._2().value()), 0)
 
     try:
         _walk_plan(df._jdf.queryExecution().executedPlan(), visit)
@@ -79,6 +81,7 @@ def main() -> None:
     times: dict[str, float] = {}
     exchanges: dict[str, int] = {}
     shuffle_bytes: dict[str, int] = {}
+    spill_bytes: dict[str, int] = {}
     t_all = time.perf_counter()
     for name in sorted(queries):
         t0 = time.perf_counter()
@@ -90,6 +93,7 @@ def main() -> None:
             stats = shuffle_stats(df)
             exchanges[name] = stats["exchanges"]
             shuffle_bytes[name] = stats["shuffle_bytes"]
+            spill_bytes[name] = stats["spill_bytes"]
         except Exception as exc:  # pragma: no cover
             times[name] = -1.0
             print(f"# bench error {name}: {exc}", file=sys.stderr)
@@ -105,6 +109,7 @@ def main() -> None:
                 "queries": times,
                 "plan_shuffles": exchanges,
                 "shuffle_bytes": shuffle_bytes,
+                "spill_bytes": spill_bytes,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

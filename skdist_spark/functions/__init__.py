@@ -10,6 +10,7 @@ contract.
 from .columns import (
     decimal_money,
     epoch_micros_diff_seconds,
+    hilbert_index,
     knuth_bucket,
     morton_value,
     ppm_of_rank,
@@ -19,6 +20,7 @@ from .columns import (
 __all__ = [
     "decimal_money",
     "epoch_micros_diff_seconds",
+    "hilbert_index",
     "knuth_bucket",
     "morton_value",
     "ppm_of_rank",

@@ -7,9 +7,18 @@ from .dedup import (
     ngram_jaccard_dedup,
     simhash_dedup,
 )
-from .joins import asof_join, interval_join
-from .similarity import cosine_topk
-from .text import fingerprint, language_id, quality_score
+from .aggregates import salted_agg
+from .graph import connected_components, pagerank
+from .joins import asof_join, interval_join, salted_join
+from .sampling import sample_k_per_group, train_test_split_df
+from .similarity import cosine_topk, pq_encode, train_pq_codebooks
+from .text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    repetition_stats,
+    tfidf_rank,
+)
 from .ensemble import (
     DistExtraTreesClassifier,
     DistExtraTreesRegressor,
@@ -44,7 +53,17 @@ __all__ = [
     "embedding_dedup",
     "language_id",
     "quality_score",
+    "repetition_stats",
+    "tfidf_rank",
     "fingerprint",
     "cosine_topk",
+    "train_pq_codebooks",
+    "pq_encode",
+    "connected_components",
+    "pagerank",
+    "salted_join",
+    "salted_agg",
+    "sample_k_per_group",
+    "train_test_split_df",
     "get_prediction_udf",
 ]

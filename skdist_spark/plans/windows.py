@@ -498,6 +498,30 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_BIN_WIDTH = 25
+HIST_N_BINS = 20
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values per event_type (fixed
+    bounds, top bin clamps outliers): one map-side-combinable groupBy —
+    the profiling primitive behind distribution drift checks. Bin
+    assignment is floor(value/width) in IEEE double, identical across
+    engines; sums aggregate in DECIMAL."""
+    ev = load_table(spark, "events", sf_dir)
+    bin_col = F.least(
+        F.floor(F.col("value") / HIST_BIN_WIDTH), F.lit(HIST_N_BINS - 1)
+    ).cast("int")
+    return (
+        ev.groupBy("event_type", bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
 def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass data-profiling aggregate over documents: row count,
     null counts, distinct counts, and numeric min/max — the data-quality
@@ -676,6 +700,15 @@ ORACLE_SQL: dict[str, str] = {
                CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INTEGER) AS days_since_start
         FROM orders
         ORDER BY o_orderkey
+    """,
+    "value_histogram": f"""
+        SELECT event_type,
+               CAST(LEAST(FLOOR(value / {HIST_BIN_WIDTH}), {HIST_N_BINS - 1}) AS INTEGER) AS bin,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY event_type, LEAST(FLOOR(value / {HIST_BIN_WIDTH}), {HIST_N_BINS - 1})
+        ORDER BY event_type, bin
     """,
     "profile_documents": """
         SELECT COUNT(*) AS n_rows,
@@ -889,6 +922,7 @@ QUERIES = {
     "user_event_features": user_event_features,
     "event_transitions": event_transitions,
     "profile_documents": profile_documents,
+    "value_histogram": value_histogram,
     "order_percentiles_approx": order_percentiles_approx,
     "orders_date_features": orders_date_features,
     "events_value_windows": events_value_windows,
