@@ -3,6 +3,7 @@ from .encoder import Encoderizer, EncoderizerExtractor
 from .dedup import (
     embedding_dedup,
     exact_dedup,
+    incremental_dedup,
     minhash_dedup,
     ngram_jaccard_dedup,
     simhash_dedup,
@@ -47,6 +48,7 @@ __all__ = [
     "asof_join",
     "interval_join",
     "exact_dedup",
+    "incremental_dedup",
     "minhash_dedup",
     "simhash_dedup",
     "ngram_jaccard_dedup",

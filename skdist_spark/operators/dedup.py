@@ -222,6 +222,76 @@ def _minhash_impl(docs: DataFrame) -> DataFrame:
     )
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    existing_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup an INCOMING batch against an EXISTING corpus without
+    re-processing old-vs-old — the production ingest pattern: at 100 TB
+    the corpus is never re-deduped; each batch pays only its own cost.
+
+    Two gates, both equi-joins keyed on bounded derived keys:
+      1. exact — md5(text) anti-join against the corpus hash set;
+      2. near-dup — the batch's LSH bands equi-join the corpus band
+         index (``minhash_bands``; persist it bucketed on band_hash in
+         production so ingest never re-shuffles the corpus), candidates
+         verified with exact shingle Jaccard.
+
+    Returns the surviving new docs (original columns). Intra-batch
+    duplicates are the existing operators' job (exact_dedup /
+    minhash_dedup) — run them first.
+    """
+    new = new_docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    old = existing_docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    old_hashes = old.select(F.md5("text").alias("__h")).distinct()
+    survivors = (
+        new.withColumn("__h", F.md5("text"))
+        .join(old_hashes, "__h", "left_anti")
+        .drop("__h")
+    )
+
+    nb = (
+        minhash_bands(survivors)
+        .withColumnRenamed("doc_id", "new_id")
+    )
+    ob = minhash_bands(old).withColumnRenamed("doc_id", "old_id")
+    cand = (
+        nb.join(ob, ["band_idx", "band_hash"])
+        .select("new_id", "old_id")
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    ta = survivors.select(F.col("doc_id").alias("new_id"), F.col("text").alias("text_a"))
+    tb = old.select(F.col("doc_id").alias("old_id"), F.col("text").alias("text_b"))
+    wa = "filter(split(trim(text_a), '\\\\s+'), x -> x != '')"
+    wb = "filter(split(trim(text_b), '\\\\s+'), x -> x != '')"
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    near_dups = (
+        cand.join(ta, "new_id")
+        .join(tb, "old_id")
+        .withColumn("wd_a", F.expr(wa))
+        .withColumn("wd_b", F.expr(wb))
+        .withColumn("sh_a", F.expr(_spark_shingles(words="wd_a")))
+        .withColumn("sh_b", F.expr(_spark_shingles(words="wd_b")))
+        .withColumn(
+            "jaccard",
+            inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("new_id")
+        .distinct()
+    )
+    kept = survivors.join(
+        near_dups, survivors.doc_id == near_dups.new_id, "left_anti"
+    )
+    return new_docs.join(
+        kept.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
+    )
+
+
 def ngram_jaccard_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

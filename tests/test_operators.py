@@ -591,3 +591,36 @@ def test_ann_pq_recall_vs_exact(spark, sf_dir):
     recalls = [len(ex[q] & pq[q]) / len(ex[q]) for q in ex]
     assert sum(recalls) / len(recalls) >= 0.3, recalls
     assert similarity.ann_pq(spark, sf_dir).collect() == rows1  # deterministic
+
+
+def test_incremental_dedup_matches_full_corpus_pairs(spark, sf_dir):
+    """Batch-vs-corpus dedup must drop exactly the new docs that the
+    FULL-corpus run links to an old doc (exact text match or a verified
+    MinHash pair), and keep everything else."""
+    from pyspark.sql import functions as F
+
+    from skdist_spark.operators.dedup import incremental_dedup, minhash_dedup
+    from skdist_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    old = docs.where(F.col("doc_id") % 3 != 0)
+    new = docs.where(F.col("doc_id") % 3 == 0)
+
+    kept = {r.doc_id for r in incremental_dedup(new, old).select("doc_id").collect()}
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    assert kept <= new_ids
+
+    # expected drops from the FULL-corpus faces
+    old_rows = old.select("doc_id", "text").collect()
+    new_rows = new.select("doc_id", "text").collect()
+    old_texts = {r.text for r in old_rows}
+    exact_drops = {r.doc_id for r in new_rows if r.text in old_texts}
+    old_ids = {r.doc_id for r in old_rows}
+    near_drops = set()
+    for r in minhash_dedup(docs).collect():
+        if r.doc_a in new_ids and r.doc_b in old_ids:
+            near_drops.add(r.doc_a)
+        elif r.doc_b in new_ids and r.doc_a in old_ids:
+            near_drops.add(r.doc_b)
+    expected_kept = new_ids - exact_drops - near_drops
+    assert kept == expected_kept
