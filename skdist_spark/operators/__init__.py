@@ -17,6 +17,7 @@ from .text import (
     fingerprint,
     language_id,
     quality_score,
+    rebalance_sample,
     repetition_stats,
     tfidf_rank,
 )
@@ -55,6 +56,7 @@ __all__ = [
     "embedding_dedup",
     "language_id",
     "quality_score",
+    "rebalance_sample",
     "repetition_stats",
     "tfidf_rank",
     "fingerprint",

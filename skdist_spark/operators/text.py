@@ -8,7 +8,7 @@ DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
@@ -283,6 +283,52 @@ def tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword search: top-20 documents by integer-exact TF-IDF score
     over a fixed query vocabulary."""
     return tfidf_rank(load_table(spark, "documents", sf_dir))
+
+
+def rebalance_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Data-mixing rebalance: deterministically down-sample every
+    stratum toward the SMALLEST stratum's size (rate_permille =
+    floor(1000 * min_count / count)), so the output mix is ~uniform.
+
+    Plan: one tiny counts aggregate broadcast back (map-side membership
+    test after it), Knuth-hash bucketing for retry-stable membership —
+    the language-mix control step of corpus construction, integer-exact
+    so the DuckDB oracle reproduces it bit-for-bit.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    rates = counts.select(
+        stratum_col,
+        F.floor(
+            F.lit(1000) * F.min("__n").over(Window.partitionBy()) / F.col("__n")
+        )
+        .cast("bigint")
+        .alias("__rate"),
+    )
+    bucket = F.pmod((F.col(id_col).cast("bigint") * _KNUTH) % _MOD32, F.lit(1000))
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .where(bucket < F.col("__rate"))
+        .drop("__rate")
+    )
+
+
+def language_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language kept counts after rebalancing the documents corpus
+    toward the smallest language's size."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        rebalance_sample(docs)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
 
 
 def _duck_repetition_sql() -> str:
@@ -734,6 +780,19 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "text_quality": _duck_quality_sql(),
     "text_repetition": _duck_repetition_sql(),
+    "language_rebalance": f"""
+        WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        rates AS (
+          SELECT lang,
+                 CAST(FLOOR(1000 * (SELECT MIN(n) FROM counts) / n) AS BIGINT) AS rate
+          FROM counts),
+        kept AS (
+          SELECT d.lang, d.n_chars
+          FROM documents d JOIN rates r USING (lang)
+          WHERE (d.doc_id * {_KNUTH}) % {_MOD32} % 1000 < r.rate)
+        SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM kept GROUP BY lang ORDER BY lang
+    """,
     "tfidf_search": _duck_tfidf_sql(),
     "text_fingerprint": f"""
         WITH sh AS (
@@ -755,6 +814,7 @@ QUERIES = {
     "text_tokens": text_tokens,
     "text_quality": text_quality,
     "text_repetition": text_repetition,
+    "language_rebalance": language_rebalance,
     "tfidf_search": tfidf_search,
     "text_fingerprint": text_fingerprint,
     "text_clean": text_clean,
