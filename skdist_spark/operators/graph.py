@@ -81,6 +81,35 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("node").alias("doc_id"), "cluster_id").orderBy("doc_id")
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster retention policy: within each near-dup cluster keep the
+    LONGEST document (n_chars, doc_id tiebreak) instead of the minimum
+    id — the curation rule real pipelines want (near-dups usually
+    differ by truncation, so the longest is the most complete copy).
+
+    Same pair graph + components as dedup_clusters, then one ranked
+    window per cluster. Oracle: the recursive-CTE clusters joined back
+    to documents with the same ranking.
+    """
+    from .dedup import _ngram_jaccard_impl
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = _ngram_jaccard_impl(docs)
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        cc.select(F.col("node").alias("doc_id"), "cluster_id")
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("is_kept", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "n_chars", "is_kept")
+        .orderBy("doc_id")
+    )
+
+
 _PR_DEC = "decimal(28,12)"
 
 
@@ -224,6 +253,40 @@ def _dedup_clusters_sql() -> str:
     """
 
 
-ORACLE_SQL: dict[str, str] = {"dedup_clusters": _dedup_clusters_sql()}
+def _dedup_keep_best_sql() -> str:
+    return f"""
+        WITH RECURSIVE {_pairs_cte()},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(node, lbl) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.b AS node, r.lbl
+            FROM reach r JOIN edges e ON e.a = r.node
+        ),
+        clusters AS (
+            SELECT node AS doc_id, MIN(lbl) AS cluster_id
+            FROM reach GROUP BY node
+        )
+        SELECT c.doc_id, c.cluster_id, d.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                   ORDER BY d.n_chars DESC, c.doc_id ASC) = 1 AS is_kept
+        FROM clusters c JOIN documents d USING (doc_id)
+        ORDER BY c.doc_id
+    """
 
-QUERIES = {"dedup_clusters": dedup_clusters, "event_pagerank": event_pagerank}
+
+ORACLE_SQL: dict[str, str] = {
+    "dedup_clusters": _dedup_clusters_sql(),
+    "dedup_keep_best": _dedup_keep_best_sql(),
+}
+
+QUERIES = {
+    "dedup_clusters": dedup_clusters,
+    "dedup_keep_best": dedup_keep_best,
+    "event_pagerank": event_pagerank,
+}
