@@ -166,6 +166,34 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start", "event_type")
 
 
+def stream_sliding_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rollup (1 h window, 15 min slide): per-type event
+    counts and APPROX distinct users per window — overlapping windows
+    are the one windowed-aggregation shape tumbling windows can't
+    express; the HLL distinct keeps per-window state bounded where an
+    exact distinct would hold every user id. Merge-order independent,
+    so deterministic for static input."""
+    ev = _read_event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+    )
+    out = run_stream_to_df(agg, output_mode="complete")
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "approx_users",
+    ).orderBy("window_start", "event_type")
+
+
 def _sessionize_group(
     key: Any, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -639,6 +667,7 @@ def stream_rollup_maintenance(
 
 QUERIES = {
     "stream_windowed_counts": stream_windowed_counts,
+    "stream_sliding_users": stream_sliding_users,
     "stream_static_enrich": stream_static_enrich,
     "stream_stream_join": stream_stream_join,
     "stream_sessionize": stream_sessionize,

@@ -287,3 +287,28 @@ def test_tws_sessionize_matches_apip_face(spark, sf_dir):
     a = sorted(map(tuple, stream_sessionize(spark, sf_dir).collect()))
     b = sorted(map(tuple, stream_sessionize_tws(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_stream_sliding_users_matches_batch(spark, sf_dir):
+    """Sliding-window streaming rollup must equal the equivalent batch
+    computation (window slicing + HLL are engine-shared code paths)."""
+    from pyspark.sql import functions as F
+
+    from skdist_spark.sources.catalog import load_table
+    from skdist_spark.streaming.ops import stream_sliding_users
+
+    got = sorted(map(tuple, stream_sliding_users(spark, sf_dir).collect()))
+    ev = load_table(spark, "events", sf_dir)
+    want = sorted(
+        map(
+            tuple,
+            ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.approx_count_distinct("user_id").alias("approx_users"),
+            )
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "approx_users")
+            .collect(),
+        )
+    )
+    assert got == want
