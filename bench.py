@@ -72,6 +72,16 @@ def main() -> None:
     spark = get_session("skdist_spark-bench")
     queries = entry_mod.queries()
 
+    # SPARK_GRAFT_QUERIES="q1,q6,dedup_minhash" runs a subset — for
+    # targeted iteration; the driver leaves it unset and runs everything
+    subset = os.environ.get("SPARK_GRAFT_QUERIES")
+    if subset:
+        wanted = {q.strip() for q in subset.split(",") if q.strip()}
+        unknown = wanted - set(queries)
+        if unknown:
+            print(f"# unknown queries ignored: {sorted(unknown)}", file=sys.stderr)
+        queries = {k: v for k, v in queries.items() if k in wanted}
+
     # warm the JVM + parquet footers with the cheapest query once
     try:
         queries["q6"](spark, sf_dir).collect()
