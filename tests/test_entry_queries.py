@@ -20,3 +20,21 @@ def test_rows_only_query(spark, sf_dir, name):
     df2 = QUERIES[name](spark, sf_dir)
     assert df2.schema == df1.schema
     assert df2.collect() == rows1, f"{name} not deterministic"
+
+
+def test_registry_has_no_cross_module_collisions():
+    """Two modules registering the same query name would silently
+    shadow each other in the merged dict; fail loudly instead."""
+    import __spark_entry__ as entry_mod
+
+    seen: dict[str, str] = {}
+    for mod in entry_mod._MODULES:
+        for name in mod.QUERIES:
+            assert name not in seen, (
+                f"query {name!r} registered by both {seen[name]} and {mod.__name__}"
+            )
+            seen[name] = mod.__name__
+        for name in getattr(mod, "ORACLE_SQL", {}):
+            assert name in mod.QUERIES or name in seen, (
+                f"oracle {name!r} in {mod.__name__} has no queries() entry"
+            )
