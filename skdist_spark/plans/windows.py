@@ -498,6 +498,36 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): per-user wide conditional aggregates turned back
+    into (user_id, metric, value) long form via the ``unpivot`` API —
+    the inverse of events_pivot, used to normalize wide metric tables
+    before generic per-metric processing. One aggregation shuffle; the
+    melt itself is a map-side Expand."""
+    ev = load_table(spark, "events", sf_dir)
+    wide = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", F.col("value")).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("click_value"),
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("purchase_value"),
+        F.sum(F.when(F.col("event_type") == "view", F.col("value")).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("view_value"),
+    )
+    return (
+        wide.unpivot(
+            "user_id",
+            ["click_value", "purchase_value", "view_value"],
+            "metric",
+            "metric_value",
+        )
+        .where(F.col("metric_value").isNotNull())
+        .orderBy("user_id", "metric")
+    )
+
+
 HIST_BIN_WIDTH = 25
 HIST_N_BINS = 20
 
@@ -700,6 +730,25 @@ ORACLE_SQL: dict[str, str] = {
                CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INTEGER) AS days_since_start
         FROM orders
         ORDER BY o_orderkey
+    """,
+    "events_unpivot": """
+        WITH wide AS (
+          SELECT user_id,
+                 CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value END
+                          AS DECIMAL(18,6))) AS DOUBLE) AS click_value,
+                 CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value END
+                          AS DECIMAL(18,6))) AS DOUBLE) AS purchase_value,
+                 CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value END
+                          AS DECIMAL(18,6))) AS DOUBLE) AS view_value
+          FROM events GROUP BY user_id)
+        SELECT user_id, metric, metric_value FROM (
+          SELECT user_id, 'click_value' AS metric, click_value AS metric_value FROM wide
+          UNION ALL
+          SELECT user_id, 'purchase_value', purchase_value FROM wide
+          UNION ALL
+          SELECT user_id, 'view_value', view_value FROM wide)
+        WHERE metric_value IS NOT NULL
+        ORDER BY user_id, metric
     """,
     "value_histogram": f"""
         SELECT event_type,
@@ -923,6 +972,7 @@ QUERIES = {
     "event_transitions": event_transitions,
     "profile_documents": profile_documents,
     "value_histogram": value_histogram,
+    "events_unpivot": events_unpivot,
     "order_percentiles_approx": order_percentiles_approx,
     "orders_date_features": orders_date_features,
     "events_value_windows": events_value_windows,
