@@ -110,18 +110,43 @@ def main() -> None:
     total = round(time.perf_counter() - t_all, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # The driver tail-captures stdout, so the LAST line must be one compact
+    # JSON object small enough to survive truncation: per-query times first,
+    # headline metric/value/unit/sf keys at the END of the line (round 1's
+    # 10 KB line with four per-query maps was cut mid-line -> parsed: null).
+    # Full per-query shuffle/spill detail goes to a sidecar + stderr instead.
+    detail = {
+        "plan_shuffles": exchanges,
+        "shuffle_bytes": shuffle_bytes,
+        "spill_bytes": spill_bytes,
+        "queries": times,
+        "total_sec": total,
+        "sf": sf_val,
+    }
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(sidecar, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError as exc:  # pragma: no cover
+        print(f"# could not write {sidecar}: {exc}", file=sys.stderr)
+    print(
+        f"# shuffle/spill detail in BENCH_DETAIL.json; "
+        f"total shuffle {sum(shuffle_bytes.values())} B, "
+        f"spill {sum(spill_bytes.values())} B across {len(times)} queries",
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
+                "queries": {k: round(v, 3) for k, v in times.items()},
                 "metric": "suite_wall_seconds",
-                "value": total,
                 "unit": "sec",
-                "queries": times,
-                "plan_shuffles": exchanges,
-                "shuffle_bytes": shuffle_bytes,
-                "spill_bytes": spill_bytes,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "sf": sf_val,
+                "value": total,
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()
