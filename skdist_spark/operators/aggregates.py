@@ -47,6 +47,14 @@ def salted_agg(
         salt = F.pmod(F.xxhash64(F.col(salt_src)), F.lit(num_salts))
     else:
         others = [c for c in df.columns if c not in group_cols]
+        if not others:
+            # xxhash64() with zero inputs is a CONSTANT (the seed): every
+            # row would land in one salt bucket and the hot key still
+            # hits a single reducer — fail loudly instead.
+            raise ValueError(
+                "salted_agg: no non-group columns to derive a salt from; "
+                "pass salt_src= or add a payload column"
+            )
         salt = F.pmod(F.xxhash64(*[F.col(c) for c in others]), F.lit(num_salts))
 
     partial_aggs = [F.count(F.lit(1)).alias("__n")]

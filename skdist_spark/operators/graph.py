@@ -125,16 +125,23 @@ def pagerank(
 
     Same iterative-op posture as connected_components: each round is
     one equi-join + groupBy (contributions flow src -> dst), lineage
-    cut per round with localCheckpoint, driver state a single scalar
-    (the dangling-node mass). All arithmetic runs in DECIMAL(28,12)
-    with explicit rounding, so partial-sum merge order cannot perturb
-    results — two runs (or a retried stage) produce identical ranks.
+    cut per round with localCheckpoint. The dangling-node mass is a
+    one-row aggregate broadcast-joined into the same round's job (no
+    per-round driver collect — one Spark job per iteration, not two).
+    All arithmetic runs in fixed-point DECIMAL with explicit rounding,
+    so partial-sum merge order cannot perturb results — two runs (or a
+    retried stage) produce identical ranks.
+
+    Precision: the per-edge product casts both operands to
+    decimal(18,12) so the product is decimal(37,24) — within Spark's
+    38-digit limit, no precision-loss demotion. (A 28,12 x 28,12
+    product resolves to decimal(38,6), which quantizes contributions
+    at 1e-6 and zeroes ranks on graphs beyond ~1e4 nodes.)
 
     A fixed iteration count (not a float tolerance) keeps the plan
     depth bounded and the output deterministic; 15 rounds is <1e-6 from
     the fixed point for damping 0.85 on typical graphs.
     """
-    d = F.lit(damping).cast(_PR_DEC)
     e = edges.select(
         F.col(src).alias("src"),
         F.col(dst).alias("dst"),
@@ -157,21 +164,37 @@ def pagerank(
     base = F.lit((1.0 - damping) / n).cast(_PR_DEC)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n).cast(_PR_DEC)).localCheckpoint()
     has_out = out_w.select(F.col("src").alias("node"))
+    mul_dec = "decimal(18,12)"  # 18+18+1 = 37 digits -> product keeps scale 24
+    d = F.lit(damping).cast(mul_dec)  # every multiply runs at (18,12)x(18,12)
     for _ in range(iterations):
-        dangling = (
-            ranks.join(has_out, "node", "left_anti").agg(F.sum("rank")).collect()[0][0]
-        ) or 0
+        # one-row dangling-mass aggregate, broadcast into the same job
+        # (ranks is checkpointed, so this subtree re-reads cached rows)
+        dangling_df = ranks.join(has_out, "node", "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0).cast(_PR_DEC)).alias("dangling")
+        )
         contribs = (
             frac.join(ranks, frac.src == ranks.node)
             .groupBy("dst")
-            .agg(F.sum(F.expr(f"CAST(rank * frac AS {_PR_DEC})")).alias("c"))
+            .agg(
+                F.sum(F.col("rank").cast(mul_dec) * F.col("frac").cast(mul_dec))
+                .cast(_PR_DEC)
+                .alias("c")
+            )
         )
-        redist = F.lit(float(dangling) / n).cast(_PR_DEC)
+        redist = (
+            F.col("dangling").cast(mul_dec) / F.lit(n).cast("decimal(20,0)")
+        ).cast(_PR_DEC)
         ranks = (
             nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .crossJoin(F.broadcast(dangling_df))
             .select(
                 "node",
-                (base + d * (F.coalesce(F.col("c"), F.lit(0)).cast(_PR_DEC) + redist))
+                (
+                    base
+                    + d
+                    * (F.coalesce(F.col("c"), F.lit(0)).cast(_PR_DEC) + redist)
+                    .cast(mul_dec)
+                )
                 .cast(_PR_DEC)
                 .alias("rank"),
             )

@@ -185,6 +185,17 @@ def z_value(cols: list[str], bits: int = 16):
     return F.expr(f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> acc + ({terms}))")
 
 
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through Spark's Hadoop filesystem layer, so it
+    answers correctly for any URI the session can read (s3a://,
+    hdfs://, file:/) — a driver-local ``os.path.exists`` is always
+    False for remote storage, which at 100 TB is the normal case."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def merge_upsert(
     spark: SparkSession,
     target_path: str,
@@ -208,8 +219,6 @@ def merge_upsert(
     partitions, not the table — the batch face of the streaming
     continuous-aggregate sink (stream_rollup_maintenance).
     """
-    import os
-
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -221,7 +230,7 @@ def merge_upsert(
             .drop("__rn")
         )
 
-    if not os.path.exists(target_path):
+    if not _hadoop_path_exists(spark, target_path):
         updates.write.partitionBy(partition_col).parquet(target_path)
         return
 

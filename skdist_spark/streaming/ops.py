@@ -147,11 +147,18 @@ def run_stream_to_df(stream_df: DataFrame, output_mode: str = "append") -> DataF
 
 
 def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked 1-hour tumbling-window aggregation per event_type."""
+    """1-hour tumbling-window aggregation per event_type, complete mode.
+
+    Complete mode recomputes every window per micro-batch and keeps all
+    window state (watermarks are IGNORED in complete mode, so none is
+    declared) — the right shape for bounded replay / small window
+    cardinality. The unbounded-production variant is
+    ``stream_append_windows``: append mode + watermark, where window
+    state is actually evicted as the watermark advances.
+    """
     ev = _read_event_stream(spark, sf_dir)
     agg = (
-        ev.withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
@@ -170,13 +177,17 @@ def stream_sliding_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window rollup (1 h window, 15 min slide): per-type event
     counts and APPROX distinct users per window — overlapping windows
     are the one windowed-aggregation shape tumbling windows can't
-    express; the HLL distinct keeps per-window state bounded where an
+    express; the HLL distinct keeps PER-WINDOW state bounded where an
     exact distinct would hold every user id. Merge-order independent,
-    so deterministic for static input."""
+    so deterministic for static input.
+
+    Complete mode: all windows are retained (watermarks are ignored in
+    complete mode, so none is declared) — bounded-replay semantics; the
+    watermark-evicting production shape is ``stream_append_windows``.
+    """
     ev = _read_event_stream(spark, sf_dir)
     agg = (
-        ev.withWatermark("ts", "1 hour")
-        .groupBy(
+        ev.groupBy(
             F.window("ts", "1 hour", "15 minutes").alias("w"),
             "event_type",
         )
@@ -665,8 +676,87 @@ def stream_rollup_maintenance(
     )
 
 
+def _stage_ordered_stream(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Stage the events table as ``n_files`` time-ordered parquet files
+    with ascending modification times, so a file-source stream with
+    maxFilesPerTrigger=1 replays them as successive micro-batches in
+    event-time order — the watermark then genuinely advances between
+    batches (a single-file replay collapses to one batch, where a
+    watermark can never close anything)."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources.catalog import load_table
+
+    stage = f"/tmp/skdist_stream_seq_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    done = os.path.join(stage, "_STAGED")
+    if os.path.exists(done):
+        return stage
+    shutil.rmtree(stage, ignore_errors=True)
+    tmp = stage + "_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ev = load_table(spark, "events", sf_dir)
+    # range-partition by ts: part-0000i holds the i-th time slice
+    ev.repartitionByRange(n_files, "ts").write.parquet(tmp)
+    os.makedirs(stage, exist_ok=True)
+    parts = sorted(
+        f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base = 1_000_000_000  # deterministic ascending mtimes for source ordering
+    for i, name in enumerate(parts):
+        dst = os.path.join(stage, f"batch_{i:04d}.parquet")
+        shutil.move(os.path.join(tmp, name), dst)
+        os.utime(dst, (base + i, base + i))
+    shutil.rmtree(tmp, ignore_errors=True)
+    open(done, "w").close()
+    return stage
+
+
+def stream_append_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode watermarked tumbling windows — the UNBOUNDED-stream
+    production pattern, with the watermark doing real work.
+
+    The events table is replayed as 4 time-ordered files, one per
+    micro-batch, so the 30-minute watermark advances batch over batch
+    and EVICTS closed window state; append mode emits each window
+    exactly once, when the watermark passes its end. Windows newer than
+    the final watermark are still open and intentionally absent (why
+    this is rows-only: a batch oracle would include them). State held
+    at any moment is one watermark-depth of windows, independent of
+    stream length — the complete-mode variants
+    (stream_windowed_counts / stream_sliding_users) instead retain all
+    windows and suit bounded replay.
+    """
+    # staged files come from load_table, so ts is already a normalized
+    # session-tz timestamp — the staged footer schema is authoritative
+    stage = _stage_ordered_stream(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+    agg = (
+        raw.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+    out = run_stream_to_df(agg, output_mode="append")
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    ).orderBy("window_start", "event_type")
+
+
 QUERIES = {
     "stream_windowed_counts": stream_windowed_counts,
+    "stream_append_windows": stream_append_windows,
     "stream_sliding_users": stream_sliding_users,
     "stream_static_enrich": stream_static_enrich,
     "stream_stream_join": stream_stream_join,

@@ -537,6 +537,50 @@ def test_pagerank_uniform_on_cycle(spark):
         assert abs(v - 0.25) < 1e-9
 
 
+def test_pagerank_precision_on_large_graph(spark):
+    """Ranks near 1/N = 5e-5 must not quantize: a decimal(28,12) x
+    decimal(28,12) product demotes to decimal(38,6) and rounds every
+    contribution at 1e-6 (zeroing ranks below ~1e-5 entirely); the
+    fixed operator multiplies at decimal(18,12) so the product keeps
+    scale 24. Verified against a sparse numpy power iteration."""
+    import numpy as np
+
+    from skdist_spark.operators.graph import pagerank
+
+    n, iters, damp = 20_000, 10, 0.85
+    src = np.repeat(np.arange(n), 2)
+    dst = np.concatenate([(np.arange(n) * 7 + 1) % n, (np.arange(n) * 13 + 5) % n])
+    dst = dst.reshape(2, n).T.ravel()
+    df = spark.createDataFrame(
+        [(int(s), int(t)) for s, t in zip(src, dst)], "src long, dst long"
+    )
+    got = np.zeros(n)
+    for r in pagerank(df, iterations=iters).collect():
+        got[r.node] = r.rank
+
+    out_deg = np.bincount(src, minlength=n)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst, rank[src] / out_deg[src])
+        dangling = rank[out_deg == 0].sum()
+        rank = (1 - damp) / n + damp * (contrib + dangling / n)
+    assert np.abs(got - rank).max() < 1e-9
+
+
+def test_salted_agg_degenerate_salt_is_loud(spark):
+    """With no non-group columns a derived salt would be constant (one
+    reducer for the hot key) — the operator must refuse, not silently
+    degrade."""
+    import pytest as _pytest
+
+    from skdist_spark.operators.aggregates import salted_agg
+
+    df = spark.createDataFrame([("a",), ("b",)], "k string")
+    with _pytest.raises(ValueError, match="salt"):
+        salted_agg(df, ["k"])
+
+
 def test_pagerank_matches_numpy_power_iteration(spark):
     """Distributed ranks must match a dense numpy power iteration on a
     small weighted graph with a dangling node."""

@@ -25,6 +25,44 @@ def test_stream_windowed_counts_matches_batch(spark, sf_dir):
     assert stream_counts == batch_counts
 
 
+def test_stream_append_windows_watermark_eviction(spark, sf_dir):
+    """Append mode + watermark over the 4-file time-ordered replay:
+    emitted windows must be exactly the batch windows whose end the
+    final watermark passed, each exactly once — and strictly fewer than
+    all windows (the still-open tail stays in state), proving the
+    watermark actually evicts instead of being ignored."""
+    from skdist_spark.streaming.ops import stream_append_windows
+
+    out = stream_append_windows(spark, sf_dir).collect()
+    assert len(out) > 0
+    got = {(r.window_start, r.event_type): r.n_events for r in out}
+    assert len(got) == len(out), "append emitted a window twice"
+
+    ev = load_table(spark, "events", sf_dir)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+        .collect()
+    )
+    import datetime
+
+    wm = max_ts - datetime.timedelta(minutes=30)
+    expected = {
+        (r.window_start, r.event_type): r.n_events
+        for r in batch
+        if r.window_end <= wm
+    }
+    assert got == expected
+    assert len(got) < len(batch), "no window stayed open -> watermark did nothing"
+
+
 def test_stream_sessionize_agrees_with_batch(spark, sf_dir):
     out = stream_sessionize(spark, sf_dir).collect()
     assert len(out) > 0
