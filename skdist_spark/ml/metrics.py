@@ -136,3 +136,40 @@ def get_scorer(scoring):
     if scoring in _SCORERS:
         return _SCORERS[scoring]
     raise ValueError(f"Unknown scoring {scoring!r}; known: {sorted(_SCORERS)}")
+
+
+def check_multimetric_scoring(estimator, scoring=None):
+    """Resolve a scoring spec to ``(scorers_dict, is_multimetric)``.
+
+    Reference parity: skdist/distribute/utils.py:75-143
+    (_check_multimetric_scoring). Single specs (None | name | callable)
+    resolve to ``{"score": scorer}, False``; a list/tuple/set of names
+    or a dict of name -> spec resolves to a per-name scorer dict and
+    True, with the reference's validation errors (duplicates, empties,
+    non-string keys, callables inside lists).
+    """
+    if scoring is None or isinstance(scoring, str) or callable(scoring):
+        return {"score": get_scorer(scoring)}, False
+    if isinstance(scoring, (list, tuple, set)):
+        keys = set(scoring)
+        if len(keys) != len(list(scoring)):
+            raise ValueError(f"Duplicate scorers in {scoring!r}")
+        if not keys:
+            raise ValueError("Empty scoring list")
+        if not all(isinstance(k, str) for k in keys):
+            raise ValueError(
+                "List elements must be strings naming predefined scorers; "
+                "use a dict of name -> callable for custom scorers. "
+                f"Got {scoring!r}"
+            )
+        return {name: get_scorer(name) for name in scoring}, True
+    if isinstance(scoring, dict):
+        if not scoring:
+            raise ValueError("Empty scoring dict")
+        if not all(isinstance(k, str) for k in scoring):
+            raise ValueError(f"Non-string keys in scoring dict {scoring!r}")
+        return {name: get_scorer(spec) for name, spec in scoring.items()}, True
+    raise ValueError(
+        "scoring must be a string, callable, list/tuple of strings, or "
+        f"dict of name -> scorer; got {scoring!r} of type {type(scoring)}"
+    )

@@ -27,6 +27,8 @@ from .ensemble import (
     DistRandomForestClassifier,
     DistRandomForestRegressor,
     DistRandomTreesEmbedding,
+    get_oof,
+    get_single_oof,
 )
 from .multiclass import DistOneVsOneClassifier, DistOneVsRestClassifier
 from .predict import get_prediction_udf
@@ -70,4 +72,6 @@ __all__ = [
     "sample_k_per_group",
     "train_test_split_df",
     "get_prediction_udf",
+    "get_oof",
+    "get_single_oof",
 ]

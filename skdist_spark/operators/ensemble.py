@@ -14,7 +14,66 @@ import numpy as np
 
 from ..ml.base import BaseEstimator, ClassifierMixin, RegressorMixin, clone
 from ..ml.tree import DecisionTreeClassifier, DecisionTreeRegressor
-from ._engine import run_tasks, strip_spark
+from ._engine import run_tasks, safe_indexing, strip_spark
+
+
+def get_single_oof(clf, X, y, train_index, test_index):
+    """Fit ``clf`` on the train rows and ``predict_proba`` the test rows.
+
+    Reference parity: skdist/distribute/ensemble.py:112-127 — same
+    in-place fit, same (test_index, proba) return; the building block
+    of out-of-fold stacking features.
+    """
+    y = np.asarray(y)
+    clf.fit(safe_indexing(X, train_index), y[train_index])
+    return test_index, clf.predict_proba(safe_indexing(X, test_index))
+
+
+def _oof_task(task: dict, shared: dict):
+    clf = clone(shared["clf"])
+    if task["kind"] == "full":
+        clf.fit(shared["X"], shared["y"])
+        return ("full", clf)
+    test_index, proba = get_single_oof(
+        clf, shared["X"], shared["y"], task["train"], task["test"]
+    )
+    return ("fold", (test_index, proba))
+
+
+def get_oof(clf, X, y, n_splits=5, sc=None, partitions="auto"):
+    """Out-of-fold probabilities + full-data fit -> ``(model, oof)``.
+
+    Reference parity: skdist/distribute/ensemble.py:130-151 (serial
+    KFold loop). This version runs the n_splits fold fits AND the full
+    fit as n_splits+1 independent Spark tasks on the task engine when
+    ``sc`` is given (data broadcast once), serially otherwise — the
+    returned numbers are identical either way, since every task fits a
+    clone deterministically. ``oof[i]`` holds the class probabilities
+    for row i predicted by the one fold that held row i out, so the
+    matrix is a leak-free stacking feature; the returned model is a
+    clone of ``clf`` fitted on ALL rows (the reference refits the
+    passed-in object; a clone keeps the input untouched under
+    distribution).
+    """
+    from ..ml.model_selection import KFold
+
+    X = X if hasattr(X, "iloc") else np.asarray(X)
+    y = np.asarray(y)
+    oof = np.zeros((y.shape[0], len(np.unique(y))))
+    folds = list(KFold(n_splits=n_splits).split(X))
+    tasks = [
+        {"kind": "fold", "train": tr, "test": te} for tr, te in folds
+    ] + [{"kind": "full"}]
+    results = run_tasks(sc, tasks, _oof_task, {"clf": clf, "X": X, "y": y}, partitions)
+    model = None
+    for kind, payload in results:
+        if kind == "full":
+            model = payload
+        else:
+            test_index, proba = payload
+            oof[test_index] = proba
+    strip_spark(model)
+    return model, oof
 
 
 def _fit_tree_task(task: dict, shared: dict) -> bytes:

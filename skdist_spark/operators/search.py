@@ -18,20 +18,30 @@ from typing import Any
 import numpy as np
 
 from ..ml.base import BaseEstimator, clone, is_classifier
-from ..ml.metrics import get_scorer
+from ..ml.metrics import check_multimetric_scoring, get_scorer
 from ..ml.model_selection import ParameterGrid, ParameterSampler, check_cv
 from ._engine import rankdata_min, run_tasks, safe_indexing, strip_spark
 
 
 def _fit_score_task(task: dict, shared: dict) -> dict:
-    """One (candidate, fold) fit+score — runs inside a Spark task."""
+    """One (candidate, fold) fit+score — runs inside a Spark task.
+
+    Scores every scorer in ``shared["scorers"]`` (reference
+    _multimetric_score, utils.py:18-42): ``test_scores`` /
+    ``train_scores`` map metric name -> float. Single-metric callers
+    use the one-entry ``{"score": ...}`` dict, same as the reference.
+    """
     X, y = shared["X"], shared["y"]
     folds = shared["folds"]
     train, test = folds[task["fold_idx"]]
     est = clone(shared["estimator"])
     if task["params"]:
         est.set_params(**task["params"])
-    scorer = get_scorer(shared["scoring"])
+    scorers = shared.get("scorers") or {"score": get_scorer(shared.get("scoring"))}
+
+    def _score_all(Xs, ys):
+        return {name: float(s(est, Xs, ys)) for name, s in scorers.items()}
+
     out = dict(task)
     t0 = time.perf_counter()
     try:
@@ -41,19 +51,23 @@ def _fit_score_task(task: dict, shared: dict) -> dict:
             est.fit(safe_indexing(X, train), safe_indexing(y, train), **shared["fit_params"])
         out["fit_time"] = time.perf_counter() - t0
         t1 = time.perf_counter()
-        out["test_score"] = float(scorer(est, safe_indexing(X, test), safe_indexing(y, test)))
+        out["test_scores"] = _score_all(safe_indexing(X, test), safe_indexing(y, test))
         out["score_time"] = time.perf_counter() - t1
         if shared["return_train_score"]:
-            out["train_score"] = float(scorer(est, safe_indexing(X, train), safe_indexing(y, train)))
+            out["train_scores"] = _score_all(
+                safe_indexing(X, train), safe_indexing(y, train)
+            )
     except Exception as exc:
         if shared["error_score"] == "raise":
             raise
         out["fit_time"] = time.perf_counter() - t0
         out["score_time"] = 0.0
-        out["test_score"] = float(shared["error_score"])
+        out["test_scores"] = {name: float(shared["error_score"]) for name in scorers}
         if shared["return_train_score"]:
-            out["train_score"] = float(shared["error_score"])
+            out["train_scores"] = dict(out["test_scores"])
         out["fit_error"] = repr(exc)
+    # single-metric alias kept for callers that read a scalar
+    out["test_score"] = next(iter(out["test_scores"].values()))
     out["n_test"] = len(test)
     return out
 
@@ -77,6 +91,14 @@ class DistBaseSearchCV(BaseEstimator):
         n_splits = len(folds)
         candidates = list(self._get_param_iterator())
         n_candidates = len(candidates)
+        scorers, multimetric = check_multimetric_scoring(estimator, self.scoring)
+        if multimetric and self.refit and (
+            not isinstance(self.refit, str) or self.refit not in scorers
+        ):
+            raise ValueError(
+                "For multi-metric scoring, refit must name one of the "
+                f"scorers {sorted(scorers)} (or be False); got {self.refit!r}"
+            )
         if self.verbose:
             print(
                 f"Fitting {n_splits} folds for each of {n_candidates} candidates,"
@@ -93,41 +115,47 @@ class DistBaseSearchCV(BaseEstimator):
             "y": y,
             "folds": folds,
             "estimator": clone(estimator),
-            "scoring": self.scoring,
+            "scorers": scorers,
             "fit_params": fit_params,
             "return_train_score": bool(self.return_train_score),
             "error_score": self.error_score,
         }
         results = run_tasks(self.sc, tasks, _fit_score_task, shared, self.partitions)
 
-        test = np.full((n_candidates, n_splits), np.nan)
-        train = np.full((n_candidates, n_splits), np.nan)
+        names = list(scorers)
+        test = {m: np.full((n_candidates, n_splits), np.nan) for m in names}
+        train = {m: np.full((n_candidates, n_splits), np.nan) for m in names}
         fit_t = np.zeros((n_candidates, n_splits))
         score_t = np.zeros((n_candidates, n_splits))
         for r in results:
             ci, fi = r["cand_idx"], r["fold_idx"]
-            test[ci, fi] = r["test_score"]
             fit_t[ci, fi] = r["fit_time"]
             score_t[ci, fi] = r["score_time"]
-            if "train_score" in r:
-                train[ci, fi] = r["train_score"]
+            for m in names:
+                test[m][ci, fi] = r["test_scores"][m]
+                if "train_scores" in r:
+                    train[m][ci, fi] = r["train_scores"][m]
 
+        # per-metric result columns; the single-metric scorer dict is
+        # {"score": ...} so the classic *_score names fall out unchanged
         out: dict[str, Any] = {}
-        mean_test = test.mean(axis=1)
-        out["mean_test_score"] = mean_test
-        out["std_test_score"] = test.std(axis=1)
-        for fi in range(n_splits):
-            out[f"split{fi}_test_score"] = test[:, fi]
-        out["rank_test_score"] = rankdata_min(-mean_test)
+        mean_test = {m: test[m].mean(axis=1) for m in names}
+        for m in names:
+            out[f"mean_test_{m}"] = mean_test[m]
+            out[f"std_test_{m}"] = test[m].std(axis=1)
+            for fi in range(n_splits):
+                out[f"split{fi}_test_{m}"] = test[m][:, fi]
+            out[f"rank_test_{m}"] = rankdata_min(-mean_test[m])
         out["mean_fit_time"] = fit_t.mean(axis=1)
         out["std_fit_time"] = fit_t.std(axis=1)
         out["mean_score_time"] = score_t.mean(axis=1)
         out["std_score_time"] = score_t.std(axis=1)
         if self.return_train_score:
-            out["mean_train_score"] = train.mean(axis=1)
-            out["std_train_score"] = train.std(axis=1)
-            for fi in range(n_splits):
-                out[f"split{fi}_train_score"] = train[:, fi]
+            for m in names:
+                out[f"mean_train_{m}"] = train[m].mean(axis=1)
+                out[f"std_train_{m}"] = train[m].std(axis=1)
+                for fi in range(n_splits):
+                    out[f"split{fi}_train_{m}"] = train[m][:, fi]
         out["params"] = candidates
         param_names = sorted({k for p in candidates for k in p})
         for name in param_names:
@@ -136,12 +164,14 @@ class DistBaseSearchCV(BaseEstimator):
             )
         self.cv_results_ = out
         self.n_splits_ = n_splits
-        self.multimetric_ = False
-        self.scorer_ = get_scorer(self.scoring)
+        self.multimetric_ = multimetric
+        self.scorer_ = scorers if multimetric else scorers["score"]
 
-        self.best_index_ = int(np.argmax(mean_test))
-        self.best_params_ = candidates[self.best_index_]
-        self.best_score_ = float(mean_test[self.best_index_])
+        refit_metric = self.refit if multimetric else "score"
+        if not multimetric or self.refit:
+            self.best_index_ = int(np.argmax(mean_test[refit_metric]))
+            self.best_params_ = candidates[self.best_index_]
+            self.best_score_ = float(mean_test[refit_metric][self.best_index_])
 
         if self.refit:
             best = clone(self.estimator).set_params(**self.best_params_)
@@ -191,6 +221,8 @@ class DistBaseSearchCV(BaseEstimator):
         return self._best().decision_function(X)
 
     def score(self, X, y=None):
+        if getattr(self, "multimetric_", False):
+            return self.scorer_[self.refit](self._best(), X, y)
         return self.scorer_(self._best(), X, y)
 
     @property

@@ -22,10 +22,20 @@ from ..operators.search import DistGridSearchCV, DistMultiModelSearch
 from ..sources.catalog import load_table
 
 
+# Hard bound on rows pulled to the driver for meta-estimator training.
+# The sk-dist design is DRIVER-RESIDENT training data by construction
+# (small data, big compute — broadcast once, fan out fits); this cap
+# makes the bound explicit so the entry queries cannot OOM the driver
+# if the embeddings table is ever regenerated 100x larger. The limit is
+# deterministic (vec_id order), so results are stable at any scale.
+_MAX_DRIVER_ROWS = 100_000
+
+
 def _load_xy(spark: SparkSession, sf_dir: str):
     pdf = (
         load_table(spark, "embeddings", sf_dir)
         .orderBy("vec_id")
+        .limit(_MAX_DRIVER_ROWS)
         .toPandas()
     )
     X = np.vstack(pdf["embedding"].values).astype(np.float64)

@@ -55,6 +55,59 @@ def test_grid_search_spark_matches_local(spark, data):
     assert pickle.loads(blob).predict(X).shape == y.shape
 
 
+def test_grid_search_multimetric(spark, data):
+    """Multimetric scoring (reference utils.py:18-143): per-metric
+    cv_results_ columns, refit by the named metric, and each metric's
+    column equal to the same search run single-metric."""
+    X, y = data
+    grid = {"C": [0.1, 1.0], "max_iter": [60, 120]}
+    m = DistGridSearchCV(
+        LogisticRegression(), grid, sc=spark, cv=3,
+        scoring=["accuracy", "f1_macro"], refit="accuracy",
+        return_train_score=True,
+    ).fit(X, y)
+    assert m.multimetric_ is True
+    for metric in ("accuracy", "f1_macro"):
+        for key in (f"mean_test_{metric}", f"std_test_{metric}",
+                    f"rank_test_{metric}", f"split0_test_{metric}",
+                    f"mean_train_{metric}"):
+            assert key in m.cv_results_, key
+
+    for metric in ("accuracy", "f1_macro"):
+        single = DistGridSearchCV(
+            LogisticRegression(), grid, sc=None, cv=3, scoring=metric
+        ).fit(X, y)
+        np.testing.assert_allclose(
+            m.cv_results_[f"mean_test_{metric}"],
+            single.cv_results_["mean_test_score"],
+        )
+
+    # refit metric drives best_* and score()
+    acc = DistGridSearchCV(
+        LogisticRegression(), grid, sc=None, cv=3, scoring="accuracy"
+    ).fit(X, y)
+    assert m.best_params_ == acc.best_params_
+    assert m.best_score_ == acc.best_score_
+    assert m.score(X, y) == pytest.approx(
+        m.scorer_["accuracy"](m.best_estimator_, X, y)
+    )
+
+    # dict scoring with a callable scorer
+    m2 = DistGridSearchCV(
+        LogisticRegression(), {"C": [0.1, 1.0]}, sc=spark, cv=3,
+        scoring={"acc": "accuracy", "neg_ll": "neg_log_loss"}, refit="neg_ll",
+    ).fit(X, y)
+    assert "mean_test_neg_ll" in m2.cv_results_
+    assert m2.best_estimator_ is not None
+
+    # invalid refit must fail loudly
+    with pytest.raises(ValueError, match="refit"):
+        DistGridSearchCV(
+            LogisticRegression(), grid, cv=3,
+            scoring=["accuracy", "f1_macro"], refit=True,
+        ).fit(X, y)
+
+
 def test_grid_search_preds(spark, data):
     X, y = data
     m = DistGridSearchCV(
@@ -535,6 +588,62 @@ def test_pagerank_uniform_on_cycle(spark):
     ranks = {r.node: r.rank for r in pagerank(edges, iterations=10).collect()}
     for v in ranks.values():
         assert abs(v - 0.25) < 1e-9
+
+
+def test_get_oof_matches_serial_reference_loop(spark):
+    """Distributed get_oof must reproduce the reference's serial KFold
+    loop (skdist/distribute/ensemble.py:130-151) bit-for-bit, and the
+    sc=None path must agree with the distributed path."""
+    import numpy as np
+
+    from skdist_spark.ml.model_selection import KFold
+    from skdist_spark.ml.tree import DecisionTreeClassifier
+    from skdist_spark.operators.ensemble import get_oof
+
+    rng = np.random.RandomState(7)
+    X = rng.normal(size=(120, 5))
+    y = (X[:, 0] + X[:, 1] > 0).astype(int)
+    clf = DecisionTreeClassifier(max_depth=3, random_state=0)
+
+    model, oof = get_oof(clf, X, y, n_splits=4, sc=spark)
+
+    expected = np.zeros((len(y), 2))
+    for tr, te in KFold(n_splits=4).split(X):
+        c = DecisionTreeClassifier(max_depth=3, random_state=0)
+        c.fit(X[tr], y[tr])
+        expected[te] = c.predict_proba(X[te])
+    assert np.array_equal(oof, expected)
+
+    full = DecisionTreeClassifier(max_depth=3, random_state=0)
+    full.fit(X, y)
+    assert np.array_equal(model.predict(X), full.predict(X))
+
+    model2, oof2 = get_oof(clf, X, y, n_splits=4, sc=None)
+    assert np.array_equal(oof, oof2)
+    assert np.array_equal(model2.predict(X), model.predict(X))
+
+
+def test_get_single_oof_semantics():
+    """get_single_oof fits on the train slice only and returns the test
+    index unchanged with one proba row per held-out sample."""
+    import numpy as np
+
+    from skdist_spark.ml.tree import DecisionTreeClassifier
+    from skdist_spark.operators.ensemble import get_single_oof
+
+    rng = np.random.RandomState(3)
+    X = rng.normal(size=(60, 4))
+    y = (X[:, 0] > 0).astype(int)
+    train_idx = np.arange(0, 40)
+    test_idx = np.arange(40, 60)
+    out_idx, proba = get_single_oof(
+        DecisionTreeClassifier(max_depth=3, random_state=0), X, y, train_idx, test_idx
+    )
+    assert np.array_equal(out_idx, test_idx)
+    assert proba.shape == (20, 2)
+    ref = DecisionTreeClassifier(max_depth=3, random_state=0)
+    ref.fit(X[train_idx], y[train_idx])
+    assert np.array_equal(proba, ref.predict_proba(X[test_idx]))
 
 
 def test_pagerank_precision_on_large_graph(spark):

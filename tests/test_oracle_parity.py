@@ -22,6 +22,17 @@ def test_oracle_parity(spark, sf_dir, name):
     compare_query(spark, QUERIES[name], ORACLES[name], sf_dir, name)
 
 
+@pytest.mark.sf001
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity_sf001(spark, name):
+    """The driver's gate, exactly: every oracle at sf0.01. Excluded from
+    the default run (see pytest.ini addopts); `pytest -m sf001` runs it
+    so local green always predicts driver green."""
+    from .conftest import SF_DIR_MED
+
+    compare_query(spark, QUERIES[name], ORACLES[name], SF_DIR_MED, name)
+
+
 def test_every_query_declared(spark):
     # every queries() entry should either have an oracle or be a
     # documented rows-only op (ml_*, streaming, lsh buckets, multimodal)
