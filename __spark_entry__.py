@@ -41,18 +41,20 @@ _MODULES = [
 # driver-verified, or covered by equivalent pytest property tests) follows
 # in module order.
 _PRIORITY = [
-    # -- 26 oracle-backed queries with no driver row yet (r1 sweep cutoff) --
+    # -- 27 oracle-backed queries with no driver row yet (r1 sweep cutoff) --
     "events_funnel", "user_retention", "daily_gapfill", "sample_events_per_user",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_embedding",
-    "dedup_clusters", "dedup_keep_best",
+    "dedup_clusters", "dedup_clusters_star", "dedup_keep_best",
     "text_langid", "text_tokens", "text_quality", "text_repetition",
     "language_rebalance", "tfidf_search", "text_fingerprint", "text_clean",
     "doc_chunks", "sample_documents", "decontaminate_docs",
     "ann_topk", "embedding_corr",
     "user_overlap_exact",
     "events_json_schema",
-    # -- 24 rows-only entries (driver records a rows>=0 check) --
+    # -- 23 rows-only entries (driver records a rows>=0 check);
+    # stream_minhash_pairs + multimodal_* + kmv_user_overlap wait past
+    # the cap (pytest-covered; rotate them in once these earn rows) --
     "event_pagerank", "pack_chunks",
     "ann_lsh", "ann_ivf", "ann_pq",
     "ml_kmeans",
@@ -62,7 +64,6 @@ _PRIORITY = [
     "ml_quality_classifier",
     "stream_windowed_counts", "stream_sliding_users", "stream_static_enrich",
     "stream_stream_join", "stream_sessionize", "stream_dedup_users",
-    "stream_minhash_pairs",
     "corpus_pipeline",
 ]
 

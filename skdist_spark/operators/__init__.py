@@ -9,7 +9,7 @@ from .dedup import (
     simhash_dedup,
 )
 from .aggregates import salted_agg
-from .graph import connected_components, pagerank
+from .graph import connected_components, connected_components_star, pagerank
 from .joins import asof_join, interval_join, salted_join
 from .sampling import sample_k_per_group, train_test_split_df
 from .similarity import cosine_topk, pq_encode, train_pq_codebooks
@@ -66,6 +66,7 @@ __all__ = [
     "train_pq_codebooks",
     "pq_encode",
     "connected_components",
+    "connected_components_star",
     "pagerank",
     "salted_join",
     "salted_agg",

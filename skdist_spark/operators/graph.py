@@ -25,7 +25,13 @@ from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
 
-__all__ = ["connected_components", "dedup_clusters", "pagerank", "event_pagerank"]
+__all__ = [
+    "connected_components",
+    "connected_components_star",
+    "dedup_clusters",
+    "pagerank",
+    "event_pagerank",
+]
 
 
 def connected_components(
@@ -70,6 +76,105 @@ def connected_components(
     return labels.select("node", F.col("lbl").alias("cluster_id"))
 
 
+def _edge_fingerprint(e: DataFrame) -> tuple:
+    """Order-insensitive (count, hash-sum) fingerprint of an edge set —
+    one cheap scalar agg, the convergence probe for the star rounds."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("a", "b")).alias("h"),  # xor: no ANSI overflow
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def _star_components(
+    edges: DataFrame, src: str, dst: str, max_iterations: int
+) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star rounds; returns (labels, rounds)."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = _edge_fingerprint(
+        e.select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")).distinct()
+    )
+    rounds = 0
+    for _ in range(max_iterations):
+        rounds += 1
+        # LARGE-STAR: per node u over the symmetric neighborhood,
+        # m = min(N(u) + {u}); every neighbor v > u re-attaches to m.
+        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mb"))
+            .select("a", F.least("a", "mb").alias("m"))
+        )
+        e1 = (
+            sym.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        # SMALL-STAR: canonicalize to (big, small); per node u with its
+        # smaller neighbors N, m = min(N); every v in N + {u}, v != m,
+        # attaches to m.
+        canon = (
+            e1.select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+            .distinct()
+        )
+        mins2 = canon.groupBy("a").agg(F.min("b").alias("m"))
+        e2 = (
+            canon.join(mins2, "a")
+            .select(F.col("b").alias("v"), "m")
+            .union(mins2.select(F.col("a").alias("v"), "m"))
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = _edge_fingerprint(e2)
+        e = e2
+        if cur == prev:
+            break
+        prev = cur
+    # at the fixed point e is a star forest: every edge points child ->
+    # component-min root; roots/isolated nodes label themselves
+    labels = nodes.join(e, nodes.node == e.a, "left").select(
+        "node", F.coalesce("b", "node").alias("cluster_id")
+    )
+    return labels, rounds
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SOCC'14 — public algorithm) -> (node, cluster_id) with
+    cluster_id = min node id, same contract as ``connected_components``.
+
+    Label propagation needs O(component diameter) rounds; the star
+    rounds contract paths doubly-exponentially, converging in
+    O(log^2 n) — the right variant when duplicate chains are long
+    (transitive near-dup chains at 100 TB). Per round it costs two
+    groupBy+join shuffles vs label propagation's one, so for dense
+    clique-ish dedup graphs (diameter 2-3) the simple loop still wins;
+    this is the adversarial-graph escape hatch.
+    """
+    labels, _ = _star_components(edges, src, dst, max_iterations)
+    return labels
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: connected components over the blocked n-gram
     Jaccard pair graph (the retention unit of a dedup pipeline)."""
@@ -78,6 +183,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     pairs = _ngram_jaccard_impl(docs)
     cc = connected_components(pairs, "doc_a", "doc_b")
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id").orderBy("doc_id")
+
+
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters as dedup_clusters, computed by star contraction
+    instead of label propagation — same recursive-CTE oracle, so the
+    two algorithms are held to the identical answer."""
+    from .dedup import _ngram_jaccard_impl
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = _ngram_jaccard_impl(docs)
+    cc = connected_components_star(pairs, "doc_a", "doc_b")
     return cc.select(F.col("node").alias("doc_id"), "cluster_id").orderBy("doc_id")
 
 
@@ -305,11 +422,13 @@ def _dedup_keep_best_sql() -> str:
 
 ORACLE_SQL: dict[str, str] = {
     "dedup_clusters": _dedup_clusters_sql(),
+    "dedup_clusters_star": _dedup_clusters_sql(),
     "dedup_keep_best": _dedup_keep_best_sql(),
 }
 
 QUERIES = {
     "dedup_clusters": dedup_clusters,
+    "dedup_clusters_star": dedup_clusters_star,
     "dedup_keep_best": dedup_keep_best,
     "event_pagerank": event_pagerank,
 }

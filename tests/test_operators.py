@@ -590,6 +590,60 @@ def test_pagerank_uniform_on_cycle(spark):
         assert abs(v - 0.25) < 1e-9
 
 
+def test_connected_components_star_matches_union_find(spark):
+    """Star-contraction components must equal a python union-find AND
+    the label-propagation operator on a random graph."""
+    import numpy as np
+
+    from skdist_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = np.random.RandomState(11)
+    n, m = 80, 55
+    edges = [(int(a), int(b)) for a, b in rng.randint(0, n, size=(m, 2)) if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    touched = {v for e in edges for v in e}
+    comp_min = {}
+    for v in touched:
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    expected = {v: comp_min[find(v)] for v in touched}
+
+    star = {r.node: r.cluster_id for r in connected_components_star(df).collect()}
+    assert star == expected
+    prop = {r.node: r.cluster_id for r in connected_components(df).collect()}
+    assert prop == expected
+
+
+def test_connected_components_star_converges_fast_on_chain(spark):
+    """A 200-node path graph has diameter 199 — label propagation needs
+    ~200 rounds, star contraction must finish in O(log^2 n) (<= 10
+    rounds here) with the correct single component."""
+    from skdist_spark.operators.graph import _star_components
+
+    n = 200
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    labels, rounds = _star_components(df, "src", "dst", max_iterations=50)
+    out = {r.node: r.cluster_id for r in labels.collect()}
+    assert out == {i: 0 for i in range(n)}
+    assert rounds <= 10, rounds
+
+
 def test_get_oof_matches_serial_reference_loop(spark):
     """Distributed get_oof must reproduce the reference's serial KFold
     loop (skdist/distribute/ensemble.py:130-151) bit-for-bit, and the
