@@ -19,6 +19,8 @@ from .text import (
     quality_score,
     rebalance_sample,
     repetition_stats,
+    scrub_pii,
+    temperature_sample,
     tfidf_rank,
 )
 from .ensemble import (
@@ -60,6 +62,8 @@ __all__ = [
     "quality_score",
     "rebalance_sample",
     "repetition_stats",
+    "scrub_pii",
+    "temperature_sample",
     "tfidf_rank",
     "fingerprint",
     "cosine_topk",

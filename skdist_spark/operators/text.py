@@ -549,6 +549,184 @@ def _sample_rate_sql() -> str:
     return f"CASE {cases} ELSE {SAMPLE_DEFAULT_PERMILLE} END"
 
 
+MIXTURE_BUDGET_FRAC = 0.5
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    alpha: float = 0.5,
+    budget_frac: float = MIXTURE_BUDGET_FRAC,
+) -> DataFrame:
+    """Temperature-flattened mixture resampling: target share of group
+    g is proportional to n_g^alpha (alpha < 1 upweights small groups —
+    the standard multilingual/source rebalance rule from public LLM
+    corpus recipes), with total kept rows ~= budget_frac * N.
+
+    Keep-rate r_g = min(1, budget_frac * N / (S * n_g^(1-alpha))) with
+    S = sum_h n_h^alpha; quantized to integer permille and applied with
+    the same Knuth-hash bucket as sample_stratified, so the sample is
+    deterministic under retries AND bit-reproducible in the DuckDB
+    oracle. Where min(1,.) clamps (tiny groups kept whole), the
+    realized total falls slightly under budget — documented, not
+    re-normalized, to keep the rate a pure per-group expression.
+
+    Determinism notes: the group-count aggregates are exact integers;
+    sqrt is IEEE-correctly-rounded in every engine (alpha=0.5 uses
+    sqrt, not pow, for that reason); S is accumulated in DECIMAL so
+    partial-sum order cannot perturb the last bit. Plan shape: one
+    tiny groupBy + one broadcast join + a map-side filter — the scan
+    dominates at any scale.
+    """
+    def _powered(col, exponent):
+        return F.sqrt(col) if exponent == 0.5 else F.pow(col, F.lit(exponent))
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    tot = counts.agg(
+        F.sum("__n").cast("double").alias("__N"),
+        F.sum(_powered(F.col("__n").cast("double"), alpha).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("__S"),
+    )
+    # tot derives from counts, so bare-name lookups in the cross join
+    # are ambiguous — qualify through string aliases
+    rates = (
+        counts.alias("c")
+        .crossJoin(F.broadcast(tot.alias("t")))
+        .select(
+            F.col(f"c.{group_col}"),
+            F.least(
+                F.lit(1000),
+                F.floor(
+                    F.lit(1000.0) * F.lit(budget_frac) * F.col("t.__N")
+                    / (
+                        F.col("t.__S")
+                        * _powered(F.col("c.__n").cast("double"), 1.0 - alpha)
+                    )
+                ).cast("int"),
+            ).alias("__permille"),
+        )
+    )
+    bucket = F.pmod((F.col(id_col).cast("bigint") * _KNUTH) % _MOD32, F.lit(1000))
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .where(bucket < F.col("__permille"))
+        .drop("__permille")
+    )
+
+
+def mixture_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: per-source doc counts after temperature-flattened
+    (alpha=0.5) source-mixture resampling at a half-size budget."""
+    docs = load_table(spark, "documents", sf_dir)
+    kept = temperature_sample(docs, "doc_id", "source", alpha=0.5)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def _mixture_sample_sql() -> str:
+    return f"""
+        WITH c AS (
+            SELECT source, CAST(COUNT(*) AS DOUBLE) AS n_g
+            FROM documents GROUP BY source
+        ), t AS (
+            SELECT CAST(SUM(n_g) AS DOUBLE) AS tot_n,
+                   CAST(SUM(CAST(SQRT(n_g) AS DECIMAL(28,12))) AS DOUBLE) AS tot_s
+            FROM c
+        ), r AS (
+            SELECT source,
+                   LEAST(1000, CAST(FLOOR(1000.0 * {MIXTURE_BUDGET_FRAC} * tot_n
+                       / (tot_s * SQRT(n_g))) AS INTEGER)) AS permille
+            FROM c, t
+        )
+        SELECT d.source, COUNT(*) AS n_kept, SUM(d.n_chars) AS sum_chars
+        FROM documents d JOIN r ON d.source = r.source
+        WHERE (d.doc_id * {_KNUTH}) % {_MOD32} % 1000 < r.permille
+        GROUP BY d.source ORDER BY d.source
+    """
+
+
+# PII redaction patterns: intentionally simple syntax (no lookaround,
+# no lazy quantifiers) so Java regex (Spark) and RE2 (DuckDB) agree.
+# Applied sequentially; each count is measured on the text as it stood
+# when that pattern ran.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+?\d[\d()\- ]{6,}\d"
+
+
+def scrub_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails, IPv4 addresses, and phone-like digit runs with
+    typed placeholder tokens — the standard pre-training privacy pass.
+    Pure JVM regexp expressions (no UDF): scales with the scan.
+
+    Output: id, ``clean_text`` with ``<EMAIL>``/``<IP>``/``<PHONE>``
+    placeholders, and per-type match counts. Emails are redacted
+    before IPs before phones, so a phone match can't fire inside an
+    address that was already redacted.
+    """
+    t0 = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t0, F.lit(PII_EMAIL_RE), F.lit(0)))
+    t1 = F.regexp_replace(t0, PII_EMAIL_RE, "<EMAIL>")
+    n_ip = F.size(F.regexp_extract_all(t1, F.lit(PII_IP_RE), F.lit(0)))
+    t2 = F.regexp_replace(t1, PII_IP_RE, "<IP>")
+    n_phone = F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE_RE), F.lit(0)))
+    t3 = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        t3.alias("clean_text"),
+        n_email.alias("n_email"),
+        n_ip.alias("n_ip"),
+        n_phone.alias("n_phone"),
+    )
+
+
+def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: PII-redaction digest per document (md5 of the
+    redacted text + per-type counts; this corpus is synthetic word-soup
+    so counts are typically zero — the regex execution and oracle
+    parity are the point, and pytest covers hit-positive inputs)."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = scrub_pii(docs)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_email",
+        "n_ip",
+        "n_phone",
+    ).orderBy("doc_id")
+
+
+def _scrub_pii_sql() -> str:
+    email, ip, phone = PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE
+    return f"""
+        WITH s AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{email}')) AS n_email,
+                   regexp_replace(text, '{email}', '<EMAIL>', 'g') AS t1
+            FROM documents
+        ), s2 AS (
+            SELECT doc_id, n_email,
+                   len(regexp_extract_all(t1, '{ip}')) AS n_ip,
+                   regexp_replace(t1, '{ip}', '<IP>', 'g') AS t2
+            FROM s
+        )
+        SELECT doc_id, md5(regexp_replace(t2, '{phone}', '<PHONE>', 'g')) AS clean_md5,
+               n_email, n_ip,
+               len(regexp_extract_all(t2, '{phone}')) AS n_phone
+        FROM s2 ORDER BY doc_id
+    """
+
+
 CONTAM_SHINGLE = 3
 CONTAM_MIN_RATIO = 0.5
 
@@ -794,6 +972,8 @@ ORACLE_SQL: dict[str, str] = {
         FROM kept GROUP BY lang ORDER BY lang
     """,
     "tfidf_search": _duck_tfidf_sql(),
+    "mixture_sample_sources": _mixture_sample_sql(),
+    "text_scrub_pii": _scrub_pii_sql(),
     "text_fingerprint": f"""
         WITH sh AS (
             SELECT doc_id,
@@ -820,6 +1000,8 @@ QUERIES = {
     "text_clean": text_clean,
     "doc_chunks": doc_chunks,
     "sample_documents": sample_documents,
+    "mixture_sample_sources": mixture_sample_sources,
+    "text_scrub_pii": text_scrub_pii,
     "decontaminate_docs": decontaminate_docs,
     "pack_chunks": pack_chunks,
 }

@@ -128,3 +128,95 @@ def test_tfidf_rank_matches_reference_scoring(spark, texts):
             assert got[i] == expect
         else:
             assert i not in got
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    """Typed placeholders and per-type counts on hit-positive inputs
+    (the parquet corpus is PII-free, so the parity query exercises only
+    the zero path; this covers the hits)."""
+    from skdist_spark.operators.text import scrub_pii
+
+    rows = [
+        (0, "contact bob.smith+x@example.co.uk or call +1 (303) 555-0142 now"),
+        (1, "server at 10.0.255.7 and backup 192.168.1.1 ok"),
+        (2, "plain text, no pii at all"),
+        (3, "two mails a@b.io c@d.org one ip 8.8.8.8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert out[0].n_email == 1 and out[0].n_phone == 1 and out[0].n_ip == 0
+    assert "<EMAIL>" in out[0].clean_text and "<PHONE>" in out[0].clean_text
+    assert "@" not in out[0].clean_text
+    assert out[1].n_ip == 2 and "<IP>" in out[1].clean_text
+    assert "10.0.255.7" not in out[1].clean_text
+    assert out[2].clean_text == rows[2][1]
+    assert out[2].n_email == out[2].n_ip == out[2].n_phone == 0
+    assert out[3].n_email == 2 and out[3].n_ip == 1
+
+
+def test_scrub_pii_duckdb_regex_parity(spark):
+    """Java regex (Spark) and RE2 (DuckDB) must agree on the PII
+    patterns — the premise of the text_scrub_pii oracle, checked here
+    on inputs that actually match."""
+    import duckdb
+
+    from skdist_spark.operators.text import (
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        PII_PHONE_RE,
+        scrub_pii,
+    )
+
+    rows = [
+        (0, "x@y.com then 1.2.3.4 then +44 20 7946 0958 end"),
+        (1, "no hits"),
+        (2, "edge: 999.999.999.999 and a@@b.com and 12-34"),
+        (3, "a.b-c_d%e+f@sub.domain.net trailing"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = scrub_pii(df).orderBy("doc_id").toPandas()
+
+    con = duckdb.connect()
+    pdf = pd.DataFrame({"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]})
+    con.register("docs", pdf)
+    exp = con.execute(
+        f"""
+        WITH s AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_email,
+                   regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+            FROM docs
+        ), s2 AS (
+            SELECT doc_id, n_email,
+                   len(regexp_extract_all(t1, '{PII_IP_RE}')) AS n_ip,
+                   regexp_replace(t1, '{PII_IP_RE}', '<IP>', 'g') AS t2
+            FROM s
+        )
+        SELECT doc_id,
+               regexp_replace(t2, '{PII_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+               n_email, n_ip,
+               len(regexp_extract_all(t2, '{PII_PHONE_RE}')) AS n_phone
+        FROM s2 ORDER BY doc_id
+        """
+    ).df()
+    for col in ("clean_text", "n_email", "n_ip", "n_phone"):
+        assert list(got[col]) == list(exp[col]), col
+
+
+def test_temperature_sample_flattens_mixture(spark):
+    """alpha=0.5 must lift small groups' keep-RATE above large groups',
+    keep totals near the budget, and be retry-deterministic."""
+    from skdist_spark.operators.text import temperature_sample
+
+    rows = [(i, "big" if i < 9000 else "small") for i in range(9500)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string").repartition(8)
+    kept = temperature_sample(df, "doc_id", "grp", alpha=0.5, budget_frac=0.5)
+    counts = {r.grp: r.n for r in kept.groupBy("grp").count().withColumnRenamed("count", "n").collect()}
+    # keep-rates: small group must be kept at a higher RATE than big
+    assert counts["small"] / 500 > counts["big"] / 9000
+    total = counts["big"] + counts["small"]
+    assert 0.35 * 9500 < total < 0.65 * 9500
+    again = temperature_sample(df, "doc_id", "grp", alpha=0.5, budget_frac=0.5)
+    assert sorted(r.doc_id for r in kept.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
