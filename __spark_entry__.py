@@ -41,11 +41,12 @@ _MODULES = [
 # driver-verified, or covered by equivalent pytest property tests) follows
 # in module order.
 _PRIORITY = [
-    # -- 29 oracle-backed queries with no driver row yet (r1 sweep cutoff) --
+    # -- 30 oracle-backed queries with no driver row yet (r1 sweep cutoff) --
     "events_funnel", "user_retention", "daily_gapfill", "sample_events_per_user",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_embedding",
     "dedup_clusters", "dedup_clusters_star", "dedup_keep_best",
+    "doc_triangles",
     "text_langid", "text_tokens", "text_quality", "text_repetition",
     "language_rebalance", "tfidf_search", "text_fingerprint", "text_clean",
     "doc_chunks", "sample_documents", "mixture_sample_sources",
@@ -53,10 +54,10 @@ _PRIORITY = [
     "ann_topk", "embedding_corr",
     "user_overlap_exact",
     "events_json_schema",
-    # -- 21 rows-only entries (driver records a rows>=0 check);
-    # stream_minhash_pairs/static_enrich/stream_join + multimodal_* +
-    # kmv_user_overlap wait past the cap (pytest-covered; rotate them
-    # in once these earn rows) --
+    # -- 20 rows-only entries (driver records a rows>=0 check);
+    # stream_minhash_pairs/static_enrich/stream_join/dedup_users +
+    # multimodal_* + kmv_user_overlap wait past the cap (all
+    # pytest-covered; rotate them in once these earn rows) --
     "event_pagerank", "pack_chunks",
     "ann_lsh", "ann_ivf", "ann_pq",
     "ml_kmeans",
@@ -65,7 +66,7 @@ _PRIORITY = [
     "ml_multi_model_search", "ml_predict_udf", "encoderizer_features",
     "ml_quality_classifier",
     "stream_windowed_counts", "stream_sliding_users",
-    "stream_sessionize", "stream_dedup_users",
+    "stream_sessionize",
     "corpus_pipeline",
 ]
 

@@ -31,6 +31,7 @@ __all__ = [
     "dedup_clusters",
     "pagerank",
     "event_pagerank",
+    "triangle_count",
 ]
 
 
@@ -346,6 +347,85 @@ def event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts -> (node, n_triangles), nodes in at
+    least one triangle. In a near-dup pair graph a triangle is three
+    mutually-similar documents — dense triangle neighborhoods are
+    template/boilerplate families, the usual curation target.
+
+    Degree-ordered orientation (the standard distributed-triangle
+    trick, e.g. Suri & Vassilvitskii's MapReduce formulation — public):
+    each undirected edge is oriented from its lower-(degree, id)
+    endpoint to the higher one, so every triangle is enumerated exactly
+    once at its lowest-ordered vertex and the wedge join's fan-out is
+    bounded by the max ORIENTED out-degree, O(sqrt(m)) — a hub of
+    degree d never produces d^2 wedge candidates. Plan: two equi-joins
+    + one explode + one groupBy; no iteration.
+    """
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    # oriented edge u->v iff (d_u, u) < (d_v, v); carry v's rank key
+    # for the wedge ordering below
+    keyed = (
+        und.join(deg.withColumnRenamed("a", "u").withColumnRenamed("d", "du"),
+                 und.a == F.col("u"))
+        .join(deg.withColumnRenamed("a", "v").withColumnRenamed("d", "dv"),
+              und.b == F.col("v"))
+        .where(F.struct("du", "u") < F.struct("dv", "v"))
+        .select("u", "v", "dv")
+        .localCheckpoint()  # reused by the wedge self-join AND the closing probe
+    )
+    o1 = keyed.select(F.col("u"), F.col("v").alias("x"), F.col("dv").alias("dx"))
+    o2 = keyed.select(F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy"))
+    wedges = o1.join(o2, "u").where(F.struct("dx", "x") < F.struct("dy", "y"))
+    closing = keyed.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).select("u", "x", "y")
+    return (
+        tri.select(F.explode(F.array("u", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def doc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: triangle counts over the blocked n-gram Jaccard
+    near-dup pair graph (three mutually-near-dup docs = one triangle)."""
+    from .dedup import _ngram_jaccard_impl
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = _ngram_jaccard_impl(docs)
+    return (
+        triangle_count(pairs, "doc_a", "doc_b")
+        .select(F.col("node").alias("doc_id"), "n_triangles")
+        .orderBy("doc_id")
+    )
+
+
+def _doc_triangles_sql() -> str:
+    """Orientation-free oracle: triangles enumerated as a < b < c over
+    the canonical pair set (pairs already satisfy doc_a < doc_b)."""
+    return f"""
+        WITH {_pairs_cte()},
+        tri AS (
+            SELECT p1.doc_a AS a, p1.doc_b AS b, p2.doc_b AS c
+            FROM pairs p1
+            JOIN pairs p2 ON p2.doc_a = p1.doc_a AND p2.doc_b > p1.doc_b
+            JOIN pairs p3 ON p3.doc_a = p1.doc_b AND p3.doc_b = p2.doc_b
+        ), nodes AS (
+            SELECT a AS doc_id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        SELECT doc_id, COUNT(*) AS n_triangles
+        FROM nodes GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 def _pairs_cte() -> str:
     """The dedup_ngram_jaccard pair derivation as DuckDB CTE bodies."""
     from .dedup import BLOCK_JACCARD_THRESHOLD, _duck_shingles
@@ -424,11 +504,13 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_clusters": _dedup_clusters_sql(),
     "dedup_clusters_star": _dedup_clusters_sql(),
     "dedup_keep_best": _dedup_keep_best_sql(),
+    "doc_triangles": _doc_triangles_sql(),
 }
 
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_star": dedup_clusters_star,
     "dedup_keep_best": dedup_keep_best,
+    "doc_triangles": doc_triangles,
     "event_pagerank": event_pagerank,
 }

@@ -590,6 +590,39 @@ def test_pagerank_uniform_on_cycle(spark):
         assert abs(v - 0.25) < 1e-9
 
 
+def test_triangle_count_matches_bruteforce(spark):
+    """Degree-oriented triangle counts must equal brute-force
+    enumeration over all node triples on a random graph (hubs, leaves,
+    duplicate + reversed edges included)."""
+    import itertools
+
+    import numpy as np
+
+    from skdist_spark.operators.graph import triangle_count
+
+    rng = np.random.RandomState(5)
+    n = 30
+    edges = [(int(a), int(b)) for a, b in rng.randint(0, n, size=(120, 2)) if a != b]
+    edges += [(0, i) for i in range(1, 12)]  # a hub
+    edges += [(b, a) for a, b in edges[:10]]  # reversed duplicates
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+
+    adj = {v: set() for v in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+        adj[a].discard(a)
+        adj[b].discard(b)
+    expected: dict[int, int] = {}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for v in (a, b, c):
+                expected[v] = expected.get(v, 0) + 1
+    assert got == expected
+    assert sum(expected.values()) % 3 == 0 and expected, "fixture needs triangles"
+
+
 def test_connected_components_star_matches_union_find(spark):
     """Star-contraction components must equal a python union-find AND
     the label-propagation operator on a random graph."""
