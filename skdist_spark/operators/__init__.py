@@ -1,13 +1,17 @@
 from .eliminate import DistFeatureEliminator
 from .encoder import Encoderizer, EncoderizerExtractor
 from .dedup import (
+    dup_span_stats,
     embedding_dedup,
     exact_dedup,
     incremental_dedup,
     minhash_dedup,
     ngram_jaccard_dedup,
+    semantic_dedup,
     simhash_dedup,
 )
+from .decomp import fit_pca, pca_project
+from .lm import doc_logprob, unigram_counts
 from .aggregates import salted_agg
 from .graph import connected_components, connected_components_star, pagerank
 from .joins import asof_join, interval_join, salted_join
@@ -58,6 +62,12 @@ __all__ = [
     "simhash_dedup",
     "ngram_jaccard_dedup",
     "embedding_dedup",
+    "semantic_dedup",
+    "dup_span_stats",
+    "fit_pca",
+    "pca_project",
+    "doc_logprob",
+    "unigram_counts",
     "language_id",
     "quality_score",
     "rebalance_sample",

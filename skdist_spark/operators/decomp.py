@@ -1,0 +1,131 @@
+"""Distributed decomposition over embedding columns: PCA via a
+single-pass covariance aggregation.
+
+The standard large-scale PCA shape: d is small (embeddings are 64-d
+here, rarely >4k anywhere), N is huge, so the d x d Gram matrix is the
+ONLY thing that ever crosses the wire.  One ``mapInPandas`` pass emits
+per-partition partials (n, sum_x, sum_xxT); the driver folds the ~P
+partial rows, forms the covariance, runs ``numpy.linalg.eigh`` on the
+d x d matrix, and broadcasts the q principal axes back into a map-only
+projection.  No shuffle of vector data at any point — the plan is
+scan -> partials -> tiny collect -> scan -> project, which holds
+unchanged at 100 TB / 1000 executors.
+
+Sign convention: eigenvectors are normalized so their
+largest-magnitude coordinate is positive, making the output
+deterministic across LAPACK builds.
+
+Rows-only for the driver (eigendecomposition isn't ANSI SQL); pytest
+verifies the projection against a local full-matrix numpy PCA.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+N_COMPONENTS = 2
+
+
+def _partials(id_col: str, vec_col: str):
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "s": [x.sum(axis=0).tolist()],
+                    "ss": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    return gen
+
+
+def fit_pca(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_components: int = N_COMPONENTS,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One distributed pass -> (mean[d], components[q, d],
+    explained_variance[q]).  Driver work is O(P * d^2) fold + O(d^3)
+    eigh — independent of N."""
+    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col))
+    parts = vecs.mapInPandas(
+        _partials(id_col, vec_col),
+        schema="n long, s array<double>, ss array<double>",
+    ).collect()
+    n = sum(r["n"] for r in parts)
+    d = len(parts[0]["s"])
+    s = np.zeros(d)
+    ss = np.zeros((d, d))
+    for r in parts:
+        s += np.asarray(r["s"])
+        ss += np.asarray(r["ss"]).reshape(d, d)
+    mean = s / n
+    cov = (ss - np.outer(mean, s) - np.outer(s, mean) + n * np.outer(mean, mean)) / (
+        n - 1
+    )
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T
+    # deterministic sign: largest-|coordinate| positive
+    for i in range(comps.shape[0]):
+        j = int(np.abs(comps[i]).argmax())
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, evals[order]
+
+
+def pca_project(
+    df: DataFrame,
+    mean: np.ndarray,
+    components: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only projection onto the fitted axes: (id, pc1..pcq)."""
+    m, c = mean, components
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            proj = (x - m) @ c.T
+            out = {id_col: pdf[id_col].to_numpy()}
+            for q in range(c.shape[0]):
+                out[f"pc{q + 1}"] = proj[:, q]
+            yield pd.DataFrame(out)
+
+    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col))
+    cols = ", ".join(f"pc{q + 1} double" for q in range(c.shape[0]))
+    return vecs.mapInPandas(gen, schema=f"{id_col} long, {cols}")
+
+
+def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA of the embeddings table: every vector projected onto the
+    top-2 principal axes (rows-only; numpy equivalence pytest)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    mean, comps, _ = fit_pca(emb)
+    proj = pca_project(emb, mean, comps)
+    return proj.select(
+        "vec_id", F.round("pc1", 6).alias("pc1"), F.round("pc2", 6).alias("pc2")
+    ).orderBy("vec_id")
+
+
+ORACLE_SQL: dict[str, str] = {}
+
+QUERIES = {
+    "embedding_pca": embedding_pca,
+}

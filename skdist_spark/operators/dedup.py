@@ -527,6 +527,119 @@ def _embedding_impl(raw: DataFrame) -> DataFrame:
     ).orderBy("vec_a", "vec_b")
 
 
+SPAN_N = 5  # word n-gram size for duplicated-span statistics
+SEMDEDUP_K = 8  # kmeans cells for semantic dedup
+
+
+def dup_span_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = SPAN_N
+) -> DataFrame:
+    """Duplicated-span statistics (exact-substring dedup at word-n-gram
+    granularity, the Lee-et-al "Deduplicating Training Data" signal):
+    for every document, how many of its word ``n``-gram occurrences
+    also appear in at least one OTHER document.
+
+    Plan: one scan -> positional n-grams exploded -> pre-aggregated per
+    (doc, span) so the shuffle carries distinct spans per doc, not raw
+    occurrences -> span document-frequency is a second aggregation over
+    that same frame -> join back on the span key and fold per doc.  At
+    100 TB the span strings can be pre-hashed (md5) to shrink shuffle
+    width; kept as strings here for oracle exactness.
+    """
+    words = _SPARK_WORDS.replace("text", text_col)
+    spans = (
+        f"transform(sequence(1, greatest(size({words}) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice({words}, i, {n})))"
+    )
+    occ = df.select(F.col(id_col), F.explode(F.expr(spans)).alias("span"))
+    per_doc_span = occ.groupBy(id_col, "span").agg(F.count(F.lit(1)).alias("cnt"))
+    span_df = per_doc_span.groupBy("span").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        per_doc_span.join(span_df, "span")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("cnt")).otherwise(0)).alias(
+                "n_dup_spans"
+            ),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_dup_spans",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_fraction"),
+        )
+    )
+
+
+def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated word-5-gram span fraction."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return dup_span_stats(docs).orderBy("doc_id")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = SEMDEDUP_K,
+    threshold: float = COSINE_THRESHOLD,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: partition the embedding
+    space with k-means, then compare pairs only WITHIN each cell.
+
+    This is the screening-cost compromise between all-pairs exactness
+    (``embedding_dedup``: O(N^2)) and sign-LSH recall: cost is
+    O(sum_c |c|^2) and near-dup pairs are overwhelmingly co-located in
+    a cell because near-identical vectors share a nearest centroid.
+    Recall misses only pairs straddling a cell boundary — the
+    documented trade of the SemDeDup paper.
+
+    Plan: centroids fit via ``dist_kmeans`` (driver holds k x d only),
+    map-only assignment, then an equi-join on the cell id — pair
+    generation never leaves the cell, so the shuffle is bounded by cell
+    sizes, not N^2.  Returns (vec_a, vec_b, cluster, cosine).
+    """
+    from .clustering import dist_kmeans, kmeans_assign
+
+    centroids = dist_kmeans(df, id_col, vec_col, k=k, max_iterations=5)
+    assigned = kmeans_assign(df, centroids, id_col, vec_col).select(
+        F.col(id_col), "cluster"
+    )
+    nrm = "sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"
+    vecs = (
+        df.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .withColumn("v", F.expr(f"transform(v, x -> x / {nrm})"))
+        .join(assigned, id_col)
+    )
+    dot = "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    a, b = vecs.alias("a"), vecs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a." + id_col) < F.col("b." + id_col)),
+        )
+        .select(
+            F.col("a." + id_col).alias("vec_a"),
+            F.col("b." + id_col).alias("vec_b"),
+            F.col("a.cluster").alias("cluster"),
+            F.expr(dot).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs over the embeddings table (rows-only:
+    k-means isn't SQL; equivalence to the brute-force pair set
+    restricted to shared cells is pytest-verified)."""
+    return semantic_dedup(load_table(spark, "embeddings", sf_dir))
+
+
 _DUCK_SH = _duck_shingles()
 _DUCK_DIGESTS = _minhash_digest_exprs("sh", "duck")
 _DUCK_SIGS = _minhash_sig_exprs("duck")
@@ -627,10 +740,36 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+ORACLE_SQL["dup_ngram_spans"] = f"""
+    WITH w AS (
+        SELECT doc_id, {_DUCK_WORDS} AS wd FROM documents
+    ), occ AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(wd) - {SPAN_N - 1}, 1) + 1),
+                   i -> array_to_string(wd[i:i+{SPAN_N - 1}], ' '))) AS span
+        FROM w
+    ), pds AS (
+        SELECT doc_id, span, COUNT(*) AS cnt FROM occ GROUP BY 1, 2
+    ), sdf AS (
+        SELECT span, COUNT(*) AS nd FROM pds GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN nd >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           ROUND(SUM(CASE WHEN nd >= 2 THEN cnt ELSE 0 END)::DOUBLE
+                 / SUM(cnt), 6) AS dup_fraction
+    FROM pds JOIN sdf USING (span)
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
+    "dup_ngram_spans": dup_ngram_spans,
+    "dedup_semantic": dedup_semantic,
 }

@@ -1,0 +1,199 @@
+"""Corpus language-model statistics for training-data curation.
+
+CCNet-style quality filtering scores every document by its perplexity
+under a language model trained on the corpus itself; documents far from
+the corpus distribution (boilerplate, gibberish, wrong language) land
+in the high-perplexity tail and get dropped or bucketed.  The classic
+implementation uses a pretrained KenLM; here the LM is a smoothed
+unigram model *estimated from the corpus in the same job*, which keeps
+the whole operator inside Spark SQL (no model files, no Python in the
+hot path) and is the standard first-pass proxy.
+
+Scale posture (100 TB):
+- One scan of ``documents``; the explode produces (doc, word) pairs
+  which are immediately pre-aggregated per (doc, word) — the shuffled
+  ``tf`` frame is bounded by distinct words per doc, not token count.
+- Corpus counts are a second aggregation OVER the pre-aggregated frame
+  (map-side combine twice).  The tf subtree appears three times in the
+  lineage (join probe, corpus counts, totals) but AQE stage reuse
+  collapses them to ONE physical shuffle — the final adaptive plan
+  shows two ReusedExchange nodes, so the scan+explode runs once.
+- The tf-to-corpus-count join shuffles on the word key; the count side
+  is one row per word so AQE's skew-join handles hot words ("the").
+  The vocabulary is NOT broadcast — at web scale it has billions of
+  entries.
+- The (N, V) totals are a one-row aggregate broadcast via cross join.
+
+Both queries have value-identical DuckDB oracles; scores are rounded
+to 6 decimals on both sides so double-summation order can't flip the
+12-significant-digit hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+_SPARK_WORDS = "filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')"
+_DUCK_WORDS = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '')"
+
+ADD_K = 0.5  # add-k (Lidstone) smoothing constant
+VOCAB_TOP = 50  # vocab_coverage rows
+
+
+def unigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus unigram counts: one row per distinct lowercased
+    whitespace token with its total occurrence count.
+
+    Two-stage aggregation (per-doc combine, then global) so the shuffle
+    carries distinct (doc, word) pairs, not raw tokens.
+    """
+    words = _SPARK_WORDS.replace("text", text_col)
+    exploded = df.select(F.explode(F.expr(words)).alias("word"))
+    return exploded.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+
+
+def doc_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = ADD_K,
+) -> DataFrame:
+    """Per-document cross-entropy under the corpus add-k unigram LM.
+
+    p(w) = (c(w) + k) / (N + k*V) with c(w) the corpus count, N total
+    tokens, V vocabulary size.  Returns one row per document with
+    ``n_tokens``, ``avg_neg_logprob`` (nats/token) and ``perplexity``
+    = exp(avg_neg_logprob); both rounded to 6 decimals.
+
+    Every word present in a doc is by construction in the corpus vocab
+    (the LM is trained on the same frame), so the tf-cf join is inner.
+    """
+    words = F.expr(_SPARK_WORDS.replace("text", text_col))
+    tf = (
+        df.select(F.col(id_col), F.explode(words).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cf = tf.groupBy("word").agg(F.sum("tf").alias("cf"))
+    totals = cf.agg(
+        F.sum("cf").alias("n_corpus"), F.count(F.lit(1)).alias("v_vocab")
+    )
+    neg_lp = (
+        f"-ln((cf + {add_k}) / (n_corpus + {add_k} * v_vocab))"
+    )
+    return (
+        tf.join(cf, "word")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (F.sum(F.expr(neg_lp) * F.col("tf")) / F.sum("tf")).alias("_h"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.round("_h", 6).alias("avg_neg_logprob"),
+            F.round(F.exp("_h"), 6).alias("perplexity"),
+        )
+    )
+
+
+def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity of every document under the corpus unigram LM."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return doc_logprob(docs).orderBy("doc_id")
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``VOCAB_TOP`` corpus words by frequency with cumulative
+    token coverage — the tokenizer-budget planning view ("how much of
+    the corpus do the top-k words cover?").
+
+    The top-k cut is ``orderBy().limit()`` — Spark plans it as
+    TakeOrderedAndProject (per-partition top-k merged on the driver),
+    so NO single reducer ever sees the full vocabulary; ties break on
+    the word itself so the cut is deterministic.  Rank and cumulative
+    coverage are then windows over the surviving ``top`` rows only.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("text")
+    counts = unigram_counts(docs)
+    totals = counts.agg(F.sum("n").alias("n_corpus"))
+    head = counts.orderBy(F.desc("n"), F.asc("word")).limit(VOCAB_TOP)
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    return (
+        head.withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_n", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "rank",
+            "word",
+            "n",
+            F.round(F.col("cum_n") / F.col("n_corpus"), 6).alias("cum_coverage"),
+        )
+        .orderBy("rank")
+    )
+
+
+def _perplexity_sql(add_k: float = ADD_K) -> str:
+    return f"""
+        WITH tf AS (
+            SELECT doc_id, unnest({_DUCK_WORDS}) AS word
+            FROM documents
+        ), tfc AS (
+            SELECT doc_id, word, COUNT(*) AS tf FROM tf GROUP BY 1, 2
+        ), cf AS (
+            SELECT word, SUM(tf) AS cf FROM tfc GROUP BY 1
+        ), totals AS (
+            SELECT SUM(cf) AS n_corpus, COUNT(*) AS v_vocab FROM cf
+        ), scored AS (
+            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                   SUM(-ln((cf + {add_k}) / (n_corpus + {add_k} * v_vocab)) * tf)
+                     / SUM(tf) AS h
+            FROM tfc JOIN cf USING (word) CROSS JOIN totals
+            GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens,
+               ROUND(h, 6) AS avg_neg_logprob,
+               ROUND(exp(h), 6) AS perplexity
+        FROM scored
+        ORDER BY doc_id
+    """
+
+
+def _vocab_sql(top: int = VOCAB_TOP) -> str:
+    return f"""
+        WITH counts AS (
+            SELECT word, COUNT(*) AS n
+            FROM (SELECT unnest({_DUCK_WORDS}) AS word FROM documents)
+            GROUP BY 1
+        ), totals AS (
+            SELECT SUM(n) AS n_corpus FROM counts
+        ), ranked AS (
+            SELECT word, n,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, word ASC) AS rank,
+                   SUM(n) OVER (ORDER BY n DESC, word ASC
+                                ROWS UNBOUNDED PRECEDING) AS cum_n
+            FROM counts
+        )
+        SELECT rank, word, n,
+               ROUND(cum_n / (SELECT n_corpus FROM totals), 6) AS cum_coverage
+        FROM ranked
+        WHERE rank <= {top}
+        ORDER BY rank
+    """
+
+
+ORACLE_SQL: dict[str, str] = {
+    "doc_perplexity": _perplexity_sql(),
+    "vocab_coverage": _vocab_sql(),
+}
+
+QUERIES = {
+    "doc_perplexity": doc_perplexity,
+    "vocab_coverage": vocab_coverage,
+}

@@ -159,6 +159,92 @@ _S1, _S2, _S3 = FUNNEL_STEPS
 _KNUTH = 2654435761
 _MOD32 = 4294967296
 
+MAD_K = 1.4826  # normal-consistency constant
+ROBUST_Z_CUT = 3.0
+
+
+def event_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: events whose value is more than 3
+    robust standard deviations (median/MAD) from their event_type's
+    center — the outlier filter that survives heavy-tailed metrics
+    where mean/stddev z-scores are dragged by the outliers themselves.
+
+    Plan: two exact-percentile aggregations over the ``event_type``
+    key (a LOW-cardinality dim, so each agg is a near-map-side
+    reduction) and the tiny med/mad frames broadcast back onto the
+    fact scan — the events table itself is never shuffled.  Groups
+    with MAD = 0 (constant metric) are skipped rather than divided by
+    zero.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = (
+        with_med.groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+        .where(F.col("mad") > 0)
+    )
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .withColumn("robust_z", (F.col("value") - F.col("med")) / (MAD_K * F.col("mad")))
+        .where(F.abs(F.col("robust_z")) > ROBUST_Z_CUT)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round("robust_z", 6).alias("robust_z"),
+        )
+        .orderBy("event_id")
+    )
+
+
+EWMA_ALPHA = 0.3
+
+
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential moving average of event values (final
+    smoothed state after replaying the user's history in time order) —
+    the streaming-feature shape ("current EWMA of spend") computed in
+    batch.
+
+    The recurrence s_n = alpha*v_n + (1-alpha)*s_{n-1}, s_0 = v_0 is a
+    left fold, which Spark's ``aggregate`` higher-order function and
+    DuckDB's ``list_reduce`` both evaluate in exactly the same order —
+    so the float result hash-matches without any UDF.  One shuffle on
+    user_id; the per-user sequence is materialized as a sorted array,
+    bounded by events-per-user (salt/window-chunk power users before
+    applying at 100 TB if a single user's history can't sit in one
+    task).  Ties on ts break on event_id so the fold order is total.
+    """
+    a = EWMA_ALPHA
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts", "event_id", "value")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.expr("sort_array(collect_list(struct(ts, event_id, value)))").alias("seq")
+        )
+        .select(
+            "user_id",
+            F.size("seq").alias("n_events"),
+            F.round(
+                F.expr(
+                    # (1 - alpha) is spelled as an expression, not a Python
+                    # float literal, so both engines derive the identical
+                    # double from the same decimal text
+                    f"aggregate(slice(seq, 2, size(seq) - 1), seq[0].value,"
+                    f" (acc, x) -> acc * (1 - {a}) + x.value * {a})"
+                ),
+                6,
+            ).alias("ewma_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "sample_events_per_user": f"""
         SELECT user_id, event_id, event_type FROM (
@@ -231,9 +317,46 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+ORACLE_SQL["user_value_ewma"] = f"""
+    WITH seq AS (
+        SELECT user_id, COUNT(*) AS n_events,
+               list(value ORDER BY ts, event_id) AS vals
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           ROUND(list_reduce(vals,
+                 (acc, x) -> acc * (1 - {EWMA_ALPHA}) + x * {EWMA_ALPHA}), 6)
+               AS ewma_value
+    FROM seq ORDER BY user_id
+"""
+
+ORACLE_SQL["event_outliers"] = f"""
+    WITH med AS (
+        SELECT event_type,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+        FROM events GROUP BY 1
+    ), wm AS (
+        SELECT e.event_id, e.event_type, e.value, m.med
+        FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT * FROM (
+            SELECT event_type,
+                   percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(value - med)) AS mad
+            FROM wm GROUP BY 1
+        ) WHERE mad > 0
+    )
+    SELECT event_id, event_type, value,
+           ROUND((value - med) / ({MAD_K} * mad), 6) AS robust_z
+    FROM wm JOIN mad USING (event_type)
+    WHERE abs((value - med) / ({MAD_K} * mad)) > {ROBUST_Z_CUT}
+    ORDER BY event_id
+"""
+
 QUERIES = {
     "events_funnel": events_funnel,
     "user_retention": user_retention,
     "daily_gapfill": daily_gapfill,
     "sample_events_per_user": sample_events_per_user,
+    "event_outliers": event_outliers,
+    "user_value_ewma": user_value_ewma,
 }

@@ -864,3 +864,96 @@ def test_incremental_dedup_matches_full_corpus_pairs(spark, sf_dir):
             near_drops.add(r.doc_b)
     expected_kept = new_ids - exact_drops - near_drops
     assert kept == expected_kept
+
+
+def test_semantic_dedup_matches_bruteforce_within_cells(spark, sf_dir):
+    """dedup_semantic must return EXACTLY the brute-force cosine pairs
+    restricted to vectors sharing a k-means cell (the SemDeDup
+    contract: full precision, recall bounded by cell co-location)."""
+    import numpy as np
+
+    from skdist_spark.operators import dedup
+    from skdist_spark.operators.clustering import dist_kmeans
+    from skdist_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+
+    centroids = dist_kmeans(emb, k=dedup.SEMDEDUP_K, max_iterations=5)
+    d2 = ((x**2).sum(1)[:, None] - 2 * x @ centroids.T
+          + (centroids**2).sum(1)[None, :])
+    cell = d2.argmin(axis=1)
+
+    cos = xn @ xn.T
+    expected = set()
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            a, b = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
+            if cell[i] == cell[j] and cos[i, j] >= dedup.COSINE_THRESHOLD:
+                expected.add((int(a), int(b)))
+
+    got = dedup.dedup_semantic(spark, sf_dir).collect()
+    assert {(r.vec_a, r.vec_b) for r in got} == expected
+    for r in got:
+        i = int(np.where(ids == r.vec_a)[0][0])
+        j = int(np.where(ids == r.vec_b)[0][0])
+        assert abs(r.cosine - cos[i, j]) < 1e-9
+
+
+def test_embedding_pca_matches_numpy(spark, sf_dir):
+    """Distributed covariance PCA must match a local full-matrix numpy
+    PCA: same projections (after the deterministic sign convention) and
+    same explained variance."""
+    import numpy as np
+
+    from skdist_spark.operators import decomp
+    from skdist_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+
+    mean, comps, evals = decomp.fit_pca(emb)
+    assert np.allclose(mean, x.mean(axis=0), atol=1e-9)
+
+    cov = np.cov(x, rowvar=False, ddof=1)
+    le, lv = np.linalg.eigh(cov)
+    order = np.argsort(le)[::-1][: decomp.N_COMPONENTS]
+    ref = lv[:, order].T.copy()
+    for i in range(ref.shape[0]):
+        j = int(np.abs(ref[i]).argmax())
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+    assert np.allclose(evals, le[order], rtol=1e-9)
+    assert np.allclose(comps, ref, atol=1e-8)
+
+    proj = {r.vec_id: (r.pc1, r.pc2) for r in decomp.embedding_pca(spark, sf_dir).collect()}
+    ref_proj = (x - x.mean(axis=0)) @ ref.T
+    for k, vid in enumerate(ids):
+        assert abs(proj[vid][0] - ref_proj[k, 0]) < 1e-5
+        assert abs(proj[vid][1] - ref_proj[k, 1]) < 1e-5
+
+
+def test_dup_span_stats_flags_planted_duplicate(spark):
+    """A doc sharing a long run of words with another doc must show a
+    high dup fraction; fully unique docs must show zero."""
+    from skdist_spark.operators.dedup import dup_span_stats
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " one two"),
+            (2, shared + " three four"),
+            (3, "totally unrelated words with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dup_span_stats(df).collect()}
+    assert out[3].n_dup_spans == 0
+    assert out[1].n_dup_spans > 0 and out[2].n_dup_spans > 0
+    assert out[1].dup_fraction > 0.5
