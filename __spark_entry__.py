@@ -21,15 +21,17 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from skdist_spark.operators import (  # noqa: E402
-    clustering, decomp, dedup, graph, lm, multimodal, similarity, sketches, text,
+    clustering, decomp, dedup, graph, lm, multimodal, quality, similarity,
+    sketches, text,
 )
 from skdist_spark import pipeline  # noqa: E402
 from skdist_spark.plans import behavior, ml_queries, tpch, windows  # noqa: E402
 from skdist_spark.streaming import ops as streaming_ops  # noqa: E402
 
 _MODULES = [
-    tpch, windows, behavior, dedup, graph, text, lm, decomp, similarity,
-    sketches, clustering, multimodal, ml_queries, streaming_ops, pipeline,
+    tpch, windows, behavior, dedup, graph, text, lm, decomp, quality,
+    similarity, sketches, clustering, multimodal, ml_queries, streaming_ops,
+    pipeline,
 ]
 
 # The driver's CORRECTNESS sweep checks only the FIRST 50 registry entries
@@ -56,13 +58,14 @@ _PRIORITY = [
     "events_json_schema",
     # -- round-2 additions (oracle-backed) --
     "doc_perplexity", "vocab_coverage", "dup_ngram_spans", "event_outliers",
-    "user_value_ewma",
+    "user_value_ewma", "dq_orders",
     # -- 20 rows-only entries (driver records a rows>=0 check);
     # stream_minhash_pairs/static_enrich/stream_join/dedup_users +
     # multimodal_* + kmv_user_overlap wait past the cap (all
     # pytest-covered; rotate them in once these earn rows) --
     "event_pagerank", "pack_chunks",
     "ann_lsh", "ann_ivf", "ann_pq",
+    "dedup_semantic", "embedding_pca",
     "ml_kmeans",
     "ml_grid_search", "ml_random_search", "ml_ovr_predict",
     "ml_forest_predict", "ml_forest_regress", "ml_feature_elimination",

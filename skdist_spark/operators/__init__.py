@@ -12,6 +12,13 @@ from .dedup import (
 )
 from .decomp import fit_pca, pca_project
 from .lm import doc_logprob, unigram_counts
+from .quality import (
+    completeness_check,
+    dq_audit,
+    fk_check,
+    range_check,
+    uniqueness_check,
+)
 from .aggregates import salted_agg
 from .graph import connected_components, connected_components_star, pagerank
 from .joins import asof_join, interval_join, salted_join
@@ -68,6 +75,11 @@ __all__ = [
     "pca_project",
     "doc_logprob",
     "unigram_counts",
+    "completeness_check",
+    "uniqueness_check",
+    "fk_check",
+    "range_check",
+    "dq_audit",
     "language_id",
     "quality_score",
     "rebalance_sample",

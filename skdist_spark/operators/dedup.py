@@ -543,13 +543,16 @@ def dup_span_stats(
     (doc, span) so the shuffle carries distinct spans per doc, not raw
     occurrences -> span document-frequency is a second aggregation over
     that same frame -> join back on the span key and fold per doc.  At
-    100 TB the span strings can be pre-hashed (md5) to shrink shuffle
-    width; kept as strings here for oracle exactness.
+    100 TB the shuffled key is not the span text but a 64-bit slice of
+    its md5 — ~half the bytes of a raw 5-word span, and both engines
+    hash identically so the oracle contract is unchanged (a collision
+    would merge span groups in BOTH engines the same way; at 2^64 it
+    never matters in practice).
     """
     words = _SPARK_WORDS.replace("text", text_col)
     spans = (
         f"transform(sequence(1, greatest(size({words}) - {n - 1}, 1)),"
-        f" i -> concat_ws(' ', slice({words}, i, {n})))"
+        f" i -> substring(md5(concat_ws(' ', slice({words}, i, {n}))), 1, 16))"
     )
     occ = df.select(F.col(id_col), F.explode(F.expr(spans)).alias("span"))
     per_doc_span = occ.groupBy(id_col, "span").agg(F.count(F.lit(1)).alias("cnt"))
@@ -747,7 +750,7 @@ ORACLE_SQL["dup_ngram_spans"] = f"""
         SELECT doc_id,
                unnest(list_transform(
                    range(1, greatest(len(wd) - {SPAN_N - 1}, 1) + 1),
-                   i -> array_to_string(wd[i:i+{SPAN_N - 1}], ' '))) AS span
+                   i -> md5(array_to_string(wd[i:i+{SPAN_N - 1}], ' '))[1:16])) AS span
         FROM w
     ), pds AS (
         SELECT doc_id, span, COUNT(*) AS cnt FROM occ GROUP BY 1, 2

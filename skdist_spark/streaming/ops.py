@@ -689,7 +689,9 @@ def _stage_ordered_stream(spark: SparkSession, sf_dir: str, n_files: int = 4) ->
 
     from ..sources.catalog import load_table
 
-    stage = f"/tmp/skdist_stream_seq_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    # cache key includes the staging layout version so a layout change
+    # invalidates previously staged dirs
+    stage = f"/tmp/skdist_stream_seq_{hashlib.md5(f'{sf_dir}:ts-eid'.encode()).hexdigest()[:8]}"
     done = os.path.join(stage, "_STAGED")
     if os.path.exists(done):
         return stage
@@ -697,8 +699,11 @@ def _stage_ordered_stream(spark: SparkSession, sf_dir: str, n_files: int = 4) ->
     tmp = stage + "_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     ev = load_table(spark, "events", sf_dir)
-    # range-partition by ts: part-0000i holds the i-th time slice
-    ev.repartitionByRange(n_files, "ts").write.parquet(tmp)
+    # range-partition by (ts, event_id): part-0000i holds the i-th time
+    # slice; the event_id tiebreak makes the replay order TOTAL, so
+    # order-sensitive stateful consumers (stream_user_ewma) fold
+    # identically to a batch sort
+    ev.repartitionByRange(n_files, "ts", "event_id").write.parquet(tmp)
     os.makedirs(stage, exist_ok=True)
     parts = sorted(
         f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
@@ -754,8 +759,87 @@ def stream_append_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start", "event_type")
 
 
+def _ewma_group(
+    key: Any, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user EWMA state machine: fold this batch's values (time
+    order, event_id tiebreak) into the carried state and emit the
+    updated running state once per batch."""
+    from decimal import Decimal
+
+    from ..plans.behavior import EWMA_ALPHA
+
+    # SQL engines evaluate the literal (1 - 0.3) in DECIMAL and cast the
+    # exact 0.7 to double; Python's 1 - 0.3 is one ulp higher. Derive the
+    # multiplier the same way so the fold is bit-identical to the batch
+    # user_value_ewma expression.
+    one_minus = float(Decimal(1) - Decimal(str(EWMA_ALPHA)))
+
+    (user_id,) = key
+    rows = pd.concat(list(batches)).sort_values(
+        ["ts", "event_id"], kind="mergesort"
+    )
+    if state.exists:
+        ewma, n = state.get
+    else:
+        ewma, n = None, 0
+    for v in rows["value"]:
+        v = float(v)
+        ewma = v if n == 0 else ewma * one_minus + v * EWMA_ALPHA
+        n += 1
+    state.update((float(ewma), n))
+    yield pd.DataFrame(
+        [(user_id, n, float(ewma))], columns=["user_id", "n_events", "ewma_value"]
+    )
+
+
+def ewma_stream(events: DataFrame) -> DataFrame:
+    """Generic streaming EWMA: per-user running exponential moving
+    average via ``applyInPandasWithState`` — the online-feature-store
+    shape (state is ONE float + count per user, strictly bounded).
+    Emits the updated running state per user per micro-batch; the
+    latest emission per user is the current feature value and, on a
+    time-ordered replay, equals the batch ``user_value_ewma`` fold
+    exactly (tested)."""
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _ewma_group,
+            outputStructType="user_id long, n_events long, ewma_value double",
+            stateStructType="ewma double, n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stream_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user EWMA over the 4-batch time-ordered replay;
+    returns each user's FINAL running state (the row with the highest
+    event count drained from the update-mode sink)."""
+    stage = _stage_ordered_stream(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+    out = run_stream_to_df(ewma_stream(raw), output_mode="update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", F.round("ewma_value", 6).alias("ewma_value"))
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "stream_windowed_counts": stream_windowed_counts,
+    "stream_user_ewma": stream_user_ewma,
     "stream_append_windows": stream_append_windows,
     "stream_sliding_users": stream_sliding_users,
     "stream_static_enrich": stream_static_enrich,

@@ -350,3 +350,22 @@ def test_stream_sliding_users_matches_batch(spark, sf_dir):
         )
     )
     assert got == want
+
+
+def test_stream_user_ewma_matches_batch_fold(spark, sf_dir):
+    """The streaming per-user EWMA state machine, replayed over the
+    4-file time-ordered staging, must land on EXACTLY the batch
+    left-fold result (same values, same counts) — state carries the
+    fold across micro-batch boundaries."""
+    from skdist_spark.plans.behavior import user_value_ewma
+    from skdist_spark.streaming import ops
+
+    got = {
+        r.user_id: (r.n_events, r.ewma_value)
+        for r in ops.stream_user_ewma(spark, sf_dir).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.ewma_value)
+        for r in user_value_ewma(spark, sf_dir).collect()
+    }
+    assert got == want
