@@ -22,7 +22,7 @@ from .quality import (
 from .aggregates import salted_agg
 from .graph import connected_components, connected_components_star, pagerank
 from .joins import asof_join, interval_join, salted_join
-from .sampling import sample_k_per_group, train_test_split_df
+from .sampling import sample_k_per_group, train_test_split_df, weighted_sample_k
 from .similarity import cosine_topk, pq_encode, train_pq_codebooks
 from .text import (
     fingerprint,
@@ -98,6 +98,7 @@ __all__ = [
     "salted_agg",
     "sample_k_per_group",
     "train_test_split_df",
+    "weighted_sample_k",
     "get_prediction_udf",
     "get_oof",
     "get_single_oof",

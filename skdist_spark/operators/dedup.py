@@ -529,6 +529,7 @@ def _embedding_impl(raw: DataFrame) -> DataFrame:
 
 SPAN_N = 5  # word n-gram size for duplicated-span statistics
 SEMDEDUP_K = 8  # kmeans cells for semantic dedup
+SEMDEDUP_ITERS = 3  # partition quality saturates fast; SemDeDup needs cells, not convergence
 
 
 def dup_span_stats(
@@ -605,7 +606,7 @@ def semantic_dedup(
     """
     from .clustering import dist_kmeans, kmeans_assign
 
-    centroids = dist_kmeans(df, id_col, vec_col, k=k, max_iterations=5)
+    centroids = dist_kmeans(df, id_col, vec_col, k=k, max_iterations=SEMDEDUP_ITERS)
     assigned = kmeans_assign(df, centroids, id_col, vec_col).select(
         F.col(id_col), "cluster"
     )

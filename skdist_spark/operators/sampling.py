@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from .text import _KNUTH, _MOD32
 
-__all__ = ["train_test_split_df", "sample_k_per_group"]
+__all__ = ["train_test_split_df", "sample_k_per_group", "weighted_sample_k"]
 
 
 def train_test_split_df(
@@ -55,4 +55,37 @@ def sample_k_per_group(
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
         .drop("__rn")
+    )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k per group
+    (Efraimidis-Spirakis A-ES): rank by key = -ln(u) / w and keep the k
+    smallest keys, which draws each row with probability proportional
+    to its weight — the quality-weighted corpus-subsampling primitive.
+
+    The uniform u is derived from the Knuth hash of the id (pure BIGINT
+    arithmetic + one ln), NOT rand(): membership is a property of the
+    row, reproducible across retries, partitionings, and engines.  One
+    shuffle on the group key; the per-group top-k is a ranked window.
+    Rows with non-positive weight are excluded (they have zero mass).
+    """
+    u = (
+        F.pmod(F.col(id_col).cast("bigint") * _KNUTH, F.lit(_MOD32)).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(_MOD32))
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
     )

@@ -989,8 +989,41 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus subsample: 5 docs per language drawn
+    with probability proportional to length (Efraimidis-Spirakis A-ES
+    over hash-derived uniforms — see operators.sampling.weighted_sample_k)."""
+    from .sampling import weighted_sample_k
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "n_chars")
+    return (
+        weighted_sample_k(docs, "lang", "doc_id", "n_chars", 5)
+        .select("lang", "doc_id", "n_chars", "sample_rank")
+        .orderBy("lang", "sample_rank")
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+    WITH keyed AS (
+        SELECT lang, doc_id, n_chars,
+               -ln((((doc_id * {_KNUTH}) % {_MOD32})::DOUBLE + 0.5) / {float(_MOD32)})
+                 / n_chars::DOUBLE AS key
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT lang, doc_id, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY key ASC, doc_id ASC)
+               AS sample_rank
+    FROM keyed
+    QUALIFY sample_rank <= 5
+    ORDER BY lang, sample_rank
+"""
+
+
+ORACLE_SQL["weighted_doc_sample"] = ORACLE_WEIGHTED_SAMPLE
+
 QUERIES = {
     "text_langid": text_langid,
+    "weighted_doc_sample": weighted_doc_sample,
     "text_tokens": text_tokens,
     "text_quality": text_quality,
     "text_repetition": text_repetition,

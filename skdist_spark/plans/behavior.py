@@ -138,6 +138,104 @@ def daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_daily_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily totals on the user's own gap-free calendar with
+    LINEAR interpolation across missing days (gapfill's ffill sibling:
+    ffill repeats the last level; interpolation draws the line between
+    the two surrounding observations — the right reconstruction for
+    metrics that trend).  Edge gaps clamp to the nearest observation.
+
+    Plan: one shuffle on (user, day) for the daily aggregate, per-user
+    calendar exploded executor-side, then ONE window partitioning
+    (user, ordered by day) serves all four ignore-nulls neighbor
+    lookups — Catalyst stacks them on a single Exchange+Sort.  Users
+    are sparse daily, so the interpolation actually exercises gaps.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy("user_id", F.date_trunc("DAY", "ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v")
+    )
+    calendar = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("day"),
+        )
+    )
+    grid = calendar.join(daily, ["user_id", "day"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    prev_v = F.last("v", ignorenulls=True).over(w_prev)
+    prev_d = F.last(obs_day, ignorenulls=True).over(w_prev)
+    next_v = F.first("v", ignorenulls=True).over(w_next)
+    next_d = F.first(obs_day, ignorenulls=True).over(w_next)
+    frac = F.datediff(F.col("day"), prev_d) / F.datediff(next_d, prev_d)
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    return grid.select(
+        "user_id",
+        "day",
+        F.col("v").isNotNull().alias("observed"),
+        F.round(interp, 6).alias("value_interp"),
+    ).orderBy("user_id", "day")
+
+
+ORACLE_INTERPOLATE = """
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM daily GROUP BY 1
+    ), calendar AS (
+        SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+        FROM bounds
+    ), grid AS (
+        SELECT c.user_id, c.day, d.v
+        FROM calendar c LEFT JOIN daily d USING (user_id, day)
+    ), nb AS (
+        SELECT user_id, day, v,
+               LAST_VALUE(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+               LAST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+               FIRST_VALUE(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+               FIRST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+        FROM grid
+    )
+    SELECT user_id, day, v IS NOT NULL AS observed,
+           ROUND(CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN prev_v IS NULL THEN next_v
+               WHEN next_v IS NULL THEN prev_v
+               ELSE prev_v + (next_v - prev_v)
+                    * (date_diff('day', prev_d, day) / date_diff('day', prev_d, next_d))
+           END, 6) AS value_interp
+    FROM nb
+    ORDER BY user_id, day
+"""
+
+
 SAMPLE_K = 5
 
 
@@ -317,6 +415,8 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+ORACLE_SQL["user_daily_interpolate"] = ORACLE_INTERPOLATE
+
 ORACLE_SQL["user_value_ewma"] = f"""
     WITH seq AS (
         SELECT user_id, COUNT(*) AS n_events,
@@ -359,4 +459,5 @@ QUERIES = {
     "sample_events_per_user": sample_events_per_user,
     "event_outliers": event_outliers,
     "user_value_ewma": user_value_ewma,
+    "user_daily_interpolate": user_daily_interpolate,
 }
