@@ -415,7 +415,74 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: every purchase credited to the user's
+    FIRST-touch channel (their first event ever) and LAST-touch channel
+    (the most recent non-purchase event strictly before the purchase),
+    rolled up to conversion counts per (first, last) channel pair.
+
+    Plan: one shuffle on user_id; both touch lookups are ignore-nulls
+    window expressions over the SAME (user, ts, event_id) ordering, so
+    Catalyst stacks them on a single Exchange+Sort; the rollup then
+    aggregates the purchase rows only.  Ties on ts break on event_id —
+    the fold order is total, so attribution is deterministic.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first_touch = F.first("event_type").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    touched = ev.select(
+        "event_type",
+        "value",
+        first_touch.alias("first_touch"),
+        F.coalesce(last_touch, F.lit("none")).alias("last_touch"),
+    )
+    return (
+        touched.where(F.col("event_type") == "purchase")
+        .groupBy("first_touch", "last_touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "purchase_value"
+            ),
+        )
+        .orderBy("first_touch", "last_touch")
+    )
+
+
+ORACLE_SQL_ATTRIBUTION = """
+    WITH touched AS (
+        SELECT event_type, value,
+               FIRST_VALUE(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_touch,
+               COALESCE(
+                   LAST_VALUE(CASE WHEN event_type != 'purchase'
+                                   THEN event_type END IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   'none') AS last_touch
+        FROM events
+    )
+    SELECT first_touch, last_touch,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS purchase_value
+    FROM touched
+    WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
 ORACLE_SQL["user_daily_interpolate"] = ORACLE_INTERPOLATE
+
+ORACLE_SQL["purchase_attribution"] = ORACLE_SQL_ATTRIBUTION
 
 ORACLE_SQL["user_value_ewma"] = f"""
     WITH seq AS (
@@ -460,4 +527,5 @@ QUERIES = {
     "event_outliers": event_outliers,
     "user_value_ewma": user_value_ewma,
     "user_daily_interpolate": user_daily_interpolate,
+    "purchase_attribution": purchase_attribution,
 }

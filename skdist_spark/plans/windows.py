@@ -941,6 +941,42 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+N_BUCKETS = 10
+
+
+def value_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile discretization (the feature-binning step of an ML
+    pipeline): per event_type, NTILE(10) equal-population buckets over
+    value, summarized as (bucket, count, lo, hi) — i.e. the learned bin
+    boundaries.  One shuffle on the event_type key; the ordered window
+    rides that partitioning.  Ties on value break on event_id so both
+    engines assign identical bucket membership.
+    """
+    ev = load_table(spark, "events", sf_dir).select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("bucket", F.ntile(N_BUCKETS).over(w))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+ORACLE_SQL["value_ntile_buckets"] = f"""
+    WITH b AS (
+        SELECT event_type, value,
+               NTILE({N_BUCKETS}) OVER (
+                   PARTITION BY event_type ORDER BY value, event_id) AS bucket
+        FROM events
+    )
+    SELECT event_type, bucket, COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
+    FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 ORACLE_SQL["sales_rollup"] = """
     SELECT o_year, o_orderpriority,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
@@ -977,4 +1013,5 @@ QUERIES = {
     "orders_date_features": orders_date_features,
     "events_value_windows": events_value_windows,
     "events_json_schema": events_json_schema,
+    "value_ntile_buckets": value_ntile_buckets,
 }
