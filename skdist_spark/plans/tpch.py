@@ -829,6 +829,96 @@ def fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BASKET_MIN_COOC = 2
+BASKET_TOP = 50
+
+
+def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis: part pairs that co-occur in the same
+    order more often than chance, ranked by lift = P(a,b)/(P(a)P(b)).
+
+    Plan: distinct (order, part) is pre-aggregated FIRST so the
+    self-join joins two copies of a frame already shuffled on
+    l_orderkey (one exchange, reused by merge hint); pair generation
+    never leaves the order group, so fan-out is bounded by basket
+    size squared — the defining property that keeps this tractable at
+    100 TB (baskets are small; the catalog is huge).  Part frequencies
+    are a second agg over the same distinct frame; the tiny totals row
+    is broadcast.  Deterministic top-50 by (lift, n_ab, part ids) via
+    TakeOrderedAndProject.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    op = li.distinct()
+    a, b = op.alias("a").hint("merge"), op.alias("b").hint("merge")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= BASKET_MIN_COOC)
+    )
+    part_counts = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    totals = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    return (
+        pair_counts.join(
+            part_counts.select(
+                F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
+            ),
+            "part_a",
+        )
+        .join(
+            part_counts.select(
+                F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(
+                (F.col("n_ab").cast("double") * F.col("n_orders"))
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.desc("n_ab"), "part_a", "part_b")
+        .limit(BASKET_TOP)
+    )
+
+
+ORACLE_BASKET = f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {BASKET_MIN_COOC}
+    ), pc AS (
+        SELECT l_partkey, COUNT(*) AS n_part FROM op GROUP BY 1
+    ), totals AS (
+        SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op
+    )
+    SELECT part_a, part_b, n_ab,
+           ROUND((n_ab::DOUBLE * n_orders) / (pa.n_part::DOUBLE * pb.n_part), 6)
+               AS lift
+    FROM pairs
+    JOIN pc pa ON pa.l_partkey = part_a
+    JOIN pc pb ON pb.l_partkey = part_b
+    CROSS JOIN totals
+    ORDER BY lift DESC, n_ab DESC, part_a, part_b
+    LIMIT {BASKET_TOP}
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "setops_customers": """
         WITH c96 AS (SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996),
@@ -1165,8 +1255,11 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+ORACLE_SQL["basket_part_affinity"] = ORACLE_BASKET
+
 QUERIES = {
     "q1": q1,
+    "basket_part_affinity": basket_part_affinity,
     "q2": q2,
     "q3": q3,
     "q4": q4,

@@ -957,3 +957,41 @@ def test_dup_span_stats_flags_planted_duplicate(spark):
     assert out[3].n_dup_spans == 0
     assert out[1].n_dup_spans > 0 and out[2].n_dup_spans > 0
     assert out[1].dup_fraction > 0.5
+
+
+def test_weighted_sample_k_contract(spark):
+    """A-ES weighted sampling: deterministic across partitionings,
+    exactly k per group, weight-monotone in aggregate (heavy rows win
+    far more slots than light rows across many groups), and
+    non-positive weights excluded."""
+    from pyspark.sql import functions as F
+
+    from skdist_spark.operators.sampling import weighted_sample_k
+
+    rows = [
+        (g * 1000 + i, f"g{g}", 100.0 if i < 10 else 1.0)
+        for g in range(40)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+    out1 = weighted_sample_k(df, "grp", "id", "w", 5).collect()
+    out2 = weighted_sample_k(df.repartition(13), "grp", "id", "w", 5).collect()
+    assert sorted((r.id, r.sample_rank) for r in out1) == sorted(
+        (r.id, r.sample_rank) for r in out2
+    )
+    per_group = {}
+    heavy = 0
+    for r in out1:
+        per_group[r.grp] = per_group.get(r.grp, 0) + 1
+        if r.w == 100.0:
+            heavy += 1
+    assert all(v == 5 for v in per_group.values())
+    # heavy rows are 1/3 of the population but carry ~97% of the mass;
+    # with w=100 vs 1 they should take the large majority of 200 slots
+    assert heavy > 150, heavy
+
+    with_zero = spark.createDataFrame(
+        [(1, "g", 0.0), (2, "g", -3.0), (3, "g", 1.0)], "id long, grp string, w double"
+    )
+    kept = weighted_sample_k(with_zero, "grp", "id", "w", 5).collect()
+    assert [r.id for r in kept] == [3]
