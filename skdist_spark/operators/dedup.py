@@ -530,6 +530,7 @@ def _embedding_impl(raw: DataFrame) -> DataFrame:
 SPAN_N = 5  # word n-gram size for duplicated-span statistics
 SEMDEDUP_K = 8  # kmeans cells for semantic dedup
 SEMDEDUP_ITERS = 3  # partition quality saturates fast; SemDeDup needs cells, not convergence
+SEMDEDUP_FIT_N = 512  # centroid-fit sample size (deterministic lowest-id rows)
 
 
 def dup_span_stats(
@@ -599,14 +600,21 @@ def semantic_dedup(
     Recall misses only pairs straddling a cell boundary — the
     documented trade of the SemDeDup paper.
 
-    Plan: centroids fit via ``dist_kmeans`` (driver holds k x d only),
-    map-only assignment, then an equi-join on the cell id — pair
-    generation never leaves the cell, so the shuffle is bounded by cell
-    sizes, not N^2.  Returns (vec_a, vec_b, cluster, cosine).
+    Plan: centroids fit via ``dist_kmeans`` on a bounded deterministic
+    SAMPLE (the SemDeDup posture — cells only need to reflect the
+    density structure, so the per-iteration passes scan
+    ``SEMDEDUP_FIT_N`` rows, not the corpus; at 100 TB that converts
+    3 full scans into 3 sample scans), then ONE map-only assignment of
+    the full corpus and an equi-join on the cell id — pair generation
+    never leaves the cell, so the shuffle is bounded by cell sizes,
+    not N^2.  Returns (vec_a, vec_b, cluster, cosine).
     """
     from .clustering import dist_kmeans, kmeans_assign
 
-    centroids = dist_kmeans(df, id_col, vec_col, k=k, max_iterations=SEMDEDUP_ITERS)
+    # localCheckpoint: the TakeOrdered sample would otherwise re-run its
+    # full-corpus scan inside every k-means iteration
+    fit_df = df.select(id_col, vec_col).orderBy(id_col).limit(SEMDEDUP_FIT_N).localCheckpoint()
+    centroids = dist_kmeans(fit_df, id_col, vec_col, k=k, max_iterations=SEMDEDUP_ITERS)
     assigned = kmeans_assign(df, centroids, id_col, vec_col).select(
         F.col(id_col), "cluster"
     )

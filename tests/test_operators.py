@@ -882,7 +882,8 @@ def test_semantic_dedup_matches_bruteforce_within_cells(spark, sf_dir):
     x = np.array([r.embedding for r in rows], dtype=np.float64)
     xn = x / np.linalg.norm(x, axis=1, keepdims=True)
 
-    centroids = dist_kmeans(emb, k=dedup.SEMDEDUP_K, max_iterations=dedup.SEMDEDUP_ITERS)
+    fit = emb.orderBy("vec_id").limit(dedup.SEMDEDUP_FIT_N)
+    centroids = dist_kmeans(fit, k=dedup.SEMDEDUP_K, max_iterations=dedup.SEMDEDUP_ITERS)
     d2 = ((x**2).sum(1)[:, None] - 2 * x @ centroids.T
           + (centroids**2).sum(1)[None, :])
     cell = d2.argmin(axis=1)
