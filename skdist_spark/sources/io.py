@@ -322,3 +322,84 @@ def zorder_by(df: DataFrame, cols: list[str], num_files: int, bits: int = 16) ->
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+def _list_partition_files(spark: SparkSession, path: str):
+    """(partition_dir -> [(file_path, bytes)]) through the Hadoop FS
+    layer (works for any URI the session can read, not just local)."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    out: dict[str, list[tuple[str, int]]] = {}
+    for part in fs.listStatus(root):
+        if not part.isDirectory():
+            continue
+        pdir = part.getPath().getName()
+        if "=" not in pdir:  # not a hive partition dir
+            continue
+        files = [
+            (f.getPath().toString(), int(f.getLen()))
+            for f in fs.listStatus(part.getPath())
+            if f.getPath().getName().endswith(".parquet")
+        ]
+        out[pdir] = files
+    return out
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict[str, tuple[int, int]]:
+    """Small-file compaction for a hive-partitioned parquet table: the
+    maintenance job every long-lived 100 TB table needs, because
+    streaming sinks and frequent CDC merges accrete files far below
+    the scan-efficient size (manifest bloat, per-file open cost,
+    undersized row groups).
+
+    Each partition holding at least ``min_files`` files below
+    ``target_bytes`` on average is rewritten into
+    ceil(partition_bytes / target_bytes) files via dynamic partition
+    overwrite — untouched partitions stay byte-identical, so cost is
+    proportional to the FRAGMENTED data, not the table.  Returns
+    {partition_dir: (files_before, files_after)} for observability.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    report: dict[str, tuple[int, int]] = {}
+    parts = _list_partition_files(spark, path)
+    todo = {}
+    for pdir, files in parts.items():
+        total = sum(b for _, b in files)
+        if len(files) >= min_files and total / len(files) < target_bytes:
+            todo[pdir] = (len(files), max(1, math.ceil(total / target_bytes)))
+    if not todo:
+        return report
+    col, _ = next(iter(todo)).split("=", 1)
+    values = [pdir.split("=", 1)[1] for pdir in todo]
+    # one read of only the fragmented partitions; per-partition
+    # repartition to the computed file count keeps output sizes near
+    # target regardless of partition skew
+    frames = []
+    for pdir, (before, n_files) in todo.items():
+        value = pdir.split("=", 1)[1]
+        sub = (
+            spark.read.parquet(path)
+            .where(F.col(col).cast("string") == value)
+            .repartition(n_files)
+        )
+        frames.append(sub)
+        report[pdir] = (before, n_files)
+    from functools import reduce
+
+    merged = reduce(lambda a, b: a.unionByName(b), frames).localCheckpoint()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return report

@@ -837,7 +837,65 @@ def stream_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dq_monitor_stream(events: DataFrame, checks: "list[tuple[str, str]]"):
+    """Streaming data-quality monitor: per-micro-batch violation counts
+    for declarative constraints — the circuit-breaker input of a
+    production ingest ("halt the pipeline when a batch arrives with
+    nulls / out-of-range values").
+
+    ``checks`` is [(name, boolean SQL constraint)]; a row violates a
+    check when the constraint does not hold (NULL counts as a
+    violation, matching batch ``operators.quality.range_check``).
+    Returns the still-streaming one-row-per-check-per-batch frame —
+    compose with foreachBatch or a memory sink.  Aggregation state is
+    |checks| counters per batch: bounded by construction.
+    """
+    aggs = [
+        F.sum(
+            F.when(~F.coalesce(F.expr(pred), F.lit(False)), 1).otherwise(0)
+        ).cast("long").alias(name)
+        for name, pred in checks
+    ]
+    wide = events.groupBy().agg(*aggs)
+    stack = ", ".join(f"'{name}', {name}" for name, _ in checks)
+    return wide.selectExpr(
+        f"stack({len(checks)}, {stack}) as (check_name, violations)"
+    )
+
+
+DQ_STREAM_CHECKS = [
+    ("value_not_null", "value IS NOT NULL"),
+    ("value_in_range", "value >= 0 AND value <= 1000000"),
+    ("event_type_known",
+     "event_type IN ('click', 'purchase', 'error', 'signup', 'view')"),
+]
+
+
+def stream_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch DQ violation counts over the 4-batch replay, summed to
+    per-check totals (rows-only; the batch-equivalence test asserts the
+    totals equal one batch pass over the whole table)."""
+    stage = _stage_ordered_stream(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+    out = run_stream_to_df(
+        dq_monitor_stream(raw, DQ_STREAM_CHECKS), output_mode="complete"
+    )
+    # complete mode re-emits cumulative counts each batch and the sums
+    # are monotone, so the max per check is the whole-stream total
+    return (
+        out.groupBy("check_name")
+        .agg(F.max("violations").alias("violations"))
+        .orderBy("check_name")
+    )
+
+
 QUERIES = {
+    "stream_dq_monitor": stream_dq_monitor,
     "stream_windowed_counts": stream_windowed_counts,
     "stream_user_ewma": stream_user_ewma,
     "stream_append_windows": stream_append_windows,

@@ -279,3 +279,33 @@ def test_merge_upsert_touches_only_updated_partitions(spark, tmp_path):
     # d3 was not in the update batch: files untouched
     for f, mtime in untouched_before.items():
         assert os.path.getmtime(f) == mtime, f
+
+
+def test_compact_partitions_merges_small_files(spark, tmp_path):
+    """Fragmented partitions collapse to the computed file count with
+    identical data; partitions already at a healthy size are left
+    byte-untouched."""
+    import glob
+    import os
+
+    from skdist_spark.sources.io import compact_partitions
+
+    target = str(tmp_path / "tbl")
+    frag = spark.range(0, 1000).selectExpr("id", "'d1' AS day")
+    healthy = spark.range(1000, 2000).selectExpr("id", "'d2' AS day")
+    frag.repartition(16).write.partitionBy("day").parquet(target)
+    healthy.coalesce(1).write.mode("append").partitionBy("day").parquet(target)
+
+    before = spark.read.parquet(target).count()
+    d2_files = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{target}/day=d2/*.parquet")
+    }
+    assert len(glob.glob(f"{target}/day=d1/*.parquet")) == 16
+
+    report = compact_partitions(spark, target, target_bytes=64 * 1024 * 1024)
+    assert set(report) == {"day=d1"} and report["day=d1"] == (16, 1)
+    assert len(glob.glob(f"{target}/day=d1/*.parquet")) == 1
+    assert spark.read.parquet(target).count() == before
+    assert {r.id for r in spark.read.parquet(target).where("day = 'd1'").collect()} == set(range(1000))
+    for f, mtime in d2_files.items():
+        assert os.path.getmtime(f) == mtime, f

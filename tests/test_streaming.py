@@ -369,3 +369,24 @@ def test_stream_user_ewma_matches_batch_fold(spark, sf_dir):
         for r in user_value_ewma(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_stream_dq_monitor_matches_batch_audit(spark, sf_dir):
+    """Summed per-batch DQ violations must equal one batch pass over
+    the whole table with the same constraints."""
+    from pyspark.sql import functions as F
+
+    from skdist_spark.sources.catalog import load_table
+    from skdist_spark.streaming import ops
+
+    got = {
+        r.check_name: r.violations
+        for r in ops.stream_dq_monitor(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, "events", sf_dir)
+    want = {}
+    for name, pred in ops.DQ_STREAM_CHECKS:
+        want[name] = ev.where(
+            ~F.coalesce(F.expr(pred), F.lit(False))
+        ).count()
+    assert got == want
