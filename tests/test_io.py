@@ -309,3 +309,39 @@ def test_compact_partitions_merges_small_files(spark, tmp_path):
     assert {r.id for r in spark.read.parquet(target).where("day = 'd1'").collect()} == set(range(1000))
     for f, mtime in d2_files.items():
         assert os.path.getmtime(f) == mtime, f
+
+
+def test_synthetic_datasource_deterministic_and_partitioned(spark):
+    """Python DataSource: honors rows/partitions options, and any
+    partitioning of the same row count yields identical data (row i is
+    a pure function of i)."""
+    from skdist_spark.sources.synthetic import SyntheticEventsDataSource
+
+    try:
+        spark.dataSource.register(SyntheticEventsDataSource)
+    except Exception as exc:  # already registered in this session
+        assert "already" in str(exc).lower(), exc
+
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 500)
+        .option("partitions", 7)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 7
+    rows = df.orderBy("event_id").collect()
+    assert len(rows) == 500
+    assert rows[0].event_id == 0 and rows[-1].event_id == 499
+    assert {r.event_type for r in rows} == {
+        "click", "purchase", "error", "signup", "view"
+    }
+
+    again = (
+        spark.read.format("synthetic_events")
+        .option("rows", 500)
+        .option("partitions", 3)
+        .load()
+        .orderBy("event_id")
+        .collect()
+    )
+    assert again == rows
