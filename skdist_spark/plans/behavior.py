@@ -415,6 +415,78 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-user Recency (days since last
+    purchase vs the corpus max date), Frequency (purchase count) and
+    Monetary (DECIMAL-exact purchase value), each scored into NTILE(5)
+    quintiles, rolled up to segment sizes — the classic lifecycle
+    segmentation ("555" = best customers).
+
+    Plan: one aggregation shuffle on user_id builds the per-user RFM
+    frame; the three quintile windows are global NTILEs over USERS
+    (cardinality = |users|, already reduced by the aggregate — at 100 TB
+    score users per region/market partition if a single global sort of
+    the user dimension is too hot); recency ranks ascending (recent =
+    high score) via DESC on days, ties broken by user_id everywhere.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.where(F.col("event_type") == "purchase")
+    anchor = p.agg(F.max(F.date_trunc("DAY", "ts")).alias("mx"))
+    rfm = (
+        p.groupBy("user_id")
+        .agg(
+            F.max(F.date_trunc("DAY", "ts")).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff("mx", "last_day").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r = F.ntile(5).over(Window.orderBy(F.desc("recency_days"), F.asc("user_id")))
+    f = F.ntile(5).over(Window.orderBy(F.asc("frequency"), F.asc("user_id")))
+    m = F.ntile(5).over(Window.orderBy(F.asc("monetary"), F.asc("user_id")))
+    return (
+        rfm.select(
+            "user_id",
+            r.alias("r_score"),
+            f.alias("f_score"),
+            m.alias("m_score"),
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+ORACLE_RFM = """
+    WITH p AS (
+        SELECT user_id, date_trunc('day', ts) AS day, value
+        FROM events WHERE event_type = 'purchase'
+    ), anchor AS (
+        SELECT MAX(day) AS mx FROM p
+    ), rfm AS (
+        SELECT user_id,
+               date_diff('day', MAX(day), (SELECT mx FROM anchor)) AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+        FROM p GROUP BY user_id
+    ), scored AS (
+        SELECT user_id,
+               NTILE(5) OVER (ORDER BY recency_days DESC, user_id ASC) AS r_score,
+               NTILE(5) OVER (ORDER BY frequency ASC, user_id ASC) AS f_score,
+               NTILE(5) OVER (ORDER BY monetary ASC, user_id ASC) AS m_score
+        FROM rfm
+    )
+    SELECT r_score, f_score, m_score, COUNT(*) AS n_users
+    FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-touch attribution: every purchase credited to the user's
     FIRST-touch channel (their first event ever) and LAST-touch channel
@@ -484,6 +556,8 @@ ORACLE_SQL["user_daily_interpolate"] = ORACLE_INTERPOLATE
 
 ORACLE_SQL["purchase_attribution"] = ORACLE_SQL_ATTRIBUTION
 
+ORACLE_SQL["rfm_segments"] = ORACLE_RFM
+
 ORACLE_SQL["user_value_ewma"] = f"""
     WITH seq AS (
         SELECT user_id, COUNT(*) AS n_events,
@@ -528,4 +602,5 @@ QUERIES = {
     "user_value_ewma": user_value_ewma,
     "user_daily_interpolate": user_daily_interpolate,
     "purchase_attribution": purchase_attribution,
+    "rfm_segments": rfm_segments,
 }

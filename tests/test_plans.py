@@ -116,7 +116,7 @@ def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
         if joins and name not in (
             "q11", "q22", "ann_topk", "dedup_embedding", "tfidf_search",
             "mixture_sample_sources", "doc_perplexity", "vocab_coverage",
-            "basket_part_affinity",
+            "basket_part_affinity", "rfm_segments",
         ):
             bad[name] = joins
     assert not bad, bad
