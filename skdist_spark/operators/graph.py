@@ -500,7 +500,115 @@ def _dedup_keep_best_sql() -> str:
     """
 
 
+BFS_SOURCE_MOD = 10  # doc_graph_distances: sources are doc_id % 10 == 0
+BFS_MAX_DEPTH = 20
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = BFS_MAX_DEPTH,
+) -> DataFrame:
+    """Multi-source BFS over an undirected edge list: (node, distance)
+    = minimum hop count from any node in ``sources`` (one ``node``
+    column), for every REACHABLE node.  Unreachable nodes are absent.
+
+    Same distributed shape as ``connected_components``: one join+agg
+    per round over the checkpointed undirected edge list, min-plus
+    label propagation, a scalar (reached, sum) convergence probe per
+    round, and localCheckpoint lineage cuts — rounds = graph
+    eccentricity, capped at ``max_iterations``.
+    """
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = und.union(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint()
+    nodes = und.select(F.col("a").alias("node")).distinct()
+    labels = (
+        nodes.join(sources.select(F.col("node")), "node", "left_semi")
+        .withColumn("dist", F.lit(0))
+        .union(
+            nodes.join(sources.select(F.col("node")), "node", "left_anti")
+            .withColumn("dist", F.lit(None).cast("int"))
+        )
+        .localCheckpoint()
+    )
+
+    def _probe(lb: DataFrame) -> tuple:
+        row = lb.agg(
+            F.count("dist").alias("n"), F.sum("dist").alias("s")
+        ).collect()[0]
+        return (row["n"], row["s"])
+
+    prev = _probe(labels)
+    for _ in range(max_iterations):
+        nbr = (
+            und.join(labels, und.b == labels.node)
+            .where(F.col("dist").isNotNull())
+            .groupBy("a")
+            .agg((F.min("dist") + 1).alias("nbr_dist"))
+        )
+        labels = (
+            labels.join(nbr, labels.node == nbr.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce(F.col("dist"), F.col("nbr_dist")),
+                    F.coalesce(F.col("nbr_dist"), F.col("dist")),
+                ).alias("dist"),
+            )
+            .localCheckpoint()
+        )
+        cur = _probe(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels.where(F.col("dist").isNotNull()).select(
+        "node", F.col("dist").alias("distance")
+    )
+
+
+def doc_graph_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from the doc_id % 10 == 0 seed set over the
+    near-dup pair graph (oracle: recursive CTE min-distance walk)."""
+    from .dedup import _ngram_jaccard_impl
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = _ngram_jaccard_impl(docs).select("doc_a", "doc_b")
+    nodes = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .union(pairs.select(F.col("doc_b").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.where(F.col("node") % BFS_SOURCE_MOD == 0)
+    out = bfs_distances(pairs, seeds, "doc_a", "doc_b")
+    return out.select(F.col("node").alias("doc_id"), "distance").orderBy("doc_id")
+
+
+def _doc_graph_distances_sql() -> str:
+    return f"""
+        WITH RECURSIVE {_pairs_cte()},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION
+            SELECT doc_b AS a, doc_a AS b FROM pairs
+        ),
+        walk(node, dist) AS (
+            SELECT DISTINCT a, 0 FROM edges WHERE a % {BFS_SOURCE_MOD} = 0
+            UNION
+            SELECT e.b, w.dist + 1
+            FROM walk w JOIN edges e ON e.a = w.node
+            WHERE w.dist < {BFS_MAX_DEPTH}
+        )
+        SELECT node AS doc_id, CAST(MIN(dist) AS INTEGER) AS distance
+        FROM walk GROUP BY 1 ORDER BY 1
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
+    "doc_graph_distances": _doc_graph_distances_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
     "dedup_clusters_star": _dedup_clusters_sql(),
     "dedup_keep_best": _dedup_keep_best_sql(),
@@ -512,5 +620,6 @@ QUERIES = {
     "dedup_clusters_star": dedup_clusters_star,
     "dedup_keep_best": dedup_keep_best,
     "doc_triangles": doc_triangles,
+    "doc_graph_distances": doc_graph_distances,
     "event_pagerank": event_pagerank,
 }

@@ -996,3 +996,23 @@ def test_weighted_sample_k_contract(spark):
     )
     kept = weighted_sample_k(with_zero, "grp", "id", "w", 5).collect()
     assert [r.id for r in kept] == [3]
+
+
+def test_bfs_distances_on_chain_and_fork(spark):
+    """Multi-source BFS: hand-checked distances on a chain with a fork
+    and a disconnected island; unreachable nodes absent."""
+    from pyspark.sql import functions as F
+
+    from skdist_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (3, 6), (8, 9)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.distance for r in bfs_distances(edges, seeds).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 3}
+
+    two_seeds = spark.createDataFrame([(1,), (5,)], "node long")
+    got2 = {r.node: r.distance for r in bfs_distances(edges, two_seeds).collect()}
+    assert got2 == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0, 6: 3}
