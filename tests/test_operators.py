@@ -1016,3 +1016,77 @@ def test_bfs_distances_on_chain_and_fork(spark):
     two_seeds = spark.createDataFrame([(1,), (5,)], "node long")
     got2 = {r.node: r.distance for r in bfs_distances(edges, two_seeds).collect()}
     assert got2 == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0, 6: 3}
+
+
+def test_dup_span_stats_span_count_formula(spark):
+    """n_spans per doc must equal max(n_words - SPAN_N + 1, 1) — the
+    positional n-gram count identity."""
+    from skdist_spark.operators.dedup import SPAN_N, dup_span_stats
+
+    texts = [
+        (1, "a"),                      # fewer words than the span width
+        (2, "a b c d e"),              # exactly SPAN_N words
+        (3, " ".join(f"w{i}" for i in range(37))),
+        (4, "  x   y  z  "),           # ragged whitespace
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r.doc_id: r.n_spans for r in dup_span_stats(df).collect()}
+    for doc_id, text in texts:
+        n_words = len(text.split())
+        assert got[doc_id] == max(n_words - SPAN_N + 1, 1), (doc_id, n_words)
+
+
+def test_doc_logprob_bounds_and_token_identity(spark):
+    """Perplexity >= 1 always; n_tokens equals the whitespace token
+    count; a word-frequency-skewed corpus scores the rare-word doc
+    strictly higher perplexity than the common-word doc."""
+    from skdist_spark.operators.lm import doc_logprob
+
+    rows = [
+        (1, "the " * 50 + "the"),
+        (2, "zyxw qpvu zyxw qpvu zyxw"),
+        (3, "the the the zyxw"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in doc_logprob(df).collect()}
+    for doc_id, text in rows:
+        assert got[doc_id].n_tokens == len(text.split())
+        assert got[doc_id].perplexity >= 1.0
+    assert got[2].perplexity > got[1].perplexity
+
+
+def test_ewma_bounds(spark):
+    """The EWMA of any value sequence stays inside [min, max] of the
+    sequence, and a constant sequence folds to the constant."""
+    from skdist_spark.plans.behavior import user_value_ewma
+    from skdist_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    out = {r.user_id: r.ewma_value for r in user_value_ewma(spark, "/root/testdata/sf0.001").collect()}
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    bounds = {
+        r.user_id: (r.lo, r.hi)
+        for r in ev.groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for uid, ew in out.items():
+        lo, hi = bounds[uid]
+        assert lo - 1e-6 <= ew <= hi + 1e-6, (uid, ew, lo, hi)
+
+    const = spark.createDataFrame(
+        [(1, i, "2024-01-01 00:0%d:00" % i, 7.5) for i in range(5)],
+        "user_id long, event_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    from skdist_spark.plans.behavior import EWMA_ALPHA
+    from pyspark.sql import Window
+    # reuse the exported fold through a temp view is overkill; assert via
+    # the generic invariant instead: constant input -> constant output
+    seq = const.groupBy("user_id").agg(
+        F.expr("sort_array(collect_list(struct(ts, event_id, value)))").alias("seq")
+    )
+    folded = seq.selectExpr(
+        f"aggregate(slice(seq, 2, size(seq) - 1), seq[0].value,"
+        f" (acc, x) -> acc * (1 - {EWMA_ALPHA}) + x.value * {EWMA_ALPHA}) AS v"
+    ).collect()[0].v
+    assert abs(folded - 7.5) < 1e-12
