@@ -188,3 +188,123 @@ QUERIES = {
     "multimodal_frames": multimodal_frames,
 }
 ORACLE_SQL: dict[str, str] = {}
+
+
+# ---------------------------------------------------------------------------
+# Container-header parsing — REAL decode of image dimensions and audio
+# stream parameters from raw bytes (PNG / JPEG / GIF / RIFF-WAV headers
+# are simple enough to read without codec libraries, so unlike the
+# pixel-level stub above these produce true metadata).
+# ---------------------------------------------------------------------------
+
+
+def _parse_image_header(b: bytes):
+    """(format, width, height) from the container header, or
+    (None, None, None) when unrecognized/truncated."""
+    import struct
+
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return "png", w, h
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return "gif", w, h
+    if b[:2] == b"\xff\xd8":  # JPEG: scan markers for a SOF segment
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return "jpeg", w, h
+            i += 2 + seg_len
+    return None, None, None
+
+
+def _parse_wav_header(b: bytes):
+    """(channels, sample_rate, n_frames, duration_s) from a RIFF/WAVE
+    header, or Nones when unrecognized."""
+    import struct
+
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None, None, None, None
+    i = 12
+    channels = rate = bits = None
+    data_size = None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(b):
+            channels, rate = struct.unpack("<HI", b[i + 10 : i + 16])
+            bits = struct.unpack("<H", b[i + 22 : i + 24])[0]
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size % 2)
+    if None in (channels, rate, bits) or data_size is None or channels == 0 or bits == 0:
+        return None, None, None, None
+    n_frames = data_size // (channels * bits // 8)
+    return channels, rate, n_frames, round(n_frames / rate, 6)
+
+
+def parse_image_meta(
+    df: DataFrame, content_col: str = "content", id_col: str = "path"
+) -> DataFrame:
+    """True (format, width, height) per binary payload — header-only
+    reads, Arrow-batched, no codec libraries; pairs with
+    ``sources.io.read_binary_files`` for asset inventory at scale."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                _parse_image_header(bytes(b) if b is not None else b"")
+                for b in pdf[content_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "format": [m[0] for m in metas],
+                    "width": pd.array([m[1] for m in metas], dtype="Int64"),
+                    "height": pd.array([m[2] for m in metas], dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        gen, schema=f"{id_col} string, format string, width long, height long"
+    )
+
+
+def parse_audio_meta(
+    df: DataFrame, content_col: str = "content", id_col: str = "path"
+) -> DataFrame:
+    """True (channels, sample_rate, n_frames, duration_s) per RIFF/WAV
+    payload — header-only reads, Arrow-batched, no codec libraries."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                _parse_wav_header(bytes(b) if b is not None else b"")
+                for b in pdf[content_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "channels": pd.array([m[0] for m in metas], dtype="Int64"),
+                    "sample_rate": pd.array([m[1] for m in metas], dtype="Int64"),
+                    "n_frames": pd.array([m[2] for m in metas], dtype="Int64"),
+                    "duration_s": pd.array([m[3] for m in metas], dtype="Float64"),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        gen,
+        schema=(
+            f"{id_col} string, channels long, sample_rate long, "
+            "n_frames long, duration_s double"
+        ),
+    )

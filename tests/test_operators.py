@@ -1090,3 +1090,49 @@ def test_ewma_bounds(spark):
         f" (acc, x) -> acc * (1 - {EWMA_ALPHA}) + x.value * {EWMA_ALPHA}) AS v"
     ).collect()[0].v
     assert abs(folded - 7.5) < 1e-12
+
+
+def test_parse_image_and_audio_meta_from_real_headers(spark):
+    """Header parsing is REAL decode: crafted PNG/GIF/JPEG/WAV bytes
+    round-trip their true dimensions / stream parameters; junk bytes
+    yield nulls."""
+    import struct
+
+    from skdist_spark.operators.multimodal import parse_audio_meta, parse_image_meta
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">IIBBBBB", 640, 480, 8, 6, 0, 0, 0) + b"\0" * 8
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\0" * 8
+    jpeg = (
+        b"\xff\xd8"                                   # SOI
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\0" + b"\0" * 9   # APP0
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 1080, 1920) + b"\x03" + b"\0" * 2          # SOF0
+    )
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + 8000) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 176400, 4, 16)
+        + b"data" + struct.pack("<I", 8000) + b"\0" * 8
+    )
+    df = spark.createDataFrame(
+        [("png", bytearray(png)), ("gif", bytearray(gif)),
+         ("jpg", bytearray(jpeg)), ("junk", bytearray(b"not media"))],
+        "path string, content binary",
+    )
+    got = {r.path: r for r in parse_image_meta(df).collect()}
+    assert (got["png"].format, got["png"].width, got["png"].height) == ("png", 640, 480)
+    assert (got["gif"].format, got["gif"].width, got["gif"].height) == ("gif", 320, 200)
+    assert (got["jpg"].format, got["jpg"].width, got["jpg"].height) == ("jpeg", 1920, 1080)
+    assert got["junk"].format is None and got["junk"].width is None
+
+    adf = spark.createDataFrame(
+        [("wav", bytearray(wav)), ("junk", bytearray(b"xx"))],
+        "path string, content binary",
+    )
+    agot = {r.path: r for r in parse_audio_meta(adf).collect()}
+    r = agot["wav"]
+    assert (r.channels, r.sample_rate) == (2, 44100)
+    assert r.n_frames == 8000 // 4 and abs(r.duration_s - 2000 / 44100) < 1e-6
+    assert agot["junk"].channels is None
