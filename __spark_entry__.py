@@ -67,7 +67,7 @@ _PRIORITY = [
     # pytest-covered; rotate them in once these earn rows) --
     "event_pagerank", "pack_chunks",
     "ann_lsh", "ann_ivf", "ann_pq",
-    "dedup_semantic", "embedding_pca",
+    "dedup_semantic", "embedding_pca", "bpe_merge_table",
     "ml_kmeans",
     "ml_grid_search", "ml_random_search", "ml_ovr_predict",
     "ml_forest_predict", "ml_forest_regress", "ml_feature_elimination",

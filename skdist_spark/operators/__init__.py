@@ -11,7 +11,7 @@ from .dedup import (
     simhash_dedup,
 )
 from .decomp import fit_pca, pca_project
-from .lm import doc_logprob, unigram_counts
+from .lm import bpe_train, doc_logprob, unigram_counts
 from .quality import (
     completeness_check,
     dq_audit,
@@ -75,6 +75,7 @@ __all__ = [
     "pca_project",
     "doc_logprob",
     "unigram_counts",
+    "bpe_train",
     "completeness_check",
     "uniqueness_check",
     "fk_check",

@@ -197,3 +197,95 @@ QUERIES = {
     "doc_perplexity": doc_perplexity,
     "vocab_coverage": vocab_coverage,
 }
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE tokenizer training
+# ---------------------------------------------------------------------------
+
+N_MERGES = 6  # registry-query depth; bpe_train takes any n_merges
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = N_MERGES,
+) -> list[tuple[str, str, str, int]]:
+    """Learn byte-pair-encoding merges from a corpus, distributed:
+    returns [(left, right, merged, pair_count), ...] in merge order —
+    tokenizer training as a first-class pipeline operator.
+
+    The working frame is the aggregated word VOCABULARY (distinct word,
+    count) — after one corpus scan every round touches only vocab-sized
+    data. Each round is (1) adjacent-pair counts: explode the symbol
+    arrays' bigrams weighted by word count, aggregate, take the global
+    argmax via orderBy().limit(1) (TakeOrdered, ties broken
+    lexicographically so training is deterministic); (2) merge
+    application: a LEFT FOLD over each symbol array that greedily joins
+    non-overlapping occurrences left-to-right — textbook BPE semantics
+    — as a pure SQL ``aggregate`` expression: no Python touches the
+    vocab. localCheckpoint per round cuts the growing lineage.
+
+    At 100 TB the corpus is scanned ONCE (the word count); rounds then
+    scale with |vocab|, and the only driver state is one (pair, count)
+    row per round.
+    """
+    words = _SPARK_WORDS.replace("text", text_col)
+    vocab = (
+        df.select(F.explode(F.expr(words)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("sym", F.expr("filter(split(word, ''), x -> x != '')"))
+        .select("sym", "n")
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = (
+            vocab.where(F.expr("size(sym) >= 2"))
+            .select(
+                "n",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(sym) - 1),"
+                        " i -> struct(sym[i - 1] AS l, sym[i] AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r")).limit(1).collect()
+        if not best:
+            break
+        l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        merged = l + r
+        merges.append((l, r, merged, cnt))
+        lq, rq, mq = l.replace("'", "\\'"), r.replace("'", "\\'"), merged.replace("'", "\\'")
+        fold = (
+            "aggregate(sym, CAST(array() AS array<string>), (acc, x) -> "
+            f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{lq}' AND x = '{rq}' "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), array('{mq}')) "
+            "ELSE concat(acc, array(x)) END)"
+        )
+        # per-round checkpoint: the next round's pair-count collect
+        # re-executes the whole fold lineage otherwise (measured slower
+        # than the extra materialization job)
+        vocab = vocab.withColumn("sym", F.expr(fold)).localCheckpoint()
+    return merges
+
+
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the learned BPE merge table over the documents
+    corpus (rows-only: iterative argmax training isn't one SQL
+    statement; pytest verifies exact equality with a pure-Python BPE
+    reference implementation)."""
+    docs = load_table(spark, "documents", sf_dir).select("text")
+    merges = bpe_train(docs)
+    return spark.createDataFrame(
+        [(i, l, r, m, c) for i, (l, r, m, c) in enumerate(merges)],
+        "merge_idx int, left string, right string, merged string, pair_count long",
+    )
+
+
+QUERIES["bpe_merge_table"] = bpe_merge_table

@@ -1136,3 +1136,51 @@ def test_parse_image_and_audio_meta_from_real_headers(spark):
     assert (r.channels, r.sample_rate) == (2, 44100)
     assert r.n_frames == 8000 // 4 and abs(r.duration_s - 2000 / 44100) < 1e-6
     assert agot["junk"].channels is None
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """Distributed BPE must learn EXACTLY the merges a pure-Python
+    reference learns on the same corpus (greedy left-to-right merge
+    application, lexicographic tie-break)."""
+    from collections import Counter
+
+    from skdist_spark.operators.lm import bpe_train
+    from skdist_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").select("text")
+    texts = [r.text for r in docs.collect()]
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.lower().strip().split():
+            vocab[tuple(w)] += 1
+
+    def ref_merges(vocab, n):
+        out = []
+        for _ in range(n):
+            pairs = Counter()
+            for sym, cnt in vocab.items():
+                for i in range(len(sym) - 1):
+                    pairs[(sym[i], sym[i + 1])] += cnt
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            (l, r), cnt = best
+            out.append((l, r, l + r, cnt))
+            new_vocab = Counter()
+            for sym, c in vocab.items():
+                merged, i = [], 0
+                while i < len(sym):
+                    if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                        merged.append(l + r)
+                        i += 2
+                    else:
+                        merged.append(sym[i])
+                        i += 1
+                new_vocab[tuple(merged)] += c
+            vocab = new_vocab
+        return out
+
+    want = ref_merges(vocab, 10)
+    got = bpe_train(docs, n_merges=10)
+    assert got == want, f"\ngot ={got}\nwant={want}"
