@@ -11,7 +11,7 @@ from .dedup import (
     simhash_dedup,
 )
 from .decomp import fit_pca, pca_project
-from .lm import bpe_train, doc_logprob, unigram_counts
+from .lm import bpe_encode, bpe_train, doc_logprob, unigram_counts
 from .quality import (
     completeness_check,
     dq_audit,
@@ -76,6 +76,7 @@ __all__ = [
     "doc_logprob",
     "unigram_counts",
     "bpe_train",
+    "bpe_encode",
     "completeness_check",
     "uniqueness_check",
     "fk_check",

@@ -289,3 +289,34 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["bpe_merge_table"] = bpe_merge_table
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply learned BPE merges: (id, tokens array<string>, n_tokens)
+    per document — the encode side of ``bpe_train``.
+
+    The merge sequence compiles into ONE nested SQL expression (a
+    left-fold per merge, innermost = the character split), evaluated
+    inside a ``transform`` over the document's words and flattened —
+    so encoding is a map-only scan with zero shuffles and zero Python,
+    and fold order reproduces training's greedy left-to-right rule.
+    """
+    words = _SPARK_WORDS.replace("text", text_col)
+    expr = "filter(split(w, ''), x -> x != '')"
+    for l, r, merged, _ in merges:
+        lq, rq, mq = (s.replace("'", "\\'") for s in (l, r, merged))
+        expr = (
+            f"aggregate({expr}, CAST(array() AS array<string>), (acc, x) -> "
+            f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{lq}' AND x = '{rq}' "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), array('{mq}')) "
+            "ELSE concat(acc, array(x)) END)"
+        )
+    return df.select(
+        F.col(id_col),
+        F.expr(f"flatten(transform({words}, w -> {expr}))").alias("tokens"),
+    ).select(id_col, "tokens", F.size("tokens").alias("n_tokens"))

@@ -1184,3 +1184,35 @@ def test_bpe_train_matches_python_reference(spark):
     want = ref_merges(vocab, 10)
     got = bpe_train(docs, n_merges=10)
     assert got == want, f"\ngot ={got}\nwant={want}"
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """bpe_encode must tokenize exactly like sequentially applying the
+    learned merges in pure Python (greedy left-to-right per merge)."""
+    from skdist_spark.operators.lm import bpe_encode, bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "the theme there"), (2, "a banana bandana"), (3, "xyz")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(df, n_merges=4)
+    assert merges, "expected at least one merge on this corpus"
+
+    def apply_merges(word):
+        sym = list(word)
+        for l, r, m, _ in merges:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                    out.append(m)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    got = {r.doc_id: (list(r.tokens), r.n_tokens) for r in bpe_encode(df, merges).collect()}
+    for doc_id, text in [(1, "the theme there"), (2, "a banana bandana"), (3, "xyz")]:
+        want = [t for w in text.lower().split() for t in apply_merges(w)]
+        assert got[doc_id] == (want, len(want)), (doc_id, got[doc_id], want)
