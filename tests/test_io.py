@@ -345,3 +345,20 @@ def test_synthetic_datasource_deterministic_and_partitioned(spark):
         .collect()
     )
     assert again == rows
+
+
+def test_parquet_stats_report_shows_clustering(spark, tmp_path):
+    """Footer-only stats: a range-partitioned write yields per-file
+    min/max id windows that are narrow and non-overlapping; row counts
+    sum to the table size."""
+    from skdist_spark.sources.io import parquet_stats_report
+
+    target = str(tmp_path / "tbl")
+    spark.range(0, 10_000).repartitionByRange(4, "id").write.parquet(target)
+
+    rep = parquet_stats_report(spark, target, columns=["id"]).collect()
+    assert sum(r.n_rows for r in rep) == 10_000
+    spans = sorted((int(r.min_value), int(r.max_value)) for r in rep)
+    assert len(spans) == 4
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2, spans  # disjoint: clustering visible in footers
