@@ -186,3 +186,43 @@ def test_profile_documents_single_job(spark, sf_dir):
     df = windows.profile_documents(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 1
+
+
+def test_plan_lint_detects_and_clears(spark, sf_dir):
+    """plan_lint flags cartesian products, row-wise Python UDFs, and
+    unpushed filters on crafted plans, and reports clean for a
+    pushdown-friendly scan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import udf
+
+    from skdist_spark.plans.lint import assert_plan_clean, plan_lint
+    from skdist_spark.sources.catalog import load_table
+
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    cart = a.join(b, F.expr("id != id2"))
+    rules = {f["rule"] for f in plan_lint(cart)}
+    assert "nested-loop-join" in rules or "cartesian-product" in rules
+
+    slow = spark.range(10).select(udf(lambda x: x + 1, "long")("id"))
+    assert {f["rule"] for f in plan_lint(slow)} >= {"rowwise-python-udf"}
+
+    clean = (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_orderkey") < 100)
+        .select("o_orderkey", "o_totalprice")
+    )
+    assert plan_lint(clean) == []
+    assert_plan_clean(clean)
+
+    from pyspark.sql import Window
+
+    glob = spark.range(100).orderBy("id").withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    assert {f["rule"] for f in plan_lint(glob)} >= {"single-partition-exchange"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="plan lint"):
+        assert_plan_clean(slow)
