@@ -1,3 +1,3 @@
-from . import tpch, windows
+from . import behavior, lint, ml_queries, tpch, windows
 
-__all__ = ["tpch", "windows"]
+__all__ = ["behavior", "lint", "ml_queries", "tpch", "windows"]
