@@ -6,7 +6,8 @@
 - ann_lsh: random-hyperplane (sign) LSH bucketing — the 100 TB path:
   candidates meet in buckets via an equi-join instead of a cross join.
   Hyperplanes are derived deterministically from md5, so results are
-  reproducible (rows-only driver check; sign-LSH isn't ANSI-SQL).
+  reproducible and the bucket assignment is oracle-checked (the sign
+  matrix inlines into DuckDB SQL with the same fold order).
 """
 
 from __future__ import annotations
@@ -62,8 +63,10 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pseudo-random hyperplanes; neighbors retrieved per bucket.
 
     Hyperplane r_b[i] = +1/-1 from a md5-derived bit — reproducible
-    everywhere without shipping a matrix. Output: bucket stats +
-    within-bucket top pair per bucket (rows-only check).
+    everywhere without shipping a matrix. Output: per-bucket stats.
+    Oracle-checked: the same sign matrix inlines into DuckDB SQL as an
+    explicit left-associated sum, so both engines compute bit-identical
+    projections and identical bucket assignments.
     """
     emb = _emb(spark, sf_dir)
     # bit b of the signature: sign of dot(v, r_b), r_b[i] in {+1,-1}
@@ -100,6 +103,39 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def _lsh_oracle_sql() -> str:
+    """DuckDB spelling of ann_lsh: identical md5-derived sign matrix,
+    explicit left-associated projection sum (same fold order as the
+    Spark ``aggregate``), same bucket arithmetic."""
+    import hashlib
+
+    dims = 64
+    bit_sqls = []
+    for b in range(LSH_BITS):
+        acc = "0"
+        for i in range(dims):
+            sign = (
+                "1.0"
+                if hashlib.md5(f"{b}:{i}".encode()).hexdigest()[0] in "89abcdef"
+                else "-1.0"
+            )
+            acc = f"({acc} + v[{i + 1}] * {sign})"
+        bit_sqls.append(f"(CASE WHEN {acc} > 0 THEN {2**b} ELSE 0 END)")
+    sig = " + ".join(bit_sqls)
+    return f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), b AS (
+            SELECT vec_id, CAST({sig} AS INTEGER) AS bucket FROM e
+        )
+        SELECT bucket, COUNT(*) AS n_vectors,
+               MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id
+        FROM b GROUP BY bucket ORDER BY bucket
+    """
 
 
 def cosine_topk(
@@ -448,6 +484,7 @@ def _duck_corr_sql() -> str:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "ann_lsh": _lsh_oracle_sql(),
     "embedding_corr": _duck_corr_sql(),
     "ann_topk": f"""
         WITH e AS (
