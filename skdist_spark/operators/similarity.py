@@ -138,6 +138,66 @@ def _lsh_oracle_sql() -> str:
     """
 
 
+_DUCK_DOT = (
+    "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]),"
+    " (x, y) -> x + y)"
+)
+_DUCK_NORM = (
+    "sqrt(list_reduce(list_transform({0}, x -> x * x), (x, y) -> x + y))"
+)
+
+
+def _ivf_oracle_sql() -> str:
+    """DuckDB spelling of ann_ivf. Dot products and norms are
+    left-fold sums in the same order as the Spark ``aggregate``
+    expressions (list_reduce's first-element init equals Spark's 0D
+    init exactly in IEEE), so every cosine is bit-identical and the
+    argmax / probe / re-rank orderings agree without tolerance.
+    Tie-breaks replicate the Spark ones: cell assignment = max_by
+    struct(cos, cent_id) -> highest id on ties; probe list =
+    array_sort(struct(-cos, cent_id)) -> lowest id first."""
+    dot_vc = _DUCK_DOT.format(a="e.v", b="c.cv")
+    cand_dot = _DUCK_DOT.format(a="p.qv", b="cl.v")
+    return f"""
+        WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), c AS (
+            SELECT vec_id AS cent_id, v AS cv FROM e
+            WHERE vec_id >= {_CENTROID_BASE} AND vec_id < {_CENTROID_BASE + IVF_NLIST}
+        ), scored AS (
+            SELECT e.vec_id, e.v, c.cent_id,
+                   {dot_vc} / ({_DUCK_NORM.format('e.v')} * {_DUCK_NORM.format('c.cv')})
+                       AS cent_cos
+            FROM e CROSS JOIN c
+        ), ranked AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY cent_cos DESC, cent_id DESC) AS rn_assign,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY cent_cos DESC, cent_id ASC) AS rn_probe
+            FROM scored
+        ), cells AS (
+            SELECT vec_id, cent_id AS cell, v FROM ranked WHERE rn_assign = 1
+        ), probes AS (
+            SELECT vec_id AS query_id, v AS qv, cent_id AS cell
+            FROM ranked WHERE vec_id < {N_QUERIES} AND rn_probe <= {IVF_NPROBE}
+        ), cand AS (
+            SELECT p.query_id, cl.vec_id AS neighbor_id,
+                   {cand_dot} / ({_DUCK_NORM.format('p.qv')} * {_DUCK_NORM.format('cl.v')})
+                       AS cosine
+            FROM probes p JOIN cells cl USING (cell)
+            WHERE p.query_id != cl.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+            FROM cand
+        ) WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """
+
+
 def cosine_topk(
     queries_df: DataFrame,
     corpus_df: DataFrame,
@@ -485,6 +545,7 @@ def _duck_corr_sql() -> str:
 
 ORACLE_SQL: dict[str, str] = {
     "ann_lsh": _lsh_oracle_sql(),
+    "ann_ivf": _ivf_oracle_sql(),
     "embedding_corr": _duck_corr_sql(),
     "ann_topk": f"""
         WITH e AS (

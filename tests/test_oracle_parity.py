@@ -37,7 +37,7 @@ def test_every_query_declared(spark):
     # every queries() entry should either have an oracle or be a
     # documented rows-only op (ml_*, streaming, lsh buckets, multimodal)
     rows_only_prefixes = (
-        "ml_", "stream_", "ann_ivf", "ann_pq", "multimodal", "encoderizer", "approx_",
+        "ml_", "stream_", "ann_pq", "multimodal", "encoderizer", "approx_",
         "heavy_hitters_cms", "kmv_", "order_percentiles_approx", "pack_chunks",
         "corpus_pipeline", "event_pagerank", "dedup_semantic", "embedding_pca",
         "bpe_merge_table",

@@ -111,10 +111,11 @@ def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
         #   vocab_coverage/basket_part_affinity — broadcast of a
         #   ONE-row scalar aggregate;
         #   ann_topk — broadcast of the bounded (N_QUERIES) query side;
+        #   ann_ivf — broadcast of the bounded 16-centroid table;
         #   dedup_embedding — block-pair triangle join over N/512 block
         #   descriptors (the blocked-GEMM task list, not row pairs)
         if joins and name not in (
-            "q11", "q22", "ann_topk", "dedup_embedding", "tfidf_search",
+            "q11", "q22", "ann_topk", "ann_ivf", "dedup_embedding", "tfidf_search",
             "mixture_sample_sources", "doc_perplexity", "vocab_coverage",
             "basket_part_affinity", "rfm_segments",
         ):
