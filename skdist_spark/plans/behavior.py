@@ -415,6 +415,98 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+PATH_LEN = 4
+
+
+def user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis (the Sankey-diagram feed): each user's first
+    ``PATH_LEN`` event types in time order joined into a path string,
+    rolled up to path frequencies — "how do journeys start".
+
+    One shuffle on user_id; the ordered prefix comes from sorting the
+    collected (ts, event_id, type) structs inside the aggregate (ties
+    total-ordered by event_id), so no window pass is needed at all.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    paths = (
+        ev.groupBy("user_id")
+        .agg(
+            F.expr(
+                f"concat_ws(' > ', slice(transform(sort_array("
+                f"collect_list(struct(ts, event_id, event_type))),"
+                f" s -> s.event_type), 1, {PATH_LEN}))"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+    )
+
+
+def weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week purchase revenue: weekly DECIMAL-exact totals
+    with the previous week's total and percent change — the KPI-report
+    shape.  Integer week index from the fixed epoch (engine-aligned);
+    one aggregation shuffle; the lag rides a single global ordering
+    over the tiny week dimension.
+    """
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    weekly = ev.groupBy(
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit(_WEEK_EPOCH).cast("date")) / 7
+        )
+        .cast("int")
+        .alias("week")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("revenue")
+    )
+    w = Window.orderBy("week")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        "week",
+        "revenue",
+        F.round(prev, 6).alias("prev_revenue"),
+        F.round((F.col("revenue") - prev) / prev * 100, 6).alias("pct_change"),
+    ).orderBy("week")
+
+
+def interevent_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-user inter-event gaps in log2 buckets of
+    seconds — the latency-histogram shape (cheap tail visibility
+    without percentile state).  One shuffle on user_id for the lag;
+    bucket rollup is a small second aggregation.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .where(F.col("prev_ts").isNotNull())
+        .select(
+            # exact integer microseconds (unix_timestamp would FLOOR to
+            # seconds while the oracle's epoch keeps fractions)
+            (
+                (F.expr("unix_micros(ts)") - F.expr("unix_micros(prev_ts)"))
+                / F.lit(1000000.0)
+            ).alias("gap_s")
+        )
+        .where(F.col("gap_s") > 0)
+    )
+    bucket = F.floor(F.log2("gap_s")).cast("int")
+    return (
+        gaps.groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_s").alias("min_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+        .orderBy("log2_bucket")
+    )
+
+
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: per-user Recency (days since last
     purchase vs the corpus max date), Frequency (purchase count) and
@@ -554,6 +646,51 @@ ORACLE_SQL_ATTRIBUTION = """
 
 ORACLE_SQL["user_daily_interpolate"] = ORACLE_INTERPOLATE
 
+ORACLE_SQL["user_event_paths"] = f"""
+    WITH p AS (
+        SELECT user_id,
+               array_to_string(
+                   (list(event_type ORDER BY ts, event_id))[1:{PATH_LEN}],
+                   ' > ') AS path
+        FROM events GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM p GROUP BY path
+    ORDER BY n_users DESC, path ASC
+"""
+
+ORACLE_SQL["weekly_revenue_wow"] = f"""
+    WITH weekly AS (
+        SELECT CAST(FLOOR(date_diff('day', DATE '{_WEEK_EPOCH}',
+                                    CAST(ts AS DATE)) / 7) AS INTEGER) AS week,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT week, revenue,
+           ROUND(LAG(revenue) OVER (ORDER BY week), 6) AS prev_revenue,
+           ROUND((revenue - LAG(revenue) OVER (ORDER BY week))
+                 / LAG(revenue) OVER (ORDER BY week) * 100, 6) AS pct_change
+    FROM weekly ORDER BY week
+"""
+
+ORACLE_SQL["interevent_latency_histogram"] = """
+    WITH g AS (
+        SELECT (epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0 AS gap_s
+        FROM (
+            SELECT ts, LAG(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        )
+        WHERE prev_ts IS NOT NULL
+          AND (epoch_us(ts) - epoch_us(prev_ts)) > 0
+    )
+    SELECT CAST(FLOOR(log2(gap_s)) AS INTEGER) AS log2_bucket,
+           COUNT(*) AS n_gaps,
+           MIN(gap_s) AS min_gap_s,
+           MAX(gap_s) AS max_gap_s
+    FROM g GROUP BY 1 ORDER BY 1
+"""
+
 ORACLE_SQL["purchase_attribution"] = ORACLE_SQL_ATTRIBUTION
 
 ORACLE_SQL["rfm_segments"] = ORACLE_RFM
@@ -603,4 +740,7 @@ QUERIES = {
     "user_daily_interpolate": user_daily_interpolate,
     "purchase_attribution": purchase_attribution,
     "rfm_segments": rfm_segments,
+    "user_event_paths": user_event_paths,
+    "weekly_revenue_wow": weekly_revenue_wow,
+    "interevent_latency_histogram": interevent_latency_histogram,
 }
