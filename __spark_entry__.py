@@ -62,6 +62,7 @@ _PRIORITY = [
     "user_daily_interpolate", "purchase_attribution", "value_ntile_buckets",
     "basket_part_affinity", "rfm_segments", "doc_graph_distances",
     "user_event_paths", "weekly_revenue_wow", "interevent_latency_histogram",
+    "shipping_delay_percentiles",
     # -- 20 rows-only entries (driver records a rows>=0 check);
     # stream_minhash_pairs/static_enrich/stream_join/dedup_users +
     # multimodal_* + kmv_user_overlap wait past the cap (all

@@ -1255,11 +1255,66 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+def shipping_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship delay distribution per order priority: exact
+    p50/p90/max of datediff(l_shipdate, o_orderdate) — the fulfillment
+    SLA view, and the suite's fact-to-fact join exemplar.
+
+    Plan: both fact tables shuffle once on the order key (sort-merge;
+    neither side is broadcastable at scale), delays are computed
+    map-side post-join, and the percentile aggregation groups on the
+    LOW-cardinality priority key.  Negative delays (data-quality
+    escapes) are excluded so the SLA numbers mean what they say.
+    """
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    delays = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            "o_orderpriority",
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+                "delay_days"
+            ),
+        )
+        .where(F.col("delay_days") >= 0)
+    )
+    return (
+        delays.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.expr("percentile(delay_days, 0.5)").alias("p50_delay"),
+            F.expr("percentile(delay_days, 0.9)").alias("p90_delay"),
+            F.max("delay_days").alias("max_delay"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_SHIPPING_DELAY = """
+    WITH d AS (
+        SELECT o_orderpriority,
+               date_diff('day', CAST(o_orderdate AS DATE),
+                         CAST(l_shipdate AS DATE)) AS delay_days
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lineitems,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY delay_days) AS p50_delay,
+           percentile_cont(0.9) WITHIN GROUP (ORDER BY delay_days) AS p90_delay,
+           MAX(delay_days) AS max_delay
+    FROM d WHERE delay_days >= 0
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
 ORACLE_SQL["basket_part_affinity"] = ORACLE_BASKET
+ORACLE_SQL["shipping_delay_percentiles"] = ORACLE_SHIPPING_DELAY
 
 QUERIES = {
     "q1": q1,
     "basket_part_affinity": basket_part_affinity,
+    "shipping_delay_percentiles": shipping_delay_percentiles,
     "q2": q2,
     "q3": q3,
     "q4": q4,
