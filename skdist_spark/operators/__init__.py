@@ -20,6 +20,7 @@ from .quality import (
     uniqueness_check,
 )
 from .aggregates import salted_agg
+from .stats import group_trend, key_skew, pmi_table, psi_drift
 from .graph import connected_components, connected_components_star, pagerank
 from .joins import asof_join, interval_join, salted_join
 from .sampling import sample_k_per_group, train_test_split_df, weighted_sample_k
@@ -73,6 +74,10 @@ __all__ = [
     "dup_span_stats",
     "fit_pca",
     "pca_project",
+    "group_trend",
+    "psi_drift",
+    "pmi_table",
+    "key_skew",
     "doc_logprob",
     "unigram_counts",
     "bpe_train",

@@ -543,7 +543,171 @@ def _duck_corr_sql() -> str:
     """
 
 
+# ---- Cross-corpus IVF similarity join --------------------------------
+
+IVF_JOIN_NPROBE = 4
+
+
+def ivf_join(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    centroids_df: DataFrame,
+    k: int = TOP_K,
+    nprobe: int = IVF_JOIN_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Cross-corpus ANN join: for every QUERY vector, the k nearest
+    CORPUS vectors, with both sides arbitrarily large.
+
+    This is the scale shape `cosine_topk` can't reach (it broadcasts
+    the query side): both sides are partitioned into shared IVF cells
+    against one broadcast centroid set, and candidates meet through an
+    EQUI-join on cell id — per-query work drops from |corpus| to
+    ~nprobe/nlist of it, and the shuffle is the cell-keyed join, never
+    a cross join.  Corpus cell assignment is one groupBy on the corpus
+    id; query probe lists come from the same argmax aggregation shape.
+
+    Ids may overlap across sides (they name different corpora); no
+    self-match filter is applied.  Ties replicate ann_ivf: cell
+    assignment takes the highest cent_id on equal cosine, probe order
+    the lowest.
+    """
+    cents = F.broadcast(
+        centroids_df.select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+        )
+    )
+    dot_cv = "aggregate(zip_with(v, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    norm = "sqrt(aggregate(transform({0}, x -> x * x), 0D, (acc, x) -> acc + x))"
+    cent_cos = F.expr(f"{dot_cv} / ({norm.format('v')} * {norm.format('cv')})")
+
+    corpus = corpus_df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"))
+    cells = (
+        corpus.crossJoin(cents)
+        .withColumn("cent_cos", cent_cos)
+        .groupBy("cid")
+        .agg(
+            F.max_by("cent_id", F.struct("cent_cos", "cent_id")).alias("cell"),
+            F.first("v").alias("v"),
+        )
+    )
+    queries = queries_df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("v"))
+    probes = (
+        queries.crossJoin(cents)
+        .withColumn("cent_cos", cent_cos)
+        .groupBy("query_id")
+        .agg(
+            F.first("v").alias("qv"),
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.negate(F.col("cent_cos")).alias("neg"), F.col("cent_id"))
+                    )
+                ),
+                1,
+                nprobe,
+            ).alias("probe_cells"),
+        )
+        .select(
+            "query_id", "qv", F.explode_outer(F.col("probe_cells.cent_id")).alias("cell")
+        )
+    )
+    cand_cos = (
+        "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+        f" / ({norm.format('qv')} * {norm.format('v')})"
+    )
+    w_k = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        probes.join(cells, "cell")
+        .select(
+            "query_id",
+            F.col("cid").alias("neighbor_id"),
+            F.expr(cand_cos).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w_k))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus IVF join between the two label-parity halves of the
+    embeddings table: odd-label vectors query the even-label corpus.
+
+    Centroids are the 16 lowest-id corpus vectors with vec_id >=
+    _CENTROID_BASE (TakeOrderedAndProject — deterministic, no global
+    sort, no single-partition exchange), standing in for a trained
+    k-means pass with the identical plan shape.
+    """
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    corpus = emb.where(F.col("label") % 2 == 0).select("vec_id", "v")
+    queries = emb.where(F.col("label") % 2 == 1).select("vec_id", "v")
+    cents = (
+        corpus.where(F.col("vec_id") >= _CENTROID_BASE)
+        .orderBy("vec_id")
+        .limit(IVF_NLIST)
+    )
+    return ivf_join(queries, corpus, cents)
+
+
+def _ivf_join_oracle_sql() -> str:
+    """DuckDB spelling of ann_ivf_join — same fold-order contract as
+    _ivf_oracle_sql, over the parity-split corpora."""
+    dot_vc = _DUCK_DOT.format(a="s.v", b="c.cv")
+    cand_dot = _DUCK_DOT.format(a="p.qv", b="cl.v")
+    return f"""
+        WITH e AS (
+            SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), corpus AS (
+            SELECT vec_id, v FROM e WHERE label % 2 = 0
+        ), queries AS (
+            SELECT vec_id, v FROM e WHERE label % 2 = 1
+        ), c AS (
+            SELECT vec_id AS cent_id, v AS cv FROM corpus
+            WHERE vec_id >= {_CENTROID_BASE} ORDER BY vec_id LIMIT {IVF_NLIST}
+        ), corp_scored AS (
+            SELECT s.vec_id, s.v, c.cent_id,
+                   {dot_vc} / ({_DUCK_NORM.format('s.v')} * {_DUCK_NORM.format('c.cv')})
+                       AS cent_cos
+            FROM corpus s CROSS JOIN c
+        ), cells AS (
+            SELECT vec_id AS cid, cent_id AS cell, v FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY cent_cos DESC, cent_id DESC) AS rn
+                FROM corp_scored
+            ) WHERE rn = 1
+        ), q_scored AS (
+            SELECT s.vec_id, s.v, c.cent_id,
+                   {dot_vc} / ({_DUCK_NORM.format('s.v')} * {_DUCK_NORM.format('c.cv')})
+                       AS cent_cos
+            FROM queries s CROSS JOIN c
+        ), probes AS (
+            SELECT vec_id AS query_id, v AS qv, cent_id AS cell FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY cent_cos DESC, cent_id ASC) AS rn
+                FROM q_scored
+            ) WHERE rn <= {IVF_JOIN_NPROBE}
+        ), cand AS (
+            SELECT p.query_id, cl.cid AS neighbor_id,
+                   {cand_dot} / ({_DUCK_NORM.format('p.qv')} * {_DUCK_NORM.format('cl.v')})
+                       AS cosine
+            FROM probes p JOIN cells cl USING (cell)
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+            FROM cand
+        ) WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
+    "ann_ivf_join": _ivf_join_oracle_sql(),
     "ann_lsh": _lsh_oracle_sql(),
     "ann_ivf": _ivf_oracle_sql(),
     "embedding_corr": _duck_corr_sql(),
@@ -572,6 +736,7 @@ QUERIES = {
     "ann_topk": ann_topk,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
+    "ann_ivf_join": ann_ivf_join,
     "ann_pq": ann_pq,
     "embedding_corr": embedding_corr,
 }

@@ -1,0 +1,425 @@
+"""Statistical monitoring operators: per-group trend regression,
+distribution-drift scoring, pointwise mutual information, and key-skew
+diagnostics.
+
+These are the observability layer a 100 TB pipeline runs continuously:
+"is this user's spend trending up", "did the value distribution shift
+between deploy windows", "which event types co-occur with high-value
+sessions", and "is this join key skewed enough to need salting".
+
+Scale posture:
+- Every operator is ONE scan + one (or zero) shuffle of pre-aggregated
+  integer moments.  Group-wise OLS follows the feature_corr pattern
+  (operators/similarity.py): micro-quantize doubles to BIGINT, sum
+  exact DECIMAL(38,0) moments (map-side combinable), and do the final
+  slope/intercept/r2 arithmetic in DOUBLE with an expression shape
+  duplicated verbatim in the DuckDB oracle — so the hashes match
+  bit-for-bit without any tolerance.
+- PSI drift needs a dense (group x bin) grid for smoothing; the grid is
+  |event_types| x 10 rows built from the aggregated counts themselves
+  (no second scan of the fact table).
+- The skew report is the pre-flight check for salted_join/salted_agg
+  (operators/joins.py, operators/aggregates.py): integer-exact ppm
+  shares of the top keys, computed with a two-stage count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+# epoch seconds of 2024-01-01T00:00:00Z — keeps x small enough that
+# x*x products stay inside DECIMAL(19,0) terms (x <= ~2.6e6 for the
+# one-month events window; a year of data is x <= 3.2e7, x*x <= 1e15).
+_TREND_BASE_S = 1704067200
+
+# shared DOUBLE expression fragments, duplicated verbatim in the oracle
+_VARX = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+_VARY = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+_COV = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+
+
+def group_trend(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-group OLS regression of integer ``y_col`` on integer
+    ``x_col`` from exact moments.
+
+    Input columns must already be BIGINT (quantize doubles first —
+    see user_value_trend).  Emits one row per group with n, the five
+    exact DECIMAL(38,0) moments, and DOUBLE slope / intercept / r2
+    (slope in y-units per x-unit).  Groups with zero x- or y-variance
+    are dropped (no trend is defined).
+
+    One shuffle of six numeric moments per group; everything above it
+    is map-side combinable.
+    """
+    m = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(x_col).cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col(y_col).cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.expr(f"CAST({x_col} AS DECIMAL(19,0)) * {x_col}").cast("decimal(38,0)")).alias("sxx"),
+        F.sum(F.expr(f"CAST({x_col} AS DECIMAL(19,0)) * {y_col}").cast("decimal(38,0)")).alias("sxy"),
+        F.sum(F.expr(f"CAST({y_col} AS DECIMAL(19,0)) * {y_col}").cast("decimal(38,0)")).alias("syy"),
+    )
+    return (
+        m.where(F.expr(f"n >= 2 AND {_VARX} > 0.0D AND {_VARY} > 0.0D"))
+        .select(
+            *key_cols,
+            "n",
+            F.expr(f"{_COV} / {_VARX}").alias("slope"),
+            F.expr(
+                f"(CAST(sy AS DOUBLE) - ({_COV} / {_VARX}) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)"
+            ).alias("intercept"),
+            F.expr(f"({_COV} * {_COV}) / ({_VARX} * {_VARY})").alias("r2"),
+        )
+    )
+
+
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend of event value over time.
+
+    x = event time in whole seconds since 2024-01-01 (exact integer),
+    y = value in exact micro-units.  slope_per_day converts back to
+    value-units/day; intercept_value is the fitted value at the base
+    instant.  All three outputs rounded to 6 decimals (the moments
+    feeding them are bit-identical across engines).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    q = ev.select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div 1000000 - {_TREND_BASE_S}").alias("x"),
+        F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("y"),
+    )
+    t = group_trend(q, ["user_id"])
+    return t.select(
+        "user_id",
+        "n",
+        F.expr("ROUND(slope * 86400.0D / 1000000.0D, 6)").alias("slope_per_day"),
+        F.expr("ROUND(intercept / 1000000.0D, 6)").alias("intercept_value"),
+        F.expr("ROUND(r2, 6)").alias("r2"),
+    ).orderBy("user_id")
+
+
+def _trend_oracle_sql() -> str:
+    return f"""
+        WITH q AS (
+            SELECT user_id,
+                   epoch_us(ts) // 1000000 - {_TREND_BASE_S} AS x,
+                   CAST(floor(value * 1000000) AS BIGINT) AS y
+            FROM events
+        ), m AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+                   CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+                   CAST(SUM(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0)) AS sxx,
+                   CAST(SUM(CAST(x AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS sxy,
+                   CAST(SUM(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS syy
+            FROM q GROUP BY user_id
+        )
+        SELECT user_id, n,
+               ROUND({_COV} / {_VARX} * 86400.0 / 1000000.0, 6) AS slope_per_day,
+               ROUND((CAST(sy AS DOUBLE) - ({_COV} / {_VARX}) * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE) / 1000000.0, 6) AS intercept_value,
+               ROUND(({_COV} * {_COV}) / ({_VARX} * {_VARY}), 6) AS r2
+        FROM m
+        WHERE n >= 2 AND {_VARX} > 0.0 AND {_VARY} > 0.0
+        ORDER BY user_id
+    """
+
+
+# ---- PSI distribution drift ------------------------------------------
+
+PSI_BINS = 10
+PSI_BIN_WIDTH = 50.0  # value buckets [0,50), [50,100), ... clamp at 9
+PSI_SMOOTH = 0.5  # add-k smoothing so empty bins stay finite
+
+
+def psi_drift(
+    df: DataFrame,
+    group_col: str,
+    bin_col: str,
+    half_col: str,
+) -> DataFrame:
+    """Population-stability-index drift per group between two halves.
+
+    Input: one row per observation with an integer bin id in
+    [0, PSI_BINS) and ``half_col`` in ('early', 'late').  Counts are
+    aggregated per (group, bin) with conditional sums — ONE shuffle —
+    then densified to the full bin grid from the aggregate itself (a
+    group's missing bins contribute the smoothing mass only).
+    PSI = sum_b (p_b - q_b) * ln(p_b / q_b) with add-k smoothed
+    p (early) and q (late).  Industry thresholds: <0.1 stable,
+    0.1-0.25 drifting, >0.25 shifted.
+    """
+    counts = df.groupBy(group_col, bin_col).agg(
+        F.sum(F.expr(f"CASE WHEN {half_col} = 'early' THEN 1 ELSE 0 END")).alias("early_c"),
+        F.sum(F.expr(f"CASE WHEN {half_col} = 'late' THEN 1 ELSE 0 END")).alias("late_c"),
+    )
+    # dense grid: every group x every bin 0..PSI_BINS-1, built from the
+    # aggregated frame (tiny), not the fact table
+    grid = (
+        counts.select(group_col).distinct()
+        .crossJoin(
+            F.broadcast(
+                counts.sparkSession.range(PSI_BINS).select(F.col("id").alias(bin_col))
+            )
+        )
+    )
+    dense = (
+        grid.join(counts, [group_col, bin_col], "left")
+        .select(
+            group_col,
+            bin_col,
+            F.coalesce("early_c", F.lit(0)).alias("early_c"),
+            F.coalesce("late_c", F.lit(0)).alias("late_c"),
+        )
+    )
+    tot = dense.groupBy(group_col).agg(
+        F.sum("early_c").alias("n_early"), F.sum("late_c").alias("n_late")
+    )
+    k, nb = PSI_SMOOTH, PSI_BINS
+    p = f"((CAST(early_c AS DOUBLE) + {k}) / (CAST(n_early AS DOUBLE) + {k * nb}))"
+    q = f"((CAST(late_c AS DOUBLE) + {k}) / (CAST(n_late AS DOUBLE) + {k * nb}))"
+    term = f"(({p} - {q}) * ln({p} / {q}))"
+    return (
+        dense.join(tot, group_col)
+        .groupBy(group_col, "n_early", "n_late")
+        .agg(F.round(F.sum(F.expr(term)), 6).alias("psi"))
+        .select(group_col, "n_early", "n_late", "psi")
+        .orderBy(group_col)
+    )
+
+
+def event_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI of the value distribution per event_type, early vs late half
+    of the stream's time range (the deploy-window drift monitor).
+
+    The split point is the exact integer midpoint of [min, max] event
+    micros — a one-row aggregate broadcast back, never a driver
+    collect.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.expr(
+            f"least({PSI_BINS - 1}, greatest(0, CAST(floor(value / {PSI_BIN_WIDTH}D) AS INT)))"
+        ).alias("bin"),
+    )
+    bounds = F.broadcast(
+        ev.agg(
+            F.min("us").alias("mn"), F.max("us").alias("mx")
+        ).select(F.expr("(mn + mx) div 2").alias("mid"))
+    )
+    halves = ev.crossJoin(bounds).select(
+        "event_type",
+        "bin",
+        F.expr("CASE WHEN us <= mid THEN 'early' ELSE 'late' END").alias("half"),
+    )
+    return psi_drift(halves, "event_type", "bin", "half")
+
+
+def _drift_oracle_sql() -> str:
+    k, nb = PSI_SMOOTH, PSI_BINS
+    p = f"((CAST(early_c AS DOUBLE) + {k}) / (CAST(n_early AS DOUBLE) + {k * nb}))"
+    q = f"((CAST(late_c AS DOUBLE) + {k}) / (CAST(n_late AS DOUBLE) + {k * nb}))"
+    term = f"(({p} - {q}) * ln({p} / {q}))"
+    return f"""
+        WITH ev AS (
+            SELECT event_type, epoch_us(ts) AS us,
+                   LEAST({PSI_BINS - 1}, GREATEST(0, CAST(floor(value / {PSI_BIN_WIDTH}) AS INT))) AS bin
+            FROM events
+        ), bounds AS (
+            SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev
+        ), counts AS (
+            SELECT event_type, bin,
+                   SUM(CASE WHEN us <= mid THEN 1 ELSE 0 END) AS early_c,
+                   SUM(CASE WHEN us > mid THEN 1 ELSE 0 END) AS late_c
+            FROM ev CROSS JOIN bounds
+            GROUP BY event_type, bin
+        ), grid AS (
+            SELECT t.event_type, b.bin
+            FROM (SELECT DISTINCT event_type FROM counts) t
+            CROSS JOIN (SELECT UNNEST(range(0, {PSI_BINS})) AS bin) b
+        ), dense AS (
+            SELECT g.event_type, g.bin,
+                   COALESCE(c.early_c, 0) AS early_c,
+                   COALESCE(c.late_c, 0) AS late_c
+            FROM grid g LEFT JOIN counts c
+              ON g.event_type = c.event_type AND g.bin = c.bin
+        ), tot AS (
+            SELECT event_type, SUM(early_c) AS n_early, SUM(late_c) AS n_late
+            FROM dense GROUP BY event_type
+        )
+        SELECT d.event_type,
+               CAST(t.n_early AS BIGINT) AS n_early,
+               CAST(t.n_late AS BIGINT) AS n_late,
+               ROUND(SUM({term}), 6) AS psi
+        FROM dense d JOIN tot t ON d.event_type = t.event_type
+        GROUP BY d.event_type, t.n_early, t.n_late
+        ORDER BY d.event_type
+    """
+
+
+# ---- Pointwise mutual information ------------------------------------
+
+PMI_VALUE_THRESHOLD = 100.0  # "high value" event flag
+
+
+def pmi_table(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Pointwise mutual information between two categorical columns.
+
+    One groupBy on (a, b) scans the data; the marginals and the grand
+    total are re-aggregations OVER the joint counts broadcast back
+    (never a second scan, never an unpartitioned window — at scale the
+    joint frame is |A| x |B| rows but each marginal is a map-side
+    combinable sum).  pmi = ln(c_ab * N / (c_a * c_b));
+    contribution = (c_ab/N) * pmi is the cell's share of full MI.
+    All ratios are formed from exact BIGINT counts; only the final
+    ln/division is DOUBLE (rounded 6).
+    """
+    joint = df.groupBy(a_col, b_col).agg(F.count(F.lit(1)).alias("c_ab"))
+    ca = joint.groupBy(a_col).agg(F.sum("c_ab").alias("c_a"))
+    cb = joint.groupBy(b_col).agg(F.sum("c_ab").alias("c_b"))
+    n = joint.agg(F.sum("c_ab").alias("n"))
+    with_m = (
+        joint.join(F.broadcast(ca), a_col)
+        .join(F.broadcast(cb), b_col)
+        .crossJoin(F.broadcast(n))
+    )
+    ratio = "(CAST(c_ab AS DOUBLE) * CAST(n AS DOUBLE)) / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))"
+    return with_m.select(
+        a_col,
+        b_col,
+        "c_ab",
+        "c_a",
+        "c_b",
+        "n",
+        F.expr(f"ROUND(ln({ratio}), 6)").alias("pmi"),
+        F.expr(f"ROUND((CAST(c_ab AS DOUBLE) / CAST(n AS DOUBLE)) * ln({ratio}), 6)").alias(
+            "mi_contribution"
+        ),
+    ).orderBy(a_col, b_col)
+
+
+def event_value_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI between event_type and the high-value flag (value >= 100):
+    which event types are informative about high-value activity."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.expr(f"CASE WHEN value >= {PMI_VALUE_THRESHOLD}D THEN 1 ELSE 0 END").alias(
+            "high_value"
+        ),
+    )
+    return pmi_table(ev, "event_type", "high_value")
+
+
+def _pmi_oracle_sql() -> str:
+    ratio = "(CAST(c_ab AS DOUBLE) * CAST(n AS DOUBLE)) / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))"
+    return f"""
+        WITH ev AS (
+            SELECT event_type,
+                   CASE WHEN value >= {PMI_VALUE_THRESHOLD} THEN 1 ELSE 0 END AS high_value
+            FROM events
+        ), joint AS (
+            SELECT event_type, high_value, CAST(COUNT(*) AS BIGINT) AS c_ab
+            FROM ev GROUP BY event_type, high_value
+        ), with_m AS (
+            SELECT event_type, high_value, c_ab,
+                   SUM(c_ab) OVER (PARTITION BY event_type) AS c_a,
+                   SUM(c_ab) OVER (PARTITION BY high_value) AS c_b,
+                   SUM(c_ab) OVER () AS n
+            FROM joint
+        )
+        SELECT event_type, high_value, c_ab,
+               CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+               CAST(n AS BIGINT) AS n,
+               ROUND(ln({ratio}), 6) AS pmi,
+               ROUND((CAST(c_ab AS DOUBLE) / CAST(n AS DOUBLE)) * ln({ratio}), 6) AS mi_contribution
+        FROM with_m
+        ORDER BY event_type, high_value
+    """
+
+
+# ---- Key-skew diagnostics --------------------------------------------
+
+SKEW_TOP_K = 20
+
+
+def key_skew(df: DataFrame, key_cols: list[str], k: int = SKEW_TOP_K) -> DataFrame:
+    """Top-k hottest keys with integer-exact ppm share of all rows —
+    the pre-flight check that decides whether a join/agg on these keys
+    needs salting (operators/joins.salted_join, aggregates.salted_agg).
+
+    Two-stage: per-key counts (one shuffle, map-side combined), then a
+    one-row total broadcast back.  Top-k is orderBy+limit — compiled to
+    TakeOrderedAndProject, so each partition keeps only its local
+    top-k and no Exchange SinglePartition of the full key set ever
+    happens; the rank window then runs over the <= k surviving rows.
+    """
+    from pyspark.sql import Window
+
+    order = [F.desc("key_rows"), *[F.asc(c) for c in key_cols]]
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("key_rows"))
+    total = F.broadcast(counts.agg(F.sum("key_rows").alias("total_rows")))
+    top = counts.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)  # bounded: at most k rows reach this window
+    return (
+        top.crossJoin(total)
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            *key_cols,
+            "key_rows",
+            "total_rows",
+            F.expr("CAST(key_rows * 1000000 div total_rows AS BIGINT)").alias("share_ppm"),
+        )
+        .orderBy("rank")
+    )
+
+
+def user_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hottest 20 user_ids in the events stream with exact ppm shares."""
+    return key_skew(load_table(spark, "events", sf_dir), ["user_id"])
+
+
+def _skew_oracle_sql() -> str:
+    return f"""
+        WITH counts AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS key_rows
+            FROM events GROUP BY user_id
+        ), tot AS (
+            SELECT CAST(SUM(key_rows) AS BIGINT) AS total_rows FROM counts
+        ), ranked AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY key_rows DESC, user_id ASC) AS INTEGER) AS rank,
+                   user_id, key_rows, total_rows,
+                   CAST(key_rows * 1000000 // total_rows AS BIGINT) AS share_ppm
+            FROM counts CROSS JOIN tot
+        )
+        SELECT rank, user_id, key_rows, total_rows, share_ppm
+        FROM ranked WHERE rank <= {SKEW_TOP_K}
+        ORDER BY rank
+    """
+
+
+QUERIES = {
+    "user_value_trend": user_value_trend,
+    "event_value_drift": event_value_drift,
+    "event_value_pmi": event_value_pmi,
+    "user_skew_report": user_skew_report,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "user_value_trend": _trend_oracle_sql(),
+    "event_value_drift": _drift_oracle_sql(),
+    "event_value_pmi": _pmi_oracle_sql(),
+    "user_skew_report": _skew_oracle_sql(),
+}

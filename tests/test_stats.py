@@ -1,0 +1,146 @@
+"""Unit tests for the statistical-monitoring operators
+(operators/stats.py) and the cross-corpus IVF join
+(operators/similarity.ivf_join).  The fixed entry queries are covered
+by the oracle parity lane; these exercise the generic APIs on crafted
+frames where the right answer is known in closed form.
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+from skdist_spark.operators.similarity import TOP_K, cosine_topk, ivf_join
+from skdist_spark.operators.stats import group_trend, key_skew, pmi_table, psi_drift
+
+
+def test_group_trend_exact_line(spark):
+    # y = 3x + 7 exactly -> slope 3, intercept 7, r2 == 1 for group "a";
+    # group "b" is constant-y (zero y-variance) and must be dropped
+    rows = [("a", x, 3 * x + 7) for x in range(10)] + [("b", x, 5) for x in range(4)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r["g"]: r for r in group_trend(df, ["g"]).collect()}
+    assert set(out) == {"a"}
+    r = out["a"]
+    assert r["n"] == 10
+    assert abs(r["slope"] - 3.0) < 1e-12
+    assert abs(r["intercept"] - 7.0) < 1e-12
+    assert abs(r["r2"] - 1.0) < 1e-12
+
+
+def test_group_trend_matches_numpy(spark):
+    import numpy as np
+
+    xs = [1, 5, 9, 14, 22, 31, 40, 41]
+    ys = [11, 9, 25, 30, 21, 44, 57, 50]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, ys)], "g string, x long, y long"
+    )
+    r = group_trend(df, ["g"]).collect()[0]
+    slope, intercept = np.polyfit(np.array(xs, float), np.array(ys, float), 1)
+    corr = np.corrcoef(xs, ys)[0, 1]
+    assert abs(r["slope"] - slope) < 1e-9
+    assert abs(r["intercept"] - intercept) < 1e-9
+    assert abs(r["r2"] - corr * corr) < 1e-9
+
+
+def test_psi_drift_identical_halves_is_zero(spark):
+    # same distribution in both halves -> PSI exactly 0 (p == q per bin)
+    rows = []
+    for half in ("early", "late"):
+        rows += [("t", b % 3, half) for b in range(30)]
+    df = spark.createDataFrame(rows, "g string, bin int, half string")
+    out = psi_drift(df, "g", "bin", "half").collect()
+    assert len(out) == 1
+    assert out[0]["psi"] == 0.0
+    assert out[0]["n_early"] == 30 and out[0]["n_late"] == 30
+
+
+def test_psi_drift_shifted_distribution_positive(spark):
+    rows = [("g", 0, "early")] * 50 + [("g", 9, "late")] * 50
+    df = spark.createDataFrame(rows, "g string, bin int, half string")
+    out = psi_drift(df, "g", "bin", "half").collect()
+    assert out[0]["psi"] > 1.0  # total mass swapped bins: massive drift
+
+
+def test_pmi_independent_columns_near_zero(spark):
+    # independent uniform columns -> every cell pmi == 0 exactly
+    rows = [(a, b) for a in "xy" for b in "uv" for _ in range(25)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    for r in pmi_table(df, "a", "b").collect():
+        assert r["pmi"] == 0.0 and r["mi_contribution"] == 0.0
+
+
+def test_pmi_perfect_association(spark):
+    # a == b always -> pmi = ln(2) per diagonal cell
+    rows = [("x", "x")] * 30 + [("y", "y")] * 30
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = pmi_table(df, "a", "b").collect()
+    assert len(out) == 2
+    for r in out:
+        assert abs(r["pmi"] - round(math.log(2.0), 6)) < 1e-9
+
+
+def test_key_skew_shares(spark):
+    rows = [("hot",)] * 60 + [("warm",)] * 30 + [("cold",)] * 10
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew(df, ["k"], k=2).collect()
+    assert [r["k"] for r in out] == ["hot", "warm"]
+    assert out[0]["share_ppm"] == 600000
+    assert out[1]["share_ppm"] == 300000
+    assert all(r["total_rows"] == 100 for r in out)
+
+
+def _unit_vecs(n, dims, seed_stride=7):
+    # deterministic distinct directions on the unit sphere
+    vecs = []
+    for i in range(n):
+        raw = [((i * seed_stride + j * 13) % 19) - 9.0 for j in range(dims)]
+        nrm = math.sqrt(sum(x * x for x in raw)) or 1.0
+        vecs.append([x / nrm for x in raw])
+    return vecs
+
+
+def test_ivf_join_full_probe_equals_exact(spark):
+    # with nprobe == nlist the IVF join degenerates to exhaustive search,
+    # so it must return exactly the brute-force cosine top-k
+    dims = 8
+    corpus_rows = [(100 + i, v) for i, v in enumerate(_unit_vecs(40, dims))]
+    query_rows = [(i, v) for i, v in enumerate(_unit_vecs(6, dims, seed_stride=11))]
+    corpus = spark.createDataFrame(corpus_rows, "item_id long, vec array<double>")
+    queries = spark.createDataFrame(query_rows, "item_id long, vec array<double>")
+    cents = corpus.orderBy("item_id").limit(4)
+
+    got = ivf_join(
+        queries, corpus, cents, k=3, nprobe=4, id_col="item_id", vec_col="vec"
+    ).collect()
+    want = cosine_topk(
+        queries, corpus, k=3, id_col="item_id", vec_col="vec"
+    ).collect()
+    assert [(r["query_id"], r["neighbor_id"], r["rank"]) for r in got] == [
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in want
+    ]
+    for g, w in zip(got, want):
+        assert abs(g["cosine"] - w["cosine"]) < 1e-12
+
+
+def test_ivf_join_partial_probe_recall(spark):
+    # nprobe < nlist: results are a subset ranking with decent recall
+    dims = 8
+    corpus_rows = [(1000 + i, v) for i, v in enumerate(_unit_vecs(60, dims))]
+    query_rows = [(i, v) for i, v in enumerate(_unit_vecs(8, dims, seed_stride=11))]
+    corpus = spark.createDataFrame(corpus_rows, "vec_id long, v array<double>")
+    queries = spark.createDataFrame(query_rows, "vec_id long, v array<double>")
+    cents = corpus.orderBy("vec_id").limit(8)
+
+    got = ivf_join(queries, corpus, cents, k=TOP_K, nprobe=3).collect()
+    exact = cosine_topk(queries, corpus, k=TOP_K, vec_col="v").collect()
+    got_pairs = {(r["query_id"], r["neighbor_id"]) for r in got}
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    # every query returns k candidates and overall recall is sane
+    assert len(got) == 8 * TOP_K
+    assert len(got_pairs & exact_pairs) / len(exact_pairs) >= 0.5
+    # per-query ranks are contiguous from 1
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, TOP_K + 1)) for v in by_q.values())
