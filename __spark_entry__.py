@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from skdist_spark.operators import (  # noqa: E402
     clustering, decomp, dedup, graph, lm, multimodal, quality, similarity,
-    sketches, stats, text,
+    setsim, sketches, stats, text,
 )
 from skdist_spark import pipeline  # noqa: E402
 from skdist_spark.plans import behavior, ml_queries, tpch, windows  # noqa: E402
@@ -30,7 +30,7 @@ from skdist_spark.streaming import ops as streaming_ops  # noqa: E402
 
 _MODULES = [
     tpch, windows, behavior, dedup, graph, text, lm, decomp, quality,
-    similarity, sketches, stats, clustering, multimodal, ml_queries,
+    similarity, setsim, sketches, stats, clustering, multimodal, ml_queries,
     streaming_ops, pipeline,
 ]
 

@@ -20,6 +20,7 @@ from .quality import (
     uniqueness_check,
 )
 from .aggregates import salted_agg
+from .setsim import setsim_join
 from .stats import group_trend, key_skew, pmi_table, psi_drift
 from .graph import connected_components, connected_components_star, pagerank
 from .joins import asof_join, interval_join, salted_join
@@ -74,6 +75,7 @@ __all__ = [
     "dup_span_stats",
     "fit_pca",
     "pca_project",
+    "setsim_join",
     "group_trend",
     "psi_drift",
     "pmi_table",

@@ -1,0 +1,149 @@
+"""All-pairs set-similarity join with prefix filtering (PPJoin-style,
+Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08).
+
+The MinHash/LSH dedup family (operators/dedup.py) finds near-dup
+CANDIDATES probabilistically; this operator is the EXACT all-pairs
+join: every document pair whose shingle-set Jaccard >= t, no false
+negatives, no sketch error.  The trick that makes exact all-pairs
+feasible at scale is the prefix filter: order every document's shingle
+set by ascending global document frequency (rarest first) and keep
+only the first L - ceil(t*L) + 1 shingles; any pair with Jaccard >= t
+provably shares at least one PREFIX shingle, so candidate generation
+is an equi-join on prefix shingles — never doc x doc — and the fan-out
+concentrates on RARE shingles (the frequent ones sit past every
+prefix, which is exactly what kills the hot-key blowup a naive
+shingle-join suffers).
+
+Everything is integer-exact: the threshold test is
+T_DEN * |A∩B| >= T_NUM * |A∪B|, prefix lengths use integer
+ceil-division, and the reported jaccard_ppm is an integer division —
+so the DuckDB brute-force oracle (which computes ALL O(N^2) pairs and
+filters) must match bit-for-bit, proving the filter lossless.
+
+Scale posture (100 TB):
+- one scan -> shingle arrays (materialized once, house rule);
+- document frequencies: one groupBy on shingle (map-side combined);
+- prefix candidate join: equi-join on (shingle), quadratic only within
+  a shingle's PREFIX occurrence list;
+- verification re-reads only candidate docs' arrays (two hash joins)
+  and is a pure array_intersect — no re-shingling, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .dedup import _duck_shingles, _spark_shingles, _SPARK_WORDS
+
+# Jaccard threshold t = T_NUM / T_DEN = 0.5
+T_NUM = 1
+T_DEN = 2
+
+
+def setsim_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    t_num: int = T_NUM,
+    t_den: int = T_DEN,
+) -> DataFrame:
+    """Exact self-join: all pairs with shingle Jaccard >= t_num/t_den.
+
+    Returns (doc_a, doc_b, inter, uni, jaccard_ppm) with doc_a < doc_b,
+    ordered by (doc_a, doc_b).  See module docstring for the plan.
+    """
+    words = _SPARK_WORDS.replace("text", text_col)
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.expr(_spark_shingles(words=words)).alias("sh"),
+    )
+    tok = sh.select("doc", F.explode_outer("sh").alias("s"))
+    dfreq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("dfr"))
+    # canonical order: ascending (document frequency, shingle) — rarest
+    # first, total and engine-independent
+    ordered = (
+        tok.join(dfreq, "s")
+        .groupBy("doc")
+        .agg(F.sort_array(F.collect_list(F.struct("dfr", "s"))).alias("ord"))
+        .select(
+            "doc",
+            F.col("ord.s").alias("toks"),
+            F.size("ord").alias("len"),
+        )
+    )
+    # prefix length = L - ceil(t*L) + 1 (integer ceil-division)
+    plen = f"len - (len * {t_num} + {t_den} - 1) div {t_den} + 1"
+    prefix = ordered.select(
+        "doc", "len", F.explode_outer(F.expr(f"slice(toks, 1, {plen})")).alias("s")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            # length filter: J >= t forces t*max(la,lb) <= min(la,lb)
+            & (F.expr(f"{t_den} * least(a.len, b.len) >= {t_num} * greatest(a.len, b.len)")),
+        )
+        .select(F.col("a.doc").alias("da"), F.col("b.doc").alias("db"))
+        .distinct()
+    )
+    # verification: exact intersection over the full ordered token sets
+    ta = ordered.select(F.col("doc").alias("da"), F.col("toks").alias("toks_a"), F.col("len").alias("la"))
+    tb = ordered.select(F.col("doc").alias("db"), F.col("toks").alias("toks_b"), F.col("len").alias("lb"))
+    return (
+        cand.join(ta, "da")
+        .join(tb, "db")
+        .withColumn("inter", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn("uni", F.expr("la + lb - inter"))
+        .where(F.expr(f"{t_den} * inter >= {t_num} * uni"))
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            "inter",
+            "uni",
+            F.expr("CAST(inter * 1000000 div uni AS BIGINT)").alias("jaccard_ppm"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def similar_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with word-3-gram-shingle Jaccard >= 0.5 over
+    the documents table — the exact-recall face of dedup_minhash."""
+    return setsim_join(load_table(spark, "documents", sf_dir))
+
+
+def _setsim_oracle_sql() -> str:
+    """Brute-force DuckDB oracle: ALL pairs, same shingles, same
+    integer threshold — any pair the prefix filter dropped would
+    surface here as a hash mismatch."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {_duck_shingles()} AS sh
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_intersect(a.sh, b.sh)) AS inter,
+                   len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+            FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(inter AS INTEGER) AS inter,
+               CAST(uni AS INTEGER) AS uni,
+               CAST(inter * 1000000 // uni AS BIGINT) AS jaccard_ppm
+        FROM pairs
+        WHERE {T_DEN} * inter >= {T_NUM} * uni
+        ORDER BY doc_a, doc_b
+    """
+
+
+QUERIES = {
+    "similar_doc_pairs": similar_doc_pairs,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "similar_doc_pairs": _setsim_oracle_sql(),
+}

@@ -1,0 +1,67 @@
+"""setsim_join (prefix-filtered all-pairs Jaccard) vs a pure-Python
+brute force on crafted corpora — exercises arbitrary column names,
+a non-default threshold, and the no-pairs edge."""
+
+from skdist_spark.operators.setsim import setsim_join
+
+DOCS = [
+    (1, "alpha beta gamma delta epsilon zeta"),
+    (2, "alpha beta gamma delta epsilon eta"),     # near-dup of 1
+    (3, "alpha beta gamma delta epsilon zeta"),    # exact dup of 1
+    (4, "one two three four five six seven"),
+    (5, "one two three four five six eight nine"),  # near-dup of 4
+    (6, "totally different words here now ok"),
+    (7, "short doc"),
+    (8, "short doc"),                               # exact dup of 7 (tiny set)
+]
+
+
+def _shingles(text, n=3):
+    w = text.split()
+    if len(w) < n:
+        return {" ".join(w)}
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+def _brute(docs, t_num, t_den):
+    out = []
+    for i, (ida, ta) in enumerate(docs):
+        for idb, tb in docs[i + 1 :]:
+            a, b = _shingles(ta), _shingles(tb)
+            inter = len(a & b)
+            uni = len(a | b)
+            if t_den * inter >= t_num * uni:
+                out.append((min(ida, idb), max(ida, idb), inter, uni))
+    return sorted(out)
+
+
+def _run(spark, docs, t_num, t_den):
+    df = spark.createDataFrame(docs, "item bigint, body string")
+    got = setsim_join(df, id_col="item", text_col="body", t_num=t_num, t_den=t_den)
+    return sorted(
+        (r["doc_a"], r["doc_b"], r["inter"], r["uni"]) for r in got.collect()
+    )
+
+
+def test_setsim_matches_brute_force_t05(spark):
+    got = _run(spark, DOCS, 1, 2)
+    want = _brute(DOCS, 1, 2)
+    assert got == want
+    assert len(got) >= 3  # the crafted dups must surface
+
+
+def test_setsim_matches_brute_force_t08(spark):
+    got = _run(spark, DOCS, 4, 5)
+    assert got == _brute(DOCS, 4, 5)
+
+
+def test_setsim_no_pairs(spark):
+    docs = [(1, "aa bb cc dd"), (2, "ee ff gg hh"), (3, "ii jj kk ll")]
+    assert _run(spark, docs, 1, 2) == []
+
+
+def test_setsim_ppm_integer_exact(spark):
+    docs = [(1, "a b c d e"), (2, "a b c d e")]  # identical: J = 1
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    rows = setsim_join(df).collect()
+    assert len(rows) == 1 and rows[0]["jaccard_ppm"] == 1000000
