@@ -894,7 +894,83 @@ def stream_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def topk_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    checkpoint: str,
+    k: int = 20,
+):
+    """Continuous top-k maintenance: keep a k-row "hottest users by
+    event count" table exactly up to date from the stream.
+
+    Update-mode aggregation re-emits a user's FULL cumulative count
+    whenever it changes; foreachBatch merges those rows into the k-row
+    snapshot and truncates.  Truncating to exactly k is provably
+    lossless for monotone counts: after a key's LAST update, its rank
+    against current counts can only be better than its final rank
+    (other counts still grow), so a final-top-k key is never evicted
+    once its count is final — earlier evictions are healed by its next
+    update.  Per-batch cost is the changed keys + a k-row rewrite;
+    state is the aggregation's per-user counts (watermark-free by
+    design: a lifetime leaderboard needs lifetime counts — bound the
+    window instead if the product wants "top-k this week").
+    """
+    stage = _stage_ordered_stream(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+    counts = raw.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        s = batch_df.sparkSession
+        frames = [batch_df]
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            frames.append(s.read.parquet(path))
+        merged = frames[0] if len(frames) == 1 else frames[0].unionByName(frames[1])
+        top_rows = (
+            merged.groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"))  # cumulative: latest wins
+            .orderBy(F.desc("n_events"), F.asc("user_id"))
+            .limit(k)
+            .collect()  # O(k) driver rows — the snapshot must be re-written anyway
+        )
+        s.createDataFrame(top_rows, "user_id bigint, n_events bigint").coalesce(
+            1
+        ).write.mode("overwrite").parquet(path)
+
+    return (
+        counts.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous top-20 leaderboard over the 4-batch ordered replay;
+    returns the final maintained snapshot (rows-only — the batch
+    equivalence vs the exact heavy-hitters shape is tested)."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="skdist_topk_")
+    ckpt = tempfile.mkdtemp(prefix="skdist_topk_ckpt_")
+    q = topk_maintenance(spark, sf_dir, path, ckpt, k=20)
+    q.awaitTermination()
+    return (
+        spark.read.parquet(path)
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+    )
+
+
 QUERIES = {
+    "stream_topk_users": stream_topk_users,
     "stream_dq_monitor": stream_dq_monitor,
     "stream_windowed_counts": stream_windowed_counts,
     "stream_user_ewma": stream_user_ewma,

@@ -390,3 +390,32 @@ def test_stream_dq_monitor_matches_batch_audit(spark, sf_dir):
             ~F.coalesce(F.expr(pred), F.lit(False))
         ).count()
     assert got == want
+
+
+def test_stream_topk_users_matches_batch_topk(spark, sf_dir):
+    """The continuously maintained k-row leaderboard, after the 4-batch
+    replay, must equal the exact batch top-k (the eviction rule is
+    provably lossless for monotone counts)."""
+    from pyspark.sql import functions as F
+
+    from skdist_spark.sources.catalog import load_table
+    from skdist_spark.streaming import ops
+
+    got = [
+        (r.user_id, r.n_events)
+        for r in ops.stream_topk_users(spark, sf_dir).collect()
+    ]
+    want = [
+        (r.user_id, r.n_events)
+        for r in load_table(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(20)
+        .collect()
+    ]
+    assert got == want
+    assert len(got) == min(
+        20,
+        load_table(spark, "events", sf_dir).select("user_id").distinct().count(),
+    )
