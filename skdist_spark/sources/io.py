@@ -63,13 +63,26 @@ def write_sink(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     max_records_per_file: int = 5_000_000,
+    bloom_filter_cols: list[str] | None = None,
+    bloom_filter_ndv: int = 1_000_000,
     **options: str,
 ) -> None:
     """Write ``df`` to ``path`` in ``fmt`` with scale-safe defaults
     (splittable compression, bounded file sizes, optional hive-style
-    partitioning)."""
+    partitioning).
+
+    ``bloom_filter_cols`` (parquet only) writes a bloom filter per
+    listed column into every file footer: point-lookup predicates on
+    high-cardinality NON-sorted columns (ids, hashes) can then skip
+    whole row groups that min/max stats can't — min/max is useless on
+    a column the layout wasn't clustered by, which is exactly where a
+    bloom filter earns its ~1 byte/value.  ``bloom_filter_ndv`` sizes
+    the filter (expected distinct values per row group).
+    """
     if fmt not in READ_FORMATS:
         raise ValueError(f"unknown format {fmt!r}; known: {READ_FORMATS}")
+    if bloom_filter_cols and fmt != "parquet":
+        raise ValueError("bloom_filter_cols is parquet-only")
     writer = (
         df.write.mode(mode)
         .option("compression", _WRITE_COMPRESSION[fmt])
@@ -77,11 +90,39 @@ def write_sink(
     )
     if fmt == "csv":
         writer = writer.option("header", "true")
+    for col in bloom_filter_cols or []:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{col}", str(bloom_filter_ndv)
+        )
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.format(fmt).save(path)
+
+
+def parquet_bloom_offsets(spark: SparkSession, file_path: str) -> dict[str, int]:
+    """Footer probe: bloom-filter offset per column of one parquet
+    file's first row group (-1 = no bloom filter written).  Reads only
+    footer metadata via the JVM parquet reader — the verification hook
+    for ``write_sink(bloom_filter_cols=...)``."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(file_path)
+    infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(jpath, conf)
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+    try:
+        out: dict[str, int] = {}
+        rgs = reader.getFooter().getBlocks()
+        if rgs.size() == 0:
+            return out
+        cols = rgs.get(0).getColumns()
+        for i in range(cols.size()):
+            cc = cols.get(i)
+            out[".".join(cc.getPath().toArray())] = cc.getBloomFilterOffset()
+        return out
+    finally:
+        reader.close()
 
 
 def write_bucketed_table(

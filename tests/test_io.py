@@ -362,3 +362,23 @@ def test_parquet_stats_report_shows_clustering(spark, tmp_path):
     assert len(spans) == 4
     for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
         assert hi1 < lo2, spans  # disjoint: clustering visible in footers
+
+
+def test_write_sink_bloom_filters(spark, nation_df, tmp_path):
+    """bloom_filter_cols must land real bloom filters in the footer
+    (offset >= 0) for exactly the requested columns."""
+    from skdist_spark.sources.io import parquet_bloom_offsets
+
+    path = str(tmp_path / "bloom")
+    write_sink(nation_df, path, "parquet", bloom_filter_cols=["n_name"])
+    part = next(
+        os.path.join(path, f)
+        for f in sorted(os.listdir(path))
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    offsets = parquet_bloom_offsets(spark, part)
+    assert offsets["n_name"] >= 0
+    assert all(v == -1 for c, v in offsets.items() if c != "n_name")
+
+    with pytest.raises(ValueError):
+        write_sink(nation_df, path, "csv", bloom_filter_cols=["n_name"])
