@@ -139,6 +139,103 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_logprob_bigram(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = ADD_K,
+) -> DataFrame:
+    """Per-document cross-entropy under the corpus add-k BIGRAM LM —
+    the sharper CCNet-style quality signal (fluent text has predictable
+    word transitions; shuffled/boilerplate text does not).
+
+    p(w2|w1) = (c(w1,w2) + k) / (c(w1) + k*V) with counts from the
+    corpus itself and V the unigram vocabulary size.  Same plan shape
+    as the unigram face one level up the n-gram ladder: the exploded
+    (doc, w1, w2) pairs pre-aggregate per doc, corpus bigram and
+    context counts are re-aggregations OVER that frame (AQE reuses the
+    shuffle), and the (V) scalar broadcasts back.  Documents with
+    fewer than two words have no bigrams and are dropped.
+    """
+    words = F.expr(_SPARK_WORDS.replace("text", text_col))
+    pairs = (
+        df.select(F.col(id_col), words.alias("wd"))
+        .where(F.size("wd") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(wd, 1, size(wd) - 1)").alias("w1"),
+                    F.expr("slice(wd, 2, size(wd) - 1)").alias("w2"),
+                )
+            ).alias("bg"),
+        )
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    tf2 = pairs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    cf2 = tf2.groupBy("w1", "w2").agg(F.sum("tf").alias("cf"))
+    c1 = cf2.groupBy("w1").agg(F.sum("cf").alias("c1"))
+    vocab = df.select(F.explode(words).alias("word")).agg(
+        F.count_distinct("word").alias("v_vocab")
+    )
+    neg_lp = f"-ln((cf + {add_k}) / (c1 + {add_k} * v_vocab))"
+    return (
+        tf2.join(cf2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            (F.sum(F.expr(neg_lp) * F.col("tf")) / F.sum("tf")).alias("_h"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round("_h", 6).alias("avg_neg_logprob"),
+            F.round(F.exp("_h"), 6).alias("perplexity"),
+        )
+    )
+
+
+def doc_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity of every document."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return doc_logprob_bigram(docs).orderBy("doc_id")
+
+
+def _bigram_perplexity_sql(add_k: float = ADD_K) -> str:
+    return f"""
+        WITH wd AS (
+            SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+        ), pairs AS (
+            SELECT doc_id,
+                   unnest(w[1:len(w) - 1]) AS w1,
+                   unnest(w[2:len(w)]) AS w2
+            FROM wd WHERE len(w) >= 2
+        ), tf2 AS (
+            SELECT doc_id, w1, w2, COUNT(*) AS tf FROM pairs GROUP BY 1, 2, 3
+        ), cf2 AS (
+            SELECT w1, w2, SUM(tf) AS cf FROM tf2 GROUP BY 1, 2
+        ), c1 AS (
+            SELECT w1, SUM(cf) AS c1 FROM cf2 GROUP BY 1
+        ), vocab AS (
+            SELECT COUNT(DISTINCT word) AS v_vocab
+            FROM (SELECT unnest({_DUCK_WORDS}) AS word FROM documents)
+        ), scored AS (
+            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+                   SUM(-ln((cf + {add_k}) / (c1 + {add_k} * v_vocab)) * tf)
+                     / SUM(tf) AS h
+            FROM tf2 JOIN cf2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+            GROUP BY doc_id
+        )
+        SELECT doc_id, n_bigrams,
+               ROUND(h, 6) AS avg_neg_logprob,
+               ROUND(exp(h), 6) AS perplexity
+        FROM scored
+        ORDER BY doc_id
+    """
+
+
 def _perplexity_sql(add_k: float = ADD_K) -> str:
     return f"""
         WITH tf AS (
@@ -190,11 +287,13 @@ def _vocab_sql(top: int = VOCAB_TOP) -> str:
 
 ORACLE_SQL: dict[str, str] = {
     "doc_perplexity": _perplexity_sql(),
+    "doc_perplexity_bigram": _bigram_perplexity_sql(),
     "vocab_coverage": _vocab_sql(),
 }
 
 QUERIES = {
     "doc_perplexity": doc_perplexity,
+    "doc_perplexity_bigram": doc_perplexity_bigram,
     "vocab_coverage": vocab_coverage,
 }
 

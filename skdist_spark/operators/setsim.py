@@ -76,19 +76,32 @@ def setsim_join(
     # prefix length = L - ceil(t*L) + 1 (integer ceil-division)
     plen = f"len - (len * {t_num} + {t_den} - 1) div {t_den} + 1"
     prefix = ordered.select(
-        "doc", "len", F.explode_outer(F.expr(f"slice(toks, 1, {plen})")).alias("s")
+        "doc",
+        "len",
+        F.posexplode_outer(F.expr(f"slice(toks, 1, {plen})")).alias("pos", "s"),
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # required overlap for the PAIR: o = ceil(t/(1+t) * (la+lb))
+    o_pair = f"(({t_num} * (a.len + b.len)) + {t_num} + {t_den} - 1) div ({t_num} + {t_den})"
     cand = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.doc") < F.col("b.doc"))
             # length filter: J >= t forces t*max(la,lb) <= min(la,lb)
-            & (F.expr(f"{t_den} * least(a.len, b.len) >= {t_num} * greatest(a.len, b.len)")),
+            & (F.expr(f"{t_den} * least(a.len, b.len) >= {t_num} * greatest(a.len, b.len)"))
+            # positional filter (PPJoin): tokens before pos can't help,
+            # so the best-case overlap from here is bounded by the
+            # shorter remaining suffix (pos is 0-based -> len - pos
+            # elements remain including the shared one)
+            & (F.expr(f"least(a.len - a.pos, b.len - b.pos) >= {o_pair}")),
         )
         .select(F.col("a.doc").alias("da"), F.col("b.doc").alias("db"))
         .distinct()
+        # the verify stage below is compute-bound (array_intersect per
+        # pair), and its shuffle is tiny — AQE would coalesce it onto
+        # one task; pin a real partition count so the CPU spreads
+        .repartition(32, "da", "db")
     )
     # verification: exact intersection over the full ordered token sets
     ta = ordered.select(F.col("doc").alias("da"), F.col("toks").alias("toks_a"), F.col("len").alias("la"))

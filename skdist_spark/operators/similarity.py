@@ -582,7 +582,16 @@ def ivf_join(
     norm = "sqrt(aggregate(transform({0}, x -> x * x), 0D, (acc, x) -> acc + x))"
     cent_cos = F.expr(f"{dot_cv} / ({norm.format('v')} * {norm.format('cv')})")
 
-    corpus = corpus_df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"))
+    # pin scoring parallelism: the centroid cross-score is the
+    # compute-heavy stage (|side| x nlist x dim multiply-adds) and the
+    # test corpora arrive as single-split scans; repartitioning on the
+    # id BELOW the scoring is free at plan level because the groupBy on
+    # the same key reuses the exchange (no additional shuffle), while
+    # AQE would otherwise coalesce the tiny-byte stage onto one task
+    n_par = corpus_df.sparkSession.sparkContext.defaultParallelism
+    corpus = corpus_df.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("v")
+    ).repartition(n_par, F.col("cid"))
     cells = (
         corpus.crossJoin(cents)
         .withColumn("cent_cos", cent_cos)
@@ -592,7 +601,9 @@ def ivf_join(
             F.first("v").alias("v"),
         )
     )
-    queries = queries_df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("v"))
+    queries = queries_df.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")
+    ).repartition(n_par, F.col("query_id"))
     probes = (
         queries.crossJoin(cents)
         .withColumn("cent_cos", cent_cos)
@@ -617,6 +628,11 @@ def ivf_join(
         "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
         f" / ({norm.format('qv')} * {norm.format('v')})"
     )
+    # note: scoring parallelism is capped at the cell count by the
+    # `cell` equi-join; salting it to (cell, hash(cid) % S) was tried
+    # and measured SLOWER here (the candidate stage is not the
+    # bottleneck at these sizes) — operators/joins.salted_join remains
+    # the escape hatch if a production corpus develops hot cells
     w_k = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         probes.join(cells, "cell")

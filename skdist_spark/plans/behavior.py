@@ -730,7 +730,69 @@ ORACLE_SQL["event_outliers"] = f"""
     ORDER BY event_id
 """
 
+TIER_WIDTH = 100.0  # value tiers [0,100) -> 0, [100,200) -> 1, ... clamp 4
+
+
+def user_tier_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style temporal state table: each user's value-tier change
+    history as [valid_from, valid_to) intervals.
+
+    The warehouse slowly-changing-dimension build, from an event log:
+    keep only rows where the tier DIFFERS from the previous event's
+    tier (lag), then close each interval with the next change's
+    timestamp (lead).  Both windows share ONE (user_id)-partitioned
+    (ts, event_id)-ordered exchange+sort; timestamps stay exact integer
+    micros so the interval bounds hash-match the oracle.  The open
+    interval (valid_to_us NULL) is the current state.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        "event_id",
+        F.expr(
+            f"least(4, greatest(0, CAST(floor(value / {TIER_WIDTH}D) AS INT)))"
+        ).alias("tier"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    changes = (
+        ev.withColumn("prev_tier", F.lag("tier").over(w))
+        .where(F.col("prev_tier").isNull() | (F.col("tier") != F.col("prev_tier")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return (
+        changes.withColumn("valid_to_us", F.lead("us").over(w2))
+        .select(
+            "user_id",
+            "tier",
+            F.col("us").alias("valid_from_us"),
+            "valid_to_us",
+            F.expr("valid_to_us IS NULL").alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from_us")
+    )
+
+
+ORACLE_SQL["user_tier_history"] = f"""
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               LEAST(4, GREATEST(0, CAST(floor(value / {TIER_WIDTH}) AS INT))) AS tier
+        FROM events
+    ), marked AS (
+        SELECT *, LAG(tier) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_tier
+        FROM ev
+    ), changes AS (
+        SELECT * FROM marked WHERE prev_tier IS NULL OR tier != prev_tier
+    )
+    SELECT user_id, tier, us AS valid_from_us,
+           LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us,
+           (LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id)) IS NULL AS is_current
+    FROM changes
+    ORDER BY user_id, valid_from_us
+"""
+
+
 QUERIES = {
+    "user_tier_history": user_tier_history,
     "events_funnel": events_funnel,
     "user_retention": user_retention,
     "daily_gapfill": daily_gapfill,

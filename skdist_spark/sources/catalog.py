@@ -32,6 +32,39 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Tables worth a parallelism floor (see _ensure_parallel): the driver
+# ships each test table as ONE parquet file with ONE row group, so the
+# scan — and every map-side expression above it — runs in a single
+# task.  At real scale a fact table has thousands of splits and the
+# floor no-ops; here one tiny hash shuffle on the primary key buys
+# back the cores.  Hash (not round-robin) partitioning: deterministic
+# without the sort-before-repartition pass, and downstream consumers
+# keyed on the pk can reuse the exchange.
+# Measured (min-of-3 at sf0.1): the floor pays off exactly where the
+# map-side work is heavy — documents (regex/shingle/md5 pipelines:
+# similar_doc_pairs 8.7 -> 2.9 s, dedup_minhash 4.5 -> 3.3 s) and
+# lineitem (decimal scan-aggs: q1 2.2 -> 1.1 s).  events/orders/
+# embeddings queries have light map work and only pay the extra
+# exchange + 32-task scheduling (~+0.3 s each), so they stay unfloored;
+# compute-heavy embedding operators repartition internally instead
+# (similarity.ivf_join).
+_PARALLEL_TABLES = {
+    "lineitem": "l_orderkey",
+    "documents": "doc_id",
+}
+
+
+def _ensure_parallel(spark: SparkSession, name: str, df: DataFrame) -> DataFrame:
+    key = _PARALLEL_TABLES.get(name)
+    if key is None:
+        return df
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.repartition(target, F.col(key))
+
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Load one catalog table as a DataFrame (lazy parquet scan).
@@ -57,8 +90,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type != "timestamp":  # timestamp_ntz layout
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        return _ensure_parallel(spark, name, df)
+    return _ensure_parallel(
+        spark, name, spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

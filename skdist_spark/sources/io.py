@@ -101,6 +101,52 @@ def write_sink(
     writer.format(fmt).save(path)
 
 
+def read_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: str,
+    quarantine_path: str | None = None,
+) -> DataFrame:
+    """Dead-letter ingest: parse csv/json against an explicit schema,
+    split off rows that don't parse, and land the raw malformed lines
+    in ``quarantine_path`` for replay — production ingest never drops
+    dirty data silently and never fails the whole job for one bad row.
+
+    PERMISSIVE mode + ``columnNameOfCorruptRecord`` keeps the raw text
+    of any unparseable row; the split is one scan (the quarantine
+    write and the clean return share the parsed frame).  Returns the
+    CLEAN rows (schema columns only).
+    """
+    from pyspark.sql import functions as F
+
+    if fmt not in ("csv", "json"):
+        raise ValueError("quarantine ingest supports csv/json (parquet is typed)")
+    corrupt = "_corrupt_record"
+    reader = (
+        spark.read.schema(f"{schema}, {corrupt} string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+    )
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    df = reader.format(fmt).load(path)
+    # Spark requires caching/materializing the frame before the corrupt
+    # column is queryable standalone (documented limitation); route
+    # through a persisted split so both halves come from one scan
+    df = df.persist()
+    try:
+        bad = df.where(F.col(corrupt).isNotNull()).select(F.col(corrupt).alias("raw"))
+        if quarantine_path is not None:
+            bad.write.mode("overwrite").text(quarantine_path)
+        clean = df.where(F.col(corrupt).isNull()).drop(corrupt)
+        # materialize the clean rows before unpersisting the scan
+        clean = clean.localCheckpoint()
+    finally:
+        df.unpersist()
+    return clean
+
+
 def parquet_bloom_offsets(spark: SparkSession, file_path: str) -> dict[str, int]:
     """Footer probe: bloom-filter offset per column of one parquet
     file's first row group (-1 = no bloom filter written).  Reads only

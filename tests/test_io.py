@@ -382,3 +382,32 @@ def test_write_sink_bloom_filters(spark, nation_df, tmp_path):
 
     with pytest.raises(ValueError):
         write_sink(nation_df, path, "csv", bloom_filter_cols=["n_name"])
+
+
+def test_read_with_quarantine_json(spark, tmp_path):
+    """Malformed JSONL rows must land in the quarantine, clean rows in
+    the returned frame — one bad row never fails or silently shrinks
+    the ingest."""
+    from skdist_spark.sources.io import read_with_quarantine
+
+    src = tmp_path / "raw"
+    src.mkdir()
+    (src / "data.jsonl").write_text(
+        '{"id": 1, "v": "a"}\n'
+        "{broken json line\n"
+        '{"id": 2, "v": "b"}\n'
+        '{"id": "not_a_number", "v": 3}\n'
+        '{"id": 3, "v": "c"}\n'
+    )
+    qdir = str(tmp_path / "quarantine")
+    clean = read_with_quarantine(
+        spark, str(src), "json", "id bigint, v string", quarantine_path=qdir
+    )
+    rows = sorted((r["id"], r["v"]) for r in clean.collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+    bad = [r["value"] for r in spark.read.text(qdir).collect()]
+    assert len(bad) == 2
+    assert any("broken json line" in b for b in bad)
+
+    with pytest.raises(ValueError):
+        read_with_quarantine(spark, str(src), "parquet", "id bigint")

@@ -16,8 +16,11 @@ def test_q6_filters_pushed_and_columns_pruned(spark, sf_dir):
     line = pushed[0]
     assert "l_shipdate" in line and "l_discount" in line and "l_quantity" in line
     read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
-    # only the 4 needed columns are read from a 11-column table
-    assert read.count(":") <= 5, read
+    # only the 4 needed columns are read from a 11-column table, plus
+    # the catalog's parallelism-floor partitioning key (l_orderkey —
+    # sources/catalog._ensure_parallel; absent at real scale where the
+    # scan already has splits)
+    assert read.count(":") <= 6, read
     assert "l_returnflag" not in read
 
 
@@ -114,10 +117,15 @@ def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
         #   ann_ivf — broadcast of the bounded 16-centroid table;
         #   dedup_embedding — block-pair triangle join over N/512 block
         #   descriptors (the blocked-GEMM task list, not row pairs)
+        #   event_value_drift/event_value_pmi/user_skew_report — ONE-row
+        #   scalar/marginal aggregates broadcast back;
+        #   ann_ivf_join — the bounded 16-centroid table, as ann_ivf
         if joins and name not in (
             "q11", "q22", "ann_topk", "ann_ivf", "dedup_embedding", "tfidf_search",
             "mixture_sample_sources", "doc_perplexity", "vocab_coverage",
             "basket_part_affinity", "rfm_segments",
+            "event_value_drift", "event_value_pmi", "user_skew_report",
+            "ann_ivf_join",
         ):
             bad[name] = joins
     assert not bad, bad
