@@ -149,7 +149,9 @@ def resize(df: DataFrame, target_bytes: int = 64) -> DataFrame:
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: resize -> frame-sample pipeline over blobs; emits
     per-doc frame stats (deterministic; rows-only)."""
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    docs = load_table(spark, "documents", sf_dir, parallel=False).select(
+        "doc_id", "text"
+    )  # parallel=False: mapInPandas worker fan-out costs more than it buys here
     frames = frame_sample(resize(attach_payload(docs)))
     return (
         frames.groupBy("doc_id")
@@ -172,7 +174,9 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: full plumbing pass over documents-as-blobs.
 
     rows-only check (mapInPandas decode isn't SQL-expressible)."""
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    docs = load_table(spark, "documents", sf_dir, parallel=False).select(
+        "doc_id", "text"
+    )  # parallel=False: see multimodal_frames
     feats = extract_features(attach_payload(docs))
     return feats.select(
         "doc_id",

@@ -16,7 +16,12 @@ from pyspark.sql import functions as F
 
 from .text import _KNUTH, _MOD32
 
-__all__ = ["train_test_split_df", "sample_k_per_group", "weighted_sample_k"]
+__all__ = [
+    "train_test_split_df",
+    "sample_k_per_group",
+    "weighted_sample_k",
+    "negative_sample_pairs",
+]
 
 
 def train_test_split_df(
@@ -89,3 +94,123 @@ def weighted_sample_k(
         .withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= k)
     )
+
+
+# ---- Contrastive negative sampling -----------------------------------
+
+NEG_K = 3           # negatives per anchor
+NEG_BUCKETS = 32    # hash-bucket ring
+NEG_CANDS = 8       # bounded candidates kept per bucket
+_M31 = 2147483648   # 2^31: keeps (x % _M31) * _KNUTH inside BIGINT
+
+
+def negative_sample_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = NEG_K,
+    n_buckets: int = NEG_BUCKETS,
+    n_cands: int = NEG_CANDS,
+) -> DataFrame:
+    """Deterministic negatives for contrastive training: k pseudo-random
+    partner rows per anchor, with NO rand() and NO cross join.
+
+    Scale shape: rows hash into ``n_buckets`` ring buckets (Knuth
+    arithmetic — membership is a property of the row); each bucket
+    keeps only ``n_cands`` ranked candidate rows, so the anchor-to-
+    candidate equi-join on the ring offset fans out a BOUNDED
+    k * n_cands per anchor — never |anchors| x |corpus|.  The winning
+    candidate per (anchor, offset) minimizes an integer pair hash, so
+    different anchors sharing a bucket still draw different partners.
+    Anchors never pair with themselves; an empty target bucket yields
+    no row for that offset (deterministic in both engines).
+
+    Returns (anchor_id, neg_rank 1..k, neg_id) ordered.
+    """
+    from pyspark.sql import Window
+
+    ids = df.select(F.col(id_col).cast("bigint").alias("rid")).withColumn(
+        "bucket", F.pmod((F.col("rid") * _KNUTH) % _MOD32, F.lit(n_buckets))
+    )
+    # bounded candidate list per bucket, ranked by a second Knuth pass
+    wb = Window.partitionBy("bucket").orderBy(
+        F.pmod(F.col("rid") * _KNUTH + 12345, F.lit(_M31)).asc(), F.col("rid").asc()
+    )
+    cands = (
+        ids.withColumn("crank", F.row_number().over(wb))
+        .where(F.col("crank") <= n_cands)
+        .select(F.col("rid").alias("neg_id"), F.col("bucket").alias("cbucket"))
+    )
+    anchors = df.select(F.col(id_col).cast("bigint").alias("anchor_id")).withColumn(
+        "abucket", F.pmod((F.col("anchor_id") * _KNUTH) % _MOD32, F.lit(n_buckets))
+    )
+    offsets = anchors.select(
+        "anchor_id",
+        "abucket",
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("neg_rank"),
+    ).withColumn("cbucket", F.pmod(F.col("abucket") + F.col("neg_rank"), F.lit(n_buckets)))
+    # integer pair hash, all intermediates < 2^63
+    pair_s = (
+        f"pmod(pmod(pmod(anchor_id * {_KNUTH}, {_M31}) + neg_id, {_M31})"
+        f" * {_KNUTH}, {_M31})"
+    )
+    w_pick = Window.partitionBy("anchor_id", "neg_rank").orderBy(
+        F.expr(pair_s).asc(), F.col("neg_id").asc()
+    )
+    return (
+        offsets.join(cands, "cbucket")
+        .where(F.col("neg_id") != F.col("anchor_id"))
+        .withColumn("pick", F.row_number().over(w_pick))
+        .where(F.col("pick") == 1)
+        .select("anchor_id", "neg_rank", "neg_id")
+        .orderBy("anchor_id", "neg_rank")
+    )
+
+
+def contrastive_negatives(spark, sf_dir: str):
+    """Driver query: 3 deterministic negatives per document."""
+    from ..sources.catalog import load_table
+
+    return negative_sample_pairs(load_table(spark, "documents", sf_dir))
+
+
+def _negatives_oracle_sql() -> str:
+    pair_s = (
+        f"((((anchor_id * {_KNUTH}) % {_M31}) + neg_id) % {_M31} * {_KNUTH}) % {_M31}"
+    )
+    return f"""
+        WITH ids AS (
+            SELECT CAST(doc_id AS BIGINT) AS rid,
+                   (doc_id * {_KNUTH}) % {_MOD32} % {NEG_BUCKETS} AS bucket
+            FROM documents
+        ), cands AS (
+            SELECT rid AS neg_id, bucket AS cbucket FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+                    ORDER BY (rid * {_KNUTH} + 12345) % {_M31} ASC, rid ASC) AS crank
+                FROM ids
+            ) WHERE crank <= {NEG_CANDS}
+        ), offsets AS (
+            SELECT rid AS anchor_id,
+                   unnest(range(1, {NEG_K} + 1)) AS neg_rank,
+                   bucket AS abucket
+            FROM ids
+        ), matched AS (
+            SELECT o.anchor_id, CAST(o.neg_rank AS INTEGER) AS neg_rank, c.neg_id,
+                   ROW_NUMBER() OVER (PARTITION BY o.anchor_id, o.neg_rank
+                       ORDER BY {pair_s} ASC, neg_id ASC) AS pick
+            FROM offsets o JOIN cands c
+              ON (o.abucket + o.neg_rank) % {NEG_BUCKETS} = c.cbucket
+             AND c.neg_id != o.anchor_id
+        )
+        SELECT anchor_id, neg_rank, neg_id FROM matched
+        WHERE pick = 1
+        ORDER BY anchor_id, neg_rank
+    """
+
+
+QUERIES = {
+    "contrastive_negatives": contrastive_negatives,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "contrastive_negatives": _negatives_oracle_sql(),
+}

@@ -212,9 +212,9 @@ def encoderizer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.encoder import Encoderizer
 
-    docs = load_table(spark, "documents", sf_dir).select(
+    docs = load_table(spark, "documents", sf_dir, parallel=False).select(
         "doc_id", "lang", "source", "n_chars", "text"
-    )
+    )  # parallel=False: driver-side fit + Arrow transform; floor costs more than it buys
     pdf = docs.orderBy("doc_id").toPandas()
     enc = Encoderizer(size="small", sc=spark, config={
         "n_chars": "numeric",

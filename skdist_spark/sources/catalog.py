@@ -66,7 +66,12 @@ def _ensure_parallel(spark: SparkSession, name: str, df: DataFrame) -> DataFrame
     return df.repartition(target, F.col(key))
 
 
-def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+def load_table(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str = DEFAULT_SF_DIR,
+    parallel: bool = True,
+) -> DataFrame:
     """Load one catalog table as a DataFrame (lazy parquet scan).
 
     The driver has shipped ``events.parquet`` with different physical
@@ -90,10 +95,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type != "timestamp":  # timestamp_ntz layout
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return _ensure_parallel(spark, name, df)
-    return _ensure_parallel(
-        spark, name, spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    )
+        return _ensure_parallel(spark, name, df) if parallel else df
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _ensure_parallel(spark, name, df) if parallel else df
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
