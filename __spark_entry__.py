@@ -21,8 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from skdist_spark.operators import (  # noqa: E402
-    clustering, decomp, dedup, graph, lm, multimodal, quality, sampling,
-    setsim, similarity, sketches, stats, text,
+    clustering, decomp, dedup, graph, lm, multimodal, quality, retrieval,
+    sampling, setsim, similarity, sketches, stats, text,
 )
 from skdist_spark import pipeline  # noqa: E402
 from skdist_spark.plans import behavior, ml_queries, tpch, windows  # noqa: E402
@@ -30,8 +30,8 @@ from skdist_spark.streaming import ops as streaming_ops  # noqa: E402
 
 _MODULES = [
     tpch, windows, behavior, dedup, graph, text, lm, decomp, quality,
-    similarity, setsim, sketches, stats, sampling, clustering, multimodal,
-    ml_queries, streaming_ops, pipeline,
+    similarity, setsim, sketches, stats, sampling, retrieval, clustering,
+    multimodal, ml_queries, streaming_ops, pipeline,
 ]
 
 # The driver's CORRECTNESS sweep checks only the FIRST 50 registry entries

@@ -20,6 +20,8 @@ from .quality import (
     uniqueness_check,
 )
 from .aggregates import salted_agg
+from .retrieval import bm25_rank, build_inverted_index, phrase_search
+from .sampling import negative_sample_pairs
 from .setsim import setsim_join
 from .stats import group_trend, key_skew, pmi_table, psi_drift
 from .graph import connected_components, connected_components_star, pagerank
@@ -76,6 +78,10 @@ __all__ = [
     "fit_pca",
     "pca_project",
     "setsim_join",
+    "build_inverted_index",
+    "phrase_search",
+    "bm25_rank",
+    "negative_sample_pairs",
     "group_trend",
     "psi_drift",
     "pmi_table",

@@ -1,0 +1,258 @@
+"""Full-text retrieval primitives: inverted index construction,
+positional phrase search, and BM25 ranking.
+
+The search-engine face of the documents table: build the posting
+lists a retrieval system serves from, answer phrase queries from
+POSITIONS (index-side, never re-scanning text), and rank documents
+with the standard BM25 function — all as DataFrame programs whose
+oracles recompute the same answers by an INDEPENDENT direct-scan
+algorithm, so a hash match proves index-based retrieval equals
+ground truth.
+
+Scale posture (100 TB):
+- The index build is one scan + one shuffle on the word key (posexplode
+  materializes (doc, word, position) once; tf/positions pre-aggregate
+  per (word, doc) with map-side combine).
+- Phrase search joins the TWO relevant posting lists on doc_id —
+  work is bounded by the posting sizes of the queried words, not the
+  corpus (the point of an inverted index); adjacency is an
+  arrays_overlap on shifted positions, zero re-tokenization.
+- BM25 needs only (tf, df, dl, avgdl): integer counts + one scalar
+  broadcast; scoring is map-side; top-k is TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+# same tokenization as the dedup/text family (trim + whitespace split)
+_SPARK_WORDS = "filter(split(trim(text), '\\\\s+'), x -> x != '')"
+_DUCK_WORDS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')"
+
+INDEX_TOP_WORDS = 10  # posting rows shipped by the demo query
+PHRASE = ("hash", "join")
+BM25_TERMS = ("hash", "join", "scan")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 20
+
+
+def build_inverted_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Posting lists: one row per (word, doc) with term frequency and
+    the sorted 1-based token positions.  The shuffle key is the word;
+    positions aggregate with map-side combine."""
+    words = _SPARK_WORDS.replace("text", text_col)
+    tokens = df.select(
+        F.col(id_col), F.posexplode(F.expr(words)).alias("pos0", "word")
+    ).select(id_col, "word", (F.col("pos0") + 1).alias("pos"))
+    return tokens.groupBy("word", id_col).agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
+
+
+def inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: posting lists of the ``INDEX_TOP_WORDS`` most
+    frequent words (highest document frequency, then word; the word
+    cut is TakeOrderedAndProject)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    index = build_inverted_index(docs)
+    top_words = F.broadcast(
+        index.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("word"))
+        .limit(INDEX_TOP_WORDS)
+    )
+    return (
+        index.join(top_words, "word")
+        .select("word", "df", "doc_id", "tf", "positions")
+        .orderBy("word", "doc_id")
+    )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: tuple[str, str] = PHRASE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Docs containing the exact two-word phrase, answered from the
+    inverted index: join the two words' postings on the doc and test
+    position adjacency (p, p+1) — no text re-scan.  Returns
+    (doc_id, n_occurrences)."""
+    w1, w2 = phrase
+    index = build_inverted_index(df, id_col, text_col)
+    p1 = index.where(F.col("word") == w1).select(
+        id_col, F.col("positions").alias("pos1")
+    )
+    p2 = index.where(F.col("word") == w2).select(
+        id_col, F.col("positions").alias("pos2")
+    )
+    n_adj = F.expr(
+        "size(array_intersect(transform(pos1, p -> p + 1), pos2))"
+    )
+    return (
+        p1.join(p2, id_col)
+        .select(F.col(id_col), n_adj.alias("n_occurrences"))
+        .where(F.col("n_occurrences") > 0)
+        .orderBy(id_col)
+    )
+
+
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: every document containing the phrase
+    '"hash join"', with its occurrence count."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return phrase_search(docs)
+
+
+def bm25_rank(
+    df: DataFrame,
+    terms: tuple[str, ...] = BM25_TERMS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top: int = BM25_TOP,
+) -> DataFrame:
+    """BM25 top-k documents for a bag of query terms.
+
+    idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)  (Robertson-Sparck
+    Jones, the Lucene variant that never goes negative);
+    score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+    tf, df, dl are exact integers; N/avgdl come from one broadcast
+    scalar row.  Rounded to 6 decimals (per-term doubles are
+    bit-identical; a doc sums at most |terms| of them).
+    """
+    words = _SPARK_WORDS.replace("text", text_col)
+    base = df.select(F.col(id_col), F.expr(words).alias("wd"))
+    dl = base.select(id_col, F.size("wd").alias("dl"))
+    tokens = base.select(id_col, F.explode("wd").alias("word"))
+    tf = (
+        tokens.where(F.col("word").isin(*terms))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("dfr"))
+    stats = F.broadcast(
+        dl.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        )
+    )
+    idf = "ln((CAST(n_docs AS DOUBLE) - dfr + 0.5) / (dfr + 0.5) + 1.0)"
+    term_score = (
+        f"{idf} * (tf * ({k1} + 1.0))"
+        f" / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl))"
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, id_col)
+        .crossJoin(stats)
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(F.expr(term_score)), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(top)
+    )
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: BM25 top-20 for the terms (hash, join, scan)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return bm25_rank(docs)
+
+
+def _postings_oracle_sql() -> str:
+    return f"""
+        WITH tokens AS (
+            SELECT doc_id, unnest({_DUCK_WORDS}) AS word,
+                   unnest(range(1, len({_DUCK_WORDS}) + 1)) AS pos
+            FROM documents
+        ), index AS (
+            SELECT word, doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
+                   list_sort(list(CAST(pos AS INTEGER))) AS positions
+            FROM tokens GROUP BY word, doc_id
+        ), top_words AS (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+            FROM index GROUP BY word
+            ORDER BY df DESC, word ASC LIMIT {INDEX_TOP_WORDS}
+        )
+        SELECT i.word, t.df, i.doc_id, i.tf, i.positions
+        FROM index i JOIN top_words t USING (word)
+        ORDER BY word, doc_id
+    """
+
+
+def _phrase_oracle_sql() -> str:
+    """Independent direct-scan algorithm: count adjacent (w1, w2) token
+    pairs per document — no inverted index involved."""
+    w1, w2 = PHRASE
+    return f"""
+        WITH wd AS (
+            SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+        ), counted AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(range(1, len(w)),
+                        i -> w[i] = '{w1}' AND w[i + 1] = '{w2}')) AS INTEGER)
+                       AS n_occurrences
+            FROM wd
+        )
+        SELECT doc_id, n_occurrences FROM counted
+        WHERE n_occurrences > 0
+        ORDER BY doc_id
+    """
+
+
+def _bm25_oracle_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    idf = "ln((CAST(n_docs AS DOUBLE) - dfr + 0.5) / (dfr + 0.5) + 1.0)"
+    term_score = (
+        f"{idf} * (tf * ({BM25_K1} + 1.0))"
+        f" / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))"
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {_DUCK_WORDS} AS wd FROM documents
+        ), dl AS (
+            SELECT doc_id, CAST(len(wd) AS INTEGER) AS dl FROM base
+        ), tf AS (
+            SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(wd) AS word FROM base)
+            WHERE word IN ({terms})
+            GROUP BY doc_id, word
+        ), dfreq AS (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS dfr FROM tf GROUP BY word
+        ), stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   AVG(CAST(dl AS DOUBLE)) AS avgdl
+            FROM dl
+        )
+        SELECT doc_id,
+               ROUND(SUM({term_score}), 6) AS bm25,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+        FROM tf JOIN dfreq USING (word) JOIN dl USING (doc_id) CROSS JOIN stats
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id ASC
+        LIMIT {BM25_TOP}
+    """
+
+
+QUERIES = {
+    "inverted_postings": inverted_postings,
+    "phrase_search_docs": phrase_search_docs,
+    "bm25_search": bm25_search,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "inverted_postings": _postings_oracle_sql(),
+    "phrase_search_docs": _phrase_oracle_sql(),
+    "bm25_search": _bm25_oracle_sql(),
+}
