@@ -600,21 +600,48 @@ def semantic_dedup(
     Recall misses only pairs straddling a cell boundary — the
     documented trade of the SemDeDup paper.
 
-    Plan: centroids fit via ``dist_kmeans`` on a bounded deterministic
-    SAMPLE (the SemDeDup posture — cells only need to reflect the
-    density structure, so the per-iteration passes scan
-    ``SEMDEDUP_FIT_N`` rows, not the corpus; at 100 TB that converts
-    3 full scans into 3 sample scans), then ONE map-only assignment of
-    the full corpus and an equi-join on the cell id — pair generation
-    never leaves the cell, so the shuffle is bounded by cell sizes,
-    not N^2.  Returns (vec_a, vec_b, cluster, cosine).
+    Plan: centroids fit on a bounded deterministic SAMPLE in driver
+    numpy (the SemDeDup posture — cells only need to reflect density
+    structure; the sample is O(SEMDEDUP_FIT_N x d) and the distributed
+    alternative pays one job round per Lloyd iteration for no accuracy
+    gain — ``clustering.dist_kmeans`` remains the corpus-scale fit),
+    then ONE map-only assignment of the full corpus and an equi-join
+    on the cell id — pair generation never leaves the cell, so the
+    shuffle is bounded by cell sizes, not N^2.
+    Returns (vec_a, vec_b, cluster, cosine).
     """
-    from .clustering import dist_kmeans, kmeans_assign
+    from .clustering import kmeans_assign
 
-    # localCheckpoint: the TakeOrdered sample would otherwise re-run its
-    # full-corpus scan inside every k-means iteration
-    fit_df = df.select(id_col, vec_col).orderBy(id_col).limit(SEMDEDUP_FIT_N).localCheckpoint()
-    centroids = dist_kmeans(fit_df, id_col, vec_col, k=k, max_iterations=SEMDEDUP_ITERS)
+    # The fit sample is bounded (SEMDEDUP_FIT_N rows) by design — cells
+    # only need to reflect density structure — so run Lloyd DRIVER-side
+    # in numpy instead of paying SEMDEDUP_ITERS distributed job rounds
+    # on 512 rows (same posture as train_pq_codebooks; measured ~4 s of
+    # pure job-launch overhead saved at sf0.1).  Same math as
+    # dist_kmeans: lowest-id seeds, argmin assignment, mean update,
+    # empty cells keep their centroid.
+    import numpy as np
+
+    sample = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(SEMDEDUP_FIT_N).toPandas()
+    )
+    x = np.vstack(sample[vec_col].to_numpy()).astype(np.float64)
+    centroids = x[:k].copy()
+    for _ in range(SEMDEDUP_ITERS):
+        d2 = (
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * (x @ centroids.T)
+            + (centroids * centroids).sum(axis=1)[None, :]
+        )
+        assign = d2.argmin(axis=1)
+        new_c = centroids.copy()
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                new_c[c] = x[m].mean(axis=0)
+        if float(np.abs(new_c - centroids).max()) < 1e-6:
+            centroids = new_c
+            break
+        centroids = new_c
     assigned = kmeans_assign(df, centroids, id_col, vec_col).select(
         F.col(id_col), "cluster"
     )
