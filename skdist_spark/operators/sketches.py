@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
 
-__all__ = ["kmv_sketch", "kmv_user_overlap", "user_overlap_exact"]
+__all__ = [
+    "kmv_sketch",
+    "kmv_user_overlap",
+    "user_overlap_exact",
+    "kmv_join_keys_estimate",
+]
 
 KMV_K = 256
 _TWO64 = float(1 << 64)
@@ -128,3 +133,52 @@ QUERIES = {
     "user_overlap_exact": user_overlap_exact,
     "kmv_user_overlap": kmv_user_overlap,
 }
+
+
+def kmv_join_keys_estimate(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Join-selectivity estimator: KMV estimates of the distinct key
+    counts on each side and of the MATCHING key count — the "will this
+    join prune or explode" pre-flight, at the cost of two bounded
+    sketches instead of a distinct-count of either side.
+
+    Returns one row (est_left_keys, est_right_keys, est_common_keys).
+    Same sketch math as kmv_user_overlap: union sketch = k smallest
+    distinct hashes over both sides, rho = fraction present in both,
+    |A ∩ B| ~= rho * |A ∪ B|; exact when a side has < k keys.
+    """
+    tagged = left.select(
+        F.lit("L").alias("side"), F.col(left_key).alias("k")
+    ).unionByName(right.select(F.lit("R").alias("side"), F.col(right_key).alias("k")))
+    sk = kmv_sketch(tagged, "side", "k", k=k)
+
+    per_side = sk.groupBy("side").agg(_kmv_estimate(k).alias("est"))
+    merged = (
+        sk.select("h", "side")
+        .groupBy("h")
+        .agg(F.countDistinct("side").alias("n_sets"))
+        .orderBy("h")
+        .limit(k)
+    )
+    union_est = merged.agg(
+        _kmv_estimate(k).alias("est_union"),
+        (F.sum(F.when(F.col("n_sets") == 2, 1).otherwise(0)) / F.count(F.lit(1))).alias(
+            "rho"
+        ),
+    )
+    wide = (
+        per_side.groupBy()
+        .pivot("side", ["L", "R"])
+        .agg(F.first("est"))
+        .join(F.broadcast(union_est))
+    )
+    return wide.select(
+        F.round("L", 2).alias("est_left_keys"),
+        F.round("R", 2).alias("est_right_keys"),
+        F.round(F.col("rho") * F.col("est_union"), 2).alias("est_common_keys"),
+    )

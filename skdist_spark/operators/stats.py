@@ -410,8 +410,94 @@ def _skew_oracle_sql() -> str:
     """
 
 
+# ---- Seasonal anomaly detection --------------------------------------
+
+ANOMALY_Z = 2.0  # |z| flag threshold
+
+
+def daily_revenue_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive anomaly detection over daily order revenue:
+    each day is scored against the mean/stddev of ITS OWN day-of-week
+    (weekly seasonality is the dominant cycle in commerce data, so a
+    quiet Sunday isn't an anomaly but a quiet Tuesday is).
+
+    Daily revenue sums in exact cents (DECIMAL -> BIGINT); per-dow
+    mean/std come from exact integer moments over the (at most 7-row
+    x days) aggregated frame, broadcast back; z and the flag are the
+    only doubles (rounded 6).  Days in dow groups with zero variance
+    or fewer than 2 observations are reported with NULL z.
+    Engine alignment: Spark dayofweek is 1=Sunday..7; the oracle adds
+    1 to DuckDB's 0-based dayofweek.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    daily = (
+        orders.groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,2))"))
+            .cast("decimal(38,2)")
+            .alias("rev"),
+        )
+        .select(
+            "day",
+            F.dayofweek("day").alias("dow"),
+            F.expr("CAST(rev * 100 AS BIGINT)").alias("cents"),
+        )
+    )
+    m = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(19,0)) * cents").cast("decimal(38,0)")).alias("ss"),
+    )
+    var = "(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+    mean = "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+    z = f"(CAST(cents AS DOUBLE) - {mean}) / sqrt({var})"
+    return (
+        daily.join(F.broadcast(m), "dow")
+        .select(
+            "day",
+            "dow",
+            F.expr("ROUND(CAST(cents AS DOUBLE) / 100.0, 2)").alias("revenue"),
+            F.expr(f"ROUND({mean} / 100.0, 6)").alias("dow_mean"),
+            F.expr(
+                f"CASE WHEN n >= 2 AND {var} > 0.0D THEN ROUND({z}, 6) END"
+            ).alias("z"),
+            F.expr(
+                f"CASE WHEN n >= 2 AND {var} > 0.0D THEN abs({z}) > {ANOMALY_Z}D END"
+            ).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
+def _anomaly_oracle_sql() -> str:
+    var = "(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+    mean = "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+    z = f"(CAST(cents AS DOUBLE) - {mean}) / sqrt({var})"
+    return f"""
+        WITH daily AS (
+            SELECT o_orderdate AS day,
+                   CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) * 100 AS BIGINT) AS cents
+            FROM orders GROUP BY o_orderdate
+        ), m AS (
+            SELECT dow, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+                   CAST(SUM(CAST(cents AS DECIMAL(19,0)) * cents) AS DECIMAL(38,0)) AS ss
+            FROM daily GROUP BY dow
+        )
+        SELECT day, dow,
+               ROUND(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+               ROUND({mean} / 100.0, 6) AS dow_mean,
+               CASE WHEN n >= 2 AND {var} > 0.0 THEN ROUND({z}, 6) END AS z,
+               CASE WHEN n >= 2 AND {var} > 0.0 THEN abs({z}) > {ANOMALY_Z} END AS is_anomaly
+        FROM daily JOIN m USING (dow)
+        ORDER BY day
+    """
+
+
 QUERIES = {
     "user_value_trend": user_value_trend,
+    "daily_revenue_anomaly": daily_revenue_anomaly,
     "event_value_drift": event_value_drift,
     "event_value_pmi": event_value_pmi,
     "user_skew_report": user_skew_report,
@@ -419,6 +505,7 @@ QUERIES = {
 
 ORACLE_SQL: dict[str, str] = {
     "user_value_trend": _trend_oracle_sql(),
+    "daily_revenue_anomaly": _anomaly_oracle_sql(),
     "event_value_drift": _drift_oracle_sql(),
     "event_value_pmi": _pmi_oracle_sql(),
     "user_skew_report": _skew_oracle_sql(),

@@ -1021,7 +1021,68 @@ ORACLE_WEIGHTED_SAMPLE = f"""
 
 ORACLE_SQL["weighted_doc_sample"] = ORACLE_WEIGHTED_SAMPLE
 
+def source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture planning view: whitespace-token budget per
+    source with integer-exact ppm shares and cumulative coverage in
+    descending-budget order — "which sources dominate the mixture and
+    where does the tail start".
+
+    One scan, one tiny per-source aggregate; shares are integer ppm
+    (BIGINT div) and the cumulative window runs over the aggregated
+    |sources|-row frame only.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    per_source = (
+        docs.select("source", F.expr(f"size({_SPARK_WORDS})").alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tok").cast("bigint")).alias("tokens"),
+        )
+    )
+    total = F.broadcast(per_source.agg(F.sum("tokens").alias("total_tokens")))
+    w = Window.orderBy(F.desc("tokens"), F.asc("source"))
+    return (
+        per_source.crossJoin(total)
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_tokens",
+            F.sum("tokens").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select(
+            "rank",
+            "source",
+            "n_docs",
+            "tokens",
+            F.expr("CAST(tokens * 1000000 div total_tokens AS BIGINT)").alias("share_ppm"),
+            F.expr("CAST(cum_tokens * 1000000 div total_tokens AS BIGINT)").alias("cum_share_ppm"),
+        )
+        .orderBy("rank")
+    )
+
+
+ORACLE_SQL_SOURCE_BUDGET = f"""
+    WITH per_source AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({_DUCK_WORDS})) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens FROM per_source
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY tokens DESC, source ASC) AS INTEGER) AS rank,
+           source, n_docs, tokens,
+           CAST(tokens * 1000000 // total_tokens AS BIGINT) AS share_ppm,
+           CAST(CAST(SUM(tokens) OVER (ORDER BY tokens DESC, source ASC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) * 1000000 // total_tokens AS BIGINT)
+               AS cum_share_ppm
+    FROM per_source CROSS JOIN tot
+    ORDER BY rank
+"""
+
 QUERIES = {
+    "source_token_budget": source_token_budget,
     "text_langid": text_langid,
     "weighted_doc_sample": weighted_doc_sample,
     "text_tokens": text_tokens,
@@ -1038,3 +1099,5 @@ QUERIES = {
     "decontaminate_docs": decontaminate_docs,
     "pack_chunks": pack_chunks,
 }
+
+ORACLE_SQL["source_token_budget"] = ORACLE_SQL_SOURCE_BUDGET

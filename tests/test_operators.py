@@ -1216,3 +1216,31 @@ def test_bpe_encode_matches_python_reference(spark):
     for doc_id, text in [(1, "the theme there"), (2, "a banana bandana"), (3, "xyz")]:
         want = [t for w in text.lower().split() for t in apply_merges(w)]
         assert got[doc_id] == (want, len(want)), (doc_id, got[doc_id], want)
+
+
+def test_kmv_join_keys_estimate_error_bound(spark, sf_dir):
+    """The join-key estimator must land within KMV error of the exact
+    distinct-key overlap between orders and lineitem."""
+    from pyspark.sql import functions as F
+
+    from skdist_spark.operators.sketches import kmv_join_keys_estimate
+    from skdist_spark.sources.catalog import load_table
+
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    est = kmv_join_keys_estimate(orders, "o_orderkey", lineitem, "l_orderkey").collect()[0]
+
+    n_o = orders.select("o_orderkey").distinct().count()
+    n_l = lineitem.select("l_orderkey").distinct().count()
+    n_common = (
+        orders.select(F.col("o_orderkey").alias("k"))
+        .distinct()
+        .join(lineitem.select(F.col("l_orderkey").alias("k")).distinct(), "k")
+        .count()
+    )
+    for got, want in [
+        (est["est_left_keys"], n_o),
+        (est["est_right_keys"], n_l),
+        (est["est_common_keys"], n_common),
+    ]:
+        assert abs(got - want) / max(want, 1) < 0.15, (got, want)
