@@ -45,7 +45,9 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     analytics engine the rebuild adds. Filter is pushed to the parquet
     scan; the two-column groupBy pre-aggregates map-side.
     """
-    li = load_table(spark, "lineitem", sf_dir)
+    # parallel=True: pure scan-agg — the parallelism floor halves q1
+    # (catalog._ensure_parallel; join-heavy queries skip it)
+    li = load_table(spark, "lineitem", sf_dir, parallel=True)
     disc_price = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
     charge = disc_price * (F.lit(1).cast(_DEC) + _dec("l_tax"))
     return (
@@ -118,7 +120,7 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecasting revenue change (TPC-H Q6): pure scan+filter+agg.
 
     All three predicates reach the parquet reader (PushedFilters)."""
-    li = load_table(spark, "lineitem", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir, parallel=True)  # pure scan-agg
     return (
         li.where(
             (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))

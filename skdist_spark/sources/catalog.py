@@ -43,19 +43,25 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Measured (min-of-3 at sf0.1): the floor pays off exactly where the
 # map-side work is heavy — documents (regex/shingle/md5 pipelines:
 # similar_doc_pairs 8.7 -> 2.9 s, dedup_minhash 4.5 -> 3.3 s) and
-# lineitem (decimal scan-aggs: q1 2.2 -> 1.1 s).  events/orders/
-# embeddings queries have light map work and only pay the extra
-# exchange + 32-task scheduling (~+0.3 s each), so they stay unfloored;
-# compute-heavy embedding operators repartition internally instead
-# (similarity.ivf_join).
-_PARALLEL_TABLES = {
+# pure scan-aggregations over lineitem (q1 2.2 -> 1.1 s, opt-in).
+# Everything else (join-heavy TPC-H, light-map events/orders/
+# embeddings queries) pays the extra exchange for nothing — q5
+# measured 0.8 -> 2.5 s floored — so only `documents` floors
+# automatically; other tables opt in per query with parallel=True,
+# and compute-heavy embedding operators repartition internally where
+# a downstream groupBy reuses the exchange (similarity.ivf_join).
+_FLOOR_KEYS = {
     "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
     "documents": "doc_id",
+    "embeddings": "vec_id",
 }
+_AUTO_PARALLEL = frozenset({"documents"})
 
 
 def _ensure_parallel(spark: SparkSession, name: str, df: DataFrame) -> DataFrame:
-    key = _PARALLEL_TABLES.get(name)
+    key = _FLOOR_KEYS.get(name)
     if key is None:
         return df
     target = spark.sparkContext.defaultParallelism
@@ -70,7 +76,7 @@ def load_table(
     spark: SparkSession,
     name: str,
     sf_dir: str = DEFAULT_SF_DIR,
-    parallel: bool = True,
+    parallel: bool | None = None,
 ) -> DataFrame:
     """Load one catalog table as a DataFrame (lazy parquet scan).
 
@@ -95,9 +101,10 @@ def load_table(
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type != "timestamp":  # timestamp_ntz layout
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return _ensure_parallel(spark, name, df) if parallel else df
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    return _ensure_parallel(spark, name, df) if parallel else df
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    floor = parallel if parallel is not None else (name in _AUTO_PARALLEL)
+    return _ensure_parallel(spark, name, df) if floor else df
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

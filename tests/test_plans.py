@@ -126,6 +126,8 @@ def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
             "basket_part_affinity", "rfm_segments",
             "event_value_drift", "event_value_pmi", "user_skew_report",
             "ann_ivf_join",
+            # one-row scalar broadcasts (corpus stats / totals)
+            "bm25_search", "doc_perplexity_bigram", "source_token_budget",
         ):
             bad[name] = joins
     assert not bad, bad
