@@ -177,3 +177,42 @@ class ParameterSampler:
         if self._all_lists():
             return min(self.n_iter, len(ParameterGrid(self.param_distributions)))
         return self.n_iter
+
+
+class TimeSeriesSplit:
+    """Rolling-origin cross-validation: fold i trains on everything
+    before its test window and tests on the next contiguous block —
+    train indices always precede test indices, so no future leakage.
+    Matches sklearn's TimeSeriesSplit semantics (test_size defaults to
+    n // (n_splits + 1); optional max_train_size and gap)."""
+
+    def __init__(self, n_splits=5, max_train_size=None, test_size=None, gap=0):
+        self.n_splits = n_splits
+        self.max_train_size = max_train_size
+        self.test_size = test_size
+        self.gap = gap
+
+    def split(self, X, y=None, groups=None):
+        n = len(X)
+        test_size = self.test_size or n // (self.n_splits + 1)
+        if test_size < 1:
+            raise ValueError(f"test_size={test_size} < 1 for n={n}")
+        first_test = n - self.n_splits * test_size
+        if first_test - self.gap < 1:
+            raise ValueError(
+                f"too many splits ({self.n_splits}) for n={n} with "
+                f"test_size={test_size}, gap={self.gap}"
+            )
+        idx = np.arange(n)
+        for i in range(self.n_splits):
+            test_start = first_test + i * test_size
+            train_end = test_start - self.gap
+            train_start = (
+                max(0, train_end - self.max_train_size)
+                if self.max_train_size
+                else 0
+            )
+            yield idx[train_start:train_end], idx[test_start : test_start + test_size]
+
+    def get_n_splits(self, X=None, y=None, groups=None):
+        return self.n_splits

@@ -29,6 +29,7 @@ from .joins import asof_join, interval_join, salted_join
 from .sampling import sample_k_per_group, train_test_split_df, weighted_sample_k
 from .similarity import cosine_topk, pq_encode, train_pq_codebooks
 from .text import (
+    dedup_lines,
     fingerprint,
     language_id,
     quality_score,
@@ -78,6 +79,7 @@ __all__ = [
     "fit_pca",
     "pca_project",
     "setsim_join",
+    "dedup_lines",
     "build_inverted_index",
     "phrase_search",
     "bm25_rank",

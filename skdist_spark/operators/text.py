@@ -1101,3 +1101,102 @@ QUERIES = {
 }
 
 ORACLE_SQL["source_token_budget"] = ORACLE_SQL_SOURCE_BUDGET
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    max_df: int = 1,
+) -> DataFrame:
+    """CCNet-style line-level dedup: drop every LINE that appears in
+    more than ``max_df`` documents (boilerplate headers, nav bars,
+    cookie banners repeat across pages; prose doesn't), then reassemble
+    each document from its surviving lines in original order.
+
+    One scan: posexplode the split, hash-count line df across the
+    corpus (md5 of the trimmed line — the shuffle carries 32-byte
+    digests, not line text), anti-filter, re-join with array ordering
+    by original position.  Docs whose every line is boilerplate come
+    back EMPTY (kept, zero lines) so downstream length filters make
+    the drop decision — this operator never deletes documents.
+    Returns (id, clean_text, n_lines_kept, n_lines_dropped).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("pos", "line"),
+    ).withColumn("lh", F.md5(F.trim(F.col("line"))))
+    dfreq = (
+        lines.select("lh", id_col).distinct()
+        .groupBy("lh").agg(F.count(F.lit(1)).alias("line_df"))
+    )
+    marked = lines.join(dfreq, "lh").withColumn(
+        "keep", F.col("line_df") <= max_df
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(CASE WHEN keep THEN struct(pos, line) END)), s -> s.line)"),
+                sep,
+            ).alias("clean_text"),
+            F.sum(F.expr("CASE WHEN keep THEN 1 ELSE 0 END")).alias("n_lines_kept"),
+            F.sum(F.expr("CASE WHEN keep THEN 0 ELSE 1 END")).alias("n_lines_dropped"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (nats) — the
+    gibberish/compression-quality signal: natural prose sits in a
+    narrow entropy band, keyboard mash and base64 blobs above it,
+    repeated-character junk below.
+
+    Char histogram per doc via one posexplode+count, entropy from
+    exact integer counts, only the final ln/ratio in DOUBLE (round 6).
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).where(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_distinct_chars")
+    )
+    term = "-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+    return (
+        counts.join(tot, "doc_id")
+        .groupBy("doc_id", "n", "n_distinct_chars")
+        .agg(F.round(F.sum(F.expr(term)), 6).alias("entropy_nats"))
+        .select(
+            "doc_id",
+            F.col("n").alias("n_chars"),
+            "n_distinct_chars",
+            "entropy_nats",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SQL["text_entropy"] = """
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ), counts AS (
+        SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+        FROM chars WHERE ch != '' GROUP BY doc_id, ch
+    ), tot AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_chars
+        FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_chars, n_distinct_chars,
+           ROUND(SUM(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                     * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS entropy_nats
+    FROM counts JOIN tot USING (doc_id)
+    GROUP BY doc_id, n, n_distinct_chars
+    ORDER BY doc_id
+"""
+
+QUERIES["text_entropy"] = text_entropy

@@ -138,3 +138,35 @@ def test_dummy():
     X, y = _blobs(k=2)
     d = DummyClassifier().fit(X, y)
     assert len(d.predict(X)) == len(y)
+
+
+def test_time_series_split_no_future_leakage():
+    import numpy as np
+
+    from skdist_spark.ml.model_selection import TimeSeriesSplit
+
+    X = np.arange(37)
+    tss = TimeSeriesSplit(n_splits=4)
+    folds = list(tss.split(X))
+    assert len(folds) == 4
+    prev_test_end = None
+    for train, test in folds:
+        assert train.max() < test.min()          # strictly before
+        assert len(test) == 37 // 5
+        assert np.array_equal(train, np.arange(len(train)))  # grows from 0
+        if prev_test_end is not None:
+            assert test.min() == prev_test_end   # contiguous windows
+        prev_test_end = test.max() + 1
+
+
+def test_time_series_split_gap_and_max_train():
+    import numpy as np
+
+    from skdist_spark.ml.model_selection import TimeSeriesSplit
+
+    X = np.arange(40)
+    tss = TimeSeriesSplit(n_splits=3, test_size=5, gap=2, max_train_size=10)
+    for train, test in tss.split(X):
+        assert test.min() - train.max() == 3  # gap of 2 rows skipped
+        assert len(train) <= 10
+        assert len(test) == 5

@@ -220,3 +220,38 @@ def test_temperature_sample_flattens_mixture(spark):
     assert sorted(r.doc_id for r in kept.collect()) == sorted(
         r.doc_id for r in again.collect()
     )
+
+
+def test_dedup_lines_drops_boilerplate_keeps_order(spark):
+    from skdist_spark.operators.text import dedup_lines
+
+    docs = [
+        (1, "COOKIE BANNER\nunique prose one\nfooter text"),
+        (2, "COOKIE BANNER\nunique prose two\nfooter text"),
+        (3, "COOKIE BANNER\nonly boilerplate here too\nfooter text"),
+        (4, "totally unique document\nwith two lines"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in dedup_lines(df, max_df=1).collect()}
+    # lines repeated across docs are gone; unique lines survive in order
+    assert out[1]["clean_text"] == "unique prose one"
+    assert out[2]["clean_text"] == "unique prose two"
+    assert out[3]["clean_text"] == "only boilerplate here too"
+    assert out[4]["clean_text"] == "totally unique document\nwith two lines"
+    assert out[1]["n_lines_dropped"] == 2 and out[4]["n_lines_dropped"] == 0
+    # every doc is retained even if fully boilerplate
+    assert set(out) == {1, 2, 3, 4}
+
+
+def test_dedup_lines_max_df_threshold(spark):
+    from skdist_spark.operators.text import dedup_lines
+
+    docs = [(i, "shared pair line\nself " + str(i)) for i in range(1, 3)] + [
+        (3, "shared pair line\nself 3"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    # max_df=3: the shared line appears in exactly 3 docs -> kept
+    out3 = {r["doc_id"]: r["n_lines_dropped"] for r in dedup_lines(df, max_df=3).collect()}
+    assert out3 == {1: 0, 2: 0, 3: 0}
+    out2 = {r["doc_id"]: r["n_lines_dropped"] for r in dedup_lines(df, max_df=2).collect()}
+    assert out2 == {1: 1, 2: 1, 3: 1}
