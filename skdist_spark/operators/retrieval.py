@@ -170,6 +170,129 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_rank(docs)
 
 
+RRF_K = 60          # the standard reciprocal-rank-fusion constant
+RRF_DEPTH = 20      # per-modality candidate depth
+RRF_TOP = 10
+RRF_QUERY_VEC = 0   # query embedding id (doc i's embedding is vec i)
+
+_DOT_FOLD = "aggregate(zip_with(q.v, c.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+_NORM_FOLD = "sqrt(aggregate(transform({0}, x -> x * x), 0D, (acc, x) -> acc + x))"
+_DUCK_DOT_FOLD = (
+    "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]),"
+    " (x, y) -> x + y)"
+)
+_DUCK_NORM_FOLD = "sqrt(list_reduce(list_transform({0}, x -> x * x), (x, y) -> x + y))"
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword ranks fused with vector-cosine
+    ranks by reciprocal-rank fusion, rrf = sum 1/(RRF_K + rank) over
+    the modalities that returned the doc.
+
+    The modern search default (lexical recall + semantic recall beat
+    either alone, and RRF needs no score calibration because it only
+    consumes RANKS).  Both candidate lists are top-RRF_DEPTH; the
+    fusion is one full-outer join on the doc id; ranks are integers so
+    the fused scores are bit-identical across engines.  Ties break on
+    doc_id.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    # rank recomputed from the scores (a row_number over the already-
+    # limited frame would depend on arrival order)
+    scored = bm25_rank(docs, top=RRF_DEPTH).select("doc_id", "bm25")
+    w_text = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    text_ranks = scored.withColumn("r_text", F.row_number().over(w_text)).select(
+        "doc_id", "r_text"
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = F.broadcast(emb.where(F.col("vec_id") == RRF_QUERY_VEC)).alias("q")
+    c = emb.where(F.col("vec_id") != RRF_QUERY_VEC).alias("c")
+    cos = f"{_DOT_FOLD} / ({_NORM_FOLD.format('q.v')} * {_NORM_FOLD.format('c.v')})"
+    vec_scored = q.join(c, F.lit(True)).select(
+        F.col("c.vec_id").alias("doc_id"), F.expr(cos).alias("cosine")
+    )
+    w_vec = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    vec_ranks = (
+        vec_scored.withColumn("r_vec", F.row_number().over(w_vec))
+        .where(F.col("r_vec") <= RRF_DEPTH)
+        .select("doc_id", "r_vec")
+    )
+    rrf = (
+        f"COALESCE(1.0D / ({RRF_K} + r_text), 0.0D)"
+        f" + COALESCE(1.0D / ({RRF_K} + r_vec), 0.0D)"
+    )
+    return (
+        text_ranks.join(vec_ranks, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "r_text",
+            "r_vec",
+            F.expr(f"ROUND({rrf}, 6)").alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(RRF_TOP)
+    )
+
+
+def _hybrid_oracle_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    idf = "ln((CAST(n_docs AS DOUBLE) - dfr + 0.5) / (dfr + 0.5) + 1.0)"
+    term_score = (
+        f"{idf} * (tf * ({BM25_K1} + 1.0))"
+        f" / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))"
+    )
+    dot = _DUCK_DOT_FOLD.format(a="q.v", b="c.v")
+    rrf = (
+        f"COALESCE(1.0 / ({RRF_K} + r_text), 0.0)"
+        f" + COALESCE(1.0 / ({RRF_K} + r_vec), 0.0)"
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {_DUCK_WORDS} AS wd FROM documents
+        ), dl AS (
+            SELECT doc_id, CAST(len(wd) AS INTEGER) AS dl FROM base
+        ), tf AS (
+            SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(wd) AS word FROM base)
+            WHERE word IN ({terms})
+            GROUP BY doc_id, word
+        ), dfreq AS (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS dfr FROM tf GROUP BY word
+        ), stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl
+            FROM dl
+        ), bm AS (
+            SELECT doc_id, ROUND(SUM({term_score}), 6) AS bm25
+            FROM tf JOIN dfreq USING (word) JOIN dl USING (doc_id) CROSS JOIN stats
+            GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id ASC LIMIT {RRF_DEPTH}
+        ), text_ranks AS (
+            SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INTEGER) AS r_text
+            FROM bm
+        ), e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), vec_scored AS (
+            SELECT c.vec_id AS doc_id,
+                   {dot} / ({_DUCK_NORM_FOLD.format('q.v')} * {_DUCK_NORM_FOLD.format('c.v')}) AS cosine
+            FROM (SELECT v FROM e WHERE vec_id = {RRF_QUERY_VEC}) q
+            CROSS JOIN (SELECT vec_id, v FROM e WHERE vec_id != {RRF_QUERY_VEC}) c
+        ), vec_ranks AS (
+            SELECT doc_id, r_vec FROM (
+                SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC) AS INTEGER) AS r_vec
+                FROM vec_scored
+            ) WHERE r_vec <= {RRF_DEPTH}
+        )
+        SELECT doc_id, r_text, r_vec, ROUND({rrf}, 6) AS rrf_score
+        FROM text_ranks FULL OUTER JOIN vec_ranks USING (doc_id)
+        ORDER BY rrf_score DESC, doc_id ASC
+        LIMIT {RRF_TOP}
+    """
+
+
 def _postings_oracle_sql() -> str:
     return f"""
         WITH tokens AS (
@@ -246,12 +369,14 @@ def _bm25_oracle_sql() -> str:
 
 
 QUERIES = {
+    "hybrid_search_rrf": hybrid_search_rrf,
     "inverted_postings": inverted_postings,
     "phrase_search_docs": phrase_search_docs,
     "bm25_search": bm25_search,
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "hybrid_search_rrf": _hybrid_oracle_sql(),
     "inverted_postings": _postings_oracle_sql(),
     "phrase_search_docs": _phrase_oracle_sql(),
     "bm25_search": _bm25_oracle_sql(),

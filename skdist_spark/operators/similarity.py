@@ -543,6 +543,63 @@ def _duck_corr_sql() -> str:
     """
 
 
+# ---- Metadata-filtered ANN -------------------------------------------
+
+
+def ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search: exact cosine top-k restricted
+    to corpus vectors whose label is even — the PRE-filtering shape
+    (filter, then score only survivors).
+
+    In dedicated vector stores filtered ANN is the hard case (the
+    index doesn't know the predicate); in a relational engine it's
+    free: the label predicate is an ordinary pushed-down filter under
+    the same broadcast scoring pass, so selectivity directly reduces
+    scored rows.  Self-matches excluded as in ann_topk.
+    """
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = F.broadcast(
+        emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "v")
+    ).alias("q")
+    corpus = emb.where(F.col("label") % 2 == 0).select("vec_id", "v").alias("c")
+    cos = f"{_DOT} / ({_NORM.format('q.v')} * {_NORM.format('c.v')})"
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        queries.join(corpus, F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.expr(cos).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _filtered_oracle_sql() -> str:
+    dot = _DUCK_DOT.format(a="q.v", b="c.v")
+    return f"""
+        WITH e AS (
+            SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {dot} / ({_DUCK_NORM.format('q.v')} * {_DUCK_NORM.format('c.v')}) AS cosine
+            FROM e q JOIN e c ON q.vec_id != c.vec_id
+            WHERE q.vec_id < {N_QUERIES} AND c.label % 2 = 0
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """
+
+
 # ---- Cross-corpus IVF similarity join --------------------------------
 
 IVF_JOIN_NPROBE = 4
@@ -723,6 +780,7 @@ def _ivf_join_oracle_sql() -> str:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "ann_filtered": _filtered_oracle_sql(),
     "ann_ivf_join": _ivf_join_oracle_sql(),
     "ann_lsh": _lsh_oracle_sql(),
     "ann_ivf": _ivf_oracle_sql(),
@@ -752,6 +810,7 @@ QUERIES = {
     "ann_topk": ann_topk,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
+    "ann_filtered": ann_filtered,
     "ann_ivf_join": ann_ivf_join,
     "ann_pq": ann_pq,
     "embedding_corr": embedding_corr,

@@ -128,6 +128,8 @@ def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
             "ann_ivf_join",
             # one-row scalar broadcasts (corpus stats / totals)
             "bm25_search", "doc_perplexity_bigram", "source_token_budget",
+            # bounded broadcast query sides (as ann_topk)
+            "ann_filtered", "hybrid_search_rrf",
         ):
             bad[name] = joins
     assert not bad, bad
