@@ -837,6 +837,93 @@ def stream_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANOMALY_STREAM_Z = 3.0
+
+
+def _anomaly_group(
+    key: Any, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-type rolling anomaly state machine.
+
+    State is EXACT integer moments (n, sum of value-micros, sum of
+    squared value-micros) so the final moments equal a batch
+    aggregation bit-for-bit — no Welford float drift across batches.
+    Each arriving row is scored against the PRE-batch moments (what a
+    live monitor knows at arrival time); the batch's rows then fold
+    into the state.
+    """
+    (event_type,) = key
+    rows = pd.concat(list(batches))
+    if state.exists:
+        n, s, ss = state.get
+    else:
+        n, s, ss = 0, 0, 0
+    # exact integer CENTS (values are cents-quantized; cents^2 sums
+    # stay far inside int64 where micros^2 would overflow)
+    cents = (rows["value"] * 100).round().astype("int64")
+    n_anom = 0
+    if n >= 2:
+        mean = s / n
+        var = (n * ss - s * s) / (n * n)
+        if var > 0.0:
+            z = (cents - mean) / (var ** 0.5)
+            n_anom = int((z.abs() > ANOMALY_STREAM_Z).sum())
+    n += len(cents)
+    s += int(cents.sum())
+    ss += int((cents * cents).sum())
+    state.update((n, s, ss))
+    yield pd.DataFrame(
+        [(event_type, n, s, ss, len(cents), n_anom)],
+        columns=["event_type", "n", "sum_cents", "sumsq_cents", "batch_rows", "batch_anomalies"],
+    )
+
+
+def anomaly_stream(events: DataFrame) -> DataFrame:
+    """Generic streaming anomaly monitor: per-key exact integer moment
+    state (bounded: three integers per key); each micro-batch emits the
+    updated moments plus how many of its rows were z-score anomalies
+    against the PRE-batch distribution."""
+    return (
+        events.select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _anomaly_group,
+            outputStructType=(
+                "event_type string, n long, sum_cents long, "
+                "sumsq_cents long, batch_rows long, batch_anomalies long"
+            ),
+            stateStructType="n long, s long, ss long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stream_value_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-type anomaly monitor over the 4-batch ordered
+    replay: final exact moments + total anomalies flagged across the
+    replay (rows-only; the final moments equal the batch aggregation
+    exactly and the anomaly counts equal a pandas replay — tested)."""
+    stage = _stage_ordered_stream(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+    out = run_stream_to_df(anomaly_stream(raw), output_mode="update")
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max_by("sum_cents", "n").alias("sum_cents"),
+            F.max_by("sumsq_cents", "n").alias("sumsq_cents"),
+            F.sum("batch_anomalies").alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def dq_monitor_stream(events: DataFrame, checks: "list[tuple[str, str]]"):
     """Streaming data-quality monitor: per-micro-batch violation counts
     for declarative constraints — the circuit-breaker input of a
@@ -996,6 +1083,7 @@ def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "stream_value_anomaly": stream_value_anomaly,
     "stream_topk_users": stream_topk_users,
     "stream_dq_monitor": stream_dq_monitor,
     "stream_windowed_counts": stream_windowed_counts,

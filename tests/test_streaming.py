@@ -419,3 +419,61 @@ def test_stream_topk_users_matches_batch_topk(spark, sf_dir):
         20,
         load_table(spark, "events", sf_dir).select("user_id").distinct().count(),
     )
+
+
+def test_stream_value_anomaly_moments_exact_and_counts_match_replay(spark, sf_dir):
+    """Final streamed moments must equal the batch integer moments
+    bit-for-bit (no Welford drift), and the per-batch anomaly counts
+    must equal a pandas replay of the staged 4-file sequence."""
+    from pyspark.sql import functions as F
+
+    from skdist_spark.sources.catalog import load_table
+    from skdist_spark.streaming import ops
+
+    got = {r.event_type: r.asDict() for r in ops.stream_value_anomaly(spark, sf_dir).collect()}
+
+    ev = load_table(spark, "events", sf_dir)
+    want = {
+        r["event_type"]: r.asDict()
+        for r in ev.select(
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("sum_cents"),
+            F.sum(F.expr("c * c")).alias("sumsq_cents"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for t in want:
+        for col in ("n", "sum_cents", "sumsq_cents"):
+            assert got[t][col] == want[t][col], (t, col)
+
+    # replay the staged batch files in order with plain pandas
+    import os
+
+    import pandas as pd
+
+    stage = ops._stage_ordered_stream(spark, sf_dir)
+    files = sorted(
+        os.path.join(stage, f) for f in os.listdir(stage) if f.endswith(".parquet")
+    )
+    state = {}
+    anom = {}
+    for f in files:
+        pdf = pd.read_parquet(f)
+        for t, grp in pdf.groupby("event_type"):
+            n, s, ss = state.get(t, (0, 0, 0))
+            cents = (grp["value"] * 100).round().astype("int64")
+            if n >= 2:
+                mean = s / n
+                var = (n * ss - s * s) / (n * n)
+                if var > 0.0:
+                    z = (cents - mean) / (var ** 0.5)
+                    anom[t] = anom.get(t, 0) + int((z.abs() > ops.ANOMALY_STREAM_Z).sum())
+            state[t] = (n + len(cents), s + int(cents.sum()), ss + int((cents * cents).sum()))
+    for t in got:
+        assert got[t]["n_anomalies"] == anom.get(t, 0), t
