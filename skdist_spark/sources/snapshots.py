@@ -124,3 +124,60 @@ def vacuum_snapshots(path: str, keep_last: int = 2) -> list[int]:
     for v in drop:
         shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
     return drop
+
+
+def schema_drift_report(
+    spark: SparkSession, path: str, v_old: int, v_new: int
+) -> DataFrame:
+    """Data-contract drift between two snapshots: per column, whether
+    it was added / removed / type-changed, plus exact null-rate ppm on
+    each side — the check a pipeline runs before promoting a snapshot
+    ("did upstream silently break the contract?").
+
+    Schema comparison is footer metadata (driver-side, free); null
+    rates are ONE aggregation pass per snapshot (conditional integer
+    sums, map-side combined).  Returns a tiny frame ordered by column.
+    """
+    old = read_snapshot(spark, path, v_old)
+    new = read_snapshot(spark, path, v_new)
+    old_types = dict(old.dtypes)
+    new_types = dict(new.dtypes)
+
+    def _null_ppm(df: DataFrame, cols: list[str]) -> dict[str, int]:
+        if not cols:
+            return {}
+        aggs = [F.count(F.lit(1)).alias("_n")] + [
+            F.sum(F.expr(f"CASE WHEN `{c}` IS NULL THEN 1 ELSE 0 END")).alias(c)
+            for c in cols
+        ]
+        row = df.agg(*aggs).collect()[0]
+        n = max(row["_n"], 1)
+        return {c: int(row[c] * 1_000_000 // n) for c in cols}
+
+    old_ppm = _null_ppm(old, list(old_types))
+    new_ppm = _null_ppm(new, list(new_types))
+    rows = []
+    for c in sorted(set(old_types) | set(new_types)):
+        if c not in old_types:
+            status = "added"
+        elif c not in new_types:
+            status = "removed"
+        elif old_types[c] != new_types[c]:
+            status = "type_changed"
+        else:
+            status = "ok"
+        rows.append(
+            (
+                c,
+                status,
+                old_types.get(c),
+                new_types.get(c),
+                old_ppm.get(c),
+                new_ppm.get(c),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "column string, status string, old_type string, new_type string, "
+        "old_null_ppm long, new_null_ppm long",
+    )

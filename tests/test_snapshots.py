@@ -66,3 +66,24 @@ def test_vacuum_drops_old_versions(spark, tmp_path):
     assert {r["id"] for r in read_snapshot(spark, path, 3).collect()} == {2}
     with pytest.raises(ValueError):
         read_snapshot(spark, path, 1)
+
+
+def test_schema_drift_report(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, None, None)], "id bigint, v string, gone string"
+    )
+    new = spark.createDataFrame(
+        [(1, 1.5, "x"), (2, 2.5, None)], "id bigint, v double, fresh string"
+    )
+    write_snapshot(old, path)
+    write_snapshot(new, path)
+    from skdist_spark.sources.snapshots import schema_drift_report
+
+    rep = {r["column"]: r.asDict() for r in schema_drift_report(spark, path, 1, 2).collect()}
+    assert rep["id"]["status"] == "ok"
+    assert rep["v"]["status"] == "type_changed"
+    assert (rep["v"]["old_type"], rep["v"]["new_type"]) == ("string", "double")
+    assert rep["gone"]["status"] == "removed" and rep["gone"]["new_null_ppm"] is None
+    assert rep["fresh"]["status"] == "added" and rep["fresh"]["new_null_ppm"] == 500000
+    assert rep["v"]["old_null_ppm"] == 500000 and rep["gone"]["old_null_ppm"] == 1000000
