@@ -498,6 +498,107 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov next-step model: P(to | from) in integer-exact ppm over
+    the bigram transition counts — event_transitions normalized into a
+    usable next-event predictor.  The row-sum denominator is a window
+    over the 25-row aggregated matrix, not a second scan."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    counts = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return (
+        counts.withColumn("row_total", F.sum("n").over(w_from))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            "row_total",
+            F.expr("CAST(n * 1000000 div row_total AS BIGINT)").alias("prob_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+ORACLE_SQL_TRANSITION_PROBS = """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), counts AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT from_type, to_type, n,
+           CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total,
+           CAST(n * 1000000 // (SUM(n) OVER (PARTITION BY from_type)) AS BIGINT) AS prob_ppm
+    FROM counts
+    ORDER BY from_type, to_type
+"""
+
+
+def sales_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis: revenue per (year, priority) with its
+    integer-ppm share of the year subtotal and of the grand total —
+    RATIO_TO_REPORT at two grains on ONE aggregation (the two
+    denominators are window sums over the small aggregated frame)."""
+    orders = load_table(spark, "orders", sf_dir)
+    agg = (
+        orders.withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year", "o_orderpriority")
+        .agg(
+            F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,2))"))
+            .cast("decimal(38,2)")
+            .alias("rev"),
+        )
+        .select(
+            "o_year",
+            "o_orderpriority",
+            F.expr("CAST(rev * 100 AS BIGINT)").alias("cents"),
+        )
+    )
+    w_year = Window.partitionBy("o_year")
+    w_all = Window.partitionBy()
+    return (
+        agg.withColumn("year_cents", F.sum("cents").over(w_year))
+        .withColumn("total_cents", F.sum("cents").over(w_all))
+        .select(
+            "o_year",
+            "o_orderpriority",
+            F.expr("CAST(cents AS DOUBLE) / 100.0").alias("revenue"),
+            F.expr("CAST(cents * 1000000 div year_cents AS BIGINT)").alias("share_of_year_ppm"),
+            F.expr("CAST(cents * 1000000 div total_cents AS BIGINT)").alias("share_of_total_ppm"),
+        )
+        .orderBy("o_year", "o_orderpriority")
+    )
+
+
+ORACLE_SQL_SHARE_OF_PARENT = """
+    WITH agg AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+               o_orderpriority,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) * 100
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_year, o_orderpriority,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           CAST(cents * 1000000 // (SUM(cents) OVER (PARTITION BY o_year)) AS BIGINT)
+               AS share_of_year_ppm,
+           CAST(cents * 1000000 // (SUM(cents) OVER ()) AS BIGINT)
+               AS share_of_total_ppm
+    FROM agg
+    ORDER BY o_year, o_orderpriority
+"""
+
+
 def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT (melt): per-user wide conditional aggregates turned back
     into (user_id, metric, value) long form via the ``unpivot`` API —
@@ -1009,9 +1110,14 @@ QUERIES = {
     "profile_documents": profile_documents,
     "value_histogram": value_histogram,
     "events_unpivot": events_unpivot,
+    "transition_probs": transition_probs,
+    "sales_share_of_parent": sales_share_of_parent,
     "order_percentiles_approx": order_percentiles_approx,
     "orders_date_features": orders_date_features,
     "events_value_windows": events_value_windows,
     "events_json_schema": events_json_schema,
     "value_ntile_buckets": value_ntile_buckets,
 }
+
+ORACLE_SQL["transition_probs"] = ORACLE_SQL_TRANSITION_PROBS
+ORACLE_SQL["sales_share_of_parent"] = ORACLE_SQL_SHARE_OF_PARENT
