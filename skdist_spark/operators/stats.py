@@ -495,9 +495,154 @@ def _anomaly_oracle_sql() -> str:
     """
 
 
+# ---- Benford first-digit audit ---------------------------------------
+
+# log10(1 + 1/d), pre-computed so both engines consume identical
+# literals instead of each evaluating log10
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of the event value column —
+    the forensic data-quality check: organically generated magnitudes
+    follow log10(1+1/d); fabricated or clipped data doesn't.
+
+    The first significant digit comes from the exact integer cents via
+    STRING truncation (integer-to-string renders identically in every
+    engine, unlike float log10 whose ulp could flip a boundary digit).
+    Emits per-digit counts, observed vs expected ppm, and the chi2
+    contribution (rounded 6).
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("c")
+    ).where(F.col("c") > 0)
+    digits = ev.select(
+        F.expr("CAST(substring(CAST(c AS STRING), 1, 1) AS INT)").alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    total = F.broadcast(counts.agg(F.sum("n_obs").alias("n_total")))
+    exp_ppm = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
+    ) + " END"
+    exp_n = f"(CAST(n_total AS DOUBLE) * {exp_ppm} / 1000000.0)"
+    chi2 = f"((CAST(n_obs AS DOUBLE) - {exp_n}) * (CAST(n_obs AS DOUBLE) - {exp_n})) / {exp_n}"
+    return (
+        counts.crossJoin(total)
+        .select(
+            "digit",
+            "n_obs",
+            F.expr("CAST(n_obs * 1000000 div n_total AS BIGINT)").alias("observed_ppm"),
+            F.expr(f"CAST({exp_ppm} AS BIGINT)").alias("benford_ppm"),
+            F.expr(f"ROUND({chi2}, 6)").alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+def _benford_oracle_sql() -> str:
+    exp_ppm = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
+    ) + " END"
+    exp_n = f"(CAST(n_total AS DOUBLE) * {exp_ppm} / 1000000.0)"
+    chi2 = f"((CAST(n_obs AS DOUBLE) - {exp_n}) * (CAST(n_obs AS DOUBLE) - {exp_n})) / {exp_n}"
+    return f"""
+        WITH c AS (
+            SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events
+            WHERE CAST(round(value * 100) AS BIGINT) > 0
+        ), digits AS (
+            SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit FROM c
+        ), counts AS (
+            SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits GROUP BY digit
+        ), tot AS (
+            SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM counts
+        )
+        SELECT digit, n_obs,
+               CAST(n_obs * 1000000 // n_total AS BIGINT) AS observed_ppm,
+               CAST({exp_ppm} AS BIGINT) AS benford_ppm,
+               ROUND({chi2}, 6) AS chi2_term
+        FROM counts CROSS JOIN tot
+        ORDER BY digit
+    """
+
+
+# ---- Chi-square independence test ------------------------------------
+
+
+def chi2_independence(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns: one row with (chi2, dof, n).  Same one-scan shape as
+    pmi_table — joint counts, broadcast marginals, expected = row*col/n
+    — with all counts exact integers and only the final statistic in
+    DOUBLE (rounded 6)."""
+    joint = df.groupBy(a_col, b_col).agg(F.count(F.lit(1)).alias("o"))
+    ca = joint.groupBy(a_col).agg(F.sum("o").alias("c_a"))
+    cb = joint.groupBy(b_col).agg(F.sum("o").alias("c_b"))
+    n = joint.agg(F.sum("o").alias("n"))
+    e = "(CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE) / CAST(n AS DOUBLE))"
+    term = f"((CAST(o AS DOUBLE) - {e}) * (CAST(o AS DOUBLE) - {e})) / {e}"
+    cells = (
+        joint.join(F.broadcast(ca), a_col)
+        .join(F.broadcast(cb), b_col)
+        .crossJoin(F.broadcast(n))
+    )
+    counts = cells.agg(
+        F.round(F.sum(F.expr(term)), 6).alias("chi2"),
+        F.count_distinct(a_col).alias("_ka"),
+        F.count_distinct(b_col).alias("_kb"),
+        F.first("n").alias("n"),
+    )
+    return counts.select(
+        "chi2",
+        F.expr("CAST((_ka - 1) * (_kb - 1) AS BIGINT)").alias("dof"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def event_value_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of (event_type, high-value flag) — the
+    hypothesis-test companion to event_value_pmi."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.expr(f"CASE WHEN value >= {PMI_VALUE_THRESHOLD}D THEN 1 ELSE 0 END").alias(
+            "high_value"
+        ),
+    )
+    return chi2_independence(ev, "event_type", "high_value")
+
+
+def _chi2_oracle_sql() -> str:
+    e = "(CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE) / CAST(n AS DOUBLE))"
+    term = f"((CAST(o AS DOUBLE) - {e}) * (CAST(o AS DOUBLE) - {e})) / {e}"
+    return f"""
+        WITH ev AS (
+            SELECT event_type,
+                   CASE WHEN value >= {PMI_VALUE_THRESHOLD} THEN 1 ELSE 0 END AS high_value
+            FROM events
+        ), joint AS (
+            SELECT event_type, high_value, CAST(COUNT(*) AS BIGINT) AS o
+            FROM ev GROUP BY 1, 2
+        ), ca AS (
+            SELECT event_type, SUM(o) AS c_a FROM joint GROUP BY 1
+        ), cb AS (
+            SELECT high_value, SUM(o) AS c_b FROM joint GROUP BY 1
+        ), tot AS (
+            SELECT SUM(o) AS n FROM joint
+        )
+        SELECT ROUND(SUM({term}), 6) AS chi2,
+               CAST((COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT high_value) - 1) AS BIGINT) AS dof,
+               CAST(ANY_VALUE(n) AS BIGINT) AS n
+        FROM joint JOIN ca USING (event_type) JOIN cb USING (high_value) CROSS JOIN tot
+    """
+
+
 QUERIES = {
     "user_value_trend": user_value_trend,
     "daily_revenue_anomaly": daily_revenue_anomaly,
+    "value_benford": value_benford,
+    "event_value_chi2": event_value_chi2,
     "event_value_drift": event_value_drift,
     "event_value_pmi": event_value_pmi,
     "user_skew_report": user_skew_report,
@@ -506,6 +651,8 @@ QUERIES = {
 ORACLE_SQL: dict[str, str] = {
     "user_value_trend": _trend_oracle_sql(),
     "daily_revenue_anomaly": _anomaly_oracle_sql(),
+    "value_benford": _benford_oracle_sql(),
+    "event_value_chi2": _chi2_oracle_sql(),
     "event_value_drift": _drift_oracle_sql(),
     "event_value_pmi": _pmi_oracle_sql(),
     "user_skew_report": _skew_oracle_sql(),

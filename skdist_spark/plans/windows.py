@@ -118,6 +118,48 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via Spark's NATIVE session_window
+    operator (one merging-window aggregation — the engine maintains
+    the gap logic instead of the lag/cumsum window chain in
+    sessionize_events).
+
+    The native window's end is last_event + gap, so session_end is
+    realigned to the last event instant; with that alignment the
+    result must equal the manual implementation row for row — the
+    oracle is the SAME SQL as sessionize_events, proving the two
+    formulations equivalent.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    sess = (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            F.max("ts").alias("session_end"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "session_end",
+            "n_events",
+            "sum_value",
+        )
+    )
+    w_idx = Window.partitionBy("user_id").orderBy("session_start")
+    return (
+        sess.withColumn("session_idx", F.row_number().over(w_idx).cast("bigint"))
+        .select(
+            "user_id", "session_idx", "session_start", "session_end",
+            "n_events", "sum_value",
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
 def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extract numeric JSON prop and aggregate per event_type."""
     ev = load_table(spark, "events", sf_dir)
@@ -1110,6 +1152,7 @@ QUERIES = {
     "profile_documents": profile_documents,
     "value_histogram": value_histogram,
     "events_unpivot": events_unpivot,
+    "sessionize_native": sessionize_native,
     "transition_probs": transition_probs,
     "sales_share_of_parent": sales_share_of_parent,
     "order_percentiles_approx": order_percentiles_approx,
@@ -1121,3 +1164,7 @@ QUERIES = {
 
 ORACLE_SQL["transition_probs"] = ORACLE_SQL_TRANSITION_PROBS
 ORACLE_SQL["sales_share_of_parent"] = ORACLE_SQL_SHARE_OF_PARENT
+
+# same ground truth as the manual lag/cumsum implementation — the two
+# formulations must agree row for row
+ORACLE_SQL["sessionize_native"] = ORACLE_SQL["sessionize_events"]
