@@ -791,8 +791,78 @@ ORACLE_SQL["user_tier_history"] = f"""
 """
 
 
+def time_to_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activation analysis: per user, the gap from FIRST signup to the
+    first purchase AFTER it, rolled up into log2-hour buckets — "how
+    long does activation take" without percentile state.
+
+    One shuffle on user_id produces both firsts (conditional mins over
+    the same aggregation); the exact integer-micros gap buckets
+    map-side.  Users who never signed up or never purchased after
+    signup are excluded (and counted in the companion totals row of
+    the funnel query).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    per_user = (
+        ev.select("user_id", "event_type", F.expr("unix_micros(ts)").alias("us"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.expr("CASE WHEN event_type = 'signup' THEN us END")).alias("signup_us"),
+        )
+    )
+    first_purchase = (
+        ev.select("user_id", "event_type", F.expr("unix_micros(ts)").alias("us"))
+        .join(per_user, "user_id")
+        .where(
+            (F.col("event_type") == "purchase")
+            & F.col("signup_us").isNotNull()
+            & (F.col("us") >= F.col("signup_us"))
+        )
+        .groupBy("user_id", "signup_us")
+        .agg(F.min("us").alias("purchase_us"))
+    )
+    gaps = first_purchase.select(
+        ((F.col("purchase_us") - F.col("signup_us")) / F.lit(3600000000.0)).alias("gap_h")
+    ).where(F.col("gap_h") > 0)
+    bucket = F.floor(F.log2("gap_h")).cast("int")
+    return (
+        gaps.groupBy(bucket.alias("log2_hour_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("gap_h").alias("min_gap_h"),
+            F.max("gap_h").alias("max_gap_h"),
+        )
+        .orderBy("log2_hour_bucket")
+    )
+
+
+ORACLE_SQL["time_to_first_purchase"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS signup_us
+        FROM events GROUP BY user_id
+    ), fp AS (
+        SELECT e.user_id, p.signup_us, MIN(epoch_us(e.ts)) AS purchase_us
+        FROM events e JOIN per_user p USING (user_id)
+        WHERE e.event_type = 'purchase' AND p.signup_us IS NOT NULL
+          AND epoch_us(e.ts) >= p.signup_us
+        GROUP BY e.user_id, p.signup_us
+    ), gaps AS (
+        SELECT (purchase_us - signup_us) / 3600000000.0 AS gap_h FROM fp
+        WHERE (purchase_us - signup_us) / 3600000000.0 > 0
+    )
+    SELECT CAST(FLOOR(log2(gap_h)) AS INTEGER) AS log2_hour_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           MIN(gap_h) AS min_gap_h,
+           MAX(gap_h) AS max_gap_h
+    FROM gaps
+    GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "user_tier_history": user_tier_history,
+    "time_to_first_purchase": time_to_first_purchase,
     "events_funnel": events_funnel,
     "user_retention": user_retention,
     "daily_gapfill": daily_gapfill,
