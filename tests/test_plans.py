@@ -130,6 +130,8 @@ def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
             "bm25_search", "doc_perplexity_bigram", "source_token_budget",
             # bounded broadcast query sides (as ann_topk)
             "ann_filtered", "hybrid_search_rrf",
+            # one-row scalar broadcasts (grand totals)
+            "value_benford", "event_value_chi2",
         ):
             bad[name] = joins
     assert not bad, bad
