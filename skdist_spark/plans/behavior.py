@@ -67,6 +67,61 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel(
+    df: DataFrame,
+    steps: "list[str]",
+    id_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within_s: "int | None" = None,
+) -> DataFrame:
+    """Generic ordered funnel: per-step completion counts for an
+    arbitrary step list, optionally requiring the whole journey to
+    finish within ``within_s`` seconds of step 1 (the conversion
+    window every product-analytics funnel offers).
+
+    Same single-exchange plan as events_funnel for any k: step k's
+    first-completion instant is a windowed MIN referencing step k-1's
+    column, so the k Window nodes stack on ONE (id)-partitioned
+    exchange — never k self-joins.  Returns (step_idx, step_name,
+    n_completed) with step_idx 0 = all ids seen.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    w = Window.partitionBy(id_col)
+    us = F.expr(f"unix_micros({ts_col})")
+    staged = df.select(
+        F.col(id_col), F.col(type_col).alias("_t"), us.alias("_us")
+    )
+    prev = None
+    for i, step in enumerate(steps, start=1):
+        cond = F.col("_t") == step
+        if prev is not None:
+            cond = cond & (F.col("_us") > F.col(prev))
+            if within_s is not None:
+                cond = cond & (F.col("_us") <= F.col("_s1") + within_s * 1_000_000)
+        staged = staged.withColumn(
+            f"_s{i}", F.min(F.when(cond, F.col("_us"))).over(w)
+        )
+        prev = f"_s{i}"
+    per_user = staged.groupBy(id_col).agg(
+        *[F.max(f"_s{i}").alias(f"_s{i}") for i in range(1, len(steps) + 1)]
+    )
+    counts = per_user.agg(
+        F.count(F.lit(1)).alias("n0"),
+        *[F.count(f"_s{i}").alias(f"n{i}") for i in range(1, len(steps) + 1)],
+    )
+    names = ["(all)"] + list(steps)
+    stacked = ", ".join(
+        f"{i}, '{names[i]}', n{i}" for i in range(0, len(steps) + 1)
+    )
+    return counts.select(
+        F.expr(
+            f"stack({len(steps) + 1}, {stacked}) AS (step_idx, step_name, n_completed)"
+        )
+    ).orderBy("step_idx")
+
+
 def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users bucketed by the week of their
     first event; for each (cohort_week, week_offset) the count of

@@ -241,3 +241,42 @@ def test_plan_lint_detects_and_clears(spark, sf_dir):
 
     with _pytest.raises(AssertionError, match="plan lint"):
         assert_plan_clean(slow)
+
+
+def test_generic_funnel_matches_fixed_and_respects_window(spark, sf_dir):
+    from skdist_spark.plans.behavior import FUNNEL_STEPS, events_funnel, funnel
+    from skdist_spark.sources.catalog import load_table
+
+    # equivalence with the fixed 3-step query on real data
+    ev = load_table(spark, "events", sf_dir)
+    gen = {r["step_idx"]: r["n_completed"] for r in funnel(ev, list(FUNNEL_STEPS)).collect()}
+    fixed = events_funnel(spark, sf_dir).collect()[0]
+    assert gen[0] == fixed["n_users"]
+    assert gen[1] == fixed["n_signup"]
+    assert gen[2] == fixed["n_signup_click"]
+    assert gen[3] == fixed["n_full_funnel"]
+
+    # crafted: ordering and the conversion window are enforced
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(mins):
+        return t0 + datetime.timedelta(minutes=mins)
+
+    rows = [
+        # user 1: full ordered funnel within 30 min
+        (1, "a", at(0)), (1, "b", at(10)), (1, "c", at(20)),
+        # user 2: steps out of order (b before a) -> stops after a
+        (2, "b", at(0)), (2, "a", at(5)), (2, "c", at(-1)),
+        # user 3: completes but step c lands outside the 30-min window
+        (3, "a", at(0)), (3, "b", at(10)), (3, "c", at(60)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    no_window = {r["step_idx"]: r["n_completed"] for r in funnel(df, ["a", "b", "c"]).collect()}
+    assert no_window == {0: 3, 1: 3, 2: 2, 3: 2}  # users 1 and 3 complete
+    windowed = {
+        r["step_idx"]: r["n_completed"]
+        for r in funnel(df, ["a", "b", "c"], within_s=1800).collect()
+    }
+    assert windowed == {0: 3, 1: 3, 2: 2, 3: 1}  # user 3's c is too late
