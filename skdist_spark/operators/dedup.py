@@ -812,3 +812,90 @@ QUERIES = {
     "dup_ngram_spans": dup_ngram_spans,
     "dedup_semantic": dedup_semantic,
 }
+
+
+# ---- Containment (quote / excerpt) detection -------------------------
+
+CONTAIN_T_NUM = 4  # containment threshold 4/5 = 0.8
+CONTAIN_T_DEN = 5
+
+
+def containment_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Asymmetric near-dup detection: pairs where the SMALLER document's
+    shingle set is >= 80% contained in the larger one's.
+
+    Jaccard misses quotes and excerpts (a 50-shingle doc fully inside a
+    1000-shingle doc has J ~= 0.05); containment |A∩B| / min(|A|,|B|)
+    is the right signal for "B quotes A".  Same inverted-postings
+    equi-join shape as the Jaccard impl — only pairs sharing a shingle
+    materialize — with an integer-exact threshold test.
+    Returns (doc_small, doc_large, n_inter, n_small, n_large,
+    containment_ppm).
+    """
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), F.expr(_SPARK_WORDS.replace("text", text_col)).alias("wd")
+    ).select("doc_id", F.expr(_spark_shingles(words="wd")).alias("sh"))
+    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
+    postings = docs.select("doc_id", F.explode_outer("sh").alias("shingle"))
+    a, b = postings.alias("a"), postings.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n_sh").alias("n_da"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("n_db"))
+    return (
+        inter.join(sa, "da")
+        .join(sb, "db")
+        .where(
+            F.expr(
+                f"{CONTAIN_T_DEN} * n_inter >= {CONTAIN_T_NUM} * least(n_da, n_db)"
+            )
+        )
+        .select(
+            F.expr("CASE WHEN n_da < n_db OR (n_da = n_db AND da < db) THEN da ELSE db END").alias("doc_small"),
+            F.expr("CASE WHEN n_da < n_db OR (n_da = n_db AND da < db) THEN db ELSE da END").alias("doc_large"),
+            "n_inter",
+            F.expr("least(n_da, n_db)").alias("n_small"),
+            F.expr("greatest(n_da, n_db)").alias("n_large"),
+            F.expr("CAST(n_inter * 1000000 div least(n_da, n_db) AS BIGINT)").alias("containment_ppm"),
+        )
+        .orderBy("doc_small", "doc_large")
+    )
+
+
+def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: quote/excerpt pairs over the documents table."""
+    return containment_pairs(load_table(spark, "documents", sf_dir))
+
+
+ORACLE_SQL_CONTAINMENT = f"""
+    WITH toks AS (
+        SELECT doc_id, {_duck_shingles()} AS sh FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               len(list_intersect(a.sh, b.sh)) AS n_inter,
+               len(a.sh) AS n_da, len(b.sh) AS n_db
+        FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) > 0
+    )
+    SELECT CASE WHEN n_da < n_db OR (n_da = n_db AND da < db) THEN da ELSE db END AS doc_small,
+           CASE WHEN n_da < n_db OR (n_da = n_db AND da < db) THEN db ELSE da END AS doc_large,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(LEAST(n_da, n_db) AS INTEGER) AS n_small,
+           CAST(GREATEST(n_da, n_db) AS INTEGER) AS n_large,
+           CAST(n_inter * 1000000 // LEAST(n_da, n_db) AS BIGINT) AS containment_ppm
+    FROM pairs
+    WHERE {CONTAIN_T_DEN} * n_inter >= {CONTAIN_T_NUM} * LEAST(n_da, n_db)
+    ORDER BY doc_small, doc_large
+"""
+
+QUERIES["doc_containment"] = doc_containment
+ORACLE_SQL["doc_containment"] = ORACLE_SQL_CONTAINMENT
