@@ -28,12 +28,15 @@ from .model_selection import (
 )
 from .naive_bayes import GaussianNB
 from .neighbors import KNeighborsClassifier
+from .boosting import GradientBoostingClassifier, GradientBoostingRegressor
 from .tree import DecisionTreeClassifier, DecisionTreeRegressor
 
 __all__ = [
     "BaseEstimator", "ClassifierMixin", "RegressorMixin", "clone", "is_classifier",
     "LogisticRegression", "LinearRegression", "Ridge",
     "DecisionTreeClassifier", "DecisionTreeRegressor",
+    "GradientBoostingClassifier",
+    "GradientBoostingRegressor",
     "GaussianNB", "KNeighborsClassifier", "DummyClassifier",
     "KFold", "StratifiedKFold", "train_test_split", "ParameterGrid",
     "ParameterSampler", "check_cv",

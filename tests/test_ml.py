@@ -170,3 +170,70 @@ def test_time_series_split_gap_and_max_train():
         assert test.min() - train.max() == 3  # gap of 2 rows skipped
         assert len(train) <= 10
         assert len(test) == 5
+
+
+def test_gradient_boosting_regressor_beats_single_tree():
+    import numpy as np
+
+    from skdist_spark.ml.boosting import GradientBoostingRegressor
+    from skdist_spark.ml.tree import DecisionTreeRegressor
+
+    rng = np.random.RandomState(7)
+    X = rng.uniform(-3, 3, size=(400, 2))
+    y = np.sin(X[:, 0]) + 0.5 * X[:, 1] ** 2  # smooth nonlinear target
+    Xt = rng.uniform(-3, 3, size=(200, 2))
+    yt = np.sin(Xt[:, 0]) + 0.5 * Xt[:, 1] ** 2
+
+    gb = GradientBoostingRegressor(n_estimators=80, learning_rate=0.2, max_depth=2)
+    gb.fit(X, y)
+    stump = DecisionTreeRegressor(max_depth=2).fit(X, y)
+    mse_gb = float(np.mean((gb.predict(Xt) - yt) ** 2))
+    mse_tree = float(np.mean((stump.predict(Xt) - yt) ** 2))
+    assert mse_gb < 0.5 * mse_tree
+    assert mse_gb < 0.1
+
+    # determinism: refit gives identical predictions
+    gb2 = GradientBoostingRegressor(n_estimators=80, learning_rate=0.2, max_depth=2)
+    gb2.fit(X, y)
+    assert np.array_equal(gb.predict(Xt), gb2.predict(Xt))
+
+
+def test_gradient_boosting_classifier_accuracy_and_proba():
+    import numpy as np
+
+    from skdist_spark.ml.boosting import GradientBoostingClassifier
+
+    rng = np.random.RandomState(11)
+    X = rng.uniform(-2, 2, size=(500, 2))
+    y = ((X[:, 0] ** 2 + X[:, 1] ** 2) < 2.0).astype(int)  # circular boundary
+    gb = GradientBoostingClassifier(n_estimators=60, learning_rate=0.3, max_depth=2)
+    gb.fit(X, y)
+    acc = float(np.mean(gb.predict(X) == y))
+    assert acc > 0.93
+    proba = gb.predict_proba(X)
+    assert proba.shape == (500, 2)
+    assert np.allclose(proba.sum(axis=1), 1.0)
+    assert np.all((proba >= 0) & (proba <= 1))
+
+
+def test_gradient_boosting_in_dist_grid_search(spark):
+    """The boosted estimator must speak enough protocol for the
+    distributed meta-estimators to fan it out."""
+    import numpy as np
+
+    from skdist_spark.ml.boosting import GradientBoostingClassifier
+    from skdist_spark.operators.search import DistGridSearchCV
+
+    rng = np.random.RandomState(3)
+    X = rng.uniform(-2, 2, size=(200, 2))
+    y = ((X[:, 0] + X[:, 1]) > 0).astype(int)
+    gs = DistGridSearchCV(
+        GradientBoostingClassifier(n_estimators=10),
+        {"learning_rate": [0.1, 0.5], "max_depth": [1, 2]},
+        sc=spark,
+        cv=3,
+    )
+    gs.fit(X, y)
+    assert gs.best_params_["learning_rate"] in (0.1, 0.5)
+    assert gs.best_score_ > 0.8
+    assert len(gs.cv_results_["mean_test_score"]) == 4
