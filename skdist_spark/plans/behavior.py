@@ -915,8 +915,99 @@ ORACLE_SQL["time_to_first_purchase"] = """
 """
 
 
+def events_at_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (SCD2) join: every event enriched with the value
+    tier the user was in AT THAT INSTANT (per user_tier_history),
+    rolled up to (tier_at_event, event_type) counts.
+
+    Spark-first: instead of an interval inequality join against the
+    history table (nested loop at scale), the tier timeline and the
+    events union into ONE (user)-partitioned time-ordered stream and
+    each event reads the running ``last`` tier — the same single-
+    exchange trick as the as-of join.  Tier-change rows sort BEFORE
+    events at identical timestamps, so an event at the exact change
+    instant sees the NEW tier (matching the history table's closed-
+    open [valid_from, valid_to) intervals).
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        "event_id",
+        "event_type",
+        F.expr(
+            f"least(4, greatest(0, CAST(floor(value / {TIER_WIDTH}D) AS INT)))"
+        ).alias("tier"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    changes = (
+        ev.withColumn("prev_tier", F.lag("tier").over(w))
+        .where(F.col("prev_tier").isNull() | (F.col("tier") != F.col("prev_tier")))
+        .select(
+            "user_id",
+            "us",
+            "event_id",
+            F.col("tier").alias("change_tier"),
+            F.lit(None).cast("string").alias("event_type"),
+            F.lit(0).alias("kind"),  # changes first at equal (us, event_id)
+        )
+    )
+    points = ev.select(
+        "user_id",
+        "us",
+        "event_id",
+        F.lit(None).cast("int").alias("change_tier"),
+        "event_type",
+        F.lit(1).alias("kind"),
+    )
+    # kind sorts BEFORE event_id: every event at the exact change
+    # microsecond sees the NEW tier, matching the oracle's closed-open
+    # [valid_from, valid_to) interval semantics on us alone
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    enriched = (
+        changes.unionByName(points)
+        .withColumn("tier_at_event", F.last("change_tier", ignorenulls=True).over(w2))
+        .where(F.col("kind") == 1)
+    )
+    return (
+        enriched.groupBy("tier_at_event", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("tier_at_event", "event_type")
+    )
+
+
+ORACLE_SQL["events_at_tier"] = f"""
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+               LEAST(4, GREATEST(0, CAST(floor(value / {TIER_WIDTH}) AS INT))) AS tier
+        FROM events
+    ), hist AS (
+        SELECT user_id, tier, us AS valid_from_us,
+               LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us
+        FROM (
+            SELECT *, LAG(tier) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_tier
+            FROM ev
+        ) WHERE prev_tier IS NULL OR tier != prev_tier
+    )
+    -- the oracle joins the HISTORY INTERVALS directly (the semantics
+    -- the Spark side reproduces without an inequality join)
+    SELECT h.tier AS tier_at_event, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM ev e JOIN hist h
+      ON e.user_id = h.user_id
+     AND e.us >= h.valid_from_us
+     AND (h.valid_to_us IS NULL OR e.us < h.valid_to_us)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "user_tier_history": user_tier_history,
+    "events_at_tier": events_at_tier,
     "time_to_first_purchase": time_to_first_purchase,
     "events_funnel": events_funnel,
     "user_retention": user_retention,

@@ -291,7 +291,30 @@ def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ml_gbt_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-boosted trees (binary: even vs odd label), trained
+    locally and scored DISTRIBUTED via the Arrow prediction UDF —
+    surfaces ml.boosting through the driver contract (deterministic:
+    no randomness anywhere in the boosting path)."""
+    from ..ml.boosting import GradientBoostingClassifier
+    from ..operators.predict import get_prediction_udf
+
+    ids, X, y = _load_xy(spark, sf_dir)
+    yb = (y % 2).astype(int)
+    model = GradientBoostingClassifier(
+        n_estimators=20, learning_rate=0.3, max_depth=2
+    ).fit(X, yb)
+    udf = get_prediction_udf(model, method="predict", feature_type="vector")
+    emb = load_table(spark, "embeddings", sf_dir)
+    return (
+        emb.select("vec_id", udf(F.col("embedding")).alias("pred"))
+        .withColumn("pred", F.col("pred").cast("int"))
+        .orderBy("vec_id")
+    )
+
+
 QUERIES = {
+    "ml_gbt_predict": ml_gbt_predict,
     "ml_grid_search": ml_grid_search,
     "ml_random_search": ml_random_search,
     "ml_ovr_predict": ml_ovr_predict,
