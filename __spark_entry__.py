@@ -63,6 +63,17 @@ _PRIORITY = [
     "basket_part_affinity", "rfm_segments", "doc_graph_distances",
     "user_event_paths", "weekly_revenue_wow", "interevent_latency_histogram",
     "shipping_delay_percentiles",
+    # -- ROUND-3 ROTATION QUEUE: once this round's sweep verifies the
+    # entries above, move these locally-green round-2 oracles into the
+    # window: user_value_trend, event_value_drift, event_value_pmi,
+    # user_skew_report, ann_ivf_join, ann_filtered, similar_doc_pairs,
+    # user_tier_history, events_at_tier, doc_perplexity_bigram,
+    # contrastive_negatives, inverted_postings, phrase_search_docs,
+    # bm25_search, hybrid_search_rrf, daily_revenue_anomaly,
+    # source_token_budget, text_entropy, transition_probs,
+    # sales_share_of_parent, sessionize_native, value_benford,
+    # event_value_chi2, revenue_cusum, doc_containment,
+    # time_to_first_purchase --
     # -- 20 rows-only entries (driver records a rows>=0 check);
     # stream_minhash_pairs/static_enrich/stream_join/dedup_users +
     # multimodal_* + kmv_user_overlap wait past the cap (all

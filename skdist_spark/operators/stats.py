@@ -495,6 +495,97 @@ def _anomaly_oracle_sql() -> str:
     """
 
 
+# ---- CUSUM change-point detection ------------------------------------
+
+CUSUM_H_SIGMA = 4.0  # alarm threshold in global-sigma units
+
+
+def revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM chart over daily revenue: S_t = sum_{i<=t}(x_i - mean),
+    alarming when |S_t| exceeds CUSUM_H_SIGMA global sigmas — the
+    classic change-point detector (a sustained small shift accumulates
+    where per-day z-scores stay quiet).
+
+    Cross-engine float discipline: a windowed DOUBLE running sum can
+    differ between engines (segment-tree vs incremental accumulation),
+    so the running part stays INTEGER — S_t = cum_cents - t * mean
+    with cum_cents an exact integer window sum and t the row number;
+    only the final two-term expression is DOUBLE (rounded 6).
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, "orders", sf_dir)
+    daily = (
+        orders.groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) * 100 AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    m = F.broadcast(
+        daily.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+            F.sum(
+                F.expr("CAST(cents AS DECIMAL(19,0)) * cents").cast("decimal(38,0)")
+            ).alias("ss"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_rn = Window.orderBy("day")
+    mean = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    sigma = (
+        "sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+    )
+    s_t = f"(CAST(cum_cents AS DOUBLE) - CAST(t AS DOUBLE) * {mean})"
+    return (
+        daily.withColumn("cum_cents", F.sum("cents").over(w))
+        .withColumn("t", F.row_number().over(w_rn).cast("bigint"))
+        .crossJoin(m)
+        .select(
+            "day",
+            F.expr("CAST(cents AS DOUBLE) / 100.0").alias("revenue"),
+            F.expr(f"ROUND({s_t} / 100.0, 6)").alias("cusum_value"),
+            F.expr(f"abs({s_t}) > {CUSUM_H_SIGMA}D * {sigma}").alias("is_alarm"),
+        )
+        .orderBy("day")
+    )
+
+
+def _cusum_oracle_sql() -> str:
+    mean = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    sigma = (
+        "sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+    )
+    s_t = f"(CAST(cum_cents AS DOUBLE) - CAST(t AS DOUBLE) * {mean})"
+    return f"""
+        WITH daily AS (
+            SELECT o_orderdate AS day,
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) * 100 AS BIGINT) AS cents
+            FROM orders GROUP BY o_orderdate
+        ), m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+                   CAST(SUM(CAST(cents AS DECIMAL(19,0)) * cents) AS DECIMAL(38,0)) AS ss
+            FROM daily
+        ), run AS (
+            SELECT day, cents,
+                   CAST(SUM(cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+                   CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+            FROM daily
+        )
+        SELECT day,
+               CAST(cents AS DOUBLE) / 100.0 AS revenue,
+               ROUND({s_t} / 100.0, 6) AS cusum_value,
+               abs({s_t}) > {CUSUM_H_SIGMA} * {sigma} AS is_alarm
+        FROM run CROSS JOIN m
+        ORDER BY day
+    """
+
+
 # ---- Benford first-digit audit ---------------------------------------
 
 # log10(1 + 1/d), pre-computed so both engines consume identical
@@ -643,6 +734,7 @@ QUERIES = {
     "daily_revenue_anomaly": daily_revenue_anomaly,
     "value_benford": value_benford,
     "event_value_chi2": event_value_chi2,
+    "revenue_cusum": revenue_cusum,
     "event_value_drift": event_value_drift,
     "event_value_pmi": event_value_pmi,
     "user_skew_report": user_skew_report,
@@ -653,6 +745,7 @@ ORACLE_SQL: dict[str, str] = {
     "daily_revenue_anomaly": _anomaly_oracle_sql(),
     "value_benford": _benford_oracle_sql(),
     "event_value_chi2": _chi2_oracle_sql(),
+    "revenue_cusum": _cusum_oracle_sql(),
     "event_value_drift": _drift_oracle_sql(),
     "event_value_pmi": _pmi_oracle_sql(),
     "user_skew_report": _skew_oracle_sql(),

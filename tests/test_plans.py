@@ -131,7 +131,7 @@ def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
             # bounded broadcast query sides (as ann_topk)
             "ann_filtered", "hybrid_search_rrf",
             # one-row scalar broadcasts (grand totals)
-            "value_benford", "event_value_chi2",
+            "value_benford", "event_value_chi2", "revenue_cusum",
         ):
             bad[name] = joins
     assert not bad, bad
