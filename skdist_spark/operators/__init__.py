@@ -41,6 +41,7 @@ from .text import (
 )
 from .ensemble import (
     DistExtraTreesClassifier,
+    DistStackingClassifier,
     DistExtraTreesRegressor,
     DistRandomForestClassifier,
     DistRandomForestRegressor,
@@ -64,6 +65,7 @@ __all__ = [
     "DistExtraTreesRegressor",
     "DistRandomTreesEmbedding",
     "DistFeatureEliminator",
+    "DistStackingClassifier",
     "Encoderizer",
     "EncoderizerExtractor",
     "asof_join",

@@ -277,3 +277,65 @@ class DistRandomTreesEmbedding(BaseEstimator):
 
     def fit_transform(self, X, y=None, sample_weight=None):
         return self.fit(X, y, sample_weight).transform(X)
+
+
+class DistStackingClassifier(BaseEstimator, ClassifierMixin):
+    """Stacked generalization with distributed, leak-free level-0
+    features: each base estimator's out-of-fold probabilities (via
+    ``get_oof`` — fold fits fan out as Spark tasks) become the meta
+    learner's training matrix, so the meta model never sees a
+    probability produced by a model that trained on that row.
+
+    The workflow get_oof exists for (reference ensemble.py:112-151
+    builds OOF features for exactly this), packaged as an estimator:
+
+    - fit: n_bases x (n_splits + 1) independent fold/full fits, all
+      distributed through the task engine; then one local meta fit on
+      the (n, n_bases * n_classes) OOF matrix.
+    - predict: base predict_proba (vectorizable via
+      get_prediction_udf like any other fitted model) -> meta predict.
+    """
+
+    def __init__(self, estimators=None, final_estimator=None, n_splits=5, sc=None):
+        self.estimators = estimators
+        self.final_estimator = final_estimator
+        self.n_splits = n_splits
+        self.sc = sc
+
+    def fit(self, X, y):
+        from ..ml.linear import LogisticRegression
+
+        if not self.estimators:
+            raise ValueError("estimators must be a non-empty list of (name, est)")
+        y = np.asarray(y)
+        self.classes_ = np.unique(y)
+        self.named_estimators_ = {}
+        blocks = []
+        for name, est in self.estimators:
+            model, oof = get_oof(est, X, y, n_splits=self.n_splits, sc=self.sc)
+            self.named_estimators_[name] = model
+            blocks.append(oof)
+        meta_X = np.hstack(blocks)
+        self.final_estimator_ = clone(
+            self.final_estimator
+            if self.final_estimator is not None
+            else LogisticRegression()
+        )
+        self.final_estimator_.fit(meta_X, y)
+        strip_spark(self.final_estimator_)
+        self.sc = None  # picklable after fit, like the other Dist* estimators
+        return self
+
+    def _meta_features(self, X):
+        return np.hstack(
+            [
+                np.asarray(self.named_estimators_[name].predict_proba(X))
+                for name, _ in self.estimators
+            ]
+        )
+
+    def predict_proba(self, X):
+        return self.final_estimator_.predict_proba(self._meta_features(X))
+
+    def predict(self, X):
+        return self.final_estimator_.predict(self._meta_features(X))

@@ -1244,3 +1244,64 @@ def test_kmv_join_keys_estimate_error_bound(spark, sf_dir):
         (est["est_common_keys"], n_common),
     ]:
         assert abs(got - want) / max(want, 1) < 0.15, (got, want)
+
+
+def test_dist_stacking_classifier(spark):
+    """Stacking over distributed OOF features: must beat-or-match the
+    weakest base, produce calibrated probabilities, and survive
+    pickling after fit (spark handle stripped)."""
+    import pickle
+
+    import numpy as np
+
+    from skdist_spark.ml.linear import LogisticRegression
+    from skdist_spark.ml.naive_bayes import GaussianNB
+    from skdist_spark.ml.tree import DecisionTreeClassifier
+    from skdist_spark.operators.ensemble import DistStackingClassifier
+
+    rng = np.random.RandomState(5)
+    X = rng.uniform(-2, 2, size=(300, 4))
+    y = ((X[:, 0] * X[:, 1] + X[:, 2]) > 0).astype(int)  # interaction target
+
+    stack = DistStackingClassifier(
+        estimators=[
+            ("tree", DecisionTreeClassifier(max_depth=3)),
+            ("nb", GaussianNB()),
+        ],
+        final_estimator=LogisticRegression(),
+        n_splits=4,
+        sc=spark,
+    ).fit(X, y)
+
+    acc_stack = float(np.mean(stack.predict(X) == y))
+    accs_base = [
+        float(np.mean(m.predict(X) == y)) for m in stack.named_estimators_.values()
+    ]
+    assert acc_stack >= min(accs_base) - 0.02
+    assert acc_stack > 0.8
+    proba = stack.predict_proba(X)
+    assert proba.shape == (300, 2) and np.allclose(proba.sum(axis=1), 1.0)
+
+    blob = pickle.dumps(stack)
+    stack2 = pickle.loads(blob)
+    assert np.array_equal(stack2.predict(X), stack.predict(X))
+
+
+def test_dist_stacking_matches_serial(spark):
+    """Distributed fold fits must produce the same stacked model as the
+    serial path (sc=None): identical predictions."""
+    import numpy as np
+
+    from skdist_spark.ml.tree import DecisionTreeClassifier
+    from skdist_spark.operators.ensemble import DistStackingClassifier
+
+    rng = np.random.RandomState(9)
+    X = rng.uniform(-1, 1, size=(150, 3))
+    y = (X.sum(axis=1) > 0).astype(int)
+    kw = dict(
+        estimators=[("t", DecisionTreeClassifier(max_depth=2))], n_splits=3
+    )
+    dist = DistStackingClassifier(sc=spark, **kw).fit(X, y)
+    ser = DistStackingClassifier(sc=None, **kw).fit(X, y)
+    assert np.array_equal(dist.predict(X), ser.predict(X))
+    assert np.allclose(dist.predict_proba(X), ser.predict_proba(X))
