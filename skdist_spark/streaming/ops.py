@@ -837,6 +837,47 @@ def stream_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via the NATIVE streaming session_window operator
+    (no Python state function): merging gap windows + watermark in
+    append mode, so a session is emitted exactly once — when the
+    watermark passes its end (last event + gap) — and its state is
+    evicted.  The engine-native production shape next to the
+    applyInPandasWithState face (sessionize_stream) and the batch
+    faces (sessionize_events / sessionize_native).
+
+    Replays the 4-file time-ordered staging so the watermark genuinely
+    advances; sessions newer than the final watermark stay open and
+    are intentionally absent (rows-only; the emitted set is verified
+    against batch sessionization in the test).
+    """
+    stage = _stage_ordered_stream(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+    sess = (
+        raw.withWatermark("ts", f"{SESSION_GAP_MIN} minutes")
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+    out = run_stream_to_df(sess, output_mode="append")
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        "session_end",
+        "n_events",
+    ).orderBy("user_id", "session_start")
+
+
 ANOMALY_STREAM_Z = 3.0
 
 
@@ -1084,6 +1125,7 @@ def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "stream_value_anomaly": stream_value_anomaly,
+    "stream_session_windows": stream_session_windows,
     "stream_topk_users": stream_topk_users,
     "stream_dq_monitor": stream_dq_monitor,
     "stream_windowed_counts": stream_windowed_counts,

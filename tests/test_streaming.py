@@ -477,3 +477,47 @@ def test_stream_value_anomaly_moments_exact_and_counts_match_replay(spark, sf_di
             state[t] = (n + len(cents), s + int(cents.sum()), ss + int((cents * cents).sum()))
     for t in got:
         assert got[t]["n_anomalies"] == anom.get(t, 0), t
+
+
+def test_stream_session_windows_native_append(spark, sf_dir):
+    """Native streaming session windows: every emitted session must be
+    a CLOSED batch session (watermark passed its end), emitted exactly
+    once, and sessions past the final watermark must be absent."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from skdist_spark.plans.windows import sessionize_events
+    from skdist_spark.sources.catalog import load_table
+    from skdist_spark.streaming import ops
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in ops.stream_session_windows(spark, sf_dir).collect()
+    }
+    out_rows = ops.stream_session_windows(spark, sf_dir).count()
+    assert len(got) > 0
+
+    batch = sessionize_events(spark, sf_dir).collect()
+    max_ts = load_table(spark, "events", sf_dir).agg(F.max("ts")).collect()[0][0]
+    wm = max_ts - datetime.timedelta(minutes=ops.SESSION_GAP_MIN)
+    gap = datetime.timedelta(minutes=ops.SESSION_GAP_MIN)
+    closed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch
+        if r.session_end + gap <= wm
+    }
+    open_tail = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch
+        if r.session_end + gap > wm
+    }
+    # every closed session emitted exactly once; no open session leaked
+    assert got & open_tail == set()
+    missing = closed - got
+    extra = got - closed - open_tail
+    assert not extra, f"sessions not in batch result: {sorted(extra)[:3]}"
+    # boundary sessions (end+gap == wm) may close on either side of the
+    # exact watermark tick; allow only exact-boundary misses
+    for m in missing:
+        assert m[2] + gap == wm, m
