@@ -77,3 +77,54 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
+
+    def streamReader(self, schema):
+        return SyntheticEventsStreamReader(self.options)
+
+
+# ---- Streaming face ---------------------------------------------------
+# The same deterministic generator as an unbounded micro-batch SOURCE
+# (pyspark.sql.datasource.DataSourceStreamReader): offsets are plain
+# row counters, each micro-batch covers [start, end) rows split into
+# partition-parallel Arrow reads, and because row i is a pure function
+# of i the STREAM produces byte-identical data to the batch face — the
+# cross-face determinism the tests assert.
+
+from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
+
+
+class SyntheticEventsStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rowsPerBatch", 100))
+        self.max_rows = int(options.get("maxRows", 1000))
+        self.n_partitions = int(options.get("partitions", 4))
+        self.users = int(options.get("users", 100))
+        self._current = 0
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def latestOffset(self):
+        self._current = min(self._current + self.rows_per_batch, self.max_rows)
+        return {"offset": self._current}
+
+    def partitions(self, start, end):
+        lo, hi = start["offset"], end["offset"]
+        if hi <= lo:
+            return [_Range(lo, lo)]
+        per = -(-(hi - lo) // self.n_partitions)  # ceil
+        return [_Range(a, min(a + per, hi)) for a in range(lo, hi, per)]
+
+    def read(self, partition: _Range):
+        for i in range(partition.start, partition.end):
+            h = (i * _KNUTH) % _MOD32
+            yield (
+                i,
+                _EPOCH + timedelta(seconds=i * 60 + h % 60),
+                h % self.users,
+                EVENT_TYPES[h % len(EVENT_TYPES)],
+                round((h % 100_000) / 100.0, 2),
+            )
+
+    def commit(self, end):
+        pass  # offsets are pure counters; nothing to clean up

@@ -411,3 +411,50 @@ def test_read_with_quarantine_json(spark, tmp_path):
 
     with pytest.raises(ValueError):
         read_with_quarantine(spark, str(src), "parquet", "id bigint")
+
+
+def test_synthetic_stream_source_matches_batch_face(spark):
+    """The Python DataSource's STREAMING reader must replay exactly the
+    batch face's rows (row i is a pure function of i), across multiple
+    micro-batches with partition-parallel reads."""
+    import time
+    import uuid
+
+    from skdist_spark.sources.synthetic import SyntheticEventsDataSource
+
+    try:
+        spark.dataSource.register(SyntheticEventsDataSource)
+    except Exception:
+        pass  # already registered by another test
+    name = f"syn_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("synthetic_events")
+        .option("maxRows", 400)
+        .option("rowsPerBatch", 150)
+        .option("partitions", 4)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.table(name).count() >= 400:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    streamed = {tuple(r) for r in spark.table(name).collect()}
+    batch = {
+        tuple(r)
+        for r in spark.read.format("synthetic_events")
+        .option("rows", 400)
+        .option("partitions", 4)
+        .load()
+        .collect()
+    }
+    assert streamed == batch
+    assert len(streamed) == 400
