@@ -1305,3 +1305,14 @@ def test_dist_stacking_matches_serial(spark):
     ser = DistStackingClassifier(sc=None, **kw).fit(X, y)
     assert np.array_equal(dist.predict(X), ser.predict(X))
     assert np.allclose(dist.predict_proba(X), ser.predict_proba(X))
+
+
+def test_ann_int8_recall_vs_exact(spark, sf_dir):
+    """4x-compressed int8 ranking must land close to the float cosine
+    ranking (high top-k overlap)."""
+    from skdist_spark.operators.similarity import TOP_K, ann_int8, ann_topk
+
+    got = {(r.query_id, r.neighbor_id) for r in ann_int8(spark, sf_dir).collect()}
+    exact = {(r.query_id, r.neighbor_id) for r in ann_topk(spark, sf_dir).collect()}
+    assert len(got) == len(exact)
+    assert len(got & exact) / len(exact) >= 0.8
