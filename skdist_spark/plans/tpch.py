@@ -1313,8 +1313,79 @@ ORACLE_SHIPPING_DELAY = """
 ORACLE_SQL["basket_part_affinity"] = ORACLE_BASKET
 ORACLE_SQL["shipping_delay_percentiles"] = ORACLE_SHIPPING_DELAY
 
+def supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration metrics over supplier revenue: the
+    Herfindahl-Hirschman index (sum of squared revenue shares, the
+    antitrust-standard 0..10000 scale) plus top-1 and top-4 shares in
+    integer ppm.
+
+    Exact-cents discipline end to end: per-supplier revenue sums in
+    DECIMAL, cents and cents^2 totals stay exact integers, and only
+    the final HHI ratio is DOUBLE (rounded 6).  Top-k shares come from
+    a TakeOrderedAndProject over the aggregated supplier frame.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    per_supp = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.expr(
+                "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+                " * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) * 100 AS DECIMAL(38,0))"
+            ).alias("cents")
+        )
+    )
+    totals = per_supp.agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("cents").alias("tot"),
+        F.sum(F.expr("cents * cents").cast("decimal(38,0)")).alias("sumsq"),
+    )
+    top = (
+        per_supp.orderBy(F.desc("cents"), F.asc("l_suppkey"))
+        .limit(4)
+        .agg(
+            F.max("cents").alias("top1_cents"),
+            F.sum("cents").alias("top4_cents"),
+        )
+    )
+    hhi = "(CAST(sumsq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))) * 10000.0D"
+    return (
+        totals.crossJoin(F.broadcast(top))
+        .select(
+            "n_suppliers",
+            F.expr(f"ROUND({hhi}, 6)").alias("hhi"),
+            F.expr("CAST(top1_cents AS BIGINT) * 1000000 div CAST(tot AS BIGINT)").alias("top1_share_ppm"),
+            F.expr("CAST(top4_cents AS BIGINT) * 1000000 div CAST(tot AS BIGINT)").alias("top4_share_ppm"),
+        )
+    )
+
+
+ORACLE_SQL_SUPPLIER_CONCENTRATION = """
+    WITH per_supp AS (
+        SELECT l_suppkey,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) * 100
+                    AS DECIMAL(38,0)) AS cents
+        FROM lineitem GROUP BY l_suppkey
+    ), totals AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               CAST(SUM(cents) AS DECIMAL(38,0)) AS tot,
+               CAST(SUM(cents * cents) AS DECIMAL(38,0)) AS sumsq
+        FROM per_supp
+    ), top AS (
+        SELECT MAX(cents) AS top1_cents, SUM(cents) AS top4_cents FROM (
+            SELECT cents FROM per_supp ORDER BY cents DESC, l_suppkey ASC LIMIT 4
+        )
+    )
+    SELECT n_suppliers,
+           ROUND((CAST(sumsq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))) * 10000.0, 6) AS hhi,
+           CAST(top1_cents AS BIGINT) * 1000000 // CAST(tot AS BIGINT) AS top1_share_ppm,
+           CAST(top4_cents AS BIGINT) * 1000000 // CAST(tot AS BIGINT) AS top4_share_ppm
+    FROM totals CROSS JOIN top
+"""
+
 QUERIES = {
     "q1": q1,
+    "supplier_concentration": supplier_concentration,
     "basket_part_affinity": basket_part_affinity,
     "shipping_delay_percentiles": shipping_delay_percentiles,
     "q2": q2,
@@ -1342,3 +1413,5 @@ QUERIES = {
     "setops_customers": setops_customers,
     "fuzzy_part_match": fuzzy_part_match,
 }
+
+ORACLE_SQL["supplier_concentration"] = ORACLE_SQL_SUPPLIER_CONCENTRATION

@@ -1168,3 +1168,36 @@ ORACLE_SQL["sales_share_of_parent"] = ORACLE_SQL_SHARE_OF_PARENT
 # same ground truth as the manual lag/cumsum implementation — the two
 # formulations must agree row for row
 ORACLE_SQL["sessionize_native"] = ORACLE_SQL["sessionize_events"]
+
+
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap feed: event counts + exact decimal value sums
+    per (day-of-week, hour-of-day) cell — the seasonality surface
+    behind every ops dashboard.  One scan, one 168-cell aggregation.
+    Engine alignment: Spark dayofweek is 1=Sunday..7 (oracle adds 1 to
+    DuckDB's 0-based); hour() agrees (UTC session tz)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+ORACLE_SQL["events_dow_hour_heatmap"] = """
+    SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+QUERIES["events_dow_hour_heatmap"] = events_dow_hour_heatmap
