@@ -137,10 +137,14 @@ def main() -> None:
         f"spill {sum(spill_bytes.values())} B across {len(times)} queries",
         file=sys.stderr,
     )
+    ok_times = sorted(v for v in times.values() if v >= 0)
+    median_q = round(ok_times[len(ok_times) // 2], 3) if ok_times else -1.0
     print(
         json.dumps(
             {
                 "queries": {k: round(v, 3) for k, v in times.items()},
+                "n_queries": len(times),
+                "median_query_sec": median_q,
                 "metric": "suite_wall_seconds",
                 "unit": "sec",
                 "sf": sf_val,

@@ -132,6 +132,9 @@ def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
             "ann_filtered", "hybrid_search_rrf",
             # one-row scalar broadcasts (grand totals)
             "value_benford", "event_value_chi2", "revenue_cusum",
+            "supplier_concentration",
+            # bounded broadcast query side (as ann_topk)
+            "ann_int8",
         ):
             bad[name] = joins
     assert not bad, bad
