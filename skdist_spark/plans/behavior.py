@@ -1005,8 +1005,59 @@ ORACLE_SQL["events_at_tier"] = f"""
 """
 
 
+def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth decomposition: daily active users split into NEW (first
+    ever seen that day) vs RETURNING — the DAU curve every growth team
+    watches, with the decomposition that explains it.
+
+    One scan: per-user first-seen day and per-(user, day) activity come
+    from the same user_id shuffle (AQE reuses the exchange); the daily
+    rollup is a second small aggregation.  new_ppm is integer-exact.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.date_trunc("DAY", "ts").alias("day")
+    )
+    active = ev.distinct()
+    first_seen = active.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("dau"),
+            F.sum(F.expr("CASE WHEN day = first_day THEN 1 ELSE 0 END")).alias("new_users"),
+        )
+        .select(
+            "day",
+            "dau",
+            "new_users",
+            F.expr("dau - new_users").alias("returning_users"),
+            F.expr("CAST(new_users * 1000000 div dau AS BIGINT)").alias("new_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_SQL["daily_active_users"] = """
+    WITH active AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        FROM events
+    ), first_seen AS (
+        SELECT user_id, MIN(day) AS first_day FROM active GROUP BY user_id
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS dau,
+           CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+           CAST(COUNT(*) - SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users,
+           CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS new_ppm
+    FROM active JOIN first_seen USING (user_id)
+    GROUP BY day
+    ORDER BY day
+"""
+
+
 QUERIES = {
     "user_tier_history": user_tier_history,
+    "daily_active_users": daily_active_users,
     "events_at_tier": events_at_tier,
     "time_to_first_purchase": time_to_first_purchase,
     "events_funnel": events_funnel,
