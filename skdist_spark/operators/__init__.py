@@ -1,6 +1,7 @@
 from .eliminate import DistFeatureEliminator
 from .encoder import Encoderizer, EncoderizerExtractor
 from .dedup import (
+    containment_pairs,
     dup_span_stats,
     embedding_dedup,
     exact_dedup,
@@ -27,7 +28,7 @@ from .stats import group_trend, key_skew, pmi_table, psi_drift
 from .graph import connected_components, connected_components_star, pagerank
 from .joins import asof_join, interval_join, salted_join
 from .sampling import sample_k_per_group, train_test_split_df, weighted_sample_k
-from .similarity import cosine_topk, pq_encode, train_pq_codebooks
+from .similarity import cosine_topk, ivf_join, pq_encode, quantize_int8, train_pq_codebooks
 from .text import (
     dedup_lines,
     fingerprint,
@@ -108,6 +109,9 @@ __all__ = [
     "tfidf_rank",
     "fingerprint",
     "cosine_topk",
+    "ivf_join",
+    "quantize_int8",
+    "containment_pairs",
     "train_pq_codebooks",
     "pq_encode",
     "connected_components",

@@ -1201,3 +1201,48 @@ ORACLE_SQL["events_dow_hour_heatmap"] = """
 """
 
 QUERIES["events_dow_hour_heatmap"] = events_dow_hour_heatmap
+
+
+def daily_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series band-chart feed: exact p10/p50/p90 of event value
+    per (day, event_type) — the percentile ribbon around the median
+    that dashboards draw.  Exact interpolated percentiles per cell via
+    percentile(); values are cents-quantized first so interpolation
+    arithmetic is identical across engines (the same discipline as
+    order_percentiles), results rounded to 6."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = "CAST(round(value * 100) AS BIGINT)"
+    return (
+        ev.select(
+            F.date_trunc("DAY", "ts").alias("day"),
+            "event_type",
+            F.expr(cents).alias("c"),
+        )
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("ROUND(percentile(c, 0.1D) / 100.0D, 6)").alias("p10"),
+            F.expr("ROUND(percentile(c, 0.5D) / 100.0D, 6)").alias("p50"),
+            F.expr("ROUND(percentile(c, 0.9D) / 100.0D, 6)").alias("p90"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+ORACLE_SQL["daily_percentile_bands"] = """
+    WITH q AS (
+        SELECT date_trunc('day', ts) AS day, event_type,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    )
+    SELECT day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(percentile_cont(0.1) WITHIN GROUP (ORDER BY c) / 100.0, 6) AS p10,
+           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY c) / 100.0, 6) AS p50,
+           ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY c) / 100.0, 6) AS p90
+    FROM q
+    GROUP BY day, event_type
+    ORDER BY day, event_type
+"""
+
+QUERIES["daily_percentile_bands"] = daily_percentile_bands
