@@ -73,7 +73,9 @@ _PRIORITY = [
     # source_token_budget, text_entropy, transition_probs,
     # sales_share_of_parent, sessionize_native, value_benford,
     # event_value_chi2, revenue_cusum, doc_containment,
-    # time_to_first_purchase --
+    # time_to_first_purchase, daily_active_users, daily_percentile_bands,
+    # supplier_concentration, events_dow_hour_heatmap, ann_int8,
+    # events_at_tier --
     # -- 20 rows-only entries (driver records a rows>=0 check);
     # stream_minhash_pairs/static_enrich/stream_join/dedup_users +
     # multimodal_* + kmv_user_overlap wait past the cap (all
