@@ -837,6 +837,65 @@ def stream_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_enriched_rollup_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    checkpoint: str,
+    watermark: str = "1 day",
+):
+    """Incremental view maintenance OVER A JOIN: keep a daily
+    (market-segment x event_type) rollup of the DIM-ENRICHED event
+    stream up to date — the materialized-join-view pattern one step
+    past single-table rollup maintenance.
+
+    Per micro-batch: the batch's events broadcast-join the customer
+    dimension (Spark re-plans the static side each batch, so a
+    refreshed dim file is picked up automatically — slowly-changing
+    dims for free), the watermark-bounded update-mode aggregation
+    emits only changed (day, segment, type) rows, and foreachBatch
+    dynamically overwrites only the touched day partitions.
+    Maintenance cost tracks the arrival rate, never the view size.
+    """
+    from ..sources.catalog import load_table
+
+    ev = _read_event_stream(spark, sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .join(F.broadcast(cust), "user_id", "inner")
+        .groupBy(
+            F.date_trunc("DAY", F.col("ts")).alias("bucket"),
+            "c_mktsegment",
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .withColumn("day", F.date_format("bucket", "yyyy-MM-dd"))
+    )
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            batch_df.write.mode("overwrite").partitionBy("day").parquet(path)
+        finally:
+            s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (
+        agg.writeStream.foreachBatch(_upsert)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via the NATIVE streaming session_window operator
     (no Python state function): merging gap windows + watermark in

@@ -521,3 +521,39 @@ def test_stream_session_windows_native_append(spark, sf_dir):
     # exact watermark tick; allow only exact-boundary misses
     for m in missing:
         assert m[2] + gap == wm, m
+
+
+def test_stream_enriched_rollup_converges_to_batch_join(spark, sf_dir, tmp_path):
+    """The incrementally maintained JOIN view must converge to the
+    batch enrich + rollup exactly."""
+    from pyspark.sql import functions as F
+
+    from skdist_spark.sources.catalog import load_table
+    from skdist_spark.streaming.ops import stream_enriched_rollup_maintenance
+
+    out, ckpt = str(tmp_path / "view"), str(tmp_path / "ckpt")
+    q = stream_enriched_rollup_maintenance(spark, sf_dir, out, ckpt)
+    q.awaitTermination()
+    maintained = {
+        (r.bucket, r.c_mktsegment, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in spark.read.parquet(out).collect()
+    }
+    ev = load_table(spark, "events", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    batch = {
+        (r.bucket, r.c_mktsegment, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in ev.join(cust, "user_id")
+        .groupBy(
+            F.date_trunc("DAY", F.col("ts")).alias("bucket"),
+            "c_mktsegment",
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert maintained == batch
