@@ -151,6 +151,82 @@ def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cohort_retention(
+    df: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+    epoch: str = _WEEK_EPOCH,
+) -> DataFrame:
+    """Generic cohort retention: ids bucketed by the period of their
+    first activity; for each (cohort_period, period_offset) the count
+    of distinct ids active that many periods later — user_retention
+    parameterized to any id/timestamp columns and period width.
+
+    Integer day-diff arithmetic from a fixed epoch (engine-aligned, no
+    locale week-start semantics); the first-activity aggregate and the
+    activity dedup share one id-keyed shuffle.
+    """
+    ev = df.select(F.col(id_col).alias("_id"), F.to_date(ts_col).alias("_day"))
+    firsts = ev.groupBy("_id").agg(F.min("_day").alias("_first"))
+    activity = ev.distinct()
+    joined = activity.join(firsts, "_id").select(
+        "_id",
+        (F.floor(F.datediff(F.col("_first"), F.lit(epoch).cast("date")) / period_days))
+        .cast("int")
+        .alias("cohort_period"),
+        (F.floor(F.datediff(F.col("_day"), F.col("_first")) / period_days))
+        .cast("int")
+        .alias("period_offset"),
+    )
+    return (
+        joined.groupBy("cohort_period", "period_offset")
+        .agg(F.countDistinct("_id").alias("n_active"))
+        .orderBy("cohort_period", "period_offset")
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    state_col: str,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Generic SCD2 builder: each id's ``state_col`` changes as
+    [valid_from_us, valid_to_us) intervals — user_tier_history
+    parameterized to any (id, timestamp, state) columns.
+
+    One id-partitioned time-ordered exchange serves both windows
+    (lag change-filter, lead interval-close); ``order_col`` breaks
+    timestamp ties deterministically (defaults to the state column).
+    """
+    tie = order_col or state_col
+    ev = df.select(
+        F.col(id_col).alias("_id"),
+        F.expr(f"unix_micros({ts_col})").alias("_us"),
+        F.col(tie).alias("_tie"),
+        F.col(state_col).alias("_state"),
+    )
+    w = Window.partitionBy("_id").orderBy("_us", "_tie")
+    changes = (
+        ev.withColumn("_prev", F.lag("_state").over(w))
+        .where(F.col("_prev").isNull() | (F.col("_state") != F.col("_prev")))
+    )
+    w2 = Window.partitionBy("_id").orderBy("_us", "_tie")
+    return (
+        changes.withColumn("valid_to_us", F.lead("_us").over(w2))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_state").alias(state_col),
+            F.col("_us").alias("valid_from_us"),
+            "valid_to_us",
+            F.expr("valid_to_us IS NULL").alias("is_current"),
+        )
+        .orderBy(id_col, "valid_from_us")
+    )
+
+
 def daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type daily value totals on a GAP-FREE calendar:
     missing days appear with sum_value = 0, plus a forward-filled

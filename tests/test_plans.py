@@ -283,3 +283,49 @@ def test_generic_funnel_matches_fixed_and_respects_window(spark, sf_dir):
         for r in funnel(df, ["a", "b", "c"], within_s=1800).collect()
     }
     assert windowed == {0: 3, 1: 3, 2: 2, 3: 1}  # user 3's c is too late
+
+
+def test_generic_cohort_retention_matches_fixed(spark, sf_dir):
+    from skdist_spark.plans.behavior import cohort_retention, user_retention
+    from skdist_spark.sources.catalog import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    gen = {
+        (r.cohort_period, r.period_offset): r.n_active
+        for r in cohort_retention(ev).collect()
+    }
+    fixed = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in user_retention(spark, sf_dir).collect()
+    }
+    assert gen == fixed
+
+
+def test_generic_scd2_history(spark):
+    import datetime
+
+    from skdist_spark.plans.behavior import scd2_history
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    rows = [
+        (1, at(0), "bronze"), (1, at(10), "bronze"), (1, at(20), "gold"),
+        (1, at(30), "gold"), (1, at(40), "bronze"),
+        (2, at(5), "silver"),
+    ]
+    df = spark.createDataFrame(rows, "acct long, ts timestamp, plan string")
+    hist = scd2_history(df, "acct", "ts", "plan").collect()
+    by_acct = {}
+    for r in hist:
+        by_acct.setdefault(r["acct"], []).append(
+            (r["plan"], r["valid_from_us"], r["valid_to_us"], r["is_current"])
+        )
+    us = lambda m: int((t0 + datetime.timedelta(minutes=m)).timestamp() * 1e6)
+    assert [p for p, *_ in by_acct[1]] == ["bronze", "gold", "bronze"]
+    assert by_acct[1][0][1:] == (us(0), us(20), False)
+    assert by_acct[1][1][1:] == (us(20), us(40), False)
+    assert by_acct[1][2][1:] == (us(40), None, True)
+    assert by_acct[2] == [("silver", us(5), None, True)]
