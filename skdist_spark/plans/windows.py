@@ -1246,3 +1246,80 @@ ORACLE_SQL["daily_percentile_bands"] = """
 """
 
 QUERIES["daily_percentile_bands"] = daily_percentile_bands
+
+
+SLO_TARGET_PPM = 210000  # error-rate objective: 21% (errors are ~1/5 of events)
+
+
+def slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE multiwindow burn-rate alerting over the event stream: per
+    hour, the 1h and 6h error rates vs the SLO target, with the
+    classic "alert only when BOTH windows burn" rule (fast window for
+    responsiveness, slow window to suppress blips).
+
+    Counts aggregate once per hour bucket (integer hour index =
+    epoch-seconds div 3600); the rolling 6h totals are RANGE windows
+    over the hour index — exact integers end to end, rates in ppm via
+    BIGINT division, only the burn ratios are DOUBLE (rounded 6).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    hourly = (
+        ev.select(
+            F.expr("unix_micros(ts) div 3600000000").alias("hour_idx"),
+            F.expr("CASE WHEN event_type = 'error' THEN 1 ELSE 0 END").alias("is_err"),
+        )
+        .groupBy("hour_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_err").alias("n_errors"),
+        )
+    )
+    w6 = (
+        Window.orderBy("hour_idx").rangeBetween(-5, 0)
+    )
+    burn = f"(CAST(rate_ppm AS DOUBLE) / {SLO_TARGET_PPM}.0D)"
+    burn6 = f"(CAST(rate6_ppm AS DOUBLE) / {SLO_TARGET_PPM}.0D)"
+    return (
+        hourly.withColumn("n_events_6h", F.sum("n_events").over(w6))
+        .withColumn("n_errors_6h", F.sum("n_errors").over(w6))
+        .select(
+            "hour_idx",
+            "n_events",
+            "n_errors",
+            F.expr("CAST(n_errors * 1000000 div n_events AS BIGINT)").alias("rate_ppm"),
+            F.expr("CAST(n_errors_6h * 1000000 div n_events_6h AS BIGINT)").alias("rate6_ppm"),
+        )
+        .select(
+            "*",
+            F.expr(f"ROUND({burn}, 6)").alias("burn_1h"),
+            F.expr(f"ROUND({burn6}, 6)").alias("burn_6h"),
+            F.expr(f"{burn} > 1.0D AND {burn6} > 1.0D").alias("is_alerting"),
+        )
+        .orderBy("hour_idx")
+    )
+
+
+ORACLE_SQL["slo_burn_rate"] = f"""
+    WITH hourly AS (
+        SELECT epoch_us(ts) // 3600000000 AS hour_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+        FROM events GROUP BY 1
+    ), rolled AS (
+        SELECT hour_idx, n_events, n_errors,
+               CAST(SUM(n_events) OVER (ORDER BY hour_idx RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_events_6h,
+               CAST(SUM(n_errors) OVER (ORDER BY hour_idx RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_errors_6h
+        FROM hourly
+    )
+    SELECT hour_idx, n_events, n_errors,
+           CAST(n_errors * 1000000 // n_events AS BIGINT) AS rate_ppm,
+           CAST(n_errors_6h * 1000000 // n_events_6h AS BIGINT) AS rate6_ppm,
+           ROUND(CAST(n_errors * 1000000 // n_events AS DOUBLE) / {SLO_TARGET_PPM}.0, 6) AS burn_1h,
+           ROUND(CAST(n_errors_6h * 1000000 // n_events_6h AS DOUBLE) / {SLO_TARGET_PPM}.0, 6) AS burn_6h,
+           (CAST(n_errors * 1000000 // n_events AS DOUBLE) / {SLO_TARGET_PPM}.0) > 1.0
+             AND (CAST(n_errors_6h * 1000000 // n_events_6h AS DOUBLE) / {SLO_TARGET_PPM}.0) > 1.0 AS is_alerting
+    FROM rolled
+    ORDER BY hour_idx
+"""
+
+QUERIES["slo_burn_rate"] = slo_burn_rate
