@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from skdist_spark.operators import (  # noqa: E402
     clustering, decomp, dedup, graph, lm, multimodal, quality, retrieval,
-    sampling, setsim, similarity, sketches, stats, text,
+    sampling, setsim, similarity, sketches, stats, text, tsa,
 )
 from skdist_spark import pipeline  # noqa: E402
 from skdist_spark.plans import behavior, ml_queries, tpch, windows  # noqa: E402
@@ -30,7 +30,7 @@ from skdist_spark.streaming import ops as streaming_ops  # noqa: E402
 
 _MODULES = [
     tpch, windows, behavior, dedup, graph, text, lm, decomp, quality,
-    similarity, setsim, sketches, stats, sampling, retrieval, clustering,
+    similarity, setsim, sketches, stats, tsa, sampling, retrieval, clustering,
     multimodal, ml_queries, streaming_ops, pipeline,
 ]
 
@@ -75,7 +75,9 @@ _PRIORITY = [
     # event_value_chi2, revenue_cusum, doc_containment,
     # time_to_first_purchase, daily_active_users, daily_percentile_bands,
     # supplier_concentration, events_dow_hour_heatmap, ann_int8,
-    # events_at_tier --
+    # events_at_tier, weekly_revenue_forecast, purchase_ab_welch,
+    # user_churn_survival, dsir_doc_weights, user_revenue_gini,
+    # weighted_price_percentiles --
     # -- 20 rows-only entries (driver records a rows>=0 check);
     # stream_minhash_pairs/static_enrich/stream_join/dedup_users +
     # multimodal_* + kmv_user_overlap wait past the cap (all

@@ -419,3 +419,123 @@ def bpe_encode(
         F.col(id_col),
         F.expr(f"flatten(transform({words}, w -> {expr}))").alias("tokens"),
     ).select(id_col, "tokens", F.size("tokens").alias("n_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed-feature importance weighting
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256  # hashed n-gram feature space (2 hex chars of md5)
+DSIR_ADD_K = 0.5    # add-k smoothing for empty buckets
+
+
+def importance_weights(
+    df: DataFrame,
+    is_target_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = DSIR_ADD_K,
+) -> DataFrame:
+    """DSIR-style importance weight of every document toward a target
+    distribution (Xie et al., "Data Selection for Language Models via
+    Importance Resampling", NeurIPS 2023).
+
+    Features are hashed unigram buckets — the first 2 hex chars of
+    md5(word), giving DSIR_BUCKETS buckets identically in any engine.
+    Both bag-of-buckets unigram LMs (target = rows where
+    ``is_target_col`` is true, raw = everything) are estimated in the
+    same job; each doc scores
+
+        log w(d) = sum_tokens ln( p_target(b) / p_raw(b) )
+
+    with add-k smoothing.  High log-weight docs look like the target
+    corpus and survive importance resampling.
+
+    Scale posture: one scan; (doc, bucket) tf pre-aggregation bounds
+    the shuffle by 256 x docs; bucket stats are a 256-row broadcast —
+    the raw corpus itself is never broadcast or collected.  The only
+    DOUBLE arithmetic is the final per-doc fold of tf * ln-ratio
+    (rounded to 6, same as doc_logprob).
+    """
+    words = F.expr(_SPARK_WORDS.replace("text", text_col))
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.col(is_target_col).cast("int").alias("__tgt"),
+            F.explode(words).alias("word"),
+        )
+        .select(id_col, "__tgt", F.expr("substring(md5(word), 1, 2)").alias("bucket"))
+        .groupBy(id_col, "__tgt", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = tf.groupBy("bucket").agg(
+        F.sum("tf").alias("c_raw"),
+        F.sum(F.col("tf") * F.col("__tgt")).alias("c_tgt"),
+    )
+    totals = stats.agg(
+        F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
+    )
+    lr = _dsir_log_ratio(add_k)
+    return (
+        tf.join(F.broadcast(stats), "bucket")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.expr(lr) * F.col("tf")).alias("_lw"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.round("_lw", 6).alias("log_importance"),
+            F.round(F.expr("_lw / n_tokens"), 6).alias("per_token"),
+        )
+    )
+
+
+def dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance weight of every document toward the English subset —
+    the data-selection score for an en-targeted training mix."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text", (F.col("lang") == "en").alias("is_en")
+    )
+    return importance_weights(docs, "is_en").orderBy("doc_id")
+
+
+def _dsir_log_ratio(add_k: float = DSIR_ADD_K) -> str:
+    # every operand explicitly DOUBLE: a bare `c + 0.5` is DECIMAL
+    # arithmetic in DuckDB (0.5 parses as DECIMAL(1,1)), which rounds
+    # differently from Spark's double promotion
+    kb = add_k * DSIR_BUCKETS
+    return (
+        f"ln(((CAST(c_tgt AS DOUBLE) + {add_k}) / (CAST(n_tgt AS DOUBLE) + {kb})) /"
+        f" ((CAST(c_raw AS DOUBLE) + {add_k}) / (CAST(n_raw AS DOUBLE) + {kb})))"
+    )
+
+
+def _dsir_sql(add_k: float = DSIR_ADD_K) -> str:
+    lr = _dsir_log_ratio(add_k)
+    return f"""
+        WITH tf AS (
+            SELECT doc_id, CAST(lang = 'en' AS INTEGER) AS tgt,
+                   md5(word)[1:2] AS bucket, COUNT(*) AS tf
+            FROM (SELECT doc_id, lang, UNNEST({_DUCK_WORDS}) AS word
+                  FROM documents)
+            GROUP BY 1, 2, 3
+        ), stats AS (
+            SELECT bucket, SUM(tf) AS c_raw, SUM(tf * tgt) AS c_tgt
+            FROM tf GROUP BY bucket
+        ), totals AS (
+            SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt FROM stats
+        )
+        SELECT doc_id, SUM(tf) AS n_tokens,
+               ROUND(SUM({lr} * tf), 6) AS log_importance,
+               ROUND(SUM({lr} * tf) / SUM(tf), 6) AS per_token
+        FROM tf JOIN stats USING (bucket), totals
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """
+
+
+QUERIES["dsir_doc_weights"] = dsir_doc_weights
+ORACLE_SQL["dsir_doc_weights"] = _dsir_sql()

@@ -25,7 +25,7 @@ Scale posture:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
@@ -750,3 +750,173 @@ ORACLE_SQL: dict[str, str] = {
     "event_value_pmi": _pmi_oracle_sql(),
     "user_skew_report": _skew_oracle_sql(),
 }
+
+
+# ---- inequality / weighted-quantile analytics -------------------------
+
+
+def gini_moments(df: DataFrame, value_col: str, id_col: str) -> DataFrame:
+    """Exact moments for the rank-formulation Gini coefficient
+    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over values sorted ascending
+    (ties broken by ``id_col``; the formula is tie-order invariant
+    since equal x collapse).  Returns one row (n, sx, six); compose
+    the final DOUBLE ratio with ``_gini_select()``.
+
+    The ordered window runs over the PRE-AGGREGATED unit dimension
+    (one row per id) — fine for user dimensions, wrong for raw facts;
+    aggregate first.
+    """
+    w = Window.orderBy(F.col(value_col).asc(), F.col(id_col).asc())
+    ranked = df.select(
+        F.col(value_col).alias("x"), F.row_number().over(w).alias("i")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).alias("sx"),
+        F.sum(F.expr("CAST(i AS DECIMAL(19,0)) * x")).alias("six"),
+    )
+
+
+def _gini_select(n: str = "n", sx: str = "sx", six: str = "six") -> str:
+    return (
+        f"ROUND(2.0 * CAST({six} AS DOUBLE) / (CAST({n} AS DOUBLE) * CAST({sx} AS DOUBLE))"
+        f" - (CAST({n} AS DOUBLE) + 1.0) / CAST({n} AS DOUBLE), 6)"
+    )
+
+
+def user_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration audit: Gini coefficient and top-decile
+    revenue share over per-user purchase revenue.
+
+    Two aggregations: the per-user cents rollup (one user_id shuffle),
+    then moments over the ranked user dimension.  The top-decile share
+    is pure integer arithmetic (ppm via BIGINT cross-multiplication).
+    """
+    ev = load_table(spark, "events", sf_dir).where(F.col("event_type") == "purchase")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.expr("CAST(floor(value * 100) AS BIGINT)")).alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").asc(), F.col("user_id").asc())
+    ranked = per_user.select("cents", F.row_number().over(w).alias("i"))
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0))")).alias("sx"),
+        F.sum(F.expr("CAST(i AS DECIMAL(19,0)) * cents")).alias("six"),
+        F.max("i").alias("_maxi"),
+    ).drop("_maxi")
+    top = (
+        ranked.crossJoin(F.broadcast(m.select("n")))
+        .where(F.expr("i > n - ((n + 9) div 10)"))
+        .agg(F.sum(F.expr("CAST(cents AS DECIMAL(38,0))")).alias("top_cents"))
+    )
+    return (
+        m.crossJoin(F.broadcast(top))
+        .select(
+            "n",
+            F.expr("CAST(sx AS DOUBLE) / 100.0").alias("total_revenue"),
+            F.expr(_gini_select()).alias("gini"),
+            F.expr(
+                "CAST((top_cents * 1000000) div sx AS BIGINT)"
+            ).alias("top10_share_ppm"),
+        )
+    )
+
+
+def _gini_oracle_sql() -> str:
+    return f"""
+        WITH per_user AS (
+            SELECT user_id, SUM(CAST(floor(value * 100) AS BIGINT)) AS cents
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ), ranked AS (
+            SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, user_id) AS i
+            FROM per_user
+        ), m AS (
+            SELECT COUNT(*) AS n,
+                   SUM(CAST(cents AS DECIMAL(38,0))) AS sx,
+                   SUM(CAST(i AS DECIMAL(19,0)) * cents) AS six
+            FROM ranked
+        ), top AS (
+            SELECT SUM(CAST(cents AS DECIMAL(38,0))) AS top_cents
+            FROM ranked, m WHERE i > n - ((n + 9) // 10)
+        )
+        SELECT n, CAST(sx AS DOUBLE) / 100.0 AS total_revenue,
+               {_gini_select()} AS gini,
+               -- BIGINT // BIGINT: DuckDB's // on DECIMAL operands routes
+               -- through float division (same quirk as supplier_concentration)
+               CAST(top_cents * 1000000 AS BIGINT) // CAST(sx AS BIGINT) AS top10_share_ppm
+        FROM m, top
+    """
+
+
+def weighted_percentiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_cols: list[str],
+    q_ppms: list[int],
+) -> DataFrame:
+    """Weighted lower-bound percentiles per group, fully integer-exact.
+
+    The q-th weighted percentile is the smallest value whose running
+    weight reaches q of the total: ``min value : cumw * 1e6 >= q_ppm *
+    totw`` — BIGINT cross-multiplication, no division, no float, so
+    ties and boundaries cannot differ between engines.  Values are
+    first aggregated per (group, value) — the window runs over
+    distinct values per group, not raw rows.  Emits one column per
+    requested q (``p{q/1e4:g}``).
+    """
+    per_v = df.groupBy(*group_cols, value_col).agg(
+        F.sum(F.col(weight_col).cast("bigint")).alias("w")
+    )
+    win = Window.partitionBy(*group_cols).orderBy(value_col)
+    cum = per_v.withColumn(
+        "cumw", F.sum("w").over(win.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("totw", F.sum("w").over(Window.partitionBy(*group_cols)))
+    aggs = [
+        F.min(
+            F.expr(f"CASE WHEN cumw * 1000000 >= {q} * totw THEN {value_col} END")
+        ).alias(f"p{q // 10000}")
+        for q in q_ppms
+    ]
+    return cum.groupBy(*group_cols).agg(*aggs).orderBy(*group_cols)
+
+
+def weighted_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted p50/p90 of line-item unit price cents per
+    return flag — 'what price does the median shipped UNIT carry'
+    (row-weighted percentiles over-represent small orders)."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag",
+        F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias("price_cents"),
+        F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+    )
+    return weighted_percentiles(
+        li, "price_cents", "qty", ["l_returnflag"], [500000, 900000]
+    )
+
+
+def _weighted_pct_oracle_sql() -> str:
+    return """
+        WITH per_v AS (
+            SELECT l_returnflag,
+                   CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_cents,
+                   SUM(CAST(l_quantity AS BIGINT)) AS w
+            FROM lineitem GROUP BY 1, 2
+        ), cum AS (
+            SELECT l_returnflag, price_cents,
+                   SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price_cents
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+                   SUM(w) OVER (PARTITION BY l_returnflag) AS totw
+            FROM per_v
+        )
+        SELECT l_returnflag,
+               MIN(CASE WHEN cumw * 1000000 >= 500000 * totw THEN price_cents END) AS p50,
+               MIN(CASE WHEN cumw * 1000000 >= 900000 * totw THEN price_cents END) AS p90
+        FROM cum GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+
+
+QUERIES["user_revenue_gini"] = user_revenue_gini
+QUERIES["weighted_price_percentiles"] = weighted_price_percentiles
+ORACLE_SQL["user_revenue_gini"] = _gini_oracle_sql()
+ORACLE_SQL["weighted_price_percentiles"] = _weighted_pct_oracle_sql()

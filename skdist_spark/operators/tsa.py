@@ -1,0 +1,425 @@
+"""Time-series forecasting, experimentation, and survival analytics.
+
+Three operator families a production analytics engine is asked for
+daily and none of which needs anything beyond one aggregation shuffle:
+
+- **Holt double-exponential forecast** (`holt_fit`): level+trend
+  smoothing over an evenly-indexed KPI series with an h-step-ahead
+  forecast — the capacity-planning / revenue-projection primitive.
+  The series is first REDUCED to one row per period (exact DECIMAL
+  sums), so the sequential fold runs over the tiny aggregate (a
+  10-year weekly series is 522 points), never the fact table.  The
+  fold itself is a single `aggregate` higher-order expression whose
+  state is (level, trend, fitted[]) — no Python, no driver loop, and
+  the identical arithmetic is replayed by a recursive CTE in the
+  DuckDB oracle, so the smoothing recursion is hash-verified
+  bit-for-bit.
+- **Welch's unequal-variance t-test** (`welch_t_test`): the A/B
+  experiment readout.  Arms are deterministic Knuth-hash buckets of
+  the unit id (stable across retries/engines — the same split
+  train_test_split_df uses); per-arm moments are EXACT integer sums
+  (micro-quantized values), so the only DOUBLE arithmetic is the
+  final t statistic and Welch-Satterthwaite dof — one scan, one tiny
+  aggregate, map-side combinable.
+- **Kaplan-Meier survival** (`km_survival`): time-to-churn with
+  right-censoring.  Per-unit durations come from one user_id shuffle
+  (first/last activity from the same exchange); the risk table is a
+  second aggregation over distinct integer durations; S(t) =
+  exp(cumsum(ln(1 - d_i/n_i))) rides one ordered window over the
+  tiny risk table.  At 100 TB the only full-data pass is the
+  per-user min/max aggregation.
+
+All three queries have value-identical DuckDB oracles (the Holt
+recursion via WITH RECURSIVE; smoothing constants are dyadic — 0.5,
+0.25 — so the double arithmetic is exactly reproducible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+_WEEK_EPOCH = "2024-01-01"  # week-index base shared with behavior.py
+_KNUTH = 2654435761
+_MOD32 = 4294967296
+
+# dyadic smoothing constants: exactly representable doubles, so the
+# Spark fold and the DuckDB recursive CTE perform identical FP ops
+ALPHA = "0.5"   # level smoothing
+BETA = "0.25"   # trend smoothing
+HORIZON = 7     # forecast steps emitted past the last observation
+
+
+# ---- Holt double-exponential smoothing --------------------------------
+
+
+def holt_fit(
+    series: DataFrame,
+    t_col: str,
+    y_col: str,
+    horizon: int = HORIZON,
+) -> DataFrame:
+    """Fit Holt's linear-trend smoothing to an integer-indexed series
+    and emit one-step-ahead fits plus an ``horizon``-step forecast.
+
+    ``series`` must already be the aggregated (t, y) frame — one row
+    per period, ``t_col`` integer, evenly spaced.  Initialization is
+    the textbook level_1 = y_1, trend_1 = y_2 - y_1; for t >= 2::
+
+        fitted_t = level_{t-1} + trend_{t-1}
+        level_t  = a*y_t + (1-a)*fitted_t
+        trend_t  = b*(level_t - level_{t-1}) + (1-b)*trend_{t-1}
+
+    Output: (t, kind 'fit'|'forecast', y, yhat), yhat rounded to 4.
+
+    The sequential recursion collapses the aggregated series to ONE
+    row (`sort_array(collect_list)`) and folds it with an `aggregate`
+    higher-order function — state is (level, trend, fitted array), so
+    cost is O(n^2) array copies on the one executor that owns the row;
+    n is bounded by the calendar (52 points/year for weekly series),
+    never by data volume.  Everything upstream is an ordinary
+    map-side-combinable aggregation.
+    """
+    a, b = ALPHA, BETA
+    one = series.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(t_col).alias("t"), F.col(y_col).alias("y")))
+        ).alias("s")
+    )
+    new_level = f"{a}D * y + (1.0D - {a}D) * (st.level + st.trend)"
+    st = one.select(
+        F.expr("transform(s, x -> x.t)").alias("ts"),
+        F.expr("transform(s, x -> CAST(x.y AS DOUBLE))").alias("ys"),
+        F.size("s").alias("n"),
+    ).select(
+        "ts",
+        "ys",
+        "n",
+        F.expr(
+            f"""aggregate(
+                slice(ys, 2, n - 1),
+                named_struct(
+                    'level', element_at(ys, 1),
+                    'trend', element_at(ys, 2) - element_at(ys, 1),
+                    'fits', CAST(array() AS ARRAY<DOUBLE>)),
+                (st, y) -> named_struct(
+                    'level', {new_level},
+                    'trend', {b}D * (({new_level}) - st.level)
+                             + (1.0D - {b}D) * st.trend,
+                    'fits', concat(st.fits, array(st.level + st.trend)))
+            )"""
+        ).alias("st"),
+    )
+    rows = st.select(
+        F.explode(
+            F.expr(
+                f"""concat(
+                    transform(sequence(2, n), t -> named_struct(
+                        't', element_at(ts, t),
+                        'kind', 'fit',
+                        'y', round(element_at(ys, t), 4),
+                        'yhat', round(element_at(st.fits, t - 1), 4))),
+                    transform(sequence(1, {horizon}), h -> named_struct(
+                        't', element_at(ts, n) + h,
+                        'kind', 'forecast',
+                        'y', CAST(NULL AS DOUBLE),
+                        'yhat', round(st.level + CAST(h AS DOUBLE) * st.trend, 4)))
+                )"""
+            )
+        ).alias("r")
+    )
+    return rows.select(
+        F.col("r.t").alias(t_col),
+        F.col("r.kind").alias("kind"),
+        F.col("r.y").alias("y"),
+        F.col("r.yhat").alias("yhat"),
+    ).orderBy(t_col, "kind")
+
+
+def weekly_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt forecast of weekly order revenue, 7 weeks ahead.
+
+    Weekly totals are DECIMAL-exact before the cast to DOUBLE, so the
+    series fed to the recursion is bit-identical across engines.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    weekly = orders.groupBy(
+        F.floor(
+            F.datediff(F.to_date("o_orderdate"), F.lit(_WEEK_EPOCH).cast("date")) / 7
+        )
+        .cast("int")
+        .alias("week")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue")
+    )
+    return holt_fit(weekly, "week", "revenue")
+
+
+def _holt_oracle_sql(horizon: int = HORIZON) -> str:
+    a, b = ALPHA, BETA
+    new_level = f"{a}*d.y + (1.0 - {a})*(r.level + r.trend)"
+    return f"""
+        WITH RECURSIVE weekly AS (
+            SELECT CAST(FLOOR(date_diff('day', DATE '{_WEEK_EPOCH}',
+                                        CAST(o_orderdate AS DATE)) / 7) AS INTEGER) AS week,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+            FROM orders GROUP BY 1
+        ), idx AS (
+            SELECT week, y, ROW_NUMBER() OVER (ORDER BY week) AS i FROM weekly
+        ), np AS (SELECT COUNT(*) AS n FROM idx),
+        rec(i, level, trend, fitted) AS (
+            SELECT 1,
+                   (SELECT y FROM idx WHERE i = 1),
+                   (SELECT y FROM idx WHERE i = 2) - (SELECT y FROM idx WHERE i = 1),
+                   CAST(NULL AS DOUBLE)
+            UNION ALL
+            SELECT r.i + 1,
+                   {new_level},
+                   {b}*(({new_level}) - r.level) + (1.0 - {b})*r.trend,
+                   r.level + r.trend
+            FROM rec r JOIN idx d ON d.i = r.i + 1
+        )
+        SELECT d.week, 'fit' AS kind, ROUND(d.y, 4) AS y, ROUND(r.fitted, 4) AS yhat
+        FROM rec r JOIN idx d ON d.i = r.i WHERE r.i >= 2
+        UNION ALL
+        SELECT (SELECT MAX(week) FROM idx) + CAST(h.range AS INTEGER), 'forecast',
+               CAST(NULL AS DOUBLE),
+               ROUND(r.level + CAST(h.range AS DOUBLE) * r.trend, 4)
+        FROM rec r, range(1, {horizon + 1}) h
+        WHERE r.i = (SELECT n FROM np)
+        ORDER BY week, kind
+    """
+
+
+# ---- Welch's t-test (A/B experiment readout) --------------------------
+
+
+def welch_t_test(
+    df: DataFrame,
+    unit_col: str,
+    metric_micros_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Two-arm Welch unequal-variance t-test per group.
+
+    Arm assignment is the deterministic Knuth split of ``unit_col``
+    (arm 0 = 'A', 1 = 'B'); ``metric_micros_col`` must already be the
+    BIGINT micro-quantized metric.  Per-(group, arm) n / sum / sum-sq
+    are exact (DECIMAL(38,0) sums), so the t statistic and the
+    Welch-Satterthwaite dof are single DOUBLE expressions over exact
+    integers — bit-reproducible and map-side combinable.
+    """
+    arm = F.pmod((F.col(unit_col).cast("bigint") * _KNUTH) % _MOD32, F.lit(2))
+    g = (
+        df.withColumn("arm", arm)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(F.expr("CASE WHEN arm = 0 THEN 1 ELSE 0 END")).alias("n_a"),
+            F.sum(F.expr("CASE WHEN arm = 1 THEN 1 ELSE 0 END")).alias("n_b"),
+            F.sum(
+                F.expr(f"CASE WHEN arm = 0 THEN CAST({metric_micros_col} AS DECIMAL(38,0)) ELSE 0 END")
+            ).alias("sx_a"),
+            F.sum(
+                F.expr(f"CASE WHEN arm = 1 THEN CAST({metric_micros_col} AS DECIMAL(38,0)) ELSE 0 END")
+            ).alias("sx_b"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN arm = 0 THEN CAST({metric_micros_col} AS DECIMAL(19,0)) * {metric_micros_col} ELSE 0 END"
+                )
+            ).alias("sxx_a"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN arm = 1 THEN CAST({metric_micros_col} AS DECIMAL(19,0)) * {metric_micros_col} ELSE 0 END"
+                )
+            ).alias("sxx_b"),
+        )
+    )
+    out = g.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        F.expr(f"ROUND({_MEAN('a')} / 1000000.0, 6)").alias("mean_a"),
+        F.expr(f"ROUND({_MEAN('b')} / 1000000.0, 6)").alias("mean_b"),
+        F.expr(f"ROUND({_T_STAT}, 6)").alias("t_stat"),
+        F.expr(f"ROUND({_WELCH_DOF}, 6)").alias("dof"),
+    )
+    return out.orderBy(*group_cols) if group_cols else out
+
+
+def _MEAN(s: str) -> str:
+    return f"(CAST(sx_{s} AS DOUBLE) / CAST(n_{s} AS DOUBLE))"
+
+
+def _VAR(s: str) -> str:
+    # sample variance in micros^2 from exact moments
+    return (
+        f"((CAST(sxx_{s} AS DOUBLE) - {_MEAN(s)} * CAST(sx_{s} AS DOUBLE))"
+        f" / CAST(n_{s} - 1 AS DOUBLE))"
+    )
+
+
+_SE2 = f"({_VAR('a')} / CAST(n_a AS DOUBLE) + {_VAR('b')} / CAST(n_b AS DOUBLE))"
+_T_STAT = f"(({_MEAN('a')} - {_MEAN('b')}) / sqrt({_SE2}))"
+_WELCH_DOF = (
+    f"({_SE2} * {_SE2} / "
+    f"({_VAR('a')} * {_VAR('a')} / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE))"
+    f" + {_VAR('b')} * {_VAR('b')} / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE))))"
+)
+
+
+def purchase_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch t-test of event value between the two Knuth user arms,
+    per event type — 'did the B arm spend more, and is it noise?'."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("v_micros"),
+    )
+    return welch_t_test(ev, "user_id", "v_micros", ["event_type"])
+
+
+def _welch_oracle_sql() -> str:
+    return f"""
+        WITH q AS (
+            SELECT event_type,
+                   ((user_id * {_KNUTH}) % {_MOD32}) % 2 AS arm,
+                   CAST(floor(value * 1000000) AS BIGINT) AS v
+            FROM events
+        ), g AS (
+            SELECT event_type,
+                   SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+                   SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+                   SUM(CASE WHEN arm = 0 THEN CAST(v AS DECIMAL(38,0)) ELSE 0 END) AS sx_a,
+                   SUM(CASE WHEN arm = 1 THEN CAST(v AS DECIMAL(38,0)) ELSE 0 END) AS sx_b,
+                   SUM(CASE WHEN arm = 0 THEN CAST(v AS DECIMAL(19,0)) * v ELSE 0 END) AS sxx_a,
+                   SUM(CASE WHEN arm = 1 THEN CAST(v AS DECIMAL(19,0)) * v ELSE 0 END) AS sxx_b
+            FROM q GROUP BY event_type
+        )
+        SELECT event_type, n_a, n_b,
+               ROUND({_MEAN('a')} / 1000000.0, 6) AS mean_a,
+               ROUND({_MEAN('b')} / 1000000.0, 6) AS mean_b,
+               ROUND({_T_STAT}, 6) AS t_stat,
+               ROUND({_WELCH_DOF}, 6) AS dof
+        FROM g ORDER BY event_type
+    """
+
+
+# ---- Kaplan-Meier survival (time-to-churn) ----------------------------
+
+CHURN_GAP_DAYS = 7  # inactive this long before corpus end => churned
+
+
+def km_survival(
+    spans: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Kaplan-Meier estimator over integer durations with censoring.
+
+    ``spans`` has one row per unit: integer ``duration_col`` and
+    ``event_col`` 1 if the terminal event was observed, 0 if censored.
+    Emits the risk table at event durations (d > 0): units at risk,
+    events, and S(t) = prod_{t_i <= t} (1 - d_i / n_i), computed as
+    exp of a running sum of logs over the ordered risk table.
+
+    Aggregation to distinct durations is one tiny shuffle; the
+    cumulative product is a window over that aggregate.
+    """
+    per_t = spans.groupBy(F.col(duration_col).alias("t")).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(event_col).alias("d"),
+    )
+    w = Window.orderBy("t")
+    total = per_t.agg(F.sum("c").alias("n_total"))
+    risk = (
+        per_t.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(
+                F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .where(F.col("d") > 0)
+    )
+    w2 = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return risk.select(
+        "t",
+        "n_risk",
+        "d",
+        F.round(
+            F.exp(
+                F.sum(
+                    F.expr("ln(1.0D - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))")
+                ).over(w2)
+            ),
+            6,
+        ).alias("survival"),
+    ).orderBy("t")
+
+
+def user_churn_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-churn survival curve over the events log.
+
+    A user's lifetime is last - first activity in whole days; users
+    still active within CHURN_GAP_DAYS of the corpus end are censored
+    (their churn day is unobserved).  One user_id shuffle builds the
+    spans; the KM table is an aggregate over <= 30 distinct durations.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("first_us"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+    )
+    corpus = ev.agg(F.max(F.unix_micros("ts")).alias("end_us"))
+    gap_us = CHURN_GAP_DAYS * 86_400_000_000
+    spans = spans.crossJoin(F.broadcast(corpus)).select(
+        F.expr("(last_us - first_us) div 86400000000").alias("duration"),
+        F.expr(f"CASE WHEN last_us <= end_us - {gap_us} THEN 1 ELSE 0 END").alias(
+            "event"
+        ),
+    )
+    return km_survival(spans)
+
+
+def _km_oracle_sql() -> str:
+    gap_us = CHURN_GAP_DAYS * 86_400_000_000
+    return f"""
+        WITH spans AS (
+            SELECT (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 86400000000 AS duration,
+                   CASE WHEN MAX(epoch_us(ts)) <=
+                        (SELECT MAX(epoch_us(ts)) FROM events) - {gap_us}
+                        THEN 1 ELSE 0 END AS event
+            FROM events GROUP BY user_id
+        ), per_t AS (
+            SELECT duration AS t, COUNT(*) AS c, SUM(event) AS d
+            FROM spans GROUP BY duration
+        ), risk AS (
+            SELECT t, d,
+                   (SELECT SUM(c) FROM per_t)
+                   - COALESCE(SUM(c) OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+            FROM per_t
+        )
+        SELECT t, n_risk, d,
+               ROUND(EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)))
+                         OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW)), 6) AS survival
+        FROM risk WHERE d > 0 ORDER BY t
+    """
+
+
+QUERIES = {
+    "weekly_revenue_forecast": weekly_revenue_forecast,
+    "purchase_ab_welch": purchase_ab_welch,
+    "user_churn_survival": user_churn_survival,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "weekly_revenue_forecast": _holt_oracle_sql(),
+    "purchase_ab_welch": _welch_oracle_sql(),
+    "user_churn_survival": _km_oracle_sql(),
+}

@@ -1,0 +1,87 @@
+"""Generic-API tests for operators/tsa.py: the Holt recursion vs a
+plain-Python replay, Welch's t-test vs hand-computed moments, and the
+Kaplan-Meier table vs a textbook hand calculation."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from skdist_spark.operators import tsa
+
+
+def _holt_reference(ys, alpha=0.5, beta=0.25, horizon=7):
+    level, trend = ys[0], ys[1] - ys[0]
+    fits = []
+    for y in ys[1:]:
+        fitted = level + trend
+        new_level = alpha * y + (1.0 - alpha) * (level + trend)
+        trend = beta * (new_level - level) + (1.0 - beta) * trend
+        level = new_level
+        fits.append(fitted)
+    fc = [level + h * trend for h in range(1, horizon + 1)]
+    return fits, fc
+
+
+def test_holt_fit_matches_python_replay(spark):
+    ys = [10.0, 12.0, 11.0, 15.0, 18.0, 17.0, 21.0, 25.0]
+    series = spark.createDataFrame(
+        [(i + 1, y) for i, y in enumerate(ys)], "t INT, y DOUBLE"
+    )
+    out = tsa.holt_fit(series, "t", "y").collect()
+    fits_ref, fc_ref = _holt_reference(ys)
+    fit_rows = [r for r in out if r["kind"] == "fit"]
+    fc_rows = [r for r in out if r["kind"] == "forecast"]
+    assert [r["t"] for r in fit_rows] == list(range(2, len(ys) + 1))
+    for r, expect in zip(fit_rows, fits_ref):
+        assert abs(r["yhat"] - round(expect, 4)) < 1e-9
+    assert [r["t"] for r in fc_rows] == list(range(len(ys) + 1, len(ys) + 8))
+    for r, expect in zip(fc_rows, fc_ref):
+        assert abs(r["yhat"] - round(expect, 4)) < 1e-9
+        assert r["y"] is None
+
+
+def test_welch_t_test_matches_manual(spark):
+    # units 2,4,... land in arm 0 and 1,3,... in arm 1 for the Knuth
+    # split; just recompute the arms the same way and do the math
+    rows = [(u, 1_000_000 * (u % 7 + 1)) for u in range(1, 41)]
+    df = spark.createDataFrame(rows, "unit BIGINT, v BIGINT")
+    out = tsa.welch_t_test(df, "unit", "v", []).collect()[0]
+    arms = {0: [], 1: []}
+    for u, v in rows:
+        arms[((u * tsa._KNUTH) % tsa._MOD32) % 2].append(v / 1e6)
+    means = {k: sum(v) / len(v) for k, v in arms.items()}
+    vars_ = {
+        k: sum((x - means[k]) ** 2 for x in v) / (len(v) - 1)
+        for k, v in arms.items()
+    }
+    se2 = vars_[0] / len(arms[0]) + vars_[1] / len(arms[1])
+    t_ref = (means[0] - means[1]) / math.sqrt(se2)
+    assert out["n_a"] == len(arms[0]) and out["n_b"] == len(arms[1])
+    assert abs(out["mean_a"] - means[0]) < 1e-5
+    assert abs(out["mean_b"] - means[1]) < 1e-5
+    assert abs(out["t_stat"] - t_ref) < 1e-4
+
+
+def test_km_survival_textbook(spark):
+    # classic toy: durations with events at t=2 (1 of 5 at risk),
+    # t=4 (1 of 3): S(2)=0.8, S(4)=0.8*(2/3)
+    spans = spark.createDataFrame(
+        [(2, 1), (3, 0), (4, 1), (5, 0), (6, 0)], "duration INT, event INT"
+    )
+    out = {r["t"]: r for r in tsa.km_survival(spans).collect()}
+    assert set(out) == {2, 4}
+    assert out[2]["n_risk"] == 5 and out[2]["d"] == 1
+    assert abs(out[2]["survival"] - 0.8) < 1e-9
+    assert out[4]["n_risk"] == 3 and out[4]["d"] == 1
+    assert abs(out[4]["survival"] - round(0.8 * (2 / 3), 6)) < 1e-9
+
+
+def test_km_risk_decreases_with_censoring(spark):
+    spans = spark.createDataFrame(
+        [(1, 1), (1, 0), (2, 1), (3, 1)], "duration INT, event INT"
+    )
+    rows = tsa.km_survival(spans).collect()
+    risks = [r["n_risk"] for r in rows]
+    assert risks == sorted(risks, reverse=True)
+    survs = [r["survival"] for r in rows]
+    assert all(s1 >= s2 for s1, s2 in zip(survs, survs[1:]))
