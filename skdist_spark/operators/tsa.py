@@ -423,3 +423,193 @@ ORACLE_SQL: dict[str, str] = {
     "purchase_ab_welch": _welch_oracle_sql(),
     "user_churn_survival": _km_oracle_sql(),
 }
+
+
+# ---- CUPED variance-reduced A/B readout -------------------------------
+
+CUPED_SPLIT_DAY = 15  # first 15 days = pre-period covariate window
+
+
+def cuped_adjust(
+    df: DataFrame,
+    unit_col: str,
+    x_micros_col: str,
+    y_micros_col: str,
+) -> DataFrame:
+    """CUPED-adjusted two-arm experiment readout (Deng et al., WSDM'13).
+
+    ``df`` has one row per unit with BIGINT micro-quantized pre-period
+    covariate ``x`` and outcome ``y``.  theta = cov(x,y)/var(x) is
+    estimated POOLED across both Knuth arms (the standard, unbiased
+    choice); each unit's adjusted outcome is y - theta*(x - xbar), and
+    the Welch t statistic is recomputed on the adjusted per-arm
+    moments
+
+        var(y_adj) = var(y) - 2*theta*cov(x,y) + theta^2*var(x)
+
+    so no second pass over the data is needed: ONE aggregation emits
+    per-arm n / sum / sum-sq / cross moments as exact DECIMALs, and
+    every derived quantity (theta, adjusted means and variances, both
+    t statistics, the variance-reduction ratio) is a closed-form
+    DOUBLE expression over that single row.  Map-side combinable,
+    one shuffle of ~14 numbers.
+    """
+    arm = F.pmod((F.col(unit_col).cast("bigint") * _KNUTH) % _MOD32, F.lit(2))
+    per_arm = []
+    for s, a in (("a", 0), ("b", 1)):
+        per_arm += [
+            F.sum(F.expr(f"CASE WHEN arm = {a} THEN 1 ELSE 0 END")).alias(f"n_{s}"),
+            F.sum(
+                F.expr(f"CASE WHEN arm = {a} THEN CAST(x AS DECIMAL(38,0)) ELSE 0 END")
+            ).alias(f"sx_{s}"),
+            F.sum(
+                F.expr(f"CASE WHEN arm = {a} THEN CAST(y AS DECIMAL(38,0)) ELSE 0 END")
+            ).alias(f"sy_{s}"),
+            F.sum(
+                F.expr(f"CASE WHEN arm = {a} THEN CAST(x AS DECIMAL(19,0)) * x ELSE 0 END")
+            ).alias(f"sxx_{s}"),
+            F.sum(
+                F.expr(f"CASE WHEN arm = {a} THEN CAST(y AS DECIMAL(19,0)) * y ELSE 0 END")
+            ).alias(f"syy_{s}"),
+            F.sum(
+                F.expr(f"CASE WHEN arm = {a} THEN CAST(x AS DECIMAL(19,0)) * y ELSE 0 END")
+            ).alias(f"sxy_{s}"),
+        ]
+    g = (
+        df.select(
+            arm.alias("arm"),
+            F.col(x_micros_col).alias("x"),
+            F.col(y_micros_col).alias("y"),
+        )
+        .agg(*per_arm)
+    )
+    return g.select(
+        "n_a",
+        "n_b",
+        F.expr(f"ROUND({_CU_MEAN_Y('a')} / 1000000.0, 6)").alias("mean_a"),
+        F.expr(f"ROUND({_CU_MEAN_Y('b')} / 1000000.0, 6)").alias("mean_b"),
+        F.expr(f"ROUND({_CU_THETA}, 6)").alias("theta"),
+        F.expr(f"ROUND({_CU_ADJ_MEAN('a')} / 1000000.0, 6)").alias("adj_mean_a"),
+        F.expr(f"ROUND({_CU_ADJ_MEAN('b')} / 1000000.0, 6)").alias("adj_mean_b"),
+        F.expr(f"ROUND({_CU_T_RAW}, 6)").alias("t_raw"),
+        F.expr(f"ROUND({_CU_T_ADJ}, 6)").alias("t_adj"),
+        F.expr(f"ROUND({_CU_VAR_REDUCTION}, 6)").alias("var_reduction"),
+    )
+
+
+def _CU_MEAN(m: str, s: str) -> str:
+    return f"(CAST(s{m}_{s} AS DOUBLE) / CAST(n_{s} AS DOUBLE))"
+
+
+def _CU_MEAN_Y(s: str) -> str:
+    return _CU_MEAN("y", s)
+
+
+# pooled moments: exact decimal additions before any double cast
+_CU_N = "(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))"
+_CU_SX = "(CAST(sx_a + sx_b AS DOUBLE))"
+_CU_SY = "(CAST(sy_a + sy_b AS DOUBLE))"
+_CU_SXX = "(CAST(sxx_a + sxx_b AS DOUBLE))"
+_CU_SXY = "(CAST(sxy_a + sxy_b AS DOUBLE))"
+_CU_XBAR = f"({_CU_SX} / {_CU_N})"
+# pooled cov(x,y) and var(x) numerators (x n): theta needs only the ratio
+_CU_THETA = (
+    f"(({_CU_SXY} - {_CU_SX} * {_CU_SY} / {_CU_N})"
+    f" / ({_CU_SXX} - {_CU_SX} * {_CU_SX} / {_CU_N}))"
+)
+
+
+def _CU_ADJ_MEAN(s: str) -> str:
+    return f"({_CU_MEAN('y', s)} - {_CU_THETA} * ({_CU_MEAN('x', s)} - {_CU_XBAR}))"
+
+
+def _CU_VAR(m: str, s: str) -> str:
+    return (
+        f"((CAST(s{m}{m}_{s} AS DOUBLE) - {_CU_MEAN(m, s)} * CAST(s{m}_{s} AS DOUBLE))"
+        f" / CAST(n_{s} - 1 AS DOUBLE))"
+    )
+
+
+def _CU_COV(s: str) -> str:
+    return (
+        f"((CAST(sxy_{s} AS DOUBLE) - {_CU_MEAN('x', s)} * CAST(sy_{s} AS DOUBLE))"
+        f" / CAST(n_{s} - 1 AS DOUBLE))"
+    )
+
+
+def _CU_VADJ(s: str) -> str:
+    return (
+        f"({_CU_VAR('y', s)} - 2.0 * {_CU_THETA} * {_CU_COV(s)}"
+        f" + {_CU_THETA} * {_CU_THETA} * {_CU_VAR('x', s)})"
+    )
+
+
+_CU_SE2_RAW = f"({_CU_VAR('y', 'a')} / CAST(n_a AS DOUBLE) + {_CU_VAR('y', 'b')} / CAST(n_b AS DOUBLE))"
+_CU_SE2_ADJ = f"({_CU_VADJ('a')} / CAST(n_a AS DOUBLE) + {_CU_VADJ('b')} / CAST(n_b AS DOUBLE))"
+_CU_T_RAW = f"(({_CU_MEAN_Y('a')} - {_CU_MEAN_Y('b')}) / sqrt({_CU_SE2_RAW}))"
+_CU_T_ADJ = f"(({_CU_ADJ_MEAN('a')} - {_CU_ADJ_MEAN('b')}) / sqrt({_CU_SE2_ADJ}))"
+_CU_VAR_REDUCTION = f"(1.0 - {_CU_SE2_ADJ} / {_CU_SE2_RAW})"
+
+
+def purchase_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED readout over the events log: outcome = each user's
+    purchase spend in the second half of the month, covariate = the
+    same user's first-half spend.  One user_id shuffle builds the
+    (x, y) unit frame (conditional sums split at the exact integer
+    midpoint day); the moment aggregation is a single tiny row."""
+    ev = load_table(spark, "events", sf_dir).where(F.col("event_type") == "purchase")
+    split_us = f"(TIMESTAMP '2024-01-{CUPED_SPLIT_DAY + 1:02d} 00:00:00')"
+    units = ev.groupBy("user_id").agg(
+        F.sum(
+            F.expr(
+                f"CASE WHEN ts < {split_us} THEN CAST(floor(value * 1000000) AS BIGINT) ELSE 0 END"
+            )
+        ).alias("x"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN ts >= {split_us} THEN CAST(floor(value * 1000000) AS BIGINT) ELSE 0 END"
+            )
+        ).alias("y"),
+    )
+    return cuped_adjust(units, "user_id", "x", "y")
+
+
+def _cuped_oracle_sql() -> str:
+    split_ts = f"TIMESTAMP '2024-01-{CUPED_SPLIT_DAY + 1:02d} 00:00:00'"
+    arms = []
+    for s, a in (("a", 0), ("b", 1)):
+        arms.append(
+            f"""SUM(CASE WHEN arm = {a} THEN 1 ELSE 0 END) AS n_{s},
+            SUM(CASE WHEN arm = {a} THEN CAST(x AS DECIMAL(38,0)) ELSE 0 END) AS sx_{s},
+            SUM(CASE WHEN arm = {a} THEN CAST(y AS DECIMAL(38,0)) ELSE 0 END) AS sy_{s},
+            SUM(CASE WHEN arm = {a} THEN CAST(x AS DECIMAL(19,0)) * x ELSE 0 END) AS sxx_{s},
+            SUM(CASE WHEN arm = {a} THEN CAST(y AS DECIMAL(19,0)) * y ELSE 0 END) AS syy_{s},
+            SUM(CASE WHEN arm = {a} THEN CAST(x AS DECIMAL(19,0)) * y ELSE 0 END) AS sxy_{s}"""
+        )
+    return f"""
+        WITH units AS (
+            SELECT user_id,
+                   ((user_id * {_KNUTH}) % {_MOD32}) % 2 AS arm,
+                   SUM(CASE WHEN ts < {split_ts}
+                       THEN CAST(floor(value * 1000000) AS BIGINT) ELSE 0 END) AS x,
+                   SUM(CASE WHEN ts >= {split_ts}
+                       THEN CAST(floor(value * 1000000) AS BIGINT) ELSE 0 END) AS y
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ), g AS (
+            SELECT {', '.join(arms)} FROM units
+        )
+        SELECT n_a, n_b,
+               ROUND({_CU_MEAN_Y('a')} / 1000000.0, 6) AS mean_a,
+               ROUND({_CU_MEAN_Y('b')} / 1000000.0, 6) AS mean_b,
+               ROUND({_CU_THETA}, 6) AS theta,
+               ROUND({_CU_ADJ_MEAN('a')} / 1000000.0, 6) AS adj_mean_a,
+               ROUND({_CU_ADJ_MEAN('b')} / 1000000.0, 6) AS adj_mean_b,
+               ROUND({_CU_T_RAW}, 6) AS t_raw,
+               ROUND({_CU_T_ADJ}, 6) AS t_adj,
+               ROUND({_CU_VAR_REDUCTION}, 6) AS var_reduction
+        FROM g
+    """
+
+
+QUERIES["purchase_ab_cuped"] = purchase_ab_cuped
+ORACLE_SQL["purchase_ab_cuped"] = _cuped_oracle_sql()

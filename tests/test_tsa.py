@@ -85,3 +85,25 @@ def test_km_risk_decreases_with_censoring(spark):
     assert risks == sorted(risks, reverse=True)
     survs = [r["survival"] for r in rows]
     assert all(s1 >= s2 for s1, s2 in zip(survs, survs[1:]))
+
+
+def test_cuped_matches_numpy(spark):
+    import numpy as np
+
+    rows = []
+    for u in range(1, 101):
+        x = 1_000_000 * (u % 11)
+        y = x // 2 + 1_000_000 * (u % 7)
+        rows.append((u, x, y))
+    df = spark.createDataFrame(rows, "unit BIGINT, x BIGINT, y BIGINT")
+    out = tsa.cuped_adjust(df, "unit", "x", "y").collect()[0]
+    xs = np.array([r[1] for r in rows]) / 1e6
+    ys = np.array([r[2] for r in rows]) / 1e6
+    theta = np.cov(xs, ys, ddof=1)[0, 1] / np.var(xs, ddof=1)
+    assert abs(out["theta"] - theta) < 1e-4
+    arms = np.array([((u * tsa._KNUTH) % tsa._MOD32) % 2 for u, _, _ in rows])
+    adj = ys - theta * (xs - xs.mean())
+    adj_a = adj[arms == 0].mean()
+    assert abs(out["adj_mean_a"] - adj_a) < 1e-4
+    # x strongly predicts y here, so CUPED must shrink the variance
+    assert out["var_reduction"] > 0.3
