@@ -613,3 +613,196 @@ def _cuped_oracle_sql() -> str:
 
 QUERIES["purchase_ab_cuped"] = purchase_ab_cuped
 ORACLE_SQL["purchase_ab_cuped"] = _cuped_oracle_sql()
+
+
+# ---- Holt-Winters triple (seasonal) smoothing -------------------------
+
+GAMMA = "0.25"  # seasonal smoothing (dyadic, like ALPHA/BETA)
+HW_PERIOD = 52  # weekly series, yearly seasonality
+
+
+def holt_winters_fit(
+    series: DataFrame,
+    t_col: str,
+    y_col: str,
+    period: int = HW_PERIOD,
+    horizon: int = HORIZON,
+) -> DataFrame:
+    """Additive Holt-Winters (level + trend + seasonal) over an
+    integer-indexed series, with an ``horizon``-step forecast.
+
+    Textbook init over the first two seasons (level = mean of season
+    one, trend = season-over-season mean shift / period, seasonals =
+    first-season deviations), then for t > period::
+
+        fitted_t = level + trend + season[(t-1) % m]
+        level_t  = a*(y_t - season_prev) + (1-a)*(level + trend)
+        trend_t  = b*(level_t - level) + (1-b)*trend
+        season_t[(t-1) % m] = g*(y_t - level_t) + (1-g)*season_prev
+
+    Same execution shape as ``holt_fit``: the aggregated series
+    collapses to one row and a single `aggregate` fold carries
+    (level, trend, season[m], fits[]) — cost bounded by the calendar.
+    Requires n >= 2*period.  The DuckDB oracle replays the identical
+    recursion via a recursive CTE whose row carries the season as a
+    DOUBLE[] column; all smoothing constants are dyadic, so the FP
+    streams agree bit-for-bit.  Seasonal slots index series POSITION,
+    not calendar — gaps shift phase (densify first if that matters).
+    """
+    a, b, g, m = ALPHA, BETA, GAMMA, period
+    one = series.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(t_col).alias("t"), F.col(y_col).alias("y")))
+        ).alias("s")
+    )
+    base = one.select(
+        F.expr("transform(s, x -> x.t)").alias("ts"),
+        F.expr("transform(s, x -> CAST(x.y AS DOUBLE))").alias("ys"),
+        F.size("s").alias("n"),
+    ).select(
+        "ts",
+        "ys",
+        "n",
+        F.expr(
+            f"aggregate(slice(ys, 1, {m}), CAST(0.0 AS DOUBLE), (acc, y) -> acc + y) / {m}.0D"
+        ).alias("lvl0"),
+        F.expr(
+            f"aggregate(slice(ys, {m + 1}, {m}), CAST(0.0 AS DOUBLE), (acc, y) -> acc + y) / {m}.0D"
+        ).alias("m2"),
+    ).select(
+        "ts",
+        "ys",
+        "n",
+        "lvl0",
+        F.expr(f"(m2 - lvl0) / {m}.0D").alias("tr0"),
+        F.expr(f"transform(slice(ys, 1, {m}), y -> y - lvl0)").alias("season0"),
+    )
+    idx = f"((t - 1) % {m}) + 1"
+    sprev = f"element_at(st.season, {idx})"
+    new_level = (
+        f"{a}D * (element_at(ys, t) - {sprev}) + (1.0D - {a}D) * (st.level + st.trend)"
+    )
+    st = base.select(
+        "ts",
+        "ys",
+        "n",
+        F.expr(
+            f"""aggregate(
+                sequence({m + 1}, n),
+                named_struct(
+                    'level', lvl0, 'trend', tr0, 'season', season0,
+                    'fits', CAST(array() AS ARRAY<DOUBLE>)),
+                (st, t) -> named_struct(
+                    'level', {new_level},
+                    'trend', {b}D * (({new_level}) - st.level)
+                             + (1.0D - {b}D) * st.trend,
+                    'season', concat(
+                        slice(st.season, 1, (t - 1) % {m}),
+                        array({g}D * (element_at(ys, t) - ({new_level}))
+                              + (1.0D - {g}D) * {sprev}),
+                        slice(st.season, ((t - 1) % {m}) + 2, {m})),
+                    'fits', concat(st.fits,
+                                   array(st.level + st.trend + {sprev})))
+            )"""
+        ).alias("st"),
+    )
+    rows = st.select(
+        F.explode(
+            F.expr(
+                f"""concat(
+                    transform(sequence({m + 1}, n), t -> named_struct(
+                        't', element_at(ts, t),
+                        'kind', 'fit',
+                        'y', round(element_at(ys, t), 4),
+                        'yhat', round(element_at(st.fits, t - {m}), 4))),
+                    transform(sequence(1, {horizon}), h -> named_struct(
+                        't', element_at(ts, n) + h,
+                        'kind', 'forecast',
+                        'y', CAST(NULL AS DOUBLE),
+                        'yhat', round(st.level + CAST(h AS DOUBLE) * st.trend
+                                      + element_at(st.season, ((n + h - 1) % {m}) + 1),
+                                      4)))
+                )"""
+            )
+        ).alias("r")
+    )
+    return rows.select(
+        F.col("r.t").alias(t_col),
+        F.col("r.kind").alias("kind"),
+        F.col("r.y").alias("y"),
+        F.col("r.yhat").alias("yhat"),
+    ).orderBy(t_col, "kind")
+
+
+def weekly_revenue_forecast_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters seasonal forecast of weekly order revenue (yearly
+    seasonality over the 52-week cycle), 7 weeks ahead."""
+    orders = load_table(spark, "orders", sf_dir)
+    weekly = orders.groupBy(
+        F.floor(
+            F.datediff(F.to_date("o_orderdate"), F.lit(_WEEK_EPOCH).cast("date")) / 7
+        )
+        .cast("int")
+        .alias("week")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue")
+    )
+    return holt_winters_fit(weekly, "week", "revenue")
+
+
+def _hw_oracle_sql(period: int = HW_PERIOD, horizon: int = HORIZON) -> str:
+    a, b, g, m = ALPHA, BETA, GAMMA, period
+    # current step in the recursive arm is r.t + 1 -> seasonal slot
+    idx = f"(r.t % {m}) + 1"
+    sprev = f"r.season[{idx}]"
+    new_level = (
+        f"{a}*(a.ys[r.t + 1] - {sprev}) + (1.0 - {a})*(r.level + r.trend)"
+    )
+    return f"""
+        WITH RECURSIVE weekly AS (
+            SELECT CAST(FLOOR(date_diff('day', DATE '{_WEEK_EPOCH}',
+                                        CAST(o_orderdate AS DATE)) / 7) AS INTEGER) AS week,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+            FROM orders GROUP BY 1
+        ), idx AS (
+            SELECT week, y, ROW_NUMBER() OVER (ORDER BY week) AS i FROM weekly
+        ), arr AS (
+            SELECT list(y ORDER BY week)::DOUBLE[] AS ys, COUNT(*) AS n,
+                   MAX(week) AS maxw
+            FROM weekly
+        ), init AS (
+            SELECT list_reduce(ys[1:{m}], (acc, y) -> acc + y) / {m}.0 AS lvl0,
+                   (list_reduce(ys[{m + 1}:{2 * m}], (acc, y) -> acc + y) / {m}.0
+                    - list_reduce(ys[1:{m}], (acc, y) -> acc + y) / {m}.0) / {m}.0 AS tr0,
+                   list_transform(ys[1:{m}],
+                       y -> y - list_reduce(ys[1:{m}], (acc, y2) -> acc + y2) / {m}.0
+                   )::DOUBLE[] AS season0
+            FROM arr
+        ),
+        rec(t, level, trend, season, fitted) AS (
+            SELECT {m}, lvl0, tr0, season0, CAST(NULL AS DOUBLE) FROM init
+            UNION ALL
+            SELECT r.t + 1,
+                   {new_level},
+                   {b}*(({new_level}) - r.level) + (1.0 - {b})*r.trend,
+                   (r.season[1:(r.t % {m})]
+                    || [{g}*(a.ys[r.t + 1] - ({new_level})) + (1.0 - {g})*{sprev}]
+                    || r.season[((r.t % {m}) + 2):{m}])::DOUBLE[],
+                   r.level + r.trend + {sprev}
+            FROM rec r, arr a WHERE r.t < a.n
+        )
+        SELECT d.week, 'fit' AS kind, ROUND(d.y, 4) AS y, ROUND(r.fitted, 4) AS yhat
+        FROM rec r JOIN idx d ON d.i = r.t WHERE r.t > {m}
+        UNION ALL
+        SELECT a.maxw + CAST(h.range AS INTEGER), 'forecast',
+               CAST(NULL AS DOUBLE),
+               ROUND(r.level + CAST(h.range AS DOUBLE) * r.trend
+                     + r.season[((a.n + h.range - 1) % {m}) + 1], 4)
+        FROM rec r, arr a, range(1, {horizon + 1}) h
+        WHERE r.t = a.n
+        ORDER BY week, kind
+    """
+
+
+QUERIES["weekly_revenue_forecast_hw"] = weekly_revenue_forecast_hw
+ORACLE_SQL["weekly_revenue_forecast_hw"] = _hw_oracle_sql()

@@ -1149,3 +1149,85 @@ QUERIES = {
     "weekly_revenue_wow": weekly_revenue_wow,
     "interevent_latency_histogram": interevent_latency_histogram,
 }
+
+
+# ---- MATCH_RECOGNIZE-style sequence pattern detection -----------------
+
+
+def sequence_pattern_counts(
+    df: DataFrame,
+    id_col: str,
+    order_cols: list[str],
+    code_col: str,
+    patterns: dict[str, str],
+) -> DataFrame:
+    """Count regex pattern matches over each unit's ordered event-code
+    sequence — the MATCH_RECOGNIZE niche expressed as one aggregation
+    plus a map-side regex.
+
+    Each unit's single-char codes are assembled in (``order_cols``)
+    order into one string (`array_sort(collect_list(struct))`, the
+    same deterministic sorted-struct idiom as user_event_paths), then
+    every named pattern is counted with ``regexp_extract_all`` —
+    non-overlapping leftmost matches, identical in Java regex and
+    RE2 for the alternation/class/star patterns this targets (the
+    PII scrubber already pins that parity).
+
+    One shuffle on ``id_col``; per-unit state is the code string,
+    bounded by events-per-unit — the same bound sessionization
+    carries.  Patterns over a season of 100 TB of events stay
+    map-side after that one shuffle.
+    """
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(*[F.col(c) for c in order_cols], F.col(code_col).alias("__c"))
+        )
+    )
+    seq = df.groupBy(id_col).agg(
+        F.array_join(F.transform(ordered, lambda x: x["__c"]), "").alias("seq")
+    )
+    cols = [F.col(id_col), F.length("seq").alias("n_events")]
+    for name, pat in patterns.items():
+        cols.append(
+            F.size(F.expr(f"regexp_extract_all(seq, '{pat}', 0)")).alias(name)
+        )
+    return seq.select(*cols).orderBy(id_col)
+
+
+def user_funnel_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user conversion-pattern counts over the full ordered event
+    sequence: signups that reach a purchase through only clicks/views
+    (clean conversions) vs signups that hit an error first (aborts).
+
+    Event codes are the (unique) first letter of event_type; the two
+    patterns are anchored on 's' so every signup is attributed to at
+    most one of the outcomes.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("substring(event_type, 1, 1)").alias("code"),
+    )
+    return sequence_pattern_counts(
+        ev,
+        "user_id",
+        ["ts", "event_id"],
+        "code",
+        {"n_conversions": "s[cv]*p", "n_aborted": "s[cv]*e"},
+    )
+
+
+ORACLE_SQL["user_funnel_patterns"] = """
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, LENGTH(seq) AS n_events,
+           LEN(regexp_extract_all(seq, 's[cv]*p')) AS n_conversions,
+           LEN(regexp_extract_all(seq, 's[cv]*e')) AS n_aborted
+    FROM seqs ORDER BY user_id
+"""
+
+QUERIES["user_funnel_patterns"] = user_funnel_patterns

@@ -107,3 +107,46 @@ def test_cuped_matches_numpy(spark):
     assert abs(out["adj_mean_a"] - adj_a) < 1e-4
     # x strongly predicts y here, so CUPED must shrink the variance
     assert out["var_reduction"] > 0.3
+
+
+def _hw_reference(ys, m, alpha=0.5, beta=0.25, gamma=0.25, horizon=7):
+    level = sum(ys[:m]) / m
+    trend = (sum(ys[m : 2 * m]) / m - sum(ys[:m]) / m) / m
+    season = [y - level for y in ys[:m]]
+    fits = []
+    for t in range(m + 1, len(ys) + 1):
+        i = (t - 1) % m
+        sprev = season[i]
+        fits.append(level + trend + sprev)
+        new_level = alpha * (ys[t - 1] - sprev) + (1 - alpha) * (level + trend)
+        trend = beta * (new_level - level) + (1 - beta) * trend
+        season[i] = gamma * (ys[t - 1] - new_level) + (1 - gamma) * sprev
+        level = new_level
+    n = len(ys)
+    fc = [
+        level + h * trend + season[(n + h - 1) % m] for h in range(1, horizon + 1)
+    ]
+    return fits, fc
+
+
+def test_holt_winters_matches_python_replay(spark):
+    import math
+
+    m = 4
+    # two-period seasonal signal + trend + deterministic jitter
+    ys = [
+        100.0 + 2.0 * t + [10.0, -5.0, 3.0, -8.0][t % m] + (t * 7 % 5)
+        for t in range(12)
+    ]
+    series = spark.createDataFrame(
+        [(t + 1, y) for t, y in enumerate(ys)], "t INT, y DOUBLE"
+    )
+    out = tsa.holt_winters_fit(series, "t", "y", period=m).collect()
+    fits_ref, fc_ref = _hw_reference(ys, m)
+    fit_rows = [r for r in out if r["kind"] == "fit"]
+    fc_rows = [r for r in out if r["kind"] == "forecast"]
+    assert [r["t"] for r in fit_rows] == list(range(m + 1, len(ys) + 1))
+    for r, expect in zip(fit_rows, fits_ref):
+        assert math.isclose(r["yhat"], round(expect, 4), abs_tol=1e-9)
+    for r, expect in zip(fc_rows, fc_ref):
+        assert math.isclose(r["yhat"], round(expect, 4), abs_tol=1e-9)
