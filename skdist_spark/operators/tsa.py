@@ -806,3 +806,121 @@ def _hw_oracle_sql(period: int = HW_PERIOD, horizon: int = HORIZON) -> str:
 
 QUERIES["weekly_revenue_forecast_hw"] = weekly_revenue_forecast_hw
 ORACLE_SQL["weekly_revenue_forecast_hw"] = _hw_oracle_sql()
+
+
+# ---- Mann-Whitney U (rank-sum) test -----------------------------------
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    unit_col: str,
+    metric_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Two-arm Mann-Whitney U test per group — the nonparametric
+    companion to ``welch_t_test`` (rank-based, so heavy-tailed revenue
+    distributions can't distort it).
+
+    Ranks are midranks over the pooled arms, kept EXACT by working in
+    doubled units: a tie group occupying ranks [lo, hi] has doubled
+    midrank lo + hi (an integer), computed from a running count over
+    the per-(group, value) aggregate — so rank sums, tie corrections
+    (sum of t^3 - t), U, and its null mean/variance are all integer /
+    DECIMAL exact; the z statistic is the single DOUBLE step.  Two
+    tiny shuffles: the (group, value) aggregate, then the ordered
+    window over distinct values per group.
+    """
+    arm = F.pmod((F.col(unit_col).cast("bigint") * _KNUTH) % _MOD32, F.lit(2))
+    per_v = (
+        df.select(*group_cols, arm.alias("arm"), F.col(metric_col).alias("v"))
+        .groupBy(*group_cols, "v")
+        .agg(
+            F.sum(F.expr("CASE WHEN arm = 0 THEN 1 ELSE 0 END")).alias("c_a"),
+            F.sum(F.expr("CASE WHEN arm = 1 THEN 1 ELSE 0 END")).alias("c_b"),
+        )
+        .withColumn("t", F.col("c_a") + F.col("c_b"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("v")
+    ranked = per_v.withColumn(
+        "cum_prev",
+        F.coalesce(
+            F.sum("t").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        ),
+    ).withColumn("r2", 2 * F.col("cum_prev") + F.col("t") + 1)  # doubled midrank
+    g = ranked.groupBy(*group_cols).agg(
+        F.sum("c_a").alias("n_a"),
+        F.sum("c_b").alias("n_b"),
+        F.sum(F.expr("CAST(c_a AS DECIMAL(38,0)) * r2")).alias("r2_a"),
+        F.sum(F.expr("CAST(t AS DECIMAL(19,0)) * t * t - t")).alias("ties"),
+    )
+    out = g.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        F.expr(_MW_U).alias("u_a"),
+        F.expr(f"ROUND({_MW_Z}, 6)").alias("z"),
+    )
+    return out.orderBy(*group_cols) if group_cols else out
+
+
+# doubled U: U2 = R2_a - n_a*(n_a+1); reported U = U2/2 (exact .5 units)
+_MW_U2 = "(CAST(r2_a AS DECIMAL(38,0)) - CAST(n_a AS DECIMAL(19,0)) * (n_a + 1))"
+_MW_U = f"(CAST({_MW_U2} AS DOUBLE) / 2.0)"
+_MW_N = "(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))"
+# var(U) = n_a*n_b/12 * ((N+1) - sum(t^3-t) / (N*(N-1)))
+_MW_VAR = (
+    f"(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0"
+    f" * (({_MW_N} + 1.0) - CAST(ties AS DOUBLE) / ({_MW_N} * ({_MW_N} - 1.0))))"
+)
+_MW_Z = (
+    f"(({_MW_U} - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)"
+    f" / sqrt({_MW_VAR}))"
+)
+
+
+def purchase_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney rank test of event value between the Knuth arms,
+    per event type (micro-quantized values so ties are well-defined)."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("v_micros"),
+    )
+    return mann_whitney_u(ev, "user_id", "v_micros", ["event_type"])
+
+
+def _mw_oracle_sql() -> str:
+    return f"""
+        WITH q AS (
+            SELECT event_type,
+                   ((user_id * {_KNUTH}) % {_MOD32}) % 2 AS arm,
+                   CAST(floor(value * 1000000) AS BIGINT) AS v
+            FROM events
+        ), per_v AS (
+            SELECT event_type, v,
+                   SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS c_a,
+                   SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS c_b,
+                   COUNT(*) AS t
+            FROM q GROUP BY event_type, v
+        ), ranked AS (
+            SELECT *,
+                   2 * COALESCE(SUM(t) OVER (PARTITION BY event_type ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + t + 1 AS r2
+            FROM per_v
+        ), g AS (
+            SELECT event_type,
+                   SUM(c_a) AS n_a, SUM(c_b) AS n_b,
+                   SUM(CAST(c_a AS DECIMAL(38,0)) * r2) AS r2_a,
+                   SUM(CAST(t AS DECIMAL(19,0)) * t * t - t) AS ties
+            FROM ranked GROUP BY event_type
+        )
+        SELECT event_type, n_a, n_b,
+               {_MW_U} AS u_a,
+               ROUND({_MW_Z}, 6) AS z
+        FROM g ORDER BY event_type
+    """
+
+
+QUERIES["purchase_ab_mannwhitney"] = purchase_ab_mannwhitney
+ORACLE_SQL["purchase_ab_mannwhitney"] = _mw_oracle_sql()

@@ -150,3 +150,29 @@ def test_holt_winters_matches_python_replay(spark):
         assert math.isclose(r["yhat"], round(expect, 4), abs_tol=1e-9)
     for r, expect in zip(fc_rows, fc_ref):
         assert math.isclose(r["yhat"], round(expect, 4), abs_tol=1e-9)
+
+
+def test_mann_whitney_matches_manual(spark):
+    rows = [(u, (u * 3) % 13) for u in range(1, 61)]
+    df = spark.createDataFrame(rows, "unit BIGINT, v BIGINT")
+    out = tsa.mann_whitney_u(df, "unit", "v", []).collect()[0]
+    # manual midrank computation
+    arms = [((u * tsa._KNUTH) % tsa._MOD32) % 2 for u, _ in rows]
+    vals = [v for _, v in rows]
+    order = sorted(range(len(vals)), key=lambda i: vals[i])
+    ranks = [0.0] * len(vals)
+    i = 0
+    while i < len(order):
+        j = i
+        while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+            j += 1
+        mid = (i + 1 + j + 1) / 2
+        for k in range(i, j + 1):
+            ranks[order[k]] = mid
+        i = j + 1
+    n_a = arms.count(0)
+    r_a = sum(r for r, a in zip(ranks, arms) if a == 0)
+    u_a = r_a - n_a * (n_a + 1) / 2
+    assert out["n_a"] == n_a
+    assert abs(out["u_a"] - u_a) < 1e-9
+    assert abs(out["z"]) < 10  # sanity: finite, reasonable
