@@ -1198,3 +1198,69 @@ QUERIES = {
     "stream_minhash_pairs": stream_minhash_pairs,
 }
 ORACLE_SQL: dict[str, str] = {}
+
+
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer stream-stream join with watermark-driven null
+    emission — the semantics inner joins can't express: "every
+    purchase, with its preceding clicks OR proof there were none".
+
+    Both sides replay the 4-file time-ordered staging
+    (_stage_ordered_stream), so the watermark genuinely advances and
+    unmatched purchases are EVICTED-and-emitted with a null click as
+    the watermark passes their last possible match instant
+    (purchase_ts, since clicks must precede the purchase).  Matched
+    rows stream out as they meet, exactly like the inner join; the
+    null rows are the outer join's addition, and their correctness
+    invariant is strong: the time-ordered replay means every
+    in-range click has arrived before the purchase can be evicted,
+    so a null row PROVES no match exists in the whole input.
+
+    Output: (purchase_id, user_id, n_clicks) per emitted purchase,
+    n_clicks = 0 for proven-unmatched.  rows-only: the withheld
+    still-open tail depends on the final watermark (the
+    batch-equivalence test accounts for the boundary exactly).
+    """
+    stage = _stage_ordered_stream(spark, sf_dir)
+    schema = spark.read.parquet(stage).schema
+
+    def _side():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(stage)
+        )
+
+    clicks = (
+        _side()
+        .where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        _side()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "left_outer",
+    ).select("purchase_id", "user_id", "click_ts")
+    out = run_stream_to_df(joined, output_mode="append")
+    return (
+        out.groupBy("purchase_id", "user_id")
+        .agg(F.count("click_ts").alias("n_clicks"))
+        .orderBy("purchase_id")
+    )
+
+
+QUERIES["stream_stream_left_join"] = stream_stream_left_join

@@ -557,3 +557,48 @@ def test_stream_enriched_rollup_converges_to_batch_join(spark, sf_dir, tmp_path)
         .collect()
     }
     assert maintained == batch
+
+
+def test_stream_stream_left_join_outer_semantics(spark, sf_dir):
+    """Left-outer stream-stream join: matched purchases must carry
+    exactly their batch inner-join click counts; null-emitted
+    purchases must have ZERO matches in the full batch data (the
+    time-ordered replay makes a null row a proof, not a guess); and
+    some purchases are withheld (the still-open tail) while others
+    emit — i.e. the watermark really drove both emission and
+    retention."""
+    from skdist_spark.streaming.ops import stream_stream_left_join
+
+    out = stream_stream_left_join(spark, sf_dir).collect()
+    assert len(out) > 0
+    got = {r.purchase_id: r.n_clicks for r in out}
+    assert len(got) == len(out), "a purchase emitted twice"
+
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.where("event_type = 'click'").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = {
+        r.purchase_id: r.n
+        for r in purchases.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("click_ts") <= F.col("purchase_ts")),
+            "left_outer",
+        )
+        .groupBy("purchase_id")
+        .agg(F.count("click_ts").alias("n"))
+        .collect()
+    }
+    for pid, n in got.items():
+        if n > 0:
+            assert batch[pid] == n, f"purchase {pid}: stream {n} != batch {batch[pid]}"
+        else:
+            assert batch[pid] == 0, f"purchase {pid}: false unmatched (batch has {batch[pid]})"
+    assert any(n == 0 for n in got.values()), "no unmatched purchase emitted"
+    assert len(got) < len(batch), "tail not withheld -> watermark did nothing"
