@@ -78,7 +78,8 @@ _PRIORITY = [
     # events_at_tier, weekly_revenue_forecast, purchase_ab_welch,
     # user_churn_survival, dsir_doc_weights, user_revenue_gini,
     # weighted_price_percentiles, purchase_ab_cuped, user_funnel_patterns,
-    # weekly_revenue_forecast_hw, purchase_ab_mannwhitney --
+    # weekly_revenue_forecast_hw, purchase_ab_mannwhitney,
+    # purchase_ab_conversion, langid_eval --
     # -- 20 rows-only entries (driver records a rows>=0 check);
     # stream_minhash_pairs/static_enrich/stream_join/dedup_users +
     # multimodal_* + kmv_user_overlap wait past the cap (all

@@ -135,3 +135,145 @@ ORACLE_SQL: dict[str, str] = {
 QUERIES = {
     "dq_orders": dq_orders,
 }
+
+
+# ---- distributed classification report --------------------------------
+
+
+def classification_report(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Confusion-matrix evaluation of any (label, prediction) frame:
+    one row per class with support, predicted count, true positives,
+    and integer-ppm precision / recall / F1, plus an ``(all)``
+    accuracy row — the model-eval primitive, distributed.
+
+    One shuffle builds the confusion matrix (bounded by classes^2);
+    per-class marginals and the metrics are arithmetic over that tiny
+    aggregate.  All ratios are BIGINT ppm divisions (2*p*r fits well
+    inside BIGINT), so the report is bit-exact across engines; classes
+    with zero denominators report NULL rather than dividing by zero.
+    """
+    cm = (
+        df.select(F.col(label_col).alias("label"), F.col(pred_col).alias("pred"))
+        .groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    by_label = cm.groupBy(F.col("label").alias("cls")).agg(
+        F.sum("n").alias("support")
+    )
+    by_pred = cm.groupBy(F.col("pred").alias("cls")).agg(
+        F.sum("n").alias("predicted")
+    )
+    tp = cm.where(F.col("label") == F.col("pred")).select(
+        F.col("label").alias("cls"), F.col("n").alias("tp")
+    )
+    per_class = (
+        by_label.join(by_pred, "cls", "full_outer")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("support", F.lit(0)).alias("support"),
+            F.coalesce("predicted", F.lit(0)).alias("predicted"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+        .select(
+            "cls",
+            "support",
+            "predicted",
+            "tp",
+            F.expr(
+                "CASE WHEN predicted > 0 THEN (tp * 1000000) div predicted END"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CASE WHEN support > 0 THEN (tp * 1000000) div support END"
+            ).alias("recall_ppm"),
+        )
+        .select(
+            "cls",
+            "support",
+            "predicted",
+            "tp",
+            "precision_ppm",
+            "recall_ppm",
+            F.expr(
+                "CASE WHEN precision_ppm IS NOT NULL AND recall_ppm IS NOT NULL"
+                " AND precision_ppm + recall_ppm > 0"
+                " THEN (2 * precision_ppm * recall_ppm) div (precision_ppm + recall_ppm) END"
+            ).alias("f1_ppm"),
+        )
+    )
+    overall = cm.agg(
+        F.sum("n").alias("support"),
+        F.sum("n").alias("predicted"),
+        F.sum(F.expr("CASE WHEN label = pred THEN n ELSE 0 END")).alias("tp"),
+    ).select(
+        F.lit("(all)").alias("cls"),
+        "support",
+        "predicted",
+        "tp",
+        F.expr("(tp * 1000000) div predicted").alias("precision_ppm"),
+        F.expr("(tp * 1000000) div support").alias("recall_ppm"),
+        F.expr("(tp * 1000000) div support").alias("f1_ppm"),
+    )
+    return per_class.unionByName(overall).orderBy("cls")
+
+
+def langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classification report of the stopword language-ID heuristic
+    against the labeled ``lang`` column — the eval loop for the
+    curation pipeline's language gate."""
+    from .text import language_id
+
+    docs = load_table(spark, "documents", sf_dir)
+    preds = language_id(docs).select("doc_id", "pred_lang")
+    labeled = docs.select("doc_id", "lang").join(preds, "doc_id")
+    return classification_report(labeled, "lang", "pred_lang")
+
+
+def _langid_eval_oracle_sql() -> str:
+    from .text import _DUCK_PRED
+
+    return f"""
+        WITH cm AS (
+            SELECT lang AS label, {_DUCK_PRED} AS pred, COUNT(*) AS n
+            FROM documents GROUP BY 1, 2
+        ), by_label AS (
+            SELECT label AS cls, SUM(n) AS support FROM cm GROUP BY 1
+        ), by_pred AS (
+            SELECT pred AS cls, SUM(n) AS predicted FROM cm GROUP BY 1
+        ), tp AS (
+            SELECT label AS cls, n AS tp FROM cm WHERE label = pred
+        ), per_class AS (
+            SELECT cls,
+                   COALESCE(support, 0) AS support,
+                   COALESCE(predicted, 0) AS predicted,
+                   COALESCE(tp, 0) AS tp
+            FROM by_label FULL OUTER JOIN by_pred USING (cls)
+                 LEFT JOIN tp USING (cls)
+        ), m AS (
+            SELECT cls, support, predicted, tp,
+                   CASE WHEN predicted > 0
+                        THEN CAST(tp * 1000000 AS BIGINT) // predicted END AS precision_ppm,
+                   CASE WHEN support > 0
+                        THEN CAST(tp * 1000000 AS BIGINT) // support END AS recall_ppm
+            FROM per_class
+        )
+        SELECT cls, support, predicted, tp, precision_ppm, recall_ppm,
+               CASE WHEN precision_ppm IS NOT NULL AND recall_ppm IS NOT NULL
+                    AND precision_ppm + recall_ppm > 0
+                    THEN (2 * precision_ppm * recall_ppm) // (precision_ppm + recall_ppm) END AS f1_ppm
+        FROM m
+        UNION ALL
+        SELECT '(all)', SUM(n), SUM(n),
+               SUM(CASE WHEN label = pred THEN n ELSE 0 END),
+               CAST(SUM(CASE WHEN label = pred THEN n ELSE 0 END) * 1000000 AS BIGINT) // SUM(n),
+               CAST(SUM(CASE WHEN label = pred THEN n ELSE 0 END) * 1000000 AS BIGINT) // SUM(n),
+               CAST(SUM(CASE WHEN label = pred THEN n ELSE 0 END) * 1000000 AS BIGINT) // SUM(n)
+        FROM cm
+        ORDER BY cls
+    """
+
+
+QUERIES["langid_eval"] = langid_eval
+ORACLE_SQL["langid_eval"] = _langid_eval_oracle_sql()

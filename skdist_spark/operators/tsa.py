@@ -924,3 +924,107 @@ def _mw_oracle_sql() -> str:
 
 QUERIES["purchase_ab_mannwhitney"] = purchase_ab_mannwhitney
 ORACLE_SQL["purchase_ab_mannwhitney"] = _mw_oracle_sql()
+
+
+# ---- conversion-rate z-test + sample-ratio-mismatch guard -------------
+
+
+def proportion_z_test(
+    units: DataFrame,
+    unit_col: str,
+    converted_col: str,
+) -> DataFrame:
+    """Two-arm conversion readout: pooled two-proportion z test plus
+    the sample-ratio-mismatch (SRM) chi-square every experiment
+    platform runs before trusting its arms.
+
+    ``units`` has one row per unit with 0/1 ``converted_col``.  All
+    counts are exact integers from one aggregation; p_a, p_b, z and
+    the 1-dof SRM chi2 against the expected 50/50 Knuth split are the
+    only DOUBLE expressions.  An SRM chi2 above ~3.84 (p < .05) means
+    the assignment itself is broken and the z test is meaningless —
+    the guard belongs in the same row as the readout.
+    """
+    arm = F.pmod((F.col(unit_col).cast("bigint") * _KNUTH) % _MOD32, F.lit(2))
+    g = units.select(arm.alias("arm"), F.col(converted_col).alias("c")).agg(
+        F.sum(F.expr("CASE WHEN arm = 0 THEN 1 ELSE 0 END")).alias("n_a"),
+        F.sum(F.expr("CASE WHEN arm = 1 THEN 1 ELSE 0 END")).alias("n_b"),
+        F.sum(F.expr("CASE WHEN arm = 0 THEN c ELSE 0 END")).alias("x_a"),
+        F.sum(F.expr("CASE WHEN arm = 1 THEN c ELSE 0 END")).alias("x_b"),
+    )
+    return g.select(
+        "n_a",
+        "n_b",
+        "x_a",
+        "x_b",
+        F.expr(f"ROUND({_PZ_P('a')}, 6)").alias("p_a"),
+        F.expr(f"ROUND({_PZ_P('b')}, 6)").alias("p_b"),
+        F.expr(f"ROUND({_PZ_Z}, 6)").alias("z"),
+        F.expr(f"ROUND({_PZ_SRM}, 6)").alias("srm_chi2"),
+    )
+
+
+def _PZ_P(s: str) -> str:
+    return f"(CAST(x_{s} AS DOUBLE) / CAST(n_{s} AS DOUBLE))"
+
+
+_PZ_POOL = "(CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+_PZ_SE = (
+    f"sqrt({_PZ_POOL} * (1.0 - {_PZ_POOL})"
+    f" * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))"
+)
+# NULL (not a throw) when every unit converted or none did — the test
+# is undefined there and ANSI double division by literal 0.0 raises
+_PZ_Z = (
+    f"(CASE WHEN {_PZ_SE} > 0.0"
+    f" THEN ({_PZ_P('a')} - {_PZ_P('b')}) / {_PZ_SE} END)"
+)
+_PZ_SRM = (
+    "((CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)"
+    " * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)"
+    " / (CAST(n_a + n_b AS DOUBLE) / 2.0)"
+    " + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)"
+    " * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)"
+    " / (CAST(n_a + n_b AS DOUBLE) / 2.0))"
+)
+
+
+def purchase_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-the-user-purchase conversion test between the Knuth arms,
+    with the SRM assignment guard; denominators are all active users."""
+    ev = load_table(spark, "events", sf_dir)
+    units = ev.groupBy("user_id").agg(
+        F.max(
+            F.expr(
+                "CASE WHEN event_type = 'purchase' AND value >= 100 THEN 1 ELSE 0 END"
+            )
+        ).alias("converted")
+    )
+    return proportion_z_test(units, "user_id", "converted")
+
+
+def _conversion_oracle_sql() -> str:
+    return f"""
+        WITH units AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'purchase' AND value >= 100
+                       THEN 1 ELSE 0 END) AS c
+            FROM events GROUP BY user_id
+        ), g AS (
+            SELECT SUM(CASE WHEN ((user_id * {_KNUTH}) % {_MOD32}) % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+                   SUM(CASE WHEN ((user_id * {_KNUTH}) % {_MOD32}) % 2 = 1 THEN 1 ELSE 0 END) AS n_b,
+                   SUM(CASE WHEN ((user_id * {_KNUTH}) % {_MOD32}) % 2 = 0 THEN c ELSE 0 END) AS x_a,
+                   SUM(CASE WHEN ((user_id * {_KNUTH}) % {_MOD32}) % 2 = 1 THEN c ELSE 0 END) AS x_b
+            FROM units
+        )
+        SELECT n_a, n_b, x_a, x_b,
+               ROUND({_PZ_P('a')}, 6) AS p_a,
+               ROUND({_PZ_P('b')}, 6) AS p_b,
+               ROUND({_PZ_Z}, 6) AS z,
+               ROUND({_PZ_SRM}, 6) AS srm_chi2
+        FROM g
+    """
+
+
+QUERIES["purchase_ab_conversion"] = purchase_ab_conversion
+ORACLE_SQL["purchase_ab_conversion"] = _conversion_oracle_sql()

@@ -144,3 +144,28 @@ def test_ivf_join_partial_probe_recall(spark):
     for r in got:
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, TOP_K + 1)) for v in by_q.values())
+
+
+def test_classification_report_crafted(spark):
+    from skdist_spark.operators.quality import classification_report
+
+    # labels: a x3 (2 correct), b x2 (1 correct, 1 -> c); c never a label
+    rows = [("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "c")]
+    df = spark.createDataFrame(rows, "label STRING, pred STRING")
+    out = {r["cls"]: r for r in classification_report(df, "label", "pred").collect()}
+    assert set(out) == {"a", "b", "c", "(all)"}
+    a = out["a"]
+    assert (a["support"], a["predicted"], a["tp"]) == (3, 2, 2)
+    assert a["precision_ppm"] == 1_000_000
+    assert a["recall_ppm"] == 666_666
+    b = out["b"]
+    assert (b["support"], b["predicted"], b["tp"]) == (2, 2, 1)
+    assert b["precision_ppm"] == 500_000 and b["recall_ppm"] == 500_000
+    assert b["f1_ppm"] == 500_000
+    c = out["c"]  # predicted-only class: recall undefined
+    assert c["support"] == 0 and c["predicted"] == 1 and c["tp"] == 0
+    assert c["recall_ppm"] is None and c["precision_ppm"] == 0
+    assert c["f1_ppm"] is None
+    allr = out["(all)"]
+    assert allr["support"] == 5 and allr["tp"] == 3
+    assert allr["recall_ppm"] == 600_000
