@@ -539,3 +539,75 @@ def _dsir_sql(add_k: float = DSIR_ADD_K) -> str:
 
 QUERIES["dsir_doc_weights"] = dsir_doc_weights
 ORACLE_SQL["dsir_doc_weights"] = _dsir_sql()
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit of the vocabulary
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP = 1000  # fit over the top-k words (the power-law regime)
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus vocabulary: OLS of ln(freq) on
+    ln(rank) over the top-``ZIPF_TOP`` words — natural text sits near
+    alpha = 1; a corpus drifting far off is a curation red flag
+    (template spam pushes alpha up, shredded text pushes it down).
+
+    The top-k cut is TakeOrderedAndProject (no full vocab sort, same
+    as vocab_coverage); ln values are micro-quantized to BIGINT so the
+    OLS moments accumulate exactly (the group_trend discipline) and
+    the fit is bit-reproducible.  One scan + the word shuffle.
+    """
+    from .stats import group_trend
+
+    docs = load_table(spark, "documents", sf_dir).select("text")
+    counts = unigram_counts(docs)
+    head = counts.orderBy(F.desc("n"), F.asc("word")).limit(ZIPF_TOP)
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    pts = head.withColumn("rank", F.row_number().over(w)).select(
+        F.lit(1).alias("g"),
+        F.expr("CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT)").alias("x"),
+        F.expr("CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)").alias("y"),
+    )
+    t = group_trend(pts, ["g"])
+    return t.select(
+        F.col("n").alias("n_words"),
+        F.expr("ROUND(-slope, 6)").alias("alpha"),
+        F.expr("ROUND(r2, 6)").alias("r2"),
+    )
+
+
+def _zipf_sql(top: int = ZIPF_TOP) -> str:
+    from .stats import _COV, _VARX, _VARY
+
+    return f"""
+        WITH counts AS (
+            SELECT word, COUNT(*) AS n
+            FROM (SELECT UNNEST({_DUCK_WORDS}) AS word FROM documents)
+            GROUP BY word
+        ), head AS (
+            SELECT word, n FROM counts ORDER BY n DESC, word LIMIT {top}
+        ), pts AS (
+            SELECT CAST(floor(ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+                   CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS y
+            FROM head
+        ), m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+                   CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+                   CAST(SUM(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0)) AS sxx,
+                   CAST(SUM(CAST(x AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS sxy,
+                   CAST(SUM(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS syy
+            FROM pts
+        )
+        SELECT n AS n_words,
+               ROUND(-({_COV} / {_VARX}), 6) AS alpha,
+               ROUND(({_COV} * {_COV}) / ({_VARX} * {_VARY}), 6) AS r2
+        FROM m
+        WHERE n >= 2 AND {_VARX} > 0.0 AND {_VARY} > 0.0
+    """
+
+
+QUERIES["zipf_fit"] = zipf_fit
+ORACLE_SQL["zipf_fit"] = _zipf_sql()

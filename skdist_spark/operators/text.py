@@ -1200,3 +1200,70 @@ ORACLE_SQL["text_entropy"] = """
 """
 
 QUERIES["text_entropy"] = text_entropy
+
+
+# ---- readability scoring ---------------------------------------------
+
+
+def readability(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per document from
+    pure regex counts — the classic curation signal for audience level
+    (and a cheap gibberish flag: nonsense text lands far outside the
+    0-100 band).
+
+    Syllables are approximated as vowel groups ('[aeiouy]+' runs in
+    the lowercased text), the standard regex proxy; sentences are
+    '[.!?]+' runs (min 1).  The three counts are exact integers from
+    one map-only scan — no shuffle at all — and the two scores are
+    single DOUBLE expressions, so cross-engine parity is exact.
+    """
+    words = f"size({_SPARK_WORDS.replace('text', text_col)})"
+    syl = f"size(regexp_extract_all(lower({text_col}), '[aeiouy]+', 0))"
+    sent = f"greatest(size(regexp_extract_all({text_col}, '[.!?]+', 0)), 1)"
+    w_per_s = "(CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))"
+    syl_per_w = "(CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))"
+    return (
+        df.select(
+            F.col(id_col),
+            F.expr(words).alias("n_words"),
+            F.expr(sent).alias("n_sentences"),
+            F.expr(syl).alias("n_syllables"),
+        )
+        .where(F.col("n_words") > 0)
+        .select(
+            id_col,
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            F.expr(
+                f"ROUND(206.835 - 1.015 * {w_per_s} - 84.6 * {syl_per_w}, 4)"
+            ).alias("flesch_ease"),
+            F.expr(
+                f"ROUND(0.39 * {w_per_s} + 11.8 * {syl_per_w} - 15.59, 4)"
+            ).alias("fk_grade"),
+        )
+    )
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return readability(docs).orderBy("doc_id")
+
+
+ORACLE_SQL["text_readability"] = f"""
+    WITH c AS (
+        SELECT doc_id,
+               CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_words,
+               CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 4) AS flesch_ease,
+           ROUND(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                 + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59, 4) AS fk_grade
+    FROM c WHERE n_words > 0 ORDER BY doc_id
+"""
+
+QUERIES["text_readability"] = text_readability

@@ -1231,3 +1231,96 @@ ORACLE_SQL["user_funnel_patterns"] = """
 """
 
 QUERIES["user_funnel_patterns"] = user_funnel_patterns
+
+
+# ---- cohort LTV (cumulative revenue per user-age) ---------------------
+
+
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime-value curves: for each weekly signup cohort, cumulative
+    purchase revenue per cohort member at each week of age — the
+    payback-period / LTV view every growth team plots next to
+    retention.
+
+    Same exchange discipline as user_retention: the first-event
+    aggregate and the purchase rollup both shuffle on user_id (AQE
+    reuses one exchange); revenue accumulates in exact integer micros,
+    the running total is a window over the tiny (cohort x age) grid,
+    and per-member LTV is a BIGINT ppm-style division — bit-exact.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    cohorts = firsts.select(
+        "user_id",
+        (F.floor(F.datediff("first_day", F.lit(_WEEK_EPOCH).cast("date")) / 7))
+        .cast("int")
+        .alias("cohort_week"),
+        "first_day",
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_users"))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("micros"),
+    )
+    aged = purchases.join(cohorts, "user_id").select(
+        "cohort_week",
+        (F.floor(F.datediff("day", "first_day") / 7)).cast("int").alias("age_week"),
+        "micros",
+    )
+    grid = aged.groupBy("cohort_week", "age_week").agg(
+        F.sum("micros").alias("rev_micros")
+    )
+    w = Window.partitionBy("cohort_week").orderBy("age_week").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        grid.withColumn("cum_micros", F.sum("rev_micros").over(w))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_week",
+            "n_users",
+            F.expr("CAST(rev_micros AS DOUBLE) / 1000000.0").alias("revenue"),
+            F.expr("CAST(cum_micros AS DOUBLE) / 1000000.0").alias("cum_revenue"),
+            F.expr("cum_micros div n_users").alias("ltv_per_user_micros"),
+        )
+        .orderBy("cohort_week", "age_week")
+    )
+
+
+ORACLE_SQL["cohort_ltv"] = f"""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    ), cohorts AS (
+        SELECT user_id,
+               CAST(FLOOR(date_diff('day', DATE '{_WEEK_EPOCH}', first_day) / 7) AS INTEGER) AS cohort_week,
+               first_day
+        FROM firsts
+    ), sizes AS (
+        SELECT cohort_week, COUNT(*) AS n_users FROM cohorts GROUP BY 1
+    ), aged AS (
+        SELECT c.cohort_week,
+               CAST(FLOOR(date_diff('day', c.first_day, CAST(e.ts AS DATE)) / 7) AS INTEGER) AS age_week,
+               CAST(floor(e.value * 1000000) AS BIGINT) AS micros
+        FROM events e JOIN cohorts c USING (user_id)
+        WHERE e.event_type = 'purchase'
+    ), grid AS (
+        SELECT cohort_week, age_week, SUM(micros) AS rev_micros
+        FROM aged GROUP BY 1, 2
+    ), cum AS (
+        SELECT cohort_week, age_week, rev_micros,
+               SUM(rev_micros) OVER (PARTITION BY cohort_week ORDER BY age_week
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_micros
+        FROM grid
+    )
+    SELECT cohort_week, age_week, n_users,
+           CAST(rev_micros AS DOUBLE) / 1000000.0 AS revenue,
+           CAST(cum_micros AS DOUBLE) / 1000000.0 AS cum_revenue,
+           CAST(cum_micros AS BIGINT) // n_users AS ltv_per_user_micros
+    FROM cum JOIN sizes USING (cohort_week)
+    ORDER BY cohort_week, age_week
+"""
+
+QUERIES["cohort_ltv"] = cohort_ltv

@@ -135,6 +135,9 @@ def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
             "supplier_concentration",
             # bounded broadcast query side (as ann_topk)
             "ann_int8",
+            # one-row scalar broadcasts: gini moments / corpus-end
+            # instant / 256-bucket DSIR stats + one-row totals
+            "user_revenue_gini", "user_churn_survival", "dsir_doc_weights",
         ):
             bad[name] = joins
     assert not bad, bad
