@@ -1028,3 +1028,101 @@ def _conversion_oracle_sql() -> str:
 
 QUERIES["purchase_ab_conversion"] = purchase_ab_conversion
 ORACLE_SQL["purchase_ab_conversion"] = _conversion_oracle_sql()
+
+
+# ---- autocorrelation function (ACF) -----------------------------------
+
+ACF_MAX_LAG = 14
+
+
+def acf(
+    series: DataFrame,
+    t_col: str,
+    y_col: str,
+    max_lag: int = ACF_MAX_LAG,
+) -> DataFrame:
+    """Autocorrelation of an integer-valued series at lags 1..max_lag
+    — the seasonality detector that tells you WHICH period to hand
+    Holt-Winters.
+
+    r_k = sum((x_t - xbar)(x_{t-k} - xbar)) / sum((x_t - xbar)^2),
+    computed without ever forming the fractional mean: with S = sum x
+    and n the length, each centered term is the INTEGER n*x_t - S, so
+    the lag products accumulate in exact DECIMAL(38,0) and r_k is one
+    DOUBLE division — bit-identical across engines.  The lag columns
+    are max_lag LAG() reads on ONE ordered window over the aggregated
+    series (tiny); everything below is the usual one-shuffle rollup.
+    """
+    totals = series.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(y_col).cast("decimal(38,0)")).alias("s"),
+    )
+    w = Window.orderBy(t_col)
+    lagged = series.crossJoin(F.broadcast(totals)).select(
+        F.expr(f"CAST(n AS DECIMAL(19,0)) * {y_col} - s").alias("c0"),
+        *[
+            (
+                F.expr(f"CAST(n AS DECIMAL(19,0)) * lag({y_col}, {k}) OVER"
+                       f" (ORDER BY {t_col}) - s")
+            ).alias(f"c{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    aggs = [F.sum(F.expr("c0 * c0")).alias("v0")] + [
+        F.sum(F.expr(f"c0 * c{k}")).alias(f"v{k}") for k in range(1, max_lag + 1)
+    ]
+    g = lagged.agg(*aggs)
+    stacked = ", ".join(
+        f"{k}, ROUND(CAST(v{k} AS DOUBLE) / CAST(v0 AS DOUBLE), 6)"
+        for k in range(1, max_lag + 1)
+    )
+    return g.select(
+        F.expr(f"stack({max_lag}, {stacked}) AS (lag, acf)")
+    ).orderBy("lag")
+
+
+def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF of daily order revenue at lags 1..14 (the weekly cycle
+    shows up as a lag-7 peak)."""
+    orders = load_table(spark, "orders", sf_dir)
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)").alias(
+            "cents"
+        )
+    )
+    return acf(daily, "day", "cents")
+
+
+def _acf_oracle_sql(max_lag: int = ACF_MAX_LAG) -> str:
+    lag_cols = ",\n                   ".join(
+        f"CAST(n AS DECIMAL(19,0)) * lag(cents, {k}) OVER (ORDER BY day) - s AS c{k}"
+        for k in range(1, max_lag + 1)
+    )
+    v_cols = ", ".join(
+        f"SUM(c0 * c{k}) AS v{k}" for k in range(1, max_lag + 1)
+    )
+    rows = "\n        UNION ALL\n".join(
+        f"        SELECT {k} AS lag, ROUND(CAST(v{k} AS DOUBLE) / CAST(v0 AS DOUBLE), 6) AS acf FROM g"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ), tot AS (
+            SELECT COUNT(*) AS n, SUM(CAST(cents AS DECIMAL(38,0))) AS s FROM daily
+        ), c AS (
+            SELECT CAST(n AS DECIMAL(19,0)) * cents - s AS c0,
+                   {lag_cols}
+            FROM daily, tot
+        ), g AS (
+            SELECT SUM(c0 * c0) AS v0, {v_cols} FROM c
+        )
+{rows}
+        ORDER BY lag
+    """
+
+
+QUERIES["daily_revenue_acf"] = daily_revenue_acf
+ORACLE_SQL["daily_revenue_acf"] = _acf_oracle_sql()
