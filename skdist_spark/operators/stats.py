@@ -920,3 +920,89 @@ QUERIES["user_revenue_gini"] = user_revenue_gini
 QUERIES["weighted_price_percentiles"] = weighted_price_percentiles
 ORACLE_SQL["user_revenue_gini"] = _gini_oracle_sql()
 ORACLE_SQL["weighted_price_percentiles"] = _weighted_pct_oracle_sql()
+
+
+# ---- robust (trimmed) means -------------------------------------------
+
+TRIM_PPM = 100_000  # drop the bottom and top 10% before averaging
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    order_tiebreak: str,
+    trim_ppm: int = TRIM_PPM,
+) -> DataFrame:
+    """Per-group trimmed mean over integer values: drop the lowest and
+    highest ``trim_ppm`` fraction of ROWS (k = n * trim_ppm / 1e6,
+    floored — integer-exact, no percentile interpolation) and average
+    the rest in exact DECIMAL — the robust center that one fat-finger
+    value can't move, reported next to the raw mean so the gap itself
+    is the outlier signal.
+
+    One shuffle on the group key; ranks ride a window over it with a
+    deterministic tiebreak column.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(value_col).asc(), F.col(order_tiebreak).asc()
+    )
+    ranked = df.select(
+        *group_cols,
+        F.col(value_col).alias("v"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy(*group_cols)).alias("n"),
+    ).withColumn("k", F.expr(f"(n * {trim_ppm}) div 1000000"))
+    return (
+        ranked.groupBy(*group_cols)
+        .agg(
+            F.max("n").alias("n"),
+            F.max("k").alias("n_trimmed_each_side"),
+            F.expr("ROUND(CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DOUBLE)"
+                   " / COUNT(*) / 1000000.0, 6)").alias("raw_mean"),
+            F.expr(
+                "ROUND(CAST(SUM(CASE WHEN rk > k AND rk <= n - k"
+                " THEN CAST(v AS DECIMAL(38,0)) ELSE 0 END) AS DOUBLE)"
+                " / SUM(CASE WHEN rk > k AND rk <= n - k THEN 1 ELSE 0 END)"
+                " / 1000000.0, 6)"
+            ).alias("trimmed_mean"),
+        )
+        .orderBy(*group_cols)
+    )
+
+
+def event_value_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed vs raw mean of event value per event type."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("v_micros"),
+    )
+    return trimmed_mean(ev, ["event_type"], "v_micros", "event_id")
+
+
+def _trimmed_oracle_sql(trim_ppm: int = TRIM_PPM) -> str:
+    return f"""
+        WITH ranked AS (
+            SELECT event_type,
+                   CAST(floor(value * 1000000) AS BIGINT) AS v,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                        ORDER BY CAST(floor(value * 1000000) AS BIGINT), event_id) AS rk,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        ), kd AS (
+            SELECT *, CAST(n * {trim_ppm} AS BIGINT) // 1000000 AS k FROM ranked
+        )
+        SELECT event_type, MAX(n) AS n, MAX(k) AS n_trimmed_each_side,
+               ROUND(CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DOUBLE)
+                     / COUNT(*) / 1000000.0, 6) AS raw_mean,
+               ROUND(CAST(SUM(CASE WHEN rk > k AND rk <= n - k
+                     THEN CAST(v AS DECIMAL(38,0)) ELSE 0 END) AS DOUBLE)
+                     / SUM(CASE WHEN rk > k AND rk <= n - k THEN 1 ELSE 0 END)
+                     / 1000000.0, 6) AS trimmed_mean
+        FROM kd GROUP BY event_type ORDER BY event_type
+    """
+
+
+QUERIES["event_value_trimmed"] = event_value_trimmed
+ORACLE_SQL["event_value_trimmed"] = _trimmed_oracle_sql()
