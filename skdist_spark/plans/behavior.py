@@ -1324,3 +1324,88 @@ ORACLE_SQL["cohort_ltv"] = f"""
 """
 
 QUERIES["cohort_ltv"] = cohort_ltv
+
+
+# ---- audience overlap matrix ------------------------------------------
+
+_AUDIENCE_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audience-overlap matrix between event types: for every
+    unordered pair, the user counts of each audience, the overlap, and
+    integer-ppm Jaccard — "how much of the error audience also
+    purchases" without five self-joins.
+
+    One user_id shuffle builds the per-user 0/1 flag vector (MAX of
+    conditionals); every pairwise overlap is then a SUM of flag
+    products in the SAME single aggregation row, stacked to one row
+    per pair — the set-intersection family computed as arithmetic,
+    the same trick as setops_customers.  All integers; Jaccard in ppm
+    by BIGINT division.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    flags = ev.groupBy("user_id").agg(
+        *[
+            F.max(
+                F.expr(f"CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END")
+            ).alias(f"f_{t}")
+            for t in _AUDIENCE_TYPES
+        ]
+    )
+    aggs = []
+    for t in _AUDIENCE_TYPES:
+        aggs.append(F.sum(f"f_{t}").alias(f"n_{t}"))
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_AUDIENCE_TYPES)
+        for b in _AUDIENCE_TYPES[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(F.expr(f"f_{a} * f_{b}")).alias(f"n_{a}_{b}"))
+    g = flags.agg(*aggs)
+    stacked = ", ".join(
+        f"'{a}', '{b}', n_{a}, n_{b}, n_{a}_{b},"
+        f" (n_{a}_{b} * 1000000) div (n_{a} + n_{b} - n_{a}_{b})"
+        for a, b in pairs
+    )
+    return g.select(
+        F.expr(
+            f"stack({len(pairs)}, {stacked})"
+            " AS (type_a, type_b, n_a, n_b, n_both, jaccard_ppm)"
+        )
+    ).orderBy("type_a", "type_b")
+
+
+def _audience_oracle_sql() -> str:
+    flag_cols = ",\n                   ".join(
+        f"MAX(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS f_{t}"
+        for t in _AUDIENCE_TYPES
+    )
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_AUDIENCE_TYPES)
+        for b in _AUDIENCE_TYPES[i + 1 :]
+    ]
+    rows = "\n        UNION ALL\n".join(
+        f"""        SELECT '{a}' AS type_a, '{b}' AS type_b,
+               SUM(f_{a}) AS n_a, SUM(f_{b}) AS n_b,
+               SUM(f_{a} * f_{b}) AS n_both,
+               CAST(SUM(f_{a} * f_{b}) * 1000000 AS BIGINT)
+                   // (SUM(f_{a}) + SUM(f_{b}) - SUM(f_{a} * f_{b})) AS jaccard_ppm
+        FROM flags"""
+        for a, b in pairs
+    )
+    return f"""
+        WITH flags AS (
+            SELECT user_id,
+                   {flag_cols}
+            FROM events GROUP BY user_id
+        )
+{rows}
+        ORDER BY type_a, type_b
+    """
+
+
+QUERIES["audience_overlap"] = audience_overlap
+ORACLE_SQL["audience_overlap"] = _audience_oracle_sql()
