@@ -1409,3 +1409,112 @@ def _audience_oracle_sql() -> str:
 
 QUERIES["audience_overlap"] = audience_overlap
 ORACLE_SQL["audience_overlap"] = _audience_oracle_sql()
+
+
+# ---- behavioral dispersion diagnostics ---------------------------------
+
+
+def user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance/mean) of each user's daily event counts —
+    burstiness: ~1 is Poisson-like background, >>1 means activity
+    arrives in bursts (bot/campaign signal), <1 is metronomic
+    (scheduled-job signal).  Active days only.
+
+    Two stacked aggregations (user x day, then user) on one user_id
+    shuffle path; moments are exact integers, the Fano ratio is the
+    single DOUBLE step.  Users with one active day have no variance
+    and are dropped.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    m = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("s"),
+        F.sum(F.expr("CAST(c AS DECIMAL(19,0)) * c")).alias("ss"),
+    )
+    var = (
+        "((CAST(n_days AS DOUBLE) * CAST(ss AS DOUBLE)"
+        " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+        " / (CAST(n_days AS DOUBLE) * CAST(n_days - 1 AS DOUBLE)))"
+    )
+    mean = "(CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))"
+    return (
+        m.where(F.col("n_days") >= 2)
+        .select(
+            "user_id",
+            "n_days",
+            F.col("s").alias("n_events"),
+            F.expr(f"ROUND({mean}, 6)").alias("mean_per_day"),
+            F.expr(f"ROUND({var} / {mean}, 6)").alias("fano"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_SQL["user_burstiness"] = """
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ), m AS (
+        SELECT user_id, COUNT(*) AS n_days, SUM(c) AS s,
+               SUM(CAST(c AS DECIMAL(19,0)) * c) AS ss
+        FROM daily GROUP BY user_id
+    )
+    SELECT user_id, n_days, s AS n_events,
+           ROUND((CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)), 6) AS mean_per_day,
+           ROUND(((CAST(n_days AS DOUBLE) * CAST(ss AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                  / (CAST(n_days AS DOUBLE) * CAST(n_days - 1 AS DOUBLE)))
+                 / (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)), 6) AS fano
+    FROM m WHERE n_days >= 2 ORDER BY user_id
+"""
+
+QUERIES["user_burstiness"] = user_burstiness
+
+
+def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix (nats) — the
+    behavioral-diversity score (0 = single-purpose account, ln(5) =
+    uses everything equally); the same exact-count entropy shape as
+    text_entropy, over behavior instead of characters."""
+    ev = load_table(spark, "events", sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = counts.groupBy("user_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_types")
+    )
+    term = (
+        "-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+    )
+    return (
+        counts.join(tot, "user_id")
+        .groupBy("user_id", "n", "n_types")
+        .agg(F.round(F.sum(F.expr(term)), 6).alias("entropy_nats"))
+        .select(
+            "user_id", F.col("n").alias("n_events"), "n_types", "entropy_nats"
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_SQL["user_behavior_entropy"] = """
+    WITH counts AS (
+        SELECT user_id, event_type, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT user_id, SUM(c) AS n, COUNT(*) AS n_types
+        FROM counts GROUP BY user_id
+    )
+    SELECT user_id, n AS n_events, n_types,
+           ROUND(SUM(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                     * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS entropy_nats
+    FROM counts JOIN tot USING (user_id)
+    GROUP BY user_id, n, n_types
+    ORDER BY user_id
+"""
+
+QUERIES["user_behavior_entropy"] = user_behavior_entropy
