@@ -81,7 +81,8 @@ _PRIORITY = [
     # weekly_revenue_forecast_hw, purchase_ab_mannwhitney,
     # purchase_ab_conversion, langid_eval, cohort_ltv, zipf_fit,
     # text_readability, daily_revenue_acf, event_value_trimmed,
-    # audience_overlap, user_burstiness, user_behavior_entropy --
+    # audience_overlap, user_burstiness, user_behavior_entropy,
+    # embedding_separability --
     # -- 20 rows-only entries (driver records a rows>=0 check);
     # stream_minhash_pairs/static_enrich/stream_join/dedup_users +
     # multimodal_* + kmv_user_overlap wait past the cap (all

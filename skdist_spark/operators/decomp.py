@@ -129,3 +129,93 @@ ORACLE_SQL: dict[str, str] = {}
 QUERIES = {
     "embedding_pca": embedding_pca,
 }
+
+
+# ---- class-separability diagnostic (Fisher ratio per dimension) --------
+
+
+def label_separability(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-dimension Fisher discriminant ratio over labeled vectors:
+    between-class variance / within-class variance — "which embedding
+    dimensions actually separate my classes", the pre-flight check
+    before training a classifier head or pruning dimensions.
+
+    One scan: coordinates are micro-quantized to BIGINT (the
+    embedding_corr discipline) and posexploded to (dim, label)
+    moments — a bounded dims x labels aggregate, map-side combinable.
+    Between = sum_c n_c*(m_c - m)^2, within = sum_c (ss_c - n_c*m_c^2),
+    evaluated in DOUBLE from the exact integer moments; the output is
+    bit-reproducible.
+    """
+    q = df.select(
+        F.col(label_col).alias("lbl"),
+        F.posexplode(
+            F.expr(f"transform({vec_col}, x -> CAST(floor(x * 1000000) AS BIGINT))")
+        ).alias("dim", "v"),
+    )
+    cell = q.groupBy("dim", "lbl").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(v AS DECIMAL(38,0))")).alias("s"),
+        F.sum(F.expr("CAST(v AS DECIMAL(19,0)) * v")).alias("ss"),
+    )
+    tot = cell.groupBy("dim").agg(
+        F.sum("n").alias("nt"), F.sum("s").alias("st")
+    )
+    mc = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    mg = "(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))"
+    between = f"(CAST(n AS DOUBLE) * ({mc} - {mg}) * ({mc} - {mg}))"
+    within = f"(CAST(ss AS DOUBLE) - CAST(n AS DOUBLE) * {mc} * {mc})"
+    return (
+        cell.join(tot, "dim")
+        .groupBy("dim")
+        .agg(
+            F.sum(F.expr(between)).alias("_b"),
+            F.sum(F.expr(within)).alias("_w"),
+        )
+        .select(
+            "dim",
+            F.expr("ROUND(_b / _w, 6)").alias("fisher_ratio"),
+        )
+        .orderBy("dim")
+    )
+
+
+def embedding_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher ratio of every embedding dimension vs the label column."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return label_separability(emb)
+
+
+ORACLE_SQL["embedding_separability"] = """
+    WITH q AS (
+        SELECT label AS lbl, d.i - 1 AS dim,
+               CAST(floor(embedding[d.i] * 1000000) AS BIGINT) AS v
+        FROM embeddings,
+             LATERAL (SELECT UNNEST(range(1, len(embedding) + 1)) AS i) d
+    ), cell AS (
+        SELECT dim, lbl, COUNT(*) AS n,
+               SUM(CAST(v AS DECIMAL(38,0))) AS s,
+               SUM(CAST(v AS DECIMAL(19,0)) * v) AS ss
+        FROM q GROUP BY 1, 2
+    ), tot AS (
+        SELECT dim, SUM(n) AS nt, SUM(s) AS st FROM cell GROUP BY dim
+    )
+    SELECT dim,
+           ROUND(SUM(CAST(n AS DOUBLE)
+                     * ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                        - (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)))
+                     * ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                        - (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))))
+                 / SUM(CAST(ss AS DOUBLE)
+                       - CAST(n AS DOUBLE)
+                         * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS fisher_ratio
+    FROM cell JOIN tot USING (dim)
+    GROUP BY dim ORDER BY dim
+"""
+
+QUERIES["embedding_separability"] = embedding_separability
