@@ -623,3 +623,87 @@ QUERIES = {
     "doc_graph_distances": doc_graph_distances,
     "event_pagerank": event_pagerank,
 }
+
+
+def k_core(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 3,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """k-core decomposition: iteratively peel nodes of degree < k
+    until the remaining subgraph (the k-core) is stable; returns
+    (node, core_degree) for survivors.  The k-core is the standard
+    "dense backbone" extract — template/boilerplate families in dedup
+    graphs, the stable co-purchase catalog in affinity graphs —
+    robust where raw degree is fooled by one-off attachments.
+
+    Same round shape as connected_components: each iteration is one
+    degree aggregation + an anti-join dropping low-degree endpoints,
+    lineage cut with localCheckpoint, convergence from a scalar edge
+    count (monotone decreasing, so termination is guaranteed in
+    min(max_iterations, initial peel depth) rounds).
+    """
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("a"),
+            F.least(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = e.count()
+    for _ in range(max_iterations):
+        if prev == 0:
+            break
+        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        low = deg.where(F.col("d") < k).select("a").localCheckpoint()
+        e = (
+            e.join(low, e.a == low.a, "left_anti")
+            .join(low.select(F.col("a").alias("bb")), e.b == F.col("bb"), "left_anti")
+            .localCheckpoint()
+        )
+        cur = e.count()
+        if cur == prev:
+            break
+        prev = cur
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    return (
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .orderBy("node")
+    )
+
+
+def part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the repeat co-purchase graph: part pairs appearing
+    together in >= 2 orders form the edges (one-off co-occurrences are
+    noise at catalog scale); the surviving core is the stably
+    cross-sold assortment.  Pair generation stays inside the order
+    group (basket-size-squared fan-out, the basket_part_affinity
+    shape), never catalog-squared.  rows-only: iterative peeling is
+    not ANSI-SQL; correctness is pinned by the crafted-graph pytest
+    (known cores) + monotone-degree invariants.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.hint("merge")
+        .join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+    )
+    return k_core(pairs, "pa", "pb", k=3)
+
+
+QUERIES["part_kcore"] = part_kcore

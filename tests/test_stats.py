@@ -169,3 +169,20 @@ def test_classification_report_crafted(spark):
     allr = out["(all)"]
     assert allr["support"] == 5 and allr["tp"] == 3
     assert allr["recall_ppm"] == 600_000
+
+
+def test_k_core_crafted_graph(spark):
+    from skdist_spark.operators.graph import k_core
+
+    # K4 clique (1-4) + pendant chain 4-5-6 + disjoint triangle 7-8-9:
+    # 3-core = the K4 only; 2-core = K4 + triangle.
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6), (7, 8), (8, 9), (7, 9)]
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    core3 = {r.node: r.core_degree for r in k_core(df, k=3).collect()}
+    assert core3 == {1: 3, 2: 3, 3: 3, 4: 3}
+    core2 = {r.node: r.core_degree for r in k_core(df, k=2).collect()}
+    assert set(core2) == {1, 2, 3, 4, 7, 8, 9}
+    assert core2[7] == core2[8] == core2[9] == 2
+    # k above the max clique peels everything
+    assert k_core(df, k=5).count() == 0
