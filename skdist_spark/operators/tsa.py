@@ -1126,3 +1126,123 @@ def _acf_oracle_sql(max_lag: int = ACF_MAX_LAG) -> str:
 
 QUERIES["daily_revenue_acf"] = daily_revenue_acf
 ORACLE_SQL["daily_revenue_acf"] = _acf_oracle_sql()
+
+
+# ---- cross-correlation function (CCF) ----------------------------------
+
+CCF_MAX_LAG = 7
+
+
+def ccf(
+    series: DataFrame,
+    t_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int = CCF_MAX_LAG,
+) -> DataFrame:
+    """Cross-correlation of two aligned integer series at lags
+    -max_lag..max_lag: r_k correlates x_t with y_{t-k}, so POSITIVE
+    lags mean y LEADS x by k periods (and negative the reverse) — the
+    does-marketing-precede-revenue detector.
+
+    Same exactness discipline as ``acf``: with Sx/Sy the integer sums
+    and n the length, centered terms are the integers n*x - Sx and
+    n*y - Sy, every lag product accumulates in exact DECIMAL(38,0),
+    and each r_k is one DOUBLE division by the fixed denominator
+    sqrt(Sxx~ * Syy~).  One ordered window over the aggregated series.
+    """
+    totals = series.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(x_col).cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col(y_col).cast("decimal(38,0)")).alias("sy"),
+    )
+    ow = f"OVER (ORDER BY {t_col})"
+    cols = [
+        F.expr(f"CAST(n AS DECIMAL(19,0)) * {x_col} - sx").alias("cx0"),
+        F.expr(f"CAST(n AS DECIMAL(19,0)) * {y_col} - sy").alias("cy0"),
+    ]
+    for k in range(1, max_lag + 1):
+        cols.append(
+            F.expr(f"CAST(n AS DECIMAL(19,0)) * lag({y_col}, {k}) {ow} - sy").alias(f"cy{k}")
+        )
+        cols.append(
+            F.expr(f"CAST(n AS DECIMAL(19,0)) * lag({x_col}, {k}) {ow} - sx").alias(f"cx{k}")
+        )
+    lagged = series.crossJoin(F.broadcast(totals)).select(*cols)
+    aggs = [
+        F.sum(F.expr("cx0 * cx0")).alias("vx"),
+        F.sum(F.expr("cy0 * cy0")).alias("vy"),
+        F.sum(F.expr("cx0 * cy0")).alias("c0"),
+    ]
+    for k in range(1, max_lag + 1):
+        aggs.append(F.sum(F.expr(f"cx0 * cy{k}")).alias(f"cp{k}"))   # y leads
+        aggs.append(F.sum(F.expr(f"cy0 * cx{k}")).alias(f"cm{k}"))   # x leads
+    g = lagged.agg(*aggs)
+    den = "sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))"
+    entries = [f"0, ROUND(CAST(c0 AS DOUBLE) / {den}, 6)"]
+    for k in range(1, max_lag + 1):
+        entries.append(f"{k}, ROUND(CAST(cp{k} AS DOUBLE) / {den}, 6)")
+        entries.append(f"-{k}, ROUND(CAST(cm{k} AS DOUBLE) / {den}, 6)")
+    return g.select(
+        F.expr(f"stack({2 * max_lag + 1}, {', '.join(entries)}) AS (lag, ccf)")
+    ).orderBy("lag")
+
+
+def click_purchase_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily click count vs purchase count cross-correlation at lags
+    -7..7 (positive lag = purchases lead clicks by that many days)."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END")).alias("x"),
+        F.sum(F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")).alias("y"),
+    )
+    return ccf(daily, "day", "x", "y")
+
+
+def _ccf_oracle_sql(max_lag: int = CCF_MAX_LAG) -> str:
+    lag_cols = [
+        "CAST(n AS DECIMAL(19,0)) * x - sx AS cx0",
+        "CAST(n AS DECIMAL(19,0)) * y - sy AS cy0",
+    ]
+    for k in range(1, max_lag + 1):
+        lag_cols.append(
+            f"CAST(n AS DECIMAL(19,0)) * lag(y, {k}) OVER (ORDER BY day) - sy AS cy{k}"
+        )
+        lag_cols.append(
+            f"CAST(n AS DECIMAL(19,0)) * lag(x, {k}) OVER (ORDER BY day) - sx AS cx{k}"
+        )
+    v_cols = ["SUM(cx0 * cx0) AS vx", "SUM(cy0 * cy0) AS vy", "SUM(cx0 * cy0) AS c0"]
+    for k in range(1, max_lag + 1):
+        v_cols.append(f"SUM(cx0 * cy{k}) AS cp{k}")
+        v_cols.append(f"SUM(cy0 * cx{k}) AS cm{k}")
+    den = "sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))"
+    rows = [f"        SELECT 0 AS lag, ROUND(CAST(c0 AS DOUBLE) / {den}, 6) AS ccf FROM g"]
+    for k in range(1, max_lag + 1):
+        rows.append(f"        SELECT {k}, ROUND(CAST(cp{k} AS DOUBLE) / {den}, 6) FROM g")
+        rows.append(f"        SELECT -{k}, ROUND(CAST(cm{k} AS DOUBLE) / {den}, 6) FROM g")
+    nl = ",\n                   "
+    body = "\n        UNION ALL\n".join(rows)
+    return f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+            FROM events GROUP BY 1
+        ), tot AS (
+            SELECT COUNT(*) AS n,
+                   SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+                   SUM(CAST(y AS DECIMAL(38,0))) AS sy
+            FROM daily
+        ), c AS (
+            SELECT {nl.join(lag_cols)}
+            FROM daily, tot
+        ), g AS (
+            SELECT {", ".join(v_cols)} FROM c
+        )
+{body}
+        ORDER BY lag
+    """
+
+
+QUERIES["click_purchase_ccf"] = click_purchase_ccf
+ORACLE_SQL["click_purchase_ccf"] = _ccf_oracle_sql()

@@ -138,8 +138,8 @@ def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
             # one-row scalar broadcasts: gini moments / corpus-end
             # instant / 256-bucket DSIR stats + one-row totals
             "user_revenue_gini", "user_churn_survival", "dsir_doc_weights",
-            # one-row (n, sum) broadcast for integer-centered terms
-            "daily_revenue_acf",
+            # one-row (n, sum) broadcasts for integer-centered terms
+            "daily_revenue_acf", "click_purchase_ccf",
         ):
             bad[name] = joins
     assert not bad, bad
