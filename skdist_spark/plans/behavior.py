@@ -1518,3 +1518,121 @@ ORACLE_SQL["user_behavior_entropy"] = """
 """
 
 QUERIES["user_behavior_entropy"] = user_behavior_entropy
+
+
+# ---- Markov removal-effect attribution ---------------------------------
+
+_MARKOV_TOUCHES = ("click", "view", "signup")
+
+
+def markov_removal_effect(
+    journeys: DataFrame,
+    channels: "tuple[str, ...]",
+) -> "list[tuple[str, float, float]]":
+    """Markov-chain attribution: each channel's removal effect — the
+    fraction of total conversion probability lost when the channel is
+    deleted from the first-order journey chain (transitions into it
+    redirect to NULL) — normalized into attribution shares.  The
+    data-driven alternative to first/last-touch heuristics
+    (purchase_attribution).
+
+    ``journeys`` must be the (src, dst, n) transition-count frame over
+    states START / channels / CONV / NULL.  The heavy work (journey
+    assembly, transition counting) is distributed; what this helper
+    does is the O(k^3) absorbing-chain solve on the <= (k+2)^2 count
+    matrix — classic bounded driver state, same contract as KMeans
+    centroids or PageRank's convergence scalar.  Returns
+    [(channel, removal_effect, share)].
+    """
+    import numpy as np
+
+    states = ["START", *channels, "CONV", "NULL"]
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    counts = np.zeros((k, k))
+    for row in journeys.collect():
+        counts[idx[row["src"]], idx[row["dst"]]] += row["n"]
+
+    def conv_prob(removed: "str | None") -> float:
+        c = counts.copy()
+        if removed is not None:
+            r = idx[removed]
+            # transitions into the removed channel become NULL; the
+            # channel itself goes nowhere
+            c[:, idx["NULL"]] += c[:, r]
+            c[:, r] = 0.0
+            c[r, :] = 0.0
+        totals = c.sum(axis=1, keepdims=True)
+        p = np.divide(c, totals, out=np.zeros_like(c), where=totals > 0)
+        # absorbing states
+        for s in ("CONV", "NULL"):
+            p[idx[s], :] = 0.0
+            p[idx[s], idx[s]] = 1.0
+        trans = [i for i, s in enumerate(states) if s not in ("CONV", "NULL")]
+        q = p[np.ix_(trans, trans)]
+        r_ = p[np.ix_(trans, [idx["CONV"]])]
+        absorb = np.linalg.solve(np.eye(len(trans)) - q, r_)
+        return float(absorb[trans.index(idx["START"]), 0])
+
+    p0 = conv_prob(None)
+    effects = []
+    for ch in channels:
+        pc = conv_prob(ch) if p0 > 0 else 0.0
+        effects.append(max(0.0, 1.0 - (pc / p0 if p0 > 0 else 0.0)))
+    tot = sum(effects)
+    return [
+        (ch, round(e, 6), round(e / tot, 6) if tot > 0 else 0.0)
+        for ch, e in zip(channels, effects)
+    ]
+
+
+def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Removal-effect attribution over the events log: journeys are
+    each user's ordered click/view/signup touches up to the first
+    purchase, absorbed into CONV (purchased) or NULL.
+
+    Distributed part: ONE user_id shuffle assembles ordered journeys
+    (sorted-struct aggregation, the user_event_paths idiom) and a
+    transition aggregation bounded by (channels+2)^2 rows; only that
+    tiny count matrix reaches the driver for the linear solve.
+    rows-only: matrix inversion is not ANSI-SQL (the companion
+    heuristic faces, first/last-touch, carry the oracle in
+    purchase_attribution)."""
+    ev = load_table(spark, "events", sf_dir)
+    first_purchase = ev.where(F.col("event_type") == "purchase").groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("conv_ts"))
+    touches = (
+        ev.where(F.col("event_type").isin(*_MARKOV_TOUCHES))
+        .join(first_purchase, "user_id", "left")
+        .where(F.col("conv_ts").isNull() | (F.col("ts") < F.col("conv_ts")))
+        .select("user_id", "ts", "event_id", "event_type", "conv_ts")
+    )
+    seqs = touches.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, event_type))),"
+            " x -> x.event_type)"
+        ).alias("path"),
+        F.max(F.col("conv_ts").isNotNull()).alias("converted"),
+    )
+    trans = seqs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(path)),"
+                " i -> named_struct("
+                "   'src', CASE WHEN i = 0 THEN 'START' ELSE element_at(path, i) END,"
+                "   'dst', CASE WHEN i = size(path) THEN"
+                "     CASE WHEN converted THEN 'CONV' ELSE 'NULL' END"
+                "     ELSE element_at(path, i + 1) END))"
+            )
+        ).alias("t")
+    ).groupBy(F.col("t.src").alias("src"), F.col("t.dst").alias("dst")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rows = markov_removal_effect(trans, _MARKOV_TOUCHES)
+    return spark.createDataFrame(
+        rows, "channel STRING, removal_effect DOUBLE, share DOUBLE"
+    ).orderBy("channel")
+
+
+QUERIES["markov_attribution"] = markov_attribution

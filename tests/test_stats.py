@@ -186,3 +186,34 @@ def test_k_core_crafted_graph(spark):
     assert core2[7] == core2[8] == core2[9] == 2
     # k above the max clique peels everything
     assert k_core(df, k=5).count() == 0
+
+
+def test_markov_removal_effect_crafted(spark):
+    from skdist_spark.plans.behavior import markov_removal_effect
+
+    # channel 'a' carries every conversion; 'b' only dead ends
+    rows = [
+        ("START", "a", 10), ("a", "CONV", 10),
+        ("START", "b", 10), ("b", "NULL", 10),
+    ]
+    trans = spark.createDataFrame(rows, "src STRING, dst STRING, n BIGINT")
+    out = dict(
+        (ch, (eff, share))
+        for ch, eff, share in markov_removal_effect(trans, ("a", "b"))
+    )
+    assert out["a"] == (1.0, 1.0)
+    assert out["b"] == (0.0, 0.0)
+
+
+def test_markov_removal_effect_shared_path(spark):
+    from skdist_spark.plans.behavior import markov_removal_effect
+
+    # conversions flow START->a->b->CONV; removing either kills all
+    rows = [("START", "a", 4), ("a", "b", 4), ("b", "CONV", 4)]
+    trans = spark.createDataFrame(rows, "src STRING, dst STRING, n BIGINT")
+    out = dict(
+        (ch, (eff, share))
+        for ch, eff, share in markov_removal_effect(trans, ("a", "b"))
+    )
+    assert out["a"][0] == 1.0 and out["b"][0] == 1.0
+    assert abs(out["a"][1] - 0.5) < 1e-9 and abs(out["b"][1] - 0.5) < 1e-9
