@@ -1415,3 +1415,87 @@ QUERIES = {
 }
 
 ORACLE_SQL["supplier_concentration"] = ORACLE_SQL_SUPPLIER_CONCENTRATION
+
+
+def part_cf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering similarity: co-purchase cosine
+    sim(a,b) = n_ab / sqrt(n_a * n_b) over order baskets — the classic
+    "customers also bought" scoring (degree-normalized, so popular
+    parts can't dominate the way raw co-counts or even lift's
+    rare-pair bias do).
+
+    Same tractable plan as basket_part_affinity (pair fan-out bounded
+    by basket size squared inside one reused order-key exchange);
+    counts are exact integers, the cosine is the single DOUBLE step,
+    top-50 via TakeOrderedAndProject with full deterministic
+    tie-break.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    op = li.distinct()
+    a, b = op.alias("a").hint("merge"), op.alias("b").hint("merge")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= BASKET_MIN_COOC)
+    )
+    part_counts = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    return (
+        pair_counts.join(
+            part_counts.select(
+                F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
+            ),
+            "part_a",
+        )
+        .join(
+            part_counts.select(
+                F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
+            ),
+            "part_b",
+        )
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr(
+                "ROUND(CAST(n_ab AS DOUBLE)"
+                " / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)"
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.desc("n_ab"), "part_a", "part_b")
+        .limit(BASKET_TOP)
+    )
+
+
+ORACLE_SQL["part_cf_similarity"] = f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pair_counts AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {BASKET_MIN_COOC}
+    ), part_counts AS (
+        SELECT l_partkey, COUNT(*) AS n_part FROM op GROUP BY 1
+    )
+    SELECT part_a, part_b, n_ab, pa.n_part AS n_a, pb.n_part AS n_b,
+           ROUND(CAST(n_ab AS DOUBLE)
+                 / sqrt(CAST(pa.n_part AS DOUBLE) * CAST(pb.n_part AS DOUBLE)), 6) AS cosine
+    FROM pair_counts
+    JOIN part_counts pa ON pa.l_partkey = part_a
+    JOIN part_counts pb ON pb.l_partkey = part_b
+    ORDER BY cosine DESC, n_ab DESC, part_a, part_b
+    LIMIT {BASKET_TOP}
+"""
+
+QUERIES["part_cf_similarity"] = part_cf_similarity
