@@ -1636,3 +1636,112 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["markov_attribution"] = markov_attribution
+
+
+# ---- growth accounting --------------------------------------------------
+
+
+def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: every active user classified as NEW
+    (first-ever week), RETAINED (also active the previous week) or
+    RESURRECTED (returning after a gap), plus CHURNED = users active
+    the previous week who went silent — the standard DAU/MAU
+    decomposition framework, where net growth = new + resurrected -
+    churned.
+
+    One user_id shuffle: the distinct (user, week) activity frame
+    carries a per-user lag(week) and min(week) on the same ordered
+    partitioning, so classification is a row-local CASE; churn
+    re-aggregates the same frame shifted one week forward.  All counts
+    exact integers.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    weeks = ev.select(
+        "user_id",
+        (F.floor(F.datediff(F.to_date("ts"), F.lit(_WEEK_EPOCH).cast("date")) / 7))
+        .cast("int")
+        .alias("week"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("week")
+    classed = weeks.select(
+        "user_id",
+        "week",
+        F.lag("week").over(w).alias("prev_week"),
+        F.min("week").over(
+            Window.partitionBy("user_id")
+        ).alias("first_week"),
+        F.lead("week").over(w).alias("next_week"),
+    )
+    per_week = classed.groupBy("week").agg(
+        F.sum(F.expr("CASE WHEN week = first_week THEN 1 ELSE 0 END")).alias("n_new"),
+        F.sum(
+            F.expr("CASE WHEN prev_week = week - 1 THEN 1 ELSE 0 END")
+        ).alias("n_retained"),
+        F.sum(
+            F.expr(
+                "CASE WHEN week != first_week"
+                " AND (prev_week IS NULL OR prev_week < week - 1)"
+                " THEN 1 ELSE 0 END"
+            )
+        ).alias("n_resurrected"),
+    )
+    churn = (
+        classed.where(
+            F.expr("next_week IS NULL OR next_week > week + 1")
+        )
+        .groupBy(F.expr("week + 1").alias("week"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    max_week = weeks.agg(F.max("week").alias("mw"))
+    return (
+        per_week.join(churn, "week", "full_outer")
+        .crossJoin(F.broadcast(max_week))
+        .where(F.col("week") <= F.col("mw"))  # churn past the horizon is unknowable
+        .select(
+            "week",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            F.coalesce("n_resurrected", F.lit(0)).alias("n_resurrected"),
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+        )
+        .orderBy("week")
+    )
+
+
+ORACLE_SQL["growth_accounting"] = f"""
+    WITH weeks AS (
+        SELECT DISTINCT user_id,
+               CAST(FLOOR(date_diff('day', DATE '{_WEEK_EPOCH}',
+                                    CAST(ts AS DATE)) / 7) AS INTEGER) AS week
+        FROM events
+    ), classed AS (
+        SELECT user_id, week,
+               LAG(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week,
+               MIN(week) OVER (PARTITION BY user_id) AS first_week,
+               LEAD(week) OVER (PARTITION BY user_id ORDER BY week) AS next_week
+        FROM weeks
+    ), per_week AS (
+        SELECT week,
+               SUM(CASE WHEN week = first_week THEN 1 ELSE 0 END) AS n_new,
+               SUM(CASE WHEN prev_week = week - 1 THEN 1 ELSE 0 END) AS n_retained,
+               SUM(CASE WHEN week != first_week
+                        AND (prev_week IS NULL OR prev_week < week - 1)
+                        THEN 1 ELSE 0 END) AS n_resurrected
+        FROM classed GROUP BY week
+    ), churn AS (
+        SELECT week + 1 AS week, COUNT(*) AS n_churned
+        FROM classed
+        WHERE next_week IS NULL OR next_week > week + 1
+        GROUP BY week + 1
+    )
+    SELECT week,
+           COALESCE(n_new, 0) AS n_new,
+           COALESCE(n_retained, 0) AS n_retained,
+           COALESCE(n_resurrected, 0) AS n_resurrected,
+           COALESCE(n_churned, 0) AS n_churned
+    FROM per_week FULL OUTER JOIN churn USING (week)
+    WHERE week <= (SELECT MAX(week) FROM weeks)
+    ORDER BY week
+"""
+
+QUERIES["growth_accounting"] = growth_accounting

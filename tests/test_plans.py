@@ -140,6 +140,8 @@ def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
             "user_revenue_gini", "user_churn_survival", "dsir_doc_weights",
             # one-row (n, sum) broadcasts for integer-centered terms
             "daily_revenue_acf", "click_purchase_ccf",
+            # one-row horizon scalar (max week) broadcast
+            "growth_accounting",
         ):
             bad[name] = joins
     assert not bad, bad
