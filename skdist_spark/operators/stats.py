@@ -1006,3 +1006,137 @@ def _trimmed_oracle_sql(trim_ppm: int = TRIM_PPM) -> str:
 
 QUERIES["event_value_trimmed"] = event_value_trimmed
 ORACLE_SQL["event_value_trimmed"] = _trimmed_oracle_sql()
+
+
+# ---- demand elasticity + revenue Pareto ---------------------------------
+
+
+def price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log demand regression per part type: elasticity =
+    d ln(quantity) / d ln(unit price) across that type's line items —
+    the pricing-power read (near 0 = inelastic, strongly negative =
+    price-sensitive).
+
+    Unit price = extendedprice/quantity in exact cents before the log;
+    both logs micro-quantized to BIGINT so the OLS moments are the
+    exact-integer group_trend shape; one broadcast dim join + one
+    moment shuffle.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey",
+        F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias("ext_cents"),
+        F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+    )
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    pts = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_type",
+        F.expr(
+            "CAST(floor(ln(CAST(ext_cents AS DOUBLE) / CAST(qty AS DOUBLE)) * 1000000)"
+            " AS BIGINT)"
+        ).alias("x"),
+        F.expr("CAST(floor(ln(CAST(qty AS DOUBLE)) * 1000000) AS BIGINT)").alias("y"),
+    )
+    t = group_trend(pts, ["p_type"])
+    return t.select(
+        "p_type",
+        "n",
+        F.expr("ROUND(slope, 6)").alias("elasticity"),
+        F.expr("ROUND(r2, 6)").alias("r2"),
+    ).orderBy("p_type")
+
+
+def _elasticity_oracle_sql() -> str:
+    return f"""
+        WITH pts AS (
+            SELECT p.p_type,
+                   CAST(floor(ln(CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) AS DOUBLE)
+                                 / CAST(CAST(l_quantity AS BIGINT) AS DOUBLE)) * 1000000)
+                        AS BIGINT) AS x,
+                   CAST(floor(ln(CAST(CAST(l_quantity AS BIGINT) AS DOUBLE)) * 1000000)
+                        AS BIGINT) AS y
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ), m AS (
+            SELECT p_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+                   CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+                   CAST(SUM(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0)) AS sxx,
+                   CAST(SUM(CAST(x AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS sxy,
+                   CAST(SUM(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS syy
+            FROM pts GROUP BY p_type
+        )
+        SELECT p_type, n,
+               ROUND({_COV} / {_VARX}, 6) AS elasticity,
+               ROUND(({_COV} * {_COV}) / ({_VARX} * {_VARY}), 6) AS r2
+        FROM m
+        WHERE n >= 2 AND {_VARX} > 0.0 AND {_VARY} > 0.0
+        ORDER BY p_type
+    """
+
+
+def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve deciles of user purchase revenue: users NTILE'd by
+    spend ascending, each decile's exact revenue share and the
+    cumulative share in ppm — the 80/20 readout next to
+    user_revenue_gini's scalar.
+    """
+    ev = load_table(spark, "events", sf_dir).where(F.col("event_type") == "purchase")
+    per_user = ev.groupBy("user_id").agg(
+        F.expr("SUM(CAST(floor(value * 100) AS BIGINT))").alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").asc(), F.col("user_id").asc())
+    deciled = per_user.select("cents", F.ntile(10).over(w).alias("decile"))
+    per_dec = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0))")).alias("dec_cents"),
+    )
+    wd = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per_dec.agg(F.sum("dec_cents").alias("tot_cents"))
+    return (
+        per_dec.withColumn("cum_cents", F.sum("dec_cents").over(wd))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_users",
+            F.expr("CAST(dec_cents AS DOUBLE) / 100.0").alias("revenue"),
+            F.expr("CAST(dec_cents * 1000000 AS DECIMAL(38,0)) div tot_cents").alias(
+                "share_ppm"
+            ),
+            F.expr("CAST(cum_cents * 1000000 AS DECIMAL(38,0)) div tot_cents").alias(
+                "cum_share_ppm"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+def _pareto_oracle_sql() -> str:
+    return """
+        WITH per_user AS (
+            SELECT user_id, SUM(CAST(floor(value * 100) AS BIGINT)) AS cents
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ), deciled AS (
+            SELECT cents, NTILE(10) OVER (ORDER BY cents, user_id) AS decile
+            FROM per_user
+        ), per_dec AS (
+            SELECT decile, COUNT(*) AS n_users,
+                   SUM(CAST(cents AS DECIMAL(38,0))) AS dec_cents
+            FROM deciled GROUP BY decile
+        ), cum AS (
+            SELECT *, SUM(dec_cents) OVER (ORDER BY decile
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents,
+                   (SELECT SUM(dec_cents) FROM per_dec) AS tot_cents
+            FROM per_dec
+        )
+        SELECT decile, n_users,
+               CAST(dec_cents AS DOUBLE) / 100.0 AS revenue,
+               CAST(dec_cents * 1000000 AS BIGINT) // CAST(tot_cents AS BIGINT) AS share_ppm,
+               CAST(cum_cents * 1000000 AS BIGINT) // CAST(tot_cents AS BIGINT) AS cum_share_ppm
+        FROM cum ORDER BY decile
+    """
+
+
+QUERIES["price_elasticity"] = price_elasticity
+QUERIES["revenue_pareto"] = revenue_pareto
+ORACLE_SQL["price_elasticity"] = _elasticity_oracle_sql()
+ORACLE_SQL["revenue_pareto"] = _pareto_oracle_sql()

@@ -142,6 +142,8 @@ def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
             "daily_revenue_acf", "click_purchase_ccf",
             # one-row horizon scalar (max week) broadcast
             "growth_accounting",
+            # one-row grand-total broadcast
+            "revenue_pareto",
         ):
             bad[name] = joins
     assert not bad, bad
