@@ -611,3 +611,48 @@ def _zipf_sql(top: int = ZIPF_TOP) -> str:
 
 QUERIES["zipf_fit"] = zipf_fit
 ORACLE_SQL["zipf_fit"] = _zipf_sql()
+
+
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law): new distinct words per
+    document-id bucket and the cumulative vocabulary — "is the corpus
+    still teaching the tokenizer new words, or has it saturated?".
+
+    Each word's first appearance is a MIN over its postings (one word
+    shuffle); the per-bucket rollup and running total ride the tiny
+    aggregate.  Buckets of 100 docs stand in for ingest order.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    words = docs.select(
+        F.expr("doc_id div 100").alias("bucket"),
+        F.explode(F.expr(_SPARK_WORDS)).alias("word"),
+    )
+    firsts = words.groupBy("word").agg(F.min("bucket").alias("first_bucket"))
+    per_bucket = firsts.groupBy(F.col("first_bucket").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("new_words")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return per_bucket.select(
+        "bucket",
+        "new_words",
+        F.sum("new_words").over(w).alias("cum_vocab"),
+    ).orderBy("bucket")
+
+
+ORACLE_SQL["vocab_growth"] = f"""
+    WITH words AS (
+        SELECT doc_id // 100 AS bucket, UNNEST({_DUCK_WORDS}) AS word
+        FROM documents
+    ), firsts AS (
+        SELECT word, MIN(bucket) AS first_bucket FROM words GROUP BY word
+    ), per_bucket AS (
+        SELECT first_bucket AS bucket, COUNT(*) AS new_words
+        FROM firsts GROUP BY 1
+    )
+    SELECT bucket, new_words,
+           SUM(new_words) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+    FROM per_bucket ORDER BY bucket
+"""
+
+QUERIES["vocab_growth"] = vocab_growth

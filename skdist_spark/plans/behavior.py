@@ -1745,3 +1745,55 @@ ORACLE_SQL["growth_accounting"] = f"""
 """
 
 QUERIES["growth_accounting"] = growth_accounting
+
+
+def user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user (plus their
+    total active days and streak count) — the engagement-streak metric,
+    solved with the gaps-and-islands identity: for sorted distinct
+    days, day_number - row_number is constant exactly within a
+    consecutive run.  One user_id shuffle; everything after the
+    distinct rides that exchange.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    days = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit(_WEEK_EPOCH).cast("date")).alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "island", F.col("d") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("len").alias("active_days"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("len").alias("longest_streak"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_SQL["user_streaks"] = f"""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '{_WEEK_EPOCH}', CAST(ts AS DATE)) AS d
+        FROM events
+    ), islands AS (
+        SELECT user_id, d,
+               d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS island
+        FROM days
+    ), streaks AS (
+        SELECT user_id, island, COUNT(*) AS len
+        FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id, SUM(len) AS active_days, COUNT(*) AS n_streaks,
+           MAX(len) AS longest_streak
+    FROM streaks GROUP BY user_id ORDER BY user_id
+"""
+
+QUERIES["user_streaks"] = user_streaks
