@@ -84,7 +84,8 @@ _PRIORITY = [
     # audience_overlap, user_burstiness, user_behavior_entropy,
     # embedding_separability, click_purchase_ccf; rows-only: part_kcore,
     # markov_attribution; oracle: part_cf_similarity, growth_accounting,
-    # price_elasticity, revenue_pareto, user_streaks, vocab_growth --
+    # price_elasticity, revenue_pareto, user_streaks, vocab_growth,
+    # session_bounce_rate --
     # -- 20 rows-only entries (driver records a rows>=0 check);
     # stream_minhash_pairs/static_enrich/stream_join/dedup_users +
     # multimodal_* + kmv_user_overlap wait past the cap (all

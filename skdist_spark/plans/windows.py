@@ -1323,3 +1323,73 @@ ORACLE_SQL["slo_burn_rate"] = f"""
 """
 
 QUERIES["slo_burn_rate"] = slo_burn_rate
+
+
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of sessions (same 30-min gap rule as
+    sessionize_events) containing exactly one event, keyed by the
+    session's start day — the landing-quality KPI.  Adds one tiny
+    rollup on top of the session frame's existing user_id exchange;
+    the ppm share is integer-exact.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    with_sess = ev.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0),
+    ).withColumn(
+        "session_idx",
+        F.sum("is_new").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sessions = with_sess.groupBy("user_id", "session_idx").agg(
+        F.date_trunc("day", F.min("ts")).alias("day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        sessions.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.expr("CASE WHEN n_events = 1 THEN 1 ELSE 0 END")).alias(
+                "n_bounces"
+            ),
+        )
+        .select(
+            "day",
+            "n_sessions",
+            "n_bounces",
+            F.expr("(n_bounces * 1000000) div n_sessions").alias("bounce_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_SQL["session_bounce_rate"] = f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > {SESSION_GAP_MIN * 60}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM flagged
+    ), sessions AS (
+        SELECT user_id, session_idx, date_trunc('day', MIN(ts)) AS day,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY 1, 2
+    )
+    SELECT day, COUNT(*) AS n_sessions,
+           SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000 AS BIGINT)
+               // COUNT(*) AS bounce_ppm
+    FROM sessions GROUP BY day ORDER BY day
+"""
+
+QUERIES["session_bounce_rate"] = session_bounce_rate
