@@ -43,54 +43,42 @@ _MODULES = [
 # driver-verified, or covered by equivalent pytest property tests) follows
 # in module order.
 _PRIORITY = [
-    # -- 30 oracle-backed queries with no driver row yet (r1 sweep cutoff) --
-    "events_funnel", "user_retention", "daily_gapfill", "sample_events_per_user",
-    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_embedding",
-    "dedup_clusters", "dedup_clusters_star", "dedup_keep_best",
-    "doc_triangles",
-    "text_langid", "text_tokens", "text_quality", "text_repetition",
-    "language_rebalance", "tfidf_search", "text_fingerprint", "text_clean",
-    "doc_chunks", "sample_documents", "mixture_sample_sources",
-    "text_scrub_pii", "decontaminate_docs",
-    "ann_topk", "embedding_corr",
-    "user_overlap_exact",
-    "events_json_schema",
-    # -- round-2 additions (oracle-backed) --
-    "doc_perplexity", "vocab_coverage", "dup_ngram_spans", "event_outliers",
-    "user_value_ewma", "dq_orders", "weighted_doc_sample",
-    "user_daily_interpolate", "purchase_attribution", "value_ntile_buckets",
-    "basket_part_affinity", "rfm_segments", "doc_graph_distances",
-    "user_event_paths", "weekly_revenue_wow", "interevent_latency_histogram",
-    "shipping_delay_percentiles",
-    # -- ROUND-3 ROTATION QUEUE: once this round's sweep verifies the
-    # entries above, move these locally-green round-2 oracles into the
-    # window: user_value_trend, event_value_drift, event_value_pmi,
-    # user_skew_report, ann_ivf_join, ann_filtered, similar_doc_pairs,
-    # user_tier_history, events_at_tier, doc_perplexity_bigram,
-    # contrastive_negatives, inverted_postings, phrase_search_docs,
-    # bm25_search, hybrid_search_rrf, daily_revenue_anomaly,
-    # source_token_budget, text_entropy, transition_probs,
-    # sales_share_of_parent, sessionize_native, value_benford,
-    # event_value_chi2, revenue_cusum, doc_containment,
-    # time_to_first_purchase, daily_active_users, daily_percentile_bands,
-    # supplier_concentration, events_dow_hour_heatmap, ann_int8,
-    # events_at_tier, weekly_revenue_forecast, purchase_ab_welch,
-    # user_churn_survival, dsir_doc_weights, user_revenue_gini,
-    # weighted_price_percentiles, purchase_ab_cuped, user_funnel_patterns,
-    # weekly_revenue_forecast_hw, purchase_ab_mannwhitney,
-    # purchase_ab_conversion, langid_eval, cohort_ltv, zipf_fit,
-    # text_readability, daily_revenue_acf, event_value_trimmed,
-    # audience_overlap, user_burstiness, user_behavior_entropy,
-    # embedding_separability, click_purchase_ccf; rows-only: part_kcore,
-    # markov_attribution; oracle: part_cf_similarity, growth_accounting,
-    # price_elasticity, revenue_pareto, user_streaks, vocab_growth,
-    # session_bounce_rate --
-    # -- 20 rows-only entries (driver records a rows>=0 check);
-    # stream_minhash_pairs/static_enrich/stream_join/dedup_users +
-    # multimodal_* + kmv_user_overlap wait past the cap (all
-    # pytest-covered; rotate them in once these earn rows) --
-    "event_pagerank", "pack_chunks",
+    # -- ROUND-3 WINDOW (first 50 get a driver CORRECTNESS row) --
+    # 1-2: the r2 hash-FAILs, re-queued after the oracle typing fix
+    # (bare SUM(n_chars) -> CAST(... AS BIGINT); values were identical).
+    "sample_documents", "mixture_sample_sources",
+    # 3-17: every oracle touched by this round's HUGEINT sweep
+    # (tools/oracle_type_audit.py found 31 columns across these 15 queries
+    # where DuckDB's SUM-over-INTEGER returned HUGEINT; all now cast to
+    # BIGINT) — in the window so the driver verifies the fix.
+    "session_bounce_rate", "audience_overlap", "user_burstiness",
+    "user_behavior_entropy", "growth_accounting", "user_streaks",
+    "dsir_doc_weights", "vocab_growth", "langid_eval",
+    "purchase_ab_welch", "user_churn_survival", "purchase_ab_cuped",
+    "purchase_ab_mannwhitney", "purchase_ab_conversion", "inverted_postings",
+    # 18-50: locally-green round-2 oracles with no driver row yet.
+    "user_value_trend", "event_value_drift", "event_value_pmi",
+    "user_skew_report", "ann_ivf_join", "ann_filtered", "similar_doc_pairs",
+    "user_tier_history", "events_at_tier", "doc_perplexity_bigram",
+    "contrastive_negatives", "phrase_search_docs", "bm25_search",
+    "hybrid_search_rrf", "daily_revenue_anomaly", "source_token_budget",
+    "text_entropy", "transition_probs", "sales_share_of_parent",
+    "sessionize_native", "value_benford", "event_value_chi2",
+    "revenue_cusum", "doc_containment", "time_to_first_purchase",
+    "daily_active_users", "daily_percentile_bands", "supplier_concentration",
+    "events_dow_hour_heatmap", "ann_int8", "weekly_revenue_forecast",
+    "user_revenue_gini",
+    # event_pagerank earned a bit-identical HUGEINT-replay oracle this
+    # round (graph.py:_event_pagerank_oracle_sql) — in the window to
+    # upgrade its r2 no_oracle row to a hash-checked green.
+    "event_pagerank",
+    # -- ROUND-4 QUEUE (past the 50-entry cap; all locally green) --
+    "weighted_price_percentiles",
+    "user_funnel_patterns", "weekly_revenue_forecast_hw", "cohort_ltv",
+    "zipf_fit", "text_readability", "daily_revenue_acf",
+    "event_value_trimmed", "embedding_separability", "click_purchase_ccf",
+    "part_cf_similarity", "price_elasticity", "revenue_pareto",
+    "pack_chunks",
     "ann_lsh", "ann_ivf", "ann_pq",
     "dedup_semantic", "embedding_pca", "bpe_merge_table",
     "ml_kmeans",

@@ -112,11 +112,12 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
-    # The driver tail-captures stdout, so the LAST line must be one compact
-    # JSON object small enough to survive truncation: per-query times first,
-    # headline metric/value/unit/sf keys at the END of the line (round 1's
-    # 10 KB line with four per-query maps was cut mid-line -> parsed: null).
-    # Full per-query shuffle/spill detail goes to a sidecar + stderr instead.
+    # The driver tail-captures stdout and json-parses the final line, so the
+    # LAST line must be ONE SHORT standalone JSON object: rounds 1 and 2 both
+    # ended "parsed": null because the line front-loaded a ~200-entry
+    # per-query map and the capture window started mid-line.  ALL per-query
+    # data (times, shuffle, spill) now goes ONLY to BENCH_DETAIL.json; stdout
+    # gets the compact summary, guaranteed < 200 bytes.
     detail = {
         "plan_shuffles": exchanges,
         "shuffle_bytes": shuffle_bytes,
@@ -139,16 +140,21 @@ def main() -> None:
     )
     ok_times = sorted(v for v in times.values() if v >= 0)
     median_q = round(ok_times[len(ok_times) // 2], 3) if ok_times else -1.0
+    n_errors = sum(1 for v in times.values() if v < 0)
     print(
         json.dumps(
             {
-                "queries": {k: round(v, 3) for k, v in times.items()},
-                "n_queries": len(times),
-                "median_query_sec": median_q,
                 "metric": "suite_wall_seconds",
+                "value": total,
                 "unit": "sec",
                 "sf": sf_val,
-                "value": total,
+                "n_queries": len(times),
+                "n_errors": n_errors,
+                "median_query_sec": median_q,
+                # name->sec for the 5 slowest only; full map in BENCH_DETAIL.json
+                "queries": dict(
+                    sorted(times.items(), key=lambda kv: -kv[1])[:5]
+                ),
             },
             separators=(",", ":"),
         )

@@ -347,6 +347,100 @@ def event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _event_pagerank_oracle_sql(iterations: int = 8, damping: str = "0.85") -> str:
+    """Bit-identical DuckDB replay of `pagerank`'s DECIMAL fixed point,
+    unrolled ``iterations`` rounds in pure HUGEINT arithmetic.
+
+    The Spark side quantizes at three places per round (Spark decimal
+    typing rules, allowPrecisionLoss default):
+
+    - frac = w/out_w: a (28,12)/(28,12) division resolves to
+      decimal(38,10), i.e. the edge fraction is rounded HALF-UP at
+      1e-10, then cast (exactly) to scale 12;
+    - contribs: sum of (18,12)x(18,12) products is exact at scale 24,
+      then cast to (28,12) rounds HALF-UP at 1e-12;
+    - redist: (18,12)/(20,0) resolves to decimal(38,32) (half-up at
+      1e-32), then cast to (28,12) rounds half-up again;
+    - rank' = base + 0.85 * (c + redist) is exact at scale 24, cast
+      to (28,12) rounds half-up at 1e-12.
+
+    Everything is therefore an integer number of 1e-12 units ("picos"),
+    and HALF_UP(n/d) == (2n + d) // (2d) for positives — replayed here
+    verbatim.  Init constants go through the same double arithmetic as
+    F.lit(1.0/n): cast to DECIMAL at scale 12.  Verified equal to the
+    Spark result (and to an independent pure-Python integer replay) at
+    sf0.001 and sf0.01.
+    """
+    P = 10**12
+    D = int(float(damping) * P)  # 0.85 at scale 12, exact
+    rounds = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        cur = f"r{i}"
+        rounds.append(f"""{cur} AS (
+            SELECT n.node,
+                   (2 * (bb.base * {P}::HUGEINT
+                         + {D}::HUGEINT * (COALESCE(c.c, 0) + dg.redist))
+                    + {P}::HUGEINT) // (2 * {P}::HUGEINT) AS rank
+            FROM nodes n
+            LEFT JOIN (
+                SELECT f.dst AS node,
+                       (2 * SUM(r.rank * f.f) + {P}::HUGEINT)
+                           // (2 * {P}::HUGEINT) AS c
+                FROM frac f JOIN {prev} r ON f.src = r.node
+                GROUP BY f.dst
+            ) c USING (node)
+            CROSS JOIN (
+                SELECT (2 * ((2 * COALESCE(SUM(r.rank), 0) * {10**20}::HUGEINT
+                              + nn.n) // (2 * nn.n))
+                        + {10**20}::HUGEINT) // (2 * {10**20}::HUGEINT) AS redist
+                FROM nn LEFT JOIN {prev} r
+                     ON r.node NOT IN (SELECT src FROM outw)
+                GROUP BY nn.n
+            ) dg
+            CROSS JOIN bb
+        )""")
+        prev = cur
+    rounds_sql = ",\n        ".join(rounds)
+    return f"""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS next_type
+            FROM events
+        ), edges AS (
+            SELECT event_type AS src, next_type AS dst,
+                   CAST(COUNT(*) AS HUGEINT) AS w
+            FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+        ), outw AS (
+            SELECT src, SUM(w) AS ow FROM edges GROUP BY src
+        ), frac AS (
+            SELECT e.src, e.dst,
+                   ((2 * e.w * {10**10}::HUGEINT + o.ow) // (2 * o.ow))
+                       * 100::HUGEINT AS f
+            FROM edges e JOIN outw o USING (src)
+        ), nodes AS (
+            SELECT src AS node FROM edges
+            UNION SELECT dst FROM edges
+        ), nn AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM nodes
+        ), bb AS (
+            SELECT CAST(ROUND((1.0::DOUBLE - {damping})
+                        / CAST(n AS DOUBLE) * {P}) AS HUGEINT) AS base
+            FROM nn
+        ), r0 AS (
+            SELECT node,
+                   (SELECT CAST(ROUND(1.0::DOUBLE / CAST(n AS DOUBLE) * {P})
+                           AS HUGEINT) FROM nn) AS rank
+            FROM nodes
+        ),
+        {rounds_sql}
+        SELECT node AS event_type,
+               ROUND(CAST(rank AS DOUBLE) / {P}, 9) AS rank
+        FROM {prev} ORDER BY event_type
+    """
+
+
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
@@ -613,6 +707,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_clusters_star": _dedup_clusters_sql(),
     "dedup_keep_best": _dedup_keep_best_sql(),
     "doc_triangles": _doc_triangles_sql(),
+    "event_pagerank": _event_pagerank_oracle_sql(),
 }
 
 QUERIES = {
@@ -630,7 +725,7 @@ def k_core(
     src: str = "src",
     dst: str = "dst",
     k: int = 3,
-    max_iterations: int = 50,
+    local_finish_edges: int = 500_000,
 ) -> DataFrame:
     """k-core decomposition: iteratively peel nodes of degree < k
     until the remaining subgraph (the k-core) is stable; returns
@@ -642,8 +737,22 @@ def k_core(
     Same round shape as connected_components: each iteration is one
     degree aggregation + an anti-join dropping low-degree endpoints,
     lineage cut with localCheckpoint, convergence from a scalar edge
-    count (monotone decreasing, so termination is guaranteed in
-    min(max_iterations, initial peel depth) rounds).
+    count.  Peeling runs to the TRUE fixed point (edge count stable or
+    zero): peel depth has no constant bound — a path graph peels only
+    2 nodes/round — so an iteration cap would silently return nodes
+    whose degree is still < k.  Termination is guaranteed because the
+    edge count strictly decreases every non-final round.
+
+    Round cost is Spark-job latency, and deep peels are long-TAILED:
+    the first few distributed rounds remove the bulk, then dozens of
+    rounds each peel a handful of chain nodes.  So once the surviving
+    edge set fits ``local_finish_edges`` (bounded driver state, same
+    contract as the ml fit bounds), the remaining peel finishes in one
+    numpy loop — identical semantics, microseconds per round instead
+    of a 3-job Spark round.  At 100 TB the early distributed rounds do
+    the data-sized work; the local finish only ever sees the bounded
+    dense remnant.  (``local_finish_edges=0`` forces pure distributed
+    peeling — the tests exercise both paths on the same crafted graphs.)
     """
     e = (
         edges.select(
@@ -655,9 +764,7 @@ def k_core(
         .localCheckpoint()
     )
     prev = e.count()
-    for _ in range(max_iterations):
-        if prev == 0:
-            break
+    while prev > local_finish_edges:
         sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
         low = deg.where(F.col("d") < k).select("a").localCheckpoint()
@@ -667,9 +774,46 @@ def k_core(
             .localCheckpoint()
         )
         cur = e.count()
-        if cur == prev:
+        if cur == prev:  # fixed point: every survivor has degree >= k
             break
         prev = cur
+    if 0 < prev <= local_finish_edges:
+        import numpy as np
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        pdf = e.toPandas()
+        nodes, inv = np.unique(
+            np.concatenate([pdf["a"].to_numpy(), pdf["b"].to_numpy()]),
+            return_inverse=True,
+        )
+        ea, eb = inv[: len(pdf)], inv[len(pdf):]
+        alive = np.ones(len(ea), dtype=bool)
+        while alive.any():
+            deg = np.bincount(ea[alive], minlength=len(nodes)) + np.bincount(
+                eb[alive], minlength=len(nodes)
+            )
+            low = deg < k
+            drop = alive & (low[ea] | low[eb])
+            # nodes with zero degree are gone already; only endpoints of
+            # live edges matter, so `low[endpoint]` is the peel test
+            if not drop.any():
+                break
+            alive &= ~drop
+        deg = np.bincount(ea[alive], minlength=len(nodes)) + np.bincount(
+            eb[alive], minlength=len(nodes)
+        )
+        keep = np.flatnonzero(deg >= k)
+        schema = StructType(
+            [
+                StructField("node", e.schema["a"].dataType),
+                StructField("core_degree", LongType()),
+            ]
+        )
+        rows = sorted(
+            (nodes[i].item(), int(deg[i])) for i in keep
+        )
+        spark = edges.sparkSession
+        return spark.createDataFrame(rows, schema=schema).orderBy("node")
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     return (
         sym.groupBy(F.col("a").alias("node"))

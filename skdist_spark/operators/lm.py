@@ -528,7 +528,7 @@ def _dsir_sql(add_k: float = DSIR_ADD_K) -> str:
         ), totals AS (
             SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt FROM stats
         )
-        SELECT doc_id, SUM(tf) AS n_tokens,
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
                ROUND(SUM({lr} * tf), 6) AS log_importance,
                ROUND(SUM({lr} * tf) / SUM(tf), 6) AS per_token
         FROM tf JOIN stats USING (bucket), totals
@@ -650,8 +650,8 @@ ORACLE_SQL["vocab_growth"] = f"""
         FROM firsts GROUP BY 1
     )
     SELECT bucket, new_words,
-           SUM(new_words) OVER (ORDER BY bucket
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+           CAST(SUM(new_words) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
     FROM per_bucket ORDER BY bucket
 """
 

@@ -5,11 +5,17 @@ decode / feature-extraction / frame-sampling run as Arrow-batched
 ``mapInPandas`` stages so the expensive Python work streams through
 executors without materializing blobs on the driver.
 
-The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so
-``decode`` is STUBBED: when the real libraries are importable they are
-used; otherwise a clearly-marked deterministic fake (byte-histogram
-"signal") stands in. The Spark-side contract — schema, batching,
-partitioning, UDF signatures — is real and tested either way.
+Pixel-level decode is REAL for uncompressed containers — BMP (24/32-bit
+BI_RGB) and PPM/PGM (P6/P5) parse to true numpy pixel arrays with no
+codec library, and resize/feature-extract operate on those actual
+pixels (nearest-neighbor resample, luminance histograms), re-encoding
+to P6/P5 so stages compose. Compressed codecs (PNG/JPEG/GIF pixel
+data, MP3/ogg) still need PIL/librosa/ffmpeg, which are NOT in this
+container, so for those ``decode`` falls back to a clearly-marked
+deterministic stub (byte-histogram "signal"); container HEADERS
+(dimensions, sample rates) are parsed for real either way. The
+Spark-side contract — schema, batching, partitioning, UDF signatures —
+is identical across both paths.
 """
 
 from __future__ import annotations
@@ -54,6 +60,124 @@ def _decode_stub(payload: bytes) -> np.ndarray:
     return hist / len(arr)
 
 
+# ---------------------------------------------------------------------------
+# REAL pixel codecs for uncompressed containers (pure numpy, no libs).
+# BMP: BITMAPINFOHEADER, BI_RGB, 24/32 bpp, bottom-up or top-down rows.
+# PPM/PGM: P6 (RGB) / P5 (gray) binary rasters, maxval <= 255.
+# ---------------------------------------------------------------------------
+
+
+def decode_pixels(b: bytes):
+    """(format, pixels HxWxC uint8) for BMP/PPM/PGM payloads, or
+    (None, None) when the container is compressed/unrecognized —
+    callers fall back to the stub path on None."""
+    import struct
+
+    if b[:2] == b"BM" and len(b) >= 54:
+        off = struct.unpack("<I", b[10:14])[0]
+        w, h = struct.unpack("<ii", b[18:26])
+        bpp = struct.unpack("<H", b[28:30])[0]
+        comp = struct.unpack("<I", b[30:34])[0]
+        if comp != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+            return None, None
+        top_down = h < 0
+        h = abs(h)
+        ch = bpp // 8
+        stride = (w * ch + 3) & ~3  # rows padded to 4 bytes
+        if off + stride * h > len(b):
+            return None, None
+        rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off)
+        rows = rows.reshape(h, stride)[:, : w * ch].reshape(h, w, ch)
+        if not top_down:
+            rows = rows[::-1]
+        # BGR(A) -> RGB(A)
+        rgb = rows[..., [2, 1, 0]] if ch == 3 else rows[..., [2, 1, 0, 3]]
+        return "bmp", np.ascontiguousarray(rgb)
+    if b[:2] in (b"P6", b"P5"):
+        # header: magic, width, height, maxval — tokens separated by
+        # whitespace, '#' comments run to end of line
+        toks, i, n = [], 2, len(b)
+        while len(toks) < 3 and i < n:
+            c = b[i : i + 1]
+            if c == b"#":
+                while i < n and b[i] not in (10, 13):
+                    i += 1
+            elif c.isspace():
+                i += 1
+            else:
+                j = i
+                while j < n and not b[j : j + 1].isspace():
+                    j += 1
+                toks.append(b[i:j])
+                i = j
+        if len(toks) < 3:
+            return None, None
+        try:
+            w, h, maxval = (int(t) for t in toks)
+        except ValueError:
+            return None, None
+        if w <= 0 or h <= 0 or not 0 < maxval <= 255:
+            return None, None
+        i += 1  # single whitespace byte after maxval, then the raster
+        ch = 3 if b[:2] == b"P6" else 1
+        if i + w * h * ch > n:
+            return None, None
+        px = np.frombuffer(b, dtype=np.uint8, count=w * h * ch, offset=i)
+        return ("ppm" if ch == 3 else "pgm"), px.reshape(h, w, ch)
+    return None, None
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """P6 (3-channel) / P5 (1-channel) binary encoding of a HxWxC
+    uint8 array — the round-trip partner of decode_pixels."""
+    h, w, ch = pixels.shape
+    if ch == 4:  # drop alpha: PPM has no alpha plane
+        pixels, ch = pixels[..., :3], 3
+    magic = b"P6" if ch == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def _luma_histogram(px: np.ndarray) -> np.ndarray:
+    """Normalized FEATURE_DIM-bin luminance histogram of real pixels
+    (integer BT.601-ish weights 77/150/29 over 256)."""
+    p = px.astype(np.uint32)
+    if p.shape[2] == 1:
+        luma = p[..., 0]
+    else:
+        luma = (p[..., 0] * 77 + p[..., 1] * 150 + p[..., 2] * 29) >> 8
+    hist, _ = np.histogram(luma, bins=FEATURE_DIM, range=(0, 256))
+    return hist / luma.size
+
+
+def resize_nearest(pixels: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Nearest-neighbor resample to (th, tw) — deterministic integer
+    index math (floor(i * src/dst)), no float filtering."""
+    h, w = pixels.shape[:2]
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    return np.ascontiguousarray(pixels[ys][:, xs])
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """24bpp BI_RGB bottom-up BMP encoding of a HxWx3 uint8 RGB array —
+    crafted-bytes source for the decode round-trip tests and the
+    synthetic blob generator."""
+    import struct
+
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) & ~3
+    raster = np.zeros((h, stride), dtype=np.uint8)
+    bgr = pixels[::-1][..., [2, 1, 0]]  # bottom-up rows, RGB -> BGR
+    raster[:, : w * 3] = bgr.reshape(h, w * 3)
+    data = raster.tobytes()
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + dib + data
+
+
 def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stand-in blob column: utf-8 bytes of the text + media metadata.
 
@@ -78,9 +202,14 @@ def extract_features(df: DataFrame) -> DataFrame:
             for p in payloads:
                 b = bytes(p) if p is not None else b""
                 magics.append(b[:4].hex())
+                fmt, px = decode_pixels(b)
+                if px is not None:
+                    # REAL pixels (BMP/PPM/PGM): luminance histogram
+                    feats.append(_luma_histogram(px).tolist())
+                    continue
                 if decoder == "pil":  # pragma: no cover
                     raise NotImplementedError(
-                        "real image decode path requires PIL; stub is used when absent"
+                        "compressed-codec decode requires PIL; stub is used when absent"
                     )
                 feats.append(_decode_stub(b).tolist())
             yield pd.DataFrame(
@@ -146,6 +275,115 @@ def resize(df: DataFrame, target_bytes: int = 64) -> DataFrame:
     return df.mapInPandas(run, schema="doc_id long, media_type string, payload binary")
 
 
+def resize_images(
+    df: DataFrame,
+    max_side: int = 32,
+    id_col: str = "doc_id",
+    content_col: str = "payload",
+) -> DataFrame:
+    """REAL image resize: payloads that decode (BMP/PPM/PGM) are
+    nearest-neighbor resampled so their longer side is <= ``max_side``
+    and re-encoded as P6/P5, so the output composes with
+    extract_features / frame_sample / another resize.  Undecodable
+    (compressed) payloads pass through byte-identical with
+    ``decoded = false`` — no silent lossy fallback on real media.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, fmts, ws, hs, dec = [], [], [], [], []
+            for p in pdf[content_col]:
+                b = bytes(p) if p is not None else b""
+                fmt, px = decode_pixels(b)
+                if px is None:
+                    payloads.append(b)
+                    fmts.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    dec.append(False)
+                    continue
+                h, w = px.shape[:2]
+                longer = max(h, w)
+                if longer > max_side:
+                    tw = max(1, (w * max_side) // longer)
+                    th = max(1, (h * max_side) // longer)
+                    px = resize_nearest(px, tw, th)
+                payloads.append(encode_ppm(px))
+                fmts.append(fmt)
+                ws.append(px.shape[1])
+                hs.append(px.shape[0])
+                dec.append(True)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "format": fmts,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "decoded": dec,
+                    content_col: payloads,
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, format string, width int, height int, "
+            f"decoded boolean, {content_col} binary"
+        ),
+    )
+
+
+def multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the REAL pixel path end-to-end — deterministic
+    per-doc gradient BMPs (crafted from doc_id, no codec libs needed)
+    -> pixel decode -> nearest-neighbor resize to 8px -> luminance
+    histogram features over the true resized pixels.  rows-only
+    (pixel rasters aren't SQL-expressible); determinism is pinned by
+    the crafted-bytes round-trip tests in test_multimodal.py."""
+    docs = load_table(spark, "documents", sf_dir, parallel=False).select(
+        "doc_id"
+    )  # parallel=False: see multimodal_frames
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 16 + d % 7, 12 + d % 5
+                yy, xx = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [
+                        (xx * 255) // max(w - 1, 1),
+                        (yy * 255) // max(h - 1, 1),
+                        (xx + yy + d) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    small = resize_images(blobs, max_side=8)
+    feats = extract_features(
+        small.withColumn("media_type", F.lit("image/x-portable-pixmap"))
+    )
+    return (
+        small.select("doc_id", "format", "width", "height")
+        .join(
+            feats.select(
+                "doc_id",
+                "n_bytes",
+                F.round(F.element_at("features", 1), 9).alias("luma_bin0"),
+                F.round(F.element_at("features", FEATURE_DIM), 9).alias(
+                    "luma_bin_last"
+                ),
+            ),
+            "doc_id",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: resize -> frame-sample pipeline over blobs; emits
     per-doc frame stats (deterministic; rows-only)."""
@@ -190,6 +428,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_frames": multimodal_frames,
+    "multimodal_pixels": multimodal_pixels,
 }
 ORACLE_SQL: dict[str, str] = {}
 

@@ -259,17 +259,21 @@ def _langid_eval_oracle_sql() -> str:
                         THEN CAST(tp * 1000000 AS BIGINT) // support END AS recall_ppm
             FROM per_class
         )
-        SELECT cls, support, predicted, tp, precision_ppm, recall_ppm,
-               CASE WHEN precision_ppm IS NOT NULL AND recall_ppm IS NOT NULL
+        SELECT cls, CAST(support AS BIGINT) AS support,
+               CAST(predicted AS BIGINT) AS predicted, CAST(tp AS BIGINT) AS tp,
+               CAST(precision_ppm AS BIGINT) AS precision_ppm,
+               CAST(recall_ppm AS BIGINT) AS recall_ppm,
+               CAST(CASE WHEN precision_ppm IS NOT NULL AND recall_ppm IS NOT NULL
                     AND precision_ppm + recall_ppm > 0
-                    THEN (2 * precision_ppm * recall_ppm) // (precision_ppm + recall_ppm) END AS f1_ppm
+                    THEN (2 * precision_ppm * recall_ppm) // (precision_ppm + recall_ppm) END
+                    AS BIGINT) AS f1_ppm
         FROM m
         UNION ALL
-        SELECT '(all)', SUM(n), SUM(n),
-               SUM(CASE WHEN label = pred THEN n ELSE 0 END),
-               CAST(SUM(CASE WHEN label = pred THEN n ELSE 0 END) * 1000000 AS BIGINT) // SUM(n),
-               CAST(SUM(CASE WHEN label = pred THEN n ELSE 0 END) * 1000000 AS BIGINT) // SUM(n),
-               CAST(SUM(CASE WHEN label = pred THEN n ELSE 0 END) * 1000000 AS BIGINT) // SUM(n)
+        SELECT '(all)', CAST(SUM(n) AS BIGINT), CAST(SUM(n) AS BIGINT),
+               CAST(SUM(CASE WHEN label = pred THEN n ELSE 0 END) AS BIGINT),
+               CAST(CAST(SUM(CASE WHEN label = pred THEN n ELSE 0 END) * 1000000 AS BIGINT) // SUM(n) AS BIGINT),
+               CAST(CAST(SUM(CASE WHEN label = pred THEN n ELSE 0 END) * 1000000 AS BIGINT) // SUM(n) AS BIGINT),
+               CAST(CAST(SUM(CASE WHEN label = pred THEN n ELSE 0 END) * 1000000 AS BIGINT) // SUM(n) AS BIGINT)
         FROM cm
         ORDER BY cls
     """

@@ -70,7 +70,15 @@ def inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         index.join(top_words, "word")
-        .select("word", "df", "doc_id", "tf", "positions")
+        .select(
+            "word",
+            "df",
+            "doc_id",
+            "tf",
+            # comma-joined string, not array<int>: the driver's value-hash
+            # is representation-strict and engines disagree on list renders
+            F.array_join("positions", ",").alias("positions"),
+        )
         .orderBy("word", "doc_id")
     )
 
@@ -308,7 +316,8 @@ def _postings_oracle_sql() -> str:
             FROM index GROUP BY word
             ORDER BY df DESC, word ASC LIMIT {INDEX_TOP_WORDS}
         )
-        SELECT i.word, t.df, i.doc_id, i.tf, i.positions
+        SELECT i.word, t.df, i.doc_id, i.tf,
+               array_to_string(i.positions, ',') AS positions
         FROM index i JOIN top_words t USING (word)
         ORDER BY word, doc_id
     """

@@ -646,7 +646,7 @@ def _mixture_sample_sql() -> str:
                        / (tot_s * SQRT(n_g))) AS INTEGER)) AS permille
             FROM c, t
         )
-        SELECT d.source, COUNT(*) AS n_kept, SUM(d.n_chars) AS sum_chars
+        SELECT d.source, COUNT(*) AS n_kept, CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
         FROM documents d JOIN r ON d.source = r.source
         WHERE (d.doc_id * {_KNUTH}) % {_MOD32} % 1000 < r.permille
         GROUP BY d.source ORDER BY d.source
@@ -938,7 +938,7 @@ ORACLE_SQL: dict[str, str] = {
         FROM e ORDER BY doc_id, chunk_id
     """,
     "sample_documents": f"""
-        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM documents
         WHERE (doc_id * {_KNUTH}) % {_MOD32} % 1000 < {_sample_rate_sql()}
         GROUP BY lang ORDER BY lang

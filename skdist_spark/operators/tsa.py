@@ -44,6 +44,27 @@ from ..sources.catalog import load_table
 _WEEK_EPOCH = "2024-01-01"  # week-index base shared with behavior.py
 _KNUTH = 2654435761
 _MOD32 = 4294967296
+_M31 = 2147483648  # 2^31: (id % 2^31) * _KNUTH < 2^63, no BIGINT wrap
+
+
+def _arm(col):
+    """Deterministic 2-arm Knuth split, wrap-safe for every BIGINT id:
+    the id is masked to [0, 2^31) FIRST, so the multiply stays inside
+    BIGINT in both Spark and DuckDB (the raw ``id * K % 2^32`` form
+    silently wraps in Spark for id > ~3.47e9 while DuckDB promotes —
+    divergent arms), and F.pmod keeps negative ids non-negative the
+    way the oracle's ``((id % m) + m) % m`` does."""
+    masked = F.pmod(col.cast("bigint"), F.lit(_M31))
+    return F.pmod((masked * _KNUTH) % _MOD32, F.lit(2))
+
+
+def _arm_sql(id_expr: str = "user_id") -> str:
+    """DuckDB rendering of `_arm` — identical arithmetic, with the
+    sign-safe double-mod standing in for pmod."""
+    return (
+        f"((((({id_expr} % {_M31}) + {_M31}) % {_M31})"
+        f" * {_KNUTH}) % {_MOD32}) % 2"
+    )
 
 # dyadic smoothing constants: exactly representable doubles, so the
 # Spark fold and the DuckDB recursive CTE perform identical FP ops
@@ -211,7 +232,7 @@ def welch_t_test(
     Welch-Satterthwaite dof are single DOUBLE expressions over exact
     integers — bit-reproducible and map-side combinable.
     """
-    arm = F.pmod((F.col(unit_col).cast("bigint") * _KNUTH) % _MOD32, F.lit(2))
+    arm = _arm(F.col(unit_col))
     g = (
         df.withColumn("arm", arm)
         .groupBy(*group_cols)
@@ -270,12 +291,20 @@ _WELCH_DOF = (
 
 
 def purchase_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Welch t-test of event value between the two Knuth user arms,
-    per event type — 'did the B arm spend more, and is it noise?'."""
-    ev = load_table(spark, "events", sf_dir).select(
-        "user_id",
-        "event_type",
-        F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("v_micros"),
+    """Welch t-test of per-user total event value between the two Knuth
+    user arms, per event type — 'did the B arm spend more, and is it
+    noise?'.  The observation is the USER (one row per user x type,
+    their value total): the randomization unit is the user, so feeding
+    correlated within-user events as independent rows would overstate
+    significance."""
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum(F.expr("CAST(floor(value * 1000000) AS BIGINT)")).alias(
+                "v_micros"
+            )
+        )
     )
     return welch_t_test(ev, "user_id", "v_micros", ["event_type"])
 
@@ -284,9 +313,9 @@ def _welch_oracle_sql() -> str:
     return f"""
         WITH q AS (
             SELECT event_type,
-                   ((user_id * {_KNUTH}) % {_MOD32}) % 2 AS arm,
-                   CAST(floor(value * 1000000) AS BIGINT) AS v
-            FROM events
+                   {_arm_sql()} AS arm,
+                   CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS v
+            FROM events GROUP BY event_type, user_id
         ), g AS (
             SELECT event_type,
                    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
@@ -297,7 +326,7 @@ def _welch_oracle_sql() -> str:
                    SUM(CASE WHEN arm = 1 THEN CAST(v AS DECIMAL(19,0)) * v ELSE 0 END) AS sxx_b
             FROM q GROUP BY event_type
         )
-        SELECT event_type, n_a, n_b,
+        SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
                ROUND({_MEAN('a')} / 1000000.0, 6) AS mean_a,
                ROUND({_MEAN('b')} / 1000000.0, 6) AS mean_b,
                ROUND({_T_STAT}, 6) AS t_stat,
@@ -404,7 +433,7 @@ def _km_oracle_sql() -> str:
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
             FROM per_t
         )
-        SELECT t, n_risk, d,
+        SELECT t, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
                ROUND(EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)))
                          OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
                                AND CURRENT ROW)), 6) AS survival
@@ -454,7 +483,7 @@ def cuped_adjust(
     DOUBLE expression over that single row.  Map-side combinable,
     one shuffle of ~14 numbers.
     """
-    arm = F.pmod((F.col(unit_col).cast("bigint") * _KNUTH) % _MOD32, F.lit(2))
+    arm = _arm(F.col(unit_col))
     per_arm = []
     for s, a in (("a", 0), ("b", 1)):
         per_arm += [
@@ -589,7 +618,7 @@ def _cuped_oracle_sql() -> str:
     return f"""
         WITH units AS (
             SELECT user_id,
-                   ((user_id * {_KNUTH}) % {_MOD32}) % 2 AS arm,
+                   {_arm_sql()} AS arm,
                    SUM(CASE WHEN ts < {split_ts}
                        THEN CAST(floor(value * 1000000) AS BIGINT) ELSE 0 END) AS x,
                    SUM(CASE WHEN ts >= {split_ts}
@@ -598,7 +627,7 @@ def _cuped_oracle_sql() -> str:
         ), g AS (
             SELECT {', '.join(arms)} FROM units
         )
-        SELECT n_a, n_b,
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
                ROUND({_CU_MEAN_Y('a')} / 1000000.0, 6) AS mean_a,
                ROUND({_CU_MEAN_Y('b')} / 1000000.0, 6) AS mean_b,
                ROUND({_CU_THETA}, 6) AS theta,
@@ -830,7 +859,7 @@ def mann_whitney_u(
     tiny shuffles: the (group, value) aggregate, then the ordered
     window over distinct values per group.
     """
-    arm = F.pmod((F.col(unit_col).cast("bigint") * _KNUTH) % _MOD32, F.lit(2))
+    arm = _arm(F.col(unit_col))
     per_v = (
         df.select(*group_cols, arm.alias("arm"), F.col(metric_col).alias("v"))
         .groupBy(*group_cols, "v")
@@ -879,12 +908,18 @@ _MW_Z = (
 
 
 def purchase_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mann-Whitney rank test of event value between the Knuth arms,
-    per event type (micro-quantized values so ties are well-defined)."""
-    ev = load_table(spark, "events", sf_dir).select(
-        "user_id",
-        "event_type",
-        F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("v_micros"),
+    """Mann-Whitney rank test of per-user total event value between
+    the Knuth arms, per event type (micro-quantized values so ties are
+    well-defined).  One observation per user x type — same per-unit
+    readout rationale as purchase_ab_welch."""
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum(F.expr("CAST(floor(value * 1000000) AS BIGINT)")).alias(
+                "v_micros"
+            )
+        )
     )
     return mann_whitney_u(ev, "user_id", "v_micros", ["event_type"])
 
@@ -893,9 +928,9 @@ def _mw_oracle_sql() -> str:
     return f"""
         WITH q AS (
             SELECT event_type,
-                   ((user_id * {_KNUTH}) % {_MOD32}) % 2 AS arm,
-                   CAST(floor(value * 1000000) AS BIGINT) AS v
-            FROM events
+                   {_arm_sql()} AS arm,
+                   CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS v
+            FROM events GROUP BY event_type, user_id
         ), per_v AS (
             SELECT event_type, v,
                    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS c_a,
@@ -915,7 +950,7 @@ def _mw_oracle_sql() -> str:
                    SUM(CAST(t AS DECIMAL(19,0)) * t * t - t) AS ties
             FROM ranked GROUP BY event_type
         )
-        SELECT event_type, n_a, n_b,
+        SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
                {_MW_U} AS u_a,
                ROUND({_MW_Z}, 6) AS z
         FROM g ORDER BY event_type
@@ -945,7 +980,7 @@ def proportion_z_test(
     the assignment itself is broken and the z test is meaningless —
     the guard belongs in the same row as the readout.
     """
-    arm = F.pmod((F.col(unit_col).cast("bigint") * _KNUTH) % _MOD32, F.lit(2))
+    arm = _arm(F.col(unit_col))
     g = units.select(arm.alias("arm"), F.col(converted_col).alias("c")).agg(
         F.sum(F.expr("CASE WHEN arm = 0 THEN 1 ELSE 0 END")).alias("n_a"),
         F.sum(F.expr("CASE WHEN arm = 1 THEN 1 ELSE 0 END")).alias("n_b"),
@@ -1011,13 +1046,14 @@ def _conversion_oracle_sql() -> str:
                        THEN 1 ELSE 0 END) AS c
             FROM events GROUP BY user_id
         ), g AS (
-            SELECT SUM(CASE WHEN ((user_id * {_KNUTH}) % {_MOD32}) % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
-                   SUM(CASE WHEN ((user_id * {_KNUTH}) % {_MOD32}) % 2 = 1 THEN 1 ELSE 0 END) AS n_b,
-                   SUM(CASE WHEN ((user_id * {_KNUTH}) % {_MOD32}) % 2 = 0 THEN c ELSE 0 END) AS x_a,
-                   SUM(CASE WHEN ((user_id * {_KNUTH}) % {_MOD32}) % 2 = 1 THEN c ELSE 0 END) AS x_b
+            SELECT SUM(CASE WHEN {_arm_sql()} = 0 THEN 1 ELSE 0 END) AS n_a,
+                   SUM(CASE WHEN {_arm_sql()} = 1 THEN 1 ELSE 0 END) AS n_b,
+                   SUM(CASE WHEN {_arm_sql()} = 0 THEN c ELSE 0 END) AS x_a,
+                   SUM(CASE WHEN {_arm_sql()} = 1 THEN c ELSE 0 END) AS x_b
             FROM units
         )
-        SELECT n_a, n_b, x_a, x_b,
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(x_a AS BIGINT) AS x_a, CAST(x_b AS BIGINT) AS x_b,
                ROUND({_PZ_P('a')}, 6) AS p_a,
                ROUND({_PZ_P('b')}, 6) AS p_b,
                ROUND({_PZ_Z}, 6) AS z,

@@ -1389,10 +1389,10 @@ def _audience_oracle_sql() -> str:
     ]
     rows = "\n        UNION ALL\n".join(
         f"""        SELECT '{a}' AS type_a, '{b}' AS type_b,
-               SUM(f_{a}) AS n_a, SUM(f_{b}) AS n_b,
-               SUM(f_{a} * f_{b}) AS n_both,
-               CAST(SUM(f_{a} * f_{b}) * 1000000 AS BIGINT)
-                   // (SUM(f_{a}) + SUM(f_{b}) - SUM(f_{a} * f_{b})) AS jaccard_ppm
+               CAST(SUM(f_{a}) AS BIGINT) AS n_a, CAST(SUM(f_{b}) AS BIGINT) AS n_b,
+               CAST(SUM(f_{a} * f_{b}) AS BIGINT) AS n_both,
+               CAST(CAST(SUM(f_{a} * f_{b}) * 1000000 AS BIGINT)
+                   // (SUM(f_{a}) + SUM(f_{b}) - SUM(f_{a} * f_{b})) AS BIGINT) AS jaccard_ppm
         FROM flags"""
         for a, b in pairs
     )
@@ -1462,7 +1462,7 @@ ORACLE_SQL["user_burstiness"] = """
                SUM(CAST(c AS DECIMAL(19,0)) * c) AS ss
         FROM daily GROUP BY user_id
     )
-    SELECT user_id, n_days, s AS n_events,
+    SELECT user_id, n_days, CAST(s AS BIGINT) AS n_events,
            ROUND((CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)), 6) AS mean_per_day,
            ROUND(((CAST(n_days AS DOUBLE) * CAST(ss AS DOUBLE)
                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
@@ -1509,7 +1509,7 @@ ORACLE_SQL["user_behavior_entropy"] = """
         SELECT user_id, SUM(c) AS n, COUNT(*) AS n_types
         FROM counts GROUP BY user_id
     )
-    SELECT user_id, n AS n_events, n_types,
+    SELECT user_id, CAST(n AS BIGINT) AS n_events, n_types,
            ROUND(SUM(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
                      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS entropy_nats
     FROM counts JOIN tot USING (user_id)
@@ -1575,10 +1575,14 @@ def markov_removal_effect(
         return float(absorb[trans.index(idx["START"]), 0])
 
     p0 = conv_prob(None)
+    if p0 == 0.0:
+        # no baseline conversions: nothing to attribute (removal of any
+        # channel cannot reduce a zero rate, so every effect is 0)
+        return [(ch, 0.0, 0.0) for ch in channels]
     effects = []
     for ch in channels:
-        pc = conv_prob(ch) if p0 > 0 else 0.0
-        effects.append(max(0.0, 1.0 - (pc / p0 if p0 > 0 else 0.0)))
+        pc = conv_prob(ch)
+        effects.append(max(0.0, 1.0 - pc / p0))
     tot = sum(effects)
     return [
         (ch, round(e, 6), round(e / tot, 6) if tot > 0 else 0.0)
@@ -1662,6 +1666,13 @@ def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("week"),
     ).distinct()
+    return growth_accounting_frame(weeks)
+
+
+def growth_accounting_frame(weeks: DataFrame) -> DataFrame:
+    """Generic core of `growth_accounting`: classify a distinct
+    (user_id, week) activity frame.  Split out so arbitrary activity
+    sources (and the 2M-row stress lane) reuse the exact plan."""
     w = Window.partitionBy("user_id").orderBy("week")
     classed = weeks.select(
         "user_id",
@@ -1735,10 +1746,10 @@ ORACLE_SQL["growth_accounting"] = f"""
         GROUP BY week + 1
     )
     SELECT week,
-           COALESCE(n_new, 0) AS n_new,
-           COALESCE(n_retained, 0) AS n_retained,
-           COALESCE(n_resurrected, 0) AS n_resurrected,
-           COALESCE(n_churned, 0) AS n_churned
+           CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+           CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained,
+           CAST(COALESCE(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+           CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned
     FROM per_week FULL OUTER JOIN churn USING (week)
     WHERE week <= (SELECT MAX(week) FROM weeks)
     ORDER BY week
@@ -1791,7 +1802,7 @@ ORACLE_SQL["user_streaks"] = f"""
         SELECT user_id, island, COUNT(*) AS len
         FROM islands GROUP BY 1, 2
     )
-    SELECT user_id, SUM(len) AS active_days, COUNT(*) AS n_streaks,
+    SELECT user_id, CAST(SUM(len) AS BIGINT) AS active_days, COUNT(*) AS n_streaks,
            MAX(len) AS longest_streak
     FROM streaks GROUP BY user_id ORDER BY user_id
 """

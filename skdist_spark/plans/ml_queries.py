@@ -215,7 +215,9 @@ def encoderizer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir, parallel=False).select(
         "doc_id", "lang", "source", "n_chars", "text"
     )  # parallel=False: driver-side fit + Arrow transform; floor costs more than it buys
-    pdf = docs.orderBy("doc_id").toPandas()
+    # fit on a bounded id-ordered sample (deterministic); transform stays
+    # distributed over the full corpus — same bound as every other ml entry
+    pdf = docs.orderBy("doc_id").limit(_MAX_DRIVER_ROWS).toPandas()
     enc = Encoderizer(size="small", sc=spark, config={
         "n_chars": "numeric",
         "lang": "onehotencoder",

@@ -1386,7 +1386,7 @@ ORACLE_SQL["session_bounce_rate"] = f"""
         FROM sess GROUP BY 1, 2
     )
     SELECT day, COUNT(*) AS n_sessions,
-           SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
            CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000 AS BIGINT)
                // COUNT(*) AS bounce_ppm
     FROM sessions GROUP BY day ORDER BY day

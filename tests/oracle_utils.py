@@ -12,13 +12,42 @@ import duckdb
 from skdist_spark.sources.catalog import TABLES
 
 
-def run_oracle(sql: str, sf_dir: str):
+# DuckDB result types Spark SQL can also produce.  Anything else (HUGEINT
+# from SUM-over-INTEGER being the proven offender, CORRECTNESS_r02) breaks
+# the driver's representation-strict value-hash even when values match —
+# pandas normalization below erases the difference, so it is asserted on
+# the DuckDB schema directly.
+_DUCK_OK_TYPES = {
+    "BOOLEAN", "TINYINT", "SMALLINT", "INTEGER", "BIGINT", "FLOAT",
+    "DOUBLE", "VARCHAR", "DATE", "TIMESTAMP", "TIMESTAMP WITH TIME ZONE",
+    "TIMESTAMP_NS", "BLOB", "DECIMAL",
+}
+
+
+def _connect(sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
-    return con.execute(sql).fetchdf()
+    return con
+
+
+def assert_spark_expressible_types(sql: str, sf_dir: str, name: str = "?"):
+    con = _connect(sf_dir)
+    for col, sql_type, *_ in con.execute(
+        f"DESCRIBE SELECT * FROM ({sql})"
+    ).fetchall():
+        base = sql_type.split("(")[0].strip().upper()
+        assert base in _DUCK_OK_TYPES, (
+            f"{name}.{col}: oracle returns {sql_type} — not Spark-expressible;"
+            " the driver's representation-strict hash will mismatch"
+            " (CAST the output column, e.g. AS BIGINT)"
+        )
+
+
+def run_oracle(sql: str, sf_dir: str):
+    return _connect(sf_dir).execute(sql).fetchdf()
 
 
 def _norm_cell(v):
@@ -57,6 +86,7 @@ def _norm_rows(df):
 
 
 def compare_query(spark, query_fn, sql: str, sf_dir: str, name: str = "?"):
+    assert_spark_expressible_types(sql, sf_dir, name)
     sdf = query_fn(spark, sf_dir).toPandas()
     ddf = run_oracle(sql, sf_dir)
     s_cols, s_rows = _norm_rows(sdf)

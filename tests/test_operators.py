@@ -1138,6 +1138,107 @@ def test_parse_image_and_audio_meta_from_real_headers(spark):
     assert agot["junk"].channels is None
 
 
+def test_pixel_codecs_roundtrip_pure():
+    """BMP and PPM/PGM pixel codecs are REAL: crafted rasters encode ->
+    decode byte-exact, including BMP row padding and bottom-up order."""
+    import numpy as np
+
+    from skdist_spark.operators.multimodal import (
+        decode_pixels, encode_bmp, encode_ppm, resize_nearest,
+    )
+
+    # width 5 forces BMP 4-byte row padding (5*3=15 -> stride 16)
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    fmt, back = decode_pixels(encode_bmp(px))
+    assert fmt == "bmp" and np.array_equal(back, px)
+    fmt, back = decode_pixels(encode_ppm(px))
+    assert fmt == "ppm" and np.array_equal(back, px)
+    gray = rng.integers(0, 256, size=(3, 7, 1), dtype=np.uint8)
+    fmt, back = decode_pixels(encode_ppm(gray))
+    assert fmt == "pgm" and np.array_equal(back, gray)
+    # PPM comments + multi-whitespace header still parse
+    body = b"P6\n# a comment\n 5  4\n255\n" + px.tobytes()
+    fmt, back = decode_pixels(body)
+    assert fmt == "ppm" and np.array_equal(back, px)
+    # junk and compressed containers refuse (fall back to stub path)
+    assert decode_pixels(b"\x89PNG\r\n\x1a\nXXXX") == (None, None)
+    assert decode_pixels(b"hello world") == (None, None)
+    # nearest-neighbor resize: 4x4 checkerboard halved = exact corners
+    cb = np.zeros((4, 4, 3), dtype=np.uint8)
+    cb[::2, ::2] = 255
+    cb[1::2, 1::2] = 255
+    small = resize_nearest(cb, 2, 2)
+    assert np.array_equal(small[..., 0], np.array([[255, 255], [255, 255]]))
+
+
+def test_resize_images_true_pixels(spark):
+    """resize_images produces the EXACT nearest-neighbor raster (checked
+    value-for-value after re-decoding its P6 output); compressed/junk
+    payloads pass through byte-identical with decoded=false."""
+    import numpy as np
+
+    from skdist_spark.operators.multimodal import (
+        decode_pixels, encode_bmp, resize_images, resize_nearest,
+    )
+
+    yy, xx = np.mgrid[0:12, 0:16]
+    px = np.stack(
+        [(xx * 255) // 15, (yy * 255) // 11, (xx + yy) % 256], axis=-1
+    ).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(px))), (2, bytearray(b"not an image"))],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in resize_images(df, max_side=8).collect()}
+    r1 = got[1]
+    assert (r1.format, r1.width, r1.height, r1.decoded) == ("bmp", 8, 6, True)
+    fmt, small = decode_pixels(bytes(r1.payload))
+    assert fmt == "ppm"
+    assert np.array_equal(small, resize_nearest(px, 8, 6))
+    r2 = got[2]
+    assert r2.decoded is False and bytes(r2.payload) == b"not an image"
+
+
+def test_extract_features_real_pixels_vs_stub(spark):
+    """extract_features uses TRUE luminance histograms when the payload
+    decodes (uniform gray image -> all mass in one bin) and the
+    documented byte-histogram stub otherwise."""
+    import numpy as np
+
+    from skdist_spark.operators.multimodal import (
+        FEATURE_DIM, encode_bmp, extract_features,
+    )
+
+    gray = np.full((6, 6, 3), 130, dtype=np.uint8)  # luma 130 -> bin 8
+    df = spark.createDataFrame(
+        [
+            (1, "image/bmp", bytearray(encode_bmp(gray))),
+            (2, "text/plain", bytearray(b"plain text payload")),
+        ],
+        "doc_id long, media_type string, payload binary",
+    )
+    got = {r.doc_id: r for r in extract_features(df).collect()}
+    feats1 = got[1].features
+    assert len(feats1) == FEATURE_DIM
+    assert feats1[8] == 1.0 and sum(feats1) == 1.0  # real pixels, one bin
+    # stub path (byte histogram): ASCII text mass sits in bins 2-7
+    assert abs(sum(got[2].features) - 1.0) < 1e-12 and got[2].features[8] == 0
+
+
+def test_multimodal_pixels_query_runs(spark):
+    from skdist_spark.operators.multimodal import multimodal_pixels
+
+    out = multimodal_pixels(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    r = out[0]
+    assert r.format == "bmp" and 1 <= r.width <= 8 and 1 <= r.height <= 8
+    assert 0.0 <= r.luma_bin0 + r.luma_bin_last <= 1.0
+    # deterministic: second run identical
+    again = multimodal_pixels(spark, "/root/testdata/sf0.001").collect()
+    assert out == again
+
+
 def test_bpe_train_matches_python_reference(spark):
     """Distributed BPE must learn EXACTLY the merges a pure-Python
     reference learns on the same corpus (greedy left-to-right merge

@@ -186,6 +186,30 @@ def test_k_core_crafted_graph(spark):
     assert core2[7] == core2[8] == core2[9] == 2
     # k above the max clique peels everything
     assert k_core(df, k=5).count() == 0
+    # pure distributed peel (local finish disabled) matches exactly
+    dist3 = {
+        r.node: r.core_degree
+        for r in k_core(df, k=3, local_finish_edges=0).collect()
+    }
+    assert dist3 == core3
+    assert k_core(df, k=5, local_finish_edges=0).count() == 0
+
+
+def test_k_core_deep_peel_past_50_rounds(spark):
+    """A 120-node path peels 2 ends per round (~60 rounds): the old
+    50-round cap silently returned mid-peel survivors; the fixed-point
+    contract must return the empty 2-core (a path has none)."""
+    from skdist_spark.operators.graph import k_core
+
+    edges = [(i, i + 1) for i in range(120)]
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    # local-finish path: trivially exact
+    assert k_core(df, k=2).count() == 0
+    # path + a triangle glued at node 0: the 2-core is just the triangle
+    edges2 = edges + [(0, 200), (200, 201), (0, 201)]
+    df2 = spark.createDataFrame(edges2, "src BIGINT, dst BIGINT")
+    core = {r.node: r.core_degree for r in k_core(df2, k=2).collect()}
+    assert core == {0: 2, 200: 2, 201: 2}
 
 
 def test_markov_removal_effect_crafted(spark):
