@@ -583,6 +583,91 @@ def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_stats(docs).orderBy("doc_id")
 
 
+def remove_dup_spans(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = SPAN_N
+) -> DataFrame:
+    """Duplicated-span REMOVAL (the rewrite `dup_span_stats` only
+    measures): every token covered by a word ``n``-gram that also
+    occurs in at least one OTHER document is dropped, and the cleaned
+    token stream is re-assembled in order — the Lee-et-al
+    "Deduplicating Training Data" exact-substring removal at word-gram
+    granularity.
+
+    Plan: one scan -> positional n-gram hashes -> span doc-frequency
+    over distinct (doc, span) (map-side combinable) -> spans with
+    nd >= 2 join back to their positions -> covered-position explode
+    (bounded by n x matched spans, never by corpus size) -> anti-join
+    against the positional token stream -> ordered re-assembly per doc
+    (sort_array inside the aggregate, partition-order independent).
+    Shuffle keys are the 64-bit span hash and the doc id — both
+    bounded; nothing is quadratic.
+
+    Output: (id, n_tokens, n_removed, clean_md5) with clean_md5 the
+    md5 of the space-joined surviving tokens (md5('') when everything
+    was removed or the doc was empty).
+    """
+    words = _SPARK_WORDS.replace("text", text_col)
+    base = df.select(F.col(id_col).alias("doc_id"), F.expr(words).alias("wd"))
+    t = base.select("doc_id", "wd", F.size("wd").alias("nw")).localCheckpoint()
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN nw >= {n} THEN transform(sequence(1, nw - {n - 1}),"
+                f" i -> named_struct('start', i,"
+                f" 'h', substring(md5(concat_ws(' ', slice(wd, i, {n}))), 1, 16)))"
+                " ELSE array() END"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.start").alias("start"), F.col("g.h").alias("h"))
+    dup = (
+        grams.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    covered = (
+        grams.join(dup, "h")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(start, start + {n - 1})")).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = t.select(
+        "doc_id", F.posexplode("wd").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.expr(
+            "md5(concat_ws(' ', transform("
+            "array_sort(collect_list(struct(pos, tok))), s -> s.tok)))"
+        ).alias("clean_md5"),
+    )
+    return (
+        t.select("doc_id", "nw")
+        .join(agg, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.col("nw").cast("int").alias("n_tokens"),
+            (F.col("nw") - F.coalesce("n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+            F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+        )
+    )
+
+
+def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: duplicated word-5-gram span removal over the
+    documents table."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return remove_dup_spans(docs).orderBy("doc_id")
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -803,6 +888,42 @@ ORACLE_SQL["dup_ngram_spans"] = f"""
     ORDER BY doc_id
 """
 
+ORACLE_SQL["dedup_remove_spans"] = f"""
+    WITH w AS (
+        SELECT doc_id, {_DUCK_WORDS} AS wd FROM documents
+    ), t AS (
+        SELECT doc_id, wd, len(wd) AS nw FROM w
+    ), grams AS (
+        SELECT doc_id, i AS start,
+               md5(array_to_string(wd[i:i+{SPAN_N - 1}], ' '))[1:16] AS h
+        FROM t, unnest(range(1, greatest(nw - {SPAN_N - 1}, 0) + 1)) AS u(i)
+    ), dup AS (
+        SELECT h FROM (SELECT DISTINCT doc_id, h FROM grams)
+        GROUP BY h HAVING COUNT(*) >= 2
+    ), covered AS (
+        SELECT DISTINCT g.doc_id, CAST(p AS BIGINT) AS pos
+        FROM grams g JOIN dup USING (h),
+             unnest(range(g.start, g.start + {SPAN_N})) AS pp(p)
+    ), toks AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos, wd[CAST(i AS INT)] AS tok
+        FROM t, unnest(range(1, nw + 1)) AS tt(i)
+    ), kept AS (
+        SELECT k.doc_id, k.pos, k.tok
+        FROM toks k LEFT JOIN covered c
+          ON k.doc_id = c.doc_id AND k.pos = c.pos
+        WHERE c.pos IS NULL
+    ), agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(t.nw AS INT) AS n_tokens,
+           CAST(t.nw - COALESCE(a.n_kept, 0) AS INT) AS n_removed,
+           COALESCE(a.clean_md5, md5('')) AS clean_md5
+    FROM t LEFT JOIN agg a USING (doc_id)
+    ORDER BY doc_id
+"""
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
@@ -810,6 +931,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
     "dup_ngram_spans": dup_ngram_spans,
+    "dedup_remove_spans": dedup_remove_spans,
     "dedup_semantic": dedup_semantic,
 }
 

@@ -1081,8 +1081,153 @@ ORACLE_SQL_SOURCE_BUDGET = f"""
     ORDER BY rank
 """
 
+# ---- blocklist filtering (C4-style "bad words" pass) ------------------
+
+# words whose density flags a doc for removal; real pipelines load the
+# list from a file — the operator only needs the token-set contract
+BLOCKLIST: tuple[str, ...] = ("dup", "slow", "error")
+BLOCKLIST_MAX_PERMILLE = 60  # drop a doc when > 6% of tokens are blocked
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: tuple[str, ...] = BLOCKLIST,
+    max_permille: int = BLOCKLIST_MAX_PERMILLE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style blocklist pass: per-doc blocked-token count and density
+    (ppm-style integer permille — engine-exact), plus the keep/drop
+    verdict.  One scan, one token-filter lambda over the pre-split
+    array; no shuffle at all (verdict is row-local).
+    """
+    words = _SPARK_WORDS.replace("text", text_col)
+    quoted = ", ".join(f"'{w}'" for w in blocklist)
+    d = df.select(
+        F.col(id_col).alias("doc_id"), F.expr(words).alias("wd")
+    ).select(
+        "doc_id",
+        F.expr("size(wd)").alias("n_tokens"),
+        F.expr(f"size(filter(wd, t -> lower(t) IN ({quoted})))").alias(
+            "n_blocked"
+        ),
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "n_blocked",
+        F.expr(
+            "CASE WHEN n_tokens > 0"
+            " THEN CAST(n_blocked * 1000 div n_tokens AS INT) ELSE 0 END"
+        ).alias("blocked_permille"),
+        F.expr(
+            f"n_tokens > 0 AND n_blocked * 1000 > {max_permille} * n_tokens"
+        ).alias("dropped"),
+    )
+
+
+def text_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: blocklist density + verdict over documents."""
+    return blocklist_filter(load_table(spark, "documents", sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
+def _blocklist_oracle_sql() -> str:
+    quoted = ", ".join(f"'{w}'" for w in BLOCKLIST)
+    return f"""
+        WITH d AS (
+            SELECT doc_id,
+                   len({_DUCK_WORDS}) AS n_tokens,
+                   len(list_filter({_DUCK_WORDS},
+                       t -> lower(t) IN ({quoted}))) AS n_blocked
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS INT) AS n_tokens,
+               CAST(n_blocked AS INT) AS n_blocked,
+               CAST(CASE WHEN n_tokens > 0
+                    THEN n_blocked * 1000 // n_tokens ELSE 0 END AS INT)
+                   AS blocked_permille,
+               n_tokens > 0 AND n_blocked * 1000 > {BLOCKLIST_MAX_PERMILLE} * n_tokens
+                   AS dropped
+        FROM d ORDER BY doc_id
+    """
+
+
+# ---- multi-keyword tagging --------------------------------------------
+
+# tag -> keyword set; a doc carries a tag when any keyword appears as a
+# token (exact token match — the curation-taxonomy primitive)
+KEYWORD_TAGS: dict[str, tuple[str, ...]] = {
+    "exec": ("scan", "join", "agg"),
+    "perf": ("fast", "slow"),
+    "storage": ("table", "column", "row"),
+    "streaming": ("stream", "window"),
+}
+
+
+def keyword_tag(
+    df: DataFrame,
+    tags: dict[str, tuple[str, ...]] = KEYWORD_TAGS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multi-keyword taxonomy tagging: (id, tag, n_hits) for every tag
+    whose keyword set intersects the doc's token multiset, with the
+    exact hit count.  The tag dictionary is a plan-time constant
+    (broadcast-free: it compiles into the filter lambdas); one scan,
+    one explode bounded by |tags| per doc — never tokens x keywords.
+    """
+    words = _SPARK_WORDS.replace("text", text_col)
+    base = df.select(F.col(id_col).alias("doc_id"), F.expr(words).alias("wd"))
+    entries = ", ".join(
+        "named_struct('tag', '{0}', 'n_hits', size(filter(wd, t -> lower(t) IN ({1}))))".format(
+            tag, ", ".join(f"'{w}'" for w in kws)
+        )
+        for tag, kws in sorted(tags.items())
+    )
+    return (
+        base.select(
+            "doc_id", F.explode(F.expr(f"array({entries})")).alias("e")
+        )
+        .select(
+            "doc_id",
+            F.col("e.tag").alias("tag"),
+            F.col("e.n_hits").cast("int").alias("n_hits"),
+        )
+        .where(F.col("n_hits") > 0)
+    )
+
+
+def text_keyword_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: taxonomy tags over documents."""
+    return keyword_tag(load_table(spark, "documents", sf_dir)).orderBy(
+        "doc_id", "tag"
+    )
+
+
+def _keyword_tags_oracle_sql() -> str:
+    rows = "\n        UNION ALL\n".join(
+        """        SELECT doc_id, '{0}' AS tag,
+               CAST(len(list_filter({1}, t -> lower(t) IN ({2}))) AS INT) AS n_hits
+        FROM documents""".format(
+            tag, _DUCK_WORDS, ", ".join(f"'{w}'" for w in kws)
+        )
+        for tag, kws in sorted(KEYWORD_TAGS.items())
+    )
+    return f"""
+        SELECT doc_id, tag, n_hits FROM (
+{rows}
+        ) WHERE n_hits > 0
+        ORDER BY doc_id, tag
+    """
+
+
 QUERIES = {
     "source_token_budget": source_token_budget,
+    "text_blocklist": text_blocklist,
+    "text_keyword_tags": text_keyword_tags,
     "text_langid": text_langid,
     "weighted_doc_sample": weighted_doc_sample,
     "text_tokens": text_tokens,
@@ -1101,6 +1246,8 @@ QUERIES = {
 }
 
 ORACLE_SQL["source_token_budget"] = ORACLE_SQL_SOURCE_BUDGET
+ORACLE_SQL["text_blocklist"] = _blocklist_oracle_sql()
+ORACLE_SQL["text_keyword_tags"] = _keyword_tags_oracle_sql()
 
 
 def dedup_lines(

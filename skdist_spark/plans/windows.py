@@ -826,7 +826,42 @@ def events_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT semi-structured path: ``try_parse_json`` into a
+    VARIANT column, typed extraction with ``variant_get`` — the
+    schema-FLEXIBLE alternative to events_json_schema's fixed
+    from_json(schema): the binary variant encoding keeps extraction
+    vectorized without committing to a struct schema at plan time
+    (the shredded-parquet story at scale), and malformed rows surface
+    as NULL variants instead of nulled fields.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    parsed = ev.withColumn("v", F.try_parse_json(F.col("props")))
+    k = F.expr("variant_get(v, '$.k', 'int')")
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.sum(F.when(k.isNull(), 1).otherwise(0)).alias("n_unparsed"),
+        )
+        .orderBy("event_type")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "events_json_variant": """
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+               MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+               MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k,
+               CAST(SUM(CASE WHEN TRY_CAST(json_extract(props, '$.k') AS INTEGER) IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_unparsed
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "events_json_schema": """
         SELECT event_type,
                CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
@@ -1159,6 +1194,7 @@ QUERIES = {
     "orders_date_features": orders_date_features,
     "events_value_windows": events_value_windows,
     "events_json_schema": events_json_schema,
+    "events_json_variant": events_json_variant,
     "value_ntile_buckets": value_ntile_buckets,
 }
 

@@ -960,6 +960,76 @@ def test_dup_span_stats_flags_planted_duplicate(spark):
     assert out[1].dup_fraction > 0.5
 
 
+def test_remove_dup_spans_crafted(spark):
+    """Span removal drops EXACTLY the tokens covered by cross-doc
+    5-gram duplicates: docs 1/2 share an 8-word run (every token of it
+    sits inside a duplicated 5-gram in both docs) while their unique
+    tails survive; a unique doc and a 4-word doc are untouched."""
+    import hashlib
+
+    from skdist_spark.operators.dedup import remove_dup_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " one two"),
+            (2, shared + " three four"),
+            (3, "totally unrelated words with no overlap at all here"),
+            (4, "tiny doc no grams"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_dup_spans(df).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert (out[1].n_tokens, out[1].n_removed) == (10, 8)
+    assert out[1].clean_md5 == md5("one two")
+    assert (out[2].n_tokens, out[2].n_removed) == (10, 8)
+    assert out[2].clean_md5 == md5("three four")
+    assert out[3].n_removed == 0
+    assert out[3].clean_md5 == md5("totally unrelated words with no overlap at all here")
+    assert (out[4].n_tokens, out[4].n_removed) == (4, 0)
+    assert out[4].clean_md5 == md5("tiny doc no grams")
+    # identical docs: everything 5+ words long is removed from both
+    dup = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")], "doc_id long, text string"
+    )
+    res = {r.doc_id: r for r in remove_dup_spans(dup).collect()}
+    assert res[1].n_removed == 6 and res[1].clean_md5 == md5("")
+    assert res[2].n_removed == 6
+
+
+def test_blocklist_filter_crafted(spark):
+    from skdist_spark.operators.text import blocklist_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "DUP slow dup clean words here now ok"),   # 3/8 blocked
+            (2, "all clean words in this document"),       # 0 blocked
+            (3, ""),                                       # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in blocklist_filter(df).collect()}
+    assert (out[1].n_tokens, out[1].n_blocked) == (8, 3)
+    assert out[1].blocked_permille == 375 and out[1].dropped is True
+    assert out[2].n_blocked == 0 and out[2].dropped is False
+    assert out[3].n_tokens == 0 and out[3].dropped is False
+
+
+def test_keyword_tag_crafted(spark):
+    from skdist_spark.operators.text import keyword_tag
+
+    df = spark.createDataFrame(
+        [
+            (1, "scan the table then JOIN and scan again"),
+            (2, "nothing relevant whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.tag): r.n_hits for r in keyword_tag(df).collect()}
+    assert got == {(1, "exec"): 3, (1, "storage"): 1}
+
+
 def test_weighted_sample_k_contract(spark):
     """A-ES weighted sampling: deterministic across partitionings,
     exactly k per group, weight-monotone in aggregate (heavy rows win
