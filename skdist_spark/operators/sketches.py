@@ -129,9 +129,78 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+def hll_daily_sketches(
+    df: DataFrame,
+    day_col,
+    member_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Materializable per-day HLL sketch table: (day, sketch binary).
+
+    This is the SKETCH-TABLE pattern — the sketch column is a Datasketches
+    HllSketch (Spark 4 `hll_sketch_agg`), so any coarser rollup
+    (week/month/all-time distinct users) re-aggregates the tiny sketch
+    rows with `hll_union_agg` instead of re-scanning the fact table.
+    Persist it like any other table; merge is associative and lossless
+    w.r.t. the sketch state.
+    """
+    return df.groupBy(day_col).agg(
+        F.hll_sketch_agg(F.col(member_col), F.lit(lg_k)).alias("sketch")
+    )
+
+
+def hll_rollup(
+    sketches: DataFrame,
+    group_expr,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Re-aggregate a sketch table to a coarser grain: union the
+    sketches, estimate at the end. No fact-table access."""
+    return sketches.groupBy(group_expr).agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.col("sketch"), F.lit(True))
+        ).alias("est_distinct")
+    )
+
+
+def user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: weekly distinct-user estimates computed by UNIONING
+    the daily HLL sketch table (never re-touching events), side by side
+    with the exact weekly countDistinct and the identity check that the
+    merged estimate equals a directly-built weekly sketch's estimate.
+
+    rows-only: the Datasketches HLL estimate has no DuckDB twin; the
+    merge-identity column makes the check self-verifying (true on every
+    row), and the pytest bounds the estimate error vs exact.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    daily = hll_daily_sketches(ev, "day", "user_id")
+    week = (F.floor(F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")) / 7)).cast("int")
+    merged = hll_rollup(daily, week.alias("week"))
+    direct = ev.groupBy(week.alias("week")).agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("user_id"), F.lit(12))
+        ).alias("direct_est"),
+        F.countDistinct("user_id").alias("exact_distinct"),
+    )
+    return (
+        merged.join(direct, "week")
+        .select(
+            "week",
+            "est_distinct",
+            "exact_distinct",
+            (F.col("est_distinct") == F.col("direct_est")).alias("merge_identity"),
+        )
+        .orderBy("week")
+    )
+
+
 QUERIES = {
     "user_overlap_exact": user_overlap_exact,
     "kmv_user_overlap": kmv_user_overlap,
+    "user_sketch_rollup": user_sketch_rollup,
 }
 
 

@@ -1282,3 +1282,178 @@ def _ccf_oracle_sql(max_lag: int = CCF_MAX_LAG) -> str:
 
 QUERIES["click_purchase_ccf"] = click_purchase_ccf
 ORACLE_SQL["click_purchase_ccf"] = _ccf_oracle_sql()
+
+
+# ---- distributed time-series similarity search ------------------------
+#
+# The data-series search shape (Odyssey VLDB'23 / REPOSE ICDE'21,
+# public): candidate GENERATION through a lower-bounding summary (PAA —
+# piecewise aggregate approximation), then exact VERIFICATION only of
+# series the bound cannot prune.  All arithmetic is exact integers
+# (cent-quantized daily sums), so distances are engine-reproducible and
+# pruning is provably lossless:
+#
+#   dist(a, b)    = sum_d (a_d - b_d)^2           over n_days buckets
+#   lb_paa(a, b)  = w * sum_s (A_s - B_s)^2 / w^2 ... using SUM-PAA:
+#
+# with A_s = sum of a over segment s (w days), Cauchy-Schwarz gives
+# sum_{d in s} (a_d - b_d)^2 >= (A_s - B_s)^2 / w, so
+# LB = ceil(sum_s (A_s - B_s)^2 / w) <= dist — an integer lower bound.
+
+SERIES_DAYS = 28          # aligned 4-week window from the epoch
+SERIES_SEGMENTS = 7       # PAA segments (4 days each)
+SERIES_TOP_K = 10
+
+
+def _daily_series(
+    df: DataFrame,
+    id_col: str,
+    t_col: str,
+    v_col: str,
+    n_days: int,
+) -> DataFrame:
+    """(id, s: array<bigint>) — cent-quantized per-day sums aligned to
+    days [0, n_days) from the epoch, zero-filled.  One shuffle on the
+    id; the dense array comes from a map lookup over the day sequence
+    (no pivot, no per-day columns)."""
+    daily = (
+        df.select(
+            F.col(id_col).alias("sid"),
+            F.datediff(F.to_date(t_col), F.lit(_WEEK_EPOCH).cast("date")).alias("d"),
+            F.expr(f"CAST(floor({v_col} * 100) AS BIGINT)").alias("cents"),
+        )
+        .where((F.col("d") >= 0) & (F.col("d") < n_days))
+        .groupBy("sid", "d")
+        .agg(F.sum("cents").alias("c"))
+    )
+    return (
+        daily.groupBy("sid")
+        .agg(F.map_from_entries(F.collect_list(F.struct("d", "c"))).alias("m"))
+        .select(
+            "sid",
+            F.expr(
+                f"transform(sequence(0, {n_days - 1}),"
+                " d -> coalesce(element_at(m, d), CAST(0 AS BIGINT)))"
+            ).alias("s"),
+        )
+    )
+
+
+def series_topk_similarity(
+    df: DataFrame,
+    id_col: str,
+    t_col: str,
+    v_col: str,
+    query_id: int,
+    k: int = SERIES_TOP_K,
+    n_days: int = SERIES_DAYS,
+    n_segments: int = SERIES_SEGMENTS,
+    refine_m: int = 64,
+) -> DataFrame:
+    """Top-k most-similar series to ``query_id``'s, LOSSLESS two-stage:
+
+    1. broadcast the query series; compute every candidate's integer
+       PAA lower bound (cheap: n_segments adds per row);
+    2. refine the ``refine_m`` smallest bounds exactly -> threshold
+       sigma = k-th smallest exact distance seen;
+    3. refine every remaining candidate whose bound is <= sigma (the
+       bound is a true lower bound, so anything pruned cannot beat the
+       k-th result — exactness holds for any refine_m >= k).
+
+    At 100 TB stage 1 touches each series once with no shuffle (query
+    broadcast); stages 2+3 refine a bound-limited candidate set.
+    Returns (id, dist) = exact integer squared cent distance, ascending
+    (ties by id).
+    """
+    w = n_days // n_segments
+    series = _daily_series(df, id_col, t_col, v_col, n_days).localCheckpoint()
+    qrow = F.broadcast(
+        series.where(F.col("sid") == query_id).select(F.col("s").alias("qs"))
+    )
+    paa = (
+        f"transform(sequence(0, {n_segments - 1}),"
+        f" g -> aggregate(slice({{0}}, g * {w} + 1, {w}),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x))"
+    )
+    lb_expr = (
+        f"CAST(ceil(aggregate(zip_with({paa.format('s')}, {paa.format('qs')},"
+        " (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT),"
+        f" (acc, x) -> acc + x) / {w}.0) AS BIGINT)"
+    )
+    dist_expr = (
+        "aggregate(zip_with(s, qs, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    cand = (
+        series.where(F.col("sid") != query_id)
+        .crossJoin(qrow)
+        .select("sid", "s", "qs", F.expr(lb_expr).alias("lb"))
+        .localCheckpoint()  # bounds reused by both refine passes
+    )
+    seed = (
+        cand.orderBy(F.asc("lb"), F.asc("sid"))
+        .limit(refine_m)
+        .select("sid", F.expr(dist_expr).alias("dist"))
+        .orderBy(F.asc("dist"), F.asc("sid"))
+        .limit(k)
+    )
+    sigma_df = F.broadcast(seed.agg(F.max("dist").alias("sigma")))
+    survivors = (
+        cand.crossJoin(sigma_df)
+        .where(F.col("lb") <= F.col("sigma"))
+        .select("sid", F.expr(dist_expr).alias("dist"))
+    )
+    return (
+        survivors.orderBy(F.asc("dist"), F.asc("sid"))
+        .limit(k)
+        .select(F.col("sid").alias(id_col), "dist")
+    )
+
+
+def user_series_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the 10 users whose 4-week daily purchase-revenue
+    shape is closest to user 0's (exact integer squared cent
+    distance)."""
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    return series_topk_similarity(ev, "user_id", "ts", "value", query_id=0)
+
+
+def _series_topk_oracle_sql() -> str:
+    """Independent exact algorithm: brute-force distance over the same
+    aligned series — no PAA, no pruning — so the oracle also PROVES the
+    two-stage bound is lossless at sf0.01."""
+    n, k = SERIES_DAYS, SERIES_TOP_K
+    return f"""
+        WITH daily AS (
+            SELECT user_id AS sid,
+                   date_diff('day', DATE '{_WEEK_EPOCH}', CAST(ts AS DATE)) AS d,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS c
+            FROM events
+            WHERE event_type = 'purchase'
+              AND date_diff('day', DATE '{_WEEK_EPOCH}', CAST(ts AS DATE)) >= 0
+              AND date_diff('day', DATE '{_WEEK_EPOCH}', CAST(ts AS DATE)) < {n}
+            GROUP BY 1, 2
+        ), m AS (
+            SELECT sid, map_from_entries(list(row(d, c))) AS mp FROM daily GROUP BY sid
+        ), series AS (
+            SELECT sid,
+                   list_transform(range(0, {n}),
+                       d -> coalesce(map_extract(mp, d)[1], CAST(0 AS BIGINT))) AS s
+            FROM m
+        ), q AS (
+            SELECT s AS qs FROM series WHERE sid = 0
+        )
+        SELECT c.sid AS user_id,
+               CAST(list_sum(list_transform(range(1, {n} + 1),
+                    i -> (c.s[i] - q.qs[i]) * (c.s[i] - q.qs[i]))) AS BIGINT) AS dist
+        FROM series c, q
+        WHERE c.sid != 0
+        ORDER BY dist ASC, user_id ASC
+        LIMIT {k}
+    """
+
+
+QUERIES["user_series_topk"] = user_series_topk
+ORACLE_SQL["user_series_topk"] = _series_topk_oracle_sql()

@@ -39,6 +39,7 @@ def test_every_query_declared(spark):
     rows_only_prefixes = (
         "ml_", "stream_", "ann_pq", "multimodal", "encoderizer", "approx_",
         "heavy_hitters_cms", "kmv_", "order_percentiles_approx", "pack_chunks",
+        "user_sketch_rollup",
         "corpus_pipeline", "dedup_semantic", "embedding_pca",
         "bpe_merge_table", "part_kcore", "markov_attribution",
     )

@@ -241,3 +241,18 @@ def test_markov_removal_effect_shared_path(spark):
     )
     assert out["a"][0] == 1.0 and out["b"][0] == 1.0
     assert abs(out["a"][1] - 0.5) < 1e-9 and abs(out["b"][1] - 0.5) < 1e-9
+
+
+def test_hll_sketch_rollup_identity_and_error(spark):
+    """Sketch-table rollup: weekly estimates from UNIONED daily HLL
+    sketches must equal a directly-built weekly sketch bit-for-bit
+    (merge identity) and sit within 5% of exact distinct counts."""
+    from skdist_spark.operators.sketches import QUERIES
+
+    out = QUERIES["user_sketch_rollup"](spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    assert all(r.merge_identity for r in out)
+    for r in out:
+        assert abs(r.est_distinct - r.exact_distinct) <= max(
+            0.05 * r.exact_distinct, 2
+        )

@@ -176,3 +176,43 @@ def test_mann_whitney_matches_manual(spark):
     assert out["n_a"] == n_a
     assert abs(out["u_a"] - u_a) < 1e-9
     assert abs(out["z"]) < 10  # sanity: finite, reasonable
+
+
+def test_series_topk_lossless_vs_bruteforce(spark):
+    """The PAA two-stage prune must return EXACTLY the brute-force
+    top-k even with refine_m at its k minimum (the bound-threshold
+    pass must rescue everything the seed pass missed)."""
+    from pyspark.sql import functions as F
+
+    from skdist_spark.operators.tsa import series_topk_similarity
+
+    # 40 users x 28 days of crafted values: user u's day-d value is a
+    # sinusoid-ish integer pattern; close ids have close shapes
+    rows = []
+    for u in range(40):
+        for d in range(28):
+            rows.append((u, f"2024-01-{d + 1:02d} 12:00:00",
+                         float((u * 7 + d * 3) % 50 + (u % 5) * d)))
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    pruned = series_topk_similarity(
+        df, "user_id", "ts", "value", query_id=0, k=5, refine_m=5
+    ).collect()
+    wide = series_topk_similarity(
+        df, "user_id", "ts", "value", query_id=0, k=5, refine_m=1000
+    ).collect()
+    # refine_m=1000 refines everything -> brute force
+    assert [(r.user_id, r.dist) for r in pruned] == [
+        (r.user_id, r.dist) for r in wide
+    ]
+    assert len(pruned) == 5
+    dists = [r.dist for r in pruned]
+    assert dists == sorted(dists)
+    # partition invariance: exact integers, any layout
+    repart = series_topk_similarity(
+        df.repartition(7), "user_id", "ts", "value", query_id=0, k=5, refine_m=5
+    ).collect()
+    assert [(r.user_id, r.dist) for r in repart] == [
+        (r.user_id, r.dist) for r in pruned
+    ]
