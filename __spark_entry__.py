@@ -75,7 +75,7 @@ _PRIORITY = [
     # -- ROUND-4 QUEUE (past the 50-entry cap; all locally green) --
     # new round-3 oracle-backed ops, queued first for the next sweep
     "dedup_remove_spans", "text_blocklist", "text_keyword_tags",
-    "events_json_variant", "user_series_topk",
+    "events_json_variant", "user_series_topk", "part_entity_resolution",
     "weighted_price_percentiles",
     "user_funnel_patterns", "weekly_revenue_forecast_hw", "cohort_ltv",
     "zipf_fit", "text_readability", "daily_revenue_acf",

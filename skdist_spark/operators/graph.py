@@ -40,15 +40,54 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 25,
+    local_finish_edges: int = 500_000,
 ) -> DataFrame:
     """Return (node, cluster_id) where cluster_id = min node id in the
     connected component. Nodes are those appearing in ``edges``.
+
+    Label propagation costs one join round per unit of component
+    diameter — pure Spark-job latency on the small pair graphs the
+    dedup/ER queries produce.  When the (symmetrized, distinct) edge
+    set fits ``local_finish_edges`` (bounded driver state, same
+    contract as the ml fit bounds and k_core), the exact answer comes
+    from one driver-side union-find instead; larger graphs take the
+    distributed rounds unchanged (or `connected_components_star` for
+    long chains).  Pass ``local_finish_edges=0`` to force the
+    distributed path — the tests run both on the same crafted graphs.
     """
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = und.union(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
     und = und.localCheckpoint()
+    if 0 < und.count() <= 2 * local_finish_edges:
+        from pyspark.sql.types import StructField, StructType
+
+        pdf = und.toPandas()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf["a"], pdf["b"]):
+            a = a.item() if hasattr(a, "item") else a
+            b = b.item() if hasattr(b, "item") else b
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = sorted((n, find(n)) for n in parent)
+        node_type = und.schema["a"].dataType
+        schema = StructType(
+            [StructField("node", node_type), StructField("cluster_id", node_type)]
+        )
+        return und.sparkSession.createDataFrame(rows, schema=schema)
     labels = (
         und.select(F.col("a").alias("node"))
         .distinct()

@@ -831,6 +831,70 @@ def fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution as a composition of the audited pieces:
+    blocked fuzzy match (edit distance <= 2 within (type, size)
+    blocks) generates the match graph, connected components merges
+    transitive matches into one entity, and the canonical record is
+    the min partkey per cluster — the dedupe-then-survivorship shape
+    every MDM pipeline runs.  Emits every part that participates in a
+    fuzzy cluster with its entity id, cluster size, and canonical
+    flag.  Scale posture inherits from the parts: candidate pairs are
+    block-bounded and CC label propagation shuffles the pair graph,
+    never part x part.
+    """
+    from ..operators.graph import connected_components
+
+    pairs = fuzzy_part_match(spark, sf_dir)
+    cc = connected_components(pairs, "part_a", "part_b")
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        cc.join(sizes, "cluster_id")
+        .select(
+            F.col("node").alias("p_partkey"),
+            F.col("cluster_id").alias("entity_id"),
+            F.col("n_members").cast("int").alias("n_members"),
+            (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+_ENTITY_RESOLUTION_SQL = """
+    WITH RECURSIVE pairs AS (
+        SELECT a.p_partkey AS part_a, b.p_partkey AS part_b
+        FROM part a JOIN part b
+          ON a.p_type = b.p_type AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+         AND ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= 2
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ),
+    edges AS (
+        SELECT part_a AS a, part_b AS b FROM pairs
+        UNION ALL
+        SELECT part_b AS a, part_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.b AS node, r.lbl
+        FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    cc AS (
+        SELECT node, MIN(lbl) AS entity_id FROM reach GROUP BY node
+    ),
+    sizes AS (
+        SELECT entity_id, COUNT(*) AS n_members FROM cc GROUP BY entity_id
+    )
+    SELECT cc.node AS p_partkey, cc.entity_id,
+           CAST(s.n_members AS INTEGER) AS n_members,
+           cc.node = cc.entity_id AS is_canonical
+    FROM cc JOIN sizes s USING (entity_id)
+    ORDER BY p_partkey
+"""
+
+
 BASKET_MIN_COOC = 2
 BASKET_TOP = 50
 
@@ -930,6 +994,7 @@ ORACLE_SQL: dict[str, str] = {
             CAST((SELECT COUNT(*) FROM (SELECT * FROM c96 EXCEPT SELECT * FROM c97)) AS INTEGER) AS n_only_1996,
             CAST((SELECT COUNT(*) FROM (SELECT * FROM c96 UNION SELECT * FROM c97)) AS INTEGER) AS n_either
     """,
+    "part_entity_resolution": _ENTITY_RESOLUTION_SQL,
     "fuzzy_part_match": """
         SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
                CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
@@ -1412,6 +1477,7 @@ QUERIES = {
     "bloom_semi_sales": bloom_semi_sales,
     "setops_customers": setops_customers,
     "fuzzy_part_match": fuzzy_part_match,
+    "part_entity_resolution": part_entity_resolution,
 }
 
 ORACLE_SQL["supplier_concentration"] = ORACLE_SQL_SUPPLIER_CONCENTRATION

@@ -427,6 +427,21 @@ def test_connected_components_synthetic(spark):
         r.node: r.cluster_id for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    # forced distributed label propagation must agree with the
+    # union-find local finish exactly
+    dist = {
+        r.node: r.cluster_id
+        for r in connected_components(edges, local_finish_edges=0).collect()
+    }
+    assert dist == got
+    # string node ids exercise the schema-preserving local finish
+    sedges = spark.createDataFrame(
+        [("x", "y"), ("y", "z"), ("p", "q")], "src string, dst string"
+    )
+    sgot = {
+        r.node: r.cluster_id for r in connected_components(sedges).collect()
+    }
+    assert sgot == {"x": "x", "y": "x", "z": "x", "p": "p", "q": "p"}
 
 
 def test_kmeans_inertia_decreases_and_covers_all(spark, sf_dir):
