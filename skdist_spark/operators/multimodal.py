@@ -5,15 +5,16 @@ decode / feature-extraction / frame-sampling run as Arrow-batched
 ``mapInPandas`` stages so the expensive Python work streams through
 executors without materializing blobs on the driver.
 
-Pixel-level decode is REAL for uncompressed containers — BMP (24/32-bit
-BI_RGB) and PPM/PGM (P6/P5) parse to true numpy pixel arrays with no
-codec library, and resize/feature-extract operate on those actual
-pixels (nearest-neighbor resample, luminance histograms), re-encoding
-to P6/P5 so stages compose. Compressed codecs (PNG/JPEG/GIF pixel
-data, MP3/ogg) still need PIL/librosa/ffmpeg, which are NOT in this
-container, so for those ``decode`` falls back to a clearly-marked
-deterministic stub (byte-histogram "signal"); container HEADERS
-(dimensions, sample rates) are parsed for real either way. The
+Pixel-level decode is REAL for BMP (24/32-bit BI_RGB), PPM/PGM
+(P6/P5), and PNG (8-bit gray/RGB/palette/gray-alpha/RGBA,
+non-interlaced — stdlib zlib inflate + scanline unfiltering, no codec
+library), and resize/feature-extract operate on those actual pixels
+(nearest-neighbor resample, luminance histograms), re-encoding to
+P6/P5 so stages compose. Lossy/exotic codecs (JPEG/GIF pixel data,
+16-bit or Adam7 PNG, MP3/ogg) still need PIL/librosa/ffmpeg, which are
+NOT in this container, so for those ``decode`` falls back to a
+clearly-marked deterministic stub (byte-histogram "signal"); container
+HEADERS (dimensions, sample rates) are parsed for real either way. The
 Spark-side contract — schema, batching, partitioning, UDF signatures —
 is identical across both paths.
 """
@@ -68,9 +69,11 @@ def _decode_stub(payload: bytes) -> np.ndarray:
 
 
 def decode_pixels(b: bytes):
-    """(format, pixels HxWxC uint8) for BMP/PPM/PGM payloads, or
-    (None, None) when the container is compressed/unrecognized —
-    callers fall back to the stub path on None."""
+    """(format, pixels HxWxC uint8) for BMP/PPM/PGM/PNG payloads, or
+    (None, None) when the container is unsupported (lossy codecs,
+    16-bit or interlaced PNG) — callers fall back to the stub path on
+    None.  PNG decode is real: stdlib zlib inflate + scanline
+    unfiltering, see decode_png_pixels."""
     import struct
 
     if b[:2] == b"BM" and len(b) >= 54:
@@ -124,6 +127,10 @@ def decode_pixels(b: bytes):
             return None, None
         px = np.frombuffer(b, dtype=np.uint8, count=w * h * ch, offset=i)
         return ("ppm" if ch == 3 else "pgm"), px.reshape(h, w, ch)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        px = decode_png_pixels(b)
+        if px is not None:
+            return "png", px
     return None, None
 
 
@@ -156,6 +163,139 @@ def resize_nearest(pixels: np.ndarray, tw: int, th: int) -> np.ndarray:
     ys = (np.arange(th) * h) // th
     xs = (np.arange(tw) * w) // tw
     return np.ascontiguousarray(pixels[ys][:, xs])
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color_type -> samples/px
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline PNG filters (0 None, 1 Sub, 2 Up,
+    3 Average, 4 Paeth).  Sub/Up vectorize; Average/Paeth walk the
+    row (they depend on the just-reconstructed left neighbor)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = int(raw[pos])
+        row = raw[pos + 1 : pos + 1 + stride].astype(np.int32)
+        pos += 1 + stride
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if ftype == 0:
+            rec = row
+        elif ftype == 1:  # Sub: cumsum per bpp lane
+            rec = row.copy()
+            for i in range(bpp, stride):
+                rec[i] = (rec[i] + rec[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            rec = (row + prev) & 0xFF
+        elif ftype == 3:  # Average
+            rec = row.copy()
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (rec[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            rec = row.copy()
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (rec[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = rec.astype(np.uint8)
+    return out
+
+
+def decode_png_pixels(b: bytes):
+    """REAL PNG decode in pure numpy + stdlib zlib: 8-bit depth,
+    gray / RGB / palette / gray-alpha / RGBA, non-interlaced.
+    Returns an HxWxC uint8 array or None (interlaced, 16-bit, or
+    malformed payloads fall back to the metadata-only path)."""
+    import struct
+    import zlib
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, n = 8, len(b)
+    w = h = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    plte = None
+    while pos + 8 <= n:
+        (clen,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + clen]
+        pos += 12 + clen  # len + type + data + crc
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if (
+        w is None
+        or bit_depth != 8
+        or interlace != 0
+        or color_type not in _PNG_CHANNELS
+        or (color_type == 3 and plte is None)
+    ):
+        return None
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    try:
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    except zlib.error:
+        return None
+    if raw.size != h * (stride + 1):
+        return None
+    px = _png_unfilter(raw, h, stride, ch).reshape(h, w, ch)
+    if color_type == 3:
+        px = plte[px[..., 0]]  # palette lookup -> HxWx3
+    return np.ascontiguousarray(px)
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG encoder (8-bit gray/RGB/RGBA, filter 0 or 2) — the
+    round-trip partner for decode_png_pixels and a crafted-bytes
+    source for filter coverage tests."""
+    import struct
+    import zlib
+
+    h, w, ch = pixels.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    rows = bytearray()
+    prev = np.zeros((w, ch), dtype=np.int32)
+    for y in range(h):
+        cur = pixels[y].astype(np.int32)
+        if filter_type == 2 and y > 0:
+            rows.append(2)
+            rows.extend(((cur - prev) & 0xFF).astype(np.uint8).tobytes())
+        else:
+            rows.append(0)
+            rows.extend(cur.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(rows)))
+        + chunk(b"IEND", b"")
+    )
 
 
 def encode_bmp(pixels: np.ndarray) -> bytes:

@@ -1257,6 +1257,77 @@ def test_pixel_codecs_roundtrip_pure():
     assert np.array_equal(small[..., 0], np.array([[255, 255], [255, 255]]))
 
 
+def test_png_decode_real_pixels():
+    """PNG decode is REAL: zlib-inflated IDAT + scanline unfiltering.
+    Filters Sub/Up/Average/Paeth are checked against hand-computed
+    reconstructions; encoder round-trips cover gray/RGB/RGBA/palette."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from skdist_spark.operators.multimodal import (
+        decode_pixels, decode_png_pixels, encode_png,
+    )
+
+    def png(w, h, color_type, raw_rows, extra=b""):
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + extra
+            + chunk(b"IDAT", zlib.compress(bytes(raw_rows))) + chunk(b"IEND", b"")
+        )
+
+    # Sub filter (grayscale 4x1): raw [1,10,5,3] -> cumsum [1,11,16,19]
+    px = decode_png_pixels(png(4, 1, 0, bytes([1, 1, 10, 5, 3])))
+    assert px[..., 0].tolist() == [[1, 11, 16, 19]]
+    # Up filter: row2 = row1 + raw
+    px = decode_png_pixels(
+        png(4, 2, 0, bytes([0, 10, 20, 30, 40]) + bytes([2, 1, 1, 1, 1]))
+    )
+    assert px[..., 0].tolist() == [[10, 20, 30, 40], [11, 21, 31, 41]]
+    # Average filter: rec[i] = raw + (left + up)//2
+    px = decode_png_pixels(
+        png(4, 2, 0, bytes([0, 10, 20, 30, 40]) + bytes([3, 5, 5, 5, 5]))
+    )
+    assert px[..., 0].tolist() == [[10, 20, 30, 40], [10, 20, 30, 40]]
+    # Paeth filter, hand-walked predictor
+    px = decode_png_pixels(
+        png(4, 2, 0, bytes([0, 10, 20, 30, 40]) + bytes([4, 1, 2, 3, 4]))
+    )
+    assert px[..., 0].tolist() == [[10, 20, 30, 40], [11, 22, 33, 44]]
+    # palette (color_type 3): indices look up PLTE triples
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+    px = decode_png_pixels(
+        png(3, 1, 3, bytes([0, 0, 1, 2]), extra=chunk(b"PLTE", plte))
+    )
+    assert px.tolist() == [[[255, 0, 0], [0, 255, 0], [0, 0, 255]]]
+    # encoder round-trips, both filters, all channel counts
+    rng = np.random.default_rng(3)
+    for ch in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(5, 7, ch), dtype=np.uint8)
+        for ft in (0, 2):
+            back = decode_png_pixels(encode_png(img, filter_type=ft))
+            assert np.array_equal(back, img), (ch, ft)
+    # decode_pixels integration: PNG now yields real pixels
+    fmt, back = decode_pixels(encode_png(rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)))
+    assert fmt == "png" and back.shape == (4, 4, 3)
+    # 16-bit / interlaced / truncated still refuse cleanly
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    bad = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16) + chunk(b"IEND", b"")
+    assert decode_png_pixels(bad) is None
+    assert decode_pixels(b"\x89PNG\r\n\x1a\nXXXX") == (None, None)
+
+
 def test_resize_images_true_pixels(spark):
     """resize_images produces the EXACT nearest-neighbor raster (checked
     value-for-value after re-decoding its P6 output); compressed/junk
