@@ -1382,6 +1382,85 @@ def test_extract_features_real_pixels_vs_stub(spark):
     assert abs(sum(got[2].features) - 1.0) < 1e-12 and got[2].features[8] == 0
 
 
+def test_audio_features_real_pcm(spark):
+    """audio_features computes TRUE signal statistics: a full-scale
+    440 Hz sine has RMS ~1/sqrt(2) and ZCR ~2*f/rate per window;
+    silence has RMS 0; non-PCM payloads yield no rows."""
+    import numpy as np
+
+    from skdist_spark.operators.multimodal import (
+        decode_wav_pcm, encode_wav_pcm16,
+    )
+    from skdist_spark.operators.multimodal import audio_features
+
+    rate = 8000
+    t = np.arange(rate) / rate  # 1 second
+    sine = np.sin(2 * np.pi * 440 * t).reshape(-1, 1)
+    silence = np.zeros((rate // 2, 1))
+    wav_sine = encode_wav_pcm16(sine, rate)
+    wav_silence = encode_wav_pcm16(silence, rate)
+    # pure round trip first
+    r, back = decode_wav_pcm(wav_sine)
+    assert r == rate and back.shape == (rate, 1)
+    assert float(np.abs(back[:, 0] - sine[:, 0]).max()) < 1e-4  # 16-bit quant
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(wav_sine)),
+            (2, bytearray(wav_silence)),
+            (3, bytearray(b"not audio at all")),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = audio_features(df).collect()
+    by_doc = {}
+    for row in out:
+        by_doc.setdefault(row.doc_id, []).append(row)
+    assert 3 not in by_doc  # junk refused, no fake rows
+    # 1s at 100ms windows -> 10 windows
+    assert len(by_doc[1]) == 10
+    for row in by_doc[1]:
+        assert abs(row.rms - 1 / np.sqrt(2)) < 0.01
+        assert abs(row.zcr - 2 * 440 / rate) < 0.02
+    assert all(row.rms == 0.0 for row in by_doc[2])
+
+
+def test_video_keyframes_real_y4m(spark):
+    """video_keyframes extracts REAL luma frames from Y4M: crafted
+    frames with known mean luma round-trip exactly, the sampled
+    indices span the clip, and the inter-frame MAD matches the
+    constructed luma steps."""
+    import hashlib
+
+    import numpy as np
+
+    from skdist_spark.operators.multimodal import (
+        decode_y4m_frames, encode_y4m, video_keyframes,
+    )
+
+    w, h = 16, 8
+    frames = [np.full((h, w), 10 * (i + 1), dtype=np.uint8) for i in range(7)]
+    clip = encode_y4m(frames, w, h)
+    dw, dh, back = decode_y4m_frames(clip)
+    assert (dw, dh, len(back)) == (w, h, 7)
+    assert all(np.array_equal(a, b) for a, b in zip(back, frames))
+
+    df = spark.createDataFrame(
+        [(1, bytearray(clip)), (2, bytearray(b"mp4 junk"))],
+        "doc_id long, payload binary",
+    )
+    out = [r for r in video_keyframes(df, n_frames=4).collect() if r.doc_id == 1]
+    assert [r.frame_idx for r in out] == [0, 2, 4, 6]
+    for r in out:
+        assert (r.width, r.height) == (w, h)
+        assert r.mean_luma == 10.0 * (r.frame_idx + 1)
+        assert r.frame_md5 == hashlib.md5(frames[r.frame_idx].tobytes()).hexdigest()
+    # constant-luma steps of 20 between sampled frames
+    assert out[0].mad_prev is None
+    assert all(r.mad_prev == 20.0 for r in out[1:])
+    assert not [r for r in video_keyframes(df).collect() if r.doc_id == 2]
+
+
 def test_multimodal_pixels_query_runs(spark):
     from skdist_spark.operators.multimodal import multimodal_pixels
 
