@@ -122,6 +122,85 @@ def funnel(
     ).orderBy("step_idx")
 
 
+FUNNEL_WINDOW_S = 86_400  # whole journey within 24h of step 1
+
+
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel: the same signup -> click -> purchase
+    journey, but every later step must land within FUNNEL_WINDOW_S of
+    the user's first signup — the conversion-window toggle every
+    product-analytics funnel offers.  Exercises the generic `funnel`
+    API's ``within_s`` path (one user_id exchange, stacked Window
+    nodes, no self-joins)."""
+    ev = load_table(spark, "events", sf_dir)
+    return funnel(ev, list(FUNNEL_STEPS), within_s=FUNNEL_WINDOW_S)
+
+
+def balance_with_floor(
+    df: DataFrame,
+    id_col: str,
+    order_cols: "list[str]",
+    delta_col: str,
+) -> DataFrame:
+    """Running balance clamped at zero — the inventory / prepaid-credit
+    shape (stock can't go negative; a drain against an empty balance is
+    lost, not borrowed).
+
+    The clamp looks sequential (bal_t = max(0, bal_{t-1} + d_t)) but
+    has the closed form  bal_t = S_t - min(0, min_{j<=t} S_j)  over
+    the raw prefix sums S — so it runs as TWO stacked window
+    aggregates on one ordered exchange instead of a per-row fold, and
+    the identical SQL is the oracle.  Emits one row per input row:
+    (id, *order_cols, delta, balance) in order.
+    """
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("_s", F.sum(delta_col).over(w)).withColumn(
+        "balance", F.col("_s") - F.least(F.min("_s").over(w), F.lit(0))
+    )
+    return out.drop("_s")
+
+
+def user_balance_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: per-user prepaid-credit accounting — purchases
+    top up by the event value, views drain it, clamped at zero.
+    Reports each user's final and peak balance (exact cents) and how
+    many drains hit the empty-balance floor."""
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    deltas = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(
+            "CASE WHEN event_type = 'purchase'"
+            " THEN CAST(floor(value * 100) AS BIGINT)"
+            " ELSE -CAST(floor(value * 100) AS BIGINT) END"
+        ).alias("delta_cents"),
+    )
+    bal = balance_with_floor(deltas, "user_id", ["ts", "event_id"], "delta_cents")
+    return (
+        bal.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_moves"),
+            F.max_by("balance", F.struct("ts", "event_id")).alias(
+                "final_balance_cents"
+            ),
+            F.max("balance").alias("peak_balance_cents"),
+            F.sum(
+                F.when(
+                    (F.col("balance") == 0) & (F.col("delta_cents") < 0), 1
+                ).otherwise(0)
+            ).alias("n_floor_hits"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users bucketed by the week of their
     first event; for each (cohort_week, week_offset) the count of
@@ -506,6 +585,61 @@ ORACLE_SQL: dict[str, str] = {
                COUNT(t2) AS n_signup_click,
                COUNT(t3) AS n_full_funnel
         FROM per_user
+    """,
+    "events_funnel_windowed": f"""
+        WITH w1 AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us,
+                 MIN(CASE WHEN event_type = '{_S1}' THEN epoch_us(ts) END)
+                     OVER (PARTITION BY user_id) AS s1
+          FROM events),
+        w2 AS (
+          SELECT *, MIN(CASE WHEN event_type = '{_S2}' AND us > s1
+                             AND us <= s1 + {86_400 * 1_000_000} THEN us END)
+                        OVER (PARTITION BY user_id) AS s2
+          FROM w1),
+        w3 AS (
+          SELECT *, MIN(CASE WHEN event_type = '{_S3}' AND us > s2
+                             AND us <= s1 + {86_400 * 1_000_000} THEN us END)
+                        OVER (PARTITION BY user_id) AS s3
+          FROM w2),
+        per_user AS (
+          SELECT user_id, MAX(s1) AS s1, MAX(s2) AS s2, MAX(s3) AS s3
+          FROM w3 GROUP BY user_id),
+        counts AS (
+          SELECT COUNT(*) AS n0, COUNT(s1) AS n1, COUNT(s2) AS n2,
+                 COUNT(s3) AS n3
+          FROM per_user)
+        SELECT step_idx, step_name, n_completed FROM (
+          SELECT 0 AS step_idx, '(all)' AS step_name, n0 AS n_completed FROM counts
+          UNION ALL SELECT 1, '{_S1}', n1 FROM counts
+          UNION ALL SELECT 2, '{_S2}', n2 FROM counts
+          UNION ALL SELECT 3, '{_S3}', n3 FROM counts)
+        ORDER BY step_idx
+    """,
+    "user_balance_resets": """
+        WITH deltas AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(value * 100) AS BIGINT)
+                      ELSE -CAST(floor(value * 100) AS BIGINT) END AS delta_cents
+          FROM events WHERE event_type IN ('purchase', 'view')),
+        s AS (
+          SELECT *, SUM(delta_cents) OVER w AS run
+          FROM deltas
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING)),
+        b AS (
+          SELECT *, run - LEAST(MIN(run) OVER w, 0) AS balance
+          FROM s
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING))
+        SELECT user_id, COUNT(*) AS n_moves,
+               CAST(FIRST(balance ORDER BY ts DESC, event_id DESC) AS BIGINT)
+                   AS final_balance_cents,
+               CAST(MAX(balance) AS BIGINT) AS peak_balance_cents,
+               CAST(SUM(CASE WHEN balance = 0 AND delta_cents < 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_floor_hits
+        FROM b GROUP BY user_id ORDER BY user_id
     """,
     "user_retention": f"""
         WITH firsts AS (
@@ -1137,6 +1271,8 @@ QUERIES = {
     "events_at_tier": events_at_tier,
     "time_to_first_purchase": time_to_first_purchase,
     "events_funnel": events_funnel,
+    "events_funnel_windowed": events_funnel_windowed,
+    "user_balance_resets": user_balance_resets,
     "user_retention": user_retention,
     "daily_gapfill": daily_gapfill,
     "sample_events_per_user": sample_events_per_user,

@@ -338,3 +338,25 @@ def test_generic_scd2_history(spark):
     assert by_acct[1][1][1:] == (us(20), us(40), False)
     assert by_acct[1][2][1:] == (us(40), None, True)
     assert by_acct[2] == [("silver", us(5), None, True)]
+
+
+def test_balance_with_floor_matches_sequential_fold(spark):
+    """The window identity bal_t = S_t - min(0, running_min(S)) must
+    equal the naive sequential clamp max(0, prev + delta) row by row,
+    including deep-negative runs and leading drains."""
+    from skdist_spark.plans.behavior import balance_with_floor
+
+    deltas = [5, -10, 3, -1, -4, 8, -2, -100, 7]
+    rows = [(1, i, d) for i, d in enumerate(deltas)]
+    # second id: all-negative then recovery
+    rows += [(2, i, d) for i, d in enumerate([-5, -5, 4, -1, 10])]
+    df = spark.createDataFrame(rows, "uid long, seq long, delta long")
+    got = {
+        (r.uid, r.seq): r.balance
+        for r in balance_with_floor(df, "uid", ["seq"], "delta").collect()
+    }
+    for uid in (1, 2):
+        bal = 0
+        for i, d in enumerate([d for u, _, d in rows if u == uid]):
+            bal = max(0, bal + d)
+            assert got[(uid, i)] == bal, (uid, i)
