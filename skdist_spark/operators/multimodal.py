@@ -131,6 +131,10 @@ def decode_pixels(b: bytes):
         px = decode_png_pixels(b)
         if px is not None:
             return "png", px
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        _, _, frames = decode_gif_frames(b, max_frames=1)
+        if frames:
+            return "gif", frames[0]
     return None, None
 
 
@@ -989,3 +993,196 @@ def multimodal_av(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["multimodal_av"] = multimodal_av
+
+
+# ---------------------------------------------------------------------------
+# REAL GIF decode: LZW decompression + palette lookup in pure Python/
+# numpy (GIF is lossless — only the LZW coding stands between the
+# bytes and true pixels).  Non-interlaced, full-frame images; animated
+# GIFs yield every frame.
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int):
+    """Standard GIF LZW: LSB-first variable-width codes, dictionary
+    grows to 12 bits, clear code resets."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    out = bytearray()
+    prev = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while len(out) < n_pixels:
+        if bitpos + code_size > total_bits:
+            break
+        code = 0
+        for i in range(code_size):
+            if (data[(bitpos + i) >> 3] >> ((bitpos + i) & 7)) & 1:
+                code |= 1 << i
+        bitpos += code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and (code < clear or len(table[code]) > 0):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            return None  # corrupt stream
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    if len(out) < n_pixels:
+        return None
+    return bytes(out[:n_pixels])
+
+
+def decode_gif_frames(b: bytes, max_frames: int | None = None):
+    """(width, height, [RGB frames HxWx3 uint8]) for non-interlaced
+    full-frame GIF87a/89a payloads (animated GIFs yield each frame),
+    or (None, None, None) for interlaced/partial-frame/corrupt
+    payloads."""
+    import struct
+
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        return None, None, None
+    w, h = struct.unpack("<HH", b[6:10])
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+    frames = []
+    while pos < len(b):
+        marker = b[pos]
+        if marker == 0x3B:  # trailer
+            break
+        if marker == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if marker != 0x2C:
+            return None, None, None
+        left, top, fw, fh = struct.unpack("<HHHH", b[pos + 1 : pos + 9])
+        ipacked = b[pos + 9]
+        pos += 10
+        table = gct
+        if ipacked & 0x80:  # local color table
+            n = 2 << (ipacked & 0x07)
+            table = np.frombuffer(b, np.uint8, n * 3, pos).reshape(-1, 3)
+            pos += n * 3
+        if ipacked & 0x40 or (left, top, fw, fh) != (0, 0, w, h) or table is None:
+            return None, None, None  # interlaced / partial-frame: unsupported
+        min_code = b[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(b) and b[pos] != 0:
+            lzw.extend(b[pos + 1 : pos + 1 + b[pos]])
+            pos += 1 + b[pos]
+        pos += 1
+        idx = _gif_lzw_decode(min_code, bytes(lzw), w * h)
+        if idx is None:
+            return None, None, None
+        arr = np.frombuffer(idx, np.uint8).reshape(h, w)
+        if int(arr.max()) >= len(table):
+            return None, None, None
+        frames.append(np.ascontiguousarray(table[arr]))
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    if not frames:
+        return None, None, None
+    return w, h, frames
+
+
+def _gif_lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    """Standard GIF LZW encoder (dictionary growth to 12 bits, clear
+    on overflow) — exercises the decoder's growth path for real."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out_bits = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code, size):
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out_bits.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    code_size = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear, code_size)
+    cur = b""
+    for byte in indices:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], code_size)
+        if next_code < 4096:
+            table[nxt] = next_code
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+            next_code += 1
+        else:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            code_size = min_code_size + 1
+            next_code = end + 1
+        cur = nxt[-1:]
+    if cur:
+        emit(table[cur], code_size)
+    emit(end, code_size)
+    if nbits:
+        out_bits.append(bitbuf & 0xFF)
+    return bytes(out_bits)
+
+
+def encode_gif(frames, palette: np.ndarray) -> bytes:
+    """GIF89a encoding of index frames (each HxW uint8 into
+    ``palette`` (Px3, P a power of two >= 2)) — the crafted source for
+    the decode round trips, including animation."""
+    import struct
+
+    h, w = np.asarray(frames[0]).shape
+    p = len(palette)
+    depth = max((p - 1).bit_length(), 1)
+    out = bytearray(b"GIF89a")
+    out.extend(struct.pack("<HH", w, h))
+    out.append(0x80 | (depth - 1))  # GCT present, size 2^depth
+    out.extend(b"\x00\x00")
+    pal = np.zeros(((1 << depth), 3), np.uint8)
+    pal[:p] = palette
+    out.extend(pal.tobytes())
+    min_code = max(depth, 2)
+    for f in frames:
+        out.append(0x2C)
+        out.extend(struct.pack("<HHHH", 0, 0, w, h))
+        out.append(0)  # no LCT, not interlaced
+        out.append(min_code)
+        lzw = _gif_lzw_encode(min_code, np.asarray(f, np.uint8).tobytes())
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out.extend(chunk)
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)

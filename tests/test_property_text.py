@@ -255,3 +255,37 @@ def test_dedup_lines_max_df_threshold(spark):
     assert out3 == {1: 0, 2: 0, 3: 0}
     out2 = {r["doc_id"]: r["n_lines_dropped"] for r in dedup_lines(df, max_df=2).collect()}
     assert out2 == {1: 1, 2: 1, 3: 1}
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=12),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_balance_floor_identity_property(spark, per_user_deltas):
+    """Property: the running-min window identity equals the sequential
+    clamp for arbitrary signed delta sequences."""
+    from skdist_spark.plans.behavior import balance_with_floor
+
+    rows = [
+        (uid, seq, d)
+        for uid, deltas in enumerate(per_user_deltas)
+        for seq, d in enumerate(deltas)
+    ]
+    df = spark.createDataFrame(rows, "uid long, seq long, delta long")
+    got = {
+        (r.uid, r.seq): r.balance
+        for r in balance_with_floor(df, "uid", ["seq"], "delta").collect()
+    }
+    for uid, deltas in enumerate(per_user_deltas):
+        bal = 0
+        for seq, d in enumerate(deltas):
+            bal = max(0, bal + d)
+            assert got[(uid, seq)] == bal
