@@ -5,18 +5,21 @@ decode / feature-extraction / frame-sampling run as Arrow-batched
 ``mapInPandas`` stages so the expensive Python work streams through
 executors without materializing blobs on the driver.
 
-Pixel-level decode is REAL for BMP (24/32-bit BI_RGB), PPM/PGM
-(P6/P5), and PNG (8-bit gray/RGB/palette/gray-alpha/RGBA,
-non-interlaced — stdlib zlib inflate + scanline unfiltering, no codec
-library), and resize/feature-extract operate on those actual pixels
-(nearest-neighbor resample, luminance histograms), re-encoding to
-P6/P5 so stages compose. Lossy/exotic codecs (JPEG/GIF pixel data,
-16-bit or Adam7 PNG, MP3/ogg) still need PIL/librosa/ffmpeg, which are
-NOT in this container, so for those ``decode`` falls back to a
-clearly-marked deterministic stub (byte-histogram "signal"); container
-HEADERS (dimensions, sample rates) are parsed for real either way. The
-Spark-side contract — schema, batching, partitioning, UDF signatures —
-is identical across both paths.
+Pixel/sample/frame decode is REAL for every lossless container:
+BMP (24/32-bit BI_RGB), PPM/PGM (P6/P5), PNG (8-bit
+gray/RGB/palette/gray-alpha/RGBA non-interlaced — stdlib zlib inflate
++ scanline unfiltering), GIF (standard LZW + palette, animated frames),
+WAV PCM waveforms, and Y4M video luma frames — all pure Python/numpy,
+no codec library. resize/feature-extract operate on those actual
+pixels (nearest-neighbor resample, luminance histograms), re-encoding
+to P6/P5 so stages compose. Only LOSSY codecs (JPEG pixel data,
+MP3/ogg) plus 16-bit/Adam7 PNG and interlaced GIF still need
+PIL/librosa/ffmpeg, which are NOT in this container; for those
+``decode`` falls back to a clearly-marked deterministic stub
+(byte-histogram "signal") while container HEADERS (dimensions, sample
+rates) are parsed for real either way. The Spark-side contract —
+schema, batching, partitioning, UDF signatures — is identical across
+both paths.
 """
 
 from __future__ import annotations

@@ -1264,3 +1264,99 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["stream_stream_left_join"] = stream_stream_left_join
+
+
+# ---- streaming clamped balance (prepaid-credit accounting) ------------
+
+
+def _balance_group(
+    key: Any, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user clamped-balance state machine: fold this batch's
+    deltas (time order, event_id tiebreak) into the carried
+    (balance, peak, n_moves, n_floor_hits) state — exact integer
+    cents, so the stream equals the batch closed form bit-for-bit."""
+    (user_id,) = key
+    rows = pd.concat(list(batches)).sort_values(
+        ["ts", "event_id"], kind="mergesort"
+    )
+    if state.exists:
+        bal, peak, n_moves, n_floor = state.get
+    else:
+        bal, peak, n_moves, n_floor = 0, 0, 0, 0
+    for d in rows["delta_cents"]:
+        d = int(d)
+        bal = bal + d
+        if bal < 0:
+            bal = 0
+        if bal == 0 and d < 0:
+            n_floor += 1
+        if bal > peak:
+            peak = bal
+        n_moves += 1
+    state.update((int(bal), int(peak), int(n_moves), int(n_floor)))
+    yield pd.DataFrame(
+        [(user_id, n_moves, bal, peak, n_floor)],
+        columns=[
+            "user_id", "n_moves", "final_balance_cents",
+            "peak_balance_cents", "n_floor_hits",
+        ],
+    )
+
+
+def balance_stream(events: DataFrame) -> DataFrame:
+    """Generic streaming clamped balance: per-user prepaid-credit
+    state via ``applyInPandasWithState`` — state is four integers per
+    user, strictly bounded.  On a time-ordered replay the final
+    emission per user equals the batch `user_balance_resets` closed
+    form exactly (tested): max(0, prev + delta) folded incrementally
+    is the same sequence the running-min window identity reproduces."""
+    deltas = events.where(F.col("event_type").isin("purchase", "view")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(
+            "CASE WHEN event_type = 'purchase'"
+            " THEN CAST(floor(value * 100) AS BIGINT)"
+            " ELSE -CAST(floor(value * 100) AS BIGINT) END"
+        ).alias("delta_cents"),
+    )
+    return deltas.groupBy("user_id").applyInPandasWithState(
+        _balance_group,
+        outputStructType=(
+            "user_id long, n_moves long, final_balance_cents long, "
+            "peak_balance_cents long, n_floor_hits long"
+        ),
+        stateStructType="bal long, peak long, n long, floors long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_user_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming clamped balance over the 4-batch time-ordered replay;
+    returns each user's FINAL state (highest move count drained from
+    the update-mode sink) — bit-identical to batch user_balance_resets."""
+    stage = _stage_ordered_stream(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+    out = run_stream_to_df(balance_stream(raw), output_mode="update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_moves"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id", "n_moves", "final_balance_cents",
+            "peak_balance_cents", "n_floor_hits",
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["stream_user_balance"] = stream_user_balance

@@ -371,6 +371,31 @@ def test_stream_user_ewma_matches_batch_fold(spark, sf_dir):
     assert got == want
 
 
+def test_stream_user_balance_matches_batch_closed_form(spark, sf_dir):
+    """The streaming clamped-balance state machine (incremental
+    max(0, prev + delta) in integer cents), replayed over the 4-file
+    time-ordered staging, must equal the batch running-min window
+    identity EXACTLY — every user, all four statistics."""
+    from skdist_spark.plans.behavior import user_balance_resets
+    from skdist_spark.streaming import ops
+
+    got = {
+        r.user_id: (
+            r.n_moves, r.final_balance_cents,
+            r.peak_balance_cents, r.n_floor_hits,
+        )
+        for r in ops.stream_user_balance(spark, sf_dir).collect()
+    }
+    want = {
+        r.user_id: (
+            r.n_moves, r.final_balance_cents,
+            r.peak_balance_cents, r.n_floor_hits,
+        )
+        for r in user_balance_resets(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_stream_dq_monitor_matches_batch_audit(spark, sf_dir):
     """Summed per-batch DQ violations must equal one batch pass over
     the whole table with the same constraints."""
