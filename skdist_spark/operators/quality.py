@@ -72,6 +72,37 @@ def dq_audit(checks: list[DataFrame]) -> DataFrame:
     return out.withColumn("passed", F.col("violations") == 0)
 
 
+def observe_quality(
+    df: DataFrame,
+    constraints: dict[str, str],
+    name: str = "dq",
+):
+    """Piggyback DQ counters on an existing job via ``Dataset.observe``
+    — ZERO extra scans: the named metrics (row count + one violation
+    count per boolean constraint) are accumulated by the SAME action
+    that produces/writes ``df``, so the production pipeline gets its
+    quality gate for free instead of paying a second audit pass over
+    100 TB.
+
+    Returns ``(observed_df, observation)``: run any action on
+    ``observed_df``, then read ``observation.get`` — a dict with
+    ``n_rows`` and ``viol_<name>`` per constraint (rows where the
+    constraint does NOT hold).  Complements `dq_audit`, which is the
+    standalone-report face of the same checks.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for cname, predicate in sorted(constraints.items()):
+        metrics.append(
+            F.sum(F.when(~F.expr(predicate), 1).otherwise(0))
+            .cast("long")
+            .alias(f"viol_{cname}")
+        )
+    return df.observe(obs, *metrics), obs
+
+
 def dq_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DQ audit of the orders fact against the customer dim:
     completeness, PK uniqueness, FK integrity, value ranges."""

@@ -256,3 +256,27 @@ def test_hll_sketch_rollup_identity_and_error(spark):
         assert abs(r.est_distinct - r.exact_distinct) <= max(
             0.05 * r.exact_distinct, 2
         )
+
+
+def test_observe_quality_zero_extra_scan(spark):
+    """observe_quality counters ride the SAME action: the observation
+    must report the exact row and violation counts of the job that
+    consumed the frame, matching a dedicated range_check pass."""
+    from skdist_spark.operators.quality import observe_quality, range_check
+    from skdist_spark.sources.catalog import load_table
+
+    orders = load_table(spark, "orders", "/root/testdata/sf0.001")
+    constraints = {
+        "price_positive": "o_totalprice > 0",
+        "status_known": "o_orderstatus IN ('F', 'O', 'P')",
+        "price_under_1k": "o_totalprice < 1000",
+    }
+    observed, obs = observe_quality(orders, constraints)
+    # the "production job": an aggregation, not a DQ pass
+    n = observed.count()
+    got = obs.get
+    assert got["n_rows"] == n
+    for cname, pred in constraints.items():
+        want = range_check(orders, pred, cname).collect()[0].violations
+        assert got[f"viol_{cname}"] == want, cname
+    assert got["viol_price_under_1k"] > 0  # the constraint actually bites
