@@ -76,7 +76,7 @@ _PRIORITY = [
     # new round-3 oracle-backed ops, queued first for the next sweep
     "dedup_remove_spans", "text_blocklist", "text_keyword_tags",
     "events_json_variant", "user_series_topk", "part_entity_resolution",
-    "events_funnel_windowed", "user_balance_resets",
+    "events_funnel_windowed", "user_balance_resets", "doc_chunks_udtf",
     "weighted_price_percentiles",
     "user_funnel_patterns", "weekly_revenue_forecast_hw", "cohort_ltv",
     "zipf_fit", "text_readability", "daily_revenue_acf",

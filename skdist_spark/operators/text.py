@@ -492,6 +492,59 @@ def chunk_documents(
     )
 
 
+def chunk_documents_udtf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Python UDTF face of `chunk_documents` (Spark 4 user-defined
+    TABLE function + lateral join): identical output — same chunk ids,
+    token counts, and md5s — produced by imperative per-row Python
+    instead of SQL array expressions.
+
+    This is the FLEXIBILITY face (drop in a real tokenizer, a
+    sentence splitter, any Python library, without leaving the lateral
+    join shape); `chunk_documents` remains the performance face (pure
+    codegen, no Python in the hot path).  Still shuffle-free: the UDTF
+    fans out rows within the scan partition.
+    """
+    import hashlib
+    import math
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, n_chunk_tokens int, chunk_md5 string")
+    class ChunkDoc:
+        def eval(self, text: str):  # noqa: D401 - UDTF protocol
+            toks = [t for t in (text or "").strip().split() if t]
+            if not toks:
+                return
+            n = len(toks)
+            n_chunks = max(math.ceil((n - chunk_tokens) / stride), 0) + 1
+            for cid in range(n_chunks):
+                chunk = toks[cid * stride : cid * stride + chunk_tokens]
+                yield (
+                    cid,
+                    len(chunk),
+                    hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+                )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col).alias("__text"))
+        .lateralJoin(ChunkDoc(F.col("__text").outer()))
+        .select(id_col, "chunk_id", "n_chunk_tokens", "chunk_md5")
+    )
+
+
+def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the UDTF chunker over documents — must equal
+    `doc_chunks` bit-for-bit (it shares that query's oracle)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return chunk_documents_udtf(docs).orderBy("doc_id", "chunk_id")
+
+
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return chunk_documents(docs).orderBy("doc_id", "chunk_id")
@@ -972,6 +1025,7 @@ ORACLE_SQL: dict[str, str] = {
         FROM kept GROUP BY lang ORDER BY lang
     """,
     "tfidf_search": _duck_tfidf_sql(),
+
     "mixture_sample_sources": _mixture_sample_sql(),
     "text_scrub_pii": _scrub_pii_sql(),
     "text_fingerprint": f"""
@@ -1238,6 +1292,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_clean": text_clean,
     "doc_chunks": doc_chunks,
+    "doc_chunks_udtf": doc_chunks_udtf,
     "sample_documents": sample_documents,
     "mixture_sample_sources": mixture_sample_sources,
     "text_scrub_pii": text_scrub_pii,
@@ -1246,6 +1301,9 @@ QUERIES = {
 }
 
 ORACLE_SQL["source_token_budget"] = ORACLE_SQL_SOURCE_BUDGET
+# the UDTF chunker must equal the SQL chunker bit-for-bit, so it is
+# checked against the same independent DuckDB algorithm
+ORACLE_SQL["doc_chunks_udtf"] = ORACLE_SQL["doc_chunks"]
 ORACLE_SQL["text_blocklist"] = _blocklist_oracle_sql()
 ORACLE_SQL["text_keyword_tags"] = _keyword_tags_oracle_sql()
 
