@@ -144,6 +144,9 @@ def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
             "growth_accounting",
             # one-row grand-total broadcast
             "revenue_pareto",
+            # one-row broadcasts: the query user's series + the exact
+            # k-th-distance pruning threshold (PAA two-stage search)
+            "user_series_topk",
         ):
             bad[name] = joins
     assert not bad, bad
