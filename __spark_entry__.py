@@ -77,6 +77,7 @@ _PRIORITY = [
     "dedup_remove_spans", "text_blocklist", "text_keyword_tags",
     "events_json_variant", "user_series_topk", "part_entity_resolution",
     "events_funnel_windowed", "user_balance_resets", "doc_chunks_udtf",
+    "funnel_conversion_intervals", "orders_fingerprint",
     "weighted_price_percentiles",
     "user_funnel_patterns", "weekly_revenue_forecast_hw", "cohort_ltv",
     "zipf_fit", "text_readability", "daily_revenue_acf",

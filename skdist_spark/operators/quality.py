@@ -103,6 +103,87 @@ def observe_quality(
     return df.observe(obs, *metrics), obs
 
 
+def table_fingerprint(
+    df: DataFrame, cols: list[str], bucket_chars: int = 2
+) -> DataFrame:
+    """Tamper-evident Merkle-style table fingerprint: per-bucket
+    digests plus a root, ORDER-INSENSITIVE over rows — two snapshots
+    of a dataset are byte-equal iff their roots match, and a mismatch
+    localizes to the differing bucket(s) without comparing rows.
+
+    row digest   = md5 of the '|'-joined canonical column strings;
+    bucket       = the digest's first ``bucket_chars`` hex chars
+                   (16^chars buckets, uniform by construction);
+    bucket digest= md5 over the bucket's SORTED row digests;
+    root         = md5 over bucket digests in bucket order.
+
+    One shuffle on the bucket key; per-bucket state is the digest list
+    (size the bucket count to executor memory — 2 hex chars = 256
+    buckets, 4 = 65536).  Emits (bucket, n_rows, digest) per bucket
+    plus a final ('(root)', total, root) row.
+    """
+    row = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols]))
+    per_bucket = (
+        df.select(row.alias("d"))
+        .select(F.substring("d", 1, bucket_chars).alias("bucket"), "d")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.md5(
+                F.concat_ws("", F.array_sort(F.collect_list("d")))
+            ).alias("digest"),
+        )
+    )
+    root = per_bucket.orderBy("bucket").agg(
+        F.lit("(root)").alias("bucket"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(bucket, digest))),"
+                    " s -> s.digest)"
+                ),
+            )
+        ).alias("digest"),
+    )
+    return per_bucket.unionByName(root).orderBy("bucket")
+
+
+def orders_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: Merkle fingerprint of the orders key columns —
+    the dataset-versioning integrity check (roots differ iff any row
+    changed; the differing bucket pinpoints where)."""
+    orders = load_table(spark, "orders", sf_dir)
+    return table_fingerprint(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+_FINGERPRINT_SQL = """
+    WITH rows_d AS (
+        SELECT md5(concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                   CAST(o_custkey AS VARCHAR), o_orderstatus,
+                   o_orderpriority)) AS d
+        FROM orders
+    ), per_bucket AS (
+        SELECT substring(d, 1, 2) AS bucket,
+               COUNT(*) AS n_rows,
+               md5(string_agg(d, '' ORDER BY d)) AS digest
+        FROM rows_d GROUP BY 1
+    ), root AS (
+        SELECT '(root)' AS bucket,
+               CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+               md5(string_agg(digest, '' ORDER BY bucket)) AS digest
+        FROM per_bucket
+    )
+    SELECT bucket, CAST(n_rows AS BIGINT) AS n_rows, digest FROM per_bucket
+    UNION ALL
+    SELECT * FROM root
+    ORDER BY bucket
+"""
+
+
 def dq_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DQ audit of the orders fact against the customer dim:
     completeness, PK uniqueness, FK integrity, value ranges."""
@@ -312,3 +393,6 @@ def _langid_eval_oracle_sql() -> str:
 
 QUERIES["langid_eval"] = langid_eval
 ORACLE_SQL["langid_eval"] = _langid_eval_oracle_sql()
+
+QUERIES["orders_fingerprint"] = orders_fingerprint
+ORACLE_SQL["orders_fingerprint"] = _FINGERPRINT_SQL

@@ -201,6 +201,98 @@ def user_balance_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WILSON_Z = "1.959963984540054"  # Phi^-1(0.975), double literal both engines
+
+
+def _wilson_exprs(k: str, n: str) -> tuple[str, str, str]:
+    """(rate, lo, hi) SQL fragments: Wilson 95% score interval for k
+    successes in n trials — identical double arithmetic in Spark and
+    DuckDB (shared literal z, same operation order)."""
+    z = _WILSON_Z
+    p = f"(CAST({k} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    denom = f"(1.0 + {z} * {z} / CAST({n} AS DOUBLE))"
+    center = f"({p} + {z} * {z} / (2.0 * CAST({n} AS DOUBLE)))"
+    half = (
+        f"({z} * sqrt(({p} * (1.0 - {p}) + {z} * {z}"
+        f" / (4.0 * CAST({n} AS DOUBLE))) / CAST({n} AS DOUBLE)))"
+    )
+    return (
+        f"round({p}, 6)",
+        f"round(({center} - {half}) / {denom}, 6)",
+        f"round(({center} + {half}) / {denom}, 6)",
+    )
+
+
+def funnel_conversion_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-step funnel conversion rates with Wilson 95% score
+    intervals — the uncertainty-aware funnel readout (a 3-of-5 step
+    conversion is not a 60% conversion; the interval says so).  Rides
+    the same single-exchange funnel plan; the interval math runs on
+    the tiny per-step count frame."""
+    ev = load_table(spark, "events", sf_dir)
+    steps = funnel(ev, list(FUNNEL_STEPS))
+    cur = steps.select(
+        "step_idx", "step_name", F.col("n_completed").alias("k")
+    )
+    prev = steps.select(
+        (F.col("step_idx") + 1).alias("step_idx"),
+        F.col("n_completed").alias("n"),
+    )
+    rate, lo, hi = _wilson_exprs("k", "n")
+    return (
+        cur.join(prev, "step_idx")
+        .where(F.col("n") > 0)
+        .select(
+            "step_idx",
+            "step_name",
+            F.col("k").alias("n_completed"),
+            F.col("n").alias("n_entered"),
+            F.expr(rate).alias("conv_rate"),
+            F.expr(lo).alias("wilson_lo"),
+            F.expr(hi).alias("wilson_hi"),
+        )
+        .orderBy("step_idx")
+    )
+
+
+def _funnel_intervals_oracle_sql() -> str:
+    rate, lo, hi = _wilson_exprs("k", "n")
+    return f"""
+        WITH w1 AS (
+          SELECT user_id, event_type, ts,
+                 MIN(CASE WHEN event_type = '{_S1}' THEN ts END)
+                     OVER (PARTITION BY user_id) AS t1
+          FROM events),
+        w2 AS (
+          SELECT *, MIN(CASE WHEN event_type = '{_S2}' AND ts > t1 THEN ts END)
+                        OVER (PARTITION BY user_id) AS t2
+          FROM w1),
+        w3 AS (
+          SELECT *, MIN(CASE WHEN event_type = '{_S3}' AND ts > t2 THEN ts END)
+                        OVER (PARTITION BY user_id) AS t3
+          FROM w2),
+        per_user AS (
+          SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+          FROM w3 GROUP BY user_id),
+        counts AS (
+          SELECT COUNT(*) AS n0, COUNT(t1) AS n1, COUNT(t2) AS n2,
+                 COUNT(t3) AS n3
+          FROM per_user),
+        steps AS (
+          SELECT 1 AS step_idx, '{_S1}' AS step_name, n1 AS k, n0 AS n FROM counts
+          UNION ALL SELECT 2, '{_S2}', n2, n1 FROM counts
+          UNION ALL SELECT 3, '{_S3}', n3, n2 FROM counts)
+        SELECT step_idx, step_name,
+               CAST(k AS BIGINT) AS n_completed,
+               CAST(n AS BIGINT) AS n_entered,
+               {rate} AS conv_rate,
+               {lo} AS wilson_lo,
+               {hi} AS wilson_hi
+        FROM steps WHERE n > 0
+        ORDER BY step_idx
+    """
+
+
 def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users bucketed by the week of their
     first event; for each (cohort_week, week_offset) the count of
@@ -586,6 +678,7 @@ ORACLE_SQL: dict[str, str] = {
                COUNT(t3) AS n_full_funnel
         FROM per_user
     """,
+    "funnel_conversion_intervals": _funnel_intervals_oracle_sql(),
     "events_funnel_windowed": f"""
         WITH w1 AS (
           SELECT user_id, event_type, epoch_us(ts) AS us,
@@ -1272,6 +1365,7 @@ QUERIES = {
     "time_to_first_purchase": time_to_first_purchase,
     "events_funnel": events_funnel,
     "events_funnel_windowed": events_funnel_windowed,
+    "funnel_conversion_intervals": funnel_conversion_intervals,
     "user_balance_resets": user_balance_resets,
     "user_retention": user_retention,
     "daily_gapfill": daily_gapfill,

@@ -280,3 +280,31 @@ def test_observe_quality_zero_extra_scan(spark):
         want = range_check(orders, pred, cname).collect()[0].violations
         assert got[f"viol_{cname}"] == want, cname
     assert got["viol_price_under_1k"] > 0  # the constraint actually bites
+
+
+def test_table_fingerprint_tamper_detection(spark):
+    """Merkle fingerprint: row order doesn't change any digest; a
+    single tampered row changes the root and EXACTLY one bucket."""
+    from skdist_spark.operators.quality import table_fingerprint
+
+    rows = [(i, f"v{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v string")
+    base = {r.bucket: r.digest for r in table_fingerprint(df, ["k", "v"]).collect()}
+    shuffled = {
+        r.bucket: r.digest
+        for r in table_fingerprint(
+            df.repartition(7).sortWithinPartitions(F.desc("k")), ["k", "v"]
+        ).collect()
+    }
+    assert base == shuffled  # order-insensitive
+    tampered_rows = [(i, "TAMPERED" if i == 123 else f"v{i}") for i in range(500)]
+    tampered = {
+        r.bucket: r.digest
+        for r in table_fingerprint(
+            spark.createDataFrame(tampered_rows, "k long, v string"), ["k", "v"]
+        ).collect()
+    }
+    assert tampered["(root)"] != base["(root)"]
+    diff = {b for b in base if base[b] != tampered.get(b)} - {"(root)"}
+    # one changed row digest moves between at most two buckets
+    assert 1 <= len(diff) <= 2
