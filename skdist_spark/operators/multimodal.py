@@ -215,11 +215,20 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def decode_png_pixels(b: bytes):
     """REAL PNG decode in pure numpy + stdlib zlib: 8-bit depth,
-    gray / RGB / palette / gray-alpha / RGBA, non-interlaced.
-    Returns an HxWxC uint8 array or None (interlaced, 16-bit, or
-    malformed payloads fall back to the metadata-only path)."""
+    gray / RGB / palette / gray-alpha / RGBA, both non-interlaced and
+    Adam7-interlaced (each pass unfiltered as its own sub-image and
+    scattered onto the pass grid).  Returns an HxWxC uint8 array or
+    None (16-bit or malformed payloads fall back to the metadata-only
+    path)."""
     import struct
     import zlib
 
@@ -248,29 +257,50 @@ def decode_png_pixels(b: bytes):
     if (
         w is None
         or bit_depth != 8
-        or interlace != 0
+        or interlace not in (0, 1)
         or color_type not in _PNG_CHANNELS
         or (color_type == 3 and plte is None)
     ):
         return None
     ch = _PNG_CHANNELS[color_type]
-    stride = w * ch
     try:
         raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     except zlib.error:
         return None
-    if raw.size != h * (stride + 1):
-        return None
-    px = _png_unfilter(raw, h, stride, ch).reshape(h, w, ch)
+    if interlace == 0:
+        stride = w * ch
+        if raw.size != h * (stride + 1):
+            return None
+        px = _png_unfilter(raw, h, stride, ch).reshape(h, w, ch)
+    else:  # Adam7: 7 independently-filtered sub-images, scattered
+        px = np.zeros((h, w, ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            stride = pw * ch
+            need = ph * (stride + 1)
+            if pos + need > raw.size:
+                return None
+            sub = _png_unfilter(raw[pos : pos + need], ph, stride, ch)
+            pos += need
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+        if pos != raw.size:
+            return None
     if color_type == 3:
         px = plte[px[..., 0]]  # palette lookup -> HxWx3
     return np.ascontiguousarray(px)
 
 
-def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
-    """Minimal PNG encoder (8-bit gray/RGB/RGBA, filter 0 or 2) — the
-    round-trip partner for decode_png_pixels and a crafted-bytes
-    source for filter coverage tests."""
+def encode_png(
+    pixels: np.ndarray, filter_type: int = 0, interlace: bool = False
+) -> bytes:
+    """Minimal PNG encoder (8-bit gray/RGB/RGBA, filter 0 or 2,
+    optional Adam7 interlacing) — the round-trip partner for
+    decode_png_pixels and a crafted-bytes source for filter and
+    deinterlace coverage tests."""
     import struct
     import zlib
 
@@ -285,18 +315,30 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
+    def filt(img: np.ndarray) -> bytearray:
+        ph, pw = img.shape[:2]
+        body = bytearray()
+        prev = np.zeros((pw, ch), dtype=np.int32)
+        for y in range(ph):
+            cur = img[y].astype(np.int32)
+            if filter_type == 2 and y > 0:
+                body.append(2)
+                body.extend(((cur - prev) & 0xFF).astype(np.uint8).tobytes())
+            else:
+                body.append(0)
+                body.extend(cur.astype(np.uint8).tobytes())
+            prev = cur
+        return body
+
     rows = bytearray()
-    prev = np.zeros((w, ch), dtype=np.int32)
-    for y in range(h):
-        cur = pixels[y].astype(np.int32)
-        if filter_type == 2 and y > 0:
-            rows.append(2)
-            rows.extend(((cur - prev) & 0xFF).astype(np.uint8).tobytes())
-        else:
-            rows.append(0)
-            rows.extend(cur.astype(np.uint8).tobytes())
-        prev = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = pixels[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                rows.extend(filt(sub))
+    else:
+        rows = filt(pixels)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)

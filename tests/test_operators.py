@@ -1318,6 +1318,13 @@ def test_png_decode_real_pixels():
         for ft in (0, 2):
             back = decode_png_pixels(encode_png(img, filter_type=ft))
             assert np.array_equal(back, img), (ch, ft)
+    # Adam7 interlaced round trip: odd sizes exercise empty/ragged
+    # passes; interlaced and progressive decodes must agree exactly
+    for shape in ((13, 11, 3), (3, 2, 1), (8, 8, 4), (1, 9, 3)):
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for ft in (0, 2):
+            back = decode_png_pixels(encode_png(img, filter_type=ft, interlace=True))
+            assert np.array_equal(back, img), (shape, ft)
     # decode_pixels integration: PNG now yields real pixels
     fmt, back = decode_pixels(encode_png(rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)))
     assert fmt == "png" and back.shape == (4, 4, 3)
