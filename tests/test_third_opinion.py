@@ -347,3 +347,149 @@ def test_third_event_pagerank(spark):
         for r in QUERIES["event_pagerank"](spark, SF).collect()
     ]
     assert got == want
+
+
+def test_third_text_blocklist(spark):
+    from skdist_spark.operators.text import (
+        BLOCKLIST, BLOCKLIST_MAX_PERMILLE, QUERIES,
+    )
+
+    docs = _table("documents")
+    want = {}
+    for r in docs.itertuples():
+        toks = [t for t in re.split(r"\s+", r.text.strip(), flags=re.ASCII) if t]
+        blocked = sum(1 for t in toks if t.lower() in BLOCKLIST)
+        n = len(toks)
+        want[int(r.doc_id)] = (
+            n,
+            blocked,
+            (blocked * 1000) // n if n else 0,
+            n > 0 and blocked * 1000 > BLOCKLIST_MAX_PERMILLE * n,
+        )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_blocked, r.blocked_permille, r.dropped)
+        for r in QUERIES["text_blocklist"](spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_third_text_keyword_tags(spark):
+    from skdist_spark.operators.text import KEYWORD_TAGS, QUERIES
+
+    docs = _table("documents")
+    want = set()
+    for r in docs.itertuples():
+        toks = [
+            t.lower()
+            for t in re.split(r"\s+", r.text.strip(), flags=re.ASCII)
+            if t
+        ]
+        for tag, kws in KEYWORD_TAGS.items():
+            hits = sum(1 for t in toks if t in kws)
+            if hits:
+                want.add((int(r.doc_id), tag, hits))
+    got = {
+        (r.doc_id, r.tag, r.n_hits)
+        for r in QUERIES["text_keyword_tags"](spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_third_user_balance_resets(spark):
+    import math
+
+    from skdist_spark.plans.behavior import QUERIES
+
+    ev = _table("events")
+    ev = ev[ev["event_type"].isin(["purchase", "view"])].sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        bal = peak = floors = 0
+        for r in g.itertuples():
+            cents = int(math.floor(r.value * 100))
+            d = cents if r.event_type == "purchase" else -cents
+            bal = bal + d
+            if bal < 0:
+                bal = 0
+            if bal == 0 and d < 0:
+                floors += 1
+            peak = max(peak, bal)
+        want[int(uid)] = (len(g), bal, peak, floors)
+    got = {
+        r.user_id: (
+            r.n_moves, r.final_balance_cents,
+            r.peak_balance_cents, r.n_floor_hits,
+        )
+        for r in QUERIES["user_balance_resets"](spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_third_orders_fingerprint(spark):
+    from skdist_spark.operators.quality import QUERIES
+
+    orders = _table("orders")
+    buckets: dict[str, list[str]] = {}
+    for r in orders.itertuples():
+        d = hashlib.md5(
+            f"{r.o_orderkey}|{r.o_custkey}|{r.o_orderstatus}|{r.o_orderpriority}".encode()
+        ).hexdigest()
+        buckets.setdefault(d[:2], []).append(d)
+    want = {
+        b: (len(ds), hashlib.md5("".join(sorted(ds)).encode()).hexdigest())
+        for b, ds in buckets.items()
+    }
+    root = hashlib.md5(
+        "".join(want[b][1] for b in sorted(want)).encode()
+    ).hexdigest()
+    want["(root)"] = (len(orders), root)
+    got = {
+        r.bucket: (r.n_rows, r.digest)
+        for r in QUERIES["orders_fingerprint"](spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_third_funnel_conversion_intervals(spark):
+    import math
+
+    from skdist_spark.plans.behavior import FUNNEL_STEPS, QUERIES
+
+    ev = _table("events").sort_values(["user_id", "ts"])
+    counts = [0] * (len(FUNNEL_STEPS) + 1)
+    for _, g in ev.groupby("user_id"):
+        counts[0] += 1
+        prev_t = None
+        depth = 0
+        for step in FUNNEL_STEPS:
+            rows = g[g["event_type"] == step]
+            if prev_t is not None:
+                rows = rows[rows["ts"] > prev_t]
+            if rows.empty:
+                break
+            prev_t = rows["ts"].min()
+            depth += 1
+            counts[depth] += 1
+    z = 1.959963984540054
+    want = []
+    for i, step in enumerate(FUNNEL_STEPS, start=1):
+        k, n = counts[i], counts[i - 1]
+        if n == 0:
+            continue
+        p = k / n
+        denom = 1.0 + z * z / n
+        center = p + z * z / (2.0 * n)
+        half = z * math.sqrt((p * (1.0 - p) + z * z / (4.0 * n)) / n)
+        want.append((
+            i, step, k, n, round(p, 6),
+            round((center - half) / denom, 6),
+            round((center + half) / denom, 6),
+        ))
+    got = [
+        (r.step_idx, r.step_name, r.n_completed, r.n_entered,
+         r.conv_rate, r.wilson_lo, r.wilson_hi)
+        for r in QUERIES["funnel_conversion_intervals"](spark, SF).collect()
+    ]
+    assert got == want
