@@ -128,3 +128,88 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
 
     def commit(self, end):
         pass  # offsets are pure counters; nothing to clean up
+
+
+# ---- Python DataSource WRITER (Spark 4 API) ----------------------------
+# The write-side extension point: ``df.write.format("jsonl_manifest")``
+# lands one JSONL shard per task and the driver-side commit() writes a
+# MANIFEST.json naming exactly the shards whose tasks succeeded — the
+# atomic-visibility pattern (readers that honor the manifest never see
+# half-written output; aborted task files are simply never listed).
+
+import json as _json  # noqa: E402
+import os as _os  # noqa: E402
+import uuid as _uuid  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceWriter, WriterCommitMessage,
+)
+
+
+class _ShardCommit(WriterCommitMessage):
+    def __init__(self, filename: str, n_rows: int):
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class JsonlManifestWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_manifest requires a path option")
+        self.overwrite = overwrite
+
+    def write(self, rows):
+        """Executor-side: one shard per task, named uniquely so a
+        retried/speculative task never clobbers another attempt."""
+        _os.makedirs(self.path, exist_ok=True)
+        name = f"part-{_uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(_os.path.join(self.path, name), "w") as fh:
+            for row in rows:
+                fh.write(_json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _ShardCommit(name, n)
+
+    def commit(self, messages):
+        """Driver-side, after every task succeeded: the manifest names
+        exactly the committed shards — the atomicity point."""
+        shards = sorted(
+            (m for m in messages if m is not None), key=lambda m: m.filename
+        )
+        manifest = {
+            "shards": [
+                {"file": m.filename, "n_rows": m.n_rows} for m in shards
+            ],
+            "n_rows": sum(m.n_rows for m in shards),
+        }
+        with open(_os.path.join(self.path, "MANIFEST.json"), "w") as fh:
+            _json.dump(manifest, fh, indent=1)
+
+    def abort(self, messages):
+        """Failed job: leave no manifest; stray shards are invisible
+        to manifest-honoring readers and cleaned by the next commit."""
+        mpath = _os.path.join(self.path, "MANIFEST.json")
+        if _os.path.exists(mpath):  # pragma: no cover - defensive
+            _os.remove(mpath)
+
+
+class JsonlManifestDataSource(DataSource):
+    """``df.write.format("jsonl_manifest").option("path", ...)`` —
+    see JsonlManifestWriter."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_manifest"
+
+    def writer(self, schema, overwrite: bool) -> JsonlManifestWriter:
+        return JsonlManifestWriter(self.options, overwrite)
+
+
+def read_jsonl_manifest(spark, path: str):
+    """Manifest-honoring reader: only shards named by MANIFEST.json are
+    visible (uncommitted/aborted files are ignored by construction)."""
+    with open(_os.path.join(path, "MANIFEST.json")) as fh:
+        manifest = _json.load(fh)
+    files = [_os.path.join(path, s["file"]) for s in manifest["shards"]]
+    return spark.read.json(files) if files else None

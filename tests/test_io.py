@@ -458,3 +458,40 @@ def test_synthetic_stream_source_matches_batch_face(spark):
     }
     assert streamed == batch
     assert len(streamed) == 400
+
+
+def test_jsonl_manifest_writer_roundtrip(spark, tmp_path):
+    """Python DataSource WRITER: one shard per task, driver-side commit
+    writes a manifest naming exactly the committed shards, and the
+    manifest-honoring reader sees exactly the written rows — stray
+    un-manifested files are invisible."""
+    import json
+    import os
+
+    from skdist_spark.sources.synthetic import (
+        JsonlManifestDataSource, read_jsonl_manifest,
+    )
+
+    try:
+        spark.dataSource.register(JsonlManifestDataSource)
+    except Exception:
+        pass
+    out = str(tmp_path / "sink")
+    df = spark.range(100).selectExpr(
+        "id AS k", "CAST(id * 2 AS STRING) AS v"
+    ).repartition(4)
+    df.write.format("jsonl_manifest").option("path", out).mode(
+        "append"
+    ).save()
+
+    manifest = json.load(open(os.path.join(out, "MANIFEST.json")))
+    assert manifest["n_rows"] == 100
+    assert len(manifest["shards"]) == 4
+    assert sum(s["n_rows"] for s in manifest["shards"]) == 100
+
+    # a stray file that never committed must stay invisible
+    with open(os.path.join(out, "part-stray.jsonl"), "w") as fh:
+        fh.write('{"k": 999999, "v": "ghost"}\n')
+    back = read_jsonl_manifest(spark, out)
+    got = sorted((r.k, r.v) for r in back.collect())
+    assert got == [(i, str(i * 2)) for i in range(100)]
