@@ -493,3 +493,44 @@ def test_third_funnel_conversion_intervals(spark):
         for r in QUERIES["funnel_conversion_intervals"](spark, SF).collect()
     ]
     assert got == want
+
+
+def test_third_dedup_remove_spans(spark):
+    """Pure-Python span removal: per-doc 5-gram hashing, cross-doc
+    duplicate detection, covered-position union, and ordered
+    reassembly — no Spark SQL, no DuckDB."""
+    from skdist_spark.operators.dedup import SPAN_N, QUERIES
+
+    docs = _table("documents")
+    toks = {
+        int(r.doc_id): [
+            t for t in re.split(r"\s+", r.text.strip(), flags=re.ASCII) if t
+        ]
+        for r in docs.itertuples()
+    }
+    gram_docs: dict[str, set[int]] = {}
+    gram_pos: dict[int, list[tuple[int, str]]] = {}
+    for did, ts in toks.items():
+        lst = []
+        for i in range(len(ts) - SPAN_N + 1):
+            h = hashlib.md5(" ".join(ts[i : i + SPAN_N]).encode()).hexdigest()[:16]
+            gram_docs.setdefault(h, set()).add(did)
+            lst.append((i, h))
+        gram_pos[did] = lst
+    want = {}
+    for did, ts in toks.items():
+        covered = set()
+        for i, h in gram_pos[did]:
+            if len(gram_docs[h]) >= 2:
+                covered.update(range(i, i + SPAN_N))
+        kept = [t for i, t in enumerate(ts) if i not in covered]
+        want[did] = (
+            len(ts),
+            len(covered),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_md5)
+        for r in QUERIES["dedup_remove_spans"](spark, SF).collect()
+    }
+    assert got == want
