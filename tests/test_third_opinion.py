@@ -534,3 +534,62 @@ def test_third_dedup_remove_spans(spark):
         for r in QUERIES["dedup_remove_spans"](spark, SF).collect()
     }
     assert got == want
+
+
+def test_third_bm25_search(spark):
+    """Pure-Python BM25: tf/df/dl recomputed from the raw text, idf and
+    score arithmetic replayed in the same double operation order as
+    the Spark expression, HALF_UP rounding at 6 dp."""
+    import math
+
+    from skdist_spark.operators.retrieval import (
+        BM25_B, BM25_K1, BM25_TERMS, BM25_TOP, QUERIES,
+    )
+
+    docs = _table("documents")
+    toks = {
+        int(r.doc_id): [
+            t for t in re.split(r"\s+", r.text.strip(), flags=re.ASCII) if t
+        ]
+        for r in docs.itertuples()
+    }
+    dl = {d: len(ts) for d, ts in toks.items()}
+    n_docs = len(dl)
+    # integer doc lengths sum exactly in doubles -> avg is order-free
+    avgdl = float(sum(dl.values())) / float(n_docs)
+    tf = {
+        d: {t: ts.count(t) for t in BM25_TERMS if t in ts}
+        for d, ts in toks.items()
+    }
+    dfreq = {
+        t: sum(1 for d in tf if t in tf[d]) for t in BM25_TERMS
+    }
+    scored = []
+    for d, terms in tf.items():
+        if not terms:
+            continue
+        s = 0.0
+        for t, f in terms.items():
+            idf = math.log(
+                (float(n_docs) - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0
+            )
+            s += idf * (f * (BM25_K1 + 1.0)) / (
+                f + BM25_K1 * (1.0 - BM25_B + BM25_B * dl[d] / avgdl)
+            )
+        scored.append(
+            (
+                float(Decimal(repr(s)).quantize(
+                    Decimal("0.000001"), ROUND_HALF_UP)),
+                d,
+                len(terms),
+            )
+        )
+    want = [
+        (d, s, nt)
+        for s, d, nt in sorted(scored, key=lambda x: (-x[0], x[1]))[:BM25_TOP]
+    ]
+    got = [
+        (r.doc_id, r.bm25, r.n_terms_hit)
+        for r in QUERIES["bm25_search"](spark, SF).collect()
+    ]
+    assert got == want
