@@ -593,3 +593,49 @@ def test_third_bm25_search(spark):
         for r in QUERIES["bm25_search"](spark, SF).collect()
     ]
     assert got == want
+
+
+def test_third_inverted_postings(spark):
+    from skdist_spark.operators.retrieval import INDEX_TOP_WORDS, QUERIES
+
+    docs = _table("documents")
+    postings: dict[str, dict[int, list[int]]] = {}
+    for r in docs.itertuples():
+        ws = [t for t in re.split(r"\s+", r.text.strip(), flags=re.ASCII) if t]
+        for pos, w in enumerate(ws, start=1):
+            postings.setdefault(w, {}).setdefault(int(r.doc_id), []).append(pos)
+    top = sorted(postings, key=lambda w: (-len(postings[w]), w))[:INDEX_TOP_WORDS]
+    want = sorted(
+        (
+            w,
+            len(postings[w]),
+            d,
+            len(ps),
+            ",".join(str(p) for p in sorted(ps)),
+        )
+        for w in top
+        for d, ps in postings[w].items()
+    )
+    got = sorted(
+        (r.word, r.df, r.doc_id, r.tf, r.positions)
+        for r in QUERIES["inverted_postings"](spark, SF).collect()
+    )
+    assert got == want
+
+
+def test_third_phrase_search(spark):
+    from skdist_spark.operators.retrieval import PHRASE, QUERIES
+
+    docs = _table("documents")
+    w1, w2 = PHRASE
+    want = {}
+    for r in docs.itertuples():
+        ws = [t for t in re.split(r"\s+", r.text.strip(), flags=re.ASCII) if t]
+        n = sum(1 for a, b in zip(ws, ws[1:]) if a == w1 and b == w2)
+        if n:
+            want[int(r.doc_id)] = n
+    got = {
+        r.doc_id: r.n_occurrences
+        for r in QUERIES["phrase_search_docs"](spark, SF).collect()
+    }
+    assert got == want
