@@ -639,3 +639,91 @@ def test_third_phrase_search(spark):
         for r in QUERIES["phrase_search_docs"](spark, SF).collect()
     }
     assert got == want
+
+
+def test_third_hybrid_search_rrf(spark):
+    """Pure-Python hybrid RRF: BM25 top-20 + sequential-fold cosine
+    top-20, fused as sum 1/(60 + rank) — ranks are integers so the
+    fusion replays exactly."""
+    import math
+
+    from skdist_spark.operators.retrieval import (
+        BM25_B, BM25_K1, BM25_TERMS, QUERIES, RRF_DEPTH, RRF_K,
+        RRF_QUERY_VEC, RRF_TOP,
+    )
+
+    # ---- text modality: BM25 top-RRF_DEPTH (same replay as bm25) ----
+    docs = _table("documents")
+    toks = {
+        int(r.doc_id): [
+            t for t in re.split(r"\s+", r.text.strip(), flags=re.ASCII) if t
+        ]
+        for r in docs.itertuples()
+    }
+    dl = {d: len(ts) for d, ts in toks.items()}
+    avgdl = float(sum(dl.values())) / float(len(dl))
+    tf = {
+        d: {t: ts.count(t) for t in BM25_TERMS if t in ts}
+        for d, ts in toks.items()
+    }
+    dfreq = {t: sum(1 for d in tf if t in tf[d]) for t in BM25_TERMS}
+    scored = []
+    for d, terms in tf.items():
+        if not terms:
+            continue
+        s = 0.0
+        for t, f in terms.items():
+            idf = math.log(
+                (float(len(dl)) - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0
+            )
+            s += idf * (f * (BM25_K1 + 1.0)) / (
+                f + BM25_K1 * (1.0 - BM25_B + BM25_B * dl[d] / avgdl)
+            )
+        scored.append((float(Decimal(repr(s)).quantize(
+            Decimal("0.000001"), ROUND_HALF_UP)), d))
+    text_top = sorted(scored, key=lambda x: (-x[0], x[1]))[:RRF_DEPTH]
+    r_text = {d: i + 1 for i, (_, d) in enumerate(text_top)}
+
+    # ---- vector modality: sequential-fold cosine top-RRF_DEPTH ----
+    emb = _table("embeddings").sort_values("vec_id")
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding]
+            for r in emb.itertuples()}
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def fold_norm(a):
+        acc = 0.0
+        for x in a:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    qv = vecs[RRF_QUERY_VEC]
+    qn = fold_norm(qv)
+    cos = sorted(
+        ((-(fold_dot(qv, v) / (qn * fold_norm(v))), d)
+         for d, v in vecs.items() if d != RRF_QUERY_VEC),
+    )[:RRF_DEPTH]
+    r_vec = {d: i + 1 for i, (_, d) in enumerate(cos)}
+
+    # ---- fusion ----
+    fused = []
+    for d in set(r_text) | set(r_vec):
+        s = (1.0 / (RRF_K + r_text[d]) if d in r_text else 0.0) + (
+            1.0 / (RRF_K + r_vec[d]) if d in r_vec else 0.0
+        )
+        fused.append((
+            d,
+            r_text.get(d),
+            r_vec.get(d),
+            float(Decimal(repr(s)).quantize(Decimal("0.000001"), ROUND_HALF_UP)),
+        ))
+    want = sorted(fused, key=lambda x: (-x[3], x[0]))[:RRF_TOP]
+    got = [
+        (r.doc_id, r.r_text, r.r_vec, r.rrf_score)
+        for r in QUERIES["hybrid_search_rrf"](spark, SF).collect()
+    ]
+    assert got == want
