@@ -5,21 +5,22 @@ decode / feature-extraction / frame-sampling run as Arrow-batched
 ``mapInPandas`` stages so the expensive Python work streams through
 executors without materializing blobs on the driver.
 
-Pixel/sample/frame decode is REAL for every lossless container:
+Pixel/sample/frame decode is REAL for every common container:
 BMP (24/32-bit BI_RGB), PPM/PGM (P6/P5), PNG (8-bit
-gray/RGB/palette/gray-alpha/RGBA non-interlaced — stdlib zlib inflate
+gray/RGB/palette/gray-alpha/RGBA, incl. Adam7 — stdlib zlib inflate
 + scanline unfiltering), GIF (standard LZW + palette, animated frames),
-WAV PCM waveforms, and Y4M video luma frames — all pure Python/numpy,
-no codec library. resize/feature-extract operate on those actual
-pixels (nearest-neighbor resample, luminance histograms), re-encoding
-to P6/P5 so stages compose. Only LOSSY codecs (JPEG pixel data,
-MP3/ogg) plus 16-bit/Adam7 PNG and interlaced GIF still need
-PIL/librosa/ffmpeg, which are NOT in this container; for those
-``decode`` falls back to a clearly-marked deterministic stub
-(byte-histogram "signal") while container HEADERS (dimensions, sample
-rates) are parsed for real either way. The Spark-side contract —
-schema, batching, partitioning, UDF signatures — is identical across
-both paths.
+baseline JPEG (SOF0 Huffman DCT, any chroma sampling, restart
+markers — see jpeg.py), WAV PCM waveforms, and Y4M video luma frames —
+all pure Python/numpy, no codec library. resize/feature-extract
+operate on those actual pixels (nearest-neighbor resample, luminance
+histograms), re-encoding to P6/P5 so stages compose. Only
+progressive/arithmetic JPEG, 16-bit PNG, and compressed audio
+(MP3/ogg) still need PIL/librosa/ffmpeg, which are NOT in this
+container; for those ``decode`` falls back to a clearly-marked
+deterministic stub (byte-histogram "signal") while container HEADERS
+(dimensions, sample rates) are parsed for real either way. The
+Spark-side contract — schema, batching, partitioning, UDF signatures —
+is identical across both paths.
 """
 
 from __future__ import annotations
@@ -72,11 +73,12 @@ def _decode_stub(payload: bytes) -> np.ndarray:
 
 
 def decode_pixels(b: bytes):
-    """(format, pixels HxWxC uint8) for BMP/PPM/PGM/PNG payloads, or
-    (None, None) when the container is unsupported (lossy codecs,
-    16-bit or interlaced PNG) — callers fall back to the stub path on
-    None.  PNG decode is real: stdlib zlib inflate + scanline
-    unfiltering, see decode_png_pixels."""
+    """(format, pixels HxWxC uint8) for BMP/PPM/PGM/PNG/GIF/baseline-
+    JPEG payloads, or (None, None) when the container is unsupported
+    (progressive/arithmetic JPEG, 16-bit PNG, exotic codecs) — callers
+    fall back to the stub path on None.  PNG decode is real (stdlib
+    zlib inflate + scanline unfiltering, see decode_png_pixels); JPEG
+    decode is real baseline SOF0 (see jpeg.decode_jpeg_pixels)."""
     import struct
 
     if b[:2] == b"BM" and len(b) >= 54:
@@ -138,6 +140,12 @@ def decode_pixels(b: bytes):
         _, _, frames = decode_gif_frames(b, max_frames=1)
         if frames:
             return "gif", frames[0]
+    if b[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_pixels
+
+        px = decode_jpeg_pixels(b)
+        if px is not None:
+            return "jpeg", px
     return None, None
 
 
@@ -524,11 +532,14 @@ def resize_images(
 
 def multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: the REAL pixel path end-to-end — deterministic
-    per-doc gradient BMPs (crafted from doc_id, no codec libs needed)
-    -> pixel decode -> nearest-neighbor resize to 8px -> luminance
-    histogram features over the true resized pixels.  rows-only
-    (pixel rasters aren't SQL-expressible); determinism is pinned by
-    the crafted-bytes round-trip tests in test_multimodal.py."""
+    per-doc gradient images (crafted from doc_id, no codec libs
+    needed; every third doc is a baseline JPEG from jpeg.encode_jpeg,
+    the rest BMP) -> pixel decode -> nearest-neighbor resize to 8px
+    -> luminance histogram features over the true resized pixels.
+    rows-only (pixel rasters aren't SQL-expressible); determinism is
+    pinned by the crafted-bytes round-trip tests in the test suite
+    (our JPEG codec is bit-deterministic: fixed tables, integer
+    quantization)."""
     docs = load_table(spark, "documents", sf_dir, parallel=False).select(
         "doc_id"
     )  # parallel=False: see multimodal_frames
@@ -548,7 +559,12 @@ def multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ],
                     axis=-1,
                 ).astype(np.uint8)
-                payloads.append(encode_bmp(px))
+                if d % 3 == 0:
+                    from .jpeg import encode_jpeg
+
+                    payloads.append(encode_jpeg(px, quality=95))
+                else:
+                    payloads.append(encode_bmp(px))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     blobs = docs.mapInPandas(gen, schema="doc_id long, payload binary")

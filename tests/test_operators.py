@@ -1519,7 +1519,10 @@ def test_multimodal_pixels_query_runs(spark):
     out = multimodal_pixels(spark, "/root/testdata/sf0.001").collect()
     assert len(out) > 0
     r = out[0]
-    assert r.format == "bmp" and 1 <= r.width <= 8 and 1 <= r.height <= 8
+    # every third doc is a baseline JPEG, the rest BMP — both decode real
+    assert r.format == ("jpeg" if r.doc_id % 3 == 0 else "bmp")
+    assert {row.format for row in out} == {"bmp", "jpeg"}
+    assert 1 <= r.width <= 8 and 1 <= r.height <= 8
     assert 0.0 <= r.luma_bin0 + r.luma_bin_last <= 1.0
     # deterministic: second run identical
     again = multimodal_pixels(spark, "/root/testdata/sf0.001").collect()
