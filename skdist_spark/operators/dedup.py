@@ -1021,3 +1021,120 @@ ORACLE_SQL_CONTAINMENT = f"""
 
 QUERIES["doc_containment"] = doc_containment
 ORACLE_SQL["doc_containment"] = ORACLE_SQL_CONTAINMENT
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+# MOSS algorithm).  Unlike the bottom-k sketch in text.fingerprint,
+# winnowing gives a POSITIONAL guarantee: any shared word run of at
+# least WINNOW_K + WINNOW_W - 1 words contributes at least one common
+# fingerprint, so equi-joining on fingerprints finds every long-enough
+# overlap.  Density is ~2/(w+1) of all k-grams, so the exploded
+# fingerprint table is ~4x smaller than the full k-gram index.
+#
+# 100 TB posture: fingerprints are computed per-row with higher-order
+# array functions (map-only, codegen'd, zero Python); candidate pairs
+# come from an equi-join on the fingerprint value — the same
+# band-join shape as MinHash LSH, never doc x doc.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 4  # words per k-gram (matches text.fingerprint shingling)
+WINNOW_W = 8  # winnow window; guarantee length = K + W - 1 = 11 words
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    window: int = WINNOW_W,
+) -> DataFrame:
+    """(doc_id, fps array<string>): the distinct winnowing fingerprint
+    set of each document.
+
+    Fingerprint = the minimum md5(k-gram) in each sliding window of
+    ``window`` consecutive k-gram hashes (string minimum over hex —
+    total order, engine-independent).  Guarantee: two docs sharing a
+    run of >= k + window - 1 words share >= 1 fingerprint.
+    """
+    kgrams = (
+        f"transform(sequence(1, greatest(size(wd) - {k - 1}, 1)),"
+        f" i -> md5(concat_ws(' ', slice(wd, i, {k}))))"
+    )
+    mins = (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size(kg) - {window - 1}, 1)),"
+        f" j -> array_min(slice(kg, j, {window}))))"
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .select("doc_id", F.expr(_SPARK_WORDS).alias("wd"))
+        .select("doc_id", F.expr(kgrams).alias("kg"))
+        .select("doc_id", F.expr(mins).alias("fps"))
+    )
+
+
+def winnow_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    window: int = WINNOW_W,
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing >= 1 winnowing
+    fingerprint — the candidate set for overlap verification.
+
+    Explode + self-equi-join on the fingerprint value: shuffle on a
+    short hash key, identical scale shape to the MinHash band join.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, window).select(
+        "doc_id", F.explode("fps").alias("fp")
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: per-doc winnowing fingerprint summary (count, min,
+    order-insensitive digest) — value-identical in DuckDB because both
+    engines take string-minimums over md5 hex."""
+    fps = winnow_fingerprints(load_table(spark, "documents", sf_dir))
+    return fps.select(
+        "doc_id",
+        F.expr("CAST(size(fps) AS INT)").alias("n_fingerprints"),
+        F.expr("array_min(fps)").alias("min_fp"),
+        F.expr("md5(concat_ws('', array_sort(fps)))").alias("fp_digest"),
+    ).orderBy("doc_id")
+
+
+ORACLE_SQL_WINNOWING = f"""
+    WITH w AS (
+        SELECT doc_id, {_DUCK_WORDS} AS wd FROM documents
+    ), kg AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(wd) - {WINNOW_K - 1}, 1) + 1),
+                              i -> md5(array_to_string(wd[i:i+{WINNOW_K - 1}], ' '))) AS kg
+        FROM w
+    ), fp AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(kg) - {WINNOW_W - 1}, 1) + 1),
+                   j -> list_min(kg[j:j+{WINNOW_W - 1}]))) AS fps
+        FROM kg
+    )
+    SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fingerprints,
+           list_min(fps) AS min_fp,
+           md5(array_to_string(list_sort(fps), '')) AS fp_digest
+    FROM fp ORDER BY doc_id
+"""
+
+QUERIES["doc_winnowing"] = doc_winnowing
+ORACLE_SQL["doc_winnowing"] = ORACLE_SQL_WINNOWING

@@ -1707,3 +1707,52 @@ def test_ann_int8_recall_vs_exact(spark, sf_dir):
     exact = {(r.query_id, r.neighbor_id) for r in ann_topk(spark, sf_dir).collect()}
     assert len(got) == len(exact)
     assert len(got & exact) / len(exact) >= 0.8
+
+
+def test_winnowing_guarantee_shared_run(spark):
+    """Winnowing's positional guarantee: docs sharing a run of
+    >= K + W - 1 words share at least one fingerprint."""
+    from skdist_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_candidate_pairs,
+        winnow_fingerprints,
+    )
+
+    shared = " ".join(f"tok{i}" for i in range(WINNOW_K + WINNOW_W - 1))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma delta"),
+            (2, "zeta " + shared + " omega"),
+            (3, "entirely different words with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        r.doc_id: set(r.fps)
+        for r in winnow_fingerprints(docs).collect()
+    }
+    assert fps[1] & fps[2], "guaranteed shared fingerprint missing"
+    pairs = {
+        (r.doc_a, r.doc_b) for r in winnow_candidate_pairs(docs).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_winnowing_density_and_short_docs(spark):
+    """Fingerprint density ~ 2/(w+1) of k-grams; degenerate docs
+    (fewer words than k) still emit exactly one fingerprint."""
+    from skdist_spark.operators.dedup import WINNOW_W, winnow_fingerprints
+
+    long_text = " ".join(f"w{i * 7 % 997}" for i in range(500))
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, "tiny"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.fps for r in winnow_fingerprints(docs).collect()}
+    n_kgrams = 500 - 3
+    density = len(out[1]) / n_kgrams
+    # SWA'03: expected density 2/(w+1); allow generous slack
+    assert 0.5 * 2 / (WINNOW_W + 1) < density < 4 / (WINNOW_W + 1)
+    assert len(out[2]) == 1 and len(out[3]) == 1
