@@ -1140,3 +1140,136 @@ QUERIES["price_elasticity"] = price_elasticity
 QUERIES["revenue_pareto"] = revenue_pareto
 ORACLE_SQL["price_elasticity"] = _elasticity_oracle_sql()
 ORACLE_SQL["revenue_pareto"] = _pareto_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov test — completes the nonparametric
+# family next to PSI (binned drift), Mann-Whitney (rank shift), and
+# chi-square (categorical independence).  D is computed from INTEGER
+# cumulative counts (|cca*nb - ccb*na| cross-multiplication) with one
+# final double division, so Spark and DuckDB agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+# 0.05-level asymptotic threshold: reject iff D > 1.358*sqrt((na+nb)/(na*nb)).
+# Compared in squared form (D^2 * (na*nb)^2 > c^2 * (na+nb) * na*nb) to keep
+# both engines on the same single-rounding double expression.
+_KS_C2_05 = 1.844164  # 1.358**2
+
+
+def ks_two_sample(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """All-pairs two-sample KS over the distinct values of ``group_col``.
+
+    Output: one row per unordered group pair with exact sample sizes,
+    the KS statistic D, and the asymptotic 0.05-level reject flag.
+
+    Scale shape: pairs come from a broadcast self-join of the DISTINCT
+    group list (g groups -> g*(g-1)/2 pairs; each data row fans out to
+    the g-1 pairs containing its group), then ONE shuffle partitioned
+    by pair with a per-pair sort — the window pattern Spark already
+    optimizes.  Intended for small g (sources, languages, arms); for
+    large g or heavy values, pre-bin with the PSI face and run KS on
+    the binned ECDF instead.
+    """
+    docs = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("x"))
+    groups = docs.select("g").distinct()
+    pairs = (
+        groups.alias("a")
+        .join(groups.alias("b"), F.col("a.g") < F.col("b.g"))
+        .select(F.col("a.g").alias("ga"), F.col("b.g").alias("gb"))
+    )
+    fanned = docs.join(
+        F.broadcast(pairs),
+        (F.col("g") == F.col("ga")) | (F.col("g") == F.col("gb")),
+    )
+    per_val = fanned.groupBy("ga", "gb", "x").agg(
+        F.sum(F.when(F.col("g") == F.col("ga"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("g") == F.col("gb"), 1).otherwise(0)).alias("cb"),
+    )
+    w_cum = (
+        Window.partitionBy("ga", "gb")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("ga", "gb")
+    cum = per_val.select(
+        "ga",
+        "gb",
+        F.sum("ca").over(w_cum).alias("cca"),
+        F.sum("cb").over(w_cum).alias("ccb"),
+        F.sum("ca").over(w_tot).alias("na"),
+        F.sum("cb").over(w_tot).alias("nb"),
+    )
+    d = cum.groupBy("ga", "gb", "na", "nb").agg(
+        F.max(
+            F.abs(F.col("cca") * F.col("nb") - F.col("ccb") * F.col("na"))
+        ).alias("dnum")
+    )
+    return d.select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        (F.col("dnum").cast("double") / (F.col("na") * F.col("nb"))).alias(
+            "ks_d"
+        ),
+        (
+            F.col("dnum").cast("double") * F.col("dnum")
+            > F.lit(_KS_C2_05)
+            * (F.col("na") + F.col("nb"))
+            * F.col("na")
+            * F.col("nb")
+        ).alias("reject_05"),
+    ).orderBy("group_a", "group_b")
+
+
+def source_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: pairwise KS test of the document-length
+    distribution across sources — the corpus-drift readout ("does
+    source X ship systematically longer documents than source Y?")."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = ks_two_sample(docs, "source", "n_chars")
+    return out.select(
+        F.col("group_a").alias("source_a"),
+        F.col("group_b").alias("source_b"),
+        "n_a",
+        "n_b",
+        "ks_d",
+        "reject_05",
+    )
+
+
+def _source_ks_oracle_sql() -> str:
+    return f"""
+        WITH g AS (SELECT DISTINCT source FROM documents),
+        p AS (SELECT a.source AS sa, b.source AS sb
+              FROM g a JOIN g b ON a.source < b.source),
+        j AS (SELECT p.sa, p.sb, d.n_chars AS x,
+                     CASE WHEN d.source = p.sa THEN 1 ELSE 0 END AS ia,
+                     CASE WHEN d.source = p.sb THEN 1 ELSE 0 END AS ib
+              FROM p JOIN documents d ON d.source IN (p.sa, p.sb)),
+        v AS (SELECT sa, sb, x,
+                     CAST(SUM(ia) AS BIGINT) AS ca,
+                     CAST(SUM(ib) AS BIGINT) AS cb
+              FROM j GROUP BY sa, sb, x),
+        c AS (SELECT sa, sb,
+                     CAST(SUM(ca) OVER (PARTITION BY sa, sb ORDER BY x) AS BIGINT) AS cca,
+                     CAST(SUM(cb) OVER (PARTITION BY sa, sb ORDER BY x) AS BIGINT) AS ccb,
+                     CAST(SUM(ca) OVER (PARTITION BY sa, sb) AS BIGINT) AS na,
+                     CAST(SUM(cb) OVER (PARTITION BY sa, sb) AS BIGINT) AS nb
+              FROM v),
+        d AS (SELECT sa, sb, na, nb,
+                     CAST(MAX(ABS(cca * nb - ccb * na)) AS BIGINT) AS dnum
+              FROM c GROUP BY sa, sb, na, nb)
+        SELECT sa AS source_a, sb AS source_b,
+               na AS n_a, nb AS n_b,
+               CAST(dnum AS DOUBLE) / (na * nb) AS ks_d,
+               CAST(dnum AS DOUBLE) * dnum
+                   > {_KS_C2_05} * (na + nb) * na * nb AS reject_05
+        FROM d ORDER BY source_a, source_b
+    """
+
+
+QUERIES["source_length_ks"] = source_length_ks
+ORACLE_SQL["source_length_ks"] = _source_ks_oracle_sql()

@@ -308,3 +308,43 @@ def test_table_fingerprint_tamper_detection(spark):
     diff = {b for b in base if base[b] != tampered.get(b)} - {"(root)"}
     # one changed row digest moves between at most two buckets
     assert 1 <= len(diff) <= 2
+
+
+def test_ks_two_sample_matches_numpy_replay(spark):
+    """KS statistic equals an independent numpy ECDF computation, and
+    a genuinely shifted distribution trips the 0.05 reject flag."""
+    import numpy as np
+
+    from skdist_spark.operators.stats import ks_two_sample
+
+    rng_a = [(i * 37) % 100 for i in range(120)]          # ~uniform 0..99
+    rng_b = [((i * 41) % 100) + 60 for i in range(150)]   # shifted +60
+    rng_c = [(i * 43) % 100 for i in range(80)]           # same law as a
+    rows = (
+        [("a", float(v)) for v in rng_a]
+        + [("b", float(v)) for v in rng_b]
+        + [("c", float(v)) for v in rng_c]
+    )
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {(r.group_a, r.group_b): r for r in ks_two_sample(df, "g", "x").collect()}
+
+    def ks_numpy(xs, ys):
+        xs, ys = np.sort(xs), np.sort(ys)
+        allv = np.union1d(xs, ys)
+        fa = np.searchsorted(xs, allv, side="right") / len(xs)
+        fb = np.searchsorted(ys, allv, side="right") / len(ys)
+        return np.max(np.abs(fa - fb))
+
+    for (ga, gb), (xs, ys) in {
+        ("a", "b"): (rng_a, rng_b),
+        ("a", "c"): (rng_a, rng_c),
+        ("b", "c"): (rng_b, rng_c),
+    }.items():
+        r = got[(ga, gb)]
+        assert abs(r.ks_d - ks_numpy(xs, ys)) < 1e-12, (ga, gb)
+        assert r.n_a == len(xs) and r.n_b == len(ys)
+        crit = 1.358 * np.sqrt((r.n_a + r.n_b) / (r.n_a * r.n_b))
+        assert r.reject_05 == (r.ks_d > crit), (ga, gb)
+    # the shifted pair must reject; the same-law pair must not
+    assert got[("a", "b")].reject_05 is True
+    assert got[("a", "c")].reject_05 is False
