@@ -727,3 +727,64 @@ def test_third_hybrid_search_rrf(spark):
         for r in QUERIES["hybrid_search_rrf"](spark, SF).collect()
     ]
     assert got == want
+
+
+def test_third_doc_winnowing(spark):
+    """Pure-Python winnowing replay: split/md5/window-min with ordinary
+    list code, no SQL engine on the expectation side."""
+    from skdist_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        doc_winnowing,
+    )
+
+    got, _ = _rows(doc_winnowing(spark, SF))
+    docs = _table("documents")
+    want = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        wd = [w for w in re.split(r"\s+", str(text).strip()) if w]
+        n_kg = max(len(wd) - (WINNOW_K - 1), 1)
+        kg = [
+            hashlib.md5(" ".join(wd[i:i + WINNOW_K]).encode()).hexdigest()
+            for i in range(n_kg)
+        ]
+        n_win = max(len(kg) - (WINNOW_W - 1), 1)
+        fps = sorted({min(kg[j:j + WINNOW_W]) for j in range(n_win)})
+        want.append((
+            int(doc_id),
+            hashlib.md5("".join(fps).encode()).hexdigest(),
+            min(fps),
+            len(fps),
+        ))
+    # spark columns sorted: doc_id, fp_digest, min_fp, n_fingerprints
+    assert got == sorted(want, key=repr)
+
+
+def test_third_source_length_ks(spark):
+    """KS replay straight from the definition: per-pair ECDF max gap
+    over numpy arrays."""
+    from skdist_spark.operators.stats import source_length_ks
+
+    got, _ = _rows(source_length_ks(spark, SF))
+    docs = _table("documents")
+    by_src = {s: np.sort(g["n_chars"].to_numpy()) for s, g in docs.groupby("source")}
+    want = []
+    for sa in by_src:
+        for sb in by_src:
+            if sa >= sb:
+                continue
+            xs, ys = by_src[sa], by_src[sb]
+            allv = np.union1d(xs, ys)
+            fa = np.searchsorted(xs, allv, side="right") / len(xs)
+            fb = np.searchsorted(ys, allv, side="right") / len(ys)
+            d = float(np.max(np.abs(fa - fb)))
+            crit = 1.358 * np.sqrt((len(xs) + len(ys)) / (len(xs) * len(ys)))
+            want.append((d, int(len(xs)), int(len(ys)), bool(d > crit), sa, sb))
+    # spark columns sorted: ks_d, n_a, n_b, reject_05, source_a, source_b
+    assert len(got) == len(want)
+    got = sorted(got, key=lambda t: (t[4], t[5]))
+    want = sorted(want, key=lambda t: (t[4], t[5]))
+    for g, w in zip(got, want):
+        assert g[4] == w[4] and g[5] == w[5]
+        assert g[1] == w[1] and g[2] == w[2]
+        assert abs(g[0] - w[0]) < 1e-12 and g[3] == w[3]
