@@ -923,3 +923,163 @@ QUERIES = {
     "ann_pq": ann_pq,
     "embedding_corr": embedding_corr,
 }
+
+
+# ---------------------------------------------------------------------------
+# Simplified (centroid-based) silhouette score — the standard
+# clustering-quality diagnostic at scale: a(i) = distance to own
+# label's centroid, b(i) = distance to the nearest other centroid,
+# s(i) = (b - a) / max(a, b).  Exact all-pairs silhouette is O(n^2);
+# the centroid form is the accepted large-n variant (it is what
+# Spark MLlib's ClusteringEvaluator computes).
+#
+# Cross-engine determinism recipe (same as embedding_corr/ann_topk):
+# quantize dims to integer micro-units, centroid = exact BIGINT sums
+# with ONE double division, distances via the fixed-order list fold
+# both engines share, and the per-label mean taken over floor(s*1e9)
+# BIGINTs so row order cannot perturb the hash.
+#
+# 100 TB: one explode-aggregate for centroids (k*d rows), a broadcast
+# fan-out of k centroid rows, one label shuffle for the final means —
+# no point-to-point pairs anywhere.
+# ---------------------------------------------------------------------------
+
+
+def silhouette_score(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid-silhouette summary over a labeled vector
+    frame: (label, n_points, mean_silhouette, n_negative) — negative
+    silhouettes mark points closer to a foreign centroid than their
+    own (likely mislabeled / boundary points)."""
+    pts = df.select(
+        F.col(id_col).alias("pid"),
+        F.col(label_col).alias("lbl"),
+        F.expr(
+            f"transform({vec_col},"
+            " v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("xq"),
+    )
+    expl = pts.select("lbl", F.posexplode("xq").alias("pos", "x"))
+    sums = expl.groupBy("lbl", "pos").agg(F.sum("x").alias("s"))
+    counts = pts.groupBy("lbl").agg(F.count(F.lit(1)).alias("n"))
+    cents = (
+        sums.groupBy("lbl")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, s))), t -> t.s)"
+            ).alias("svec")
+        )
+        .join(counts, "lbl")
+        .select(
+            F.col("lbl").alias("clbl"),
+            F.expr("transform(svec, s -> CAST(s AS DOUBLE) / n)").alias(
+                "cent"
+            ),
+        )
+    )
+    fan = pts.crossJoin(F.broadcast(cents))
+    d2 = fan.select(
+        "pid",
+        "lbl",
+        "clbl",
+        F.expr(
+            "aggregate(zip_with(xq, cent,"
+            " (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        ).alias("d2"),
+    )
+    per_point = d2.groupBy("pid", "lbl").agg(
+        F.max(F.when(F.col("clbl") == F.col("lbl"), F.col("d2"))).alias("a2"),
+        F.min(F.when(F.col("clbl") != F.col("lbl"), F.col("d2"))).alias("b2"),
+    )
+    scored = per_point.select(
+        "lbl",
+        F.expr(
+            "CAST(floor(CASE WHEN greatest(sqrt(a2), sqrt(b2)) = 0 THEN 0"
+            " ELSE (sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2)) END"
+            " * 1000000000) AS BIGINT)"
+        ).alias("s_ppb"),
+    )
+    return (
+        scored.groupBy("lbl")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("s_ppb").alias("s_sum"),
+            F.sum(F.when(F.col("s_ppb") < 0, 1).otherwise(0)).alias(
+                "n_negative"
+            ),
+        )
+        .select(
+            F.col("lbl").alias("label"),
+            F.col("n_points").cast("long"),
+            (
+                F.col("s_sum").cast("double")
+                / F.col("n_points")
+                / F.lit(1000000000.0)
+            ).alias("mean_silhouette"),
+            F.col("n_negative").cast("long"),
+        )
+        .orderBy("label")
+    )
+
+
+def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: how well separated the embedding labels are."""
+    return silhouette_score(load_table(spark, "embeddings", sf_dir))
+
+
+def _silhouette_oracle_sql() -> str:
+    return """
+        WITH pts AS (
+            SELECT vec_id AS pid, label AS lbl,
+                   list_transform(embedding,
+                       v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS xq
+            FROM embeddings
+        ), ex AS (
+            SELECT lbl, t.pos, xq[t.pos] AS x
+            FROM pts, UNNEST(range(1, len(xq) + 1)) AS t(pos)
+        ), sums AS (
+            SELECT lbl, pos, CAST(SUM(x) AS BIGINT) AS s
+            FROM ex GROUP BY lbl, pos
+        ), counts AS (
+            SELECT lbl, COUNT(*) AS n FROM pts GROUP BY lbl
+        ), cents AS (
+            SELECT s.lbl AS clbl,
+                   list_transform(list(s.s ORDER BY s.pos),
+                                  v -> CAST(v AS DOUBLE) / c.n) AS cent
+            FROM sums s JOIN counts c ON s.lbl = c.lbl
+            GROUP BY s.lbl, c.n
+        ), d2 AS (
+            SELECT p.pid, p.lbl, c.clbl,
+                   list_sum(list_transform(range(1, len(p.xq) + 1),
+                       i -> (CAST(p.xq[i] AS DOUBLE) - c.cent[i])
+                            * (CAST(p.xq[i] AS DOUBLE) - c.cent[i]))) AS d2
+            FROM pts p CROSS JOIN cents c
+        ), per_point AS (
+            SELECT pid, lbl,
+                   MAX(CASE WHEN clbl = lbl THEN d2 END) AS a2,
+                   MIN(CASE WHEN clbl != lbl THEN d2 END) AS b2
+            FROM d2 GROUP BY pid, lbl
+        ), scored AS (
+            SELECT lbl,
+                   CAST(floor(CASE WHEN greatest(sqrt(a2), sqrt(b2)) = 0 THEN 0
+                        ELSE (sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2)) END
+                        * 1000000000) AS BIGINT) AS s_ppb
+            FROM per_point
+        )
+        SELECT lbl AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(SUM(s_ppb) AS DOUBLE) / COUNT(*) / 1000000000.0
+                   AS mean_silhouette,
+               CAST(SUM(CASE WHEN s_ppb < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_negative
+        FROM scored GROUP BY lbl ORDER BY label
+    """
+
+
+QUERIES["embedding_silhouette"] = embedding_silhouette
+ORACLE_SQL["embedding_silhouette"] = _silhouette_oracle_sql()

@@ -1756,3 +1756,55 @@ def test_winnowing_density_and_short_docs(spark):
     # SWA'03: expected density 2/(w+1); allow generous slack
     assert 0.5 * 2 / (WINNOW_W + 1) < density < 4 / (WINNOW_W + 1)
     assert len(out[2]) == 1 and len(out[3]) == 1
+
+
+def test_silhouette_separated_vs_mixed_clusters(spark):
+    """Well-separated crafted clusters score near +1; scrambled labels
+    on the same points go negative. Values match a numpy replay of the
+    same centroid-silhouette definition."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from skdist_spark.operators.similarity import silhouette_score
+
+    rng = np.random.RandomState(7)
+    centers = {0: [10.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0], 2: [0.0, 0.0, 10.0]}
+    rows = []
+    for lbl, c in centers.items():
+        for i in range(40):
+            v = (np.array(c) + rng.normal(0, 0.05, 3)).tolist()
+            rows.append((lbl * 40 + i, lbl, [float(x) for x in v]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    good = silhouette_score(df).collect()
+    assert all(r.mean_silhouette > 0.9 for r in good)
+    assert all(r.n_negative == 0 for r in good)
+
+    # numpy replay of the same definition (micro-unit quantization,
+    # exact-sum centroids, centroid distances)
+    # the column is array<float>: quantize through float32 like Spark
+    pts = {(r[0]): (r[1], np.floor(
+        np.array(r[2], dtype=np.float32).astype(np.float64) * 1e6))
+           for r in rows}
+    sums, ns = {}, {}
+    for _, (lbl, xq) in pts.items():
+        sums[lbl] = sums.get(lbl, 0) + xq
+        ns[lbl] = ns.get(lbl, 0) + 1
+    cents = {lbl: sums[lbl] / ns[lbl] for lbl in sums}
+    agg = {lbl: [0, 0] for lbl in cents}
+    for _, (lbl, xq) in pts.items():
+        d = {cl: float(np.sqrt(np.sum((xq - c) ** 2))) for cl, c in cents.items()}
+        a = d[lbl]
+        b = min(v for cl, v in d.items() if cl != lbl)
+        s = 0.0 if max(a, b) == 0 else (b - a) / max(a, b)
+        agg[lbl][0] += int(np.floor(s * 1e9))
+        agg[lbl][1] += 1
+    for r in good:
+        want = agg[r.label][0] / agg[r.label][1] / 1e9
+        assert abs(r.mean_silhouette - want) < 1e-9, r.label
+
+    # scrambled labels: silhouette collapses
+    bad_df = df.withColumn("label", (F.col("vec_id") % 3).cast("int"))
+    bad = silhouette_score(bad_df).collect()
+    assert all(r.mean_silhouette < 0.1 for r in bad)
