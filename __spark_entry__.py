@@ -94,7 +94,7 @@ _PRIORITY = [
     "ml_multi_model_search", "ml_predict_udf", "encoderizer_features",
     "ml_quality_classifier",
     "stream_windowed_counts", "stream_sliding_users",
-    "stream_sessionize",
+    "stream_sessionize", "stream_psi_drift",
     "corpus_pipeline",
 ]
 

@@ -1360,3 +1360,105 @@ def stream_user_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["stream_user_balance"] = stream_user_balance
+
+
+# ---------------------------------------------------------------------------
+# Streaming PSI drift monitor — the in-flight version of the batch
+# deploy-window monitor (operators.stats.psi_drift): score every
+# micro-batch's value distribution against a static reference
+# histogram and flag drift before the batch lands anywhere.
+# ---------------------------------------------------------------------------
+
+
+def psi_stream_monitor(
+    stream_binned: DataFrame, ref_counts: "list[int]"
+) -> DataFrame:
+    """Per-micro-batch PSI of a streaming ``bin`` column against a
+    static reference histogram.
+
+    ``ref_counts`` is the dense reference bin histogram (length
+    PSI_BINS — bounded driver state by construction). Each micro-batch
+    is reduced DISTRIBUTEDLY to <= PSI_BINS count rows inside
+    foreachBatch; only that tiny aggregate reaches the driver, where
+    the smoothed PSI scalar uses the exact formula and constants of
+    the batch face (add-PSI_SMOOTH, ln terms) — so a single-batch
+    replay of the reference itself scores exactly 0.0.
+
+    Returns a BATCH DataFrame (batch_id, n_rows, psi, drifted) after
+    draining the stream; drifted applies the industry >0.25 threshold.
+    """
+    import math
+
+    from ..operators.stats import PSI_BINS, PSI_SMOOTH
+
+    spark = stream_binned.sparkSession
+    ref = [int(c) for c in ref_counts]
+    if len(ref) != PSI_BINS:
+        raise ValueError(f"ref_counts must have {PSI_BINS} entries")
+    n_ref = sum(ref)
+    k, nb = PSI_SMOOTH, PSI_BINS
+    rows: "list[tuple[int, int, float]]" = []
+
+    def on_batch(bdf: DataFrame, batch_id: int) -> None:
+        cnt = {
+            r["bin"]: r["c"]
+            for r in bdf.groupBy("bin").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        n = sum(cnt.values())
+        if n == 0:
+            return
+        psi = 0.0
+        for b in range(nb):
+            p = (ref[b] + k) / (n_ref + k * nb)
+            q = (cnt.get(b, 0) + k) / (n + k * nb)
+            psi += (p - q) * math.log(p / q)
+        rows.append((int(batch_id), int(n), round(psi, 6)))
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            stream_binned.writeStream.foreachBatch(on_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.createDataFrame(
+        rows, "batch_id int, n_rows long, psi double"
+    ).withColumn("drifted", F.col("psi") > F.lit(0.25))
+
+
+def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: 4-batch time-ordered replay scored against the
+    full table's value histogram (rows-only; per-batch PSI is a
+    streaming-side effect no SQL engine can express).  The bin
+    expression is shared verbatim with the batch event_value_drift."""
+    from ..operators.stats import PSI_BIN_WIDTH, PSI_BINS
+    from ..sources.catalog import load_table
+
+    bin_expr = (
+        f"least({PSI_BINS - 1}, greatest(0,"
+        f" CAST(floor(value / {PSI_BIN_WIDTH}D) AS INT)))"
+    )
+    ref_rows = dict(
+        load_table(spark, "events", sf_dir)
+        .select(F.expr(bin_expr).alias("bin"))
+        .groupBy("bin")
+        .count()
+        .collect()
+    )
+    ref = [int(ref_rows.get(b, 0)) for b in range(PSI_BINS)]
+    stage = _stage_ordered_stream(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+    binned = raw.select(F.expr(bin_expr).alias("bin"))
+    return psi_stream_monitor(binned, ref).orderBy("batch_id")
+
+
+QUERIES["stream_psi_drift"] = stream_psi_drift

@@ -627,3 +627,49 @@ def test_stream_stream_left_join_outer_semantics(spark, sf_dir):
             assert batch[pid] == 0, f"purchase {pid}: false unmatched (batch has {batch[pid]})"
     assert any(n == 0 for n in got.values()), "no unmatched purchase emitted"
     assert len(got) < len(batch), "tail not withheld -> watermark did nothing"
+
+
+def test_psi_stream_monitor_zero_on_reference_and_flags_shift(spark, tmp_path):
+    """A single-batch replay of the reference itself scores EXACTLY
+    0.0 (formula parity with the batch face); a shifted batch trips
+    the 0.25 drift flag; the 4-batch driver query emits one finite
+    row per batch."""
+    from skdist_spark.operators.stats import PSI_BINS
+    from skdist_spark.streaming.ops import psi_stream_monitor, stream_psi_drift
+
+    # reference: 100 rows per bin 0..9
+    ref_df = spark.range(1000).selectExpr(f"CAST(id % {PSI_BINS} AS INT) AS bin")
+    ref = [100] * PSI_BINS
+
+    same_dir = str(tmp_path / "same")
+    ref_df.coalesce(1).write.parquet(same_dir)
+    stream = (
+        spark.readStream.schema("bin int")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(same_dir)
+    )
+    out = psi_stream_monitor(stream, ref).collect()
+    assert len(out) == 1
+    assert out[0].n_rows == 1000
+    assert out[0].psi == 0.0 and out[0].drifted is False
+
+    # shifted: all mass in the top two bins
+    shift_dir = str(tmp_path / "shift")
+    spark.range(1000).selectExpr(
+        f"CAST({PSI_BINS - 2} + id % 2 AS INT) AS bin"
+    ).coalesce(1).write.parquet(shift_dir)
+    stream2 = (
+        spark.readStream.schema("bin int")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(shift_dir)
+    )
+    out2 = psi_stream_monitor(stream2, ref).collect()
+    assert len(out2) == 1
+    assert out2[0].psi > 0.25 and out2[0].drifted is True
+
+    # driver query: 4 replay batches, all finite, none degenerate
+    rows = stream_psi_drift(spark, "/root/testdata/sf0.001").collect()
+    assert [r.batch_id for r in rows] == [0, 1, 2, 3]
+    assert all(r.n_rows > 0 and r.psi >= 0.0 for r in rows)
