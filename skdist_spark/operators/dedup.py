@@ -1138,3 +1138,160 @@ ORACLE_SQL_WINNOWING = f"""
 
 QUERIES["doc_winnowing"] = doc_winnowing
 ORACLE_SQL["doc_winnowing"] = ORACLE_SQL_WINNOWING
+
+
+def minhash_eval(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Measure the MinHash-LSH candidate stage against exact all-pairs
+    shingle Jaccard: one row of (n_truth, n_candidates, n_hits,
+    precision_ppm, recall_ppm).  The standard banding-theory check —
+    with 4 bands of r=2 a true Jaccard-0.5 pair is caught with
+    1-(1-0.5^2)^4 ~ 73% per-band-independence probability, and this
+    operator reports what the corpus actually delivers, so threshold /
+    band-count tuning is measured rather than asserted.
+
+    Ground truth enumerates pairs through the same inverted-index
+    posting join the blocked-Jaccard operator uses (only co-shingled
+    pairs materialize — never doc x doc), but UNBLOCKED, because LSH
+    candidates are corpus-wide.  That makes this an EVAL operator: run
+    it on a bounded sample (or one blocking partition) at 100 TB, then
+    apply the tuned parameters corpus-wide; the production dedup path
+    never pays the unblocked truth cost.
+
+    Both ratios are FLOOR parts-per-million over exact integers, so
+    the row is value-identical across engines (no double division).
+    """
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    cand = (
+        minhash_bands(d)
+        .alias("a")
+        .join(
+            minhash_bands(d).alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh = d.select(
+        "doc_id", F.expr(_SPARK_WORDS).alias("wd")
+    ).select("doc_id", F.expr(_spark_shingles(words="wd")).alias("sh"))
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    postings = sh.select("doc_id", F.explode_outer("sh").alias("shingle"))
+    a, b = postings.alias("a"), postings.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    # integer-exact threshold test: inter/union >= t  <=>  inter*SCALE >= union*(t*SCALE)
+    scaled = int(round(threshold * 1000))
+    truth = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            F.col("n_inter") * 1000
+            >= (F.col("na") + F.col("nb") - F.col("n_inter")) * scaled
+        )
+        .select("doc_a", "doc_b")
+    )
+    tagged = (
+        truth.withColumn("in_truth", F.lit(1))
+        .join(cand.withColumn("in_cand", F.lit(1)), ["doc_a", "doc_b"], "full_outer")
+        .agg(
+            F.coalesce(F.sum("in_truth"), F.lit(0)).alias("n_truth"),
+            F.coalesce(F.sum("in_cand"), F.lit(0)).alias("n_candidates"),
+            F.coalesce(
+                F.sum(F.col("in_truth") * F.col("in_cand")), F.lit(0)
+            ).alias("n_hits"),
+        )
+    )
+    return tagged.select(
+        "n_truth",
+        "n_candidates",
+        "n_hits",
+        F.floor(F.lit(1000000) * F.col("n_hits") / F.greatest("n_candidates", F.lit(1)))
+        .cast("bigint")
+        .alias("precision_ppm"),
+        F.floor(F.lit(1000000) * F.col("n_hits") / F.greatest("n_truth", F.lit(1)))
+        .cast("bigint")
+        .alias("recall_ppm"),
+    )
+
+
+def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: LSH candidate precision/recall on the documents
+    corpus at the dedup threshold."""
+    return minhash_eval(load_table(spark, "documents", sf_dir))
+
+
+_MINHASH_EVAL_SCALED = int(round(JACCARD_THRESHOLD * 1000))
+
+ORACLE_SQL_MINHASH_EVAL = f"""
+    WITH sh AS (
+        SELECT doc_id, {_DUCK_SH} AS sh FROM documents
+    ), dig AS (
+        SELECT doc_id, sh,
+               {', '.join(f'{d} AS h{seed}' for seed, d in enumerate(_DUCK_DIGESTS))}
+        FROM sh
+    ), sig AS (
+        SELECT doc_id,
+               {', '.join(f'{s} AS sig{k}' for k, s in enumerate(_DUCK_SIGS))}
+        FROM dig
+    ), bands AS (
+        SELECT doc_id, band_idx,
+               CASE band_idx
+                    {' '.join(f'WHEN {b} THEN sig{2 * b} || sig{2 * b + 1}' for b in range(N_BANDS))}
+               END AS band_hash
+        FROM sig, UNNEST([{', '.join(str(b) for b in range(N_BANDS))}]) AS t(band_idx)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ), sizes AS (
+        SELECT doc_id, len(sh) AS n_sh FROM sh
+    ), postings AS (
+        SELECT doc_id, unnest(sh) AS shingle FROM sh
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM postings a JOIN postings b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), truth AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_inter * 1000 >= (sa.n_sh + sb.n_sh - n_inter) * {_MINHASH_EVAL_SCALED}
+    ), tagged AS (
+        SELECT COALESCE(SUM(in_truth), 0) AS n_truth,
+               COALESCE(SUM(in_cand), 0) AS n_candidates,
+               COALESCE(SUM(in_truth * in_cand), 0) AS n_hits
+        FROM (SELECT doc_a, doc_b, 1 AS in_truth FROM truth) t
+        FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS in_cand FROM cand) c
+        USING (doc_a, doc_b)
+    )
+    SELECT CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(FLOOR(1000000.0 * n_hits / GREATEST(n_candidates, 1)) AS BIGINT) AS precision_ppm,
+           CAST(FLOOR(1000000.0 * n_hits / GREATEST(n_truth, 1)) AS BIGINT) AS recall_ppm
+    FROM tagged
+"""
+
+QUERIES["dedup_minhash_eval"] = dedup_minhash_eval
+ORACLE_SQL["dedup_minhash_eval"] = ORACLE_SQL_MINHASH_EVAL
