@@ -1472,3 +1472,87 @@ ORACLE_SQL["text_readability"] = f"""
 """
 
 QUERIES["text_readability"] = text_readability
+
+
+EXACT_CONTAM_N = 8  # canonical eval-leakage n-gram size (13 in papers; 8 fits the short synthetic docs)
+
+
+def exact_ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = EXACT_CONTAM_N,
+) -> DataFrame:
+    """Exact n-gram decontamination: flag every corpus document that
+    shares AT LEAST ONE exact word n-gram with the benchmark — the
+    canonical eval-set leakage gate (GPT-3 appendix C ran 13-grams;
+    Llama and most open pipelines since use 8-13).  The companion to
+    ``contamination_check``: that one asks "is MOST of this doc in the
+    benchmark" (ratio), this one asks "does ANY verbatim span leak"
+    (a single long n-gram is already memorizable).
+
+    Returns (doc_id, n_colliding) — distinct colliding n-grams per
+    flagged doc.  Same shape as the ratio gate: the benchmark explodes
+    to a DISTINCT broadcastable n-gram set; the corpus posting list
+    equi-joins it.  Cost is |corpus n-grams| + |benchmark n-grams|,
+    never doc x doc — at 100 TB this is one hash join against a
+    benchmark-sized build side (md5 the n-gram if span text is long).
+    """
+    from .dedup import _spark_shingles
+
+    def _grams(df):
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(_SPARK_WORDS.replace("text", text_col)).alias("wd"),
+        ).select(
+            "doc_id", F.expr(_spark_shingles(words="wd", n=n)).alias("sh")
+        )
+
+    bench = (
+        _grams(benchmark)
+        .select(F.explode_outer("sh").alias("gram"))
+        .distinct()
+    )
+    postings = (
+        _grams(corpus)
+        .select("doc_id", F.explode_outer("sh").alias("gram"))
+        .distinct()
+    )
+    return (
+        postings.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_colliding"))
+    )
+
+
+def decontaminate_exact_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: every 20th document is the held-out benchmark
+    (same split as the ratio gate); flag corpus docs leaking any exact
+    8-gram."""
+    docs = load_table(spark, "documents", sf_dir)
+    benchmark = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    return exact_ngram_decontaminate(corpus, benchmark).orderBy("doc_id")
+
+
+def _decontaminate_exact_sql() -> str:
+    from .dedup import _duck_shingles
+
+    g = _duck_shingles(n=EXACT_CONTAM_N)
+    return f"""
+        WITH bench AS (
+            SELECT DISTINCT unnest({g}) AS gram
+            FROM documents WHERE doc_id % 20 = 0
+        ), postings AS (
+            SELECT DISTINCT doc_id, unnest({g}) AS gram
+            FROM documents WHERE doc_id % 20 != 0
+        )
+        SELECT doc_id, COUNT(*) AS n_colliding
+        FROM postings JOIN bench USING (gram)
+        GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+QUERIES["decontaminate_exact_ngrams"] = decontaminate_exact_ngrams
+ORACLE_SQL["decontaminate_exact_ngrams"] = _decontaminate_exact_sql()
