@@ -656,3 +656,96 @@ ORACLE_SQL["vocab_growth"] = f"""
 """
 
 QUERIES["vocab_growth"] = vocab_growth
+
+
+PPX_KEEP_PCT = 90  # keep the lowest-perplexity 90% within each source
+
+
+def perplexity_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    keep_pct: int = PPX_KEEP_PCT,
+) -> DataFrame:
+    """CCNet/FineWeb-style perplexity SELECTION: score every document
+    under the corpus unigram LM, rank within its ``group_col`` (a
+    per-source cut — sources differ in base perplexity, so a global
+    threshold would empty the clean sources before touching the noisy
+    ones), and keep the lowest-perplexity ``keep_pct`` percent.
+
+    The cut is integer-exact and fully deterministic: rank * 100 <=
+    n_group * keep_pct over (rounded perplexity, id) ordering — no
+    float percentile interpolation, no ties left to engine choice.
+    Returns every scored doc with its rank and the ``kept`` verdict so
+    downstream can filter or bucket (CCNet's head/middle/tail is this
+    same ranking at two thresholds).
+
+    Scale: the LM scoring is ``doc_logprob`` (one corpus scan, shuffle
+    bounded by distinct (doc, word)); the ranking is one window per
+    source partition — the 100 TB shape as long as no single source
+    dominates the corpus (salt the window by hash-bucket within source
+    if one does, then recombine ranks by offsetting per-bucket counts).
+    """
+    scored = doc_logprob(
+        df.select(F.col(id_col), F.col(text_col)), id_col, text_col
+    )
+    meta = df.select(F.col(id_col), F.col(group_col))
+    joined = scored.join(meta, id_col)
+    w = Window.partitionBy(group_col).orderBy("perplexity", id_col)
+    wn = Window.partitionBy(group_col)
+    return (
+        joined.withColumn("ppx_rank", F.row_number().over(w))
+        .withColumn("n_grp", F.count(F.lit(1)).over(wn))
+        .select(
+            id_col,
+            group_col,
+            "n_tokens",
+            "perplexity",
+            F.col("ppx_rank").cast("int").alias("ppx_rank"),
+            (F.col("ppx_rank") * 100 <= F.col("n_grp") * keep_pct).alias("kept"),
+        )
+    )
+
+
+def doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: per-source perplexity ranking with the 90% keep
+    verdict over the documents corpus."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text", "source")
+    return perplexity_filter(docs).orderBy("doc_id")
+
+
+def _perplexity_filter_sql(add_k: float = ADD_K, keep_pct: int = PPX_KEEP_PCT) -> str:
+    return f"""
+        WITH tf AS (
+            SELECT doc_id, unnest({_DUCK_WORDS}) AS word
+            FROM documents
+        ), tfc AS (
+            SELECT doc_id, word, COUNT(*) AS tf FROM tf GROUP BY 1, 2
+        ), cf AS (
+            SELECT word, SUM(tf) AS cf FROM tfc GROUP BY 1
+        ), totals AS (
+            SELECT SUM(cf) AS n_corpus, COUNT(*) AS v_vocab FROM cf
+        ), scored AS (
+            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                   SUM(-ln((cf + {add_k}) / (n_corpus + {add_k} * v_vocab)) * tf)
+                     / SUM(tf) AS h
+            FROM tfc JOIN cf USING (word) CROSS JOIN totals
+            GROUP BY doc_id
+        ), ranked AS (
+            SELECT s.doc_id, d.source, s.n_tokens,
+                   ROUND(exp(s.h), 6) AS perplexity,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY d.source
+                       ORDER BY ROUND(exp(s.h), 6), s.doc_id) AS INTEGER) AS ppx_rank,
+                   COUNT(*) OVER (PARTITION BY d.source) AS n_grp
+            FROM scored s JOIN documents d USING (doc_id)
+        )
+        SELECT doc_id, source, n_tokens, perplexity, ppx_rank,
+               ppx_rank * 100 <= n_grp * {keep_pct} AS kept
+        FROM ranked ORDER BY doc_id
+    """
+
+
+QUERIES["doc_perplexity_filter"] = doc_perplexity_filter
+ORACLE_SQL["doc_perplexity_filter"] = _perplexity_filter_sql()
