@@ -214,3 +214,73 @@ QUERIES = {
 ORACLE_SQL: dict[str, str] = {
     "contrastive_negatives": _negatives_oracle_sql(),
 }
+
+
+SPLIT_PERMILLE = (800, 100, 100)  # train / val / test user-bucket widths
+
+
+def user_disjoint_split(
+    df: DataFrame,
+    unit_col: str,
+    permille: tuple[int, int, int] = SPLIT_PERMILLE,
+) -> DataFrame:
+    """Assign every row to train/val/test by hashing its UNIT (user,
+    session, document family...) — the leakage-safe split: all rows of
+    a unit land in the same fold, so per-unit history never straddles
+    train and eval.  Row-level splits (``train_test_split_df``) leak
+    exactly the correlated structure a model memorizes first.
+
+    Same Knuth-hash permille contract as the row split: assignment is
+    a pure function of the unit id — reproducible across retries,
+    partitionings, cluster sizes, and engines; adding data never moves
+    an existing unit between folds.  Map-side expression only, no
+    shuffle.  Returns the input plus a ``split`` column.
+    """
+    if sum(permille) != 1000 or any(p <= 0 for p in permille):
+        raise ValueError("permille must be three positive ints summing to 1000")
+    bucket = F.pmod((F.col(unit_col).cast("bigint") * _KNUTH) % _MOD32, F.lit(1000))
+    return df.withColumn(
+        "split",
+        F.when(bucket < permille[0], F.lit("train"))
+        .when(bucket < permille[0] + permille[1], F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def user_split_summary(spark, sf_dir: str) -> DataFrame:
+    """Driver query: three-way user-disjoint split of the events table
+    with per-fold size/volume balance — the check run before any
+    training job ships (a fold imbalanced in users-vs-events signals
+    unit skew the split hash cannot fix)."""
+    from ..sources.catalog import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        user_disjoint_split(ev, "user_id")
+        .groupBy("split")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("split")
+    )
+
+
+_SPLIT_SQL = f"""
+    WITH tagged AS (
+        SELECT *,
+               CASE WHEN b < {SPLIT_PERMILLE[0]} THEN 'train'
+                    WHEN b < {SPLIT_PERMILLE[0] + SPLIT_PERMILLE[1]} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT *, (user_id * {_KNUTH}) % {_MOD32} % 1000 AS b FROM events)
+    )
+    SELECT split, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM tagged GROUP BY split ORDER BY split
+"""
+
+QUERIES["user_split_summary"] = user_split_summary
+ORACLE_SQL["user_split_summary"] = _SPLIT_SQL
+__all__.append("user_disjoint_split")
