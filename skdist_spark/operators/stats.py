@@ -1273,3 +1273,102 @@ def _source_ks_oracle_sql() -> str:
 
 QUERIES["source_length_ks"] = source_length_ks
 ORACLE_SQL["source_length_ks"] = _source_ks_oracle_sql()
+
+
+# ---- Theil-Sen robust trend ------------------------------------------
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-group Theil-Sen estimator: the MEDIAN of all pairwise slopes
+    (y_j - y_i) / (x_j - x_i), x_i < x_j — the robust companion to
+    ``group_trend``'s OLS (one wild outlier day moves an OLS slope
+    arbitrarily; Theil-Sen tolerates ~29% contamination).
+
+    Inputs must be exact integers (quantize doubles first, same
+    contract as group_trend); each slope is then ONE double division
+    of exact integers and the median is exact interpolation — both
+    bit-reproducible across engines.
+
+    Cost is O(d^2) per group, d = distinct x per group — the operator
+    is for PRE-AGGREGATED series (daily/hourly rollups), where d is
+    calendar-bounded (a year of daily points = 66k pairs/group), not
+    raw event streams.  The pair join shuffles once on the group key;
+    groups are independent.  Returns (keys, n_points, n_pairs,
+    theil_slope) — slope in y-units per x-unit, rounded to 6.
+    """
+    pts = df.select(*key_cols, x_col, y_col)
+    a = pts.alias("a")
+    b = pts.alias("b")
+    cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols]
+    cond.append(F.col(f"a.{x_col}") < F.col(f"b.{x_col}"))
+    pairs = a.join(b, cond).select(
+        *[F.col(f"a.{k}").alias(k) for k in key_cols],
+        (
+            (F.col(f"b.{y_col}") - F.col(f"a.{y_col}")).cast("double")
+            / (F.col(f"b.{x_col}") - F.col(f"a.{x_col}")).cast("double")
+        ).alias("slope"),
+    )
+    counts = pts.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_points"))
+    med = pairs.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("percentile(slope, 0.5D)").alias("_med"),
+    )
+    return counts.join(med, key_cols).select(
+        *key_cols, "n_points", "n_pairs", F.round("_med", 6).alias("theil_slope")
+    )
+
+
+def user_value_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Theil-Sen slope of DAILY event value (micro-unit exact
+    daily totals; slope back in value-units/day) — the outlier-robust
+    reading of ``user_value_trend``."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("x")
+    ).agg(
+        F.sum(F.expr("CAST(floor(value * 1000000) AS BIGINT)")).alias("y")
+    )
+    t = theil_sen_trend(daily, ["user_id"])
+    return t.where(F.col("n_points") >= 2).select(
+        "user_id",
+        "n_points",
+        "n_pairs",
+        F.round(F.col("theil_slope") / 1000000.0, 6).alias("slope_per_day"),
+    ).orderBy("user_id")
+
+
+def _theilsen_oracle_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT user_id,
+                   date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+                   SUM(CAST(floor(value * 1000000) AS BIGINT)) AS y
+            FROM events GROUP BY 1, 2
+        ), pairs AS (
+            SELECT a.user_id,
+                   CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+            FROM daily a JOIN daily b
+              ON a.user_id = b.user_id AND a.x < b.x
+        ), counts AS (
+            SELECT user_id, COUNT(*) AS n_points FROM daily GROUP BY 1
+        ), med AS (
+            SELECT user_id, COUNT(*) AS n_pairs,
+                   quantile_cont(slope, 0.5) AS _med
+            FROM pairs GROUP BY 1
+        )
+        SELECT user_id, CAST(n_points AS BIGINT) AS n_points,
+               CAST(n_pairs AS BIGINT) AS n_pairs,
+               ROUND(ROUND(_med, 6) / 1000000.0, 6) AS slope_per_day
+        FROM counts JOIN med USING (user_id)
+        WHERE n_points >= 2
+        ORDER BY user_id
+    """
+
+
+QUERIES["user_value_theilsen"] = user_value_theilsen
+ORACLE_SQL["user_value_theilsen"] = _theilsen_oracle_sql()
