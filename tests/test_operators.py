@@ -1808,3 +1808,112 @@ def test_silhouette_separated_vs_mixed_clusters(spark):
     bad_df = df.withColumn("label", (F.col("vec_id") % 3).cast("int"))
     bad = silhouette_score(bad_df).collect()
     assert all(r.mean_silhouette < 0.1 for r in bad)
+
+
+def test_minhash_eval_identical_docs_full_recall(spark):
+    from skdist_spark.operators.dedup import minhash_eval
+
+    same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, same),
+            (2, same),
+            (3, "one two three four five six seven eight nine ten"),
+            (4, "completely different words with no overlap at all here now"),
+        ],
+        "doc_id long, text string",
+    )
+    row = minhash_eval(docs).collect()[0]
+    # identical docs MUST be ground truth and MUST collide in every band
+    assert row.n_truth >= 1
+    assert row.n_hits == row.n_truth
+    assert row.recall_ppm == 1_000_000
+    assert 0 <= row.precision_ppm <= 1_000_000
+
+
+def test_exact_ngram_decontaminate_flags_verbatim_span(spark):
+    from skdist_spark.operators.text import exact_ngram_decontaminate
+
+    span = "the quick brown fox jumps over the lazy dog tonight"
+    bench = spark.createDataFrame(
+        [(100, f"benchmark question: {span} answer: yes")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, f"training page containing {span} verbatim in the middle"),
+            (2, "unrelated text with none of those exact words in sequence"),
+        ],
+        "doc_id long, text string",
+    )
+    flagged = {
+        r.doc_id: r.n_colliding
+        for r in exact_ngram_decontaminate(corpus, bench, n=8).collect()
+    }
+    assert 1 in flagged and flagged[1] >= 1
+    assert 2 not in flagged
+
+
+def test_perplexity_filter_cut_is_rank_exact(spark, sf_dir):
+    from skdist_spark.operators.lm import perplexity_filter
+    from skdist_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text", "source")
+    out = perplexity_filter(docs, keep_pct=80).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rows in by_src.items():
+        n = len(rows)
+        kept = [r for r in rows if r.kept]
+        # integer cut: rank*100 <= n*80
+        assert len(kept) == sum(1 for i in range(1, n + 1) if i * 100 <= n * 80)
+        # every kept rank strictly below every dropped rank
+        dropped_ranks = [r.ppx_rank for r in rows if not r.kept]
+        if kept and dropped_ranks:
+            assert max(r.ppx_rank for r in kept) < min(dropped_ranks)
+
+
+def test_user_disjoint_split_unit_consistency(spark, sf_dir):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from skdist_spark.operators.sampling import user_disjoint_split
+    from skdist_spark.sources.catalog import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    tagged = user_disjoint_split(ev, "user_id")
+    # a unit never straddles folds
+    assert (
+        tagged.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+        == 0
+    )
+    counts = {r.split: r.n for r in tagged.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    with _pytest.raises(ValueError):
+        user_disjoint_split(ev, "user_id", permille=(700, 100, 100))
+
+
+def test_theil_sen_robust_to_outlier_matches_numpy(spark):
+    import numpy as np
+
+    from skdist_spark.operators.stats import theil_sen_trend
+
+    # y = 2x except one wild outlier; OLS would bend, Theil-Sen must not
+    pts = [(1, x, 2 * x if x != 7 else 500) for x in range(10)]
+    df = spark.createDataFrame(pts, "g int, x long, y long")
+    row = theil_sen_trend(df, ["g"]).collect()[0]
+    xs = np.array([p[1] for p in pts], dtype=float)
+    ys = np.array([p[2] for p in pts], dtype=float)
+    slopes = [
+        (ys[j] - ys[i]) / (xs[j] - xs[i])
+        for i in range(len(xs))
+        for j in range(i + 1, len(xs))
+    ]
+    assert row.n_points == 10 and row.n_pairs == 45
+    assert row.theil_slope == round(float(np.median(slopes)), 6)
+    assert row.theil_slope == 2.0
