@@ -1556,3 +1556,110 @@ def _decontaminate_exact_sql() -> str:
 
 QUERIES["decontaminate_exact_ngrams"] = decontaminate_exact_ngrams
 ORACLE_SQL["decontaminate_exact_ngrams"] = _decontaminate_exact_sql()
+
+
+FUNNEL_RULES = ("too_short", "too_long", "word_len", "low_diversity", "exact_dup")
+
+
+def filter_funnel(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Sequential filter FUNNEL over the Gopher-style quality rules +
+    exact dedup: one row per rule with how many docs that rule dropped
+    (first failing rule wins, like the real pipeline applies them) and
+    how many remain after it — the per-rule observability table every
+    production corpus build publishes (FineWeb's "what each filter
+    removed" chart).  Rule set and thresholds are exactly
+    ``quality_score``'s, so the funnel explains that operator's
+    verdict rather than inventing a second policy.
+
+    One scan computes all per-doc signals (the dedup signal is one
+    window over md5(text)); the funnel is then a groupBy on the
+    first-failing rule, a broadcast stage list making zero-drop rules
+    explicit, and a running-total window over |rules| rows.  Scale
+    cost = the dedup hash shuffle; everything else is map-side.
+    """
+    from pyspark.sql import Window
+
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).withColumn("wd", F.expr(_SPARK_WORDS))
+    sig = docs.select(
+        "doc_id",
+        F.expr("size(wd)").alias("n_words"),
+        F.expr("CAST(length(replace(text, ' ', '')) AS DOUBLE) / size(wd)").alias("mwl"),
+        F.expr("CAST(size(array_distinct(wd)) AS DOUBLE) / size(wd)").alias("dr"),
+        (
+            F.col("doc_id")
+            != F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+        ).alias("is_dup"),
+    )
+    first_fail = (
+        F.when(F.col("n_words") < 10, F.lit("too_short"))
+        .when(F.col("n_words") > 1000, F.lit("too_long"))
+        .when((F.col("mwl") < 2.0) | (F.col("mwl") > 12.0), F.lit("word_len"))
+        .when(F.col("dr") < 0.1, F.lit("low_diversity"))
+        .when(F.col("is_dup"), F.lit("exact_dup"))
+    )
+    drops = (
+        sig.select(first_fail.alias("rule"))
+        .where(F.col("rule").isNotNull())
+        .groupBy("rule")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    spark = df.sparkSession
+    stages = spark.createDataFrame(
+        [(i + 1, r) for i, r in enumerate(FUNNEL_RULES)], "stage int, rule string"
+    )
+    total = sig.agg(F.count(F.lit(1)).alias("n_total"))
+    w = Window.orderBy("stage").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        stages.join(drops, "rule", "left")
+        .withColumn("n_dropped", F.coalesce("n_dropped", F.lit(0)))
+        .crossJoin(F.broadcast(total))
+        .withColumn("n_remaining", F.col("n_total") - F.sum("n_dropped").over(w))
+        .select("stage", "rule", "n_dropped", "n_remaining")
+        .orderBy("stage")
+    )
+
+
+def doc_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the quality-rule funnel over the documents table."""
+    return filter_funnel(load_table(spark, "documents", sf_dir))
+
+
+def _filter_funnel_sql() -> str:
+    stage_values = ", ".join(
+        f"({i + 1}, '{r}')" for i, r in enumerate(FUNNEL_RULES)
+    )
+    return f"""
+        WITH sig AS (
+            SELECT doc_id,
+                   len({_DUCK_WORDS}) AS n_words,
+                   CAST(length(replace(text, ' ', '')) AS DOUBLE) / len({_DUCK_WORDS}) AS mwl,
+                   CAST(len(list_distinct({_DUCK_WORDS})) AS DOUBLE) / len({_DUCK_WORDS}) AS dr,
+                   doc_id != MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+            FROM documents
+        ), tagged AS (
+            SELECT CASE WHEN n_words < 10 THEN 'too_short'
+                        WHEN n_words > 1000 THEN 'too_long'
+                        WHEN mwl < 2.0 OR mwl > 12.0 THEN 'word_len'
+                        WHEN dr < 0.1 THEN 'low_diversity'
+                        WHEN is_dup THEN 'exact_dup'
+                   END AS rule
+            FROM sig
+        ), drops AS (
+            SELECT rule, COUNT(*) AS n_dropped FROM tagged
+            WHERE rule IS NOT NULL GROUP BY rule
+        ), stages(stage, rule) AS (VALUES {stage_values})
+        SELECT CAST(s.stage AS INTEGER) AS stage, s.rule,
+               CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+               CAST((SELECT COUNT(*) FROM documents)
+                 - SUM(COALESCE(d.n_dropped, 0)) OVER (ORDER BY s.stage) AS BIGINT) AS n_remaining
+        FROM stages s LEFT JOIN drops d USING (rule)
+        ORDER BY s.stage
+    """
+
+
+QUERIES["doc_filter_funnel"] = doc_filter_funnel
+ORACLE_SQL["doc_filter_funnel"] = _filter_funnel_sql()
