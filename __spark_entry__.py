@@ -75,8 +75,9 @@ _PRIORITY = [
     "event_pagerank",
     # -- ROUND-4 QUEUE (past the 50-entry cap; all locally green) --
     # new round-3 oracle-backed ops, queued first for the next sweep
-    "dedup_minhash_eval", "decontaminate_exact_ngrams",
+    "dedup_minhash_eval", "decontaminate_exact_ngrams", "doc_filter_funnel",
     "doc_perplexity_filter", "user_split_summary", "user_value_theilsen",
+    "event_training_pairs",
     "doc_winnowing", "source_length_ks", "embedding_silhouette",
     "dedup_remove_spans", "text_blocklist", "text_keyword_tags",
     "events_json_variant", "user_series_topk", "part_entity_resolution",

@@ -284,3 +284,85 @@ _SPLIT_SQL = f"""
 QUERIES["user_split_summary"] = user_split_summary
 ORACLE_SQL["user_split_summary"] = _SPLIT_SQL
 __all__.append("user_disjoint_split")
+
+
+CONTEXT_LEN = 3  # training-pair context window (events)
+
+
+def sequence_training_pairs(
+    df: DataFrame,
+    unit_col: str,
+    order_cols: list[str],
+    item_col: str,
+    context_len: int = CONTEXT_LEN,
+) -> DataFrame:
+    """Build next-item-prediction training pairs from per-unit event
+    sequences: for every event, the ``context_len`` items immediately
+    before it (in-order) and the event's item as the target — the
+    dataset constructor behind sequential recommenders and
+    next-token-style behavioral models.
+
+    One window per unit (single shuffle on the unit key); the context
+    is ``collect_list`` over a bounded ROWS frame, so state per row is
+    ``context_len`` items regardless of sequence length.
+    ``order_cols`` must be a deterministic total order within the unit
+    (pass a tiebreaker id — timestamps alone collide).  Rows with an
+    empty context (each unit's first event) are dropped: they have
+    nothing to condition on.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(unit_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-context_len, -1)
+    )
+    return (
+        df.withColumn("context", F.collect_list(item_col).over(w))
+        .withColumn("n_context", F.size("context").cast("int"))
+        .where(F.col("n_context") >= 1)
+        .withColumn("target", F.col(item_col))
+    )
+
+
+def event_training_pairs(spark, sf_dir: str) -> DataFrame:
+    """Driver query: (context -> target) event-type pairs per user,
+    context = the 3 preceding events ordered by (ts, event_id)."""
+    from ..sources.catalog import load_table
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    out = sequence_training_pairs(
+        ev, "user_id", ["ts", "event_id"], "event_type"
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "n_context",
+        F.concat_ws(" ", "context").alias("context_seq"),
+        "target",
+    ).orderBy("user_id", "event_id")
+
+
+_TRAINING_PAIRS_SQL = f"""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type,
+               list(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {CONTEXT_LEN} PRECEDING AND 1 PRECEDING
+               ) AS context
+        FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(len(context) AS INTEGER) AS n_context,
+           array_to_string(context, ' ') AS context_seq,
+           event_type AS target
+    FROM seq
+    WHERE len(context) >= 1
+    ORDER BY user_id, event_id
+"""
+
+QUERIES["event_training_pairs"] = event_training_pairs
+ORACLE_SQL["event_training_pairs"] = _TRAINING_PAIRS_SQL
+__all__.append("sequence_training_pairs")

@@ -1917,3 +1917,46 @@ def test_theil_sen_robust_to_outlier_matches_numpy(spark):
     assert row.n_points == 10 and row.n_pairs == 45
     assert row.theil_slope == round(float(np.median(slopes)), 6)
     assert row.theil_slope == 2.0
+
+
+def test_filter_funnel_sequential_first_fail(spark):
+    from skdist_spark.operators.text import filter_funnel
+
+    ok = "the quick brown fox jumps over the lazy sleeping dog today fine"
+    docs = spark.createDataFrame(
+        [
+            (1, ok),                                  # survives
+            (2, "short text"),                        # too_short
+            (3, "a " * 12),                           # word_len (mwl < 2) but ALSO 24 words -> first rule wins? n=24 ok, mwl=1 -> word_len
+            (4, " ".join(["dup"] * 20)),              # low diversity (dr=0.05) and mwl=3 ok
+            (5, ok),                                  # exact dup of 1
+            (6, "tiny"),                              # too_short
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.rule: r for r in filter_funnel(docs).collect()}
+    assert rows["too_short"].n_dropped == 2
+    assert rows["word_len"].n_dropped == 1
+    assert rows["low_diversity"].n_dropped == 1
+    assert rows["exact_dup"].n_dropped == 1
+    assert rows["too_long"].n_dropped == 0
+    # funnel is cumulative and ends at the survivor count
+    assert rows["exact_dup"].n_remaining == 1
+    stages = sorted(rows.values(), key=lambda r: r.stage)
+    for a, b in zip(stages, stages[1:]):
+        assert b.n_remaining == a.n_remaining - b.n_dropped
+
+
+def test_sequence_training_pairs_bounded_context(spark):
+    from skdist_spark.operators.sampling import sequence_training_pairs
+
+    rows = [(1, i, f"t{i}", f"e{i}") for i in range(6)] + [(2, 10, "t0", "x")]
+    df = spark.createDataFrame(rows, "u long, eid long, ts string, item string")
+    out = sequence_training_pairs(df, "u", ["ts", "eid"], "item", context_len=3)
+    got = {(r.u, r.eid): (r.n_context, r.context, r.target) for r in out.collect()}
+    # first event per unit has no pair; unit 2 has only one event -> none
+    assert (1, 0) not in got and (2, 10) not in got
+    assert got[(1, 1)] == (1, ["e0"], "e1")
+    assert got[(1, 3)] == (3, ["e0", "e1", "e2"], "e3")
+    # context slides: never more than 3, in order, immediately preceding
+    assert got[(1, 5)] == (3, ["e2", "e3", "e4"], "e5")
