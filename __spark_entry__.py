@@ -97,7 +97,7 @@ _PRIORITY = [
     "ml_multi_model_search", "ml_predict_udf", "encoderizer_features",
     "ml_quality_classifier",
     "stream_windowed_counts", "stream_sliding_users",
-    "stream_sessionize", "stream_psi_drift",
+    "stream_sessionize", "stream_psi_drift", "stream_filter_funnel",
     "corpus_pipeline",
 ]
 

@@ -1462,3 +1462,155 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["stream_psi_drift"] = stream_psi_drift
+
+
+# ---- streaming ingest funnel -----------------------------------------
+
+
+def ingest_funnel_counts(docs: DataFrame, corpus_hashes: DataFrame) -> DataFrame:
+    """Rule-drop counts for one batch of INCOMING documents: the
+    map-only quality rules of ``operators.text.filter_funnel`` plus a
+    dedup gate against the ALREADY-INGESTED corpus (md5 semi-join on
+    ``corpus_hashes``'s one ``text_hash`` column, the
+    ``incremental_dedup`` posture — never new-vs-new).  First failing
+    rule wins.  Returns (rule, n_dropped) for failing docs only — the
+    shared face of the batch equivalence test and the per-micro-batch
+    monitor, so streaming sums are bit-equal to one batch run by
+    construction.
+    """
+    from ..operators.text import _SPARK_WORDS
+
+    sig = (
+        docs.select("doc_id", "text")
+        .withColumn("wd", F.expr(_SPARK_WORDS))
+        .withColumn("n_words", F.expr("size(wd)"))
+        .withColumn(
+            "mwl", F.expr("CAST(length(replace(text, ' ', '')) AS DOUBLE) / size(wd)")
+        )
+        .withColumn(
+            "dr", F.expr("CAST(size(array_distinct(wd)) AS DOUBLE) / size(wd)")
+        )
+        .withColumn("text_hash", F.md5("text"))
+    )
+    dup_ids = (
+        sig.select("doc_id", "text_hash")
+        .join(corpus_hashes, "text_hash", "left_semi")
+        .select("doc_id")
+        .withColumn("is_known", F.lit(True))
+    )
+    first_fail = (
+        F.when(F.col("n_words") < 10, F.lit("too_short"))
+        .when(F.col("n_words") > 1000, F.lit("too_long"))
+        .when((F.col("mwl") < 2.0) | (F.col("mwl") > 12.0), F.lit("word_len"))
+        .when(F.col("dr") < 0.1, F.lit("low_diversity"))
+        .when(F.coalesce(F.col("is_known"), F.lit(False)), F.lit("corpus_dup"))
+    )
+    return (
+        sig.join(dup_ids, "doc_id", "left")
+        .select(first_fail.alias("rule"))
+        .where(F.col("rule").isNotNull())
+        .groupBy("rule")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+
+
+def funnel_stream_monitor(
+    stream_docs: DataFrame, corpus_hashes: DataFrame
+) -> DataFrame:
+    """Per-micro-batch ingest funnel: each arriving batch of documents
+    is scored with ``ingest_funnel_counts`` (map-only rules + semi-join
+    against the static corpus hash set) and reduced DISTRIBUTEDLY to
+    <= |rules| + 1 rows; only those reach the driver.  Returns a batch
+    frame (batch_id, rule, n_dropped, n_batch) after draining —
+    'accepted' rows carry the survivors so every batch sums to
+    n_batch.  At scale the corpus hash set is a bucketed table the
+    semi-join probes without reshuffling the corpus (same contract as
+    ``incremental_dedup``)."""
+    spark = stream_docs.sparkSession
+    rows: "list[tuple[int, str, int, int]]" = []
+
+    def on_batch(bdf: DataFrame, batch_id: int) -> None:
+        n_batch = bdf.count()
+        if n_batch == 0:
+            return
+        got = ingest_funnel_counts(bdf, corpus_hashes).collect()
+        dropped = 0
+        for r in got:
+            rows.append((int(batch_id), r["rule"], int(r["n_dropped"]), int(n_batch)))
+            dropped += int(r["n_dropped"])
+        rows.append((int(batch_id), "accepted", int(n_batch - dropped), int(n_batch)))
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            stream_docs.writeStream.foreachBatch(on_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return stream_docs.sparkSession.createDataFrame(
+        rows, "batch_id int, rule string, n_dropped long, n_batch long"
+    )
+
+
+def _stage_doc_batches(spark: SparkSession, sf_dir: str, n_files: int = 2) -> str:
+    """Stage the ODD-doc_id half of documents as ``n_files`` id-ordered
+    parquet files (ascending mtimes) for maxFilesPerTrigger=1 replay."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources.catalog import load_table
+
+    stage = f"/tmp/skdist_stream_docs_odd_{hashlib.md5(f'{sf_dir}:v1'.encode()).hexdigest()[:8]}"
+    done = os.path.join(stage, "_STAGED")
+    if os.path.exists(done):
+        return stage
+    shutil.rmtree(stage, ignore_errors=True)
+    tmp = stage + "_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") % 2 == 1)
+    docs.repartitionByRange(n_files, "doc_id").write.parquet(tmp)
+    os.makedirs(stage, exist_ok=True)
+    parts = sorted(
+        f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base = 1_000_000_000
+    for i, name in enumerate(parts):
+        dst = os.path.join(stage, f"batch_{i:04d}.parquet")
+        shutil.move(os.path.join(tmp, name), dst)
+        os.utime(dst, (base + i, base + i))
+    shutil.rmtree(tmp, ignore_errors=True)
+    open(done, "w").close()
+    return stage
+
+
+def stream_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: odd-doc_id documents replayed as 2 micro-batches
+    through the ingest funnel against the even-doc_id half as the
+    already-ingested corpus (rows-only: per-batch accounting is a
+    streaming-side effect).  Batch equivalence is pytest-asserted:
+    summed per-batch drops == one-shot ``ingest_funnel_counts``."""
+    from ..sources.catalog import load_table
+
+    corpus_hashes = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("text_hash"))
+        .distinct()
+    )
+    stage = _stage_doc_batches(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+    out = funnel_stream_monitor(raw, corpus_hashes)
+    return out.orderBy("batch_id", "rule")
+
+
+QUERIES["stream_filter_funnel"] = stream_filter_funnel

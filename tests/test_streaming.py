@@ -673,3 +673,37 @@ def test_psi_stream_monitor_zero_on_reference_and_flags_shift(spark, tmp_path):
     rows = stream_psi_drift(spark, "/root/testdata/sf0.001").collect()
     assert [r.batch_id for r in rows] == [0, 1, 2, 3]
     assert all(r.n_rows > 0 and r.psi >= 0.0 for r in rows)
+
+
+def test_stream_filter_funnel_sums_equal_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from skdist_spark.sources.catalog import load_table
+    from skdist_spark.streaming.ops import (
+        ingest_funnel_counts,
+        stream_filter_funnel,
+    )
+
+    out = stream_filter_funnel(spark, sf_dir).collect()
+    assert out, "stream produced no funnel rows"
+    # every batch's rows sum to its n_batch (accepted row closes the ledger)
+    by_batch = {}
+    for r in out:
+        by_batch.setdefault(r.batch_id, []).append(r)
+    assert len(by_batch) == 2  # two staged files -> two micro-batches
+    for rows in by_batch.values():
+        assert sum(r.n_dropped for r in rows) == rows[0].n_batch
+    # summed per-batch drops == one-shot batch run over the same docs
+    docs = load_table(spark, "documents", sf_dir)
+    odd = docs.where(F.col("doc_id") % 2 == 1)
+    hashes = (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("text_hash"))
+        .distinct()
+    )
+    batch = {r.rule: r.n_dropped for r in ingest_funnel_counts(odd, hashes).collect()}
+    streamed = {}
+    for r in out:
+        if r.rule != "accepted":
+            streamed[r.rule] = streamed.get(r.rule, 0) + r.n_dropped
+    assert streamed == batch

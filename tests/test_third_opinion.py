@@ -788,3 +788,198 @@ def test_third_source_length_ks(spark):
         assert g[4] == w[4] and g[5] == w[5]
         assert g[1] == w[1] and g[2] == w[2]
         assert abs(g[0] - w[0]) < 1e-12 and g[3] == w[3]
+
+
+def test_third_doc_filter_funnel(spark):
+    from skdist_spark.operators.text import FUNNEL_RULES, doc_filter_funnel
+
+    docs = _table("documents")
+    h = docs["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest())
+    canon = docs.assign(text_hash=h).groupby("text_hash")["doc_id"].min()
+    drops = {r: 0 for r in FUNNEL_RULES}
+    for r in docs.assign(text_hash=h).itertuples():
+        wd = [w for w in re.split(r"\s+", r.text.strip()) if w]
+        n = len(wd)
+        mwl = len(r.text.replace(" ", "")) / n
+        dr = len(set(wd)) / n
+        if n < 10:
+            drops["too_short"] += 1
+        elif n > 1000:
+            drops["too_long"] += 1
+        elif mwl < 2.0 or mwl > 12.0:
+            drops["word_len"] += 1
+        elif dr < 0.1:
+            drops["low_diversity"] += 1
+        elif r.doc_id != canon[r.text_hash]:
+            drops["exact_dup"] += 1
+    remaining, want = len(docs), []
+    for i, rule in enumerate(FUNNEL_RULES):
+        remaining -= drops[rule]
+        want.append((i + 1, rule, drops[rule], remaining))
+    got = [
+        (r.stage, r.rule, r.n_dropped, r.n_remaining)
+        for r in doc_filter_funnel(spark, SF).collect()
+    ]
+    assert got == want
+
+
+def test_third_event_training_pairs(spark):
+    from skdist_spark.operators.sampling import event_training_pairs
+
+    ev = _table("events").sort_values(["user_id", "ts", "event_id"])
+    want = []
+    for uid, grp in ev.groupby("user_id"):
+        types = list(grp["event_type"])
+        eids = list(grp["event_id"])
+        for i in range(1, len(types)):
+            ctx = types[max(0, i - 3):i]
+            want.append((int(uid), int(eids[i]), len(ctx), " ".join(ctx), types[i]))
+    want.sort()
+    got = sorted(
+        (r.user_id, r.event_id, r.n_context, r.context_seq, r.target)
+        for r in event_training_pairs(spark, SF).collect()
+    )
+    assert got == want
+
+
+def test_third_user_split_summary(spark):
+    from skdist_spark.operators.sampling import user_split_summary
+
+    ev = _table("events")
+    b = (ev["user_id"].astype("int64") * _KNUTH) % _MOD32 % 1000
+    split = np.where(b < 800, "train", np.where(b < 900, "val", "test"))
+    want = []
+    for s in ("test", "train", "val"):
+        sub = ev[split == s]
+        sv = sum((_dec6(v) for v in sub["value"]), Decimal(0))
+        want.append((s, int(sub["user_id"].nunique()), len(sub), float(sv)))
+    got = sorted(
+        (r.split, r.n_users, r.n_events, r.sum_value)
+        for r in user_split_summary(spark, SF).collect()
+    )
+    assert got == sorted(want)
+
+
+def test_third_decontaminate_exact_ngrams(spark):
+    from skdist_spark.operators.text import EXACT_CONTAM_N, decontaminate_exact_ngrams
+
+    docs = _table("documents")
+
+    def grams(text: str) -> set:
+        wd = [w for w in re.split(r"\s+", text.strip()) if w]
+        n = EXACT_CONTAM_N
+        if len(wd) <= n:
+            return {" ".join(wd)}
+        return {" ".join(wd[i:i + n]) for i in range(len(wd) - n + 1)}
+
+    bench = set()
+    for r in docs[docs["doc_id"] % 20 == 0].itertuples():
+        bench |= grams(r.text)
+    want = []
+    for r in docs[docs["doc_id"] % 20 != 0].itertuples():
+        hit = len(grams(r.text) & bench)
+        if hit:
+            want.append((int(r.doc_id), hit))
+    got = sorted(
+        (r.doc_id, r.n_colliding)
+        for r in decontaminate_exact_ngrams(spark, SF).collect()
+    )
+    assert got == sorted(want)
+
+
+def test_third_dedup_minhash_eval(spark):
+    from skdist_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        N_BANDS,
+        N_HASHES,
+        N_SEEDS,
+        SHINGLE,
+        dedup_minhash_eval,
+    )
+
+    docs = _table("documents")
+
+    def shingles(text: str) -> list:
+        wd = [w for w in re.split(r"\s+", text.strip()) if w]
+        n = SHINGLE
+        k = max(len(wd) - n + 1, 1)
+        out, seen = [], set()
+        for i in range(k):
+            s = " ".join(wd[i:i + n])
+            if s not in seen:
+                seen.add(s)
+                out.append(s)
+        return out
+
+    sh = {int(r.doc_id): shingles(r.text) for r in docs.itertuples()}
+    # signatures: per-seed md5 digests, min over 8-hex windows
+    bands = {}
+    for did, ss in sh.items():
+        sigs = []
+        for seed in range(N_SEEDS):
+            digs = [hashlib.md5(f"{seed}:{s}".encode()).hexdigest() for s in ss]
+            for win in range(4):
+                sigs.append(min(d[win * 8:(win + 1) * 8] for d in digs))
+        assert len(sigs) == N_HASHES
+        bands[did] = [sigs[2 * b] + sigs[2 * b + 1] for b in range(N_BANDS)]
+    ids = sorted(sh)
+    cand = set()
+    index = {}
+    for did in ids:
+        for b, bh in enumerate(bands[did]):
+            for other in index.get((b, bh), []):
+                cand.add((other, did))
+            index.setdefault((b, bh), []).append(did)
+    truth = set()
+    for i, a in enumerate(ids):
+        sa = set(sh[a])
+        for b_ in ids[i + 1:]:
+            sb = set(sh[b_])
+            inter = len(sa & sb)
+            if inter * 1000 >= (len(sa) + len(sb) - inter) * int(
+                round(JACCARD_THRESHOLD * 1000)
+            ):
+                truth.add((a, b_))
+    hits = len(cand & truth)
+    want = (
+        len(truth),
+        len(cand),
+        hits,
+        int(np.floor(1e6 * hits / max(len(cand), 1))),
+        int(np.floor(1e6 * hits / max(len(truth), 1))),
+    )
+    r = dedup_minhash_eval(spark, SF).collect()[0]
+    assert (r.n_truth, r.n_candidates, r.n_hits, r.precision_ppm, r.recall_ppm) == want
+
+
+def test_third_user_value_theilsen(spark):
+    from skdist_spark.operators.stats import user_value_theilsen
+
+    ev = _table("events")
+    base = pd.Timestamp("2024-01-01")
+    ev = ev.assign(
+        x=(ev["ts"].dt.normalize() - base).dt.days,
+        y=np.floor(ev["value"] * 1e6).astype("int64"),
+    )
+    daily = ev.groupby(["user_id", "x"])["y"].sum().reset_index()
+    want = []
+    for uid, grp in daily.groupby("user_id"):
+        xs = grp["x"].to_numpy(dtype=float)
+        ys = grp["y"].to_numpy(dtype=float)
+        if len(xs) < 2:
+            continue
+        slopes = [
+            (ys[j] - ys[i]) / (xs[j] - xs[i])
+            for i in range(len(xs))
+            for j in range(len(xs))
+            if xs[i] < xs[j]
+        ]
+        med = round(float(np.median(slopes)), 6)
+        want.append(
+            (int(uid), len(xs), len(slopes), round(med / 1e6, 6))
+        )
+    got = sorted(
+        (r.user_id, r.n_points, r.n_pairs, r.slope_per_day)
+        for r in user_value_theilsen(spark, SF).collect()
+    )
+    assert got == sorted(want)
