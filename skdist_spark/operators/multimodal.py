@@ -540,9 +540,20 @@ def multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by the crafted-bytes round-trip tests in the test suite
     (our JPEG codec is bit-deterministic: fixed tables, integer
     quantization)."""
-    docs = load_table(spark, "documents", sf_dir, parallel=False).select(
-        "doc_id"
-    )  # parallel=False: see multimodal_frames
+    # Moderate explicit fan-out: the pure-Python codec work is CPU-bound
+    # (single-partition wall at sf0.1 ~9 s), but each mapInPandas stage
+    # pays per-partition Python-worker fan-out, so max parallelism
+    # LOSES to it at this payload size (measured sweep at sf0.1:
+    # 1 part 9.1 s, 8 parts 1.8 s, 32 parts 2.5 s).  Target ~1/4 of the
+    # cores with a floor of 8; at 100 TB the scan's own split count
+    # exceeds this and the repartition becomes a no-op-sized shuffle of
+    # (doc_id) rows only.
+    n_parts = max(8, spark.sparkContext.defaultParallelism // 4)
+    docs = (
+        load_table(spark, "documents", sf_dir, parallel=False)
+        .select("doc_id")
+        .repartition(n_parts, "doc_id")
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -568,7 +579,12 @@ def multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     blobs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
-    small = resize_images(blobs, max_side=8)
+    # localCheckpoint: the encode->decode->resize subtree feeds BOTH
+    # sides of the final join; without a lineage cut Spark executes the
+    # expensive Python codec work twice.  The materialized frame is
+    # tiny (one <=8px P6 payload per doc), so this is a bounded cut,
+    # not a cache of raw media.
+    small = resize_images(blobs, max_side=8).localCheckpoint()
     feats = extract_features(
         small.withColumn("media_type", F.lit("image/x-portable-pixmap"))
     )
