@@ -19,6 +19,7 @@ from .metrics import (
     roc_auc_score,
 )
 from .model_selection import (
+    GroupKFold,
     KFold,
     ParameterGrid,
     ParameterSampler,
@@ -38,7 +39,7 @@ __all__ = [
     "GradientBoostingClassifier",
     "GradientBoostingRegressor",
     "GaussianNB", "KNeighborsClassifier", "DummyClassifier",
-    "KFold", "StratifiedKFold", "train_test_split", "ParameterGrid",
+    "GroupKFold", "KFold", "StratifiedKFold", "train_test_split", "ParameterGrid",
     "ParameterSampler", "check_cv",
     "accuracy_score", "f1_score", "log_loss", "roc_auc_score", "r2_score",
     "mean_squared_error", "get_scorer",

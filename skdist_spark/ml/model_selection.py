@@ -67,6 +67,49 @@ class StratifiedKFold:
         return self.n_splits
 
 
+class GroupKFold:
+    """K-fold with non-overlapping groups: all samples of a group land
+    in the same test fold exactly once — the CV companion of the
+    engine's unit-disjoint data split (operators.sampling.
+    user_disjoint_split): per-user/per-session feature rows leak
+    across folds under plain KFold.
+
+    Deterministic greedy balancing (sklearn's algorithm): groups
+    sorted by descending sample count, each assigned to the currently
+    lightest fold; ties broken by fold index, so the assignment is a
+    pure function of the group sizes.
+    """
+
+    def __init__(self, n_splits=5):
+        self.n_splits = n_splits
+
+    def split(self, X, y=None, groups=None):
+        if groups is None:
+            raise ValueError("GroupKFold requires a groups array")
+        groups = np.asarray(groups)
+        uniq, counts = np.unique(groups, return_counts=True)
+        if len(uniq) < self.n_splits:
+            raise ValueError(
+                f"Cannot have n_splits={self.n_splits} > n_groups={len(uniq)}"
+            )
+        order = np.argsort(-counts, kind="stable")
+        fold_sizes = np.zeros(self.n_splits, dtype=int)
+        fold_of_group = {}
+        for gi in order:
+            f = int(np.argmin(fold_sizes))
+            fold_of_group[uniq[gi]] = f
+            fold_sizes[f] += counts[gi]
+        fold_of = np.array([fold_of_group[g] for g in groups])
+        for f in range(self.n_splits):
+            test = np.where(fold_of == f)[0]
+            train = np.where(fold_of != f)[0]
+            yield train, test
+
+    def get_n_splits(self, X=None, y=None, groups=None):
+        return self.n_splits
+
+
+
 def check_cv(cv=5, y=None, classifier=False):
     if cv is None:
         cv = 5

@@ -237,3 +237,62 @@ def test_gradient_boosting_in_dist_grid_search(spark):
     assert gs.best_params_["learning_rate"] in (0.1, 0.5)
     assert gs.best_score_ > 0.8
     assert len(gs.cv_results_["mean_test_score"]) == 4
+
+
+def test_group_kfold_groups_never_straddle():
+    import numpy as np
+
+    from skdist_spark.ml import GroupKFold
+
+    rng = np.random.RandomState(7)
+    groups = rng.randint(0, 17, 120)
+    X = np.arange(120).reshape(-1, 1)
+    gkf = GroupKFold(n_splits=4)
+    seen_test = []
+    for train, test in gkf.split(X, groups=groups):
+        # disjoint, complete
+        assert set(train) | set(test) == set(range(120))
+        assert not set(train) & set(test)
+        # no group straddles the boundary
+        assert not set(groups[train]) & set(groups[test])
+        seen_test.extend(test)
+    # every sample is in a test fold exactly once
+    assert sorted(seen_test) == list(range(120))
+    # deterministic: same input -> same folds
+    a = [tuple(t) for _, t in GroupKFold(4).split(X, groups=groups)]
+    b = [tuple(t) for _, t in GroupKFold(4).split(X, groups=groups)]
+    assert a == b
+    with pytest.raises(ValueError):
+        list(GroupKFold(4).split(X))  # groups required
+    with pytest.raises(ValueError):
+        list(GroupKFold(40).split(X, groups=groups))  # more splits than groups
+
+
+def test_grid_search_with_group_kfold(spark):
+    import numpy as np
+
+    from skdist_spark.ml import GroupKFold, LogisticRegression
+    from skdist_spark.operators import DistGridSearchCV
+
+    X, y = _blobs_ml(200, 5, 2)
+    groups = np.arange(200) % 23
+    grid = {"C": [0.1, 1.0]}
+    local = DistGridSearchCV(
+        LogisticRegression(), grid, sc=None, cv=GroupKFold(4)
+    ).fit(X, y, groups=groups)
+    dist = DistGridSearchCV(
+        LogisticRegression(), grid, sc=spark, cv=GroupKFold(4)
+    ).fit(X, y, groups=groups)
+    assert dist.best_params_ == local.best_params_
+    np.testing.assert_allclose(
+        dist.cv_results_["mean_test_score"], local.cv_results_["mean_test_score"]
+    )
+
+
+def _blobs_ml(n, d, k, seed=3):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(k, d) * 3
+    y = rng.randint(0, k, n)
+    return centers[y] + rng.randn(n, d), y
