@@ -76,6 +76,7 @@ _PRIORITY = [
     # -- ROUND-4 QUEUE (past the 50-entry cap; all locally green) --
     # new round-3 oracle-backed ops, queued first for the next sweep
     "dedup_minhash_eval", "decontaminate_exact_ngrams", "doc_filter_funnel",
+    "source_leakage", "source_boilerplate",
     "doc_perplexity_filter", "user_split_summary", "user_value_theilsen",
     "event_training_pairs",
     "doc_winnowing", "source_length_ks", "embedding_silhouette",

@@ -1663,3 +1663,143 @@ def _filter_funnel_sql() -> str:
 
 QUERIES["doc_filter_funnel"] = doc_filter_funnel
 ORACLE_SQL["doc_filter_funnel"] = _filter_funnel_sql()
+
+
+def source_leakage_matrix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = EXACT_CONTAM_N,
+) -> DataFrame:
+    """Cross-source verbatim-overlap matrix: for every ordered source
+    pair (a < b), how many distinct word n-grams appear in BOTH — the
+    corpus-level leakage heatmap (mirrored content between crawls,
+    syndication, a benchmark hiding inside a crawl slice) that decides
+    which source pairs need the doc-level decontamination gates.
+
+    Shape: one distinct (source, gram) posting list (two map-side
+    aggregations), self-joined on the gram — only co-occurring grams
+    materialize, and the output is |sources|^2-bounded.  md5 the grams
+    at 100 TB so the shuffle carries 32-byte keys, not span text.
+    """
+    from .dedup import _spark_shingles
+
+    grams = (
+        df.select(
+            F.col(group_col).alias("src"),
+            F.expr(_SPARK_WORDS.replace("text", text_col)).alias("wd"),
+        )
+        .select("src", F.explode_outer(F.expr(_spark_shingles(words="wd", n=n))).alias("gram"))
+        .distinct()
+    )
+    a = grams.alias("a")
+    b = grams.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(
+            F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
+def source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: source x source shared verbatim 8-gram counts."""
+    return source_leakage_matrix(load_table(spark, "documents", sf_dir)).orderBy(
+        "source_a", "source_b"
+    )
+
+
+def _source_leakage_sql() -> str:
+    from .dedup import _duck_shingles
+
+    g = _duck_shingles(n=EXACT_CONTAM_N)
+    return f"""
+        WITH grams AS (
+            SELECT DISTINCT source AS src, unnest({g}) AS gram
+            FROM documents
+        )
+        SELECT a.src AS source_a, b.src AS source_b, COUNT(*) AS n_shared_ngrams
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.src < b.src
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def boilerplate_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    sep: str = "\\n",
+    max_df: int = 1,
+) -> DataFrame:
+    """Per-source boilerplate rate: the fraction of line OCCURRENCES
+    whose line appears in more than ``max_df`` documents corpus-wide
+    (nav bars, cookie banners, license headers) — the source-level
+    health read on what ``dedup_lines`` would strip, reported as
+    integer counts + a ppm so the matrix is value-exact.
+
+    One posexplode scan; line identity is md5 of the trimmed line (the
+    shuffle carries digests); document frequency is counted on
+    distinct (line, doc) pairs, then line occurrences roll up by
+    source.
+    """
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("src"),
+        F.explode_outer(F.split(F.col(text_col), F.lit(sep))).alias("line"),
+    ).withColumn("lh", F.md5(F.trim(F.col("line"))))
+    dfreq = (
+        lines.select("lh", "doc_id").distinct()
+        .groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("line_df"))
+    )
+    return (
+        lines.join(dfreq, "lh")
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum((F.col("line_df") > max_df).cast("bigint")).alias("n_boiler"),
+        )
+        .select(
+            F.col("src").alias("source"),
+            "n_lines",
+            "n_boiler",
+            F.floor(F.lit(1000000) * F.col("n_boiler") / F.col("n_lines"))
+            .cast("bigint")
+            .alias("boiler_ppm"),
+        )
+    )
+
+
+def source_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: per-source boilerplate line rate (df > 1)."""
+    return boilerplate_ratio(load_table(spark, "documents", sf_dir)).orderBy("source")
+
+
+_BOILERPLATE_SQL = r"""
+    WITH lines AS (
+        SELECT doc_id, source AS src,
+               md5(trim(line)) AS lh
+        FROM (SELECT doc_id, source, unnest(string_split(text, '\n')) AS line
+              FROM documents)
+    ), dfreq AS (
+        SELECT lh, COUNT(DISTINCT doc_id) AS line_df FROM lines GROUP BY lh
+    )
+    SELECT src AS source, COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN line_df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           CAST(FLOOR(1000000.0 * SUM(CASE WHEN line_df > 1 THEN 1 ELSE 0 END)
+                / COUNT(*)) AS BIGINT) AS boiler_ppm
+    FROM lines JOIN dfreq USING (lh)
+    GROUP BY src ORDER BY src
+"""
+
+QUERIES["source_leakage"] = source_leakage
+ORACLE_SQL["source_leakage"] = _source_leakage_sql()
+QUERIES["source_boilerplate"] = source_boilerplate
+ORACLE_SQL["source_boilerplate"] = _BOILERPLATE_SQL

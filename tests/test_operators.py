@@ -1960,3 +1960,40 @@ def test_sequence_training_pairs_bounded_context(spark):
     assert got[(1, 3)] == (3, ["e0", "e1", "e2"], "e3")
     # context slides: never more than 3, in order, immediately preceding
     assert got[(1, 5)] == (3, ["e2", "e3", "e4"], "e5")
+
+
+def test_boilerplate_ratio_counts_repeated_lines(spark):
+    from skdist_spark.operators.text import boilerplate_ratio
+
+    banner = "accept cookies to continue"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}\nunique prose one", "a"),
+            (2, f"{banner}\nunique prose two", "a"),
+            (3, "all original content here", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.source: r for r in boilerplate_ratio(docs).collect()}
+    # source a: 4 line occurrences, 2 are the shared banner
+    assert rows["a"].n_lines == 4 and rows["a"].n_boiler == 2
+    assert rows["a"].boiler_ppm == 500_000
+    assert rows["b"].n_lines == 1 and rows["b"].n_boiler == 0
+
+
+def test_source_leakage_matrix_counts_shared_grams(spark):
+    from skdist_spark.operators.text import source_leakage_matrix
+
+    span = "one two three four five six seven eight"  # exactly one 8-gram
+    docs = spark.createDataFrame(
+        [
+            (1, f"{span} alpha beta gamma delta epsilon zeta eta", "a"),
+            (2, f"{span} red green blue yellow purple orange pink", "b"),
+            (3, "totally disjoint vocabulary with nothing shared at all", "c"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {(r.source_a, r.source_b): r.n_shared_ngrams
+            for r in source_leakage_matrix(docs).collect()}
+    assert ("a", "b") in rows and rows[("a", "b")] >= 1
+    assert ("a", "c") not in rows and ("b", "c") not in rows
