@@ -147,6 +147,14 @@ def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
             # one-row broadcasts: the query user's series + the exact
             # k-th-distance pruning threshold (PAA two-stage search)
             "user_series_topk",
+            # bounded k-centroid broadcast (as ann_ivf)
+            "embedding_silhouette",
+            # bounded |groups|^2 pair fan-out broadcast (KS all-pairs)
+            "source_length_ks",
+            # one-row (N, V) totals broadcast, as doc_perplexity
+            "doc_perplexity_filter",
+            # one-row corpus-total broadcast into the funnel ledger
+            "doc_filter_funnel",
         ):
             bad[name] = joins
     assert not bad, bad
