@@ -78,7 +78,7 @@ _PRIORITY = [
     "dedup_minhash_eval", "decontaminate_exact_ngrams", "doc_filter_funnel",
     "source_leakage", "source_boilerplate",
     "doc_perplexity_filter", "user_split_summary", "user_value_theilsen",
-    "event_training_pairs",
+    "event_training_pairs", "event_type_target_encoding",
     "doc_winnowing", "source_length_ks", "embedding_silhouette",
     "dedup_remove_spans", "text_blocklist", "text_keyword_tags",
     "events_json_variant", "user_series_topk", "part_entity_resolution",

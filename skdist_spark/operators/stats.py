@@ -1372,3 +1372,192 @@ def _theilsen_oracle_sql() -> str:
 
 QUERIES["user_value_theilsen"] = user_value_theilsen
 ORACLE_SQL["user_value_theilsen"] = _theilsen_oracle_sql()
+
+
+# ---- supervised categorical encodings --------------------------------
+
+TE_SMOOTHING = 20  # pseudo-count pulled toward the global prior
+
+
+def target_encode(
+    df: DataFrame,
+    key_cols: list[str],
+    target_col: str,
+    smoothing: int = TE_SMOOTHING,
+) -> DataFrame:
+    """Smoothed target (mean) encoding table: for each key, the
+    shrunk mean  (sum_y + m * prior) / (n + m)  with prior the global
+    target mean — the high-cardinality categorical encoder tree models
+    want, computed distributed (one groupBy + a one-row prior
+    broadcast; the key table is what ships to training, NOT a per-row
+    rewrite).
+
+    Rare keys shrink toward the prior (m pseudo-observations), so an
+    unseen-at-train key can be scored with the prior itself.  Sums run
+    in DECIMAL so the table is value-exact across engines and
+    partitionings; the encoded value is one final double division
+    rounded to 6.
+    """
+    dec = F.sum(F.col(target_col).cast("decimal(18,6)"))
+    keyed = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"), dec.alias("sum_y")
+    )
+    totals = df.agg(
+        F.count(F.lit(1)).alias("n_all"), dec.alias("sum_all")
+    )
+    return (
+        keyed.crossJoin(F.broadcast(totals))
+        .select(
+            *key_cols,
+            "n",
+            F.round(
+                (
+                    F.col("sum_y").cast("double")
+                    + smoothing * (F.col("sum_all").cast("double") / F.col("n_all"))
+                )
+                / (F.col("n") + smoothing),
+                6,
+            ).alias("encoded"),
+        )
+    )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    key_cols: list[str],
+    target_col: str,
+    smoothing: int = TE_SMOOTHING,
+) -> DataFrame:
+    """Per-ROW leave-one-out target encoding: each row's own target is
+    excluded from its key's mean before shrinking —
+    (sum_y - y_i + m * prior) / (n - 1 + m) — the leakage-free variant
+    for encoding the TRAINING frame itself (the plain table leaks each
+    row's label into its own feature; LOO is what keeps tree models
+    from memorizing the target through the encoding).
+
+    One groupBy to the key table, one equi-join back — no window, no
+    per-row state.  Returns the input plus ``encoded_loo``.
+    """
+    dec = F.sum(F.col(target_col).cast("decimal(18,6)"))
+    keyed = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("__n"), dec.alias("__sum_y")
+    )
+    totals = df.agg(F.count(F.lit(1)).alias("__n_all"), dec.alias("__sum_all"))
+    return (
+        df.join(keyed, key_cols)
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "encoded_loo",
+            F.round(
+                (
+                    F.col("__sum_y").cast("double")
+                    - F.col(target_col)
+                    + smoothing
+                    * (F.col("__sum_all").cast("double") / F.col("__n_all"))
+                )
+                / (F.col("__n") - 1 + smoothing),
+                6,
+            ),
+        )
+        .drop("__n", "__sum_y", "__n_all", "__sum_all")
+    )
+
+
+def woe_encode(
+    df: DataFrame,
+    key_cols: list[str],
+    flag_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Weight-of-evidence table for a BINARY target:
+    ln( (pos_k + a)/(POS + 2a) / ((neg_k + a)/(NEG + 2a)) ) per key —
+    the credit-scoring / feature-screening encoder, with add-a
+    smoothing so empty cells stay finite.  Also emits each key's IV
+    contribution (information value term), whose sum screens the
+    feature.  One groupBy + a one-row (POS, NEG) broadcast; exact
+    integer counts, one final log in double, rounded to 6.
+    """
+    flag = F.col(flag_col).cast("int")
+    keyed = df.groupBy(*key_cols).agg(
+        F.sum(flag).alias("pos"),
+        F.sum(1 - flag).alias("neg"),
+    )
+    totals = df.agg(
+        F.sum(flag).alias("pos_all"), F.sum(1 - flag).alias("neg_all")
+    )
+    p = (F.col("pos") + alpha) / (F.col("pos_all") + 2 * alpha)
+    q = (F.col("neg") + alpha) / (F.col("neg_all") + 2 * alpha)
+    return (
+        keyed.crossJoin(F.broadcast(totals))
+        .select(
+            *key_cols,
+            "pos",
+            "neg",
+            F.round(F.log(p / q), 6).alias("woe"),
+            F.round((p - q) * F.log(p / q), 6).alias("iv_term"),
+        )
+    )
+
+
+def event_type_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: smoothed mean-value encoding of event_type plus
+    weight-of-evidence of day-of-week for predicting a purchase."""
+    ev = load_table(spark, "events", sf_dir)
+    te = target_encode(ev, ["event_type"], "value")
+    woe = woe_encode(
+        ev.withColumn("dow", F.dayofweek("ts")).withColumn(
+            "is_purchase", (F.col("event_type") == "purchase").cast("int")
+        ),
+        ["dow"],
+        "is_purchase",
+    ).select(
+        F.concat(F.lit("dow_"), F.col("dow")).alias("event_type"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.col("woe").alias("encoded"),
+    )
+    base = te.select("event_type", "n", "encoded")
+    return base.unionByName(woe).orderBy("event_type")
+
+
+def _target_encoding_sql() -> str:
+    return f"""
+        WITH te AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_y
+            FROM events GROUP BY 1
+        ), tot AS (
+            SELECT COUNT(*) AS n_all,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_all
+            FROM events
+        ), base AS (
+            SELECT event_type, n,
+                   ROUND((sum_y + {TE_SMOOTHING} * (sum_all / n_all))
+                         / (n + {TE_SMOOTHING}), 6) AS encoded
+            FROM te CROSS JOIN tot
+        ), flags AS (
+            SELECT dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS f
+            FROM events
+        ), keyed AS (
+            SELECT dow, CAST(SUM(f) AS BIGINT) AS pos,
+                   CAST(SUM(1 - f) AS BIGINT) AS neg
+            FROM flags GROUP BY 1
+        ), wtot AS (
+            SELECT CAST(SUM(f) AS BIGINT) AS P, CAST(SUM(1 - f) AS BIGINT) AS N
+            FROM flags
+        ), woe AS (
+            SELECT 'dow_' || dow AS event_type,
+                   CAST(NULL AS BIGINT) AS n,
+                   ROUND(ln(((pos + 0.5) / (P + 1.0)) / ((neg + 0.5) / (N + 1.0))), 6) AS encoded
+            FROM keyed CROSS JOIN wtot
+        )
+        SELECT * FROM base
+        UNION ALL
+        SELECT * FROM woe
+        ORDER BY event_type
+    """
+
+
+QUERIES["event_type_target_encoding"] = event_type_target_encoding
+ORACLE_SQL["event_type_target_encoding"] = _target_encoding_sql()

@@ -348,3 +348,47 @@ def test_ks_two_sample_matches_numpy_replay(spark):
     # the shifted pair must reject; the same-law pair must not
     assert got[("a", "b")].reject_05 is True
     assert got[("a", "c")].reject_05 is False
+
+
+def test_target_encode_loo_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    from skdist_spark.operators.stats import TE_SMOOTHING, target_encode_loo
+
+    rng = np.random.RandomState(5)
+    pdf = pd.DataFrame(
+        {"k": rng.choice(list("abc"), 60), "y": rng.rand(60).round(3)}
+    )
+    out = target_encode_loo(
+        spark.createDataFrame(pdf), ["k"], "y"
+    ).toPandas().sort_values(["k", "y"]).reset_index(drop=True)
+    prior = pdf["y"].mean()
+    grp = pdf.groupby("k")["y"].agg(["sum", "count"])
+    expect = pdf.assign(
+        enc=lambda d: (
+            d["k"].map(grp["sum"]) - d["y"] + TE_SMOOTHING * prior
+        ) / (d["k"].map(grp["count"]) - 1 + TE_SMOOTHING)
+    ).sort_values(["k", "y"]).reset_index(drop=True)
+    np.testing.assert_allclose(out["encoded_loo"], expect["enc"].round(6), atol=1e-6)
+    # leakage check: two rows with same key but different y get DIFFERENT codes
+    a = pdf[pdf.k == "a"]["y"]
+    codes = out[out.k == "a"]["encoded_loo"]
+    assert a.nunique() > 1 and codes.nunique() > 1
+
+
+def test_woe_encode_known_values(spark):
+    from skdist_spark.operators.stats import woe_encode
+    import math
+
+    df = spark.createDataFrame(
+        [("x", 1)] * 8 + [("x", 0)] * 2 + [("y", 1)] * 2 + [("y", 0)] * 8,
+        "k string, f int",
+    )
+    rows = {r.k: r for r in woe_encode(df, ["k"], "f").collect()}
+    P, N, a = 10, 10, 0.5
+    woe_x = math.log(((8 + a) / (P + 1)) / ((2 + a) / (N + 1)))
+    assert abs(rows["x"].woe - round(woe_x, 6)) < 1e-9
+    assert rows["x"].woe > 0 > rows["y"].woe
+    # symmetric construction -> symmetric WoE
+    assert abs(rows["x"].woe + rows["y"].woe) < 1e-9
