@@ -251,3 +251,95 @@ def kmv_join_keys_estimate(
         F.round("R", 2).alias("est_right_keys"),
         F.round(F.col("rho") * F.col("est_union"), 2).alias("est_common_keys"),
     )
+
+
+KLL_K = 200  # sketch size parameter: ~1.3% rank error at k=200
+
+
+def kll_daily_sketches(
+    df: DataFrame,
+    day_col,
+    value_col: str,
+    k: int = KLL_K,
+) -> DataFrame:
+    """Materializable per-day KLL quantile sketch table: (day, sketch
+    binary) over a DOUBLE value column — the percentile counterpart of
+    the HLL sketch table.  Any coarser percentile rollup
+    (week/month/all-time p50/p99) re-aggregates these tiny rows with
+    ``kll_merge_agg_double`` instead of re-scanning the fact table;
+    the merge is associative, so latency-percentile dashboards over
+    100 TB serve from a sketch table thousands of times smaller than
+    the events they summarize.
+    """
+    return df.groupBy(day_col).agg(
+        F.expr(f"kll_sketch_agg_double({value_col}, {k})").alias("sketch")
+    )
+
+
+def kll_rollup(
+    sketches: DataFrame,
+    group_expr,
+    quantiles: "list[float]" = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Re-aggregate a KLL sketch table to a coarser grain: merge the
+    sketches, read the quantiles off the merged state.  No fact-table
+    access."""
+    qs = ", ".join(str(q) for q in quantiles)
+    merged = sketches.groupBy(group_expr).agg(
+        F.expr("kll_merge_agg_double(sketch)").alias("merged")
+    )
+    sel = [
+        F.expr(f"kll_sketch_get_quantile_double(merged, {q})").alias(
+            f"p{int(q * 100)}"
+        )
+        for q in quantiles
+    ]
+    return merged.select("*", *sel).drop("merged")
+
+
+def value_percentile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: weekly p50/p90/p99 of event value computed by
+    MERGING the daily KLL sketch table (never re-touching events),
+    side by side with a directly-built weekly sketch and the exact
+    weekly percentiles.
+
+    Unlike HLL union, KLL merge is NOT bit-identical to a direct
+    build (compaction order differs), so there is no identity column;
+    what the sketch guarantees — and what pytest bounds — is the RANK
+    error of both the merged and the direct estimates against the
+    exact percentiles.  rows-only: the Datasketches KLL state has no
+    DuckDB twin.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "value", F.to_date("ts").alias("day")
+    )
+    daily = kll_daily_sketches(ev, "day", "value")
+    week = (
+        F.floor(F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")) / 7)
+    ).cast("int")
+    merged = kll_rollup(daily, week.alias("week"))
+    direct = ev.groupBy(week.alias("week")).agg(
+        F.expr(
+            f"kll_sketch_get_quantile_double(kll_sketch_agg_double(value, {KLL_K}), 0.5)"
+        ).alias("direct_p50"),
+        F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))").alias("exact"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        merged.join(direct, "week")
+        .select(
+            "week",
+            "n_events",
+            "p50",
+            "p90",
+            "p99",
+            F.round(F.element_at("exact", 1), 6).alias("exact_p50"),
+            F.round(F.element_at("exact", 2), 6).alias("exact_p90"),
+            F.round(F.element_at("exact", 3), 6).alias("exact_p99"),
+            "direct_p50",
+        )
+        .orderBy("week")
+    )
+
+
+QUERIES["value_percentile_sketch_rollup"] = value_percentile_sketch_rollup

@@ -1997,3 +1997,36 @@ def test_source_leakage_matrix_counts_shared_grams(spark):
             for r in source_leakage_matrix(docs).collect()}
     assert ("a", "b") in rows and rows[("a", "b")] >= 1
     assert ("a", "c") not in rows and ("b", "c") not in rows
+
+
+def test_kll_sketch_rollup_rank_error_bounded(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from skdist_spark.operators.sketches import value_percentile_sketch_rollup
+    from skdist_spark.sources.catalog import load_table
+
+    out = value_percentile_sketch_rollup(spark, sf_dir).collect()
+    assert out, "no weekly rows"
+    ev = load_table(spark, "events", sf_dir).select(
+        "value",
+        (F.floor(F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) / 7))
+        .cast("int")
+        .alias("week"),
+    )
+    per_week = {
+        r.week: r for r in ev.groupBy("week").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    # rank error of the merged estimates: the fraction of values below
+    # the sketch quantile must sit near the target rank (KLL k=200
+    # guarantees ~1.3% rank error; assert a safe 5%)
+    for row in out:
+        n = per_week[row.week].n
+        for est, target in ((row.p50, 0.5), (row.p90, 0.9), (row.p99, 0.99)):
+            below = ev.where(
+                (F.col("week") == row.week) & (F.col("value") <= est)
+            ).count()
+            assert abs(below / n - target) <= 0.05, (row.week, target, below / n)
+        # merged and direct builds agree to the same tolerance
+        assert abs(row.p50 - row.direct_p50) <= max(0.05 * row.exact_p50, 1.0)
