@@ -1166,11 +1166,16 @@ def minhash_eval(
     the row is value-identical across engines (no double division).
     """
     d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    # merge hint, as in _minhash_impl: sort-merge shuffles both sides on
+    # the band key with identical child plans so the exchange (and the
+    # expensive signature codegen) is computed once, instead of a
+    # broadcast evaluating the subtree twice
     cand = (
         minhash_bands(d)
+        .hint("merge")
         .alias("a")
         .join(
-            minhash_bands(d).alias("b"),
+            minhash_bands(d).hint("merge").alias("b"),
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
