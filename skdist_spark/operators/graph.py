@@ -890,3 +890,93 @@ def part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["part_kcore"] = part_kcore
+
+
+def local_clustering(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node LOCAL clustering coefficient: 2*t(v) / (d(v)*(d(v)-1))
+    for every node with degree >= 2 — how close a node's neighborhood
+    is to a clique.  In a near-dup graph, high-lcc nodes sit inside
+    mutually-similar template families (keep one, drop the rest); in
+    an affinity graph they mark tightly-bundled catalogs.
+
+    Reuses the degree-ordered triangle enumeration (one pass, no
+    iteration) and joins its per-node counts back onto exact integer
+    degrees — the coefficient is ONE double division of exact ints,
+    bit-reproducible.  Nodes in no triangle get lcc 0, not dropped:
+    "present but open" is signal.
+    """
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+    tri = triangle_count(edges, src, dst).withColumnRenamed("node", "a")
+    return (
+        deg.where(F.col("degree") >= 2)
+        .join(tri, "a", "left")
+        .select(
+            F.col("a").alias("node"),
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.round(
+                2.0
+                * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("lcc"),
+        )
+    )
+
+
+def doc_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: local clustering coefficients over the blocked
+    n-gram Jaccard near-dup pair graph."""
+    from .dedup import _ngram_jaccard_impl
+
+    docs = load_table(spark, "documents", sf_dir)
+    # localCheckpoint: the jaccard posting-join subtree would otherwise
+    # execute once per consumer (degree pass + triangle orientation +
+    # closing probe); the materialized pair list is near-dup-sparse —
+    # bounded, like the other graph queries' edge checkpoints
+    pairs = _ngram_jaccard_impl(docs).localCheckpoint()
+    return (
+        local_clustering(pairs, "doc_a", "doc_b")
+        .select(F.col("node").alias("doc_id"), "degree", "n_triangles", "lcc")
+        .orderBy("doc_id")
+    )
+
+
+def _doc_clustering_sql() -> str:
+    return f"""
+        WITH {_pairs_cte()},
+        und AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ), deg AS (
+            SELECT a, COUNT(*) AS degree FROM und GROUP BY a
+        ), tri AS (
+            SELECT p1.doc_a AS a, p1.doc_b AS b, p2.doc_b AS c
+            FROM pairs p1
+            JOIN pairs p2 ON p2.doc_a = p1.doc_a AND p2.doc_b > p1.doc_b
+            JOIN pairs p3 ON p3.doc_a = p1.doc_b AND p3.doc_b = p2.doc_b
+        ), tcount AS (
+            SELECT node, COUNT(*) AS n_triangles FROM (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            ) GROUP BY node
+        )
+        SELECT d.a AS doc_id, CAST(d.degree AS BIGINT) AS degree,
+               CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+               ROUND(2.0 * COALESCE(t.n_triangles, 0)
+                     / (d.degree * (d.degree - 1)), 6) AS lcc
+        FROM deg d LEFT JOIN tcount t ON t.node = d.a
+        WHERE d.degree >= 2
+        ORDER BY doc_id
+    """
+
+
+QUERIES["doc_clustering_coeff"] = doc_clustering_coeff
+ORACLE_SQL["doc_clustering_coeff"] = _doc_clustering_sql()

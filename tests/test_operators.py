@@ -2030,3 +2030,17 @@ def test_kll_sketch_rollup_rank_error_bounded(spark, sf_dir):
             assert abs(below / n - target) <= 0.05, (row.week, target, below / n)
         # merged and direct builds agree to the same tolerance
         assert abs(row.p50 - row.direct_p50) <= max(0.05 * row.exact_p50, 1.0)
+
+
+def test_local_clustering_known_graph(spark):
+    from skdist_spark.operators.graph import local_clustering
+
+    # triangle 1-2-3 plus a pendant 4 attached to 3, isolated edge 5-6
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (5, 6)], "src long, dst long"
+    )
+    rows = {r.node: r for r in local_clustering(edges).collect()}
+    assert rows[1].lcc == 1.0 and rows[2].lcc == 1.0   # perfect triangles
+    assert rows[3].degree == 3 and rows[3].n_triangles == 1
+    assert rows[3].lcc == round(2 * 1 / (3 * 2), 6)    # 0.333333
+    assert 4 not in rows and 5 not in rows             # degree < 2 dropped
