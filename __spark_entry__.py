@@ -100,7 +100,7 @@ _PRIORITY = [
     "ml_quality_classifier",
     "stream_windowed_counts", "stream_sliding_users",
     "stream_sessionize", "stream_psi_drift", "stream_filter_funnel",
-    "value_percentile_sketch_rollup",
+    "value_percentile_sketch_rollup", "stream_value_quantiles",
     "corpus_pipeline",
 ]
 

@@ -1614,3 +1614,74 @@ def stream_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["stream_filter_funnel"] = stream_filter_funnel
+
+
+# ---- streaming quantile monitor --------------------------------------
+
+
+def quantile_stream_monitor(
+    stream_values: DataFrame,
+    value_col: str = "value",
+    p99_alert: float = 250.0,
+    k: int = 200,
+) -> DataFrame:
+    """Per-micro-batch latency/value quantiles via the Spark 4 KLL
+    sketch: each batch reduces DISTRIBUTEDLY to one sketch row
+    (kll_sketch_agg_double inside foreachBatch), p50/p90/p99 are read
+    off that state, and one row per batch reaches the driver — the
+    streaming SLA dashboard shape (alert when p99 crosses the
+    threshold), state O(k) per batch regardless of batch size.
+
+    Returns a batch frame (batch_id, n_rows, p50, p90, p99, breached)
+    after draining.  Accuracy is the KLL rank guarantee (~1.3% at
+    k=200), bounded against exact per-batch percentiles in pytest.
+    """
+    spark = stream_values.sparkSession
+    rows: "list[tuple[int, int, float, float, float]]" = []
+
+    def on_batch(bdf: DataFrame, batch_id: int) -> None:
+        got = bdf.agg(
+            F.expr(
+                f"kll_sketch_get_quantile_double("
+                f"kll_sketch_agg_double({value_col}, {k}), array(0.5D, 0.9D, 0.99D))"
+            ).alias("qs"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        if not got["n"]:
+            return
+        qs = got["qs"]
+        rows.append(
+            (int(batch_id), int(got["n"]), float(qs[0]), float(qs[1]), float(qs[2]))
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            stream_values.writeStream.foreachBatch(on_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.createDataFrame(
+        rows, "batch_id int, n_rows long, p50 double, p90 double, p99 double"
+    ).withColumn("breached", F.col("p99") > F.lit(p99_alert))
+
+
+def stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: 4-batch time-ordered replay of events through the
+    per-batch KLL quantile monitor (rows-only: per-batch sketch reads
+    are a streaming-side effect; pytest bounds rank error vs exact)."""
+    stage = _stage_ordered_stream(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+    return quantile_stream_monitor(raw.select("value")).orderBy("batch_id")
+
+
+QUERIES["stream_value_quantiles"] = stream_value_quantiles

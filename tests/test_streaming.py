@@ -707,3 +707,26 @@ def test_stream_filter_funnel_sums_equal_batch(spark, sf_dir):
         if r.rule != "accepted":
             streamed[r.rule] = streamed.get(r.rule, 0) + r.n_dropped
     assert streamed == batch
+
+
+def test_stream_value_quantiles_rank_error_bounded(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from skdist_spark.sources.catalog import load_table
+    from skdist_spark.streaming.ops import stream_value_quantiles
+
+    out = stream_value_quantiles(spark, sf_dir).collect()
+    assert len(out) == 4  # four staged files -> four micro-batches
+    ev = load_table(spark, "events", sf_dir).orderBy("ts", "event_id").select("value")
+    vals = [r.value for r in ev.collect()]
+    # reconstruct batch boundaries from the reported batch sizes (the
+    # staged replay is total-ordered by (ts, event_id))
+    start = 0
+    for row in sorted(out, key=lambda r: r.batch_id):
+        batch = sorted(vals[start:start + row.n_rows])
+        start += row.n_rows
+        n = len(batch)
+        for est, target in ((row.p50, 0.5), (row.p90, 0.9), (row.p99, 0.99)):
+            below = sum(1 for v in batch if v <= est)
+            assert abs(below / n - target) <= 0.05, (row.batch_id, target)
+    assert start == len(vals)  # batches exactly partition the stream
