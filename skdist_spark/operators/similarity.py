@@ -1083,3 +1083,84 @@ def _silhouette_oracle_sql() -> str:
 
 QUERIES["embedding_silhouette"] = embedding_silhouette
 ORACLE_SQL["embedding_silhouette"] = _silhouette_oracle_sql()
+
+
+MMR_CANDIDATES = 8 * TOP_K  # bounded per-query candidate pool
+MMR_DIV_THRESHOLD = 0.98  # drop a candidate this similar to a kept result
+
+
+def diversified_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    candidates: int = MMR_CANDIDATES,
+    div_threshold: float = MMR_DIV_THRESHOLD,
+) -> DataFrame:
+    """DIVERSIFIED cosine top-k (the distributed diversified-top-k
+    search problem, e.g. EDBT'20's best-region variant; greedy MMR-style
+    selection): for each query, the top-k results such that no kept
+    result is more than ``div_threshold``-similar to an earlier kept
+    one — near-duplicate corpora make plain top-k return k copies of
+    the same document; diversified top-k returns k *different* answers.
+
+    Two stages, both bounded: (1) the DISTRIBUTED part scores the
+    corpus per query (broadcast query side, map-only) and keeps a
+    candidate pool of ``candidates`` rows per query via window top-M
+    — data-sized work ends here; (2) the greedy diversification scan,
+    inherently sequential in rank order, runs per query inside one
+    applyInPandas over the PER-QUERY candidate pool (O(M*k) dot
+    products on <= M rows — bounded state, never the corpus).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = F.broadcast(queries.select(F.col("vec_id").alias("qid"), F.col("v"))).alias("q")
+    c = emb.alias("c")
+    cos = f"{_DOT} / ({_NORM.format('q.v')} * {_NORM.format('c.v')})"
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    pool = (
+        q.join(c, F.col("q.qid") != F.col("c.vec_id"))
+        .select(
+            F.col("q.qid").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.expr(cos).alias("cosine"),
+            F.col("c.v").alias("nv"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= candidates)
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rank")
+        kept_rows = []
+        kept_vecs: "list[np.ndarray]" = []
+        for row in pdf.itertuples():
+            v = np.asarray(row.nv, dtype=np.float64)
+            v = v / np.linalg.norm(v)
+            if any(float(v @ kv) > div_threshold for kv in kept_vecs):
+                continue
+            kept_vecs.append(v)
+            kept_rows.append(
+                (row.query_id, len(kept_rows) + 1, row.neighbor_id, round(row.cosine, 6))
+            )
+            if len(kept_rows) >= k:
+                break
+        return pd.DataFrame(
+            kept_rows, columns=["query_id", "div_rank", "neighbor_id", "cosine"]
+        )
+
+    return pool.groupBy("query_id").applyInPandas(
+        greedy, schema="query_id long, div_rank int, neighbor_id long, cosine double"
+    )
+
+
+def ann_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: diversified top-k over the embeddings corpus
+    (rows-only: the greedy scan is order-sequential, not
+    SQL-expressible; a numpy replay pins exactness in pytest)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return diversified_topk(emb, queries).orderBy("query_id", "div_rank")
+
+
+QUERIES["ann_diversified"] = ann_diversified

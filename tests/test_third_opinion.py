@@ -983,3 +983,46 @@ def test_third_user_value_theilsen(spark):
         for r in user_value_theilsen(spark, SF).collect()
     )
     assert got == sorted(want)
+
+
+def test_third_ann_diversified(spark):
+    from skdist_spark.operators.similarity import (
+        MMR_CANDIDATES,
+        MMR_DIV_THRESHOLD,
+        N_QUERIES,
+        TOP_K,
+        ann_diversified,
+    )
+
+    emb = _table("embeddings")
+    vecs = {int(r.vec_id): np.asarray(list(r.embedding), dtype=np.float64)
+            for r in emb.itertuples()}
+    want = []
+    for qid in sorted(v for v in vecs if v < N_QUERIES):
+        qv = vecs[qid]
+        qn = qv / np.linalg.norm(qv)
+        scored = sorted(
+            ((float(qn @ (v / np.linalg.norm(v))), nid)
+             for nid, v in vecs.items() if nid != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:MMR_CANDIDATES]
+        kept = []
+        kept_vecs = []
+        for cosv, nid in scored:
+            nv = vecs[nid] / np.linalg.norm(vecs[nid])
+            if any(float(nv @ kv) > MMR_DIV_THRESHOLD for kv in kept_vecs):
+                continue
+            kept_vecs.append(nv)
+            kept.append((qid, len(kept) + 1, nid, round(cosv, 6)))
+            if len(kept) >= TOP_K:
+                break
+        want.extend(kept)
+    got = [
+        (r.query_id, r.div_rank, r.neighbor_id, r.cosine)
+        for r in ann_diversified(spark, SF).collect()
+    ]
+    # cosine computed sequentially in Spark (left-fold) vs numpy dot:
+    # compare ids/ranks exactly, cosines to 1e-6
+    assert [(a, b, c) for a, b, c, _ in got] == [(a, b, c) for a, b, c, _ in want]
+    for (_, _, _, g), (_, _, _, w) in zip(got, want):
+        assert abs(g - w) < 1e-6
