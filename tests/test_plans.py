@@ -155,6 +155,8 @@ def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
             "doc_perplexity_filter",
             # one-row corpus-total broadcast into the funnel ledger
             "doc_filter_funnel",
+            # one-row prior/total broadcasts (target + WoE encodings)
+            "event_type_target_encoding",
         ):
             bad[name] = joins
     assert not bad, bad

@@ -1026,3 +1026,41 @@ def test_third_ann_diversified(spark):
     assert [(a, b, c) for a, b, c, _ in got] == [(a, b, c) for a, b, c, _ in want]
     for (_, _, _, g), (_, _, _, w) in zip(got, want):
         assert abs(g - w) < 1e-6
+
+
+def test_third_doc_clustering_coeff(spark):
+    from skdist_spark.operators.graph import doc_clustering_coeff
+
+    docs = _table("documents")
+
+    def shingles(text: str) -> set:
+        wd = [w for w in re.split(r"\s+", text.strip()) if w]
+        k = max(len(wd) - 2, 1)
+        return {" ".join(wd[i:i + 3]) for i in range(k)}
+
+    sh = {int(r.doc_id): (shingles(r.text), r.source) for r in docs.itertuples()}
+    ids = sorted(sh)
+    adj = {}
+    for i, a in enumerate(ids):
+        sa, srca = sh[a]
+        for b in ids[i + 1:]:
+            sb, srcb = sh[b]
+            if srca != srcb:
+                continue
+            inter = len(sa & sb)
+            if inter and inter / (len(sa) + len(sb) - inter) >= 0.2:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+    want = []
+    for v in sorted(adj):
+        nb = adj[v]
+        d = len(nb)
+        if d < 2:
+            continue
+        t = sum(1 for x in nb for y in nb if x < y and y in adj.get(x, ()))
+        want.append((v, d, t, round(2 * t / (d * (d - 1)), 6)))
+    got = [
+        (r.doc_id, r.degree, r.n_triangles, r.lcc)
+        for r in doc_clustering_coeff(spark, SF).collect()
+    ]
+    assert got == want
