@@ -74,7 +74,11 @@ _PRIORITY = [
     # upgrade its r2 no_oracle row to a hash-checked green.
     "event_pagerank",
     # -- ROUND-4 QUEUE (past the 50-entry cap; all locally green) --
-    # new round-3 oracle-backed ops, queued first for the next sweep
+    # new round-3 oracle-backed ops (incl. the continuation batch:
+    # minhash eval, exact-ngram decontamination, filter funnel,
+    # leakage/boilerplate, perplexity filter, unit split, Theil-Sen,
+    # training pairs, target/WoE encoding, clustering coefficient),
+    # queued first for the next sweep
     "dedup_minhash_eval", "decontaminate_exact_ngrams", "doc_filter_funnel",
     "source_leakage", "source_boilerplate",
     "doc_perplexity_filter", "user_split_summary", "user_value_theilsen",

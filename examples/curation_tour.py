@@ -56,5 +56,5 @@ user_disjoint_split(ev, "user_id").groupBy("split").agg(
 
 print("-- next-item training pairs (context -> target) --")
 event_training_pairs(spark, sf).show(5, truncate=False)
-
-spark.stop()
+# no spark.stop(): examples share the caller's session (getOrCreate) —
+# the smoke-test lane runs them all in one session
