@@ -83,7 +83,7 @@ _PRIORITY = [
     "source_leakage", "source_boilerplate",
     "doc_perplexity_filter", "user_split_summary", "user_value_theilsen",
     "event_training_pairs", "event_type_target_encoding",
-    "doc_clustering_coeff", "ann_diversified",
+    "doc_clustering_coeff", "ann_diversified", "event_value_quantile_norm",
     "doc_winnowing", "source_length_ks", "embedding_silhouette",
     "dedup_remove_spans", "text_blocklist", "text_keyword_tags",
     "events_json_variant", "user_series_topk", "part_entity_resolution",

@@ -1429,3 +1429,61 @@ ORACLE_SQL["session_bounce_rate"] = f"""
 """
 
 QUERIES["session_bounce_rate"] = session_bounce_rate
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_cols: "list[str]",
+    value_col: str,
+    order_cols: "list[str]",
+) -> DataFrame:
+    """Per-group quantile (rank) normalization: each row's value
+    becomes its percent-rank within the group, in integer
+    parts-per-million — the distribution-free feature transform
+    (uniformizes skewed features so models see rank, not magnitude;
+    robust to outliers by construction).  ``order_cols`` must make the
+    within-group order total (pass an id tiebreaker), which also makes
+    the transform deterministic under ties.  One window per group,
+    integer arithmetic only (`ppm_of_rank`), so the output is
+    value-identical across engines and partitionings.
+    """
+    from ..functions.columns import ppm_of_rank
+
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    wn = Window.partitionBy(*group_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .withColumn("q_ppm", ppm_of_rank(F.col("__rn"), F.col("__n")))
+        .drop("__rn", "__n")
+    )
+
+
+def event_value_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: rank-normalize event value within each event_type
+    (per-type skew differs, so the rank is per-type), emitting the
+    integer ppm feature per event."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    out = quantile_normalize(
+        ev, ["event_type"], "value", [F.col("value"), F.col("event_id")]
+    )
+    return out.select("event_id", "event_type", "q_ppm").orderBy("event_id")
+
+
+ORACLE_SQL["event_value_quantile_norm"] = """
+    WITH r AS (
+        SELECT event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_id, event_type,
+           CAST(CASE WHEN n > 1
+                     THEN ((rn - 1) * 1000000) // (n - 1)
+                     ELSE 0 END AS BIGINT) AS q_ppm
+    FROM r ORDER BY event_id
+"""
+QUERIES["event_value_quantile_norm"] = event_value_quantile_norm

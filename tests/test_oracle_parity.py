@@ -39,7 +39,8 @@ def test_every_query_declared(spark):
     rows_only_prefixes = (
         "ml_", "stream_", "ann_pq", "multimodal", "encoderizer", "approx_",
         "heavy_hitters_cms", "kmv_", "order_percentiles_approx", "pack_chunks",
-        "user_sketch_rollup",
+        "user_sketch_rollup", "value_percentile_sketch_rollup",
+        "ann_diversified",
         "corpus_pipeline", "dedup_semantic", "embedding_pca",
         "bpe_merge_table", "part_kcore", "markov_attribution",
     )
