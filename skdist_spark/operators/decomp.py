@@ -219,3 +219,76 @@ ORACLE_SQL["embedding_separability"] = """
 """
 
 QUERIES["embedding_separability"] = embedding_separability
+
+
+WHITEN_EPS = 1e-6
+
+
+def fit_whitening(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = WHITEN_EPS,
+) -> "tuple[np.ndarray, np.ndarray]":
+    """ZCA whitening fit: (mean[d], W[d, d]) with
+    W = E diag(1/sqrt(l + eps)) E^T from the same one-pass distributed
+    covariance as PCA — the standard embedding post-processing that
+    decorrelates dimensions and equalizes their scale (retrieval and
+    SemDeDup pipelines whiten before cosine so a few dominant
+    directions stop swamping the similarity).  ZCA (not PCA-rotate):
+    the W E^T E rotation back keeps whitened vectors maximally close
+    to the originals, so downstream cosine stays interpretable.
+    Driver work is O(d^2) fold + O(d^3) eigh, independent of N.
+    """
+    mean, comps, evals = fit_pca(df, id_col, vec_col, n_components=10**9)
+    # fit_pca truncates to n_components; a huge value keeps all d axes
+    scale = 1.0 / np.sqrt(evals + eps)
+    w = comps.T @ np.diag(scale) @ comps
+    return mean, w
+
+
+def whiten_project(
+    df: DataFrame,
+    mean: np.ndarray,
+    w: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only whitening transform: (id, whitened array<double>).
+    The (mean, W) pair is tiny broadcast state; no shuffle."""
+    import pandas as pd
+
+    m = np.asarray(mean, dtype=np.float64)
+    wm = np.asarray(w, dtype=np.float64)
+
+    def run(batches):
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].map(
+                lambda v: np.asarray(v, dtype=np.float64)
+            ))
+            y = (x - m) @ wm.T
+            yield pd.DataFrame({id_col: pdf[id_col], "whitened": list(map(list, y))})
+
+    src = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col))
+    return src.mapInPandas(run, schema=f"{id_col} long, whitened array<double>")
+
+
+def embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: ZCA-whiten the embeddings; emit per-vector norm
+    before/after plus a rounded first-coordinate (rows-only: the eigh
+    fit is numpy; equivalence vs a pure-numpy whitening is pinned in
+    pytest, incl. the identity that whitened covariance ~= I)."""
+    from ..sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    mean, w = fit_whitening(emb)
+    out = whiten_project(emb, mean, w)
+    norm = "sqrt(aggregate(transform(whitened, x -> x * x), 0D, (acc, x) -> acc + x))"
+    return out.select(
+        "vec_id",
+        F.round(F.expr(norm), 6).alias("w_norm"),
+        F.round(F.element_at("whitened", 1), 6).alias("w_dim1"),
+    ).orderBy("vec_id")
+
+
+QUERIES["embedding_whiten"] = embedding_whiten

@@ -396,3 +396,82 @@ ORACLE_SQL["langid_eval"] = _langid_eval_oracle_sql()
 
 QUERIES["orders_fingerprint"] = orders_fingerprint
 ORACLE_SQL["orders_fingerprint"] = _FINGERPRINT_SQL
+
+
+CAL_BINS = 10
+
+
+def langid_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve for the language-ID heuristic: bucket docs by
+    stopword-hit ratio (the confidence proxy) and compare each
+    bucket's observed accuracy against its mean confidence — the
+    reliability diagram that decides where the language gate's
+    confidence threshold belongs.  All integer arithmetic: bin =
+    (hits*10) div words clamped to 9, accuracy and confidence in
+    FLOOR-ppm, so the table is value-identical across engines.
+    """
+    from pyspark.sql import functions as F
+
+    from .text import _SPARK_WORDS, _langid_exprs
+
+    docs = load_table(spark, "documents", sf_dir)
+    words_df = docs.select("doc_id", "lang", F.expr(_SPARK_WORDS).alias("wd"))
+    pred, n_hits = _langid_exprs("spark", words="wd")
+    scored = words_df.select(
+        "lang",
+        F.expr(pred).alias("pred_lang"),
+        F.expr(n_hits).cast("bigint").alias("hits"),
+        F.expr("size(wd)").cast("bigint").alias("words"),
+    ).where(F.col("words") > 0)
+    binned = scored.withColumn(
+        "bin",
+        F.least(
+            F.lit(CAL_BINS - 1),
+            F.expr(f"(hits * {CAL_BINS}) div words"),
+        ).cast("int"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("pred_lang") == F.col("lang")).cast("bigint")).alias(
+                "n_correct"
+            ),
+            F.sum("hits").alias("sum_hits"),
+            F.sum("words").alias("sum_words"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_correct",
+            F.expr("(n_correct * 1000000) div n_docs").alias("acc_ppm"),
+            F.expr("(sum_hits * 1000000) div sum_words").alias("conf_ppm"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _langid_calibration_sql() -> str:
+    from .text import _DUCK_PRED, _DUCK_WORDS, _langid_exprs
+
+    _, duck_hits = _langid_exprs("duck")
+    return f"""
+        WITH scored AS (
+            SELECT lang, {_DUCK_PRED} AS pred_lang,
+                   CAST({duck_hits} AS BIGINT) AS hits,
+                   CAST(len({_DUCK_WORDS}) AS BIGINT) AS words
+            FROM documents
+        ), binned AS (
+            SELECT *, CAST(LEAST({CAL_BINS - 1}, (hits * {CAL_BINS}) // words) AS INTEGER) AS bin
+            FROM scored WHERE words > 0
+        )
+        SELECT bin, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               CAST((SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS acc_ppm,
+               CAST((SUM(hits) * 1000000) // SUM(words) AS BIGINT) AS conf_ppm
+        FROM binned GROUP BY bin ORDER BY bin
+    """
+
+
+QUERIES["langid_calibration"] = langid_calibration
+ORACLE_SQL["langid_calibration"] = _langid_calibration_sql()

@@ -2044,3 +2044,30 @@ def test_local_clustering_known_graph(spark):
     assert rows[3].degree == 3 and rows[3].n_triangles == 1
     assert rows[3].lcc == round(2 * 1 / (3 * 2), 6)    # 0.333333
     assert 4 not in rows and 5 not in rows             # degree < 2 dropped
+
+
+def test_embedding_whitening_matches_numpy(spark, sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from skdist_spark.operators.decomp import fit_whitening, whiten_project
+    from skdist_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    mean, w = fit_whitening(emb)
+    pdf = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    x = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+    # numpy reference fit
+    mu = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    w_ref = evecs @ np.diag(1.0 / np.sqrt(evals + 1e-6)) @ evecs.T
+    np.testing.assert_allclose(mean, mu, atol=1e-9)
+    np.testing.assert_allclose(w, w_ref, atol=1e-6)
+    # the whitened covariance is ~identity
+    got = whiten_project(emb, mean, w).toPandas().sort_values("vec_id")
+    y = np.stack(got["whitened"].map(np.asarray))
+    c = np.cov(y, rowvar=False)
+    np.testing.assert_allclose(c, np.eye(c.shape[0]), atol=1e-2)
+    # distributed transform == numpy transform
+    np.testing.assert_allclose(y, (x - mu) @ w_ref.T, atol=1e-6)
