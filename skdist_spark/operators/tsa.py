@@ -1457,3 +1457,124 @@ def _series_topk_oracle_sql() -> str:
 
 QUERIES["user_series_topk"] = user_series_topk
 ORACLE_SQL["user_series_topk"] = _series_topk_oracle_sql()
+
+
+# ---- conformal forecast intervals ------------------------------------
+
+CONF_LEVEL_PCT = 90  # nominal interval coverage
+
+
+def conformal_intervals(
+    fitdf: DataFrame,
+    t_col: str,
+    level_pct: int = CONF_LEVEL_PCT,
+) -> DataFrame:
+    """Split-conformal prediction intervals around a point forecast:
+    the calibration set is the model's own one-step-ahead fit
+    residuals, the interval half-width q is the ceil((n+1)*level/100)
+    -th smallest |residual| (the finite-sample-valid conformal rank —
+    no distributional assumption, works for ANY point forecaster),
+    and every forecast row gets [yhat - q, yhat + q].
+
+    Deterministic by construction: the rank is integer arithmetic and
+    the residuals come from the already-rounded (y, yhat) columns, so
+    the whole table is value-identical across engines.  The residual
+    sort collapses to one calendar-bounded row (same contract as the
+    Holt fold itself).  Also emits the achieved calibration coverage
+    in ppm — by conformal validity it is >= the nominal level.
+    """
+    fits = fitdf.where(F.col("kind") == "fit").select(
+        F.abs(F.col("y") - F.col("yhat")).alias("r")
+    )
+    cal = fits.agg(
+        F.sort_array(F.collect_list("r")).alias("rs"),
+        F.count(F.lit(1)).alias("n_cal"),
+    ).select(
+        "n_cal",
+        F.expr(
+            f"element_at(rs, CAST(least(n_cal,"
+            f" ((n_cal + 1) * {level_pct} + 99) div 100) AS INT))"
+        ).alias("q"),
+        F.expr(
+            f"""(aggregate(rs, 0L, (acc, x) -> acc + CASE WHEN x <= element_at(
+                rs, CAST(least(n_cal, ((n_cal + 1) * {level_pct} + 99) div 100) AS INT))
+                THEN 1L ELSE 0L END) * 1000000) div n_cal"""
+        ).alias("cov_ppm"),
+    )
+    fc = fitdf.where(F.col("kind") == "forecast")
+    return (
+        fc.crossJoin(F.broadcast(cal))
+        .select(
+            t_col,
+            "yhat",
+            F.round(F.col("yhat") - F.col("q"), 4).alias("lo"),
+            F.round(F.col("yhat") + F.col("q"), 4).alias("hi"),
+            F.round("q", 4).alias("q"),
+            "n_cal",
+            "cov_ppm",
+        )
+    )
+
+
+def weekly_forecast_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: 90% split-conformal intervals around the Holt
+    weekly revenue forecast."""
+    fit = weekly_revenue_forecast(spark, sf_dir)
+    return conformal_intervals(fit, "week").orderBy("week")
+
+
+def _conformal_oracle_sql(horizon: int = HORIZON, level_pct: int = CONF_LEVEL_PCT) -> str:
+    a, b = ALPHA, BETA
+    new_level = f"{a}*d.y + (1.0 - {a})*(r.level + r.trend)"
+    return f"""
+        WITH RECURSIVE weekly AS (
+            SELECT CAST(FLOOR(date_diff('day', DATE '{_WEEK_EPOCH}',
+                                        CAST(o_orderdate AS DATE)) / 7) AS INTEGER) AS week,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+            FROM orders GROUP BY 1
+        ), idx AS (
+            SELECT week, y, ROW_NUMBER() OVER (ORDER BY week) AS i FROM weekly
+        ), np AS (SELECT COUNT(*) AS n FROM idx),
+        rec(i, level, trend, fitted) AS (
+            SELECT 1,
+                   (SELECT y FROM idx WHERE i = 1),
+                   (SELECT y FROM idx WHERE i = 2) - (SELECT y FROM idx WHERE i = 1),
+                   CAST(NULL AS DOUBLE)
+            UNION ALL
+            SELECT r.i + 1,
+                   {new_level},
+                   {b}*(({new_level}) - r.level) + (1.0 - {b})*r.trend,
+                   r.level + r.trend
+            FROM rec r JOIN idx d ON d.i = r.i + 1
+        ), resid AS (
+            SELECT ABS(ROUND(d.y, 4) - ROUND(r.fitted, 4)) AS res
+            FROM rec r JOIN idx d ON d.i = r.i WHERE r.i >= 2
+        ), cal AS (
+            SELECT COUNT(*) AS n_cal FROM resid
+        ), ranked AS (
+            SELECT res, ROW_NUMBER() OVER (ORDER BY res) AS rk FROM resid
+        ), qv AS (
+            SELECT res AS q FROM ranked, cal
+            WHERE rk = LEAST(n_cal, ((n_cal + 1) * {level_pct} + 99) // 100)
+        ), cov AS (
+            SELECT CAST((SUM(CASE WHEN res <= (SELECT q FROM qv) THEN 1 ELSE 0 END)
+                   * 1000000) // (SELECT n_cal FROM cal) AS BIGINT) AS cov_ppm
+            FROM resid
+        )
+        SELECT (SELECT MAX(week) FROM idx) + CAST(h.range AS INTEGER) AS week,
+               ROUND(r.level + CAST(h.range AS DOUBLE) * r.trend, 4) AS yhat,
+               ROUND(ROUND(r.level + CAST(h.range AS DOUBLE) * r.trend, 4)
+                     - (SELECT q FROM qv), 4) AS lo,
+               ROUND(ROUND(r.level + CAST(h.range AS DOUBLE) * r.trend, 4)
+                     + (SELECT q FROM qv), 4) AS hi,
+               ROUND((SELECT q FROM qv), 4) AS q,
+               (SELECT CAST(n_cal AS BIGINT) FROM cal) AS n_cal,
+               (SELECT cov_ppm FROM cov) AS cov_ppm
+        FROM rec r, range(1, {horizon + 1}) h
+        WHERE r.i = (SELECT n FROM np)
+        ORDER BY week
+    """
+
+
+QUERIES["weekly_forecast_conformal"] = weekly_forecast_conformal
+ORACLE_SQL["weekly_forecast_conformal"] = _conformal_oracle_sql()

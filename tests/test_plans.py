@@ -157,6 +157,8 @@ def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
             "doc_filter_funnel",
             # one-row prior/total broadcasts (target + WoE encodings)
             "event_type_target_encoding",
+            # one-row conformal calibration (q, n, coverage) broadcast
+            "weekly_forecast_conformal",
         ):
             bad[name] = joins
     assert not bad, bad
