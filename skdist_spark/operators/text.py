@@ -1803,3 +1803,58 @@ QUERIES["source_leakage"] = source_leakage
 ORACLE_SQL["source_leakage"] = _source_leakage_sql()
 QUERIES["source_boilerplate"] = source_boilerplate
 ORACLE_SQL["source_boilerplate"] = _BOILERPLATE_SQL
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility table: how many sub-word
+    (BPE-ish regex) tokens each whitespace word costs, and how many
+    characters each token carries — the standard tokenizer-evaluation
+    read (languages with fertility >> 1 pay more context window per
+    word; a multilingual token budget is planned off exactly this
+    table).  One scan, integer sums, FLOOR-ppm ratios — value-exact.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    per_doc = docs.select(
+        "lang",
+        F.expr(f"size({_SPARK_WORDS})").cast("bigint").alias("ws"),
+        F.expr(
+            "size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0))"
+        ).cast("bigint").alias("bpe"),
+        F.length("text").cast("bigint").alias("chars"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("sum_words"),
+            F.sum("bpe").alias("sum_tokens"),
+            F.sum("chars").alias("sum_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "sum_words",
+            "sum_tokens",
+            F.expr("(sum_tokens * 1000000) div sum_words").alias("fertility_ppm"),
+            F.expr("(sum_chars * 1000000) div sum_tokens").alias("chars_per_token_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_SQL["tokenizer_fertility"] = f"""
+    WITH per_doc AS (
+        SELECT lang,
+               CAST(len({_DUCK_WORDS}) AS BIGINT) AS ws,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)) AS BIGINT) AS bpe,
+               CAST(length(text) AS BIGINT) AS chars
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS sum_words,
+           CAST(SUM(bpe) AS BIGINT) AS sum_tokens,
+           CAST((SUM(bpe) * 1000000) // SUM(ws) AS BIGINT) AS fertility_ppm,
+           CAST((SUM(chars) * 1000000) // SUM(bpe) AS BIGINT) AS chars_per_token_ppm
+    FROM per_doc GROUP BY lang ORDER BY lang
+"""
+QUERIES["tokenizer_fertility"] = tokenizer_fertility
