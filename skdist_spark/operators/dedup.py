@@ -1300,3 +1300,109 @@ ORACLE_SQL_MINHASH_EVAL = f"""
 
 QUERIES["dedup_minhash_eval"] = dedup_minhash_eval
 ORACLE_SQL["dedup_minhash_eval"] = ORACLE_SQL_MINHASH_EVAL
+
+
+def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup savings report: how many docs (and chars) each
+    source would lose to exact dedup, and how many of its docs sit in
+    at least one MinHash near-dup pair — the "which source do we dedup
+    first" planning table (a source with 30% duplicate bytes pays for
+    a dedup pass; one with 0.1% doesn't).
+
+    Exact side: the md5-window canonical flag weighted by n_chars.
+    Near-dup side: distinct membership in the verified LSH pair set.
+    Integer counts + FLOOR-ppm; one scan + the band equi-join.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("text"))
+    flagged = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
+    )
+    pairs = _minhash_impl(docs.select("doc_id", "text"))
+    members = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("near", F.lit(1))
+    )
+    return (
+        flagged.join(members, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("is_dup").cast("bigint")).alias("n_exact_dups"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.when(F.col("is_dup"), F.col("n_chars")).otherwise(0)).alias(
+                "dup_chars"
+            ),
+            F.coalesce(F.sum("near"), F.lit(0)).cast("bigint").alias("n_near_members"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_exact_dups",
+            "sum_chars",
+            "dup_chars",
+            F.expr("(dup_chars * 1000000) div sum_chars").alias("dup_chars_ppm"),
+            "n_near_members",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SQL["dedup_savings_by_source"] = f"""
+    WITH sh AS (
+        SELECT doc_id, {_DUCK_SH} AS sh FROM documents
+    ), dig AS (
+        SELECT doc_id, sh,
+               {', '.join(f'{d} AS h{seed}' for seed, d in enumerate(_DUCK_DIGESTS))}
+        FROM sh
+    ), sig AS (
+        SELECT doc_id, sh,
+               {', '.join(f'{s} AS sig{k}' for k, s in enumerate(_DUCK_SIGS))}
+        FROM dig
+    ), bands AS (
+        SELECT doc_id, sh, band_idx,
+               CASE band_idx
+                    {' '.join(f'WHEN {b} THEN sig{2 * b} || sig{2 * b + 1}' for b in range(N_BANDS))}
+               END AS band_hash
+        FROM sig, UNNEST([{', '.join(str(b) for b in range(N_BANDS))}]) AS t(band_idx)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ), pairs AS (
+        SELECT doc_a, doc_b
+        FROM cand
+        JOIN sh sa ON sa.doc_id = doc_a
+        JOIN sh sb ON sb.doc_id = doc_b
+        WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+              / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+              >= {JACCARD_THRESHOLD}
+    ), members AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_a AS doc_id FROM pairs
+            UNION ALL SELECT doc_b FROM pairs
+        )
+    ), flagged AS (
+        SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+               d.doc_id != MIN(d.doc_id) OVER (PARTITION BY md5(d.text)) AS is_dup,
+               m.doc_id IS NOT NULL AS near
+        FROM documents d LEFT JOIN members m USING (doc_id)
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(CASE WHEN is_dup THEN n_chars ELSE 0 END) AS BIGINT) AS dup_chars,
+           CAST((SUM(CASE WHEN is_dup THEN n_chars ELSE 0 END) * 1000000)
+                // SUM(n_chars) AS BIGINT) AS dup_chars_ppm,
+           CAST(SUM(CASE WHEN near THEN 1 ELSE 0 END) AS BIGINT) AS n_near_members
+    FROM flagged GROUP BY source ORDER BY source
+"""
+QUERIES["dedup_savings_by_source"] = dedup_savings_by_source
