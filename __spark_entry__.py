@@ -107,6 +107,7 @@ _PRIORITY = [
     "stream_windowed_counts", "stream_sliding_users",
     "stream_sessionize", "stream_psi_drift", "stream_filter_funnel",
     "value_percentile_sketch_rollup", "stream_value_quantiles",
+    "stream_dedup_users_ttl",
     "corpus_pipeline",
 ]
 

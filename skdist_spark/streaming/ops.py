@@ -416,11 +416,16 @@ def stream_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup: first occurrence per (user_id, event_type) via
-    watermarked dropDuplicates — streaming state holds one key per pair
-    and the watermark bounds it. Output is the deterministic KEY SET
-    (which physical row arrived first is arrival-order dependent, so
-    only keys are emitted), then a batch rollup of unique users per
-    type."""
+    dropDuplicates.  State is one entry per DISTINCT KEY and — because
+    the event-time column is not part of the dedup key — the watermark
+    does NOT evict it: this face is for key domains that are bounded by
+    construction (here |users| x |event types|), where exact
+    at-most-once per key forever is the contract.  For unbounded key
+    domains use ``stream_dedup_users_ttl`` (dropDuplicatesWithinWatermark),
+    which trades re-admission after the watermark for O(watermark)
+    state.  Output is the deterministic KEY SET (which physical row
+    arrived first is arrival-order dependent, so only keys are
+    emitted), then a batch rollup of unique users per type."""
     ev = _read_event_stream(spark, sf_dir)
     deduped = (
         ev.withWatermark("ts", "1 hour")
@@ -1685,3 +1690,36 @@ def stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["stream_value_quantiles"] = stream_value_quantiles
+
+
+def stream_dedup_users_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` (Spark 3.5+) evicts a key's
+    state once the watermark passes its last-seen event time, so state
+    is O(keys active inside one watermark window) instead of O(all
+    keys ever) — the production contract for unbounded key domains
+    (request ids, message ids) where exact-once matters within the
+    dedup horizon and a late re-send beyond it is acceptable (or
+    filtered by a downstream batch dedup).
+
+    A key can therefore be re-admitted after >= the watermark gap: the
+    output is "at most one row per key per watermark window".  The
+    rollup counts DISTINCT users per type, which is invariant to
+    re-admissions — pytest asserts it equals the batch distinct count
+    while the raw emitted rows may exceed the key-set size.
+    """
+    ev = _read_event_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    out = run_stream_to_df(deduped, output_mode="append")
+    return (
+        out.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_unique_users"))
+        .orderBy("event_type")
+    )
+
+
+QUERIES["stream_dedup_users_ttl"] = stream_dedup_users_ttl

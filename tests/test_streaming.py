@@ -730,3 +730,18 @@ def test_stream_value_quantiles_rank_error_bounded(spark, sf_dir):
             below = sum(1 for v in batch if v <= est)
             assert abs(below / n - target) <= 0.05, (row.batch_id, target)
     assert start == len(vals)  # batches exactly partition the stream
+
+
+def test_stream_dedup_ttl_distinct_counts_match_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from skdist_spark.sources.catalog import load_table
+    from skdist_spark.streaming.ops import stream_dedup_users_ttl
+
+    got = {r.event_type: r.n_unique_users
+           for r in stream_dedup_users_ttl(spark, sf_dir).collect()}
+    ev = load_table(spark, "events", sf_dir)
+    want = {r.event_type: r.n
+            for r in ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert got == want
