@@ -1578,3 +1578,129 @@ def _conformal_oracle_sql(horizon: int = HORIZON, level_pct: int = CONF_LEVEL_PC
 
 QUERIES["weekly_forecast_conformal"] = weekly_forecast_conformal
 ORACLE_SQL["weekly_forecast_conformal"] = _conformal_oracle_sql()
+
+
+# ---- group-sequential A/B monitoring ---------------------------------
+
+OBF_C = 2.04  # O'Brien-Fleming constant (published tables: K=5, alpha=0.05)
+
+
+def purchase_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential conversion monitoring between the Knuth arms:
+    one analysis per WEEK on the cumulative counts, each z compared to
+    the O'Brien-Fleming boundary  C / sqrt(k / K)  — wide early, ~C at
+    the final look — so the experiment can stop early for a real
+    effect without inflating false positives the way repeated
+    fixed-horizon peeking does.
+
+    A user enters the denominator at their FIRST event week and the
+    numerator at their first qualifying purchase week; cumulative
+    per-week counts are exact integers from one aggregation + a
+    running window, and z reuses the pooled two-proportion formula of
+    the fixed-horizon face.  K is the observed number of weekly looks
+    (fixed by the experiment calendar, not by data volume).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    week = (
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit(_WEEK_EPOCH).cast("date")) / 7
+        ).cast("int")
+    )
+    units = ev.groupBy("user_id").agg(
+        F.min(week).alias("enter_week"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 100), week
+            )
+        ).alias("conv_week"),
+    ).withColumn("arm", _arm(F.col("user_id")))
+    weeks = ev.select(week.alias("k")).distinct()
+    enters = units.groupBy("enter_week", "arm").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    convs = (
+        units.where(F.col("conv_week").isNotNull())
+        .groupBy("conv_week", "arm")
+        .agg(F.count(F.lit(1)).alias("x_new"))
+    )
+    w = Window.partitionBy().orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        weeks.join(
+            enters.groupBy("enter_week").pivot("arm", [0, 1]).sum("n_new")
+            .select(F.col("enter_week").alias("k"),
+                    F.coalesce("0", F.lit(0)).alias("en_a"),
+                    F.coalesce("1", F.lit(0)).alias("en_b")),
+            "k", "left")
+        .join(
+            convs.groupBy("conv_week").pivot("arm", [0, 1]).sum("x_new")
+            .select(F.col("conv_week").alias("k"),
+                    F.coalesce("0", F.lit(0)).alias("cv_a"),
+                    F.coalesce("1", F.lit(0)).alias("cv_b")),
+            "k", "left")
+        .na.fill(0)
+        .withColumn("n_a", F.sum("en_a").over(w))
+        .withColumn("n_b", F.sum("en_b").over(w))
+        .withColumn("x_a", F.sum("cv_a").over(w))
+        .withColumn("x_b", F.sum("cv_b").over(w))
+        .withColumn("look", F.row_number().over(Window.orderBy("k")))
+    )
+    total = cum.agg(F.count(F.lit(1)).alias("n_looks"))
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            F.col("look").cast("int").alias("look"),
+            "n_a", "n_b", "x_a", "x_b",
+            F.round(F.expr(_PZ_Z), 6).alias("z"),
+            F.round(
+                F.expr(f"{OBF_C} / sqrt(CAST(look AS DOUBLE) / CAST(n_looks AS DOUBLE))"),
+                6,
+            ).alias("bound"),
+            (F.abs(F.round(F.expr(_PZ_Z), 6))
+             > F.round(
+                 F.expr(f"{OBF_C} / sqrt(CAST(look AS DOUBLE) / CAST(n_looks AS DOUBLE))"),
+                 6,
+             )).alias("crossed"),
+        )
+        .orderBy("k")
+    )
+
+
+def _sequential_oracle_sql() -> str:
+    return f"""
+        WITH week_of AS (
+            SELECT user_id, event_type, value,
+                   CAST(FLOOR(date_diff('day', DATE '{_WEEK_EPOCH}',
+                        CAST(ts AS DATE)) / 7) AS INTEGER) AS wk
+            FROM events
+        ), units AS (
+            SELECT user_id, MIN(wk) AS enter_week,
+                   MIN(CASE WHEN event_type = 'purchase' AND value >= 100
+                       THEN wk END) AS conv_week,
+                   {_arm_sql()} AS arm
+            FROM week_of GROUP BY user_id
+        ), weeks AS (
+            SELECT DISTINCT wk AS k FROM week_of
+        ), cum AS (
+            SELECT k,
+                   ROW_NUMBER() OVER (ORDER BY k) AS look,
+                   (SELECT COUNT(*) FROM units u WHERE u.enter_week <= k AND u.arm = 0) AS n_a,
+                   (SELECT COUNT(*) FROM units u WHERE u.enter_week <= k AND u.arm = 1) AS n_b,
+                   (SELECT COUNT(*) FROM units u WHERE u.conv_week <= k AND u.arm = 0) AS x_a,
+                   (SELECT COUNT(*) FROM units u WHERE u.conv_week <= k AND u.arm = 1) AS x_b
+            FROM weeks
+        ), tot AS (SELECT COUNT(*) AS n_looks FROM cum)
+        SELECT k, CAST(look AS INTEGER) AS look,
+               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(x_a AS BIGINT) AS x_a, CAST(x_b AS BIGINT) AS x_b,
+               ROUND({_PZ_Z}, 6) AS z,
+               ROUND({OBF_C} / sqrt(CAST(look AS DOUBLE) / CAST(n_looks AS DOUBLE)), 6) AS bound,
+               ABS(ROUND({_PZ_Z}, 6))
+                 > ROUND({OBF_C} / sqrt(CAST(look AS DOUBLE) / CAST(n_looks AS DOUBLE)), 6) AS crossed
+        FROM cum, tot
+        ORDER BY k
+    """
+
+
+QUERIES["purchase_ab_sequential"] = purchase_ab_sequential
+ORACLE_SQL["purchase_ab_sequential"] = _sequential_oracle_sql()

@@ -159,6 +159,8 @@ def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
             "event_type_target_encoding",
             # one-row conformal calibration (q, n, coverage) broadcast
             "weekly_forecast_conformal",
+            # one-row look-count broadcast over calendar-bounded rows
+            "purchase_ab_sequential",
         ):
             bad[name] = joins
     assert not bad, bad
