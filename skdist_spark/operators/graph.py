@@ -980,3 +980,95 @@ def _doc_clustering_sql() -> str:
 
 QUERIES["doc_clustering_coeff"] = doc_clustering_coeff
 ORACLE_SQL["doc_clustering_coeff"] = _doc_clustering_sql()
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient: the Pearson correlation of
+    endpoint degrees over every edge (both directions) — positive
+    means hubs link to hubs (social cores), negative means hubs link
+    to leaves (star/template topology, the usual near-dup-graph
+    signature).  One number that tells you whether dedup clusters are
+    cliques or stars before you pick the retention policy.
+
+    Exact BIGINT moments over (deg_u, deg_v) pairs (degrees are exact
+    counts; sums fit DECIMAL(38,0)), one double division at the end —
+    value-identical across engines.  Cost: the degree aggregation +
+    one edge-degree join each side.
+    """
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("a").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("a").alias("v"), F.col("d").alias("dv"))
+    pairs = (
+        und.join(du, und.a == du.u)
+        .join(dv, und.b == dv.v)
+        .select("du", "dv")
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("du").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("dv").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("du") * F.col("du")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("dv") * F.col("dv")).cast("decimal(38,0)")).alias("syy"),
+        F.sum((F.col("du") * F.col("dv")).cast("decimal(38,0)")).alias("sxy"),
+    )
+    cov = "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / m)"
+    vx = "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m)"
+    vy = "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / m)"
+    return m.select(
+        F.col("m").alias("n_directed_edges"),
+        F.expr(
+            f"CASE WHEN {vx} > 0.0D AND {vy} > 0.0D"
+            f" THEN ROUND({cov} / sqrt({vx} * {vy}), 6) END"
+        ).alias("assortativity"),
+    )
+
+
+def doc_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: degree assortativity of the near-dup pair graph."""
+    from .dedup import _ngram_jaccard_impl
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = _ngram_jaccard_impl(docs).localCheckpoint()
+    return degree_assortativity(pairs, "doc_a", "doc_b")
+
+
+def _assortativity_sql() -> str:
+    return f"""
+        WITH {_pairs_cte()},
+        und AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ), deg AS (
+            SELECT a, COUNT(*) AS d FROM und GROUP BY a
+        ), ep AS (
+            SELECT du.d AS du, dv.d AS dv
+            FROM und JOIN deg du ON du.a = und.a
+                     JOIN deg dv ON dv.a = und.b
+        ), m AS (
+            SELECT COUNT(*) AS m,
+                   CAST(SUM(CAST(du AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+                   CAST(SUM(CAST(dv AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+                   CAST(SUM(CAST(du * du AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+                   CAST(SUM(CAST(dv * dv AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy,
+                   CAST(SUM(CAST(du * dv AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy
+            FROM ep
+        )
+        SELECT CAST(m AS BIGINT) AS n_directed_edges,
+               CASE WHEN (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m) > 0.0
+                     AND (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / m) > 0.0
+                    THEN ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / m)
+                         / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m)
+                              * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / m)), 6)
+               END AS assortativity
+        FROM m
+    """
+
+
+QUERIES["doc_graph_assortativity"] = doc_graph_assortativity
+ORACLE_SQL["doc_graph_assortativity"] = _assortativity_sql()
