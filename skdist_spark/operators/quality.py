@@ -475,3 +475,92 @@ def _langid_calibration_sql() -> str:
 
 QUERIES["langid_calibration"] = langid_calibration
 ORACLE_SQL["langid_calibration"] = _langid_calibration_sql()
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group isotonic regression (pool-adjacent-violators): the
+    optimal MONOTONE calibration map from a raw score to an observed
+    rate — what you apply to a classifier/confidence signal when the
+    binned reliability curve (langid_calibration) shows miscalibration
+    but you don't want to impose a parametric shape.
+
+    Returns the fitted step function as (group, x_lo, x_hi, rate,
+    n_obs) segments.  Each group's PAV runs inside one applyInPandas
+    task over that group's (x, y) points — the fit is sequential by
+    nature but bounded per group; ties on x are pre-pooled so the
+    result is deterministic under any partitioning.  Exactness is
+    pinned by a pure-Python PAV replay in the test suite.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def pav(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf[group_col].iloc[0]
+        # pre-pool duplicate x deterministically
+        pooled = (
+            pdf.groupby(x_col, sort=True)[y_col]
+            .agg(["sum", "count"])
+            .reset_index()
+        )
+        xs = pooled[x_col].to_numpy(dtype=np.float64)
+        sums = pooled["sum"].to_numpy(dtype=np.float64)
+        cnts = pooled["count"].to_numpy(dtype=np.float64)
+        # PAV: merge adjacent blocks while means decrease
+        blocks = [[i, i, sums[i], cnts[i]] for i in range(len(xs))]
+        out = []
+        for b in blocks:
+            out.append(b)
+            while len(out) >= 2 and out[-2][2] * out[-1][3] >= out[-1][2] * out[-2][3]:
+                lo2, hi2, s2, c2 = out.pop()
+                out[-1][1] = hi2
+                out[-1][2] += s2
+                out[-1][3] += c2
+        rows = [
+            (
+                g,
+                float(xs[lo]),
+                float(xs[hi]),
+                round(float(s / c), 6),
+                int(c),
+            )
+            for lo, hi, s, c in out
+        ]
+        return pd.DataFrame(
+            rows, columns=[group_col, "x_lo", "x_hi", "rate", "n_obs"]
+        )
+
+    return df.select(group_col, x_col, y_col).groupBy(group_col).applyInPandas(
+        pav, schema=f"{group_col} string, x_lo double, x_hi double, rate double, n_obs long"
+    )
+
+
+def langid_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: isotonic calibration of the stopword-hit-ratio
+    confidence against language-ID correctness, fitted per true
+    language (rows-only: PAV is order-sequential; a pure-Python PAV
+    replay pins exactness in pytest)."""
+    from pyspark.sql import functions as F
+
+    from .text import _SPARK_WORDS, _langid_exprs
+
+    docs = load_table(spark, "documents", sf_dir)
+    words_df = docs.select("doc_id", "lang", F.expr(_SPARK_WORDS).alias("wd"))
+    pred, n_hits = _langid_exprs("spark", words="wd")
+    scored = words_df.select(
+        "lang",
+        F.round(
+            F.expr(n_hits).cast("double") / F.expr("size(wd)"), 6
+        ).alias("conf"),
+        (F.expr(pred) == F.col("lang")).cast("int").alias("correct"),
+    ).where(F.expr("size(wd)") > 0)
+    return isotonic_calibrate(scored, "lang", "conf", "correct").orderBy(
+        "lang", "x_lo"
+    )
+
+
+QUERIES["langid_isotonic"] = langid_isotonic

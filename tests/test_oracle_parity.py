@@ -42,7 +42,7 @@ def test_every_query_declared(spark):
         "user_sketch_rollup", "value_percentile_sketch_rollup",
         "ann_diversified",
         "corpus_pipeline", "dedup_semantic", "embedding_pca",
-        "embedding_whiten",
+        "embedding_whiten", "langid_isotonic",
         "bpe_merge_table", "part_kcore", "markov_attribution",
     )
     for name in QUERIES:

@@ -1064,3 +1064,68 @@ def test_third_doc_clustering_coeff(spark):
         for r in doc_clustering_coeff(spark, SF).collect()
     ]
     assert got == want
+
+
+def test_third_langid_isotonic(spark):
+    from skdist_spark.operators.quality import langid_isotonic
+    from skdist_spark.operators.text import LANG_PROFILES
+
+    docs = _table("documents")
+
+    def replay_lang(text):
+        wd = [w for w in re.split(r"\s+", text.strip()) if w]
+        hits = {lang: sum(1 for w in wd if w in set(sw))
+                for lang, sw in LANG_PROFILES.items()}
+        # the engines' tie order: LANG_PROFILES dict order, 'und' at 0
+        top = max(hits.values())
+        best = "und" if top == 0 else next(
+            lang for lang, h in hits.items() if h == top
+        )
+        return wd, best, top
+
+    pts = {}
+    for r in docs.itertuples():
+        wd, pred, nh = replay_lang(r.text)
+        if not wd:
+            continue
+        conf = round(nh / len(wd), 6)
+        pts.setdefault(r.lang, []).append((conf, 1 if pred == r.lang else 0))
+
+    def pav_replay(xy):
+        # independent PAV formulation: repeatedly scan-and-merge
+        from collections import defaultdict
+        agg = defaultdict(lambda: [0.0, 0])
+        for x, y in xy:
+            agg[x][0] += y
+            agg[x][1] += 1
+        items = sorted(agg.items())
+        segs = [[x, x, s, c] for x, (s, c) in items]
+        changed = True
+        while changed:
+            changed = False
+            i = 0
+            while i < len(segs) - 1:
+                a, b = segs[i], segs[i + 1]
+                if a[2] * b[3] >= b[2] * a[3]:  # mean_a >= mean_b: violator
+                    segs[i] = [a[0], b[1], a[2] + b[2], a[3] + b[3]]
+                    del segs[i + 1]
+                    changed = True
+                    if i > 0:
+                        i -= 1
+                else:
+                    i += 1
+        return [(lo, hi, round(s / c, 6), int(c)) for lo, hi, s, c in segs]
+
+    want = []
+    for lang in sorted(pts):
+        for lo, hi, rate, c in pav_replay(pts[lang]):
+            want.append((lang, lo, hi, rate, c))
+    got = [
+        (r.lang, r.x_lo, r.x_hi, r.rate, r.n_obs)
+        for r in langid_isotonic(spark, SF).collect()
+    ]
+    assert got == want
+    # fitted rates are monotone non-decreasing within each language
+    for lang in sorted(pts):
+        rates = [r for (lg, _, _, r, _) in got if lg == lang]
+        assert rates == sorted(rates)
