@@ -86,7 +86,7 @@ _PRIORITY = [
     "doc_clustering_coeff", "ann_diversified", "event_value_quantile_norm",
     "langid_calibration", "embedding_whiten", "weekly_forecast_conformal",
     "tokenizer_fertility", "dedup_savings_by_source", "purchase_ab_sequential",
-    "doc_graph_assortativity", "langid_isotonic",
+    "doc_graph_assortativity", "langid_isotonic", "user_churn_hazard",
     "doc_winnowing", "source_length_ks", "embedding_silhouette",
     "dedup_remove_spans", "text_blocklist", "text_keyword_tags",
     "events_json_variant", "user_series_topk", "part_entity_resolution",

@@ -1704,3 +1704,91 @@ def _sequential_oracle_sql() -> str:
 
 QUERIES["purchase_ab_sequential"] = purchase_ab_sequential
 ORACLE_SQL["purchase_ab_sequential"] = _sequential_oracle_sql()
+
+
+def nelson_aalen(
+    spans: DataFrame, t_col: str = "duration", event_col: str = "event"
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator over (duration, event)
+    spans: H(t) = sum_{t_i <= t} d_i / n_i — the additive companion of
+    Kaplan-Meier (H estimates total accumulated risk; its slope reads
+    the hazard RATE per period, where S(t) reads survival
+    probability).  Exact integer (d, n_risk) per distinct duration,
+    one running-sum window over calendar-bounded rows; the ratio sums
+    are double but order-fixed (ordered window), so value-identical
+    across engines.  Censored spans leave the risk set without adding
+    hazard, exactly as in km_survival.
+    """
+    per_t = spans.groupBy(F.col(t_col).alias("t")).agg(
+        F.count(F.lit(1)).alias("c"), F.sum(event_col).alias("d")
+    )
+    total = per_t.agg(F.sum("c").alias("n_total"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_t.crossJoin(F.broadcast(total))
+        .withColumn("n_risk", F.col("n_total") - F.coalesce(F.sum("c").over(w), F.lit(0)))
+        .where(F.col("d") > 0)
+        .select(
+            "t",
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.col("d").cast("bigint").alias("d"),
+            F.round(
+                F.sum(
+                    F.col("d").cast("double") / F.col("n_risk").cast("double")
+                ).over(wc),
+                6,
+            ).alias("cum_hazard"),
+        )
+        .orderBy("t")
+    )
+
+
+def user_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: Nelson-Aalen cumulative churn hazard over the same
+    censored lifetime spans as the KM face."""
+    ev = load_table(spark, "events", sf_dir)
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("first_us"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+    )
+    corpus = ev.agg(F.max(F.unix_micros("ts")).alias("end_us"))
+    gap_us = CHURN_GAP_DAYS * 86_400_000_000
+    spans = spans.crossJoin(F.broadcast(corpus)).select(
+        F.expr("(last_us - first_us) div 86400000000").alias("duration"),
+        F.expr(f"CASE WHEN last_us <= end_us - {gap_us} THEN 1 ELSE 0 END").alias(
+            "event"
+        ),
+    )
+    return nelson_aalen(spans)
+
+
+def _na_oracle_sql() -> str:
+    gap_us = CHURN_GAP_DAYS * 86_400_000_000
+    return f"""
+        WITH spans AS (
+            SELECT (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 86400000000 AS duration,
+                   CASE WHEN MAX(epoch_us(ts)) <=
+                        (SELECT MAX(epoch_us(ts)) FROM events) - {gap_us}
+                        THEN 1 ELSE 0 END AS event
+            FROM events GROUP BY user_id
+        ), per_t AS (
+            SELECT duration AS t, COUNT(*) AS c, SUM(event) AS d
+            FROM spans GROUP BY duration
+        ), risk AS (
+            SELECT t, d,
+                   (SELECT SUM(c) FROM per_t)
+                   - COALESCE(SUM(c) OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+            FROM per_t
+        )
+        SELECT t, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
+               ROUND(SUM(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW), 6) AS cum_hazard
+        FROM risk WHERE d > 0 ORDER BY t
+    """
+
+
+QUERIES["user_churn_hazard"] = user_churn_hazard
+ORACLE_SQL["user_churn_hazard"] = _na_oracle_sql()
