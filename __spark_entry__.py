@@ -87,6 +87,7 @@ _PRIORITY = [
     "langid_calibration", "embedding_whiten", "weekly_forecast_conformal",
     "tokenizer_fertility", "dedup_savings_by_source", "purchase_ab_sequential",
     "doc_graph_assortativity", "langid_isotonic", "user_churn_hazard",
+    "churn_ab_logrank",
     "doc_winnowing", "source_length_ks", "embedding_silhouette",
     "dedup_remove_spans", "text_blocklist", "text_keyword_tags",
     "events_json_variant", "user_series_topk", "part_entity_resolution",

@@ -1792,3 +1792,122 @@ def _na_oracle_sql() -> str:
 
 QUERIES["user_churn_hazard"] = user_churn_hazard
 ORACLE_SQL["user_churn_hazard"] = _na_oracle_sql()
+
+
+def churn_ab_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test of the churn survival curves between the Knuth
+    arms — the canonical censored-data A/B readout (a mean or
+    conversion rate throws censored lifetimes away; log-rank compares
+    the entire hazard history).  At each event time t with d events
+    out of n at risk: O_a += d_a, E_a += n_a*d/n, V += hypergeometric
+    variance n_a*n_b*d*(n-d)/(n^2*(n-1)); chi2 = (O_a-E_a)^2/V with
+    1 df.  Risk sets are exact integers from running windows over the
+    calendar-bounded risk table; the O/E/V sums are order-independent
+    (plain SUM of per-t doubles), one row out.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("first_us"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+    )
+    corpus = ev.agg(F.max(F.unix_micros("ts")).alias("end_us"))
+    gap_us = CHURN_GAP_DAYS * 86_400_000_000
+    spans = (
+        spans.crossJoin(F.broadcast(corpus))
+        .select(
+            "user_id",
+            F.expr("(last_us - first_us) div 86400000000").alias("t"),
+            F.expr(
+                f"CASE WHEN last_us <= end_us - {gap_us} THEN 1 ELSE 0 END"
+            ).alias("event"),
+        )
+        .withColumn("arm", _arm(F.col("user_id")))
+    )
+    per_t = spans.groupBy("t").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("event").alias("d"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("event")).otherwise(0)).alias("d_a"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    totals = per_t.agg(
+        F.sum("c").alias("n_all"), F.sum("c_a").alias("n_all_a")
+    )
+    risk = (
+        per_t.crossJoin(F.broadcast(totals))
+        .withColumn("n", F.col("n_all") - F.coalesce(F.sum("c").over(w), F.lit(0)))
+        .withColumn(
+            "n_a", F.col("n_all_a") - F.coalesce(F.sum("c_a").over(w), F.lit(0))
+        )
+        .where((F.col("d") > 0) & (F.col("n") > 1))
+    )
+    stats = risk.agg(
+        F.sum("d_a").cast("bigint").alias("o_a"),
+        F.sum(
+            F.col("n_a").cast("double") * F.col("d") / F.col("n")
+        ).alias("e_a"),
+        F.sum(
+            F.col("n_a").cast("double")
+            * (F.col("n") - F.col("n_a"))
+            * F.col("d")
+            * (F.col("n") - F.col("d"))
+            / (F.col("n").cast("double") * F.col("n") * (F.col("n") - 1))
+        ).alias("v"),
+    )
+    return stats.select(
+        "o_a",
+        F.round("e_a", 6).alias("e_a"),
+        F.round("v", 6).alias("v"),
+        F.round(
+            F.expr(
+                "CASE WHEN v > 0.0D THEN (CAST(o_a AS DOUBLE) - e_a)"
+                " * (CAST(o_a AS DOUBLE) - e_a) / v END"
+            ),
+            6,
+        ).alias("chi2"),
+    )
+
+
+def _logrank_oracle_sql() -> str:
+    gap_us = CHURN_GAP_DAYS * 86_400_000_000
+    return f"""
+        WITH spans AS (
+            SELECT user_id,
+                   (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 86400000000 AS t,
+                   CASE WHEN MAX(epoch_us(ts)) <=
+                        (SELECT MAX(epoch_us(ts)) FROM events) - {gap_us}
+                        THEN 1 ELSE 0 END AS event,
+                   {_arm_sql()} AS arm
+            FROM events GROUP BY user_id
+        ), per_t AS (
+            SELECT t, COUNT(*) AS c, SUM(event) AS d,
+                   SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS c_a,
+                   SUM(CASE WHEN arm = 0 THEN event ELSE 0 END) AS d_a
+            FROM spans GROUP BY t
+        ), risk AS (
+            SELECT t, d, d_a,
+                   (SELECT SUM(c) FROM per_t)
+                   - COALESCE(SUM(c) OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n,
+                   (SELECT SUM(c_a) FROM per_t)
+                   - COALESCE(SUM(c_a) OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_a
+            FROM per_t
+        ), f AS (
+            SELECT * FROM risk WHERE d > 0 AND n > 1
+        ), s AS (
+            SELECT CAST(SUM(d_a) AS BIGINT) AS o_a,
+                   SUM(CAST(n_a AS DOUBLE) * d / n) AS e_a,
+                   SUM(CAST(n_a AS DOUBLE) * (n - n_a) * d * (n - d)
+                       / (CAST(n AS DOUBLE) * n * (n - 1))) AS v
+            FROM f
+        )
+        SELECT o_a, ROUND(e_a, 6) AS e_a, ROUND(v, 6) AS v,
+               ROUND(CASE WHEN v > 0.0 THEN (CAST(o_a AS DOUBLE) - e_a)
+                     * (CAST(o_a AS DOUBLE) - e_a) / v END, 6) AS chi2
+        FROM s
+    """
+
+
+QUERIES["churn_ab_logrank"] = churn_ab_logrank
+ORACLE_SQL["churn_ab_logrank"] = _logrank_oracle_sql()

@@ -137,7 +137,8 @@ def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
             "ann_int8",
             # one-row scalar broadcasts: gini moments / corpus-end
             # instant / 256-bucket DSIR stats + one-row totals
-            "user_revenue_gini", "user_churn_survival", "user_churn_hazard", "dsir_doc_weights",
+            "user_revenue_gini", "user_churn_survival", "user_churn_hazard",
+            "churn_ab_logrank", "dsir_doc_weights",
             # one-row (n, sum) broadcasts for integer-centered terms
             "daily_revenue_acf", "click_purchase_ccf",
             # one-row horizon scalar (max week) broadcast
