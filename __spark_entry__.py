@@ -41,8 +41,8 @@ _MODULES = [
 # 93 rows (tpch/windows + the dedup/text/ANN families); round 3's window
 # holds the two r2 hash-FAIL fixes, the 15 HUGEINT-typing-fix targets, and
 # 33 locally-green round-2 oracles.  ROUND-4 ROTATION: promote the
-# "ROUND-4 QUEUE" block below into positions 1-50 (it leads with the 11
-# round-3-new oracle queries), demoting this round's verified window.
+# "ROUND-4 QUEUE" block below into positions 1-50 (it leads with the
+# ~24 round-3-new oracle queries), demoting this round's verified window.
 _PRIORITY = [
     # -- ROUND-3 WINDOW (first 50 get a driver CORRECTNESS row) --
     # 1-2: the r2 hash-FAILs, re-queued after the oracle typing fix
