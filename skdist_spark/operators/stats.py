@@ -1561,3 +1561,160 @@ def _target_encoding_sql() -> str:
 
 QUERIES["event_type_target_encoding"] = event_type_target_encoding
 ORACLE_SQL["event_type_target_encoding"] = _target_encoding_sql()
+
+
+# ---- Poisson-bootstrap confidence intervals ---------------------------
+
+BOOT_REPS = 40       # bootstrap replicates (columns of the weight matrix)
+BOOT_ALPHA_PPM = 25_000  # 2.5% per tail -> 95% percentile interval
+# Poisson(1) CDF in exact ppm: P(K<=k) for k=0..4; u >= the last
+# threshold draws weight 5 (P cut off at ~3.7e-3, negligible mass).
+_POIS_CDF_PPM = (367879, 735759, 919699, 981012, 996340)
+_BOOT_M31 = 2_147_483_647
+_BOOT_KNUTH = 2_654_435_761
+_BOOT_SALT = 40_503
+_BOOT_MOD32 = 4_294_967_296
+
+
+def _boot_weight_sql(unit: str, rep: str, salt: str) -> str:
+    """Deterministic Poisson(1) bootstrap weight as portable SQL: a
+    Knuth multiplicative hash of (unit, replicate, salt) folded to a
+    uniform ppm draw, then inverted through the exact integer Poisson
+    CDF. All-BIGINT arithmetic on non-negative operands (max product
+    ~5.7e18 < 2^63), so Spark and DuckDB agree bit-for-bit."""
+    u = (
+        f"(({unit} % {_BOOT_M31}) * {_BOOT_KNUTH}"
+        f" + ({rep} * 31 + {salt}) * {_BOOT_SALT}) % {_BOOT_MOD32} % 1000000"
+    )
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_CDF_PPM)
+    )
+    return f"(CASE {cases} ELSE 5 END)"
+
+
+def poisson_bootstrap_mean_ci(
+    df: DataFrame,
+    key_cols: list[str],
+    unit_col: str,
+    value_col: str,
+    n_reps: int = BOOT_REPS,
+    alpha_ppm: int = BOOT_ALPHA_PPM,
+) -> DataFrame:
+    """Per-group bootstrap percentile CI for the mean of per-UNIT value
+    totals, in ONE distributed pass (Poisson bootstrap): instead of
+    materializing R resampled datasets, every unit row draws R
+    independent Poisson(1) weights — the large-n limit of multinomial
+    resampling — and each weighted mean is one bootstrap replicate.
+
+    Exactness/determinism contract: unit totals are exact micro-unit
+    BIGINTs; weights come from a Knuth-hash uniform inverted through
+    the integer Poisson CDF (no RNG state, reproducible across engines,
+    retries and partitionings); each replicate mean is ONE double
+    division of exact integer sums rounded to 6 (the ``group_trend`` /
+    ``theil_sen_trend`` contract).  The interval is exact order
+    statistics of the R replicate means: ranks floor(alpha*R)+1 and
+    R - floor(alpha*R) ascending (2 and 39 for R=40, alpha=2.5%).
+
+    Scale: the explode multiplies the UNIT frame (already one row per
+    unit, far smaller than the event frame) by R before a map-side
+    partial aggregation compresses it to |keys| x R rows; the final
+    per-key state is one sorted R-element array.  No per-unit shuffle,
+    no driver collection, R tunes cost linearly.  The randomization
+    unit is whatever ``unit_col`` names (cluster bootstrap comes free
+    by choosing the unit).
+    """
+    y = F.expr(f"CAST(floor({value_col} * 1000000) AS BIGINT)")
+    units = df.groupBy(*key_cols, unit_col).agg(F.sum(y).alias("y"))
+    salt = f"ascii(substr(CAST({key_cols[0]} AS STRING), 1, 1))"
+    w = _boot_weight_sql(f"CAST({unit_col} AS BIGINT)", "r", salt)
+    reps = units.select(
+        *key_cols,
+        unit_col,
+        "y",
+        F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("r"),
+    ).select(*key_cols, "y", "r", F.expr(w).alias("w"))
+    rep_means = (
+        reps.groupBy(*key_cols, "r")
+        .agg(F.sum(F.col("w") * F.col("y")).alias("swy"), F.sum("w").alias("sw"))
+        .where(F.col("sw") > 0)
+        .select(
+            *key_cols,
+            F.round(
+                F.col("swy").cast("double")
+                / (F.col("sw").cast("double") * 1000000.0),
+                6,
+            ).alias("mr"),
+        )
+    )
+    lo_rank = f"CAST(floor(size(arr) * {alpha_ppm} / 1000000) + 1 AS INT)"
+    hi_rank = f"CAST(size(arr) - floor(size(arr) * {alpha_ppm} / 1000000) AS INT)"
+    ci = (
+        rep_means.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list("mr")).alias("arr"))
+        .select(
+            *key_cols,
+            F.expr(f"element_at(arr, {lo_rank})").alias("boot_lo"),
+            F.expr(f"element_at(arr, {hi_rank})").alias("boot_hi"),
+        )
+    )
+    point = units.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.round(
+            F.sum("y").cast("double") / (F.count(F.lit(1)) * 1000000.0), 6
+        ).alias("mean_value"),
+    )
+    return point.join(ci, key_cols).select(
+        *key_cols, "n_units", "mean_value", "boot_lo", "boot_hi"
+    )
+
+
+def event_value_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: 95% Poisson-bootstrap CI for the mean per-USER
+    value total of each event type (the uncertainty readout every
+    KPI mean should ship with; the user is the resampling unit, so
+    within-user correlation is respected)."""
+    ev = load_table(spark, "events", sf_dir)
+    out = poisson_bootstrap_mean_ci(ev, ["event_type"], "user_id", "value")
+    return out.orderBy("event_type")
+
+
+def _bootstrap_oracle_sql() -> str:
+    w = _boot_weight_sql(
+        "CAST(user_id AS BIGINT)", "r", "ascii(substr(event_type, 1, 1))"
+    )
+    a = BOOT_ALPHA_PPM
+    return f"""
+        WITH units AS (
+            SELECT event_type, user_id,
+                   CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ), reps AS (
+            SELECT u.event_type, t.r, u.y, {w} AS w
+            FROM units u
+            CROSS JOIN (SELECT CAST(range AS BIGINT) AS r FROM range({BOOT_REPS})) t
+        ), rep_means AS (
+            SELECT event_type,
+                   ROUND(CAST(CAST(SUM(w * y) AS BIGINT) AS DOUBLE)
+                         / (CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) * 1000000.0),
+                         6) AS mr
+            FROM reps GROUP BY event_type, r
+            HAVING CAST(SUM(w) AS BIGINT) > 0
+        ), ci AS (
+            SELECT event_type, list_sort(list(mr)) AS arr
+            FROM rep_means GROUP BY 1
+        ), point AS (
+            SELECT event_type, COUNT(*) AS n_units,
+                   ROUND(CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE)
+                         / (COUNT(*) * 1000000.0), 6) AS mean_value
+            FROM units GROUP BY 1
+        )
+        SELECT p.event_type, p.n_units, p.mean_value,
+               arr[CAST(floor(len(arr) * {a} / 1000000) + 1 AS INT)] AS boot_lo,
+               arr[CAST(len(arr) - floor(len(arr) * {a} / 1000000) AS INT)] AS boot_hi
+        FROM point p JOIN ci USING (event_type)
+        ORDER BY event_type
+    """
+
+
+QUERIES["event_value_bootstrap"] = event_value_bootstrap
+ORACLE_SQL["event_value_bootstrap"] = _bootstrap_oracle_sql()

@@ -1129,3 +1129,59 @@ def test_third_langid_isotonic(spark):
     for lang in sorted(pts):
         rates = [r for (lg, _, _, r, _) in got if lg == lang]
         assert rates == sorted(rates)
+
+
+def test_third_event_value_bootstrap(spark):
+    """Pure-pandas replay of the Poisson-bootstrap CI: same unit
+    totals, same Knuth-hash uniforms, same integer Poisson CDF, same
+    order-statistic ranks — no Spark SQL, no DuckDB."""
+    from skdist_spark.operators.stats import (
+        _POIS_CDF_PPM, BOOT_ALPHA_PPM, BOOT_REPS, event_value_bootstrap,
+    )
+
+    ev = _table("events")
+    ev["y"] = np.floor(ev["value"] * 1_000_000).astype(np.int64)
+    units = ev.groupby(["event_type", "user_id"], as_index=False)["y"].sum()
+
+    expected = {}
+    for etype, grp in units.groupby("event_type"):
+        salt = ord(etype[0])
+        uid = grp["user_id"].to_numpy(dtype=np.int64)
+        y = grp["y"].to_numpy(dtype=np.int64)
+        means = []
+        for r in range(BOOT_REPS):
+            u = (
+                (uid % 2147483647).astype(object) * _KNUTH
+                + (r * 31 + salt) * 40503
+            ) % _MOD32 % 1_000_000
+            w = np.full(len(uid), 5, dtype=np.int64)
+            for k in reversed(range(len(_POIS_CDF_PPM))):
+                w[np.asarray(u, dtype=np.int64) < _POIS_CDF_PPM[k]] = k
+            sw = int(w.sum())
+            if sw > 0:
+                means.append(
+                    float(_dec6(float((w * y).sum()) / (float(sw) * 1e6)))
+                )
+        means.sort()
+        n = len(means)
+        cut = n * BOOT_ALPHA_PPM // 1_000_000
+        expected[etype] = (
+            len(grp),
+            float(_dec6(float(y.sum()) / (len(grp) * 1e6))),
+            means[cut],
+            means[n - cut - 1],
+        )
+
+    got = {
+        row["event_type"]: (
+            row["n_units"], row["mean_value"], row["boot_lo"], row["boot_hi"]
+        )
+        for row in event_value_bootstrap(spark, SF).collect()
+    }
+    assert set(got) == set(expected)
+    for etype, (n, mean, lo, hi) in expected.items():
+        gn, gmean, glo, ghi = got[etype]
+        assert gn == n
+        assert abs(gmean - mean) < 1e-9, etype
+        assert abs(glo - lo) < 1e-9 and abs(ghi - hi) < 1e-9, etype
+        assert glo <= gmean <= ghi, etype
