@@ -1164,3 +1164,61 @@ def ann_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ann_diversified"] = ann_diversified
+
+
+# ---- ANN recall evaluation --------------------------------------------
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index against exact brute-force truth — the
+    eval every approximate index must ship with (the ANN counterpart of
+    ``dedup_minhash_eval``'s precision/recall vs exact all-pairs).
+
+    Both faces are the audited operators themselves (``ann_ivf``,
+    ``ann_topk``), so this measures the REAL index, not a model of it;
+    recall is a count ratio (one exact integer over the constant k),
+    never a float comparison of cosines.  Offline-eval posture: the
+    corpus scan runs once per face; at 100 TB the exact face is the
+    documented bounded-query-set baseline (broadcast queries, one
+    map-side pass), so the eval stays linear in the corpus.
+    """
+    ivf = ann_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    matched = (
+        exact.join(ivf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    all_q = exact.select("query_id").distinct()
+    return (
+        all_q.join(matched, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / TOP_K
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _recall_eval_oracle_sql() -> str:
+    return f"""
+        WITH ivf AS ({_ivf_oracle_sql()}),
+        ex AS ({ORACLE_SQL["ann_topk"]}),
+        hits AS (
+            SELECT e.query_id,
+                   CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits
+            FROM ex e LEFT JOIN ivf i
+              ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+            GROUP BY e.query_id
+        )
+        SELECT query_id, n_hits,
+               CAST(n_hits AS DOUBLE) / {TOP_K} AS recall_at_k
+        FROM hits ORDER BY query_id
+    """
+
+
+QUERIES["ann_recall_eval"] = ann_recall_eval
+ORACLE_SQL["ann_recall_eval"] = _recall_eval_oracle_sql()
