@@ -749,3 +749,110 @@ def _perplexity_filter_sql(add_k: float = ADD_K, keep_pct: int = PPX_KEEP_PCT) -
 
 QUERIES["doc_perplexity_filter"] = doc_perplexity_filter
 ORACLE_SQL["doc_perplexity_filter"] = _perplexity_filter_sql()
+
+
+# ---- distribution divergence between sources --------------------------
+
+
+def source_token_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the unigram token
+    distributions of every source pair — the standard "how different
+    are my corpus slices" diagnostic behind mixing-weight decisions
+    (a JS near ln 2 means disjoint vocabularies; near 0, redundant
+    slices).
+
+    JS(P,Q) = 0.5*sum p*ln(2p/(p+q)) + 0.5*sum q*ln(2q/(p+q)), with
+    0*ln 0 = 0 — symmetric, bounded by ln 2, needs no smoothing (unlike
+    KL) because the mixture M dominates both sides.
+
+    Shape: per-(source, word) counts are two map-side combines; each
+    pair's union-vocabulary term table is ONE shuffle on (pair, word)
+    built via the source-IN-pair join (same pattern as the KS test);
+    probabilities are exact-integer ratios evaluated as doubles, the
+    per-pair sum rounds to 6 (the perplexity summation contract).
+    Pairs are |sources| choose 2 — a handful of rows out.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    words = F.expr(_SPARK_WORDS)
+    counts = (
+        docs.select("source", F.explode(words).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").alias("n_tok"))
+    srcs = totals.select(F.col("source").alias("s"), F.col("n_tok").alias("n"))
+    pairs = F.broadcast(
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.s") < F.col("b.s"))
+        .select(
+            F.col("a.s").alias("sa"), F.col("b.s").alias("sb"),
+            F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
+        )
+    )
+    j = pairs.join(
+        counts, (F.col("source") == F.col("sa")) | (F.col("source") == F.col("sb"))
+    )
+    per_word = j.groupBy("sa", "sb", "na", "nb", "word").agg(
+        F.sum(F.when(F.col("source") == F.col("sa"), F.col("c")).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("source") == F.col("sb"), F.col("c")).otherwise(0)).alias("cb"),
+    )
+    pa = "CAST(ca AS DOUBLE) / na"
+    pb = "CAST(cb AS DOUBLE) / nb"
+    term = (
+        f"(CASE WHEN ca > 0 THEN {pa} * ln(2.0 * ({pa}) / (({pa}) + ({pb}))) ELSE 0.0 END)"
+        f" + (CASE WHEN cb > 0 THEN {pb} * ln(2.0 * ({pb}) / (({pa}) + ({pb}))) ELSE 0.0 END)"
+    )
+    return (
+        per_word.groupBy("sa", "sb", "na", "nb")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_union"),
+            F.round(F.sum(F.expr(term)) * 0.5, 6).alias("js_nats"),
+        )
+        .select(
+            F.col("sa").alias("source_a"), F.col("sb").alias("source_b"),
+            F.col("na").alias("n_tokens_a"), F.col("nb").alias("n_tokens_b"),
+            "vocab_union", "js_nats",
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _source_js_oracle_sql() -> str:
+    pa = "CAST(ca AS DOUBLE) / na"
+    pb = "CAST(cb AS DOUBLE) / nb"
+    term = (
+        f"(CASE WHEN ca > 0 THEN {pa} * ln(2.0 * ({pa}) / (({pa}) + ({pb}))) ELSE 0.0 END)"
+        f" + (CASE WHEN cb > 0 THEN {pb} * ln(2.0 * ({pb}) / (({pa}) + ({pb}))) ELSE 0.0 END)"
+    )
+    return f"""
+        WITH counts AS (
+            SELECT source, w.word, CAST(COUNT(*) AS BIGINT) AS c
+            FROM documents d,
+                 LATERAL (SELECT UNNEST({_DUCK_WORDS}) AS word) w
+            GROUP BY 1, 2
+        ), totals AS (
+            SELECT source, CAST(SUM(c) AS BIGINT) AS n_tok
+            FROM counts GROUP BY 1
+        ), pairs AS (
+            SELECT a.source AS sa, b.source AS sb,
+                   a.n_tok AS na, b.n_tok AS nb
+            FROM totals a JOIN totals b ON a.source < b.source
+        ), per_word AS (
+            SELECT p.sa, p.sb, p.na, p.nb, c.word,
+                   CAST(SUM(CASE WHEN c.source = p.sa THEN c.c ELSE 0 END) AS BIGINT) AS ca,
+                   CAST(SUM(CASE WHEN c.source = p.sb THEN c.c ELSE 0 END) AS BIGINT) AS cb
+            FROM pairs p JOIN counts c ON c.source IN (p.sa, p.sb)
+            GROUP BY 1, 2, 3, 4, 5
+        )
+        SELECT sa AS source_a, sb AS source_b,
+               na AS n_tokens_a, nb AS n_tokens_b,
+               CAST(COUNT(*) AS BIGINT) AS vocab_union,
+               ROUND(SUM({term}) * 0.5, 6) AS js_nats
+        FROM per_word
+        GROUP BY sa, sb, na, nb
+        ORDER BY source_a, source_b
+    """
+
+
+QUERIES["source_token_js"] = source_token_js
+ORACLE_SQL["source_token_js"] = _source_js_oracle_sql()
