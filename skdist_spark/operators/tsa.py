@@ -1911,3 +1911,110 @@ def _logrank_oracle_sql() -> str:
 
 QUERIES["churn_ab_logrank"] = churn_ab_logrank
 ORACLE_SQL["churn_ab_logrank"] = _logrank_oracle_sql()
+
+
+# ---- classical seasonal decomposition ---------------------------------
+
+
+def seasonal_decompose(
+    daily: DataFrame,
+    x_col: str = "x",
+    cents_col: str = "cents",
+    period_cols: list[str] | None = None,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    STL ancestor): trend = centered 7-day RANGE moving average over the
+    calendar index (gaps shrink to edge rows, which are dropped — only
+    FULL windows emit), seasonal = per-period mean of the detrended
+    series, residual = detrended - seasonal.  Complements Holt-Winters
+    (forecasting) with the decomposition READOUT analysts chart.
+
+    Exactness: input is exact integer cents on a day index; the
+    detrended series is kept as the exact integer 7*cents - sum7
+    (cents x7, no division), so the seasonal means are one double
+    division of exact integer sums and every output column is one
+    rounded double expression — engine-portable.
+
+    Scale: the daily frame is calendar-bounded (a decade is ~3.7k
+    rows), so the unpartitioned RANGE window is a bounded single
+    partition by contract, same as the percentile-band and rolling
+    windows.  For per-key decomposition, partition the window by the
+    key columns via ``period_cols``-style composition upstream.
+    """
+    w = Window.orderBy(x_col).rangeBetween(-3, 3)
+    t = (
+        daily.withColumn("sum7", F.sum(cents_col).over(w))
+        .withColumn("n7", F.count(F.lit(1)).over(w))
+        .where(F.col("n7") == 7)
+        .withColumn("dt7", 7 * F.col(cents_col) - F.col("sum7"))
+    )
+    keys = period_cols or ["dow"]
+    seas = t.groupBy(*keys).agg(
+        F.round(
+            F.sum("dt7").cast("double") / (F.count(F.lit(1)) * 700.0), 6
+        ).alias("seasonal")
+    )
+    return t.join(seas, keys).select(
+        *daily.columns,
+        F.round(F.col(cents_col).cast("double") / 100.0, 2).alias("revenue"),
+        F.round(F.col("sum7").cast("double") / 700.0, 6).alias("trend"),
+        "seasonal",
+        F.round(
+            F.col("dt7").cast("double") / 700.0 - F.col("seasonal"), 6
+        ).alias("residual"),
+    )
+
+
+def daily_revenue_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: trend/seasonal/residual decomposition of daily
+    order revenue (day-of-week period)."""
+    orders = load_table(spark, "orders", sf_dir)
+    daily = orders.groupBy(
+        F.col("o_orderdate").alias("day"),
+        F.datediff("o_orderdate", F.lit("1992-01-01")).alias("x"),
+        F.dayofweek("o_orderdate").alias("dow"),
+    ).agg(
+        F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)").alias(
+            "cents"
+        )
+    )
+    out = seasonal_decompose(daily)
+    return out.select(
+        "day", "dow", "revenue", "trend", "seasonal", "residual"
+    ).orderBy("day")
+
+
+def _decompose_oracle_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x,
+                   dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+            FROM orders GROUP BY 1, 2, 3
+        ), t AS (
+            SELECT *,
+                   CAST(SUM(cents) OVER w AS BIGINT) AS sum7,
+                   COUNT(*) OVER w AS n7
+            FROM daily
+            WINDOW w AS (ORDER BY x RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ), full_t AS (
+            SELECT *, 7 * cents - sum7 AS dt7 FROM t WHERE n7 = 7
+        ), seas AS (
+            SELECT dow,
+                   ROUND(CAST(CAST(SUM(dt7) AS BIGINT) AS DOUBLE)
+                         / (COUNT(*) * 700.0), 6) AS seasonal
+            FROM full_t GROUP BY 1
+        )
+        SELECT f.day, f.dow,
+               ROUND(CAST(f.cents AS DOUBLE) / 100.0, 2) AS revenue,
+               ROUND(CAST(f.sum7 AS DOUBLE) / 700.0, 6) AS trend,
+               s.seasonal,
+               ROUND(CAST(f.dt7 AS DOUBLE) / 700.0 - s.seasonal, 6) AS residual
+        FROM full_t f JOIN seas s USING (dow)
+        ORDER BY f.day
+    """
+
+
+QUERIES["daily_revenue_decompose"] = daily_revenue_decompose
+ORACLE_SQL["daily_revenue_decompose"] = _decompose_oracle_sql()

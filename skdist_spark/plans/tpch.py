@@ -1565,3 +1565,76 @@ ORACLE_SQL["part_cf_similarity"] = f"""
 """
 
 QUERIES["part_cf_similarity"] = part_cf_similarity
+
+
+def blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme quality report for the entity-resolution
+    pipeline: how much of the all-pairs space does the (p_type, p_size)
+    blocking prune (reduction ratio), how skewed are the blocks, and
+    how many verified fuzzy matches the candidates actually contain —
+    the eval that justifies a blocking key before anyone runs the
+    expensive verify at scale (companion to ``dedup_minhash_eval``).
+
+    All counts are exact integers (pair counts via nb*(nb-1)/2, BIGINT
+    division exact on even products); the reduction ratio is the only
+    double, one division rounded to 6.  One scan for block sizes, the
+    match count reuses the audited blocked fuzzy join.
+    """
+    part = load_table(spark, "part", sf_dir)
+    blocks = part.groupBy("p_type", "p_size").agg(F.count(F.lit(1)).alias("nb"))
+    stats = blocks.agg(
+        F.sum("nb").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.max("nb").alias("max_block"),
+        F.sum(F.expr("nb * (nb - 1) / 2").cast("bigint")).alias("candidate_pairs"),
+    )
+    matches = fuzzy_part_match(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_matched_pairs")
+    )
+    return (
+        stats.crossJoin(F.broadcast(matches))
+        .select(
+            "n_parts",
+            "n_blocks",
+            "max_block",
+            "candidate_pairs",
+            F.expr("n_parts * (n_parts - 1) / 2").cast("bigint").alias("total_pairs"),
+            "n_matched_pairs",
+            F.round(
+                F.lit(1.0)
+                - F.col("candidate_pairs").cast("double")
+                / F.expr("n_parts * (n_parts - 1) / 2").cast("double"),
+                6,
+            ).alias("reduction_ratio"),
+        )
+    )
+
+
+ORACLE_SQL["blocking_eval"] = """
+    WITH blocks AS (
+        SELECT p_type, p_size, CAST(COUNT(*) AS BIGINT) AS nb
+        FROM part GROUP BY 1, 2
+    ), stats AS (
+        SELECT CAST(SUM(nb) AS BIGINT) AS n_parts,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(MAX(nb) AS BIGINT) AS max_block,
+               CAST(SUM(nb * (nb - 1) // 2) AS BIGINT) AS candidate_pairs
+        FROM blocks
+    ), matches AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_matched_pairs
+        FROM part a JOIN part b
+          ON a.p_type = b.p_type AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+         AND ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= 2
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+    )
+    SELECT n_parts, n_blocks, max_block, candidate_pairs,
+           CAST(n_parts * (n_parts - 1) // 2 AS BIGINT) AS total_pairs,
+           n_matched_pairs,
+           ROUND(1.0 - CAST(candidate_pairs AS DOUBLE)
+                 / CAST(n_parts * (n_parts - 1) // 2 AS DOUBLE), 6)
+               AS reduction_ratio
+    FROM stats CROSS JOIN matches
+"""
+
+QUERIES["blocking_eval"] = blocking_eval
