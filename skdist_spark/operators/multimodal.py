@@ -1263,3 +1263,183 @@ def encode_gif(frames, palette: np.ndarray) -> bytes:
         out.append(0)
     out.append(0x3B)
     return bytes(out)
+
+
+# ---- perceptual-hash image near-dup ------------------------------------
+# The multimodal face of the dedup family: a 64-bit dHash (horizontal
+# gradient sign over a 9x8 luma thumbnail) per image, then LSH-banded
+# candidate retrieval — 8 bands x 8 bits, so any pair within Hamming
+# distance 7 shares at least one identical band (pigeonhole: 7 bit
+# differences cannot cover 8 bands) and the band equi-join is LOSSLESS
+# for the threshold, never image x image.
+
+DHASH_BANDS = 8
+DHASH_MAX_HAMMING = 7
+
+
+def _dhash64(px: "np.ndarray") -> int:
+    """64-bit difference hash: integer BT.601 luma, nearest-neighbor
+    9x8 thumbnail, bit(r,c) = luma[r,c+1] > luma[r,c]. Pure integer
+    ops — deterministic across platforms. Returned as signed two's
+    complement so it stores in a Spark BIGINT."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.shape[2] >= 3:
+        luma = (
+            299 * px[:, :, 0].astype(np.int64)
+            + 587 * px[:, :, 1].astype(np.int64)
+            + 114 * px[:, :, 2].astype(np.int64)
+        ) // 1000
+    else:
+        luma = px[:, :, 0].astype(np.int64)
+    thumb = resize_nearest(luma.astype(np.uint8)[:, :, None], 9, 8)[:, :, 0]
+    bits = thumb[:, 1:].astype(np.int16) > thumb[:, :-1].astype(np.int16)
+    h = 0
+    for r in range(8):
+        for c in range(8):
+            if bits[r, c]:
+                h |= 1 << (r * 8 + c)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def image_dhash(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "payload"
+) -> DataFrame:
+    """Per-image 64-bit dHash over decodable payloads (BMP/PPM/PGM/
+    PNG/GIF/baseline-JPEG); undecodable rows emit NULL. Arrow-batched
+    mapInPandas — the only Python is the codec itself."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for p in pdf[content_col]:
+                b = bytes(p) if p is not None else b""
+                _, px = decode_pixels(b)
+                hashes.append(None if px is None else _dhash64(px))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "dhash": pd.array(hashes, dtype="Int64")}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        run, schema=f"{id_col} long, dhash long"
+    )
+
+
+def dhash_near_dup(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = DHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Near-duplicate image pairs within ``max_hamming`` bits, via the
+    banded equi-join (lossless for max_hamming < DHASH_BANDS, the
+    MinHash-band argument): explode each hash into 8 one-byte bands,
+    meet candidates on (band, value), verify with one XOR bit_count.
+    Shuffle carries (band, value) keys — at 100 TB identical-content
+    bands are the hot keys and AQE skew-join splits them.
+    """
+    bands = F.expr(
+        f"transform(sequence(0, {DHASH_BANDS - 1}),"
+        " b -> struct(b AS band,"
+        " CAST(shiftrightunsigned(dhash, b * 8) & 255 AS INT) AS val))"
+    )
+    h = hashes.where(F.col("dhash").isNotNull())
+    b = h.select(
+        F.col(id_col), F.col("dhash"), F.explode(bands).alias("bv")
+    ).select(id_col, "dhash", "bv.band", "bv.val")
+    left = b.alias("a")
+    right = b.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.dhash").alias("h_a"),
+            F.col("b.dhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(h_a ^ h_b)"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+N_DHASH_DOCS = 100  # bounded demo corpus for the driver query
+
+
+def multimodal_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the full perceptual-dedup pipeline on crafted
+    deterministic images — encode (BMP, every third doc baseline JPEG)
+    -> pixel decode -> dHash -> banded near-dup join.  Images share a
+    base gradient per (doc_id % 10) group with a small per-doc
+    brightness perturbation, so within-group pairs land within the
+    Hamming threshold and cross-group pairs do not.  rows-only (pixel
+    rasters aren't SQL-expressible); the band-join's losslessness vs
+    brute-force XOR is pinned in pytest."""
+    n_parts = max(8, spark.sparkContext.defaultParallelism // 4)
+    docs = (
+        load_table(spark, "documents", sf_dir, parallel=False)
+        .select("doc_id")
+        .where(F.col("doc_id") < N_DHASH_DOCS)
+        .repartition(n_parts, "doc_id")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def bits64(tag: str) -> int:
+            return int.from_bytes(hashlib.md5(tag.encode()).digest()[:8], "big")
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = d % 10
+                # target dHash = group base pattern XOR a small per-doc
+                # mask (<= 3 bits), so within-group Hamming <= 6 and
+                # cross-group ~32. Encoded as a 9x8 grid of 4x4 flat
+                # gray blocks with +/-15 luma walks — the thumbnail
+                # sampler (floor(i*src/dst)) lands exactly on block
+                # corners, and +/-15 steps survive JPEG q95 error.
+                pattern = bits64(f"grp:{g}")
+                mask = 0
+                pos = bits64(f"doc:{d}")
+                for k in range((d // 10) % 4):
+                    mask |= 1 << ((pos >> (6 * k)) & 63)
+                pattern ^= mask
+                v = np.empty((8, 9), dtype=np.int64)
+                v[:, 0] = 128
+                for c in range(8):
+                    step = np.array(
+                        [
+                            15 if (pattern >> (r * 8 + c)) & 1 else -15
+                            for r in range(8)
+                        ],
+                        dtype=np.int64,
+                    )
+                    v[:, c + 1] = v[:, c] + step
+                px = np.repeat(
+                    np.repeat(v.astype(np.uint8), 4, axis=0), 4, axis=1
+                )[:, :, None].repeat(3, axis=2)
+                if d % 3 == 0:
+                    from .jpeg import encode_jpeg
+
+                    payloads.append(encode_jpeg(px, quality=95))
+                else:
+                    payloads.append(encode_bmp(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    pairs = dhash_near_dup(image_dhash(blobs))
+    return pairs.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
+    ).orderBy("doc_a", "doc_b")
+
+
+QUERIES["multimodal_dhash_dedup"] = multimodal_dhash_dedup

@@ -2071,3 +2071,61 @@ def test_embedding_whitening_matches_numpy(spark, sf_dir):
     np.testing.assert_allclose(c, np.eye(c.shape[0]), atol=1e-2)
     # distributed transform == numpy transform
     np.testing.assert_allclose(y, (x - mu) @ w_ref.T, atol=1e-6)
+
+
+def test_dhash_band_join_lossless(spark):
+    """The 8x8-band candidate join must find EVERY pair within the
+    Hamming threshold (pigeonhole: <=7 differing bits cannot touch all
+    8 bands) — verified against brute-force XOR popcount over all
+    pairs, plus determinism across two runs."""
+    import itertools
+
+    from skdist_spark.operators.multimodal import (
+        DHASH_MAX_HAMMING, dhash_near_dup,
+    )
+
+    # hashes crafted to cover: identical, 1-bit, exactly-7-bit,
+    # 8-bit (over threshold), and random-ish spread
+    base = 0x0123456789ABCDEF
+    hashes = [
+        base,
+        base,                     # dup of 0
+        base ^ 0x1,               # hamming 1
+        base ^ 0x8001000100010001 ^ 0x0100010001000100,  # 8 bits -> out
+        base ^ ((1 << 7) | (1 << 15) | (1 << 23) | (1 << 31)
+                | (1 << 39) | (1 << 47) | (1 << 55)),    # exactly 7
+        0x7EDCBA9876543210,
+        -42,                      # negative two's complement storage
+        -42 ^ 0x11,               # 2 bits from -42
+    ]
+    df = spark.createDataFrame(
+        [(i, h if h < (1 << 63) else h - (1 << 64)) for i, h in enumerate(hashes)],
+        "doc_id long, dhash long",
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dhash_near_dup(df, max_hamming=DHASH_MAX_HAMMING).collect()
+    }
+    expected = set()
+    for (i, a), (j, b) in itertools.combinations(enumerate(hashes), 2):
+        ham = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+        if ham <= DHASH_MAX_HAMMING:
+            expected.add((i, j, ham))
+    assert got == expected
+    got2 = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dhash_near_dup(df, max_hamming=DHASH_MAX_HAMMING).collect()
+    }
+    assert got2 == got
+
+
+def test_multimodal_dhash_dedup_query(spark):
+    """Driver query: within-group pairs only, hamming <= 6 by
+    construction (<=3-bit masks per doc), all 10 groups represented."""
+    from skdist_spark.operators.multimodal import multimodal_dhash_dedup
+
+    rows = multimodal_dhash_dedup(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "crafted near-dup groups must produce pairs"
+    assert all(r.doc_a % 10 == r.doc_b % 10 for r in rows)
+    assert all(0 <= r.hamming <= 6 for r in rows)
+    assert {r.doc_a % 10 for r in rows} == set(range(10))
