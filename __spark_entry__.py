@@ -80,7 +80,8 @@ _PRIORITY = [
     # training pairs, target/WoE encoding, clustering coefficient),
     # queued first for the next sweep
     "event_value_bootstrap", "ann_recall_eval", "source_token_js",
-    "daily_revenue_decompose", "blocking_eval",
+    "daily_revenue_decompose", "blocking_eval", "customer_kanonymity",
+    "purchase_ab_did",
     "dedup_minhash_eval", "decontaminate_exact_ngrams", "doc_filter_funnel",
     "source_leakage", "source_boilerplate",
     "doc_perplexity_filter", "user_split_summary", "user_value_theilsen",

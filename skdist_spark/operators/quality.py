@@ -564,3 +564,105 @@ def langid_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["langid_isotonic"] = langid_isotonic
+
+
+# ---- k-anonymity / re-identification audit ----------------------------
+
+KANON_THRESHOLDS = (2, 5, 10)
+
+
+def k_anonymity_audit(
+    df: DataFrame, quasi_cols: list[str], thresholds: tuple = KANON_THRESHOLDS
+) -> DataFrame:
+    """Privacy DQ: for each k, how many quasi-identifier equivalence
+    classes have fewer than k members, and what share of ROWS sits in
+    them (the re-identification risk mass a release reviewer signs off
+    on).  One groupBy on the quasi columns, then a tiny threshold
+    explode over the |combos| frame — risk share in exact FLOOR ppm.
+    """
+    sizes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("n"))
+    totals = sizes.agg(
+        F.sum("n").alias("n_rows"), F.count(F.lit(1)).alias("n_groups")
+    )
+    ks = F.explode(F.array(*[F.lit(k) for k in thresholds])).alias("k")
+    per_k = (
+        sizes.select(ks, "n")
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("n") < F.col("k"), 1).otherwise(0)).alias(
+                "groups_below_k"
+            ),
+            F.sum(F.when(F.col("n") < F.col("k"), F.col("n")).otherwise(0)).alias(
+                "rows_below_k"
+            ),
+        )
+    )
+    return (
+        per_k.crossJoin(F.broadcast(totals))
+        .select(
+            "k",
+            "n_groups",
+            "groups_below_k",
+            "rows_below_k",
+            F.expr("CAST(rows_below_k * 1000000 DIV n_rows AS BIGINT)").alias(
+                "risk_ppm"
+            ),
+        )
+        .orderBy("k")
+    )
+
+
+def customer_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: k-anonymity of customers under the quasi-identifier
+    (nation, market segment, first-order year) — the released-attributes
+    combination an attacker could link on."""
+    from ..sources.catalog import load_table as _lt
+
+    cust = _lt(spark, "customer", sf_dir)
+    orders = _lt(spark, "orders", sf_dir)
+    first = orders.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("first_year")
+    )
+    quasi = cust.join(
+        first, cust["c_custkey"] == first["o_custkey"], "left"
+    ).select(
+        "c_nationkey", "c_mktsegment", F.coalesce("first_year", F.lit(0)).alias("first_year")
+    )
+    return k_anonymity_audit(quasi, ["c_nationkey", "c_mktsegment", "first_year"])
+
+
+def _kanonymity_oracle_sql() -> str:
+    ks = ", ".join(str(k) for k in KANON_THRESHOLDS)
+    return f"""
+        WITH quasi AS (
+            SELECT c.c_nationkey, c.c_mktsegment,
+                   COALESCE(f.first_year, 0) AS first_year
+            FROM customer c LEFT JOIN (
+                SELECT o_custkey,
+                       CAST(MIN(year(CAST(o_orderdate AS DATE))) AS INTEGER) AS first_year
+                FROM orders GROUP BY 1
+            ) f ON c.c_custkey = f.o_custkey
+        ), sizes AS (
+            SELECT c_nationkey, c_mktsegment, first_year,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM quasi GROUP BY 1, 2, 3
+        ), totals AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups
+            FROM sizes
+        ), per_k AS (
+            SELECT k,
+                   CAST(SUM(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT) AS groups_below_k,
+                   CAST(SUM(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT) AS rows_below_k
+            FROM sizes CROSS JOIN (SELECT UNNEST([{ks}]) AS k) t
+            GROUP BY k
+        )
+        SELECT CAST(k AS INTEGER) AS k, n_groups, groups_below_k, rows_below_k,
+               CAST(rows_below_k * 1000000 // n_rows AS BIGINT) AS risk_ppm
+        FROM per_k CROSS JOIN totals
+        ORDER BY k
+    """
+
+
+QUERIES["customer_kanonymity"] = customer_kanonymity
+ORACLE_SQL["customer_kanonymity"] = _kanonymity_oracle_sql()

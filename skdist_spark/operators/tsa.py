@@ -2018,3 +2018,94 @@ def _decompose_oracle_sql() -> str:
 
 QUERIES["daily_revenue_decompose"] = daily_revenue_decompose
 ORACLE_SQL["daily_revenue_decompose"] = _decompose_oracle_sql()
+
+
+# ---- difference-in-differences ----------------------------------------
+
+DID_CUT = "2024-01-16"  # pre/post boundary (events span 2024-01)
+
+
+def diff_in_diff(
+    df: DataFrame,
+    unit_col: str,
+    ts_col: str,
+    value_col: str,
+    cut: str = DID_CUT,
+) -> DataFrame:
+    """Difference-in-differences with Welch inference: each unit's
+    exact micro-quantized (post - pre) value change is the observation,
+    arms come from the deterministic Knuth split, and the DiD estimate
+    is mean_diff(B) - mean_diff(A) with the unequal-variance t-test on
+    the per-unit diffs — the unit-level aggregation washes out every
+    time-invariant unit effect, which is the whole DiD identification
+    argument.  One scan, one groupBy on the unit, then the audited
+    ``welch_t_test`` moment machinery (exact DECIMAL sums, single
+    double expressions).
+    """
+    micro = f"CAST(floor({value_col} * 1000000) AS BIGINT)"
+    per_unit = df.groupBy(unit_col).agg(
+        F.sum(
+            F.expr(f"CASE WHEN {ts_col} < TIMESTAMP '{cut}' THEN {micro} ELSE 0 END")
+        ).alias("pre"),
+        F.sum(
+            F.expr(f"CASE WHEN {ts_col} >= TIMESTAMP '{cut}' THEN {micro} ELSE 0 END")
+        ).alias("post"),
+    )
+    diffs = per_unit.select(
+        unit_col, (F.col("post") - F.col("pre")).alias("d")
+    )
+    w = welch_t_test(diffs, unit_col, "d", [])
+    return w.select(
+        "n_a",
+        "n_b",
+        F.col("mean_a").alias("mean_diff_a"),
+        F.col("mean_b").alias("mean_diff_b"),
+        F.round(F.col("mean_b") - F.col("mean_a"), 6).alias("did"),
+        "t_stat",
+        "dof",
+    )
+
+
+def purchase_ab_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: DiD of per-user total event value across the
+    mid-month cut between the two Knuth arms (a null test on synthetic
+    data: the estimate should sit within noise of zero)."""
+    ev = load_table(spark, "events", sf_dir)
+    return diff_in_diff(ev, "user_id", "ts", "value")
+
+
+def _did_oracle_sql() -> str:
+    micro = "CAST(floor(value * 1000000) AS BIGINT)"
+    return f"""
+        WITH per_unit AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '{DID_CUT}'
+                            THEN {micro} ELSE 0 END) AS BIGINT) AS pre,
+                   CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '{DID_CUT}'
+                            THEN {micro} ELSE 0 END) AS BIGINT) AS post
+            FROM events GROUP BY 1
+        ), diffs AS (
+            SELECT user_id, {_arm_sql()} AS arm, post - pre AS d
+            FROM per_unit
+        ), g AS (
+            SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+                   SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+                   SUM(CASE WHEN arm = 0 THEN CAST(d AS DECIMAL(38,0)) ELSE 0 END) AS sx_a,
+                   SUM(CASE WHEN arm = 1 THEN CAST(d AS DECIMAL(38,0)) ELSE 0 END) AS sx_b,
+                   SUM(CASE WHEN arm = 0 THEN CAST(d AS DECIMAL(19,0)) * d ELSE 0 END) AS sxx_a,
+                   SUM(CASE WHEN arm = 1 THEN CAST(d AS DECIMAL(19,0)) * d ELSE 0 END) AS sxx_b
+            FROM diffs
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               ROUND({_MEAN('a')} / 1000000.0, 6) AS mean_diff_a,
+               ROUND({_MEAN('b')} / 1000000.0, 6) AS mean_diff_b,
+               ROUND(ROUND({_MEAN('b')} / 1000000.0, 6)
+                     - ROUND({_MEAN('a')} / 1000000.0, 6), 6) AS did,
+               ROUND({_T_STAT}, 6) AS t_stat,
+               ROUND({_WELCH_DOF}, 6) AS dof
+        FROM g
+    """
+
+
+QUERIES["purchase_ab_did"] = purchase_ab_did
+ORACLE_SQL["purchase_ab_did"] = _did_oracle_sql()
