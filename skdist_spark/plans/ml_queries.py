@@ -315,8 +315,125 @@ def ml_gbt_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PERM_KNUTH = 2654435761
+_PERM_MOD = 4294967296
+_PERM_BUCKETS = 64
+
+
+def permutation_importance(
+    feats: DataFrame,
+    model,
+    feature_cols: list[str],
+    id_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Distributed permutation feature importance: accuracy drop when
+    one feature column is shuffled against the rest of the row.
+
+    The permutation is deterministic and SCALE-CORRECT: rows are split
+    into hash buckets (Knuth split of the id) and shuffled WITHIN each
+    bucket by ranking ids two ways (natural vs hashed order) and
+    zipping the two rankings — window sorts partition by bucket, so no
+    global single-partition sort ever happens; a within-bucket shuffle
+    of ~n/64 rows breaks the feature-label link exactly as well as a
+    global one.  Scoring is the broadcast Arrow prediction UDF over
+    the full frame (one pass for baseline + one per feature); outputs
+    exact FLOOR-ppm accuracies so the readout is engine-portable.
+    """
+    from pyspark.sql import Window
+
+    predict = get_prediction_udf(model, method="predict")
+    cols = [F.col(c) for c in feature_cols]
+    n_and_correct = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("pred") == F.col(label_col)).cast("long")).alias("ok"),
+    ]
+    base = (
+        feats.withColumn("pred", predict(*cols))
+        .agg(*n_and_correct)
+        .select(F.expr("CAST(ok * 1000000 DIV n AS BIGINT)").alias("acc_ppm"))
+        .collect()[0]["acc_ppm"]
+    )
+    bucket = F.pmod(
+        (F.pmod(F.col(id_col).cast("bigint"), F.lit(2**31)) * _PERM_KNUTH)
+        % _PERM_MOD,
+        F.lit(_PERM_BUCKETS),
+    )
+    # the multiplier must WRAP for small ids (an order-preserving hash
+    # yields the identity permutation): id*K mod 2^32 wraps from id=2 up
+    h2 = (
+        F.pmod(F.col(id_col).cast("bigint"), F.lit(2**31)) * _PERM_KNUTH + 99991
+    ) % _PERM_MOD
+    w_nat = Window.partitionBy("bucket").orderBy(id_col)
+    w_hash = Window.partitionBy("bucket").orderBy("h2", id_col)
+    ranked = (
+        feats.withColumn("bucket", bucket)
+        .withColumn("h2", h2)
+        .withColumn("r_nat", F.row_number().over(w_nat))
+        .withColumn("r_hash", F.row_number().over(w_hash))
+    )
+    donor = ranked.select(
+        F.col("bucket").alias("d_bucket"),
+        F.col("r_hash").alias("d_rank"),
+        *[F.col(c).alias(f"perm_{c}") for c in feature_cols],
+    )
+    permuted = ranked.join(
+        donor,
+        (F.col("bucket") == F.col("d_bucket")) & (F.col("r_nat") == F.col("d_rank")),
+    )
+    rows = []
+    for c in feature_cols:
+        scored = permuted.withColumn(
+            "pred",
+            predict(*[
+                F.col(f"perm_{c}") if f == c else F.col(f) for f in feature_cols
+            ]),
+        )
+        acc = (
+            scored.agg(*n_and_correct)
+            .select(F.expr("CAST(ok * 1000000 DIV n AS BIGINT)").alias("acc_ppm"))
+            .collect()[0]["acc_ppm"]
+        )
+        rows.append((c, int(base), int(acc), int(base - acc)))
+    spark = feats.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "feature string, baseline_acc_ppm long, permuted_acc_ppm long,"
+        " importance_ppm long",
+    ).orderBy("feature")
+
+
+def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: permutation importance over the quality features
+    against a LENGTH-DRIVEN label (is the doc longer than the median?)
+    — f_len must dominate, the correlated distinct_ratio may pick up a
+    shadow share, and the orthogonal ratios should sit near zero; the
+    readout demonstrates the eval separating signal from passengers."""
+    from ..operators.text import quality_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    q = quality_score(docs).select(
+        "doc_id", "n_words", "mean_word_len", "distinct_ratio", "stopword_ratio"
+    )
+    feats = q.select(
+        "doc_id",
+        (F.col("n_words") / 100.0).alias("f_len"),
+        (F.col("mean_word_len") / 10.0).alias("f_wlen"),
+        F.col("distinct_ratio").alias("f_distinct"),
+        F.col("stopword_ratio").alias("f_stop"),
+        (F.col("n_words") > 56).cast("int").alias("label_weak"),
+    )
+    feature_cols = ["f_len", "f_wlen", "f_distinct", "f_stop"]
+    train = feats.orderBy("doc_id").limit(2000).toPandas()
+    model = LogisticRegression(max_iter=200).fit(
+        train[feature_cols].to_numpy(), train["label_weak"].to_numpy()
+    )
+    return permutation_importance(feats, model, feature_cols, "doc_id", "label_weak")
+
+
 QUERIES = {
     "ml_gbt_predict": ml_gbt_predict,
+    "ml_permutation_importance": ml_permutation_importance,
     "ml_grid_search": ml_grid_search,
     "ml_random_search": ml_random_search,
     "ml_ovr_predict": ml_ovr_predict,

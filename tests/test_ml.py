@@ -296,3 +296,23 @@ def _blobs_ml(n, d, k, seed=3):
     centers = rng.randn(k, d) * 3
     y = rng.randint(0, k, n)
     return centers[y] + rng.randn(n, d), y
+
+
+def test_permutation_importance_readout(spark):
+    """The length-driven label: permuting f_len must cost real accuracy,
+    the orthogonal ratios must not, and permuting is deterministic."""
+    from skdist_spark.plans.ml_queries import ml_permutation_importance
+
+    rows = {r.feature: r for r in
+            ml_permutation_importance(spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {"f_len", "f_wlen", "f_distinct", "f_stop"}
+    base = {r.baseline_acc_ppm for r in rows.values()}
+    assert len(base) == 1 and base.pop() > 800_000
+    assert rows["f_len"].importance_ppm > 100_000
+    assert rows["f_len"].importance_ppm == max(
+        r.importance_ppm for r in rows.values()
+    )
+    assert rows["f_wlen"].importance_ppm <= 20_000
+    rows2 = {r.feature: r.importance_ppm for r in
+             ml_permutation_importance(spark, "/root/testdata/sf0.001").collect()}
+    assert rows2 == {k: v.importance_ppm for k, v in rows.items()}
