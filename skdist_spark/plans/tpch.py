@@ -1638,3 +1638,83 @@ ORACLE_SQL["blocking_eval"] = """
 """
 
 QUERIES["blocking_eval"] = blocking_eval
+
+
+def revenue_change_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why did revenue move? Per-segment volume/price/interaction
+    decomposition of the 1996 -> 1997 revenue change:
+
+        delta_s = (n1-n0)*aov0  +  n0*(aov1-aov0)  +  (n1-n0)*(aov1-aov0)
+                   volume          price (AOV)         interaction
+
+    — the contribution analysis every KPI review asks for when a
+    topline moves.  Counts and revenue cents are exact integers from
+    one (segment, year) aggregation; average order values are single
+    double divisions; the three effects reconstruct the exact delta
+    (asserted to rounding in the test suite).  One shuffle on the
+    customer join key plus one on the segment-year group.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    j = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).where(
+        F.year("o_orderdate").isin(1996, 1997)
+    )
+    g = j.groupBy("c_mktsegment").agg(
+        F.sum(F.when(F.year("o_orderdate") == 1996, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.year("o_orderdate") == 1997, 1).otherwise(0)).alias("n1"),
+        F.sum(
+            F.when(
+                F.year("o_orderdate") == 1996,
+                F.expr("CAST(o_totalprice AS DECIMAL(18,2)) * 100"),
+            ).otherwise(0)
+        ).cast("long").alias("c0"),
+        F.sum(
+            F.when(
+                F.year("o_orderdate") == 1997,
+                F.expr("CAST(o_totalprice AS DECIMAL(18,2)) * 100"),
+            ).otherwise(0)
+        ).cast("long").alias("c1"),
+    )
+    aov0 = "(CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+    aov1 = "(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+    return g.select(
+        F.col("c_mktsegment").alias("segment"),
+        "n0",
+        "n1",
+        F.round(F.col("c0").cast("double") / 100.0, 2).alias("rev_1996"),
+        F.round(F.col("c1").cast("double") / 100.0, 2).alias("rev_1997"),
+        F.round((F.col("c1") - F.col("c0")).cast("double") / 100.0, 2).alias("delta"),
+        F.expr(f"ROUND((n1 - n0) * {aov0} / 100.0, 6)").alias("volume_effect"),
+        F.expr(f"ROUND(n0 * ({aov1} - {aov0}) / 100.0, 6)").alias("price_effect"),
+        F.expr(f"ROUND((n1 - n0) * ({aov1} - {aov0}) / 100.0, 6)").alias(
+            "interaction"
+        ),
+    ).orderBy("segment")
+
+
+ORACLE_SQL["revenue_change_decomposition"] = """
+    WITH g AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+                        THEN CAST(o_totalprice AS DECIMAL(18,2)) * 100 ELSE 0 END) AS BIGINT) AS c0,
+               CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1997
+                        THEN CAST(o_totalprice AS DECIMAL(18,2)) * 100 ELSE 0 END) AS BIGINT) AS c1
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE year(CAST(o_orderdate AS DATE)) IN (1996, 1997)
+        GROUP BY 1
+    )
+    SELECT segment, n0, n1,
+           ROUND(CAST(c0 AS DOUBLE) / 100.0, 2) AS rev_1996,
+           ROUND(CAST(c1 AS DOUBLE) / 100.0, 2) AS rev_1997,
+           ROUND(CAST(c1 - c0 AS DOUBLE) / 100.0, 2) AS delta,
+           ROUND((n1 - n0) * (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / 100.0, 6) AS volume_effect,
+           ROUND(n0 * ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                 - (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))) / 100.0, 6) AS price_effect,
+           ROUND((n1 - n0) * ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                 - (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))) / 100.0, 6) AS interaction
+    FROM g ORDER BY segment
+"""
+
+QUERIES["revenue_change_decomposition"] = revenue_change_decomposition

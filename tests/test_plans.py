@@ -378,3 +378,14 @@ def test_balance_with_floor_matches_sequential_fold(spark):
         for i, d in enumerate([d for u, _, d in rows if u == uid]):
             bal = max(0, bal + d)
             assert got[(uid, i)] == bal, (uid, i)
+
+
+def test_revenue_decomposition_reconstructs_delta(spark):
+    """volume + price + interaction must reconstruct the exact delta
+    (to output rounding) for every segment."""
+    from skdist_spark.plans.tpch import revenue_change_decomposition
+
+    for r in revenue_change_decomposition(spark, "/root/testdata/sf0.001").collect():
+        recon = r.volume_effect + r.price_effect + r.interaction
+        assert abs(recon - r.delta) < 0.01, r
+        assert abs((r.rev_1997 - r.rev_1996) - r.delta) < 0.01, r
