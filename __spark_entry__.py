@@ -81,7 +81,7 @@ _PRIORITY = [
     # queued first for the next sweep
     "event_value_bootstrap", "ann_recall_eval", "source_token_js",
     "daily_revenue_decompose", "blocking_eval", "customer_kanonymity",
-    "purchase_ab_did", "revenue_change_decomposition",
+    "purchase_ab_did", "revenue_change_decomposition", "bm25_eval",
     "dedup_minhash_eval", "decontaminate_exact_ngrams", "doc_filter_funnel",
     "source_leakage", "source_boilerplate",
     "doc_perplexity_filter", "user_split_summary", "user_value_theilsen",

@@ -390,3 +390,71 @@ ORACLE_SQL: dict[str, str] = {
     "phrase_search_docs": _phrase_oracle_sql(),
     "bm25_search": _bm25_oracle_sql(),
 }
+
+
+# ---- retrieval quality eval -------------------------------------------
+
+
+def bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall@k of the BM25 ranking against boolean-AND weak
+    truth (docs containing EVERY query term) — the retrieval face of
+    the eval family (``dedup_minhash_eval``, ``ann_recall_eval``):
+    never ship a ranker without a measured agreement to a defensible
+    baseline.  Counts are exact; the two ratios are single double
+    divisions.  The truth side is one aggregation over the same
+    pre-tokenized frame the ranker uses, so the eval adds no new scan
+    shape.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    ranked = bm25_rank(docs).select("doc_id")
+    words = F.expr(_SPARK_WORDS)
+    truth = (
+        docs.select("doc_id", F.explode(words).alias("word"))
+        .where(F.col("word").isin(*BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("word").alias("n_terms"))
+        .where(F.col("n_terms") == len(BM25_TERMS))
+        .select("doc_id")
+    )
+    hits = ranked.join(truth, "doc_id").agg(F.count(F.lit(1)).alias("hits"))
+    n_rel = truth.agg(F.count(F.lit(1)).alias("n_relevant"))
+    return (
+        hits.crossJoin(F.broadcast(n_rel))
+        .select(
+            F.lit(BM25_TOP).cast("int").alias("k"),
+            "n_relevant",
+            "hits",
+            F.round(F.col("hits").cast("double") / BM25_TOP, 6).alias("p_at_k"),
+            F.round(
+                F.col("hits").cast("double") / F.col("n_relevant").cast("double"), 6
+            ).alias("recall_truncated"),
+        )
+    )
+
+
+def _bm25_eval_oracle_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+        WITH ranked AS ({_bm25_oracle_sql()}),
+        truth AS (
+            SELECT doc_id
+            FROM (SELECT doc_id, unnest({_DUCK_WORDS}) AS word FROM documents)
+            WHERE word IN ({terms})
+            GROUP BY doc_id
+            HAVING COUNT(DISTINCT word) = {len(BM25_TERMS)}
+        ), h AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS hits
+            FROM ranked r JOIN truth t USING (doc_id)
+        ), n AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_relevant FROM truth
+        )
+        SELECT CAST({BM25_TOP} AS INTEGER) AS k, n_relevant, hits,
+               ROUND(CAST(hits AS DOUBLE) / {BM25_TOP}, 6) AS p_at_k,
+               ROUND(CAST(hits AS DOUBLE) / CAST(n_relevant AS DOUBLE), 6)
+                   AS recall_truncated
+        FROM h CROSS JOIN n
+    """
+
+
+QUERIES["bm25_eval"] = bm25_eval
+ORACLE_SQL["bm25_eval"] = _bm25_eval_oracle_sql()
