@@ -147,7 +147,7 @@ _DUCK_NORM = (
 )
 
 
-def _ivf_oracle_sql() -> str:
+def _ivf_oracle_sql(nprobe: int | None = None) -> str:
     """DuckDB spelling of ann_ivf. Dot products and norms are
     left-fold sums in the same order as the Spark ``aggregate``
     expressions (list_reduce's first-element init equals Spark's 0D
@@ -156,6 +156,8 @@ def _ivf_oracle_sql() -> str:
     Tie-breaks replicate the Spark ones: cell assignment = max_by
     struct(cos, cent_id) -> highest id on ties; probe list =
     array_sort(struct(-cos, cent_id)) -> lowest id first."""
+    if nprobe is None:
+        nprobe = IVF_NPROBE
     dot_vc = _DUCK_DOT.format(a="e.v", b="c.cv")
     cand_dot = _DUCK_DOT.format(a="p.qv", b="cl.v")
     return f"""
@@ -181,7 +183,7 @@ def _ivf_oracle_sql() -> str:
             SELECT vec_id, cent_id AS cell, v FROM ranked WHERE rn_assign = 1
         ), probes AS (
             SELECT vec_id AS query_id, v AS qv, cent_id AS cell
-            FROM ranked WHERE vec_id < {N_QUERIES} AND rn_probe <= {IVF_NPROBE}
+            FROM ranked WHERE vec_id < {N_QUERIES} AND rn_probe <= {nprobe}
         ), cand AS (
             SELECT p.query_id, cl.vec_id AS neighbor_id,
                    {cand_dot} / ({_DUCK_NORM.format('p.qv')} * {_DUCK_NORM.format('cl.v')})
@@ -239,7 +241,7 @@ IVF_NPROBE = 4
 _CENTROID_BASE = 100  # corpus vectors used as deterministic centroids
 
 
-def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf(spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE) -> DataFrame:
     """IVF (inverted-file) ANN: corpus partitioned into NLIST cells by
     nearest centroid; each query probes only its NPROBE nearest cells.
 
@@ -277,7 +279,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.collect_list(F.struct(F.negate(F.col("cent_cos")).alias("neg"), F.col("cent_id")))
             ),
             1,
-            IVF_NPROBE,
+            nprobe,
         ).alias("probe_cells"),
     )
     cells = assigned.select("vec_id", "cell", "v")
@@ -1222,3 +1224,68 @@ def _recall_eval_oracle_sql() -> str:
 
 QUERIES["ann_recall_eval"] = ann_recall_eval
 ORACLE_SQL["ann_recall_eval"] = _recall_eval_oracle_sql()
+
+
+PROBE_SWEEP = (1, 2, 4, 8)
+
+
+def ann_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tuning table: mean recall@k against exact truth for each
+    probe budget — the recall/cost curve that picks nprobe before an
+    index ships (candidate work scales ~linearly with nprobe, so this
+    IS the latency-recall tradeoff readout).  Mean recall is the exact
+    integer  sum(hits) * 1e6  DIV  (k * n_queries)  in ppm.
+
+    Each sweep point reuses the audited ``ann_ivf`` face; the exact
+    truth comes from ``ann_topk`` once.  Offline-eval posture, same as
+    ``ann_recall_eval``.
+    """
+    exact = ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    nq = exact.select("query_id").distinct().count()
+    parts = []
+    for np_ in PROBE_SWEEP:
+        ivf = ann_ivf(spark, sf_dir, nprobe=np_).select("query_id", "neighbor_id")
+        hits = exact.join(ivf, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).alias("hits")
+        )
+        parts.append(hits.select(F.lit(np_).cast("int").alias("nprobe"), "hits"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "nprobe",
+        "hits",
+        F.expr(f"CAST(hits * 1000000 DIV {TOP_K * nq} AS BIGINT)").alias(
+            "mean_recall_ppm"
+        ),
+    ).orderBy("nprobe")
+
+
+def _probe_sweep_oracle_sql() -> str:
+    pieces = []
+    for np_ in PROBE_SWEEP:
+        pieces.append(
+            f"""
+        SELECT CAST({np_} AS INTEGER) AS nprobe,
+               CAST(COUNT(*) AS BIGINT) AS hits
+        FROM ({ORACLE_SQL["ann_topk"]}) e
+        JOIN ({_ivf_oracle_sql(nprobe=np_)}) i
+          ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+        """
+        )
+        # hits are counted over the same (query, neighbor) identity join
+    union = " UNION ALL ".join(pieces)
+    return f"""
+        WITH nq AS (
+            SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n
+            FROM embeddings WHERE vec_id < {N_QUERIES}
+        )
+        SELECT nprobe, hits,
+               CAST(hits * 1000000 // ({TOP_K} * n) AS BIGINT) AS mean_recall_ppm
+        FROM ({union}) CROSS JOIN nq
+        ORDER BY nprobe
+    """
+
+
+QUERIES["ann_probe_sweep"] = ann_probe_sweep
+ORACLE_SQL["ann_probe_sweep"] = _probe_sweep_oracle_sql()
