@@ -162,6 +162,15 @@ def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
             "weekly_forecast_conformal",
             # one-row look-count broadcast over calendar-bounded rows
             "purchase_ab_sequential",
+            # bounded broadcasts inherited from the composed ann faces
+            # (query set + 16-centroid table, as ann_topk/ann_ivf)
+            "ann_recall_eval", "ann_probe_sweep",
+            # one-row match-count / truth-count broadcasts
+            "blocking_eval", "bm25_eval",
+            # one-row totals broadcast over the |combos| frame
+            "customer_kanonymity",
+            # bounded |sources|^2 pair fan-out broadcast (as source_length_ks)
+            "source_token_js",
         ):
             bad[name] = joins
     assert not bad, bad
