@@ -666,3 +666,90 @@ def _kanonymity_oracle_sql() -> str:
 
 QUERIES["customer_kanonymity"] = customer_kanonymity
 ORACLE_SQL["customer_kanonymity"] = _kanonymity_oracle_sql()
+
+
+# ---- cross-table reconciliation ---------------------------------------
+
+
+def orders_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation: does each order header's total match
+    the recomputed sum of its line items
+    (sum of extendedprice * (1-discount) * (1+tax))?  The financial
+    close-out audit every warehouse runs between a fact and its
+    detail table.  Emits one row per discrepancy bucket — matched
+    (<=1 cent), small (<=1% of the header), large, and headers with no
+    detail rows at all — with order counts and total absolute drift in
+    exact cents.  (On this synthetic data most orders DON'T reconcile,
+    which is precisely what the report is for.)
+
+    One join shuffle on the order key + one detail aggregation;
+    per-line cents use half-up integer quantization of an identically
+    shaped double product on both engines.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    line_cents = (
+        "CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)"
+        " * 100.0 + 0.5) AS BIGINT)"
+    )
+    detail = li.groupBy("l_orderkey").agg(
+        F.sum(F.expr(line_cents)).alias("line_cents")
+    )
+    j = orders.select(
+        "o_orderkey",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "hdr_cents"
+        ),
+    ).join(detail, orders["o_orderkey"] == detail["l_orderkey"], "left")
+    bucket = F.expr(
+        """CASE
+             WHEN line_cents IS NULL THEN 'no_lineitems'
+             WHEN abs(hdr_cents - line_cents) <= 1 THEN 'matched'
+             WHEN abs(hdr_cents - line_cents) * 100 <= hdr_cents
+                 THEN 'small_mismatch'
+             ELSE 'large_mismatch'
+           END"""
+    )
+    return (
+        j.select(
+            bucket.alias("bucket"),
+            F.coalesce(
+                F.abs(F.col("hdr_cents") - F.col("line_cents")), F.col("hdr_cents")
+            ).alias("drift"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("drift").alias("abs_drift_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_SQL["orders_reconciliation"] = """
+    WITH detail AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                    * (1.0 + l_tax) * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS line_cents
+        FROM lineitem GROUP BY 1
+    ), j AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS hdr_cents,
+               d.line_cents
+        FROM orders o LEFT JOIN detail d ON o.o_orderkey = d.l_orderkey
+    )
+    SELECT CASE
+             WHEN line_cents IS NULL THEN 'no_lineitems'
+             WHEN abs(hdr_cents - line_cents) <= 1 THEN 'matched'
+             WHEN abs(hdr_cents - line_cents) * 100 <= hdr_cents
+                 THEN 'small_mismatch'
+             ELSE 'large_mismatch'
+           END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(COALESCE(abs(hdr_cents - line_cents), hdr_cents)) AS BIGINT)
+               AS abs_drift_cents
+    FROM j GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["orders_reconciliation"] = orders_reconciliation

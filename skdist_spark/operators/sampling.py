@@ -366,3 +366,103 @@ _TRAINING_PAIRS_SQL = f"""
 QUERIES["event_training_pairs"] = event_training_pairs
 ORACLE_SQL["event_training_pairs"] = _TRAINING_PAIRS_SQL
 __all__.append("sequence_training_pairs")
+
+
+# ---- stratified sampling design (Neyman allocation) --------------------
+
+
+def neyman_allocation(
+    df: DataFrame, stratum_col: str, value_col: str
+) -> DataFrame:
+    """Sampling-design table: the Neyman-optimal share of a fixed
+    sample budget per stratum, share_h = N_h*S_h / sum(N_h*S_h) — the
+    variance-minimizing allocation for estimating the population mean,
+    vs the naive proportional share N_h/N.  The planning readout run
+    BEFORE ``sample_stratified``: variable strata earn more budget.
+
+    Exactness: per-stratum moments are exact (BIGINT count, DECIMAL
+    sums of the integer value and its square), the stratum std is one
+    double sqrt quantized to integer micro BEFORE the cross-stratum
+    sum, so the denominator is an exact BIGINT and every share is one
+    double division rounded to 6 — no cross-stratum float summation
+    order anywhere.  One aggregation pass plus a one-row broadcast.
+    """
+    g = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col).cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            (F.col(value_col).cast("decimal(19,0)") * F.col(value_col)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("ss"),
+    )
+    mean = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    var = f"((CAST(ss AS DOUBLE) - {mean} * CAST(s AS DOUBLE)) / CAST(n - 1 AS DOUBLE))"
+    strata = g.where(F.col("n") > 1).withColumn(
+        "s_micro", F.expr(f"CAST(floor(sqrt({var}) * 1000000) AS BIGINT)")
+    )
+    denom = strata.agg(
+        F.sum(F.col("n") * F.col("s_micro")).alias("den"),
+        F.sum("n").alias("n_total"),
+    )
+    return (
+        strata.crossJoin(F.broadcast(denom))
+        .select(
+            stratum_col,
+            F.col("n").alias("n_rows"),
+            F.expr(f"ROUND({mean}, 6)").alias("mean_value"),
+            F.round(F.col("s_micro").cast("double") / 1000000.0, 6).alias(
+                "std_value"
+            ),
+            F.round(
+                (F.col("n") * F.col("s_micro")).cast("double")
+                / F.col("den").cast("double"),
+                6,
+            ).alias("neyman_share"),
+            F.round(
+                F.col("n").cast("double") / F.col("n_total").cast("double"), 6
+            ).alias("proportional_share"),
+        )
+        .orderBy(stratum_col)
+    )
+
+
+def source_neyman_allocation(spark, sf_dir: str) -> DataFrame:
+    """Driver query: Neyman vs proportional sampling budget per source
+    for estimating mean document length."""
+    from ..sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    return neyman_allocation(docs, "source", "n_chars")
+
+
+_NEYMAN_SQL = """
+    WITH g AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(n_chars AS DECIMAL(38,0))) AS s,
+               SUM(CAST(CAST(n_chars AS DECIMAL(19,0)) * n_chars AS DECIMAL(38,0))) AS ss
+        FROM documents GROUP BY 1
+    ), strata AS (
+        SELECT source, n, s,
+               CAST(floor(sqrt(
+                   (CAST(ss AS DOUBLE)
+                    - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(s AS DOUBLE))
+                   / CAST(n - 1 AS DOUBLE)) * 1000000) AS BIGINT) AS s_micro
+        FROM g WHERE n > 1
+    ), denom AS (
+        SELECT CAST(SUM(n * s_micro) AS BIGINT) AS den,
+               CAST(SUM(n) AS BIGINT) AS n_total
+        FROM strata
+    )
+    SELECT source, n AS n_rows,
+           ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_value,
+           ROUND(CAST(s_micro AS DOUBLE) / 1000000.0, 6) AS std_value,
+           ROUND(CAST(n * s_micro AS DOUBLE) / CAST(den AS DOUBLE), 6) AS neyman_share,
+           ROUND(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS proportional_share
+    FROM strata CROSS JOIN denom
+    ORDER BY source
+"""
+
+QUERIES["source_neyman_allocation"] = source_neyman_allocation
+ORACLE_SQL["source_neyman_allocation"] = _NEYMAN_SQL

@@ -169,6 +169,8 @@ def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
             "blocking_eval", "bm25_eval",
             # one-row totals broadcast over the |combos| frame
             "customer_kanonymity",
+            # one-row denominator / totals broadcast
+            "source_neyman_allocation",
             # bounded |sources|^2 pair fan-out broadcast (as source_length_ks)
             "source_token_js",
         ):
