@@ -1625,6 +1625,21 @@ def poisson_bootstrap_mean_ci(
     """
     y = F.expr(f"CAST(floor({value_col} * 1000000) AS BIGINT)")
     units = df.groupBy(*key_cols, unit_col).agg(F.sum(y).alias("y"))
+    return bootstrap_ci_from_units(units, key_cols, unit_col, n_reps, alpha_ppm)
+
+
+def bootstrap_ci_from_units(
+    units: DataFrame,
+    key_cols: list[str],
+    unit_col: str,
+    n_reps: int = BOOT_REPS,
+    alpha_ppm: int = BOOT_ALPHA_PPM,
+) -> DataFrame:
+    """CI stage of the Poisson bootstrap over an ALREADY-AGGREGATED
+    unit frame (one row per key x unit with exact micro total ``y``) —
+    exposed separately so an incrementally-maintained unit state (the
+    streaming face) reuses the identical weight/order-statistic
+    arithmetic and stays bit-equal to the batch operator."""
     salt = f"ascii(substr(CAST({key_cols[0]} AS STRING), 1, 1))"
     w = _boot_weight_sql(f"CAST({unit_col} AS BIGINT)", "r", salt)
     reps = units.select(

@@ -348,12 +348,6 @@ def permutation_importance(
         F.count(F.lit(1)).alias("n"),
         F.sum((F.col("pred") == F.col(label_col)).cast("long")).alias("ok"),
     ]
-    base = (
-        feats.withColumn("pred", predict(*cols))
-        .agg(*n_and_correct)
-        .select(F.expr("CAST(ok * 1000000 DIV n AS BIGINT)").alias("acc_ppm"))
-        .collect()[0]["acc_ppm"]
-    )
     bucket = F.pmod(
         (F.pmod(F.col(id_col).cast("bigint"), F.lit(2**31)) * _PERM_KNUTH)
         % _PERM_MOD,
@@ -377,9 +371,21 @@ def permutation_importance(
         F.col("r_hash").alias("d_rank"),
         *[F.col(c).alias(f"perm_{c}") for c in feature_cols],
     )
+    # materialize the featurized+permuted frame ONCE: every scoring
+    # pass below is then a UDF + one aggregate over the checkpointed
+    # columns instead of re-running the upstream featurization per
+    # feature (measured 18s -> ~4s at sf0.01); at cluster scale this
+    # is a persist() of a narrow per-row frame, the standard
+    # eval-harness materialization.
     permuted = ranked.join(
         donor,
         (F.col("bucket") == F.col("d_bucket")) & (F.col("r_nat") == F.col("d_rank")),
+    ).localCheckpoint()
+    base = (
+        permuted.withColumn("pred", predict(*cols))
+        .agg(*n_and_correct)
+        .select(F.expr("CAST(ok * 1000000 DIV n AS BIGINT)").alias("acc_ppm"))
+        .collect()[0]["acc_ppm"]
     )
     rows = []
     for c in feature_cols:

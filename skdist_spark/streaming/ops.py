@@ -1723,3 +1723,52 @@ def stream_dedup_users_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["stream_dedup_users_ttl"] = stream_dedup_users_ttl
+
+
+def stream_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming uncertainty monitor: the Poisson-bootstrap CI over an
+    INCREMENTALLY-maintained unit state.
+
+    The expensive part of the bootstrap at stream scale is the
+    event -> per-(key, unit) exact micro totals; that is ONE streaming
+    aggregation in update mode (keyed state, map-side combinable,
+    exactly the continuous-aggregate pattern).  The bootstrap weights
+    are a pure hash of (unit, replicate), so they need no state at all
+    — the CI readout over |keys| x units is a bounded batch computation
+    on the drained state and reuses ``bootstrap_ci_from_units``
+    verbatim, which makes the streaming answer BIT-EQUAL to the batch
+    ``event_value_bootstrap`` by construction (asserted in pytest).
+    """
+    from pyspark.sql import Window
+
+    from ..operators.stats import bootstrap_ci_from_units
+
+    stage = _stage_ordered_stream(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+    totals = raw.groupBy("event_type", "user_id").agg(
+        F.sum(F.expr("CAST(floor(value * 1000000) AS BIGINT)")).alias("y"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    drained = run_stream_to_df(totals, output_mode="update")
+    w = Window.partitionBy("event_type", "user_id").orderBy(F.desc("n_events"))
+    # lineage cut: the CI stage consumes the unit frame on both its
+    # point and replicate branches; checkpointing the (bounded, one row
+    # per key x unit) state avoids re-draining the sink twice and the
+    # self-join reference conflict.
+    units = (
+        drained.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_type", "user_id", "y")
+        .localCheckpoint()
+    )
+    return bootstrap_ci_from_units(units, ["event_type"], "user_id").orderBy(
+        "event_type"
+    )
+
+
+QUERIES["stream_bootstrap_ci"] = stream_bootstrap_ci

@@ -745,3 +745,15 @@ def test_stream_dedup_ttl_distinct_counts_match_batch(spark, sf_dir):
             for r in ev.groupBy("event_type")
             .agg(F.countDistinct("user_id").alias("n")).collect()}
     assert got == want
+
+
+def test_stream_bootstrap_ci_equals_batch(spark):
+    """The streaming bootstrap (incremental unit state + batch CI
+    readout) must be BIT-EQUAL to the batch operator."""
+    from skdist_spark.operators.stats import event_value_bootstrap
+    from skdist_spark.streaming.ops import stream_bootstrap_ci
+
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in stream_bootstrap_ci(spark, sf).collect()]
+    want = [tuple(r) for r in event_value_bootstrap(spark, sf).collect()]
+    assert got == want and got
