@@ -1733,3 +1733,109 @@ def _bootstrap_oracle_sql() -> str:
 
 QUERIES["event_value_bootstrap"] = event_value_bootstrap
 ORACLE_SQL["event_value_bootstrap"] = _bootstrap_oracle_sql()
+
+
+# ---- empirical-Bayes rate shrinkage -----------------------------------
+
+EB_TOP = 50
+
+
+def eb_shrunk_rates(
+    df: DataFrame,
+    key_cols: list[str],
+    flag_col: str,
+    top: int = EB_TOP,
+) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-key event rates: a Beta prior
+    is moment-matched from the population of per-key rates, then every
+    key's rate is shrunk to (k + alpha) / (n + alpha + beta) — the
+    standard fix for 'this item has a 100% rate... over 2 trials'
+    before ranking small-sample rates.  Differs from the fixed-m
+    smoothing in ``target_encode``: the prior STRENGTH is learned from
+    the data's own dispersion.
+
+    Exactness: per-key (n, k) are exact; each key's rate is quantized
+    to integer ppm BEFORE the population moments, so the prior's
+    mean/variance come from exact BIGINT sums (no float summation
+    order), and alpha/beta plus each shrunk rate are single double
+    expressions.  Two aggregation passes plus a one-row prior
+    broadcast; top-k bound on the output.
+    """
+    keyed = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.expr(flag_col), 1).otherwise(0)).alias("k"),
+    )
+    keyed = keyed.withColumn("r_ppm", F.expr("CAST(k * 1000000 DIV n AS BIGINT)"))
+    moments = keyed.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("r_ppm").alias("sr"),
+        F.sum(F.expr("r_ppm * r_ppm")).alias("srr"),
+    )
+    mean = "(CAST(sr AS DOUBLE) / CAST(n_keys AS DOUBLE) / 1000000.0)"
+    var = (
+        f"((CAST(srr AS DOUBLE) / CAST(n_keys AS DOUBLE) / 1.0e12)"
+        f" - {mean} * {mean})"
+    )
+    strength = f"(CASE WHEN {var} > 0.0 THEN greatest({mean} * (1.0 - {mean}) / {var} - 1.0, 1.0) ELSE 1.0 END)"
+    alpha = f"({strength} * {mean})"
+    beta = f"({strength} * (1.0 - {mean}))"
+    return (
+        keyed.crossJoin(F.broadcast(moments))
+        .select(
+            *key_cols,
+            "n",
+            "k",
+            "r_ppm",
+            F.round(F.expr(alpha), 6).alias("prior_alpha"),
+            F.round(F.expr(beta), 6).alias("prior_beta"),
+            F.round(
+                F.expr(f"(k + {alpha}) / (n + {strength})"), 6
+            ).alias("shrunk_rate"),
+        )
+        .orderBy(F.desc("shrunk_rate"), *key_cols)
+        .limit(top)
+    )
+
+
+def part_return_rate_eb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: top-50 parts by EB-shrunk return rate — the
+    ranking that doesn't crown a 2-shipment part with one return."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return eb_shrunk_rates(li, ["l_partkey"], "l_returnflag = 'R'")
+
+
+def _eb_oracle_sql() -> str:
+    mean = "(CAST(sr AS DOUBLE) / CAST(n_keys AS DOUBLE) / 1000000.0)"
+    var = (
+        f"((CAST(srr AS DOUBLE) / CAST(n_keys AS DOUBLE) / 1.0e12)"
+        f" - {mean} * {mean})"
+    )
+    strength = f"(CASE WHEN {var} > 0.0 THEN greatest({mean} * (1.0 - {mean}) / {var} - 1.0, 1.0) ELSE 1.0 END)"
+    alpha = f"({strength} * {mean})"
+    beta = f"({strength} * (1.0 - {mean}))"
+    return f"""
+        WITH keyed AS (
+            SELECT l_partkey,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS k
+            FROM lineitem GROUP BY 1
+        ), q AS (
+            SELECT *, CAST(k * 1000000 // n AS BIGINT) AS r_ppm FROM keyed
+        ), moments AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(r_ppm) AS BIGINT) AS sr,
+                   CAST(SUM(r_ppm * r_ppm) AS BIGINT) AS srr
+            FROM q
+        )
+        SELECT l_partkey, n, k, r_ppm,
+               ROUND({alpha}, 6) AS prior_alpha,
+               ROUND({beta}, 6) AS prior_beta,
+               ROUND((k + {alpha}) / (n + {strength}), 6) AS shrunk_rate
+        FROM q CROSS JOIN moments
+        ORDER BY shrunk_rate DESC, l_partkey
+        LIMIT {EB_TOP}
+    """
+
+
+QUERIES["part_return_rate_eb"] = part_return_rate_eb
+ORACLE_SQL["part_return_rate_eb"] = _eb_oracle_sql()

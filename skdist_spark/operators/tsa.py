@@ -2109,3 +2109,101 @@ def _did_oracle_sql() -> str:
 
 QUERIES["purchase_ab_did"] = purchase_ab_did
 ORACLE_SQL["purchase_ab_did"] = _did_oracle_sql()
+
+
+# ---- Mann-Kendall trend test ------------------------------------------
+
+
+def mann_kendall(
+    df: DataFrame, key_cols: list[str], x_col: str = "x", y_col: str = "y"
+) -> DataFrame:
+    """Per-group Mann-Kendall nonparametric trend test — the
+    significance companion to ``theil_sen_trend``'s slope: S = sum of
+    sign(y_j - y_i) over ordered pairs, Var(S) with the tie
+    correction, z with the +/-1 continuity shift.  All pair counts and
+    tie terms are exact integers (the y inputs are micro-quantized by
+    contract); z is one double expression.  Same O(d^2)-per-group
+    pair-join shape as Theil-Sen: for PRE-AGGREGATED calendar series.
+    """
+    pts = df.select(*key_cols, x_col, y_col)
+    a, b = pts.alias("a"), pts.alias("b")
+    cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols]
+    cond.append(F.col(f"a.{x_col}") < F.col(f"b.{x_col}"))
+    s = (
+        a.join(b, cond)
+        .groupBy(*[F.col(f"a.{k}").alias(k) for k in key_cols])
+        .agg(
+            F.sum(
+                F.signum(
+                    (F.col(f"b.{y_col}") - F.col(f"a.{y_col}")).cast("double")
+                ).cast("long")
+            ).alias("s"),
+        )
+    )
+    ties = (
+        pts.groupBy(*key_cols, y_col)
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy(*key_cols)
+        .agg(
+            F.sum("t").alias("n"),
+            F.sum(F.expr("t * (t - 1) * (2 * t + 5)")).alias("tie_term"),
+        )
+    )
+    var = "(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0)"
+    z = (
+        f"CASE WHEN s > 0 THEN (s - 1) / sqrt({var}) "
+        f"WHEN s < 0 THEN (s + 1) / sqrt({var}) ELSE CAST(0.0 AS DOUBLE) END"
+    )
+    return s.join(ties, key_cols).select(
+        *key_cols,
+        "n",
+        "s",
+        F.round(F.expr(var), 6).alias("var_s"),
+        F.round(F.expr(z), 6).alias("z"),
+        (F.abs(F.expr(z)) > 1.959964).alias("trend_05"),
+    )
+
+
+def daily_revenue_mannkendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: is there a monotone trend in daily order revenue?
+    One-group MK over the exact-cents calendar series."""
+    orders = load_table(spark, "orders", sf_dir)
+    daily = orders.groupBy(
+        F.datediff("o_orderdate", F.lit("1992-01-01")).alias("x")
+    ).agg(
+        F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)").alias(
+            "y"
+        )
+    ).withColumn("series", F.lit("daily_revenue"))
+    return mann_kendall(daily, ["series"]).orderBy("series")
+
+
+def _mannkendall_oracle_sql() -> str:
+    var = "(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0)"
+    z = (
+        f"CASE WHEN s > 0 THEN (s - 1) / sqrt({var}) "
+        f"WHEN s < 0 THEN (s + 1) / sqrt({var}) ELSE 0.0 END"
+    )
+    return f"""
+        WITH daily AS (
+            SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+            FROM orders GROUP BY 1
+        ), sgn AS (
+            SELECT CAST(SUM(CAST(sign(CAST(b.y - a.y AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s
+            FROM daily a JOIN daily b ON a.x < b.x
+        ), ties AS (
+            SELECT CAST(SUM(t) AS BIGINT) AS n,
+                   CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+            FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY y)
+        )
+        SELECT 'daily_revenue' AS series, n, s,
+               ROUND({var}, 6) AS var_s,
+               ROUND({z}, 6) AS z,
+               abs({z}) > 1.959964 AS trend_05
+        FROM sgn CROSS JOIN ties
+    """
+
+
+QUERIES["daily_revenue_mannkendall"] = daily_revenue_mannkendall
+ORACLE_SQL["daily_revenue_mannkendall"] = _mannkendall_oracle_sql()

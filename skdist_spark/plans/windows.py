@@ -1487,3 +1487,90 @@ ORACLE_SQL["event_value_quantile_norm"] = """
     FROM r ORDER BY event_id
 """
 QUERIES["event_value_quantile_norm"] = event_value_quantile_norm
+
+
+def markov_predict_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How predictable is the next event?  In-sample accuracy of the
+    argmax Markov predictor per from-state: predicted = the most
+    frequent next type (lowest name on count ties), accuracy = exact
+    max-count over row-total in FLOOR ppm — the eval readout for
+    ``transition_probs`` (near-uniform rows score ~1/K, a spiky row
+    scores high; the overall row is the weighted average a monitoring
+    alert would track).  One transition aggregation + a 25-row window.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    counts = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_from = Window.partitionBy("from_type").orderBy(F.desc("n"), F.asc("to_type"))
+    per_state = (
+        counts.withColumn("rn", F.row_number().over(w_from))
+        .groupBy("from_type")
+        .agg(
+            F.sum("n").alias("n_transitions"),
+            F.max(F.when(F.col("rn") == 1, F.col("to_type"))).alias("predicted_next"),
+            F.max(F.when(F.col("rn") == 1, F.col("n"))).alias("n_correct"),
+        )
+    )
+    overall = per_state.agg(
+        F.lit("(overall)").alias("from_type"),
+        F.sum("n_transitions").alias("n_transitions"),
+        F.lit(None).cast("string").alias("predicted_next"),
+        F.sum("n_correct").alias("n_correct"),
+    )
+    return (
+        per_state.unionByName(overall)
+        .select(
+            "from_type",
+            "n_transitions",
+            "predicted_next",
+            "n_correct",
+            F.expr("CAST(n_correct * 1000000 DIV n_transitions AS BIGINT)").alias(
+                "acc_ppm"
+            ),
+        )
+        .orderBy("from_type")
+    )
+
+
+ORACLE_SQL_MARKOV_PREDICT_EVAL = """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), counts AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY from_type
+                   ORDER BY n DESC, to_type ASC) AS rn
+        FROM counts
+    ), per_state AS (
+        SELECT from_type,
+               CAST(SUM(n) AS BIGINT) AS n_transitions,
+               MAX(CASE WHEN rn = 1 THEN to_type END) AS predicted_next,
+               CAST(MAX(CASE WHEN rn = 1 THEN n END) AS BIGINT) AS n_correct
+        FROM ranked GROUP BY from_type
+    ), unioned AS (
+        SELECT * FROM per_state
+        UNION ALL
+        SELECT '(overall)', CAST(SUM(n_transitions) AS BIGINT),
+               CAST(NULL AS VARCHAR), CAST(SUM(n_correct) AS BIGINT)
+        FROM per_state
+    )
+    SELECT from_type, n_transitions, predicted_next, n_correct,
+           CAST(n_correct * 1000000 // n_transitions AS BIGINT) AS acc_ppm
+    FROM unioned ORDER BY from_type
+"""
+
+QUERIES["markov_predict_eval"] = markov_predict_eval
+ORACLE_SQL["markov_predict_eval"] = ORACLE_SQL_MARKOV_PREDICT_EVAL

@@ -171,6 +171,8 @@ def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
             "customer_kanonymity",
             # one-row denominator / totals broadcast
             "source_neyman_allocation",
+            # one-row moment-matched prior broadcast
+            "part_return_rate_eb",
             # bounded |sources|^2 pair fan-out broadcast (as source_length_ks)
             "source_token_js",
         ):
