@@ -173,6 +173,10 @@ def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
             "source_neyman_allocation",
             # one-row moment-matched prior broadcast
             "part_return_rate_eb",
+            # calendar-bounded pair self-join (constant group key
+            # folds the equi-condition away; O(d^2) by contract,
+            # same posture as theil_sen on a single series)
+            "daily_revenue_mannkendall",
             # bounded |sources|^2 pair fan-out broadcast (as source_length_ks)
             "source_token_js",
         ):
