@@ -1839,3 +1839,85 @@ def _eb_oracle_sql() -> str:
 
 QUERIES["part_return_rate_eb"] = part_return_rate_eb
 ORACLE_SQL["part_return_rate_eb"] = _eb_oracle_sql()
+
+
+# ---- quantile-quantile comparison -------------------------------------
+
+QQ_DECILES = tuple(range(10, 100, 10))
+
+
+def qq_table(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Q-Q comparison table between two groups' value distributions:
+    nearest-rank deciles (rank = ceil(p*n/100), an exact order
+    statistic — no interpolation, engine-identical) side by side with
+    their differences.  The distribution-shift readout that says WHERE
+    two slices diverge, where KS only says IF.  One window per group
+    over the filtered frame; nine rows out.
+    """
+    ranked = (
+        df.where(F.col(group_col).isin(group_a, group_b))
+        .select(group_col, F.col(value_col).alias("v"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(group_col).orderBy("v")
+            ),
+        )
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy(group_col))
+        )
+    )
+    ps = F.explode(F.array(*[F.lit(p) for p in QQ_DECILES])).alias("p")
+    picked = (
+        ranked.select(group_col, "v", "rn", "n")
+        .select(group_col, "v", "rn", "n", ps)
+        .where(F.col("rn") == F.expr("CAST(ceil(p * n / 100.0) AS BIGINT)"))
+        .groupBy("p")
+        .pivot(group_col, [group_a, group_b])
+        .agg(F.first("v"))
+    )
+    return picked.select(
+        F.col("p").alias("percentile"),
+        F.col(group_a).alias("q_a"),
+        F.col(group_b).alias("q_b"),
+        (F.col(group_b) - F.col(group_a)).alias("diff"),
+    ).orderBy("percentile")
+
+
+def source_length_qq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: where do src0 and src1 document-length
+    distributions diverge? Nearest-rank decile Q-Q."""
+    docs = load_table(spark, "documents", sf_dir)
+    return qq_table(docs, "source", "n_chars", "src0", "src1")
+
+
+def _qq_oracle_sql() -> str:
+    ps = ", ".join(str(p) for p in QQ_DECILES)
+    return f"""
+        WITH ranked AS (
+            SELECT source, n_chars AS v,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+                   COUNT(*) OVER (PARTITION BY source) AS n
+            FROM documents WHERE source IN ('src0', 'src1')
+        ), picked AS (
+            SELECT p, source, v
+            FROM ranked CROSS JOIN (SELECT UNNEST([{ps}]) AS p) t
+            WHERE rn = CAST(ceil(p * n / 100.0) AS BIGINT)
+        )
+        SELECT CAST(p AS INTEGER) AS percentile,
+               MAX(CASE WHEN source = 'src0' THEN v END) AS q_a,
+               MAX(CASE WHEN source = 'src1' THEN v END) AS q_b,
+               MAX(CASE WHEN source = 'src1' THEN v END)
+                   - MAX(CASE WHEN source = 'src0' THEN v END) AS diff
+        FROM picked GROUP BY p ORDER BY percentile
+    """
+
+
+QUERIES["source_length_qq"] = source_length_qq
+ORACLE_SQL["source_length_qq"] = _qq_oracle_sql()
