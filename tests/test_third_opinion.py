@@ -1185,3 +1185,99 @@ def test_third_event_value_bootstrap(spark):
         assert abs(gmean - mean) < 1e-9, etype
         assert abs(glo - lo) < 1e-9 and abs(ghi - hi) < 1e-9, etype
         assert glo <= gmean <= ghi, etype
+
+
+def test_third_daily_revenue_mannkendall(spark):
+    """Pure-numpy Mann-Kendall: exact S, tie term, z — neither engine."""
+    from skdist_spark.operators.tsa import daily_revenue_mannkendall
+
+    o = _table("orders")
+    o["x"] = (pd.to_datetime(o["o_orderdate"]) - pd.Timestamp("1992-01-01")).dt.days
+    cents = (
+        o.assign(c=(o["o_totalprice"].map(_dec2) * 100).map(int))
+        .groupby("x")["c"]
+        .sum()
+        .sort_index()
+    )
+    y = cents.to_numpy(dtype=object)
+    n = len(y)
+    s = sum(
+        (1 if y[j] > y[i] else (-1 if y[j] < y[i] else 0))
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    ties = pd.Series(y).value_counts()
+    tie_term = int(sum(t * (t - 1) * (2 * t + 5) for t in ties))
+    var = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+    z = (s - 1) / var**0.5 if s > 0 else ((s + 1) / var**0.5 if s < 0 else 0.0)
+    r = daily_revenue_mannkendall(spark, SF).collect()[0]
+    assert r.n == n and r.s == s
+    assert abs(r.var_s - round(var, 6)) < 1e-6
+    assert abs(r.z - round(z, 6)) < 1e-6
+    assert r.trend_05 == (abs(z) > 1.959964)
+
+
+def test_third_source_token_js(spark):
+    """Pure-python JS divergence over exact token counts."""
+    import math
+    from collections import Counter
+
+    from skdist_spark.operators.lm import source_token_js
+
+    docs = _table("documents")
+    counts, totals = {}, {}
+    for src, grp in docs.groupby("source"):
+        c = Counter()
+        for t in grp["text"]:
+            c.update(w for w in t.strip().lower().split() if w)
+        counts[src] = c
+        totals[src] = sum(c.values())
+    want = {}
+    srcs = sorted(counts)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            vocab = set(counts[a]) | set(counts[b])
+            js = 0.0
+            for w in vocab:
+                pa = counts[a][w] / totals[a]
+                pb = counts[b][w] / totals[b]
+                if counts[a][w]:
+                    js += pa * math.log(2 * pa / (pa + pb))
+                if counts[b][w]:
+                    js += pb * math.log(2 * pb / (pa + pb))
+            want[(a, b)] = (totals[a], totals[b], len(vocab), round(js * 0.5, 6))
+    got = {
+        (r.source_a, r.source_b): (
+            r.n_tokens_a, r.n_tokens_b, r.vocab_union, r.js_nats
+        )
+        for r in source_token_js(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][:3] == want[k][:3], k
+        assert abs(got[k][3] - want[k][3]) < 2e-6, k
+
+
+def test_third_part_return_rate_eb(spark):
+    """Pure-pandas EB shrinkage: integer-ppm moments, MoM prior."""
+    from skdist_spark.operators.stats import part_return_rate_eb
+
+    li = _table("lineitem")
+    g = li.groupby("l_partkey").agg(
+        n=("l_returnflag", "size"),
+        k=("l_returnflag", lambda s: int((s == "R").sum())),
+    )
+    g["r_ppm"] = (g["k"] * 1_000_000) // g["n"]
+    n_keys = len(g)
+    sr, srr = int(g["r_ppm"].sum()), int((g["r_ppm"] ** 2).sum())
+    mean = sr / n_keys / 1e6
+    var = srr / n_keys / 1e12 - mean * mean
+    strength = max(mean * (1 - mean) / var - 1.0, 1.0) if var > 0 else 1.0
+    alpha = strength * mean
+    g["shrunk"] = ((g["k"] + alpha) / (g["n"] + strength)).round(6)
+    want = g.sort_values(["shrunk", "l_partkey"], ascending=[False, True]).head(50)
+    got = part_return_rate_eb(spark, SF).collect()
+    assert len(got) == len(want)
+    for r, (pk, row) in zip(got, want.iterrows()):
+        assert r.l_partkey == pk and r.n == row["n"] and r.k == row["k"]
+        assert abs(r.shrunk_rate - row["shrunk"]) < 2e-6
