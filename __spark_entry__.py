@@ -74,11 +74,14 @@ _PRIORITY = [
     # upgrade its r2 no_oracle row to a hash-checked green.
     "event_pagerank",
     # -- ROUND-4 QUEUE (past the 50-entry cap; all locally green) --
-    # new round-3 oracle-backed ops (incl. the continuation batch:
-    # minhash eval, exact-ngram decontamination, filter funnel,
-    # leakage/boilerplate, perplexity filter, unit split, Theil-Sen,
-    # training pairs, target/WoE encoding, clustering coefficient),
-    # queued first for the next sweep
+    # Leads with the round-3 FINAL-continuation eval/uncertainty batch
+    # (bootstrap CI, ANN recall + probe sweep, BM25 eval, JS divergence,
+    # DiD, seasonal decompose, revenue decomposition, k-anonymity,
+    # reconciliation, Neyman, Mann-Kendall, EB shrinkage, Markov eval,
+    # Q-Q), then the earlier round-3 oracle-backed ops (minhash eval,
+    # exact-ngram decontamination, filter funnel, leakage/boilerplate,
+    # perplexity filter, unit split, Theil-Sen, training pairs,
+    # target/WoE encoding, clustering coefficient, ...).
     "event_value_bootstrap", "ann_recall_eval", "source_token_js",
     "daily_revenue_decompose", "blocking_eval", "customer_kanonymity",
     "purchase_ab_did", "revenue_change_decomposition", "bm25_eval",
