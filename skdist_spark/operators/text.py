@@ -1858,3 +1858,76 @@ ORACLE_SQL["tokenizer_fertility"] = f"""
     FROM per_doc GROUP BY lang ORDER BY lang
 """
 QUERIES["tokenizer_fertility"] = tokenizer_fertility
+
+
+# ---- per-document keyphrases ------------------------------------------
+
+KEYPHRASE_TOP = 3
+
+
+def doc_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document over the FULL corpus vocabulary
+    — the "what is this doc about" labeling pass (tfidf_rank ranks
+    docs for a fixed query; this ranks TERMS within each doc).
+
+    Integer-exact scores (tf * FLOOR(1e6*N/df), the tfidf_rank idiom);
+    terms appearing in more than half the corpus are dropped as
+    uninformative (a deterministic stopword cut that needs no list).
+    Two aggregations over the (doc, word) frame + one per-doc window;
+    the df side joins on the word key (never broadcast — web-scale
+    vocabularies are billions of terms, same posture as perplexity).
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    tf = (
+        docs.select("doc_id", F.explode(F.expr(_SPARK_WORDS)).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_ppm"), F.asc("word")
+    )
+    return (
+        tf.join(dfreq, "word")
+        .crossJoin(n_docs)
+        .where(F.expr("df * 2 < n_docs"))
+        .select(
+            "doc_id",
+            "word",
+            F.expr("CAST(tf * (1000000 * n_docs DIV df) AS BIGINT)").alias(
+                "score_ppm"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KEYPHRASE_TOP)
+        .select("doc_id", F.col("rank").cast("int").alias("rank"), "word", "score_ppm")
+        .orderBy("doc_id", "rank")
+    )
+
+
+ORACLE_SQL["doc_keyphrases"] = f"""
+    WITH tf AS (
+        SELECT doc_id, w.word, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM documents d,
+             LATERAL (SELECT UNNEST({_DUCK_WORDS}) AS word) w
+        GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    ), scored AS (
+        SELECT doc_id, word,
+               CAST(tf * (1000000 * n_docs // df) AS BIGINT) AS score_ppm
+        FROM tf JOIN dfreq USING (word) CROSS JOIN n
+        WHERE df * 2 < n_docs
+    )
+    SELECT doc_id, CAST(rank AS INTEGER) AS rank, word, score_ppm FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY score_ppm DESC, word ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {KEYPHRASE_TOP}
+    ORDER BY doc_id, rank
+"""
+
+QUERIES["doc_keyphrases"] = doc_keyphrases

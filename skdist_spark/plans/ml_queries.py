@@ -452,3 +452,48 @@ QUERIES = {
     "ml_quality_classifier": ml_quality_classifier,
 }
 ORACLE_SQL: dict[str, str] = {}
+
+
+LEARNING_CURVE_SIZES = (200, 500, 1000, 2000)
+
+
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve: accuracy vs training-set size on a LEARNABLE
+    binary target (sign of the first-8-dim sum — recoverable from the
+    features, so the curve actually rises), every model scored
+    DISTRIBUTED over the full corpus via the Arrow prediction UDF —
+    'is more data still buying accuracy?' before anyone pays for more
+    labels.  Training slices are deterministic vec_id prefixes (the
+    driver-resident sk-dist training contract); accuracies are exact
+    FLOOR ppm; duplicate clamped sizes collapse."""
+    ids, X, _ = _load_xy(spark, sf_dir)
+    y = (X[:, :8].sum(axis=1) > 0.0).astype(int)
+    emb = load_table(spark, "embeddings", sf_dir)
+    truth = (
+        "CAST(aggregate(slice(CAST(embedding AS array<double>), 1, 8),"
+        " 0D, (a, x) -> a + x) > 0.0D AS INT)"
+    )
+    rows = []
+    for n in sorted({min(s, len(ids)) for s in LEARNING_CURVE_SIZES}):
+        model = LogisticRegression(max_iter=80).fit(X[:n], y[:n])
+        udf = get_prediction_udf(model, method="predict", feature_type="vector")
+        acc = (
+            emb.select(
+                (udf(F.col("embedding")).cast("int") == F.expr(truth))
+                .cast("long")
+                .alias("ok")
+            )
+            .agg(F.sum("ok").alias("k"), F.count(F.lit(1)).alias("m"))
+            .selectExpr("CAST(k * 1000000 DIV m AS BIGINT) AS acc_ppm")
+            .collect()[0]["acc_ppm"]
+        )
+        train_acc = int(
+            (model.predict(X[:n]) == y[:n]).sum() * 1_000_000 // n
+        )
+        rows.append((n, train_acc, int(acc)))
+    return spark.createDataFrame(
+        rows, "train_size int, train_acc_ppm long, full_acc_ppm long"
+    ).orderBy("train_size")
+
+
+QUERIES["ml_learning_curve"] = ml_learning_curve

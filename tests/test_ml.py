@@ -316,3 +316,20 @@ def test_permutation_importance_readout(spark):
     rows2 = {r.feature: r.importance_ppm for r in
              ml_permutation_importance(spark, "/root/testdata/sf0.001").collect()}
     assert rows2 == {k: v.importance_ppm for k, v in rows.items()}
+
+
+def test_learning_curve_rises(spark):
+    """More data must not hurt on the learnable target, the curve is
+    deterministic, and sizes collapse to the corpus bound."""
+    from skdist_spark.plans.ml_queries import ml_learning_curve
+
+    rows = ml_learning_curve(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) >= 1
+    sizes = [r.train_size for r in rows]
+    assert sizes == sorted(set(sizes))
+    accs = [r.full_acc_ppm for r in rows]
+    # curves wobble at tiny sizes; require no collapse and real signal
+    assert accs[-1] >= accs[0] - 25_000
+    assert max(accs) > 600_000  # learnable target: better than chance
+    again = ml_learning_curve(spark, "/root/testdata/sf0.001").collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]

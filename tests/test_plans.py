@@ -173,6 +173,8 @@ def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
             "source_neyman_allocation",
             # one-row moment-matched prior broadcast
             "part_return_rate_eb",
+            # one-row corpus-count broadcast (as doc_perplexity)
+            "doc_keyphrases",
             # calendar-bounded pair self-join (constant group key
             # folds the equi-condition away; O(d^2) by contract,
             # same posture as theil_sen on a single series)
