@@ -1921,3 +1921,124 @@ def _qq_oracle_sql() -> str:
 
 QUERIES["source_length_qq"] = source_length_qq
 ORACLE_SQL["source_length_qq"] = _qq_oracle_sql()
+
+
+# ---- jackknife CI for ratio metrics -----------------------------------
+
+JK_BUCKETS = 32
+
+
+def jackknife_ratio_ci(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+    n_buckets: int = JK_BUCKETS,
+) -> DataFrame:
+    """Delete-one-bucket jackknife CI for a RATIO metric
+    (sum(value) / count(rows)) — the standard inference for ratio
+    metrics, where per-row bootstrap/CLT math is wrong because both
+    numerator and denominator are random: units are hashed into
+    ``n_buckets`` buckets, each pseudo-value is
+    B*R - (B-1)*R_without_bucket, and the CI is the t-style interval
+    over the B pseudo-values.
+
+    Exactness: bucket sums are exact BIGINT micros/counts; every
+    downstream expression runs over the SORTED B-element struct array
+    with left-fold ``aggregate`` sums, so there is no row-order float
+    summation anywhere and DuckDB's ``list_reduce`` replays the same
+    fold bit-for-bit.  One aggregation shuffle to B rows, then a
+    single-row finish.
+    """
+    b = F.pmod(
+        (F.pmod(F.col(unit_col).cast("bigint"), F.lit(2_147_483_648)) * 2_654_435_761)
+        % 4_294_967_296,
+        F.lit(n_buckets),
+    )
+    micro = F.expr(f"CAST(floor({value_col} * 1000000) AS BIGINT)")
+    buckets = (
+        df.select(b.alias("b"), micro.alias("y"))
+        .groupBy("b")
+        .agg(F.sum("y").alias("y_b"), F.count(F.lit(1)).alias("n_b"))
+    )
+    arr = buckets.agg(
+        F.sort_array(F.collect_list(F.struct("b", "y_b", "n_b"))).alias("arr")
+    )
+    B = "size(arr)"
+    Y = "aggregate(arr, 0L, (acc, s) -> acc + s.y_b)"
+    N = "aggregate(arr, 0L, (acc, s) -> acc + s.n_b)"
+    ratio = f"(CAST({Y} AS DOUBLE) / CAST({N} AS DOUBLE))"
+    pv = (
+        f"transform(arr, s -> CAST({B} AS DOUBLE) * {ratio}"
+        f" - CAST({B} - 1 AS DOUBLE)"
+        f" * (CAST({Y} - s.y_b AS DOUBLE) / CAST({N} - s.n_b AS DOUBLE)))"
+    )
+    mean = f"(aggregate({pv}, 0D, (acc, x) -> acc + x) / CAST({B} AS DOUBLE))"
+    var = (
+        f"(aggregate({pv}, 0D, (acc, x) -> acc + (x - {mean}) * (x - {mean}))"
+        f" / (CAST({B} AS DOUBLE) * CAST({B} - 1 AS DOUBLE)))"
+    )
+    return arr.select(
+        F.expr(f"CAST({B} AS INT)").alias("n_buckets"),
+        F.expr(f"ROUND({ratio} / 1000000.0, 6)").alias("ratio"),
+        F.expr(f"ROUND({mean} / 1000000.0, 6)").alias("jk_mean"),
+        F.expr(f"ROUND(sqrt({var}) / 1000000.0, 6)").alias("se"),
+        F.expr(
+            f"ROUND(({mean} - 1.959964 * sqrt({var})) / 1000000.0, 6)"
+        ).alias("ci_lo"),
+        F.expr(
+            f"ROUND(({mean} + 1.959964 * sqrt({var})) / 1000000.0, 6)"
+        ).alias("ci_hi"),
+    )
+
+
+def value_per_event_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: mean value per EVENT with a user-bucketed
+    jackknife CI (the ratio's denominator is a count, so per-user
+    bootstrap-of-means would answer a different question)."""
+    ev = load_table(spark, "events", sf_dir)
+    return jackknife_ratio_ci(ev, "user_id", "value")
+
+
+def _jackknife_oracle_sql() -> str:
+    B = "len(arr)"
+    Y = "list_reduce(list_transform(arr, s -> s.y_b), (acc, x) -> acc + x)"
+    N = "list_reduce(list_transform(arr, s -> s.n_b), (acc, x) -> acc + x)"
+    ratio = f"(CAST({Y} AS DOUBLE) / CAST({N} AS DOUBLE))"
+    pv = (
+        f"list_transform(arr, s -> CAST({B} AS DOUBLE) * {ratio}"
+        f" - CAST({B} - 1 AS DOUBLE)"
+        f" * (CAST({Y} - s.y_b AS DOUBLE) / CAST({N} - s.n_b AS DOUBLE)))"
+    )
+    # DuckDB list_reduce has no init element: seed the fold with an
+    # explicit leading 0.0 so the fold order matches Spark's aggregate
+    mean = (
+        f"(list_reduce(list_prepend(0.0, {pv}), (acc, x) -> acc + x)"
+        f" / CAST({B} AS DOUBLE))"
+    )
+    var = (
+        f"(list_reduce(list_prepend(0.0, list_transform({pv},"
+        f" x -> (x - {mean}) * (x - {mean}))), (acc, x) -> acc + x)"
+        f" / (CAST({B} AS DOUBLE) * CAST({B} - 1 AS DOUBLE)))"
+    )
+    return f"""
+        WITH buckets AS (
+            SELECT ((user_id % 2147483648) * 2654435761) % 4294967296 % {JK_BUCKETS} AS b,
+                   CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS y_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_b
+            FROM events GROUP BY 1
+        ), arr_t AS (
+            SELECT list_sort(list(struct_pack(b := b, y_b := y_b, n_b := n_b))) AS arr
+            FROM buckets
+        )
+        SELECT CAST({B} AS INTEGER) AS n_buckets,
+               ROUND({ratio} / 1000000.0, 6) AS ratio,
+               ROUND({mean} / 1000000.0, 6) AS jk_mean,
+               ROUND(sqrt({var}) / 1000000.0, 6) AS se,
+               ROUND(({mean} - 1.959964 * sqrt({var})) / 1000000.0, 6) AS ci_lo,
+               ROUND(({mean} + 1.959964 * sqrt({var})) / 1000000.0, 6) AS ci_hi
+        FROM arr_t
+    """
+
+
+QUERIES["value_per_event_jackknife"] = value_per_event_jackknife
+ORACLE_SQL["value_per_event_jackknife"] = _jackknife_oracle_sql()
