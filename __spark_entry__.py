@@ -88,6 +88,7 @@ _PRIORITY = [
     "ann_probe_sweep", "orders_reconciliation", "source_neyman_allocation",
     "daily_revenue_mannkendall", "part_return_rate_eb", "markov_predict_eval",
     "source_length_qq", "doc_keyphrases", "value_per_event_jackknife",
+    "purchase_uplift_qini",
     "dedup_minhash_eval", "decontaminate_exact_ngrams", "doc_filter_funnel",
     "source_leakage", "source_boilerplate",
     "doc_perplexity_filter", "user_split_summary", "user_value_theilsen",

@@ -2207,3 +2207,154 @@ def _mannkendall_oracle_sql() -> str:
 
 QUERIES["daily_revenue_mannkendall"] = daily_revenue_mannkendall
 ORACLE_SQL["daily_revenue_mannkendall"] = _mannkendall_oracle_sql()
+
+
+# ---- uplift / Qini curve ----------------------------------------------
+
+QINI_BINS = 10
+
+
+def qini_curve(
+    units: DataFrame,
+    score_col: str,
+    arm_col: str,
+    outcome_col: str,
+    n_bins: int = QINI_BINS,
+) -> DataFrame:
+    """Qini curve over a targeting score: units ranked by score
+    (descending, id tie-break), cut into rank bins, and per cumulative
+    bin the incremental conversions
+    qini = Y_t - Y_c * N_t / N_c — the uplift-eval readout that says
+    whether targeting the top-k% by this score beats random targeting
+    (a useless score tracks the diagonal).
+
+    All cumulative counts are exact integers from one ordered window
+    pass; qini and cumulative uplift are single double expressions.
+    The rank is a global total order over the UNIT frame (one row per
+    unit, the same bounded-frame contract as the percentile-band
+    windows); bin ids come from exact integer arithmetic
+    FLOOR((rn-1)*bins/n), not percent_rank floats.
+    """
+    n_w = Window.partitionBy()
+    rn_w = Window.orderBy(F.desc(score_col), F.asc("unit_id"))
+    ranked = (
+        units.withColumn("n_units", F.count(F.lit(1)).over(n_w))
+        .withColumn("rn", F.row_number().over(rn_w))
+        .withColumn(
+            "bin",
+            F.expr(f"CAST((rn - 1) * {n_bins} DIV n_units AS INT)"),
+        )
+    )
+    per_bin = ranked.groupBy("bin").agg(
+        F.sum(F.when(F.col(arm_col) == 1, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col(arm_col) == 0, 1).otherwise(0)).alias("n_c"),
+        F.sum(
+            F.when(F.col(arm_col) == 1, F.col(outcome_col)).otherwise(0)
+        ).alias("y_t"),
+        F.sum(
+            F.when(F.col(arm_col) == 0, F.col(outcome_col)).otherwise(0)
+        ).alias("y_c"),
+    )
+    cum_w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_bin.select(
+        "bin",
+        F.sum("n_t").over(cum_w).alias("cn_t"),
+        F.sum("n_c").over(cum_w).alias("cn_c"),
+        F.sum("y_t").over(cum_w).alias("cy_t"),
+        F.sum("y_c").over(cum_w).alias("cy_c"),
+    )
+    qini = (
+        "CASE WHEN cn_c > 0 THEN CAST(cy_t AS DOUBLE)"
+        " - CAST(cy_c AS DOUBLE) * cn_t / cn_c END"
+    )
+    uplift = (
+        "CASE WHEN cn_c > 0 AND cn_t > 0 THEN CAST(cy_t AS DOUBLE) / cn_t"
+        " - CAST(cy_c AS DOUBLE) / cn_c END"
+    )
+    return cum.select(
+        "bin",
+        "cn_t",
+        "cn_c",
+        "cy_t",
+        "cy_c",
+        F.round(F.expr(qini), 6).alias("qini"),
+        F.round(F.expr(uplift), 6).alias("cum_uplift"),
+    ).orderBy("bin")
+
+
+def purchase_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: Qini curve of the pre-period-value targeting score
+    against post-period purchase conversion between the Knuth arms (a
+    null experiment: the curve should hug the random diagonal)."""
+    ev = load_table(spark, "events", sf_dir)
+    micro = "CAST(floor(value * 1000000) AS BIGINT)"
+    units = ev.groupBy("user_id").agg(
+        F.sum(
+            F.expr(
+                f"CASE WHEN ts < TIMESTAMP '{DID_CUT}' THEN {micro} ELSE 0 END"
+            )
+        ).alias("score"),
+        F.max(
+            F.expr(
+                f"CASE WHEN ts >= TIMESTAMP '{DID_CUT}'"
+                " AND event_type = 'purchase' THEN 1 ELSE 0 END"
+            )
+        ).alias("converted"),
+    ).select(
+        F.col("user_id").alias("unit_id"),
+        "score",
+        _arm(F.col("user_id")).alias("arm"),
+        "converted",
+    )
+    return qini_curve(units, "score", "arm", "converted")
+
+
+def _qini_oracle_sql() -> str:
+    micro = "CAST(floor(value * 1000000) AS BIGINT)"
+    qini = (
+        "CASE WHEN cn_c > 0 THEN CAST(cy_t AS DOUBLE)"
+        " - CAST(cy_c AS DOUBLE) * cn_t / cn_c END"
+    )
+    uplift = (
+        "CASE WHEN cn_c > 0 AND cn_t > 0 THEN CAST(cy_t AS DOUBLE) / cn_t"
+        " - CAST(cy_c AS DOUBLE) / cn_c END"
+    )
+    return f"""
+        WITH units AS (
+            SELECT user_id AS unit_id,
+                   CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '{DID_CUT}'
+                            THEN {micro} ELSE 0 END) AS BIGINT) AS score,
+                   {_arm_sql("user_id")} AS arm,
+                   MAX(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '{DID_CUT}'
+                            AND event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+            FROM events GROUP BY 1
+        ), ranked AS (
+            SELECT *,
+                   COUNT(*) OVER () AS n_units,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, unit_id ASC) AS rn
+            FROM units
+        ), per_bin AS (
+            SELECT CAST((rn - 1) * {QINI_BINS} // n_units AS INTEGER) AS bin,
+                   CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+                   CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+                   CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS y_t,
+                   CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS y_c
+            FROM ranked GROUP BY 1
+        ), cum AS (
+            SELECT bin,
+                   CAST(SUM(n_t) OVER w AS BIGINT) AS cn_t,
+                   CAST(SUM(n_c) OVER w AS BIGINT) AS cn_c,
+                   CAST(SUM(y_t) OVER w AS BIGINT) AS cy_t,
+                   CAST(SUM(y_c) OVER w AS BIGINT) AS cy_c
+            FROM per_bin
+            WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT bin, cn_t, cn_c, cy_t, cy_c,
+               ROUND({qini}, 6) AS qini,
+               ROUND({uplift}, 6) AS cum_uplift
+        FROM cum ORDER BY bin
+    """
+
+
+QUERIES["purchase_uplift_qini"] = purchase_uplift_qini
+ORACLE_SQL["purchase_uplift_qini"] = _qini_oracle_sql()
