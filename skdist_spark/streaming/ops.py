@@ -1772,3 +1772,53 @@ def stream_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["stream_bootstrap_ci"] = stream_bootstrap_ci
+
+
+def stream_events_at_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming point-in-time (SCD2) enrichment: the event STREAM
+    joined per micro-batch against the static tier-history dimension
+    on the closed-open interval condition, rolled up to
+    (tier_at_event, event_type) counts in update mode.
+
+    The stream-static join is stateless (each batch probes the static
+    side; no watermark state), which is exactly how a PIT dimension
+    lookup deploys — the dimension is the COMPACT change history, not
+    the event log, so the per-batch non-equi probe is bounded by the
+    dimension size.  pytest asserts the drained rollup equals the
+    batch ``events_at_tier`` exactly.
+    """
+    from pyspark.sql import Window
+
+    from ..plans.behavior import user_tier_history
+
+    hist = user_tier_history(spark, sf_dir).select(
+        F.col("user_id").alias("h_user"),
+        "tier",
+        "valid_from_us",
+        "valid_to_us",
+    )
+    ev = _read_event_stream(spark, sf_dir).select(
+        "user_id", F.expr("unix_micros(ts)").alias("us"), "event_type"
+    )
+    joined = ev.join(
+        hist,
+        (F.col("user_id") == F.col("h_user"))
+        & (F.col("us") >= F.col("valid_from_us"))
+        & (F.col("valid_to_us").isNull() | (F.col("us") < F.col("valid_to_us"))),
+    )
+    counts = joined.groupBy(
+        F.col("tier").alias("tier_at_event"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = run_stream_to_df(counts, output_mode="update")
+    w = Window.partitionBy("tier_at_event", "event_type").orderBy(
+        F.desc("n_events")
+    )
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("tier_at_event", "event_type", "n_events")
+        .orderBy("tier_at_event", "event_type")
+    )
+
+
+QUERIES["stream_events_at_tier"] = stream_events_at_tier

@@ -757,3 +757,15 @@ def test_stream_bootstrap_ci_equals_batch(spark):
     got = [tuple(r) for r in stream_bootstrap_ci(spark, sf).collect()]
     want = [tuple(r) for r in event_value_bootstrap(spark, sf).collect()]
     assert got == want and got
+
+
+def test_stream_events_at_tier_equals_batch(spark):
+    """Streaming PIT enrichment (stream-static interval join) must
+    equal the batch SCD2 rollup exactly."""
+    from skdist_spark.plans.behavior import events_at_tier
+    from skdist_spark.streaming.ops import stream_events_at_tier
+
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in stream_events_at_tier(spark, sf).collect()]
+    want = [tuple(r) for r in events_at_tier(spark, sf).collect()]
+    assert got == want and got
