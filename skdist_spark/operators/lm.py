@@ -856,3 +856,84 @@ def _source_js_oracle_sql() -> str:
 
 QUERIES["source_token_js"] = source_token_js
 ORACLE_SQL["source_token_js"] = _source_js_oracle_sql()
+
+
+# ---- corpus n-gram diversity (distinct-n) --------------------------------
+
+DIVERSITY_N = 3
+
+
+def ngram_diversity(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = DIVERSITY_N,
+) -> DataFrame:
+    """Distinct-n corpus diversity per group: distinct n-grams over
+    total n-grams — the standard self-repetition readout for training
+    corpora (a templated/boilerplate-heavy source scores low).
+
+    One scan: tokens materialize once per doc, the n-gram window is a
+    ``sequence`` transform (NOT deduplicated per doc — totals must
+    count repeats), then a single shuffle keyed (group, ngram) feeds
+    both the exact distinct count and the total with map-side combine.
+    At 100 TB this is the word-count shape on an n-gram key; skew is
+    bounded because the heavy n-grams collapse into one row per group
+    in the partial aggregate.
+    """
+    words = _SPARK_WORDS.replace("text", text_col)
+    grams = (
+        f"transform(sequence(1, greatest(size({words}) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice({words}, i, {n})))"
+    )
+    exploded = df.select(
+        F.col(group_col).alias("grp"), F.explode(F.expr(grams)).alias("gram")
+    )
+    per_gram = exploded.groupBy("grp", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_gram.groupBy("grp")
+        .agg(
+            F.sum("c").cast("long").alias("total_ngrams"),
+            F.count(F.lit(1)).cast("long").alias("distinct_ngrams"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "total_ngrams",
+            "distinct_ngrams",
+            F.round(
+                F.col("distinct_ngrams").cast("double") / F.col("total_ngrams"), 6
+            ).alias("distinct_ratio"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def source_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: per-source trigram distinct-ratio over documents."""
+    return ngram_diversity(load_table(spark, "documents", sf_dir))
+
+
+def _ngram_diversity_oracle_sql(n: int = DIVERSITY_N) -> str:
+    grams = (
+        f"list_transform(range(1, greatest(len(w) - {n - 1}, 1) + 1),"
+        f" i -> array_to_string(w[i:i+{n - 1}], ' '))"
+    )
+    return f"""
+        WITH toks AS (
+            SELECT source, {_DUCK_WORDS} AS w FROM documents
+        ), grams AS (
+            SELECT source, unnest({grams}) AS gram FROM toks
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+               CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+               ROUND(CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*), 6)
+                   AS distinct_ratio
+        FROM grams GROUP BY source ORDER BY source
+    """
+
+
+QUERIES["source_ngram_diversity"] = source_ngram_diversity
+ORACLE_SQL["source_ngram_diversity"] = _ngram_diversity_oracle_sql()

@@ -458,3 +458,127 @@ def _bm25_eval_oracle_sql() -> str:
 
 QUERIES["bm25_eval"] = bm25_eval
 ORACLE_SQL["bm25_eval"] = _bm25_eval_oracle_sql()
+
+
+# ---- index-based weighted (TF) cosine document pairs --------------------
+
+COSINE_NGRAM = 3       # shingle width for the similarity dimension
+COSINE_DF_PRUNE = 10   # drop shingles present in more docs than this
+COSINE_MIN = 0.5       # emit pairs at or above this cosine
+
+
+def tf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = COSINE_NGRAM,
+    df_prune: int = COSINE_DF_PRUNE,
+    min_cosine: float = COSINE_MIN,
+) -> DataFrame:
+    """Weighted near-duplicate pairs by TF cosine over n-gram counts —
+    the multiset complement of the set-Jaccard face (`similar_doc_pairs`):
+    a doc that repeats a shared phrase 5x scores higher here, identically
+    here, and the score is the classic sparse-vector cosine served by an
+    inverted index.
+
+    Index shape, not doc x doc: postings (gram, doc, tf) self-join on
+    the gram key, so work is sum(df^2) over surviving grams.  Grams
+    with df > ``df_prune`` are dropped BEFORE the join — the standard
+    stop-shingle prune that both bounds the fan-out (each survivor
+    contributes <= df_prune^2 pairs) and sharpens the metric (a gram in
+    half the corpus carries no signal).  Norms are computed over the
+    same pruned space so the cosine is exact for the pruned metric:
+    integer dot and squared norms, one sqrt+divide at the end.
+    """
+    words = _SPARK_WORDS.replace("text", text_col)
+    grams = (
+        f"transform(sequence(1, greatest(size({words}) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice({words}, i, {n})))"
+    )
+    postings = (
+        df.select(F.col(id_col).alias("doc"), F.explode(F.expr(grams)).alias("g"))
+        .groupBy("g", "doc")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = postings.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    pruned = postings.join(
+        docfreq.where(F.col("df") <= df_prune).select("g"), "g"
+    )
+    norms = pruned.groupBy("doc").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    )
+    a = pruned.select(F.col("doc").alias("da"), "g", F.col("tf").alias("tfa"))
+    b = pruned.select(F.col("doc").alias("db"), "g", F.col("tf").alias("tfb"))
+    dots = (
+        a.join(b, "g")
+        .where(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.sum(F.col("tfa") * F.col("tfb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc").alias("da"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col("doc").alias("db"), F.col("n2").alias("n2b"))
+    cos = F.col("dot").cast("double") / F.sqrt(
+        (F.col("n2a") * F.col("n2b")).cast("double")
+    )
+    return (
+        dots.join(na, "da")
+        .join(nb, "db")
+        .where(cos >= min_cosine)  # threshold the RAW cosine (oracle-aligned)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.col("dot").cast("long").alias("dot"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: trigram TF-cosine near-dup pairs over documents."""
+    return tf_cosine_pairs(load_table(spark, "documents", sf_dir))
+
+
+def _tf_cosine_oracle_sql(
+    n: int = COSINE_NGRAM,
+    df_prune: int = COSINE_DF_PRUNE,
+    min_cosine: float = COSINE_MIN,
+) -> str:
+    grams = (
+        f"list_transform(range(1, greatest(len(w) - {n - 1}, 1) + 1),"
+        f" i -> array_to_string(w[i:i+{n - 1}], ' '))"
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+        ), grams AS (
+            SELECT doc_id AS doc, unnest({grams}) AS g FROM toks
+        ), postings AS (
+            SELECT g, doc, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM grams GROUP BY g, doc
+        ), keep AS (
+            SELECT g FROM postings GROUP BY g HAVING COUNT(*) <= {df_prune}
+        ), pruned AS (
+            SELECT p.* FROM postings p JOIN keep USING (g)
+        ), norms AS (
+            SELECT doc, SUM(tf * tf) AS n2 FROM pruned GROUP BY doc
+        ), dots AS (
+            SELECT a.doc AS da, b.doc AS db, SUM(a.tf * b.tf) AS dot
+            FROM pruned a JOIN pruned b USING (g)
+            WHERE a.doc < b.doc GROUP BY a.doc, b.doc
+        )
+        SELECT da AS doc_a, db AS doc_b,
+               CAST(dot AS BIGINT) AS dot,
+               ROUND(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)), 6)
+                   AS cosine
+        FROM dots
+        JOIN norms na ON da = na.doc
+        JOIN norms nb ON db = nb.doc
+        WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE))
+              >= {min_cosine}
+        ORDER BY doc_a, doc_b
+    """
+
+
+QUERIES["tfidf_doc_pairs"] = tfidf_doc_pairs
+ORACLE_SQL["tfidf_doc_pairs"] = _tf_cosine_oracle_sql()

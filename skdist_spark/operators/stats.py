@@ -2042,3 +2042,182 @@ def _jackknife_oracle_sql() -> str:
 
 QUERIES["value_per_event_jackknife"] = value_per_event_jackknife
 ORACLE_SQL["value_per_event_jackknife"] = _jackknife_oracle_sql()
+
+
+# ---- rank correlation: Spearman rho + Kendall tau-b ---------------------
+#
+# The monotone-association pair the Pearson face (embedding_corr /
+# feature_corr) cannot see: does daily click VOLUME move with daily
+# purchase REVENUE even when the relationship is nonlinear?  Both run
+# on the aggregated daily series (bounded by the calendar, not the
+# data volume), so at 100 TB the only full-data pass is the one
+# groupBy(day) aggregation; everything after is a few-hundred-row
+# frame.  Exactness discipline mirrors acf/ccf: integer rank
+# arithmetic end-to-end, one DOUBLE division at the very end.
+
+
+def spearman_corr(
+    series: DataFrame, t_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Spearman rank correlation with a DETERMINISTIC total order:
+    ranks are ROW_NUMBER over (value, t_col), so ties break by time
+    identically on every engine and rho = 1 - 6*sum(d^2) / (n^3 - n)
+    is exact integer arithmetic until the final division.
+    """
+    wx = Window.orderBy(x_col, t_col)
+    wy = Window.orderBy(y_col, t_col)
+    ranked = series.select(
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+    )
+    d2 = (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+    g = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d2).cast("long").alias("sum_d2"),
+    )
+    rho = 1 - (6 * F.col("sum_d2")).cast("double") / (
+        F.col("n").cast("long") * F.col("n") * F.col("n") - F.col("n")
+    )
+    return g.select("n", "sum_d2", F.round(rho, 6).alias("rho"))
+
+
+def daily_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: Spearman rho of daily click count vs daily
+    purchase revenue (micros) — the nonparametric marketing-to-revenue
+    association readout."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END")
+        ).alias("clicks"),
+        F.sum(
+            F.expr(
+                "CASE WHEN event_type = 'purchase'"
+                " THEN CAST(floor(value * 1000000) AS BIGINT) ELSE 0 END"
+            )
+        ).alias("rev"),
+    )
+    return spearman_corr(daily, "day", "clicks", "rev")
+
+
+def _spearman_oracle_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                            THEN CAST(floor(value * 1000000) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev
+            FROM events GROUP BY 1
+        ), ranked AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY clicks, day) AS rx,
+                   ROW_NUMBER() OVER (ORDER BY rev, day) AS ry
+            FROM daily
+        ), g AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+            FROM ranked
+        )
+        SELECT n, sum_d2,
+               ROUND(1 - CAST(6 * sum_d2 AS DOUBLE) / (n * n * n - n), 6) AS rho
+        FROM g
+    """
+
+
+QUERIES["daily_spearman"] = daily_spearman
+ORACLE_SQL["daily_spearman"] = _spearman_oracle_sql()
+
+
+def kendall_tau(
+    series: DataFrame, t_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Kendall tau-b from exact pair counts: all t<t' pairs of the
+    aggregated series are classified concordant / discordant / tied,
+    and tau_b = (C - D) / sqrt((n0 - tx) * (n0 - ty)) is one DOUBLE
+    expression over those integers.  The self-join is quadratic in the
+    SERIES length (calendar days), not the event count — the pair
+    frame never leaves a few-thousand rows even at 100 TB, and Spark
+    broadcasts the smaller side.
+    """
+    a = series.select(
+        F.col(t_col).alias("ta"), F.col(x_col).alias("xa"), F.col(y_col).alias("ya")
+    )
+    b = series.select(
+        F.col(t_col).alias("tb"), F.col(x_col).alias("xb"), F.col(y_col).alias("yb")
+    )
+    pairs = a.join(b, F.col("ta") < F.col("tb"))
+    sgn = (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb"))
+    g = pairs.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.when(sgn > 0, 1).otherwise(0)).cast("long").alias("concordant"),
+        F.sum(F.when(sgn < 0, 1).otherwise(0)).cast("long").alias("discordant"),
+        F.sum(F.when(F.col("xa") == F.col("xb"), 1).otherwise(0))
+        .cast("long")
+        .alias("ties_x"),
+        F.sum(F.when(F.col("ya") == F.col("yb"), 1).otherwise(0))
+        .cast("long")
+        .alias("ties_y"),
+    )
+    tau = (F.col("concordant") - F.col("discordant")).cast("double") / F.sqrt(
+        ((F.col("n0") - F.col("ties_x")) * (F.col("n0") - F.col("ties_y"))).cast(
+            "double"
+        )
+    )
+    return g.select(
+        F.col("n0").cast("long").alias("n_pairs"),
+        "concordant",
+        "discordant",
+        "ties_x",
+        "ties_y",
+        F.round(tau, 6).alias("tau_b"),
+    )
+
+
+def daily_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: Kendall tau-b of daily click count vs daily
+    purchase revenue — the outlier-robust companion to
+    ``daily_spearman`` (a single wild day moves rho by whole rank
+    positions but each pair only once here)."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END")
+        ).alias("clicks"),
+        F.sum(
+            F.expr(
+                "CASE WHEN event_type = 'purchase'"
+                " THEN CAST(floor(value * 1000000) AS BIGINT) ELSE 0 END"
+            )
+        ).alias("rev"),
+    )
+    return kendall_tau(daily, "day", "clicks", "rev")
+
+
+def _kendall_oracle_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                            THEN CAST(floor(value * 1000000) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev
+            FROM daily_src GROUP BY 1
+        ), pairs AS (
+            SELECT a.clicks AS xa, a.rev AS ya, b.clicks AS xb, b.rev AS yb
+            FROM daily a JOIN daily b ON a.day < b.day
+        ), g AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+                   CAST(SUM(CASE WHEN (xa - xb) * (ya - yb) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                   CAST(SUM(CASE WHEN (xa - xb) * (ya - yb) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                   CAST(SUM(CASE WHEN xa = xb THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+                   CAST(SUM(CASE WHEN ya = yb THEN 1 ELSE 0 END) AS BIGINT) AS ty
+            FROM pairs
+        )
+        SELECT n0 AS n_pairs, c AS concordant, d AS discordant,
+               tx AS ties_x, ty AS ties_y,
+               ROUND(CAST(c - d AS DOUBLE)
+                     / sqrt(CAST((n0 - tx) * (n0 - ty) AS DOUBLE)), 6) AS tau_b
+        FROM g
+    """.replace("daily_src", "events")
+
+
+QUERIES["daily_kendall"] = daily_kendall
+ORACLE_SQL["daily_kendall"] = _kendall_oracle_sql()
