@@ -2358,3 +2358,99 @@ def _qini_oracle_sql() -> str:
 
 QUERIES["purchase_uplift_qini"] = purchase_uplift_qini
 ORACLE_SQL["purchase_uplift_qini"] = _qini_oracle_sql()
+
+
+# ---- A/B power / minimum-detectable-effect planner ----------------------
+
+_Z_ALPHA_05 = 1.959964  # two-sided 5%
+_Z_POWER_80 = 0.841621  # 80% power
+
+# exact integer/decimal moments -> one DOUBLE composition, textually
+# identical on both engines so the IEEE result is bit-equal
+_P_VAR = (
+    "((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))"
+)
+_P_MDE = (
+    f"(({_Z_ALPHA_05} + {_Z_POWER_80})"
+    f" * sqrt(2.0 * {_P_VAR} / CAST(n DIV 2 AS DOUBLE)))"
+)
+
+
+def ab_power_mde(
+    units: DataFrame, metric_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Experiment-design planner: for each group, the minimum
+    detectable effect of a 50/50 two-arm test on the per-unit metric at
+    alpha=5% (two-sided) and 80% power — MDE = (z_a + z_b) *
+    sqrt(2 * var / n_arm).  The answer every A/B test should read
+    BEFORE launch ('can this experiment even see a 2% lift?').
+
+    One aggregation pass collects exact integer/decimal moments
+    (n, sum, sum-of-squares); the MDE composition is a single DOUBLE
+    expression over them, so two engines agree bitwise.
+    """
+    g = units.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(metric_col).cast("decimal(38,0)")).alias("sx"),
+        F.sum(
+            F.col(metric_col).cast("decimal(19,0)") * F.col(metric_col)
+        ).alias("sxx"),
+    )
+    mean = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    return g.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n_units"),
+        F.expr("CAST(n DIV 2 AS BIGINT)").alias("n_per_arm"),
+        F.expr(f"ROUND({mean} / 1000000.0, 6)").alias("mean"),
+        F.expr(f"ROUND(sqrt({_P_VAR}) / 1000000.0, 6)").alias("sd"),
+        F.expr(f"ROUND({_P_MDE} / 1000000.0, 6)").alias("mde_abs"),
+        F.expr(f"ROUND(100.0 * {_P_MDE} / {mean}, 6)").alias("mde_rel_pct"),
+    ).orderBy(*group_cols)
+
+
+def ab_power_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: per-event-type MDE of a 50/50 user-split test on
+    per-user total value (micros) — the pre-launch power readout."""
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum(F.expr("CAST(floor(value * 1000000) AS BIGINT)")).alias(
+                "v_micros"
+            )
+        )
+    )
+    return ab_power_mde(ev, "v_micros", ["event_type"])
+
+
+def _power_oracle_sql() -> str:
+    mean = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    var = _P_VAR.replace("n DIV 2", "n // 2")
+    mde = _P_MDE.replace("n DIV 2", "n // 2")
+    return f"""
+        WITH q AS (
+            SELECT event_type, user_id,
+                   CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS v
+            FROM events GROUP BY event_type, user_id
+        ), g AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(v AS DECIMAL(38,0))) AS sx,
+                   SUM(CAST(v AS DECIMAL(19,0)) * v) AS sxx
+            FROM q GROUP BY event_type
+        )
+        SELECT event_type,
+               n AS n_units,
+               CAST(n // 2 AS BIGINT) AS n_per_arm,
+               ROUND({mean} / 1000000.0, 6) AS mean,
+               ROUND(sqrt({var}) / 1000000.0, 6) AS sd,
+               ROUND({mde} / 1000000.0, 6) AS mde_abs,
+               ROUND(100.0 * {mde} / {mean}, 6) AS mde_rel_pct
+        FROM g ORDER BY event_type
+    """
+
+
+QUERIES["ab_power_planner"] = ab_power_planner
+ORACLE_SQL["ab_power_planner"] = _power_oracle_sql()

@@ -2038,3 +2038,128 @@ ORACLE_SQL["user_streaks"] = f"""
 """
 
 QUERIES["user_streaks"] = user_streaks
+
+
+# ---- time-decay multi-touch attribution ---------------------------------
+
+DECAY_LOOKBACK_DAYS = 14  # touches older than this earn zero credit
+
+
+def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: every purchase spreads its
+    credit over the user's non-purchase touches in the prior
+    ``DECAY_LOOKBACK_DAYS`` days, each touch weighted 2^-(age_days) —
+    the half-life-of-one-day standard between first-touch and
+    last-touch extremes (`purchase_attribution` holds those two).
+
+    Exactness: weights are the INTEGERS 2^(LOOKBACK - age_days), the
+    per-purchase share is FLOOR(w_channel * 1e6 / w_total) ppm, and the
+    rollup sums those integers — no float accumulates anywhere, so the
+    result is fold-order-free on both engines.  (FLOOR under-credits
+    each purchase by < n_channels ppm; documented contract.)
+
+    Plan: the touch-to-purchase pairing is a user-keyed self-join
+    bounded by the lookback window (the interval-join shape — per-user
+    work is events-within-14-days, never the full history); one
+    aggregate per (purchase, channel); the per-purchase total rides a
+    window over the same partitioning; final rollup is channel-keyed.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("p_cents"),
+    )
+    touches = ev.where(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    age = F.datediff(F.to_date("p_ts"), F.to_date("t_ts"))
+    paired = purchases.join(
+        touches,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (age <= DECAY_LOOKBACK_DAYS),
+    ).select(
+        "p_id",
+        "p_cents",
+        "channel",
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), {DECAY_LOOKBACK_DAYS}"
+            " - datediff(to_date(p_ts), to_date(t_ts)))"
+        ).alias("w"),
+    )
+    per_chan = paired.groupBy("p_id", "p_cents", "channel").agg(
+        F.sum("w").alias("wc"), F.count(F.lit(1)).alias("n_touches")
+    )
+    shares = per_chan.select(
+        "channel",
+        "n_touches",
+        F.expr("CAST(wc * 1000000 DIV SUM(wc) OVER (PARTITION BY p_id) AS BIGINT)").alias(
+            "share_ppm"
+        ),
+        F.expr(
+            "CAST(p_cents * wc DIV SUM(wc) OVER (PARTITION BY p_id) AS BIGINT)"
+        ).alias("credit_cents"),
+    )
+    return (
+        shares.groupBy("channel")
+        .agg(
+            F.sum("share_ppm").cast("long").alias("conversions_ppm"),
+            F.sum("credit_cents").cast("long").alias("revenue_cents"),
+            F.sum("n_touches").cast("long").alias("n_touches"),
+        )
+        .select(
+            "channel",
+            "conversions_ppm",
+            F.round(F.col("conversions_ppm") / 1e6, 6).alias("conversions"),
+            "revenue_cents",
+            "n_touches",
+        )
+        .orderBy("channel")
+    )
+
+
+ORACLE_SQL["time_decay_attribution"] = f"""
+    WITH purchases AS (
+        SELECT user_id AS p_user, ts AS p_ts, event_id AS p_id,
+               CAST(floor(value * 100) AS BIGINT) AS p_cents
+        FROM events WHERE event_type = 'purchase'
+    ), touches AS (
+        SELECT user_id AS t_user, ts AS t_ts, event_type AS channel
+        FROM events WHERE event_type != 'purchase'
+    ), paired AS (
+        SELECT p_id, p_cents, channel,
+               CAST(1 AS BIGINT) << ({DECAY_LOOKBACK_DAYS}
+                   - date_diff('day', CAST(t_ts AS DATE), CAST(p_ts AS DATE)))
+                   AS w
+        FROM purchases JOIN touches
+          ON p_user = t_user AND t_ts < p_ts
+         AND date_diff('day', CAST(t_ts AS DATE), CAST(p_ts AS DATE))
+             <= {DECAY_LOOKBACK_DAYS}
+    ), per_chan AS (
+        SELECT p_id, p_cents, channel,
+               CAST(SUM(w) AS BIGINT) AS wc,
+               CAST(COUNT(*) AS BIGINT) AS n_touches
+        FROM paired GROUP BY p_id, p_cents, channel
+    ), shares AS (
+        SELECT channel, n_touches,
+               CAST(wc * 1000000 // SUM(wc) OVER (PARTITION BY p_id) AS BIGINT)
+                   AS share_ppm,
+               CAST(p_cents * wc // SUM(wc) OVER (PARTITION BY p_id) AS BIGINT)
+                   AS credit_cents
+        FROM per_chan
+    )
+    SELECT channel,
+           CAST(SUM(share_ppm) AS BIGINT) AS conversions_ppm,
+           ROUND(CAST(SUM(share_ppm) AS BIGINT) / 1000000.0, 6) AS conversions,
+           CAST(SUM(credit_cents) AS BIGINT) AS revenue_cents,
+           CAST(SUM(n_touches) AS BIGINT) AS n_touches
+    FROM shares GROUP BY channel ORDER BY channel
+"""
+
+QUERIES["time_decay_attribution"] = time_decay_attribution
