@@ -21,8 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from skdist_spark.operators import (  # noqa: E402
-    clustering, decomp, dedup, graph, lm, multimodal, quality, retrieval,
-    sampling, setsim, similarity, sketches, stats, text, tsa,
+    clustering, decomp, dedup, graph, lm, multimodal, quality, recommend,
+    retrieval, sampling, setsim, similarity, sketches, stats, text, tsa,
 )
 from skdist_spark import pipeline  # noqa: E402
 from skdist_spark.plans import behavior, ml_queries, tpch, windows  # noqa: E402
@@ -31,7 +31,7 @@ from skdist_spark.streaming import ops as streaming_ops  # noqa: E402
 _MODULES = [
     tpch, windows, behavior, dedup, graph, text, lm, decomp, quality,
     similarity, setsim, sketches, stats, tsa, sampling, retrieval, clustering,
-    multimodal, ml_queries, streaming_ops, pipeline,
+    multimodal, recommend, ml_queries, streaming_ops, pipeline,
 ]
 
 # The driver's CORRECTNESS sweep checks only the FIRST 50 registry entries
