@@ -74,6 +74,10 @@ _PRIORITY = [
     # upgrade its r2 no_oracle row to a hash-checked green.
     "event_pagerank",
     # -- ROUND-4 QUEUE (past the 50-entry cap; all locally green) --
+    # Newest (round-3 continuation 2): rank correlation, corpus
+    # diversity, index-based TF cosine, time-decay credit, MDE planner.
+    "daily_spearman", "daily_kendall", "source_ngram_diversity",
+    "tfidf_doc_pairs", "time_decay_attribution", "ab_power_planner",
     # Leads with the round-3 FINAL-continuation eval/uncertainty batch
     # (bootstrap CI, ANN recall + probe sweep, BM25 eval, JS divergence,
     # DiD, seasonal decompose, revenue decomposition, k-anonymity,
