@@ -1072,3 +1072,142 @@ def _assortativity_sql() -> str:
 
 QUERIES["doc_graph_assortativity"] = doc_graph_assortativity
 ORACLE_SQL["doc_graph_assortativity"] = _assortativity_sql()
+
+
+# ---- partition modularity ------------------------------------------------
+
+
+def partition_modularity(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    labels: DataFrame,
+    node_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Newman modularity of a given node partition over an undirected
+    simple graph (one row per edge, src < dst): per community c,
+    q_contrib_c = e_c/m - (d_c/2m)^2, where e_c = intra-community
+    edges and d_c = total degree of c's nodes.  Emitted as the exact
+    integer numerator (4*m*e_c - d_c^2) plus the one-division DOUBLE
+    contribution, so Q = SUM(q_contrib) and the integers replay on any
+    engine.
+
+    Work is edge-linear: two label lookups per edge (join on each
+    endpoint), one degree aggregate, one community rollup — nothing is
+    ever node x node, so the shape holds on a 100 TB edge list.
+    """
+    lab = labels.select(
+        F.col(node_col).alias("_n"), F.col(label_col).alias("_c")
+    )
+    e = (
+        edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+        .join(lab.withColumnRenamed("_n", "_a").withColumnRenamed("_c", "_ca"), "_a")
+        .join(lab.withColumnRenamed("_n", "_b").withColumnRenamed("_c", "_cb"), "_b")
+    )
+    m_row = e.agg(F.count(F.lit(1)).alias("m"))
+    deg = (
+        e.select(F.col("_a").alias("_n"), F.col("_ca").alias("_c"))
+        .unionAll(e.select(F.col("_b").alias("_n"), F.col("_cb").alias("_c")))
+        .groupBy("_c")
+        .agg(F.count(F.lit(1)).alias("d_c"), F.count_distinct("_n").alias("n_nodes"))
+    )
+    intra = (
+        e.where(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("_c"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    return (
+        deg.join(intra, "_c", "left")
+        .na.fill({"e_c": 0})
+        .crossJoin(F.broadcast(m_row))
+        .select(
+            F.col("_c").alias(label_col),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("e_c").cast("long").alias("intra_edges"),
+            F.col("d_c").cast("long").alias("degree_sum"),
+            F.expr("CAST(4 * m * e_c - d_c * d_c AS BIGINT)").alias("q_numer"),
+            F.expr(
+                "ROUND(CAST(4 * m * e_c - d_c * d_c AS DOUBLE)"
+                " / (4.0 * m * m), 6)"
+            ).alias("q_contrib"),
+        )
+        .orderBy(label_col)
+    )
+
+
+def brand_copurchase_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: does co-purchasing concentrate within part
+    brands?  Edges are part pairs co-occurring in >= 2 orders (the
+    market-basket graph, fan-out bounded by basket size); the
+    partition is p_brand; SUM(q_contrib) is the graph's brand
+    modularity — near zero means brands don't structure baskets."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    op = li.distinct()
+    a, b = op.alias("a").hint("merge"), op.alias("b").hint("merge")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    part = load_table(spark, "part", sf_dir).select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("brand")
+    )
+    return partition_modularity(pairs, "part_a", "part_b", part, "node", "brand")
+
+
+def _brand_modularity_sql() -> str:
+    return """
+        WITH op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ), e AS (
+            SELECT pa.p_brand AS ca, pb.p_brand AS cb
+            FROM pairs
+            JOIN part pa ON pa.p_partkey = part_a
+            JOIN part pb ON pb.p_partkey = part_b
+        ), m_row AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e
+        ), deg AS (
+            SELECT c, CAST(COUNT(*) AS BIGINT) AS d_c,
+                   CAST(COUNT(DISTINCT n) AS BIGINT) AS n_nodes
+            FROM (
+                SELECT ca AS c, part_a AS n FROM (
+                    SELECT pa.p_brand AS ca, pairs.part_a
+                    FROM pairs JOIN part pa ON pa.p_partkey = part_a)
+                UNION ALL
+                SELECT cb AS c, part_b AS n FROM (
+                    SELECT pb.p_brand AS cb, pairs.part_b
+                    FROM pairs JOIN part pb ON pb.p_partkey = part_b)
+            ) GROUP BY c
+        ), intra AS (
+            SELECT ca AS c, CAST(COUNT(*) AS BIGINT) AS e_c
+            FROM e WHERE ca = cb GROUP BY ca
+        )
+        SELECT deg.c AS brand,
+               n_nodes,
+               CAST(COALESCE(intra.e_c, 0) AS BIGINT) AS intra_edges,
+               d_c AS degree_sum,
+               CAST(4 * m * COALESCE(intra.e_c, 0) - d_c * d_c AS BIGINT) AS q_numer,
+               ROUND(CAST(4 * m * COALESCE(intra.e_c, 0) - d_c * d_c AS DOUBLE)
+                     / (4.0 * m * m), 6) AS q_contrib
+        FROM deg LEFT JOIN intra ON deg.c = intra.c
+        CROSS JOIN m_row
+        ORDER BY brand
+    """
+
+
+QUERIES["brand_copurchase_modularity"] = brand_copurchase_modularity
+ORACLE_SQL["brand_copurchase_modularity"] = _brand_modularity_sql()

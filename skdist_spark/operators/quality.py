@@ -753,3 +753,134 @@ ORACLE_SQL["orders_reconciliation"] = """
 """
 
 QUERIES["orders_reconciliation"] = orders_reconciliation
+
+
+# ---- l-diversity ---------------------------------------------------------
+
+LDIV_THRESHOLDS = (2, 3, 5)
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    thresholds: tuple = LDIV_THRESHOLDS,
+) -> DataFrame:
+    """Privacy DQ beyond k-anonymity: a quasi-identifier class can be
+    large yet still leak if everyone in it shares the SAME sensitive
+    value — distinct l-diversity counts the sensitive values per class
+    and reports, per threshold l, the classes (and row mass) where an
+    attacker who links the quasi columns learns the sensitive
+    attribute to within fewer than l candidates.
+
+    One groupBy on (quasi, sensitive) then a quasi-level rollup —
+    exact integer counts, FLOOR-ppm risk mass, threshold explode over
+    the tiny class frame only.
+    """
+    per_sv = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    classes = per_sv.groupBy(*quasi_cols).agg(
+        F.sum("n").alias("n_rows_class"),
+        F.count(F.lit(1)).alias("l_distinct"),
+    )
+    totals = classes.agg(
+        F.sum("n_rows_class").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+    )
+    ls = F.explode(F.array(*[F.lit(v) for v in thresholds])).alias("l")
+    per_l = (
+        classes.select(ls, "n_rows_class", "l_distinct")
+        .groupBy("l")
+        .agg(
+            F.sum(
+                F.when(F.col("l_distinct") < F.col("l"), 1).otherwise(0)
+            ).alias("classes_below_l"),
+            F.sum(
+                F.when(F.col("l_distinct") < F.col("l"), F.col("n_rows_class"))
+                .otherwise(0)
+            ).alias("rows_below_l"),
+        )
+    )
+    return (
+        per_l.crossJoin(F.broadcast(totals))
+        .select(
+            "l",
+            F.col("n_classes").cast("long").alias("n_classes"),
+            F.col("classes_below_l").cast("long").alias("classes_below_l"),
+            F.col("rows_below_l").cast("long").alias("rows_below_l"),
+            F.expr("CAST(rows_below_l * 1000000 DIV n_rows AS BIGINT)").alias(
+                "risk_ppm"
+            ),
+        )
+        .orderBy("l")
+    )
+
+
+def customer_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: l-diversity of the market segment (sensitive)
+    within (nation, first-order-year) quasi-identifier classes — the
+    follow-up question to `customer_kanonymity`: even where classes
+    are big, does everyone in one share a segment?"""
+    from ..sources.catalog import load_table as _lt
+
+    cust = _lt(spark, "customer", sf_dir)
+    orders = _lt(spark, "orders", sf_dir)
+    first = orders.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("first_year")
+    )
+    quasi = cust.join(
+        first, cust["c_custkey"] == first["o_custkey"], "left"
+    ).select(
+        "c_nationkey",
+        F.coalesce("first_year", F.lit(0)).alias("first_year"),
+        "c_mktsegment",
+    )
+    return l_diversity_audit(
+        quasi, ["c_nationkey", "first_year"], "c_mktsegment"
+    )
+
+
+def _ldiversity_oracle_sql() -> str:
+    ls = ", ".join(str(v) for v in LDIV_THRESHOLDS)
+    return f"""
+        WITH quasi AS (
+            SELECT c.c_nationkey,
+                   COALESCE(f.first_year, 0) AS first_year,
+                   c.c_mktsegment
+            FROM customer c LEFT JOIN (
+                SELECT o_custkey,
+                       CAST(MIN(year(CAST(o_orderdate AS DATE))) AS INTEGER) AS first_year
+                FROM orders GROUP BY 1
+            ) f ON c.c_custkey = f.o_custkey
+        ), per_sv AS (
+            SELECT c_nationkey, first_year, c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM quasi GROUP BY 1, 2, 3
+        ), classes AS (
+            SELECT c_nationkey, first_year,
+                   CAST(SUM(n) AS BIGINT) AS n_rows_class,
+                   CAST(COUNT(*) AS BIGINT) AS l_distinct
+            FROM per_sv GROUP BY 1, 2
+        ), totals AS (
+            SELECT CAST(SUM(n_rows_class) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_classes
+            FROM classes
+        ), per_l AS (
+            SELECT l,
+                   CAST(SUM(CASE WHEN l_distinct < l THEN 1 ELSE 0 END) AS BIGINT)
+                       AS classes_below_l,
+                   CAST(SUM(CASE WHEN l_distinct < l THEN n_rows_class ELSE 0 END) AS BIGINT)
+                       AS rows_below_l
+            FROM classes CROSS JOIN (SELECT UNNEST([{ls}]) AS l) t
+            GROUP BY l
+        )
+        SELECT CAST(l AS INTEGER) AS l, n_classes, classes_below_l, rows_below_l,
+               CAST(rows_below_l * 1000000 // n_rows AS BIGINT) AS risk_ppm
+        FROM per_l CROSS JOIN totals
+        ORDER BY l
+    """
+
+
+QUERIES["customer_ldiversity"] = customer_ldiversity
+ORACLE_SQL["customer_ldiversity"] = _ldiversity_oracle_sql()

@@ -2221,3 +2221,105 @@ def _kendall_oracle_sql() -> str:
 
 QUERIES["daily_kendall"] = daily_kendall
 ORACLE_SQL["daily_kendall"] = _kendall_oracle_sql()
+
+
+# ---- winsorized mean -----------------------------------------------------
+
+
+def winsorized_mean(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    order_tiebreak: str,
+    trim_ppm: int = TRIM_PPM,
+) -> DataFrame:
+    """Per-group winsorized mean: CLAMP (don't drop) the k lowest
+    values to the (k+1)-th and the k highest to the (n-k)-th, k =
+    floor(n * trim_ppm / 1e6) — `trimmed_mean`'s companion that keeps
+    n constant, so downstream per-row math stays aligned.  Integer
+    identity: winsorized sum = mid-rank sum + k*lo + k*hi, all exact
+    DECIMAL until the final divide.  Same single group-key window as
+    the trimmed face.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(value_col).asc(), F.col(order_tiebreak).asc()
+    )
+    ranked = df.select(
+        *group_cols,
+        F.col(value_col).alias("v"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy(*group_cols)).alias("n"),
+    ).withColumn("k", F.expr(f"(n * {trim_ppm}) div 1000000"))
+    return (
+        ranked.groupBy(*group_cols)
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("k").cast("long").alias("n_clamped_each_side"),
+            F.max(F.when(F.col("rk") == F.col("k") + 1, F.col("v"))).alias("lo"),
+            F.max(F.when(F.col("rk") == F.col("n") - F.col("k"), F.col("v"))).alias(
+                "hi"
+            ),
+            F.expr(
+                "SUM(CASE WHEN rk > k AND rk <= n - k"
+                " THEN CAST(v AS DECIMAL(38,0)) ELSE 0 END)"
+            ).alias("mid_sum"),
+        )
+        .select(
+            *group_cols,
+            "n",
+            "n_clamped_each_side",
+            F.expr("ROUND(CAST(lo AS DOUBLE) / 1000000.0, 6)").alias("lo_clamp"),
+            F.expr("ROUND(CAST(hi AS DOUBLE) / 1000000.0, 6)").alias("hi_clamp"),
+            F.expr(
+                "ROUND(CAST(mid_sum + CAST(n_clamped_each_side AS DECIMAL(38,0))"
+                " * (lo + hi) AS DOUBLE) / n / 1000000.0, 6)"
+            ).alias("winsorized_mean"),
+        )
+        .orderBy(*group_cols)
+    )
+
+
+def event_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-winsorized mean of event value per event type — read beside
+    `event_value_trimmed`: a big trimmed-vs-winsorized gap means the
+    tail mass sits just past the clamp points."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("v_micros"),
+    )
+    return winsorized_mean(ev, ["event_type"], "v_micros", "event_id")
+
+
+def _winsorized_oracle_sql(trim_ppm: int = TRIM_PPM) -> str:
+    return f"""
+        WITH ranked AS (
+            SELECT event_type,
+                   CAST(floor(value * 1000000) AS BIGINT) AS v,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                        ORDER BY CAST(floor(value * 1000000) AS BIGINT), event_id) AS rk,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        ), kd AS (
+            SELECT *, CAST(n * {trim_ppm} AS BIGINT) // 1000000 AS k FROM ranked
+        ), g AS (
+            SELECT event_type,
+                   CAST(MAX(n) AS BIGINT) AS n,
+                   CAST(MAX(k) AS BIGINT) AS n_clamped_each_side,
+                   MAX(CASE WHEN rk = k + 1 THEN v END) AS lo,
+                   MAX(CASE WHEN rk = n - k THEN v END) AS hi,
+                   SUM(CASE WHEN rk > k AND rk <= n - k
+                       THEN CAST(v AS DECIMAL(38,0)) ELSE 0 END) AS mid_sum
+            FROM kd GROUP BY event_type
+        )
+        SELECT event_type, n, n_clamped_each_side,
+               ROUND(lo / 1000000.0, 6) AS lo_clamp,
+               ROUND(hi / 1000000.0, 6) AS hi_clamp,
+               ROUND(CAST(mid_sum + CAST(n_clamped_each_side AS DECIMAL(38,0))
+                     * (lo + hi) AS DOUBLE) / n / 1000000.0, 6) AS winsorized_mean
+        FROM g ORDER BY event_type
+    """
+
+
+QUERIES["event_value_winsorized"] = event_value_winsorized
+ORACLE_SQL["event_value_winsorized"] = _winsorized_oracle_sql()
