@@ -571,3 +571,43 @@ def parquet_stats_report(
             "footer_bytes long, min_value string, max_value string"
         ),
     )
+
+
+def insert_overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in ``df``, leaving every other partition of the target untouched —
+    the idempotent daily-backfill write ("re-land 2024-03-05" without
+    clobbering the rest of the table).
+
+    Uses Spark's native ``partitionOverwriteMode=dynamic`` so the
+    swap is per-partition-directory and atomic at the file-commit
+    level; the conf is set per-write and restored, never leaked into
+    the session.  At 100 TB this is THE pattern that avoids
+    read-modify-write of the full table for an incremental re-land.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    try:
+        spark.conf.set(key, "dynamic")
+        (
+            df.write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(key, prev)
+
+
+def read_merged_schema(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: union the schemas of every parquet file
+    under ``path`` (``mergeSchema=true``) so files written before a
+    column existed surface it as NULL instead of failing the scan —
+    the forward-compatible read for tables that gained columns over
+    time.  Footer-only work: no data pass happens to build the merged
+    schema."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

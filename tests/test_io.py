@@ -495,3 +495,60 @@ def test_jsonl_manifest_writer_roundtrip(spark, tmp_path):
     back = read_jsonl_manifest(spark, out)
     got = sorted((r.k, r.v) for r in back.collect())
     assert got == [(i, str(i * 2)) for i in range(100)]
+
+
+def test_insert_overwrite_partitions_touches_only_present(spark, tmp_path):
+    """Dynamic overwrite replaces exactly the partitions in the incoming
+    frame; untouched partitions keep their original rows."""
+    from pyspark.sql import functions as F
+
+    from skdist_spark.sources.io import insert_overwrite_partitions
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(d, i, "old") for d in ("a", "b", "c") for i in range(4)],
+        ["day", "k", "v"],
+    )
+    insert_overwrite_partitions(base, path, ["day"])
+    # re-land ONLY day=b with different content (2 rows, new value)
+    incoming = spark.createDataFrame(
+        [("b", 99, "new"), ("b", 100, "new")], ["day", "k", "v"]
+    )
+    insert_overwrite_partitions(incoming, path, ["day"])
+    got = spark.read.parquet(path)
+    per_day = {
+        r["day"]: (r["n"], r["vals"])
+        for r in got.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.array_sort(F.collect_set("v")).alias("vals"),
+        )
+        .collect()
+    }
+    assert per_day["a"] == (4, ["old"])
+    assert per_day["c"] == (4, ["old"])
+    assert per_day["b"] == (2, ["new"])
+    # the session conf was restored, not leaked
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        != "dynamic"
+    )
+
+
+def test_read_merged_schema_unions_columns(spark, tmp_path):
+    """Files written before a column existed surface it as NULL under
+    mergeSchema instead of failing or silently dropping it."""
+    from skdist_spark.sources.io import read_merged_schema
+
+    path = str(tmp_path / "evo")
+    spark.createDataFrame([(1, "x")], ["id", "a"]).write.parquet(
+        path + "/p=1"
+    )
+    spark.createDataFrame([(2, "y", 7.5)], ["id", "a", "b"]).write.parquet(
+        path + "/p=2"
+    )
+    got = read_merged_schema(spark, path)
+    assert set(got.columns) >= {"id", "a", "b"}
+    rows = {r["id"]: (r["a"], r["b"]) for r in got.collect()}
+    assert rows[1] == ("x", None)
+    assert rows[2] == ("y", 7.5)
