@@ -79,7 +79,7 @@ _PRIORITY = [
     "daily_spearman", "daily_kendall", "source_ngram_diversity",
     "tfidf_doc_pairs", "time_decay_attribution", "ab_power_planner",
     "event_value_winsorized", "customer_ldiversity",
-    "brand_copurchase_modularity",
+    "brand_copurchase_modularity", "embedding_jl_eval",
     # Leads with the round-3 FINAL-continuation eval/uncertainty batch
     # (bootstrap CI, ANN recall + probe sweep, BM25 eval, JS divergence,
     # DiD, seasonal decompose, revenue decomposition, k-anonymity,

@@ -292,3 +292,166 @@ def embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["embedding_whiten"] = embedding_whiten
+
+
+# ---- Johnson-Lindenstrauss random projection ------------------------------
+
+JL_OUT_DIMS = 16
+JL_BAND_LO = 7   # in-band distortion ratio lower bound, tenths
+JL_BAND_HI = 13  # ... upper bound, tenths
+_JL_K1 = 2654435761
+
+
+def _jl_sign(engine: str, i: str, j: str) -> str:
+    """±1 sign for (input dim i, output dim j) — a pure integer hash,
+    identical text on both engines (operands stay < 2^44, no overflow
+    or negative operand, so plain % and // agree everywhere).
+
+    The sign is the TOP bit of a Knuth multiplicative hash of the
+    combined index: low-bit parity of a linear form is NOT random
+    ((a*i + b*j) % 2 with odd a, b degenerates to (-1)^(i+j), a rank-1
+    'matrix' that destroys the JL guarantee — caught by the in-band
+    eval itself)."""
+    expr = (
+        f"((({i} * 4096 + {j} + 1) * {_JL_K1}) % 4294967296)"
+        f" // 2147483648"
+    )
+    if engine == "spark":
+        expr = expr.replace("//", "div")
+    return f"(CASE WHEN {expr} = 0 THEN 1 ELSE -1 END)"
+
+
+def jl_project_expr(vec_col: str, out_dims: int = JL_OUT_DIMS) -> str:
+    """Spark SQL expression: project a quantized BIGINT vector (micro
+    units) onto ``out_dims`` hash-sign directions — the
+    database-friendly Achlioptas form of Johnson-Lindenstrauss (no
+    dense Gaussian matrix is materialized anywhere; the matrix IS the
+    hash).  Pure integer arithmetic: y_j = sum_i s(i,j) * v_i.
+    """
+    sign = _jl_sign("spark", "i", "j")
+    return (
+        f"transform(sequence(0, {out_dims - 1}), j -> "
+        f"aggregate(sequence(0, size({vec_col}) - 1), 0L, "
+        f"(acc, i) -> acc + {sign} * element_at({vec_col}, i + 1)))"
+    )
+
+
+def embedding_jl_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: JL distance preservation on consecutive-id
+    embedding pairs (2m, 2m+1): squared L2 before (64-dim micro ints)
+    vs after (16 hash-sign dims, scaled by 1/k), in-band share for
+    ratio in [0.7, 1.3] decided by exact integer cross-multiplication,
+    min/max ratio as the only float ops.
+
+    The projection is map-side (no shuffle at all until the pair
+    join on the consecutive-id key); at 100 TB the eval sample stays
+    a bounded slice while the projection itself streams.
+    """
+    k = JL_OUT_DIMS
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(x * 1000000) AS BIGINT))"
+        ).alias("v"),
+    )
+    proj = emb.select(
+        "vec_id", "v", F.expr(jl_project_expr("v")).alias("y")
+    )
+    a = proj.select(
+        (F.col("vec_id") / 2).cast("long").alias("pair_id"),
+        F.col("vec_id").alias("ida"),
+        F.col("v").alias("va"),
+        F.col("y").alias("ya"),
+    ).where(F.col("ida") % 2 == 0)
+    b = proj.select(
+        (F.col("vec_id") / 2).cast("long").alias("pair_id"),
+        F.col("vec_id").alias("idb"),
+        F.col("v").alias("vb"),
+        F.col("y").alias("yb"),
+    ).where(F.col("idb") % 2 == 1)
+    d2 = (
+        a.join(b, "pair_id")
+        .select(
+            "pair_id",
+            F.expr(
+                "aggregate(zip_with(va, vb, (x, y) -> (x - y) * (x - y)),"
+                " 0L, (acc, t) -> acc + t)"
+            ).alias("do2"),
+            F.expr(
+                "aggregate(zip_with(ya, yb, (x, y) -> (x - y) * (x - y)),"
+                " 0L, (acc, t) -> acc + t)"
+            ).alias("dp2"),
+        )
+        .where(F.col("do2") > 0)
+    )
+    ratio = F.expr(f"CAST(dp2 AS DOUBLE) / (CAST({k} AS DOUBLE) * CAST(do2 AS DOUBLE))")
+    return d2.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN 10 * dp2 >= {JL_BAND_LO} * {k} * do2"
+                f" AND 10 * dp2 <= {JL_BAND_HI} * {k} * do2 THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("n_in_band"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN 10 * dp2 >= {JL_BAND_LO} * {k} * do2"
+            f" AND 10 * dp2 <= {JL_BAND_HI} * {k} * do2 THEN 1 ELSE 0 END)"
+            f" * 1000000 DIV COUNT(*) AS BIGINT)"
+        ).alias("in_band_ppm"),
+        F.round(F.min(ratio), 6).alias("min_ratio"),
+        F.round(F.max(ratio), 6).alias("max_ratio"),
+    )
+
+
+def _jl_oracle_sql(k: int = JL_OUT_DIMS) -> str:
+    sign = _jl_sign("duck", "i", "j")
+    proj = (
+        f"list_transform(range(0, {k}), j -> "
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(range(0, len(v)), i -> {sign} * v[i + 1])),"
+        f" (acc, t) -> acc + t))"
+    )
+    ratio = f"(CAST(dp2 AS DOUBLE) / (CAST({k} AS DOUBLE) * CAST(do2 AS DOUBLE)))"
+    band = (
+        f"10 * dp2 >= {JL_BAND_LO} * {k} * do2"
+        f" AND 10 * dp2 <= {JL_BAND_HI} * {k} * do2"
+    )
+    return f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+            FROM embeddings
+        ), proj AS (
+            SELECT vec_id, v, {proj} AS y FROM q
+        ), pairs AS (
+            SELECT a.v AS va, b.v AS vb, a.y AS ya, b.y AS yb
+            FROM proj a JOIN proj b
+              ON b.vec_id = a.vec_id + 1
+             AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+        ), d AS (
+            SELECT
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(0, len(va)),
+                  i -> (va[i + 1] - vb[i + 1]) * (va[i + 1] - vb[i + 1]))),
+                (acc, t) -> acc + t) AS do2,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(0, {k}),
+                  i -> (ya[i + 1] - yb[i + 1]) * (ya[i + 1] - yb[i + 1]))),
+                (acc, t) -> acc + t) AS dp2
+            FROM pairs
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN {band} THEN 1 ELSE 0 END) AS BIGINT) AS n_in_band,
+               CAST(SUM(CASE WHEN {band} THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT) AS in_band_ppm,
+               ROUND(MIN({ratio}), 6) AS min_ratio,
+               ROUND(MAX({ratio}), 6) AS max_ratio
+        FROM d WHERE do2 > 0
+    """
+
+
+QUERIES["embedding_jl_eval"] = embedding_jl_eval
+ORACLE_SQL["embedding_jl_eval"] = _jl_oracle_sql()
