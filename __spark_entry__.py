@@ -80,6 +80,7 @@ _PRIORITY = [
     "tfidf_doc_pairs", "time_decay_attribution", "ab_power_planner",
     "event_value_winsorized", "customer_ldiversity",
     "brand_copurchase_modularity", "embedding_jl_eval",
+    "unigram_vocab_table", "ml_als_recommend",
     # Leads with the round-3 FINAL-continuation eval/uncertainty batch
     # (bootstrap CI, ANN recall + probe sweep, BM25 eval, JS divergence,
     # DiD, seasonal decompose, revenue decomposition, k-anonymity,

@@ -937,3 +937,192 @@ def _ngram_diversity_oracle_sql(n: int = DIVERSITY_N) -> str:
 
 QUERIES["source_ngram_diversity"] = source_ngram_diversity
 ORACLE_SQL["source_ngram_diversity"] = _ngram_diversity_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Distributed unigram-LM tokenizer training (SentencePiece-style hard EM)
+# ---------------------------------------------------------------------------
+
+UNI_MAX_PIECE = 4   # max piece length (chars)
+UNI_SEED = 400      # seed candidates kept (plus full char coverage)
+UNI_VOCAB = 120     # post-prune vocabulary target (chars always kept)
+UNI_ITERS = 4       # hard-EM (Viterbi) rounds
+
+
+def viterbi_segment(
+    word: str, logp: dict, max_piece: int = UNI_MAX_PIECE
+) -> list[str]:
+    """Best segmentation of ``word`` under piece log-probs: maximize
+    total logp; exact ties prefer the LONGER last piece (smaller start
+    index) — a total, engine-free tie order.  The test suite replays
+    this same spec in an independent implementation, so the DP here
+    must stay boring."""
+    n = len(word)
+    best: list[tuple[float, int]] = [(0.0, 0)] + [(-float("inf"), -1)] * n
+    for end in range(1, n + 1):
+        sc, st = -float("inf"), -1
+        for start in range(max(0, end - max_piece), end):
+            piece = word[start:end]
+            lp = logp.get(piece)
+            if lp is None or best[start][1] < 0 and start != 0:
+                continue
+            if best[start][0] == -float("inf"):
+                continue
+            cand = best[start][0] + lp
+            # strict > keeps the FIRST (longest-piece) candidate on ties
+            if cand > sc:
+                sc, st = cand, start
+        best[end] = (sc, st)
+    if best[n][0] == -float("inf"):  # uncovered char: fall back to chars
+        return list(word)
+    out: list[str] = []
+    end = n
+    while end > 0:
+        start = best[end][1]
+        out.append(word[start:end])
+        end = start
+    out.reverse()
+    return out
+
+
+def unigram_train(
+    df: DataFrame,
+    text_col: str = "text",
+    max_piece: int = UNI_MAX_PIECE,
+    seed_size: int = UNI_SEED,
+    vocab_size: int = UNI_VOCAB,
+    iters: int = UNI_ITERS,
+) -> list[tuple[str, int]]:
+    """SentencePiece-style unigram tokenizer training, distributed:
+    returns the final [(piece, viterbi_count), ...] sorted by
+    (count desc, piece asc) — the vocabulary a serving tokenizer loads.
+
+    Spark-first shape (BPE's sibling, one abstraction up):
+    - ONE corpus scan builds the word vocabulary (word, count); every
+      round after touches vocab-sized data only.
+    - Seed pieces = the ``seed_size`` highest weighted-count substrings
+      of length <= ``max_piece`` (SQL explode over substring windows,
+      deterministic (count, piece) order) UNION all single chars, so
+      every word stays segmentable.
+    - Each hard-EM round: broadcast the piece log-probs (a few hundred
+      floats — driver state is the vocab, never the data), E-step =
+      Arrow-batched Viterbi over the word frame emitting per-partition
+      partial piece counts (INTEGER, weighted by word count), M-step =
+      one tiny aggregate; then prune to the top ``vocab_size`` pieces
+      by count (chars exempt).  Hard counts make every round's state
+      exactly reproducible — the pure-Python replay asserts equality.
+    """
+    import math
+
+    import pandas as pd
+
+    words_expr = _SPARK_WORDS.replace("text", text_col)
+    words = (
+        df.select(F.explode(F.expr(words_expr)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    subs = (
+        f"flatten(transform(sequence(1, {max_piece}), l -> "
+        f"CASE WHEN length(word) >= l THEN transform("
+        f"sequence(1, length(word) - l + 1), i -> substring(word, i, l)) "
+        f"ELSE CAST(array() AS array<string>) END))"
+    )
+    weighted = (
+        words.select("n", F.explode(F.expr(subs)).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("n").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    seed = weighted.orderBy(F.desc("w"), F.asc("piece")).limit(seed_size)
+    chars = weighted.where(F.expr("length(piece) = 1"))
+    vocab_rows = (
+        seed.unionAll(chars).groupBy("piece").agg(F.max("w").alias("w")).collect()
+    )
+    counts = {r["piece"]: int(r["w"]) for r in vocab_rows}
+
+    for it in range(iters):
+        total = sum(counts.values())
+        logp = {p: math.log(c / total) for p, c in counts.items() if c > 0}
+
+        def estep(batches, logp=logp):
+            for pdf in batches:
+                acc: dict[str, int] = {}
+                for word, n in zip(pdf["word"].values, pdf["n"].values):
+                    for piece in viterbi_segment(word, logp, max_piece):
+                        acc[piece] = acc.get(piece, 0) + int(n)
+                yield pd.DataFrame(
+                    {"piece": list(acc.keys()), "cnt": list(acc.values())}
+                )
+
+        agg = (
+            words.mapInPandas(estep, schema="piece string, cnt long")
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        counts = {r["piece"]: int(r["cnt"]) for r in agg}
+        # prune to vocab_size by (count, piece), chars always survive
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        kept = {p: c for p, c in ranked[:vocab_size]}
+        for p, c in counts.items():
+            if len(p) == 1:
+                kept[p] = c
+        counts = kept
+        _ = it
+    return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def unigram_encode(
+    df: DataFrame,
+    vocab: list[tuple[str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_piece: int = UNI_MAX_PIECE,
+) -> DataFrame:
+    """Tokenize documents with a trained unigram vocabulary: (id,
+    n_words, n_pieces, pieces) — broadcast vocab, Arrow-batched
+    map-side Viterbi, no shuffle."""
+    import math
+
+    import pandas as pd
+
+    total = sum(c for _, c in vocab)
+    logp = {p: math.log(c / total) for p, c in vocab if c > 0}
+    words_expr = _SPARK_WORDS.replace("text", text_col)
+    toks = df.select(F.col(id_col), F.expr(words_expr).alias("w"))
+
+    def enc(batches):
+        for pdf in batches:
+            ids, nw, np_, pieces = [], [], [], []
+            for i, ws in zip(pdf[id_col].values, pdf["w"].values):
+                out: list[str] = []
+                for word in ws:
+                    out.extend(viterbi_segment(word, logp, max_piece))
+                ids.append(i)
+                nw.append(len(ws))
+                np_.append(len(out))
+                pieces.append(out)
+            yield pd.DataFrame(
+                {id_col: ids, "n_words": nw, "n_pieces": np_, "pieces": pieces}
+            )
+
+    return toks.mapInPandas(
+        enc, schema=f"{id_col} long, n_words long, n_pieces long, pieces array<string>"
+    )
+
+
+def unigram_vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the trained unigram vocabulary over documents
+    (rows-only: iterative EM isn't one SQL statement; pytest asserts
+    exact equality with a pure-Python reference trainer)."""
+    docs = load_table(spark, "documents", sf_dir).select("text")
+    vocab = unigram_train(docs)
+    return spark.createDataFrame(
+        [(i, p, c) for i, (p, c) in enumerate(vocab)],
+        "rank int, piece string, count long",
+    )
+
+
+QUERIES["unigram_vocab_table"] = unigram_vocab_table

@@ -44,6 +44,7 @@ def test_every_query_declared(spark):
         "corpus_pipeline", "dedup_semantic", "embedding_pca",
         "embedding_whiten", "langid_isotonic",
         "bpe_merge_table", "part_kcore", "markov_attribution",
+        "unigram_vocab_table",
     )
     for name in QUERIES:
         if name not in ORACLES:
