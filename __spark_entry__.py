@@ -81,6 +81,7 @@ _PRIORITY = [
     "event_value_winsorized", "customer_ldiversity",
     "brand_copurchase_modularity", "embedding_jl_eval",
     "unigram_vocab_table", "ml_als_recommend",
+    "source_vocab_richness", "source_style_delta",
     # Leads with the round-3 FINAL-continuation eval/uncertainty batch
     # (bootstrap CI, ANN recall + probe sweep, BM25 eval, JS divergence,
     # DiD, seasonal decompose, revenue decomposition, k-anonymity,

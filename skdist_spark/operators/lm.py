@@ -1126,3 +1126,234 @@ def unigram_vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["unigram_vocab_table"] = unigram_vocab_table
+
+
+# ---- vocabulary richness estimation (Chao1, hapax) ------------------------
+
+
+def vocab_richness(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Chao1 unseen-vocabulary estimate per group: from the frequency
+    of frequencies (f1 = hapax words, f2 = words seen twice), the
+    bias-corrected Chao1 lower bound D + f1*(f1-1)/(2*(f2+1)) answers
+    'how much vocabulary does this source have that the sample hasn't
+    shown yet' — the coverage planner for corpus collection.
+
+    Two cheap shuffles, both on shrinking keys: (group, word) counts,
+    then frequency-of-frequency counts; the estimator is exact integer
+    arithmetic to one final division (bias-corrected form is total, no
+    f2=0 special case)."""
+    words = _SPARK_WORDS.replace("text", text_col)
+    wc = (
+        df.select(F.col(group_col).alias("grp"), F.explode(F.expr(words)).alias("w"))
+        .groupBy("grp", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    g = wc.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("distinct_words"),
+        F.sum("c").alias("total_words"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("f2"),
+    )
+    return g.select(
+        F.col("grp").alias(group_col),
+        F.col("total_words").cast("long").alias("total_words"),
+        F.col("distinct_words").cast("long").alias("distinct_words"),
+        F.col("f1").cast("long").alias("hapax"),
+        F.col("f2").cast("long").alias("dis_legomena"),
+        F.expr(
+            "ROUND(distinct_words + CAST(f1 AS DOUBLE) * (f1 - 1)"
+            " / (2.0 * (f2 + 1)), 6)"
+        ).alias("chao1"),
+        F.expr(
+            "CAST(f1 * 1000000 DIV distinct_words AS BIGINT)"
+        ).alias("hapax_ppm"),
+    ).orderBy(group_col)
+
+
+def source_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: per-source Chao1 vocabulary estimate + hapax share."""
+    return vocab_richness(load_table(spark, "documents", sf_dir))
+
+
+def _richness_oracle_sql() -> str:
+    return f"""
+        WITH wc AS (
+            SELECT source AS grp, word, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT source, UNNEST({_DUCK_WORDS}) AS word FROM documents)
+            GROUP BY grp, word
+        ), g AS (
+            SELECT grp,
+                   CAST(COUNT(*) AS BIGINT) AS distinct_words,
+                   CAST(SUM(c) AS BIGINT) AS total_words,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                   CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+            FROM wc GROUP BY grp
+        )
+        SELECT grp AS source, total_words, distinct_words,
+               f1 AS hapax, f2 AS dis_legomena,
+               ROUND(distinct_words + CAST(f1 AS DOUBLE) * (f1 - 1)
+                     / (2.0 * (f2 + 1)), 6) AS chao1,
+               CAST(f1 * 1000000 // distinct_words AS BIGINT) AS hapax_ppm
+        FROM g ORDER BY source
+    """
+
+
+QUERIES["source_vocab_richness"] = source_vocab_richness
+ORACLE_SQL["source_vocab_richness"] = _richness_oracle_sql()
+
+
+# ---- Burrows' Delta stylometric distance ----------------------------------
+
+DELTA_TOP_WORDS = 20
+
+
+def burrows_delta(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_words: int = DELTA_TOP_WORDS,
+) -> DataFrame:
+    """Burrows' Delta between groups: z-score each group's relative
+    frequency of the corpus's ``top_words`` most common words, then
+    Delta(a,b) = mean |z_w(a) - z_w(b)| — the classic stylometric
+    authorship distance, here reading 'do two sources share a register'.
+
+    Float discipline (the repo's sequential-fold contract): every mean
+    / variance / Delta sum is a LEFT FOLD over a list sorted by an
+    explicit key (source name, then word), never a shuffle-order SUM
+    of doubles — so both engines fold identical values in identical
+    order and the hash matches bitwise.  Work: two word-count shuffles
+    plus folds over |top_words| x |groups| cells.
+    """
+    words = _SPARK_WORDS.replace("text", text_col)
+    toks = df.select(
+        F.col(group_col).alias("grp"), F.explode(F.expr(words)).alias("w")
+    )
+    wc = toks.groupBy("grp", "w").agg(F.count(F.lit(1)).alias("c"))
+    totals = wc.groupBy("grp").agg(F.sum("c").alias("tot"))
+    top = (
+        wc.groupBy("w")
+        .agg(F.sum("c").alias("gc"))
+        .orderBy(F.desc("gc"), F.asc("w"))
+        .limit(top_words)
+        .select("w")
+    )
+    grid = top.crossJoin(totals.select("grp", "tot"))
+    freq = (
+        grid.join(wc, ["grp", "w"], "left")
+        .na.fill({"c": 0})
+        .select(
+            "w",
+            "grp",
+            F.expr("CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)").alias("f"),
+        )
+    )
+    per_word = freq.groupBy("w").agg(
+        F.expr("sort_array(collect_list(struct(grp, f)))").alias("sf")
+    )
+    stats = per_word.select(
+        "w",
+        "sf",
+        F.expr(
+            "aggregate(sf, 0D, (acc, x) -> acc + x.f) / size(sf)"
+        ).alias("mu"),
+    ).select(
+        "w",
+        "sf",
+        "mu",
+        F.expr(
+            "sqrt(aggregate(sf, 0D, (acc, x) ->"
+            " acc + (x.f - mu) * (x.f - mu)) / (size(sf) - 1))"
+        ).alias("sd"),
+    )
+    z = stats.select(
+        "w",
+        F.explode(
+            F.expr("transform(sf, x -> struct(x.grp AS grp, (x.f - mu) / sd AS z))")
+        ).alias("e"),
+    ).select("w", F.col("e.grp").alias("grp"), F.col("e.z").alias("z"))
+    a = z.select(F.col("w"), F.col("grp").alias("ga"), F.col("z").alias("za"))
+    b = z.select(F.col("w"), F.col("grp").alias("gb"), F.col("z").alias("zb"))
+    pair_terms = (
+        a.join(b, "w")
+        .where(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(
+            F.expr(
+                "sort_array(collect_list(struct(w, abs(za - zb) AS d)))"
+            ).alias("terms")
+        )
+    )
+    return pair_terms.select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        F.expr("size(terms)").cast("long").alias("n_words"),
+        F.expr(
+            "ROUND(aggregate(terms, 0D, (acc, t) -> acc + t.d)"
+            " / size(terms), 6)"
+        ).alias("delta"),
+    ).orderBy("group_a", "group_b")
+
+
+def source_style_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: pairwise Burrows' Delta between sources."""
+    return burrows_delta(load_table(spark, "documents", sf_dir))
+
+
+# DuckDB struct-in-list field access is awkward; the oracle instead
+# recomputes the folds from parallel ORDERED LISTS (values only), which
+# is the same sequential fold the Spark side runs over its sorted
+# structs — sort keys are identical (grp, then w).
+def _burrows_oracle_sql(top_words: int = DELTA_TOP_WORDS) -> str:
+    fold = "list_reduce(list_prepend(0.0, {xs}), (acc, t) -> acc + t)"
+    mu = fold.format(xs="fs") + " / len(fs)"
+    var = (
+        fold.format(xs="list_transform(fs, x -> (x - mu) * (x - mu))")
+        + " / (len(fs) - 1)"
+    )
+    dsum = fold.format(xs="ds")
+    return f"""
+        WITH toks AS (
+            SELECT source AS grp, UNNEST({_DUCK_WORDS}) AS w FROM documents
+        ), wc AS (
+            SELECT grp, w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY grp, w
+        ), totals AS (
+            SELECT grp, CAST(SUM(c) AS BIGINT) AS tot FROM wc GROUP BY grp
+        ), top AS (
+            SELECT w FROM (
+                SELECT w, SUM(c) AS gc FROM wc GROUP BY w
+            ) ORDER BY gc DESC, w ASC LIMIT {top_words}
+        ), freq AS (
+            SELECT top.w, totals.grp,
+                   CAST(COALESCE(wc.c, 0) AS DOUBLE) / CAST(totals.tot AS DOUBLE) AS f
+            FROM top CROSS JOIN totals
+            LEFT JOIN wc ON wc.w = top.w AND wc.grp = totals.grp
+        ), per_word AS (
+            SELECT w, list(f ORDER BY grp, f) AS fs, list(grp ORDER BY grp, f) AS gs
+            FROM freq GROUP BY w
+        ), mu_t AS (
+            SELECT w, fs, gs, {mu} AS mu FROM per_word
+        ), sd_t AS (
+            SELECT w, fs, gs, mu, sqrt({var}) AS sd FROM mu_t
+        ), z AS (
+            SELECT w, UNNEST(gs) AS grp, UNNEST(
+                list_transform(fs, x -> (x - mu) / sd)) AS z
+            FROM sd_t
+        ), terms AS (
+            SELECT a.grp AS ga, b.grp AS gb,
+                   list(abs(a.z - b.z) ORDER BY a.w) AS ds
+            FROM z a JOIN z b ON a.w = b.w AND a.grp < b.grp
+            GROUP BY a.grp, b.grp
+        )
+        SELECT ga AS group_a, gb AS group_b,
+               CAST(len(ds) AS BIGINT) AS n_words,
+               ROUND({dsum} / len(ds), 6) AS delta
+        FROM terms ORDER BY group_a, group_b
+    """
+
+
+QUERIES["source_style_delta"] = source_style_delta
+ORACLE_SQL["source_style_delta"] = _burrows_oracle_sql()
