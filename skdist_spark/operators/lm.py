@@ -1231,7 +1231,13 @@ def burrows_delta(
     toks = df.select(
         F.col(group_col).alias("grp"), F.explode(F.expr(words)).alias("w")
     )
-    wc = toks.groupBy("grp", "w").agg(F.count(F.lit(1)).alias("c"))
+    # wc feeds three consumers (totals, top-word ranking, the freq
+    # grid join) — materialize once instead of re-tokenizing per use
+    wc = (
+        toks.groupBy("grp", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     totals = wc.groupBy("grp").agg(F.sum("c").alias("tot"))
     top = (
         wc.groupBy("w")
