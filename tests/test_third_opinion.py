@@ -1281,3 +1281,154 @@ def test_third_part_return_rate_eb(spark):
     for r, (pk, row) in zip(got, want.iterrows()):
         assert r.l_partkey == pk and r.n == row["n"] and r.k == row["k"]
         assert abs(r.shrunk_rate - row["shrunk"]) < 2e-6
+
+
+def test_third_daily_spearman(spark):
+    from skdist_spark.operators.stats import daily_spearman
+
+    ev = _table("events")
+    daily = (
+        ev.assign(day=ev["ts"].dt.normalize())
+        .groupby("day")
+        .apply(
+            lambda g: pd.Series(
+                {
+                    "clicks": int((g["event_type"] == "click").sum()),
+                    "rev": int(
+                        sum(
+                            int(np.floor(v * 1_000_000))
+                            for v in g.loc[
+                                g["event_type"] == "purchase", "value"
+                            ]
+                        )
+                    ),
+                }
+            ),
+            include_groups=False,
+        )
+        .reset_index()
+        .sort_values("day")
+    )
+    rx = daily.sort_values(["clicks", "day"]).reset_index()
+    ry = daily.sort_values(["rev", "day"]).reset_index()
+    pos_x = {i: r + 1 for r, i in enumerate(rx["index"])}
+    pos_y = {i: r + 1 for r, i in enumerate(ry["index"])}
+    n = len(daily)
+    sum_d2 = sum((pos_x[i] - pos_y[i]) ** 2 for i in daily.index)
+    rho = round(1 - 6 * sum_d2 / (n**3 - n), 6)
+    got = daily_spearman(spark, SF).collect()[0]
+    assert (got["n"], got["sum_d2"], got["rho"]) == (n, sum_d2, rho)
+
+
+def test_third_daily_kendall(spark):
+    from skdist_spark.operators.stats import daily_kendall
+
+    ev = _table("events")
+    per = {}
+    for _, r in ev.iterrows():
+        d = r["ts"].normalize()
+        c, v = per.get(d, (0, 0))
+        per[d] = (
+            c + (1 if r["event_type"] == "click" else 0),
+            v
+            + (
+                int(np.floor(r["value"] * 1_000_000))
+                if r["event_type"] == "purchase"
+                else 0
+            ),
+        )
+    days = sorted(per)
+    C = D = tx = ty = n0 = 0
+    for i in range(len(days)):
+        for j in range(i + 1, len(days)):
+            (xa, ya), (xb, yb) = per[days[i]], per[days[j]]
+            n0 += 1
+            s = (xa - xb) * (ya - yb)
+            C += s > 0
+            D += s < 0
+            tx += xa == xb
+            ty += ya == yb
+    tau = round((C - D) / np.sqrt(float((n0 - tx) * (n0 - ty))), 6)
+    got = daily_kendall(spark, SF).collect()[0]
+    assert (
+        got["n_pairs"],
+        got["concordant"],
+        got["discordant"],
+        got["ties_x"],
+        got["ties_y"],
+        got["tau_b"],
+    ) == (n0, C, D, tx, ty, tau)
+
+
+def test_third_brand_modularity(spark):
+    from skdist_spark.operators.graph import brand_copurchase_modularity
+
+    li = _table("lineitem")[["l_orderkey", "l_partkey"]].drop_duplicates()
+    part = _table("part")[["p_partkey", "p_brand"]]
+    brand = dict(zip(part["p_partkey"], part["p_brand"]))
+    from collections import Counter
+
+    pair_count = Counter()
+    for _, grp in li.groupby("l_orderkey"):
+        ps = sorted(set(grp["l_partkey"]))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_count[(ps[i], ps[j])] += 1
+    edges = [p for p, c in pair_count.items() if c >= 2]
+    m = len(edges)
+    got = {
+        r["brand"]: (
+            r["n_nodes"],
+            r["intra_edges"],
+            r["degree_sum"],
+            r["q_numer"],
+        )
+        for r in brand_copurchase_modularity(spark, SF).collect()
+    }
+    if m == 0:
+        assert got == {}
+        return
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    nodes = defaultdict(set)
+    intra = defaultdict(int)
+    for a, b in edges:
+        ca, cb = brand[a], brand[b]
+        deg[ca] += 1
+        deg[cb] += 1
+        nodes[ca].add(a)
+        nodes[cb].add(b)
+        if ca == cb:
+            intra[ca] += 1
+    want = {
+        c: (len(nodes[c]), intra[c], deg[c], 4 * m * intra[c] - deg[c] ** 2)
+        for c in deg
+    }
+    assert got == want
+
+
+def test_third_event_value_winsorized(spark):
+    from skdist_spark.operators.stats import event_value_winsorized
+
+    ev = _table("events")
+    got = {
+        r["event_type"]: (
+            r["n"],
+            r["n_clamped_each_side"],
+            r["winsorized_mean"],
+        )
+        for r in event_value_winsorized(spark, SF).collect()
+    }
+    for et, grp in ev.groupby("event_type"):
+        v = sorted(
+            (int(np.floor(x * 1_000_000)), eid)
+            for x, eid in zip(grp["value"], grp["event_id"])
+        )
+        n = len(v)
+        k = n * 100_000 // 1_000_000
+        vals = [t[0] for t in v]
+        wins = vals[k : n - k]
+        total = sum(wins) + k * (vals[k] + vals[n - k - 1])
+        mean = round(total / n / 1_000_000, 6)
+        assert got[et] == (n, k, mean)
