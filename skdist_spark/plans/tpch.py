@@ -1718,3 +1718,96 @@ ORACLE_SQL["revenue_change_decomposition"] = """
 """
 
 QUERIES["revenue_change_decomposition"] = revenue_change_decomposition
+
+
+# ---- frequent triples (Apriori candidate pruning) -------------------------
+
+TRIPLE_MIN_SUPPORT = 2  # orders containing all three parts
+
+
+def basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part TRIPLES by the Apriori step: a triple can only be
+    frequent if all three of its pairs are, so the basket self-join is
+    pruned to parts that survive the frequent-PAIR pass — the candidate
+    bound that keeps 3-itemset mining tractable when baskets are small
+    and the catalog is huge (the same argument as basket_part_affinity,
+    one level up).
+
+    Plan: distinct (order, part) -> frequent pairs (support >=
+    threshold) -> semi-join keeps only order-part rows whose part
+    appears in ANY frequent pair -> 3-way within-order self-join on the
+    surviving rows (a < b < c) -> support filter.  Every join is keyed
+    on l_orderkey; fan-out is basket-size-cubed only over the pruned
+    frame.
+    """
+    t = TRIPLE_MIN_SUPPORT
+    op = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a, b = op.alias("a").hint("merge"), op.alias("b").hint("merge")
+    fpairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= t)
+    )
+    fparts = (
+        fpairs.select(F.col("pa").alias("p"))
+        .unionAll(fpairs.select(F.col("pb").alias("p")))
+        .distinct()
+    )
+    pruned = op.join(
+        fparts, op["l_partkey"] == fparts["p"], "left_semi"
+    ).localCheckpoint(eager=False)
+    x = pruned.alias("x")
+    y = pruned.alias("y")
+    z = pruned.alias("z")
+    triples = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .join(
+            z,
+            (F.col("x.l_orderkey") == F.col("z.l_orderkey"))
+            & (F.col("y.l_partkey") < F.col("z.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("part_a"),
+            F.col("y.l_partkey").alias("part_b"),
+            F.col("z.l_partkey").alias("part_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= t)
+    )
+    return triples.select(
+        "part_a", "part_b", "part_c", F.col("support").cast("long").alias("support")
+    ).orderBy("part_a", "part_b", "part_c")
+
+
+ORACLE_SQL["basket_triples"] = f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           c.l_partkey AS part_c,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM op a
+    JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    JOIN op c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) >= {TRIPLE_MIN_SUPPORT}
+    ORDER BY part_a, part_b, part_c
+"""
+
+QUERIES["basket_triples"] = basket_triples
