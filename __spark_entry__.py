@@ -79,9 +79,10 @@ _PRIORITY = [
     "daily_spearman", "daily_kendall", "source_ngram_diversity",
     "tfidf_doc_pairs", "time_decay_attribution", "ab_power_planner",
     "event_value_winsorized", "customer_ldiversity",
-    "brand_copurchase_modularity", "embedding_jl_eval",
+    "brand_copurchase_modularity",
     "unigram_vocab_table", "ml_als_recommend",
-    "source_vocab_richness", "source_style_delta",
+    "source_vocab_richness", "source_style_delta", "basket_triples",
+    "budget_gate_summary", "embedding_jl_eval", "stream_token_budget_gate",
     # Leads with the round-3 FINAL-continuation eval/uncertainty batch
     # (bootstrap CI, ANN recall + probe sweep, BM25 eval, JS divergence,
     # DiD, seasonal decompose, revenue decomposition, k-anonymity,

@@ -1931,3 +1931,98 @@ ORACLE_SQL["doc_keyphrases"] = f"""
 """
 
 QUERIES["doc_keyphrases"] = doc_keyphrases
+
+
+# ---- token-budget gate (quota enforcement) --------------------------------
+
+GATE_BUDGET_TOKENS = 150
+
+
+def token_budget_gate(
+    docs: DataFrame,
+    budget: int = GATE_BUDGET_TOKENS,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ENFORCE a per-source token quota (source_token_budget PLANS one):
+    docs are admitted in ``id_col`` order while the source's running
+    token total stays within ``budget``; later docs are dropped.  The
+    deterministic ingest-cap every mixture recipe ultimately compiles
+    to ('no more than N tokens of source X').
+
+    One window pass per source (cumulative token sum in id order),
+    then a per-source rollup.  The admit rule is `cum <= budget` on
+    exact integers, so a streaming replay that carries per-source
+    offsets across micro-batches lands on the identical admitted set —
+    asserted in the streaming suite.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("did"),
+        F.expr(f"size({_SPARK_WORDS.replace('text', text_col)})")
+        .cast("long")
+        .alias("n_tok"),
+    )
+    cum = toks.select(
+        "grp",
+        "n_tok",
+        F.sum("n_tok")
+        .over(
+            Window.partitionBy("grp")
+            .orderBy("did")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cum"),
+    )
+    return (
+        cum.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("cum") <= budget, 1).otherwise(0))
+            .cast("long")
+            .alias("n_accepted"),
+            F.sum("n_tok").cast("long").alias("tokens_total"),
+            F.sum(F.when(F.col("cum") <= budget, F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("tokens_accepted"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "n_accepted",
+            "tokens_total",
+            "tokens_accepted",
+        )
+        .orderBy(group_col)
+    )
+
+
+def budget_gate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: per-source admit/drop ledger of the token-budget
+    gate over documents."""
+    return token_budget_gate(load_table(spark, "documents", sf_dir))
+
+
+ORACLE_SQL["budget_gate_summary"] = f"""
+    WITH toks AS (
+        SELECT source AS grp, doc_id AS did,
+               CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_tok
+        FROM documents
+    ), cum AS (
+        SELECT grp, n_tok,
+               SUM(n_tok) OVER (PARTITION BY grp ORDER BY did
+                   ROWS UNBOUNDED PRECEDING) AS c
+        FROM toks
+    )
+    SELECT grp AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN c <= {GATE_BUDGET_TOKENS} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_accepted,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN c <= {GATE_BUDGET_TOKENS} THEN n_tok ELSE 0 END) AS BIGINT)
+               AS tokens_accepted
+    FROM cum GROUP BY grp ORDER BY source
+"""
+
+QUERIES["budget_gate_summary"] = budget_gate_summary

@@ -1822,3 +1822,163 @@ def stream_events_at_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["stream_events_at_tier"] = stream_events_at_tier
+
+
+# ---- streaming token-budget gate ----------------------------------------
+
+
+def budget_gate_stream_monitor(
+    stream_docs: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming quota enforcement: admit documents while each source's
+    RUNNING token total (carried across micro-batches) stays within
+    ``budget`` — the ingest-side face of text.token_budget_gate, and
+    bit-equal to it under id-ordered replay (pytest-asserted).
+
+    Per batch everything except the per-source offset update is a
+    distributed window pass (cumulative tokens in id order, admitted =
+    carried + cum <= budget); only the |sources|-row aggregate reaches
+    the driver, whose dict of offsets IS the operator state — bounded
+    by the source catalog, never by data volume.  (On an unbounded
+    source list this state moves into applyInPandasWithState; the
+    carried-offset arithmetic is identical.)
+    """
+    from pyspark.sql import Window
+
+    from ..operators.text import _SPARK_WORDS
+
+    spark = stream_docs.sparkSession
+    carried: dict[str, int] = {}
+    totals: dict[str, list[int]] = {}  # src -> [n_docs, n_acc, tok, tok_acc]
+
+    def on_batch(bdf: DataFrame, batch_id: int) -> None:
+        toks = bdf.select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col).alias("did"),
+            F.expr(f"size({_SPARK_WORDS.replace('text', text_col)})")
+            .cast("long")
+            .alias("n_tok"),
+        )
+        if not carried:
+            base = spark.createDataFrame([], "grp string, base long")
+        else:
+            base = spark.createDataFrame(
+                [(k, v) for k, v in carried.items()], "grp string, base long"
+            )
+        w = (
+            Window.partitionBy("grp")
+            .orderBy("did")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = (
+            toks.join(F.broadcast(base), "grp", "left")
+            .na.fill({"base": 0})
+            .select(
+                "grp",
+                "n_tok",
+                (F.sum("n_tok").over(w) + F.col("base")).alias("cum"),
+            )
+        )
+        agg = (
+            cum.groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.when(F.col("cum") <= budget, 1).otherwise(0)).alias(
+                    "n_acc"
+                ),
+                F.sum("n_tok").alias("tok"),
+                F.sum(
+                    F.when(F.col("cum") <= budget, F.col("n_tok")).otherwise(0)
+                ).alias("tok_acc"),
+            )
+            .collect()
+        )
+        _ = batch_id
+        for r in agg:
+            g = r["grp"]
+            carried[g] = carried.get(g, 0) + int(r["tok"])
+            t = totals.setdefault(g, [0, 0, 0, 0])
+            t[0] += int(r["n_docs"])
+            t[1] += int(r["n_acc"])
+            t[2] += int(r["tok"])
+            t[3] += int(r["tok_acc"])
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            stream_docs.writeStream.foreachBatch(on_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.createDataFrame(
+        [
+            (g, t[0], t[1], t[2], t[3])
+            for g, t in sorted(totals.items())
+        ],
+        f"{group_col} string, n_docs long, n_accepted long,"
+        " tokens_total long, tokens_accepted long",
+    )
+
+
+def _stage_all_doc_batches(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:
+    """Stage ALL documents as ``n_files`` doc_id-range parquet files with
+    ascending mtimes, so maxFilesPerTrigger=1 replays them in id order
+    (the ordering the budget gate's batch face uses)."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources.catalog import load_table
+
+    stage = (
+        "/tmp/skdist_stream_docs_all_"
+        + hashlib.md5(f"{sf_dir}:v1".encode()).hexdigest()[:8]
+    )
+    done = os.path.join(stage, "_STAGED")
+    if os.path.exists(done):
+        return stage
+    shutil.rmtree(stage, ignore_errors=True)
+    tmp = stage + "_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    docs = load_table(spark, "documents", sf_dir)
+    docs.repartitionByRange(n_files, "doc_id").write.parquet(tmp)
+    os.makedirs(stage, exist_ok=True)
+    parts = sorted(
+        f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base = 1_000_000_000
+    for i, name in enumerate(parts):
+        dst = os.path.join(stage, f"batch_{i:04d}.parquet")
+        shutil.move(os.path.join(tmp, name), dst)
+        os.utime(dst, (base + i, base + i))
+    shutil.rmtree(tmp, ignore_errors=True)
+    open(done, "w").close()
+    return stage
+
+
+def stream_token_budget_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: documents replayed as 3 id-ordered micro-batches
+    through the streaming token-budget gate (rows-only: carried-offset
+    state is a streaming side effect; pytest asserts the final ledger
+    is BIT-EQUAL to the one-shot batch gate)."""
+    from ..operators.text import GATE_BUDGET_TOKENS
+
+    stage = _stage_all_doc_batches(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+    return budget_gate_stream_monitor(raw, GATE_BUDGET_TOKENS).orderBy("source")
+
+
+QUERIES["stream_token_budget_gate"] = stream_token_budget_gate
