@@ -884,3 +884,159 @@ def _ldiversity_oracle_sql() -> str:
 
 QUERIES["customer_ldiversity"] = customer_ldiversity
 ORACLE_SQL["customer_ldiversity"] = _ldiversity_oracle_sql()
+
+
+# ---- Brier score decomposition (Murphy) -----------------------------------
+
+
+def langid_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the language-ID confidence proxy's Brier
+    score: BRIER (exact integers end-to-end) alongside RELIABILITY /
+    RESOLUTION / UNCERTAINTY over the ``CAL_BINS`` forecast bins — the
+    one-row scorecard behind the `langid_calibration` reliability curve
+    ("is the confidence bad because it's miscalibrated, or because it
+    can't discriminate?").
+
+    Float discipline: the Brier numerator sum((q - 1e6*c)^2) is BIGINT;
+    the three components are left folds over the bin table sorted by
+    bin id (<= CAL_BINS rows), so both engines fold identical doubles
+    in identical order.  The residual column is the exact within-bin
+    variance remainder of the binned decomposition (near 0 when bins
+    are tight) — reported, not hidden.
+    """
+    from pyspark.sql import functions as F
+
+    from .text import _SPARK_WORDS, _langid_exprs
+
+    docs = load_table(spark, "documents", sf_dir)
+    words_df = docs.select("doc_id", "lang", F.expr(_SPARK_WORDS).alias("wd"))
+    pred, n_hits = _langid_exprs("spark", words="wd")
+    scored = (
+        words_df.select(
+            "lang",
+            F.expr(pred).alias("pred_lang"),
+            F.expr(n_hits).cast("bigint").alias("hits"),
+            F.expr("size(wd)").cast("bigint").alias("words"),
+        )
+        .where(F.col("words") > 0)
+        .select(
+            F.expr("(hits * 1000000) div words").alias("q"),
+            (F.col("pred_lang") == F.col("lang")).cast("bigint").alias("c"),
+        )
+        .select(
+            "q",
+            "c",
+            F.least(
+                F.lit(CAL_BINS - 1), F.expr(f"(q * {CAL_BINS}) div 1000000")
+            ).cast("int").alias("bin"),
+        )
+    )
+    per_bin = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("c").alias("o"),
+        F.sum(F.expr("(q - 1000000 * c) * (q - 1000000 * c)")).alias("bnum"),
+    )
+    folded = per_bin.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum("o").cast("long").alias("n_correct"),
+        F.sum("bnum").cast("long").alias("brier_num"),
+        F.expr(
+            "sort_array(collect_list(struct(bin, n, sq, o)))"
+        ).alias("bins"),
+    )
+    obar = "(CAST(n_correct AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    rel = (
+        "aggregate(bins, 0D, (acc, b) -> acc + CAST(b.n AS DOUBLE)"
+        " * (CAST(b.sq AS DOUBLE) / CAST(b.n AS DOUBLE) / 1000000.0"
+        "    - CAST(b.o AS DOUBLE) / CAST(b.n AS DOUBLE))"
+        " * (CAST(b.sq AS DOUBLE) / CAST(b.n AS DOUBLE) / 1000000.0"
+        "    - CAST(b.o AS DOUBLE) / CAST(b.n AS DOUBLE)))"
+        " / CAST(n_docs AS DOUBLE)"
+    )
+    res = (
+        f"aggregate(bins, 0D, (acc, b) -> acc + CAST(b.n AS DOUBLE)"
+        f" * (CAST(b.o AS DOUBLE) / CAST(b.n AS DOUBLE) - {obar})"
+        f" * (CAST(b.o AS DOUBLE) / CAST(b.n AS DOUBLE) - {obar}))"
+        f" / CAST(n_docs AS DOUBLE)"
+    )
+    brier = "(CAST(brier_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1e12))"
+    return folded.select(
+        "n_docs",
+        "n_correct",
+        F.expr(f"ROUND({brier}, 6)").alias("brier"),
+        F.expr(f"ROUND({rel}, 6)").alias("reliability"),
+        F.expr(f"ROUND({res}, 6)").alias("resolution"),
+        F.expr(f"ROUND({obar} * (1 - {obar}), 6)").alias("uncertainty"),
+        F.expr(
+            f"ROUND({brier} - ({rel} - {res} + {obar} * (1 - {obar})), 6)"
+        ).alias("residual"),
+    )
+
+
+def _brier_oracle_sql() -> str:
+    from .text import _DUCK_WORDS, _langid_exprs
+
+    pred, n_hits = _langid_exprs("duck")
+    obar = "(CAST(n_correct AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    fold = (
+        "list_reduce(list_prepend(0.0, list_transform(bins, b -> {term})),"
+        " (acc, t) -> acc + t)"
+    )
+    rel_term = (
+        "CAST(b.n AS DOUBLE)"
+        " * (CAST(b.sq AS DOUBLE) / CAST(b.n AS DOUBLE) / 1000000.0"
+        "    - CAST(b.o AS DOUBLE) / CAST(b.n AS DOUBLE))"
+        " * (CAST(b.sq AS DOUBLE) / CAST(b.n AS DOUBLE) / 1000000.0"
+        "    - CAST(b.o AS DOUBLE) / CAST(b.n AS DOUBLE))"
+    )
+    res_term = (
+        f"CAST(b.n AS DOUBLE)"
+        f" * (CAST(b.o AS DOUBLE) / CAST(b.n AS DOUBLE) - {obar})"
+        f" * (CAST(b.o AS DOUBLE) / CAST(b.n AS DOUBLE) - {obar})"
+    )
+    rel = fold.format(term=rel_term) + " / CAST(n_docs AS DOUBLE)"
+    res = fold.format(term=res_term) + " / CAST(n_docs AS DOUBLE)"
+    brier = "(CAST(brier_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1e12))"
+    return f"""
+        WITH scored AS (
+            SELECT (hits * 1000000) // words AS q,
+                   CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS c
+            FROM (
+                SELECT lang, {pred} AS pred_lang,
+                       CAST({n_hits} AS BIGINT) AS hits,
+                       CAST(len({_DUCK_WORDS}) AS BIGINT) AS words
+                FROM documents
+            ) WHERE words > 0
+        ), binned AS (
+            SELECT q, c,
+                   LEAST({CAL_BINS - 1}, (q * {CAL_BINS}) // 1000000) AS bin
+            FROM scored
+        ), per_bin AS (
+            SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(q) AS BIGINT) AS sq,
+                   CAST(SUM(c) AS BIGINT) AS o,
+                   CAST(SUM((q - 1000000 * c) * (q - 1000000 * c)) AS BIGINT)
+                       AS bnum
+            FROM binned GROUP BY bin
+        ), folded AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+                   CAST(SUM(o) AS BIGINT) AS n_correct,
+                   CAST(SUM(bnum) AS BIGINT) AS brier_num,
+                   list(struct_pack(bin := bin, n := n, sq := sq, o := o)
+                        ORDER BY bin) AS bins
+            FROM per_bin
+        )
+        SELECT n_docs, n_correct,
+               ROUND({brier}, 6) AS brier,
+               ROUND({rel}, 6) AS reliability,
+               ROUND({res}, 6) AS resolution,
+               ROUND({obar} * (1 - {obar}), 6) AS uncertainty,
+               ROUND({brier} - ({rel} - {res} + {obar} * (1 - {obar})), 6)
+                   AS residual
+        FROM folded
+    """
+
+
+QUERIES["langid_brier_decomposition"] = langid_brier_decomposition
+ORACLE_SQL["langid_brier_decomposition"] = _brier_oracle_sql()

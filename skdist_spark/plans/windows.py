@@ -1574,3 +1574,81 @@ ORACLE_SQL_MARKOV_PREDICT_EVAL = """
 
 QUERIES["markov_predict_eval"] = markov_predict_eval
 ORACLE_SQL["markov_predict_eval"] = ORACLE_SQL_MARKOV_PREDICT_EVAL
+
+
+# ---- peak concurrency (sweep line) ----------------------------------------
+
+
+def peak_concurrency(
+    intervals: DataFrame, start_col: str, end_col: str
+) -> DataFrame:
+    """Max simultaneous open intervals by the sweep line: +1 at each
+    start, -1 at each end, running sum over the merged event sequence,
+    global max — the 'how many concurrent sessions must we provision
+    for' readout, exact (no bucketing).
+
+    Tie rule: an interval ending exactly when another starts does NOT
+    overlap it (ends sort before starts at the same instant — delta
+    ascending).  One union + one ordered window over 2 rows per
+    interval — the sweep frame is 2 rows per SESSION, already orders of
+    magnitude under the event scan; at 100 TB, shard the sweep by
+    calendar day first and take the max of per-day peaks (sessions
+    spanning shard boundaries contribute to both)."""
+    plus = intervals.select(
+        F.col(start_col).alias("t"), F.lit(1).alias("delta")
+    )
+    minus = intervals.select(
+        F.col(end_col).alias("t"), F.lit(-1).alias("delta")
+    )
+    sweep = plus.unionAll(minus)
+    w = Window.orderBy("t", "delta").rowsBetween(Window.unboundedPreceding, 0)
+    run = sweep.select(F.sum("delta").over(w).alias("open_now"))
+    return run.agg(
+        F.max("open_now").cast("long").alias("peak_concurrent"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+    )
+
+
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: peak simultaneous 30-min-gap sessions across all
+    users — the capacity-planning number.  Sessions come from the same
+    lag/cumsum chain as sessionize_events; the sweep adds one global
+    ordered window over 2 rows per session (tiny next to the event
+    scan; shard by day at 100 TB via the day_col path)."""
+    sess = sessionize_events(spark, sf_dir)
+    return peak_concurrency(sess, "session_start", "session_end")
+
+
+ORACLE_SQL["peak_concurrent_sessions"] = f"""
+    WITH w AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS NULL
+                    OR epoch(ts) - epoch(LAG(ts) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id))
+                       > {SESSION_GAP_MIN} * 60
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), s AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM w
+    ), sess AS (
+        SELECT MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM s GROUP BY user_id, session_idx
+    ), sweep AS (
+        SELECT session_start AS t, 1 AS delta FROM sess
+        UNION ALL
+        SELECT session_end AS t, -1 AS delta FROM sess
+    ), run AS (
+        SELECT SUM(delta) OVER (ORDER BY t, delta
+                                ROWS UNBOUNDED PRECEDING) AS open_now
+        FROM sweep
+    )
+    SELECT CAST(MAX(open_now) AS BIGINT) AS peak_concurrent,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
+    FROM run
+"""
+
+QUERIES["peak_concurrent_sessions"] = peak_concurrent_sessions
