@@ -497,3 +497,112 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ml_learning_curve"] = ml_learning_curve
+
+
+def ml_source_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-valuation ablation ('leave-one-source-out'): retrain the
+    document quality classifier with each source EXCLUDED from the
+    training sample and report the held-out-accuracy delta vs the
+    all-sources model — which sources actually teach the model
+    something, the poor-man's Data Shapley every corpus curator wants
+    before paying for more of a source.
+
+    The ablation loop is over the SOURCE CATALOG (bounded), not the
+    data: each fit reuses the one bounded driver-side training frame
+    minus one source (sk-dist's small-data/big-compute posture), and
+    every model is evaluated DISTRIBUTED over the full corpus through
+    the same Arrow prediction UDF with exact integer correct-counts.
+    """
+    from ..operators.text import quality_score, repetition_stats
+
+    docs = load_table(spark, "documents", sf_dir)
+    q = quality_score(docs).select(
+        "doc_id", "n_words", "mean_word_len", "distinct_ratio", "stopword_ratio"
+    )
+    labels = repetition_stats(docs).select(
+        "doc_id",
+        (F.col("dup_bigram_ppm") <= 52_000).cast("int").alias("label_weak"),
+    )
+    src = docs.select("doc_id", "source")
+    feats = (
+        q.join(labels, "doc_id")
+        .join(src, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("n_words") / 100.0).alias("f_len"),
+            (F.col("mean_word_len") / 10.0).alias("f_wlen"),
+            F.col("distinct_ratio").alias("f_distinct"),
+            F.col("stopword_ratio").alias("f_stop"),
+            "label_weak",
+        )
+        .localCheckpoint(eager=False)
+    )
+    feature_cols = ["f_len", "f_wlen", "f_distinct", "f_stop"]
+    train = feats.orderBy("doc_id").limit(2000).toPandas()
+    sources = sorted(train["source"].unique())
+
+    # fit the whole ablation family (all-sources + one model per
+    # excluded source) — each fit is the bounded driver sample
+    names: list[str] = ["(all sources)"]
+    models = [
+        LogisticRegression(max_iter=200).fit(
+            train[feature_cols].to_numpy(), train["label_weak"].to_numpy()
+        )
+    ]
+    n_train = [int(len(train))]
+    for s in sources:
+        sub = train[train["source"] != s]
+        names.append(s)
+        n_train.append(int(len(sub)))
+        models.append(
+            LogisticRegression(max_iter=200).fit(
+                sub[feature_cols].to_numpy(), sub["label_weak"].to_numpy()
+            )
+        )
+
+    # score EVERY model in ONE distributed pass: per Arrow batch, one
+    # tiny matmul per model, partial (model_idx, ok, n) counts out —
+    # 21 scoring passes collapse to one corpus scan
+    params = [
+        (m.coef_.copy(), m.intercept_.copy(), m.classes_.copy()) for m in models
+    ]
+
+    def score_all(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = pdf[feature_cols].to_numpy(dtype=float)
+            y = pdf["label_weak"].to_numpy()
+            idxs, oks, ns = [], [], []
+            for i, (w, b, cls) in enumerate(params):
+                pred = cls[np.argmax(X @ w.T + b, axis=1)]
+                idxs.append(i)
+                oks.append(int((pred == y).sum()))
+                ns.append(len(y))
+            yield pd.DataFrame({"model_idx": idxs, "ok": oks, "n": ns})
+
+    counts = {
+        r["model_idx"]: (int(r["ok"]), int(r["n"]))
+        for r in feats.mapInPandas(
+            score_all, schema="model_idx int, ok long, n long"
+        )
+        .groupBy("model_idx")
+        .agg(F.sum("ok").alias("ok"), F.sum("n").alias("n"))
+        .collect()
+    }
+    accs = [counts[i][0] * 1_000_000 // counts[i][1] for i in range(len(models))]
+    rows = [
+        (names[i], n_train[i], accs[i], accs[i] - accs[0])
+        for i in range(len(models))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "excluded_source string, n_train long, acc_ppm long, delta_ppm long",
+    )
+
+
+QUERIES["ml_source_ablation"] = ml_source_ablation
