@@ -2454,3 +2454,114 @@ def _power_oracle_sql() -> str:
 
 QUERIES["ab_power_planner"] = ab_power_planner
 ORACLE_SQL["ab_power_planner"] = _power_oracle_sql()
+
+
+# ---- quantile treatment effects -------------------------------------------
+
+QTE_PCTS = (25, 50, 75, 90)
+
+
+def quantile_treatment_effects(
+    units: DataFrame,
+    unit_col: str,
+    metric_col: str,
+    pcts: tuple = QTE_PCTS,
+) -> DataFrame:
+    """Quantile treatment effects between the two Knuth arms: the B-A
+    difference of exact NEAREST-RANK percentiles of the per-unit
+    metric — where in the distribution the treatment moved value (a
+    mean shift at the p90 with a flat median reads completely
+    differently from a uniform lift).
+
+    Nearest-rank on integers is engine-free: value at row_number ==
+    ceil(p * n / 100) in metric order — one window per arm over the
+    per-unit frame, a 2x|pcts| pivot at the end.  No interpolation, no
+    float percentiles.
+    """
+    armed = units.select(
+        _arm(F.col(unit_col)).alias("arm"), F.col(metric_col).alias("v")
+    )
+    w = Window.partitionBy("arm").orderBy("v")
+    ranked = armed.select(
+        "arm",
+        "v",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("arm")).alias("n"),
+    )
+    hits = ranked.select(
+        "arm",
+        "v",
+        "n",
+        F.explode(F.array(*[F.lit(p) for p in pcts])).alias("pct"),
+        F.col("rk").alias("rk2"),
+    ).where(
+        F.expr("rk2 = CAST(ceil(pct * n / 100.0) AS BIGINT)")
+    )
+    a = hits.where(F.col("arm") == 0).select(
+        "pct", F.col("v").alias("q_a"), F.col("n").alias("n_a")
+    )
+    b = hits.where(F.col("arm") == 1).select(
+        "pct", F.col("v").alias("q_b"), F.col("n").alias("n_b")
+    )
+    return (
+        a.join(b, "pct")
+        .select(
+            F.col("pct").cast("int").alias("pct"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr("ROUND(CAST(q_a AS DOUBLE) / 1000000.0, 6)").alias("q_a"),
+            F.expr("ROUND(CAST(q_b AS DOUBLE) / 1000000.0, 6)").alias("q_b"),
+            F.expr("ROUND(CAST(q_b - q_a AS DOUBLE) / 1000000.0, 6)").alias(
+                "qte"
+            ),
+        )
+        .orderBy("pct")
+    )
+
+
+def purchase_ab_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: QTE of per-user total purchase value (micros)
+    between the Knuth arms at the 25/50/75/90th percentiles."""
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr("CAST(floor(value * 1000000) AS BIGINT)")).alias(
+                "v_micros"
+            )
+        )
+    )
+    return quantile_treatment_effects(ev, "user_id", "v_micros")
+
+
+def _qte_oracle_sql(pcts: tuple = QTE_PCTS) -> str:
+    ps = ", ".join(str(p) for p in pcts)
+    return f"""
+        WITH units AS (
+            SELECT {_arm_sql()} AS arm,
+                   CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS v
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ), ranked AS (
+            SELECT arm, v,
+                   ROW_NUMBER() OVER (PARTITION BY arm ORDER BY v) AS rk,
+                   COUNT(*) OVER (PARTITION BY arm) AS n
+            FROM units
+        ), hits AS (
+            SELECT arm, v, n, pct
+            FROM ranked CROSS JOIN (SELECT UNNEST([{ps}]) AS pct) p
+            WHERE rk = CAST(ceil(pct * n / 100.0) AS BIGINT)
+        )
+        SELECT CAST(a.pct AS INTEGER) AS pct,
+               CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+               ROUND(CAST(a.v AS DOUBLE) / 1000000.0, 6) AS q_a,
+               ROUND(CAST(b.v AS DOUBLE) / 1000000.0, 6) AS q_b,
+               ROUND(CAST(b.v - a.v AS DOUBLE) / 1000000.0, 6) AS qte
+        FROM (SELECT * FROM hits WHERE arm = 0) a
+        JOIN (SELECT * FROM hits WHERE arm = 1) b USING (pct)
+        ORDER BY pct
+    """
+
+
+QUERIES["purchase_ab_qte"] = purchase_ab_qte
+ORACLE_SQL["purchase_ab_qte"] = _qte_oracle_sql()

@@ -1811,3 +1811,132 @@ ORACLE_SQL["basket_triples"] = f"""
 """
 
 QUERIES["basket_triples"] = basket_triples
+
+
+# ---- Fellegi-Sunter field weights ------------------------------------------
+
+FS_FIELDS = ("p_type", "p_brand", "p_size", "name_len")
+
+
+def fs_field_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record-linkage weights learned from the blocked
+    candidate pairs: for each comparison field, m = P(agree | match)
+    and u = P(agree | non-match) with the edit-distance-2 name rule as
+    ground truth, and the log2(m/u) agreement weight a probabilistic
+    linker would score with — turning the binary entity-resolution rule
+    into a tunable scorer.
+
+    Candidates block on p_size alone (a coarser block than the
+    resolver's, so true non-matches exist in-sample); m/u are exact
+    integer ratios with add-one smoothing; the only float op is one
+    shared log2 composition.  Work is per-block quadratic — the
+    blocked-join posture of the resolver, never part x part.
+    """
+    part = load_table(spark, "part", sf_dir).select(
+        "p_partkey", "p_name", "p_type", "p_brand", "p_size"
+    )
+    a, b = part.alias("a"), part.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        (F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 2).alias(
+            "is_match"
+        ),
+        (F.col("a.p_type") == F.col("b.p_type")).alias("ag_p_type"),
+        (F.col("a.p_brand") == F.col("b.p_brand")).alias("ag_p_brand"),
+        F.lit(True).alias("ag_p_size"),  # blocked on size: always agrees
+        (
+            F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name")))
+            <= 2
+        ).alias("ag_name_len"),
+    )
+    aggs = [
+        F.sum(F.when(F.col("is_match"), 1).otherwise(0)).alias("nm"),
+        F.sum(F.when(~F.col("is_match"), 1).otherwise(0)).alias("nu"),
+    ]
+    for f in FS_FIELDS:
+        aggs.append(
+            F.sum(
+                F.when(F.col("is_match") & F.col(f"ag_{f}"), 1).otherwise(0)
+            ).alias(f"am_{f}")
+        )
+        aggs.append(
+            F.sum(
+                F.when((~F.col("is_match")) & F.col(f"ag_{f}"), 1).otherwise(0)
+            ).alias(f"au_{f}")
+        )
+    g = pairs.agg(*aggs)
+    entries = []
+    for f in FS_FIELDS:
+        entries.append(
+            f"'{f}', CAST(am_{f} AS BIGINT), CAST(au_{f} AS BIGINT),"
+            f" CAST(am_{f} * 1000000 DIV nm AS BIGINT),"
+            f" CAST(au_{f} * 1000000 DIV nu AS BIGINT),"
+            # m/u as ONE division of exact integer products: log2 is
+            # monotone, and the two engines' libm log2 differ by 1 ulp
+            # at ROUND boundaries — the ratio is bit-identical instead
+            f" ROUND(CAST((am_{f} + 1) * (nu + 2) AS DOUBLE)"
+            f" / CAST((au_{f} + 1) * (nm + 2) AS DOUBLE), 6)"
+        )
+    stacked = g.select(
+        F.col("nm").cast("long").alias("n_match"),
+        F.col("nu").cast("long").alias("n_unmatch"),
+        F.expr(
+            f"stack({len(FS_FIELDS)}, {', '.join(entries)})"
+            " AS (field, n_agree_match, n_agree_unmatch, m_ppm, u_ppm, mu_ratio)"
+        ),
+    )
+    return stacked.select(
+        "field",
+        "n_match",
+        "n_unmatch",
+        "n_agree_match",
+        "n_agree_unmatch",
+        "m_ppm",
+        "u_ppm",
+        "mu_ratio",
+    ).orderBy("field")
+
+
+def _fs_oracle_sql() -> str:
+    field_rows = []
+    for f in FS_FIELDS:
+        field_rows.append(
+            f"SELECT '{f}' AS field, nm AS n_match, nu AS n_unmatch,"
+            f" CAST(am_{f} AS BIGINT) AS n_agree_match,"
+            f" CAST(au_{f} AS BIGINT) AS n_agree_unmatch,"
+            f" CAST(am_{f} * 1000000 // nm AS BIGINT) AS m_ppm,"
+            f" CAST(au_{f} * 1000000 // nu AS BIGINT) AS u_ppm,"
+            f" ROUND(CAST((am_{f} + 1) * (nu + 2) AS DOUBLE)"
+            f" / CAST((au_{f} + 1) * (nm + 2) AS DOUBLE), 6) AS mu_ratio FROM g"
+        )
+    agg_cols = ["CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS nm",
+                "CAST(SUM(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS nu"]
+    for f in FS_FIELDS:
+        agg_cols.append(
+            f"CAST(SUM(CASE WHEN is_match AND ag_{f} THEN 1 ELSE 0 END) AS BIGINT) AS am_{f}"
+        )
+        agg_cols.append(
+            f"CAST(SUM(CASE WHEN NOT is_match AND ag_{f} THEN 1 ELSE 0 END) AS BIGINT) AS au_{f}"
+        )
+    return f"""
+        WITH pairs AS (
+            SELECT levenshtein(a.p_name, b.p_name) <= 2 AS is_match,
+                   a.p_type = b.p_type AS ag_p_type,
+                   a.p_brand = b.p_brand AS ag_p_brand,
+                   TRUE AS ag_p_size,
+                   ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= 2 AS ag_name_len
+            FROM part a JOIN part b
+              ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+        ), g AS (
+            SELECT {', '.join(agg_cols)} FROM pairs
+        )
+        {' UNION ALL '.join(field_rows)}
+        ORDER BY field
+    """
+
+
+QUERIES["fs_field_weights"] = fs_field_weights
+ORACLE_SQL["fs_field_weights"] = _fs_oracle_sql()
