@@ -466,3 +466,87 @@ _NEYMAN_SQL = """
 
 QUERIES["source_neyman_allocation"] = source_neyman_allocation
 ORACLE_SQL["source_neyman_allocation"] = _NEYMAN_SQL
+
+
+# ---- rendezvous (HRW) sharding ---------------------------------------------
+
+HRW_SHARDS = 16
+_HRW_K = 2654435761
+_HRW_MOD = 4294967296
+_HRW_M31 = 2147483648
+
+
+def rendezvous_shard(id_expr: str, n_shards: int = HRW_SHARDS) -> str:
+    """SQL expression assigning an id to its highest-random-weight
+    shard: score(id, s) = knuth_hash(masked_id * (s + 1)), shard =
+    argmax_s score — the consistent-hashing scheme where REMOVING a
+    shard only moves that shard's keys (minimal reshuffle), unlike
+    mod-N which moves almost everything.
+
+    Pure BIGINT arithmetic (id masked below 2^31 / n_shards before the
+    multiply, so no wrap anywhere); identical text runs on DuckDB.
+    Ties are impossible for distinct multipliers modulo 2^32 except on
+    hash collisions, which the deterministic argmax (first max in
+    shard order) settles identically on both engines.
+    """
+    masked = f"((({id_expr} % {_HRW_M31 // 64}) + {_HRW_M31 // 64}) % {_HRW_M31 // 64})"
+    scores = (
+        f"transform(sequence(0, {n_shards - 1}),"
+        f" s -> ({masked} * (s + 1) * {_HRW_K}) % {_HRW_MOD})"
+    )
+    return (
+        f"CAST(array_position({scores}, array_max({scores})) - 1 AS INT)"
+    )
+
+
+def _rendezvous_shard_duck(id_expr: str, n_shards: int = HRW_SHARDS) -> str:
+    masked = f"((({id_expr} % {_HRW_M31 // 64}) + {_HRW_M31 // 64}) % {_HRW_M31 // 64})"
+    scores = (
+        f"list_transform(range(0, {n_shards}),"
+        f" s -> ({masked} * (s + 1) * {_HRW_K}) % {_HRW_MOD})"
+    )
+    return f"CAST(list_position({scores}, list_max({scores})) - 1 AS INTEGER)"
+
+
+def doc_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: rendezvous-shard the documents table and report
+    per-shard counts plus each shard's deviation from the uniform
+    share in ppm — the placement-balance audit run before trusting a
+    consistent-hashing layout at 100 TB."""
+    from ..sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    assigned = docs.select(
+        F.expr(rendezvous_shard("doc_id")).alias("shard")
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "shard",
+            "n_docs",
+            F.expr(
+                f"CAST((n_docs * {HRW_SHARDS} - SUM(n_docs) OVER ())"
+                f" * 1000000 DIV SUM(n_docs) OVER () AS BIGINT)"
+            ).alias("imbalance_ppm"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _shard_balance_sql(n_shards: int = HRW_SHARDS) -> str:
+    shard = _rendezvous_shard_duck("doc_id", n_shards)
+    return f"""
+        WITH assigned AS (
+            SELECT {shard} AS shard FROM documents
+        )
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST((COUNT(*) * {n_shards} - SUM(COUNT(*)) OVER ())
+                    * 1000000 // SUM(COUNT(*)) OVER () AS BIGINT)
+                   AS imbalance_ppm
+        FROM assigned GROUP BY shard ORDER BY shard
+    """
+
+
+QUERIES["doc_shard_balance"] = doc_shard_balance
+ORACLE_SQL["doc_shard_balance"] = _shard_balance_sql()

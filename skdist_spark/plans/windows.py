@@ -1652,3 +1652,68 @@ ORACLE_SQL["peak_concurrent_sessions"] = f"""
 """
 
 QUERIES["peak_concurrent_sessions"] = peak_concurrent_sessions
+
+
+# ---- event-time disorder profile (watermark sizing) ------------------------
+
+
+def event_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How out-of-order is the stream?  Treating event_id as ARRIVAL
+    order, each event's lateness is running_max(event_time) - event_time
+    at its arrival — exactly the disorder a Structured Streaming
+    watermark must absorb.  Emits log2-bucketed lateness seconds with
+    counts and the share of on-time (lateness 0) events — read the p99
+    bucket and that's your `withWatermark` delay.
+
+    One global ordered window over (event_id); at 100 TB the same
+    profile shards by arrival partition (kafka partition / file) since
+    watermarks are per-partition-merged anyway."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    late = ev.select(
+        (
+            F.unix_micros(F.max("ts").over(w)) - F.unix_micros(F.col("ts"))
+        ).alias("late_us")
+    )
+    return (
+        late.select(
+            F.when(
+                F.col("late_us") <= 0, F.lit(-1)
+            )  # on time (the running max itself)
+            .otherwise(
+                F.expr("CAST(floor(log2(late_us / 1000000.0)) AS INT)")
+            )
+            .alias("log2_lateness_s")
+        )
+        .groupBy("log2_lateness_s")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "log2_lateness_s",
+            "n_events",
+            F.expr(
+                "CAST(n_events * 1000000 DIV SUM(n_events) OVER () AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("log2_lateness_s")
+    )
+
+ORACLE_SQL["event_lateness_profile"] = """
+    WITH late AS (
+        SELECT epoch_us(MAX(ts) OVER (ORDER BY event_id
+                   ROWS UNBOUNDED PRECEDING)) - epoch_us(ts) AS late_us
+        FROM events
+    ), bucketed AS (
+        SELECT CASE WHEN late_us <= 0 THEN -1
+                    ELSE CAST(floor(log2(late_us / 1000000.0)) AS INTEGER)
+               END AS log2_lateness_s
+        FROM late
+    )
+    SELECT log2_lateness_s,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) * 1000000 // SUM(COUNT(*)) OVER () AS BIGINT)
+               AS share_ppm
+    FROM bucketed GROUP BY log2_lateness_s
+    ORDER BY log2_lateness_s
+"""
+
+QUERIES["event_lateness_profile"] = event_lateness_profile

@@ -2129,3 +2129,29 @@ def test_multimodal_dhash_dedup_query(spark):
     assert all(r.doc_a % 10 == r.doc_b % 10 for r in rows)
     assert all(0 <= r.hamming <= 6 for r in rows)
     assert {r.doc_a % 10 for r in rows} == set(range(10))
+
+
+def test_rendezvous_minimal_reshuffle(spark):
+    """The HRW property: dropping shard k reassigns ONLY the ids that
+    lived on shard k; everything else stays put (that's the entire
+    point vs mod-N)."""
+    from pyspark.sql import functions as F
+
+    from skdist_spark.operators.sampling import rendezvous_shard
+
+    ids = spark.range(5000).select(F.col("id"))
+    n = 8
+    both = ids.select(
+        "id",
+        F.expr(rendezvous_shard("id", n)).alias("s_full"),
+        # shard n-1 removed == same argmax over the first n-1 scores
+        F.expr(rendezvous_shard("id", n - 1)).alias("s_reduced"),
+    ).collect()
+    moved = [r for r in both if r["s_full"] != r["s_reduced"]]
+    # every moved id must have been on the removed shard
+    assert moved, "removal should move someone"
+    assert all(r["s_full"] == n - 1 for r in moved)
+    # and every id of the removed shard moved somewhere valid
+    for r in both:
+        if r["s_full"] == n - 1:
+            assert 0 <= r["s_reduced"] < n - 1
