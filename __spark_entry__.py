@@ -85,7 +85,7 @@ _PRIORITY = [
     "budget_gate_summary", "embedding_jl_eval", "stream_token_budget_gate",
     "peak_concurrent_sessions", "langid_brier_decomposition",
     "ml_source_ablation", "purchase_ab_qte", "fs_field_weights",
-    "event_lateness_profile", "doc_shard_balance",
+    "event_lateness_profile", "doc_shard_balance", "tier_occupancy_by_day",
     # Leads with the round-3 FINAL-continuation eval/uncertainty batch
     # (bootstrap CI, ANN recall + probe sweep, BM25 eval, JS divergence,
     # DiD, seasonal decompose, revenue decomposition, k-anonymity,

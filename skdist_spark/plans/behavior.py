@@ -2163,3 +2163,88 @@ ORACLE_SQL["time_decay_attribution"] = f"""
 """
 
 QUERIES["time_decay_attribution"] = time_decay_attribution
+
+
+# ---- SCD2 day-grain occupancy ---------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def tier_occupancy_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-grain occupancy of the SCD2 tier table: how many users sat
+    in each tier at every midnight — the temporal-DB aggregate that
+    turns validity intervals into a daily time series (the dashboard
+    behind 'tier mix over time').
+
+    Point-in-time semantics at midnights (a user counts in exactly one
+    tier per day): interval [from, to) contributes every midnight m
+    with from <= m < to, open intervals run to the corpus's last
+    midnight.  The interval -> days explode is bounded by the calendar
+    span, integer-exact in micros; one (day, tier) aggregate after.
+    """
+    hist = user_tier_history(spark, sf_dir)
+    end_row = F.broadcast(
+        load_table(spark, "events", sf_dir).agg(
+            F.max(F.expr("unix_micros(ts)")).alias("corpus_end_us")
+        )
+    )
+    spans = hist.crossJoin(end_row).select(
+        "tier",
+        # first midnight >= valid_from
+        F.expr(
+            f"CAST((valid_from_us + {_DAY_US} - 1) div {_DAY_US} AS BIGINT)"
+        ).alias("m_first"),
+        # last midnight < valid_to (or <= corpus end for open intervals)
+        F.expr(
+            f"CAST(CASE WHEN valid_to_us IS NULL THEN corpus_end_us div {_DAY_US}"
+            f" ELSE (valid_to_us - 1) div {_DAY_US} END AS BIGINT)"
+        ).alias("m_last"),
+    ).where(F.col("m_first") <= F.col("m_last"))
+    days = spans.select(
+        "tier",
+        F.explode(F.expr("sequence(m_first, m_last)")).alias("day_idx"),
+    )
+    return (
+        days.groupBy("day_idx", "tier")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(
+            F.expr(f"timestamp_micros(day_idx * {_DAY_US})").alias("day"),
+            "tier",
+            "n_users",
+        )
+        .orderBy("day", "tier")
+    )
+
+
+ORACLE_SQL["tier_occupancy_by_day"] = f"""
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               LEAST(4, GREATEST(0, CAST(floor(value / {TIER_WIDTH}) AS INT))) AS tier
+        FROM events
+    ), marked AS (
+        SELECT *, LAG(tier) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_tier
+        FROM ev
+    ), changes AS (
+        SELECT user_id, tier, us,
+               LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us
+        FROM marked WHERE prev_tier IS NULL OR tier != prev_tier
+    ), bounds AS (
+        SELECT MAX(epoch_us(ts)) AS corpus_end_us FROM events
+    ), spans AS (
+        SELECT tier,
+               (us + {_DAY_US} - 1) // {_DAY_US} AS m_first,
+               CASE WHEN valid_to_us IS NULL
+                    THEN (SELECT corpus_end_us FROM bounds) // {_DAY_US}
+                    ELSE (valid_to_us - 1) // {_DAY_US} END AS m_last
+        FROM changes
+    ), days AS (
+        SELECT tier, UNNEST(range(m_first, m_last + 1)) AS day_idx
+        FROM spans WHERE m_first <= m_last
+    )
+    SELECT CAST(make_timestamp(day_idx * {_DAY_US}) AS DATE) AS day,
+           tier, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM days GROUP BY day_idx, tier
+    ORDER BY day, tier
+"""
+
+QUERIES["tier_occupancy_by_day"] = tier_occupancy_by_day

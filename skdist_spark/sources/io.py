@@ -611,3 +611,99 @@ def read_merged_schema(spark: SparkSession, path: str) -> DataFrame:
     time.  Footer-only work: no data pass happens to build the merged
     schema."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def scan_skipping_report(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo=None,
+    hi=None,
+) -> DataFrame:
+    """Data-skipping SIMULATION for the predicate ``lo <= column <= hi``
+    (either bound optional): per file, how many ROW GROUPS (and rows /
+    bytes) a min/max-pruning scan would skip — the number that tells
+    you whether re-clustering (zorder_by / hilbert_order_by /
+    insert-time sort) is worth it BEFORE rewriting 100 TB.
+
+    A row group is skippable when its stats prove no row can match:
+    stats.max < lo or stats.min > hi.  Footer-only distributed work,
+    O(files) like parquet_stats_report; groups without min/max stats
+    count as unskippable (the engine must read them too).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    files = [
+        r.file_path
+        for r in spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(path)
+        .select(F.col("path").alias("file_path"))
+        .collect()
+    ]
+
+    def gen(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for fp in pdf["file_path"]:
+                local = fp[len("file:"):] if fp.startswith("file:") else fp
+                meta = pq.ParquetFile(local).metadata
+                idx = {
+                    meta.schema.names[i]: i
+                    for i in range(len(meta.schema.names))
+                }
+                if column not in idx:
+                    continue
+                n_g = n_skip = rows = rows_skip = by = by_skip = 0
+                for rg in range(meta.num_row_groups):
+                    g = meta.row_group(rg)
+                    c = g.column(idx[column])
+                    st = c.statistics
+                    n_g += 1
+                    rows += g.num_rows
+                    by += g.total_byte_size
+                    skippable = False
+                    if st is not None and st.has_min_max:
+                        if lo is not None and st.max < lo:
+                            skippable = True
+                        if hi is not None and st.min > hi:
+                            skippable = True
+                    if skippable:
+                        n_skip += 1
+                        rows_skip += g.num_rows
+                        by_skip += g.total_byte_size
+                out.append(
+                    (
+                        local.rsplit("/", 1)[-1],
+                        n_g,
+                        n_skip,
+                        rows,
+                        rows_skip,
+                        by,
+                        by_skip,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "file",
+                    "row_groups",
+                    "skipped_groups",
+                    "rows",
+                    "skipped_rows",
+                    "bytes",
+                    "skipped_bytes",
+                ],
+            )
+
+    fdf = spark.createDataFrame([(f,) for f in files], "file_path string")
+    return fdf.mapInPandas(
+        gen,
+        schema=(
+            "file string, row_groups long, skipped_groups long, rows long,"
+            " skipped_rows long, bytes long, skipped_bytes long"
+        ),
+    ).orderBy("file")

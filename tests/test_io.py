@@ -552,3 +552,49 @@ def test_read_merged_schema_unions_columns(spark, tmp_path):
     rows = {r["id"]: (r["a"], r["b"]) for r in got.collect()}
     assert rows[1] == ("x", None)
     assert rows[2] == ("y", 7.5)
+
+
+def test_scan_skipping_report_rewards_clustering(spark, tmp_path):
+    """A value-sorted layout must show (near-)total row-group skipping
+    for a selective range predicate; a value-shuffled layout of the
+    SAME rows must show materially less — the report measures exactly
+    the clustering benefit."""
+    from pyspark.sql import functions as F
+
+    from skdist_spark.sources.io import scan_skipping_report
+
+    n = 200_000
+    df = spark.range(n).select(
+        F.col("id"), F.pmod(F.col("id") * 2654435761, F.lit(999983)).alias("v")
+    )
+    sorted_path = str(tmp_path / "sorted")
+    shuffled_path = str(tmp_path / "shuffled")
+    (
+        df.orderBy("v")
+        .coalesce(1)
+        .write.option("parquet.block.size", 64 * 1024)
+        .parquet(sorted_path)
+    )
+    (
+        df.orderBy("id")
+        .coalesce(1)
+        .write.option("parquet.block.size", 64 * 1024)
+        .parquet(shuffled_path)
+    )
+
+    def ratio(path):
+        agg = (
+            scan_skipping_report(spark, path, "v", lo=0, hi=999)
+            .agg(
+                F.sum("skipped_groups").alias("s"),
+                F.sum("row_groups").alias("g"),
+            )
+            .collect()[0]
+        )
+        assert agg["g"] > 3, "need multiple row groups for the test to bite"
+        return agg["s"] / agg["g"]
+
+    r_sorted = ratio(sorted_path)
+    r_shuffled = ratio(shuffled_path)
+    assert r_sorted > 0.9
+    assert r_sorted > r_shuffled
