@@ -181,6 +181,17 @@ def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
             "daily_revenue_mannkendall",
             # bounded |sources|^2 pair fan-out broadcast (as source_length_ks)
             "source_token_js",
+            # one-row edge-count (m) broadcast into the community rollup
+            "brand_copurchase_modularity",
+            # one-row class-totals broadcast over the threshold explode
+            "customer_ldiversity",
+            # calendar-bounded pair self-join (as daily_revenue_mannkendall)
+            "daily_kendall",
+            # bounded top-words x per-group-totals grid (both frames are
+            # catalog-sized: |top_words| x |groups|)
+            "source_style_delta",
+            # one-row corpus-end instant broadcast into the SCD2 explode
+            "tier_occupancy_by_day",
         ):
             bad[name] = joins
     assert not bad, bad
