@@ -1040,3 +1040,55 @@ def _brier_oracle_sql() -> str:
 
 QUERIES["langid_brier_decomposition"] = langid_brier_decomposition
 ORACLE_SQL["langid_brier_decomposition"] = _brier_oracle_sql()
+
+
+# ---- language confusion matrix ---------------------------------------------
+
+
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic: (actual,
+    predicted, count, row-share ppm) — the error-ANATOMY companion to
+    `langid_eval`'s per-class P/R/F1 scalars ('which languages get
+    mistaken for which').  One scan, one (actual, pred) aggregate."""
+    from pyspark.sql import functions as F
+
+    from .text import _SPARK_WORDS, _langid_exprs
+
+    docs = load_table(spark, "documents", sf_dir)
+    words_df = docs.select("lang", F.expr(_SPARK_WORDS).alias("wd"))
+    pred, _ = _langid_exprs("spark", words="wd")
+    cm = (
+        words_df.select("lang", F.expr(pred).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cm.select(
+        F.col("lang").alias("actual"),
+        F.col("pred_lang").alias("predicted"),
+        F.col("n").cast("long").alias("n"),
+        F.expr(
+            "CAST(n * 1000000 DIV SUM(n) OVER (PARTITION BY lang) AS BIGINT)"
+        ).alias("row_share_ppm"),
+    ).orderBy("actual", "predicted")
+
+
+def _langid_confusion_sql() -> str:
+    from .text import _langid_exprs
+
+    pred, _ = _langid_exprs("duck")
+    return f"""
+        WITH cm AS (
+            SELECT lang AS actual, {pred} AS predicted,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents
+            GROUP BY 1, 2
+        )
+        SELECT actual, predicted, n,
+               CAST(n * 1000000 // SUM(n) OVER (PARTITION BY actual) AS BIGINT)
+                   AS row_share_ppm
+        FROM cm ORDER BY actual, predicted
+    """
+
+
+QUERIES["langid_confusion"] = langid_confusion
+ORACLE_SQL["langid_confusion"] = _langid_confusion_sql()

@@ -1982,3 +1982,122 @@ def stream_token_budget_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["stream_token_budget_gate"] = stream_token_budget_gate
+
+
+# ---- streaming ANN enrichment ---------------------------------------------
+
+
+def ann_stream_enrich(
+    stream_vecs: DataFrame,
+    corpus_df: DataFrame,
+    centroids_df: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Real-time similar-item lookup for a vector stream: every
+    micro-batch of incoming embeddings runs the IVF cell equi-join
+    against the STATIC corpus (broadcast centroids pick the probe
+    cells) and emits each vector's top-k corpus neighbors — the
+    'check new content against the index before admitting it' shape.
+
+    Per-query results are independent of batching, so the drained
+    stream is EXACTLY the batch `ivf_join` over the same vectors
+    (pytest asserts row equality) — the streaming face costs no
+    accuracy, only the per-batch trigger latency.  State: none (the
+    corpus cells are a static frame the planner reuses per batch)."""
+    from ..operators.similarity import ivf_join
+
+    spark = stream_vecs.sparkSession
+    rows: list = []
+
+    def on_batch(bdf: DataFrame, batch_id: int) -> None:
+        if not bdf.take(1):
+            return
+        got = ivf_join(bdf, corpus_df, centroids_df, k=k, nprobe=nprobe)
+        for r in got.collect():
+            rows.append(
+                (int(batch_id), r["query_id"], r["neighbor_id"], float(r["cosine"]))
+            )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            stream_vecs.writeStream.foreachBatch(on_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.createDataFrame(
+        rows, "batch_id int, query_id long, neighbor_id long, cosine double"
+    )
+
+
+def _stage_embedding_batches(
+    spark: SparkSession, sf_dir: str, n_files: int = 2
+) -> str:
+    """Stage the ODD-vec_id embeddings as id-ordered parquet files for
+    maxFilesPerTrigger=1 replay."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources.catalog import load_table
+
+    stage = (
+        "/tmp/skdist_stream_emb_odd_"
+        + hashlib.md5(f"{sf_dir}:v1".encode()).hexdigest()[:8]
+    )
+    done = os.path.join(stage, "_STAGED")
+    if os.path.exists(done):
+        return stage
+    shutil.rmtree(stage, ignore_errors=True)
+    tmp = stage + "_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    emb = load_table(spark, "embeddings", sf_dir).where(F.col("vec_id") % 2 == 1)
+    emb.repartitionByRange(n_files, "vec_id").write.parquet(tmp)
+    os.makedirs(stage, exist_ok=True)
+    parts = sorted(
+        f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base = 1_000_000_000
+    for i, name in enumerate(parts):
+        dst = os.path.join(stage, f"batch_{i:04d}.parquet")
+        shutil.move(os.path.join(tmp, name), dst)
+        os.utime(dst, (base + i, base + i))
+    shutil.rmtree(tmp, ignore_errors=True)
+    open(done, "w").close()
+    return stage
+
+
+def _ann_stream_frames(spark: SparkSession, sf_dir: str):
+    from ..sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    corpus = emb.where(F.col("vec_id") % 2 == 0)
+    cents = emb.where(F.col("vec_id") % 50 == 0)
+    return corpus.localCheckpoint(eager=False), cents
+
+
+def stream_ann_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: odd-vec_id embeddings replayed as 2 micro-batches,
+    each IVF-joined against the even-id static corpus (rows-only;
+    pytest asserts exact equality with the one-shot batch ivf_join)."""
+    corpus, cents = _ann_stream_frames(spark, sf_dir)
+    stage = _stage_embedding_batches(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    out = ann_stream_enrich(raw, corpus, cents)
+    return out.orderBy("query_id", F.desc("cosine"), "neighbor_id")
+
+
+QUERIES["stream_ann_enrich"] = stream_ann_enrich

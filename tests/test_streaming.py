@@ -784,3 +784,29 @@ def test_stream_token_budget_gate_equals_batch(spark, sf_dir):
     # the gate actually gates: someone was dropped, someone admitted
     assert any(r[2] < r[1] for r in got)  # n_accepted < n_docs somewhere
     assert any(r[2] > 0 for r in got)
+
+
+def test_stream_ann_enrich_equals_batch(spark, sf_dir):
+    """Drained streaming ANN lookups == one-shot batch ivf_join over
+    the same query vectors (per-query results are batching-invariant)."""
+    from pyspark.sql import functions as F
+
+    from skdist_spark.operators.similarity import ivf_join
+    from skdist_spark.sources.catalog import load_table
+    from skdist_spark.streaming.ops import _ann_stream_frames, stream_ann_enrich
+
+    got = {
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9))
+        for r in stream_ann_enrich(spark, sf_dir).collect()
+    }
+    corpus, cents = _ann_stream_frames(spark, sf_dir)
+    queries = (
+        load_table(spark, "embeddings", sf_dir)
+        .where(F.col("vec_id") % 2 == 1)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    want = {
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9))
+        for r in ivf_join(queries, corpus, cents, k=3, nprobe=2).collect()
+    }
+    assert got == want and len(got) > 0
