@@ -2026,3 +2026,101 @@ ORACLE_SQL["budget_gate_summary"] = f"""
 """
 
 QUERIES["budget_gate_summary"] = budget_gate_summary
+
+
+# ---- output-shard planner ---------------------------------------------------
+
+SHARD_TOKENS = 400
+
+
+def plan_output_shards(
+    docs: DataFrame,
+    shard_tokens: int = SHARD_TOKENS,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Plan fixed-size training shards: docs are packed in ``id_col``
+    order per group and a new shard starts when the RUNNING token total
+    crosses a ``shard_tokens`` boundary — the deterministic shard map a
+    writer fans out over (shard = where your doc starts, so every doc
+    lands in exactly one shard and shard boundaries never split one).
+
+    One window pass (cumulative tokens) + one shard rollup; shard id =
+    (cum - n_tok) div shard_tokens on exact integers, identical on any
+    engine.  At 100 TB the window partitions by (group, coarse id
+    range) and shard ids offset by per-range totals — same arithmetic,
+    one extra scan for the range totals."""
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("did")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("did"),
+        F.expr(f"size({_SPARK_WORDS.replace('text', text_col)})")
+        .cast("long")
+        .alias("n_tok"),
+    )
+    cum = toks.select(
+        "grp",
+        "did",
+        "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start_off"),
+    )
+    return (
+        cum.select(
+            "grp",
+            "did",
+            "n_tok",
+            F.expr(f"CAST(start_off div {shard_tokens} AS BIGINT)").alias(
+                "shard"
+            ),
+        )
+        .groupBy("grp", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("tokens"),
+            F.min("did").cast("long").alias("first_doc"),
+            F.max("did").cast("long").alias("last_doc"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "shard",
+            "n_docs",
+            "tokens",
+            "first_doc",
+            "last_doc",
+        )
+        .orderBy(group_col, "shard")
+    )
+
+
+def shard_plan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the per-source fixed-size shard map of documents."""
+    return plan_output_shards(load_table(spark, "documents", sf_dir))
+
+
+ORACLE_SQL["shard_plan_documents"] = f"""
+    WITH toks AS (
+        SELECT source AS grp, doc_id AS did,
+               CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_tok
+        FROM documents
+    ), cum AS (
+        SELECT grp, did, n_tok,
+               SUM(n_tok) OVER (PARTITION BY grp ORDER BY did
+                   ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+        FROM toks
+    )
+    SELECT grp AS source,
+           CAST(start_off // {SHARD_TOKENS} AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens,
+           CAST(MIN(did) AS BIGINT) AS first_doc,
+           CAST(MAX(did) AS BIGINT) AS last_doc
+    FROM cum GROUP BY grp, CAST(start_off // {SHARD_TOKENS} AS BIGINT)
+    ORDER BY source, shard
+"""
+
+QUERIES["shard_plan_documents"] = shard_plan_documents

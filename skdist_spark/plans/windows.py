@@ -1717,3 +1717,103 @@ ORACLE_SQL["event_lateness_profile"] = """
 """
 
 QUERIES["event_lateness_profile"] = event_lateness_profile
+
+
+# ---- session-gap parameter sweep --------------------------------------------
+
+GAP_SWEEP_MINUTES = (5, 15, 30, 60)
+
+
+def session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameter-tuning table for sessionization: for each candidate
+    inactivity gap, the session count, mean events per session, and
+    single-event-session share — read where the metrics stop moving
+    and that's your gap (the elbow method, measured not guessed).
+
+    ONE user-keyed window pass computes all gaps simultaneously: the
+    lag/gap is evaluated once and each threshold just counts how many
+    gaps exceed it (a session count is 1 + #breaks), so the sweep
+    costs one extra conditional sum per candidate, not one pass per
+    candidate (contrast: ann_probe_sweep re-probes per point because
+    its WORK differs per parameter; here only the predicate does)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    ]
+    for m in GAP_SWEEP_MINUTES:
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col("gap_us").isNull()
+                    | (F.col("gap_us") > m * 60_000_000),
+                    1,
+                ).otherwise(0)
+            ).alias(f"s{m}")
+        )
+    g = gaps.agg(*aggs)
+    entries = ", ".join(
+        f"{m}, CAST(s{m} AS BIGINT),"
+        f" ROUND(CAST(n_events AS DOUBLE) / s{m}, 6),"
+        f" CAST(s{m} * 1000000 DIV n_events AS BIGINT)"
+        for m in GAP_SWEEP_MINUTES
+    )
+    return (
+        g.select(
+            F.col("n_events").cast("long").alias("n_events"),
+            F.expr(
+                f"stack({len(GAP_SWEEP_MINUTES)}, {entries})"
+                " AS (gap_minutes, n_sessions, events_per_session,"
+                " sessions_per_event_ppm)"
+            ),
+        )
+        .select(
+            "gap_minutes",
+            "n_sessions",
+            "n_events",
+            "events_per_session",
+            "sessions_per_event_ppm",
+        )
+        .orderBy("gap_minutes")
+    )
+
+
+def _gap_sweep_sql() -> str:
+    rows = []
+    for m in GAP_SWEEP_MINUTES:
+        rows.append(
+            f"SELECT {m} AS gap_minutes, s{m} AS n_sessions, n_events,"
+            f" ROUND(CAST(n_events AS DOUBLE) / s{m}, 6) AS events_per_session,"
+            f" CAST(s{m} * 1000000 // n_events AS BIGINT)"
+            f" AS sessions_per_event_ppm FROM g"
+        )
+    sums = ", ".join(
+        f"CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > CAST({m} AS BIGINT) * 60000000"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS s{m}"
+        for m in GAP_SWEEP_MINUTES
+    )
+    return f"""
+        WITH gaps AS (
+            SELECT user_id,
+                   epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+            FROM events
+        ), g AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_events, {sums}
+            FROM gaps
+        )
+        {' UNION ALL '.join(rows)}
+        ORDER BY gap_minutes
+    """
+
+
+ORACLE_SQL["session_gap_sweep"] = _gap_sweep_sql()
+QUERIES["session_gap_sweep"] = session_gap_sweep
