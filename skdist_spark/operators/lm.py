@@ -1363,3 +1363,94 @@ def _burrows_oracle_sql(top_words: int = DELTA_TOP_WORDS) -> str:
 
 QUERIES["source_style_delta"] = source_style_delta
 ORACLE_SQL["source_style_delta"] = _burrows_oracle_sql()
+
+
+# ---- curriculum phases -----------------------------------------------------
+
+CURRICULUM_PHASES = 3
+
+
+def doc_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum plan from the perplexity ranking: each source's docs
+    split into ``CURRICULUM_PHASES`` equal-count phases by in-source
+    perplexity rank (phase 1 = cleanest / lowest perplexity — train on
+    it first; CCNet's head/middle/tail as an ordering rather than a
+    filter).  Emits the phase table a curriculum sampler feeds from:
+    per (source, phase) doc and token counts plus the perplexity range.
+
+    Integer phase assignment over the existing exact ranking:
+    phase = (rank - 1) * k div n + 1 — balanced to within one doc,
+    engine-free."""
+    from ..sources.catalog import load_table as _lt
+
+    docs = _lt(spark, "documents", sf_dir).select("doc_id", "text", "source")
+    scored = perplexity_filter(docs)
+    from pyspark.sql import Window as _W
+
+    n_grp = F.count(F.lit(1)).over(_W.partitionBy("source"))
+    phased = scored.select(
+        "source",
+        "n_tokens",
+        "perplexity",
+        F.expr(
+            f"CAST((ppx_rank - 1) * {CURRICULUM_PHASES} AS BIGINT)"
+        ).alias("rk3"),
+        n_grp.alias("n_grp"),
+    ).select(
+        "source",
+        "n_tokens",
+        "perplexity",
+        (F.expr("CAST(rk3 div n_grp AS INT)") + 1).alias("phase"),
+    )
+    return (
+        phased.groupBy("source", "phase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+            F.round(F.min("perplexity"), 6).alias("ppx_lo"),
+            F.round(F.max("perplexity"), 6).alias("ppx_hi"),
+        )
+        .orderBy("source", "phase")
+    )
+
+
+def _curriculum_sql(add_k: float = ADD_K, k: int = CURRICULUM_PHASES) -> str:
+    return f"""
+        WITH tf AS (
+            SELECT doc_id, unnest({_DUCK_WORDS}) AS word
+            FROM documents
+        ), tfc AS (
+            SELECT doc_id, word, COUNT(*) AS tf FROM tf GROUP BY 1, 2
+        ), cf AS (
+            SELECT word, SUM(tf) AS cf FROM tfc GROUP BY 1
+        ), totals AS (
+            SELECT SUM(cf) AS n_corpus, COUNT(*) AS v_vocab FROM cf
+        ), scored AS (
+            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                   SUM(-ln((cf + {add_k}) / (n_corpus + {add_k} * v_vocab)) * tf)
+                     / SUM(tf) AS h
+            FROM tfc JOIN cf USING (word) CROSS JOIN totals
+            GROUP BY doc_id
+        ), ranked AS (
+            SELECT d.source, s.n_tokens,
+                   ROUND(exp(s.h), 6) AS perplexity,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.source
+                       ORDER BY ROUND(exp(s.h), 6), s.doc_id) AS rk,
+                   COUNT(*) OVER (PARTITION BY d.source) AS n_grp
+            FROM scored s JOIN documents d USING (doc_id)
+        )
+        SELECT source,
+               CAST((rk - 1) * {k} // n_grp AS INTEGER) + 1 AS phase,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+               ROUND(MIN(perplexity), 6) AS ppx_lo,
+               ROUND(MAX(perplexity), 6) AS ppx_hi
+        FROM ranked
+        GROUP BY source, CAST((rk - 1) * {k} // n_grp AS INTEGER) + 1
+        ORDER BY source, phase
+    """
+
+
+QUERIES["doc_curriculum_phases"] = doc_curriculum_phases
+ORACLE_SQL["doc_curriculum_phases"] = _curriculum_sql()
