@@ -87,7 +87,7 @@ _PRIORITY = [
     "ml_source_ablation", "purchase_ab_qte", "fs_field_weights",
     "event_lateness_profile", "doc_shard_balance", "tier_occupancy_by_day",
     "langid_confusion", "stream_ann_enrich", "shard_plan_documents",
-    "session_gap_sweep", "doc_curriculum_phases",
+    "session_gap_sweep", "doc_curriculum_phases", "funnel_ab_steps",
     # Leads with the round-3 FINAL-continuation eval/uncertainty batch
     # (bootstrap CI, ANN recall + probe sweep, BM25 eval, JS divergence,
     # DiD, seasonal decompose, revenue decomposition, k-anonymity,

@@ -2248,3 +2248,179 @@ ORACLE_SQL["tier_occupancy_by_day"] = f"""
 """
 
 QUERIES["tier_occupancy_by_day"] = tier_occupancy_by_day
+
+
+# ---- A/B funnel: per-step conversion comparison ------------------------------
+
+
+def funnel_ab_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-step funnel A/B readout between the Knuth user arms: for
+    every funnel step, each arm's completion count, rate (ppm), and the
+    two-proportion z statistic — WHERE in the journey a treatment moved
+    users, not just whether the end-to-end rate changed.
+
+    Plan: the ordered-funnel windowed-MIN chain runs ONCE over the
+    shared user exchange; arms split the per-user frame afterwards, so
+    the A/B view costs one extra conditional aggregate, not a second
+    funnel.  Counts are exact integers; the z composition is one shared
+    float expression per step.
+    """
+    from ..operators.tsa import _arm
+
+    s1, s2, s3 = FUNNEL_STEPS
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == s1, F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == s2) & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == s3) & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    armed = per_user.select(
+        _arm(F.col("user_id")).alias("arm"), "t1", "t2", "t3"
+    )
+    g = armed.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        *[
+            x
+            for i in (1, 2, 3)
+            for x in (
+                F.sum(
+                    F.when(
+                        (F.col("arm") == 0) & F.col(f"t{i}").isNotNull(), 1
+                    ).otherwise(0)
+                ).alias(f"ca{i}"),
+                F.sum(
+                    F.when(
+                        (F.col("arm") == 1) & F.col(f"t{i}").isNotNull(), 1
+                    ).otherwise(0)
+                ).alias(f"cb{i}"),
+            )
+        ],
+    )
+    # z is undefined at pooled rate 0 or 1 (variance 0): emit NULL —
+    # Spark ANSI raises on the division, DuckDB yields inf; NULL is the
+    # honest, engine-identical answer for "every/no user converted"
+    z = (
+        "(CASE WHEN ca{i} + cb{i} = 0 OR ca{i} + cb{i} = n_a + n_b"
+        " THEN NULL ELSE"
+        " ROUND((CAST(cb{i} AS DOUBLE) / n_b - CAST(ca{i} AS DOUBLE) / n_a)"
+        " / sqrt((CAST(ca{i} + cb{i} AS DOUBLE) / (n_a + n_b))"
+        " * (1 - CAST(ca{i} + cb{i} AS DOUBLE) / (n_a + n_b))"
+        " * (1.0 / n_a + 1.0 / n_b)), 6) END)"
+    )
+    entries = ", ".join(
+        f"{i}, '{name}', CAST(ca{i} AS BIGINT), CAST(cb{i} AS BIGINT),"
+        f" CAST(ca{i} * 1000000 DIV n_a AS BIGINT),"
+        f" CAST(cb{i} * 1000000 DIV n_b AS BIGINT),"
+        f" {z.format(i=i)}"
+        for i, name in zip((1, 2, 3), FUNNEL_STEPS)
+    )
+    return (
+        g.select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr(
+                f"stack(3, {entries})"
+                " AS (step_idx, step_name, conv_a, conv_b,"
+                " rate_a_ppm, rate_b_ppm, z)"
+            ),
+        )
+        .select(
+            "step_idx",
+            "step_name",
+            "n_a",
+            "n_b",
+            "conv_a",
+            "conv_b",
+            "rate_a_ppm",
+            "rate_b_ppm",
+            "z",
+        )
+        .orderBy("step_idx")
+    )
+
+
+def _funnel_ab_sql() -> str:
+    from ..operators.tsa import _arm_sql
+
+    s1, s2, s3 = FUNNEL_STEPS
+    # z is undefined at pooled rate 0 or 1 (variance 0): emit NULL —
+    # Spark ANSI raises on the division, DuckDB yields inf; NULL is the
+    # honest, engine-identical answer for "every/no user converted"
+    z = (
+        "(CASE WHEN ca{i} + cb{i} = 0 OR ca{i} + cb{i} = n_a + n_b"
+        " THEN NULL ELSE"
+        " ROUND((CAST(cb{i} AS DOUBLE) / n_b - CAST(ca{i} AS DOUBLE) / n_a)"
+        " / sqrt((CAST(ca{i} + cb{i} AS DOUBLE) / (n_a + n_b))"
+        " * (1 - CAST(ca{i} + cb{i} AS DOUBLE) / (n_a + n_b))"
+        " * (1.0 / n_a + 1.0 / n_b)), 6) END)"
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS step_idx, '{name}' AS step_name, n_a, n_b,"
+        f" ca{i} AS conv_a, cb{i} AS conv_b,"
+        f" CAST(ca{i} * 1000000 // n_a AS BIGINT) AS rate_a_ppm,"
+        f" CAST(cb{i} * 1000000 // n_b AS BIGINT) AS rate_b_ppm,"
+        f" {z.format(i=i)} AS z FROM g"
+        for i, name in zip((1, 2, 3), (s1, s2, s3))
+    )
+    conds = ", ".join(
+        f"CAST(SUM(CASE WHEN arm = 0 AND t{i} IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ca{i},"
+        f" CAST(SUM(CASE WHEN arm = 1 AND t{i} IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS cb{i}"
+        for i in (1, 2, 3)
+    )
+    return f"""
+        WITH w1 AS (
+          SELECT user_id, event_type, ts,
+                 MIN(CASE WHEN event_type = '{s1}' THEN ts END)
+                     OVER (PARTITION BY user_id) AS t1
+          FROM events),
+        w2 AS (
+          SELECT *, MIN(CASE WHEN event_type = '{s2}' AND ts > t1 THEN ts END)
+                        OVER (PARTITION BY user_id) AS t2
+          FROM w1),
+        w3 AS (
+          SELECT *, MIN(CASE WHEN event_type = '{s3}' AND ts > t2 THEN ts END)
+                        OVER (PARTITION BY user_id) AS t3
+          FROM w2),
+        per_user AS (
+          SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+          FROM w3 GROUP BY user_id),
+        armed AS (
+          SELECT {_arm_sql()} AS arm, t1, t2, t3 FROM per_user),
+        g AS (
+          SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                 {conds}
+          FROM armed)
+        {rows}
+        ORDER BY step_idx
+    """
+
+
+ORACLE_SQL["funnel_ab_steps"] = _funnel_ab_sql()
+QUERIES["funnel_ab_steps"] = funnel_ab_steps
