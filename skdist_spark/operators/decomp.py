@@ -193,7 +193,7 @@ def embedding_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SQL["embedding_separability"] = """
     WITH q AS (
         SELECT label AS lbl, d.i - 1 AS dim,
-               CAST(floor(embedding[d.i] * 1000000) AS BIGINT) AS v
+               CAST(floor(CAST(embedding[d.i] AS DOUBLE) * 1000000) AS BIGINT) AS v
         FROM embeddings,
              LATERAL (SELECT UNNEST(range(1, len(embedding) + 1)) AS i) d
     ), cell AS (
@@ -422,7 +422,7 @@ def _jl_oracle_sql(k: int = JL_OUT_DIMS) -> str:
         WITH q AS (
             SELECT vec_id,
                    list_transform(embedding,
-                       x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
             FROM embeddings
         ), proj AS (
             SELECT vec_id, v, {proj} AS y FROM q
@@ -455,3 +455,115 @@ def _jl_oracle_sql(k: int = JL_OUT_DIMS) -> str:
 
 QUERIES["embedding_jl_eval"] = embedding_jl_eval
 ORACLE_SQL["embedding_jl_eval"] = _jl_oracle_sql()
+
+
+# ---- embedding drift (standardized mean difference per dimension) -----------
+
+
+def _smd_expr(big: str) -> str:
+    """The exact-integer SMD composition; ``big`` is the engine's
+    128-bit-capable exact integer type (DECIMAL(38,0) on Spark,
+    HUGEINT on DuckDB — DuckDB SILENTLY promotes an overflowing
+    DECIMAL multiply to DOUBLE, which cost a 1e-8 divergence here)."""
+    return (
+        "(CAST(s_b * n_a - s_a * n_b AS DOUBLE)"
+        " * sqrt(CAST(n_a + n_b - 2 AS DOUBLE)"
+        " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)"
+        f" * CAST(CAST(n_b AS {big}) * (CAST(n_a AS {big}) * CAST(ss_a AS {big})"
+        f" - CAST(s_a AS {big}) * CAST(s_a AS {big}))"
+        f" + CAST(n_a AS {big}) * (CAST(n_b AS {big}) * CAST(ss_b AS {big})"
+        f" - CAST(s_b AS {big}) * CAST(s_b AS {big}))"
+        " AS DOUBLE))))"
+    )
+
+
+_SMD_EXPR = _smd_expr("DECIMAL(38,0)")
+
+
+def embedding_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift monitor: per dimension, the standardized
+    mean difference (Cohen's d with pooled variance) between a
+    reference slice and a current slice — the retraining/recalibration
+    trigger for anything serving on top of these vectors (ANN cells,
+    classifiers, whitening stats all assume the distribution holds).
+
+    One micro-quantized posexplode + exact integer moments per (side,
+    dim); d composes in a single shared float expression, so the table
+    is engine-identical.  Map-side combinable aggregate over dims x 2
+    cells — scale-free.
+    """
+    def moments(df: DataFrame, side: str) -> DataFrame:
+        q = df.select(
+            F.posexplode(
+                F.expr(
+                    f"transform({vec_col}, x -> CAST(floor(x * 1000000) AS BIGINT))"
+                )
+            ).alias("dim", "v")
+        )
+        return q.groupBy("dim").agg(
+            F.count(F.lit(1)).alias(f"n_{side}"),
+            F.sum(F.expr("CAST(v AS DECIMAL(38,0))")).alias(f"s_{side}"),
+            F.sum(F.expr("CAST(v AS DECIMAL(19,0)) * v")).alias(f"ss_{side}"),
+        )
+
+    j = moments(ref, "a").join(moments(cur, "b"), "dim")
+    mean = "(CAST(s_{s} AS DOUBLE) / CAST(n_{s} AS DOUBLE))"
+    # d rearranged so EVERYTHING except one mult/div/sqrt/mult tail is
+    # exact DECIMAL integer arithmetic — the naive mean/var/pooled float
+    # chain diverged from DuckDB by 1 ulp at ROUND boundaries:
+    #   d = A * sqrt(k / (n_a*n_b * P)),  A = s_b*n_a - s_a*n_b,
+    #   P = n_b*(n_a*ss_a - s_a^2) + n_a*(n_b*ss_b - s_b^2),
+    #   k = n_a + n_b - 2
+    d = _SMD_EXPR
+    return j.select(
+        "dim",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.expr(f"ROUND({mean.format(s='a')} / 1000000.0, 6)").alias("mean_ref"),
+        F.expr(f"ROUND({mean.format(s='b')} / 1000000.0, 6)").alias("mean_cur"),
+        F.expr(f"ROUND({d}, 6)").alias("smd"),
+    ).orderBy("dim")
+
+
+def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: drift of odd-vec_id embeddings vs the even-id
+    reference slice, per dimension."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return embedding_drift(
+        emb.where(F.expr("vec_id % 2 = 0")), emb.where(F.expr("vec_id % 2 = 1"))
+    )
+
+
+def _drift_sql() -> str:
+    mean = "(CAST(s_{s} AS DOUBLE) / CAST(n_{s} AS DOUBLE))"
+    d = _smd_expr("HUGEINT")
+    side = """
+        SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_{s},
+               SUM(CAST(v AS DECIMAL(38,0))) AS s_{s},
+               SUM(CAST(v AS DECIMAL(19,0)) * v) AS ss_{s}
+        FROM (
+            SELECT d.i - 1 AS dim,
+                   CAST(floor(CAST(embedding[d.i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+            FROM embeddings,
+                 LATERAL (SELECT UNNEST(range(1, len(embedding) + 1)) AS i) d
+            WHERE vec_id % 2 = {par}
+        ) GROUP BY dim
+    """
+    return f"""
+        WITH a AS ({side.format(s='a', par=0)}),
+             b AS ({side.format(s='b', par=1)})
+        SELECT dim, n_a, n_b,
+               ROUND({mean.format(s='a')} / 1000000.0, 6) AS mean_ref,
+               ROUND({mean.format(s='b')} / 1000000.0, 6) AS mean_cur,
+               ROUND({d}, 6) AS smd
+        FROM a JOIN b USING (dim)
+        ORDER BY dim
+    """
+
+
+QUERIES["embedding_drift_report"] = embedding_drift_report
+ORACLE_SQL["embedding_drift_report"] = _drift_sql()
