@@ -192,6 +192,9 @@ def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
             "source_style_delta",
             # one-row corpus-end instant broadcast into the SCD2 explode
             "tier_occupancy_by_day",
+            # one-row (N, V) totals broadcast, inherited from the
+            # perplexity scorer it ranks over (as doc_perplexity_filter)
+            "doc_curriculum_phases",
         ):
             bad[name] = joins
     assert not bad, bad
