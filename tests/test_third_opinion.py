@@ -1432,3 +1432,87 @@ def test_third_event_value_winsorized(spark):
         total = sum(wins) + k * (vals[k] + vals[n - k - 1])
         mean = round(total / n / 1_000_000, 6)
         assert got[et] == (n, k, mean)
+
+
+def test_third_tfidf_doc_pairs(spark):
+    from collections import Counter, defaultdict
+
+    from skdist_spark.operators.retrieval import (
+        COSINE_DF_PRUNE,
+        COSINE_MIN,
+        COSINE_NGRAM,
+        tfidf_doc_pairs,
+    )
+
+    docs = _table("documents")
+    postings = defaultdict(Counter)  # gram -> {doc: tf}
+    for r in docs.itertuples():
+        w = [t for t in r.text.strip().split() if t]
+        for i in range(max(len(w) - COSINE_NGRAM + 1, 1)):
+            g = " ".join(w[i : i + COSINE_NGRAM])
+            postings[g][r.doc_id] += 1
+    pruned = {g: c for g, c in postings.items() if len(c) <= COSINE_DF_PRUNE}
+    norms = Counter()
+    dots = Counter()
+    for g, c in pruned.items():
+        items = sorted(c.items())
+        for d, tf in items:
+            norms[d] += tf * tf
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                (da, ta), (db, tb) = items[i], items[j]
+                dots[(da, db)] += ta * tb
+    want = sorted(
+        (da, db, dot, round(dot / np.sqrt(float(norms[da] * norms[db])), 6))
+        for (da, db), dot in dots.items()
+        if dot / np.sqrt(float(norms[da] * norms[db])) >= COSINE_MIN
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["dot"], r["cosine"])
+        for r in tfidf_doc_pairs(spark, SF).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_third_time_decay_attribution(spark):
+    import math
+    from collections import defaultdict
+
+    from skdist_spark.plans.behavior import (
+        DECAY_LOOKBACK_DAYS,
+        time_decay_attribution,
+    )
+
+    ev = _table("events")
+    by_user = defaultdict(list)
+    for r in ev.itertuples():
+        by_user[r.user_id].append(r)
+    per_channel = defaultdict(lambda: [0, 0, 0])  # ppm, cents, touches
+    for rows in by_user.values():
+        purchases = [r for r in rows if r.event_type == "purchase"]
+        touches = [r for r in rows if r.event_type != "purchase"]
+        for p in purchases:
+            p_day = p.ts.normalize()
+            p_cents = int(math.floor(p.value * 100))
+            wc = defaultdict(int)
+            nt = defaultdict(int)
+            for t in touches:
+                age = (p_day - t.ts.normalize()).days
+                if t.ts < p.ts and age <= DECAY_LOOKBACK_DAYS:
+                    wc[t.event_type] += 1 << (DECAY_LOOKBACK_DAYS - age)
+                    nt[t.event_type] += 1
+            W = sum(wc.values())
+            for ch, w in wc.items():
+                per_channel[ch][0] += w * 1_000_000 // W
+                per_channel[ch][1] += p_cents * w // W
+                per_channel[ch][2] += nt[ch]
+    got = {
+        r["channel"]: (
+            r["conversions_ppm"],
+            r["revenue_cents"],
+            r["n_touches"],
+        )
+        for r in time_decay_attribution(spark, SF).collect()
+    }
+    want = {ch: tuple(v) for ch, v in per_channel.items()}
+    assert got == want and len(got) > 0
