@@ -74,8 +74,12 @@ _PRIORITY = [
     # upgrade its r2 no_oracle row to a hash-checked green.
     "event_pagerank",
     # -- ROUND-4 QUEUE (past the 50-entry cap; all locally green) --
-    # Newest (round-3 continuation 2): rank correlation, corpus
-    # diversity, index-based TF cosine, time-decay credit, MDE planner.
+    # Newest (round-3 continuation 3): rank correlation, corpus
+    # diversity/richness/stylometry, TF-cosine pairs, time-decay
+    # credit, MDE planner + QTE + per-step funnel A/B, privacy pair,
+    # modularity, JL + embedding drift, HRW sharding, token-budget
+    # gate, shard/curriculum planners, Apriori triples, FS weights,
+    # lateness profile, SCD2 occupancy, Brier, confusion matrix.
     "daily_spearman", "daily_kendall", "source_ngram_diversity",
     "tfidf_doc_pairs", "time_decay_attribution", "ab_power_planner",
     "event_value_winsorized", "customer_ldiversity",
