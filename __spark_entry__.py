@@ -92,7 +92,8 @@ _PRIORITY = [
     "event_lateness_profile", "doc_shard_balance", "tier_occupancy_by_day",
     "langid_confusion", "stream_ann_enrich", "shard_plan_documents",
     "session_gap_sweep", "doc_curriculum_phases", "funnel_ab_steps",
-    "embedding_drift_report",
+    "embedding_drift_report", "english_threshold_sweep",
+    "event_value_median_ci",
     # Leads with the round-3 FINAL-continuation eval/uncertainty batch
     # (bootstrap CI, ANN recall + probe sweep, BM25 eval, JS divergence,
     # DiD, seasonal decompose, revenue decomposition, k-anonymity,

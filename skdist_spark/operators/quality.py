@@ -1092,3 +1092,110 @@ def _langid_confusion_sql() -> str:
 
 QUERIES["langid_confusion"] = langid_confusion
 ORACLE_SQL["langid_confusion"] = _langid_confusion_sql()
+
+
+# ---- F1-optimal threshold sweep --------------------------------------------
+
+
+def threshold_sweep_f1(
+    scored: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Exact decision-threshold sweep: for EVERY distinct score value t
+    (predict positive when score >= t), precision / recall / F1 from
+    exact cumulative counts — the full operating-characteristic table a
+    threshold picker reads its argmax off (no sampled ROC grid, no
+    interpolation).
+
+    One ordered window over the |distinct scores| aggregate: sort
+    scores descending, cumulative TP = positives at-or-above t; all
+    integers, ppm ratios, one shared float F1 composition.
+    """
+    from pyspark.sql import Window
+
+    per_score = scored.groupBy(F.col(score_col).alias("t")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(label_col).cast("bigint")).alias("pos"),
+    )
+    w = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy()
+    cum = per_score.select(
+        "t",
+        F.sum("n").over(w).alias("pred_pos"),
+        F.sum("pos").over(w).alias("tp"),
+        F.sum("pos").over(tot).alias("all_pos"),
+    )
+    f1 = (
+        "(CAST(2 * tp AS DOUBLE) / CAST(pred_pos + all_pos AS DOUBLE))"
+    )
+    return cum.select(
+        F.col("t").cast("long").alias("threshold"),
+        F.col("pred_pos").cast("long").alias("pred_pos"),
+        F.col("tp").cast("long").alias("tp"),
+        F.expr("CAST(tp * 1000000 DIV pred_pos AS BIGINT)").alias(
+            "precision_ppm"
+        ),
+        F.expr("CAST(tp * 1000000 DIV all_pos AS BIGINT)").alias(
+            "recall_ppm"
+        ),
+        F.expr(f"ROUND({f1}, 6)").alias("f1"),
+    ).orderBy(F.desc("threshold"))
+
+
+def english_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the F1-optimal stopword-ratio threshold for an
+    'is-English' gate, swept exactly over every observed ppm ratio
+    (label = the corpus lang column)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from .text import _SPARK_WORDS, LANG_PROFILES, _hits_expr
+
+    docs = load_table(spark, "documents", sf_dir)
+    en_sw = LANG_PROFILES["en"]
+    words_df = docs.select("lang", F.expr(_SPARK_WORDS).alias("wd"))
+    scored = words_df.select(
+        F.expr(
+            f"CAST({_hits_expr('wd', en_sw, 'spark')} * 1000000"
+            f" DIV size(wd) AS BIGINT)"
+        ).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+    ).where(F.expr("size(wd) > 0"))
+    return threshold_sweep_f1(scored, "score", "is_en")
+
+
+def _threshold_sweep_sql() -> str:
+    from .text import _DUCK_WORDS, LANG_PROFILES, _hits_expr
+
+    en_sw = LANG_PROFILES["en"]
+    f1 = "(CAST(2 * tp AS DOUBLE) / CAST(pred_pos + all_pos AS DOUBLE))"
+    return f"""
+        WITH scored AS (
+            SELECT CAST({_hits_expr(_DUCK_WORDS, en_sw, 'duck')} * 1000000
+                        // len({_DUCK_WORDS}) AS BIGINT) AS score,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+            FROM documents
+            WHERE len({_DUCK_WORDS}) > 0
+        ), per_score AS (
+            SELECT score AS t, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(is_en) AS BIGINT) AS pos
+            FROM scored GROUP BY score
+        ), cum AS (
+            SELECT t,
+                   CAST(SUM(n) OVER (ORDER BY t DESC
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pred_pos,
+                   CAST(SUM(pos) OVER (ORDER BY t DESC
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+                   CAST(SUM(pos) OVER () AS BIGINT) AS all_pos
+            FROM per_score
+        )
+        SELECT t AS threshold, pred_pos, tp,
+               CAST(tp * 1000000 // pred_pos AS BIGINT) AS precision_ppm,
+               CAST(tp * 1000000 // all_pos AS BIGINT) AS recall_ppm,
+               ROUND({f1}, 6) AS f1
+        FROM cum ORDER BY threshold DESC
+    """
+
+
+QUERIES["english_threshold_sweep"] = english_threshold_sweep
+ORACLE_SQL["english_threshold_sweep"] = _threshold_sweep_sql()

@@ -2323,3 +2323,112 @@ def _winsorized_oracle_sql(trim_ppm: int = TRIM_PPM) -> str:
 
 QUERIES["event_value_winsorized"] = event_value_winsorized
 ORACLE_SQL["event_value_winsorized"] = _winsorized_oracle_sql()
+
+
+# ---- distribution-free median CI --------------------------------------------
+
+_MCI_Z = 1.959964
+
+
+def median_ci(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    order_tiebreak: str,
+) -> DataFrame:
+    """Distribution-free 95% CI for the median by ORDER STATISTICS: the
+    CI endpoints are the values at ranks n/2 -/+ z*sqrt(n)/2 (the
+    binomial normal approximation) — valid for ANY distribution, no
+    bootstrap resampling, one rank window per group.
+
+    Ranks come from one shared float composition over the exact count
+    then clamp to [1, n]; endpoint lookup rides the same
+    (group)-partitioned rank window as the median itself."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(value_col).asc(), F.col(order_tiebreak).asc()
+    )
+    ranked = df.select(
+        *group_cols,
+        F.col(value_col).alias("v"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy(*group_cols)).alias("n"),
+    )
+    r_med = "CAST(ceil(n / 2.0) AS BIGINT)"
+    r_lo = (
+        f"GREATEST(CAST(floor((n - {_MCI_Z} * sqrt(CAST(n AS DOUBLE))) / 2.0)"
+        f" AS BIGINT), CAST(1 AS BIGINT))"
+    )
+    r_hi = (
+        f"LEAST(CAST(ceil(1 + (n + {_MCI_Z} * sqrt(CAST(n AS DOUBLE))) / 2.0)"
+        f" AS BIGINT), CAST(n AS BIGINT))"
+    )
+    return (
+        ranked.groupBy(*group_cols)
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max(F.expr(f"CASE WHEN rk = {r_med} THEN v END")).alias("med_v"),
+            F.max(F.expr(f"CASE WHEN rk = {r_lo} THEN v END")).alias("lo_v"),
+            F.max(F.expr(f"CASE WHEN rk = {r_hi} THEN v END")).alias("hi_v"),
+        )
+        .select(
+            *group_cols,
+            "n",
+            F.expr("ROUND(CAST(med_v AS DOUBLE) / 1000000.0, 6)").alias(
+                "median"
+            ),
+            F.expr("ROUND(CAST(lo_v AS DOUBLE) / 1000000.0, 6)").alias(
+                "ci_lo"
+            ),
+            F.expr("ROUND(CAST(hi_v AS DOUBLE) / 1000000.0, 6)").alias(
+                "ci_hi"
+            ),
+        )
+        .orderBy(*group_cols)
+    )
+
+
+def event_value_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: median event value per type with its
+    distribution-free 95% CI — the robust center with honest
+    uncertainty and zero distributional assumptions."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("v_micros"),
+    )
+    return median_ci(ev, ["event_type"], "v_micros", "event_id")
+
+
+def _median_ci_sql() -> str:
+    r_med = "CAST(ceil(n / 2.0) AS BIGINT)"
+    r_lo = (
+        f"GREATEST(CAST(floor((n - {_MCI_Z} * sqrt(CAST(n AS DOUBLE))) / 2.0)"
+        f" AS BIGINT), CAST(1 AS BIGINT))"
+    )
+    r_hi = (
+        f"LEAST(CAST(ceil(1 + (n + {_MCI_Z} * sqrt(CAST(n AS DOUBLE))) / 2.0)"
+        f" AS BIGINT), CAST(n AS BIGINT))"
+    )
+    return f"""
+        WITH ranked AS (
+            SELECT event_type,
+                   CAST(floor(value * 1000000) AS BIGINT) AS v,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY CAST(floor(value * 1000000) AS BIGINT), event_id) AS rk,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        )
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS n,
+               ROUND(CAST(MAX(CASE WHEN rk = {r_med} THEN v END) AS DOUBLE)
+                     / 1000000.0, 6) AS median,
+               ROUND(CAST(MAX(CASE WHEN rk = {r_lo} THEN v END) AS DOUBLE)
+                     / 1000000.0, 6) AS ci_lo,
+               ROUND(CAST(MAX(CASE WHEN rk = {r_hi} THEN v END) AS DOUBLE)
+                     / 1000000.0, 6) AS ci_hi
+        FROM ranked GROUP BY event_type ORDER BY event_type
+    """
+
+
+QUERIES["event_value_median_ci"] = event_value_median_ci
+ORACLE_SQL["event_value_median_ci"] = _median_ci_sql()
