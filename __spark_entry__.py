@@ -93,7 +93,7 @@ _PRIORITY = [
     "langid_confusion", "stream_ann_enrich", "shard_plan_documents",
     "session_gap_sweep", "doc_curriculum_phases", "funnel_ab_steps",
     "embedding_drift_report", "english_threshold_sweep",
-    "event_value_median_ci",
+    "event_value_median_ci", "dedup_cluster_sizes", "subsample_stability",
     # Leads with the round-3 FINAL-continuation eval/uncertainty batch
     # (bootstrap CI, ANN recall + probe sweep, BM25 eval, JS divergence,
     # DiD, seasonal decompose, revenue decomposition, k-anonymity,

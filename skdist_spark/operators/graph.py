@@ -1211,3 +1211,70 @@ def _brand_modularity_sql() -> str:
 
 QUERIES["brand_copurchase_modularity"] = brand_copurchase_modularity
 ORACLE_SQL["brand_copurchase_modularity"] = _brand_modularity_sql()
+
+
+# ---- dedup cluster-size distribution ----------------------------------------
+
+
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size distribution of the near-dup clusters: how many clusters of
+    2, 3-4, 5-8, ... docs exist (log2 buckets) plus the duplicate mass
+    (docs - clusters = removable copies) per bucket — the shape that
+    tells you whether dedup savings come from many small pairs or a few
+    giant template families (they need different retention policies).
+
+    Reuses the connected-components labels; one rollup on cluster_id,
+    one tiny bucket aggregate after."""
+    from .dedup import _ngram_jaccard_impl
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = _ngram_jaccard_impl(docs)
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.select(
+            F.expr("CAST(floor(log2(CAST(sz AS DOUBLE))) AS INT)").alias(
+                "log2_size"
+            ),
+            "sz",
+        )
+        .groupBy("log2_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+            F.sum(F.expr("sz - 1")).cast("long").alias("removable_dups"),
+        )
+        .orderBy("log2_size")
+    )
+
+
+def _cluster_sizes_sql() -> str:
+    return f"""
+        WITH RECURSIVE {_pairs_cte()},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(node, lbl) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.b AS node, r.lbl
+            FROM reach r JOIN edges e ON e.a = r.node
+        ),
+        cc AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+        csizes AS (
+            SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+            FROM cc GROUP BY cluster_id
+        )
+        SELECT CAST(floor(log2(CAST(sz AS DOUBLE))) AS INTEGER) AS log2_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(SUM(sz) AS BIGINT) AS n_docs,
+               CAST(SUM(sz - 1) AS BIGINT) AS removable_dups
+        FROM csizes GROUP BY 1 ORDER BY log2_size
+    """
+
+
+QUERIES["dedup_cluster_sizes"] = dedup_cluster_sizes
+ORACLE_SQL["dedup_cluster_sizes"] = _cluster_sizes_sql()

@@ -550,3 +550,94 @@ def _shard_balance_sql(n_shards: int = HRW_SHARDS) -> str:
 
 QUERIES["doc_shard_balance"] = doc_shard_balance
 ORACLE_SQL["doc_shard_balance"] = _shard_balance_sql()
+
+
+# ---- subsample stability ladder ---------------------------------------------
+
+STABILITY_PCTS = (25, 50, 75, 100)
+
+
+def subsample_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate-stability ladder: the same KPIs (purchases per user,
+    mean purchase value) on deterministic nested 25/50/75/100% USER
+    subsamples — if the numbers have converged by 25%, the next
+    analysis doesn't need the full corpus (the subsampling answer to
+    'must this query scan 100 TB?').  Nested by construction (a user
+    in the 25% slice is in all larger ones), so column drift across
+    rows is sampling error alone.
+
+    One scan; each fraction is a conditional aggregate over the same
+    wrap-safe Knuth user bucket, not a separate pass."""
+    from ..sources.catalog import load_table
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("v"),
+        F.expr(
+            "pmod(pmod(CAST(user_id AS BIGINT), 2147483648)"
+            " * 2654435761, 4294967296) % 100"
+        ).alias("bucket"),
+    )
+    aggs = []
+    for p in STABILITY_PCTS:
+        cond = F.col("bucket") < p
+        aggs += [
+            F.count_distinct(F.when(cond, F.col("user_id"))).alias(f"u{p}"),
+            F.sum(
+                F.when(cond & (F.col("event_type") == "purchase"), 1).otherwise(0)
+            ).alias(f"p{p}"),
+            F.sum(
+                F.when(
+                    cond & (F.col("event_type") == "purchase"), F.col("v")
+                ).otherwise(0)
+            ).alias(f"s{p}"),
+        ]
+    g = ev.agg(*aggs)
+    entries = ", ".join(
+        f"{p}, CAST(u{p} AS BIGINT), CAST(p{p} AS BIGINT),"
+        f" CAST(p{p} * 1000000 DIV u{p} AS BIGINT),"
+        f" ROUND(CAST(s{p} AS DOUBLE) / p{p} / 1000000.0, 6)"
+        for p in STABILITY_PCTS
+    )
+    return (
+        g.select(
+            F.expr(
+                f"stack({len(STABILITY_PCTS)}, {entries})"
+                " AS (sample_pct, n_users, n_purchases,"
+                " purchases_per_user_ppm, mean_purchase_value)"
+            )
+        )
+        .orderBy("sample_pct")
+    )
+
+
+def _stability_sql() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT {p} AS sample_pct, u{p} AS n_users, p{p} AS n_purchases,"
+        f" CAST(p{p} * 1000000 // u{p} AS BIGINT) AS purchases_per_user_ppm,"
+        f" ROUND(CAST(s{p} AS DOUBLE) / p{p} / 1000000.0, 6)"
+        f" AS mean_purchase_value FROM g"
+        for p in STABILITY_PCTS
+    )
+    cols = ", ".join(
+        f"CAST(COUNT(DISTINCT CASE WHEN bucket < {p} THEN user_id END) AS BIGINT) AS u{p},"
+        f" CAST(SUM(CASE WHEN bucket < {p} AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p{p},"
+        f" CAST(SUM(CASE WHEN bucket < {p} AND event_type = 'purchase' THEN v ELSE 0 END) AS BIGINT) AS s{p}"
+        for p in STABILITY_PCTS
+    )
+    return f"""
+        WITH ev AS (
+            SELECT user_id, event_type,
+                   CAST(floor(value * 1000000) AS BIGINT) AS v,
+                   ((((user_id % 2147483648) + 2147483648) % 2147483648)
+                    * 2654435761) % 4294967296 % 100 AS bucket
+            FROM events
+        ), g AS (SELECT {cols} FROM ev)
+        {rows}
+        ORDER BY sample_pct
+    """
+
+
+QUERIES["subsample_stability"] = subsample_stability
+ORACLE_SQL["subsample_stability"] = _stability_sql()
