@@ -1289,3 +1289,164 @@ def _probe_sweep_oracle_sql() -> str:
 
 QUERIES["ann_probe_sweep"] = ann_probe_sweep
 ORACLE_SQL["ann_probe_sweep"] = _probe_sweep_oracle_sql()
+
+
+# ---- LSH bucket vs label NMI ------------------------------------------------
+
+
+def lsh_label_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized mutual information between the sign-LSH bucket and
+    the class label: does the hash geometry already separate the
+    classes (high NMI = LSH buckets are nearly class-pure, so
+    bucket-local operations approximately stratify by class; near 0 =
+    the planes are class-blind).
+
+    All probabilities are exact integer count ratios; every entropy /
+    MI sum is a left fold over an explicitly sorted cell list (the
+    repo's sequential-fold float contract), so the scalar replays
+    bit-identically on DuckDB.
+    """
+    emb = _emb(spark, sf_dir)
+    lbl = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("label").cast("int").alias("lbl")
+    )
+    import hashlib
+
+    dims = 64
+    bit_exprs = []
+    for b in range(LSH_BITS):
+        signs = ", ".join(
+            "1D"
+            if hashlib.md5(f"{b}:{i}".encode()).hexdigest()[0] in "89abcdef"
+            else "-1D"
+            for i in range(dims)
+        )
+        proj = (
+            f"aggregate(zip_with(v, array({signs}),"
+            f" (x, s) -> x * s), 0D, (acc, x) -> acc + x)"
+        )
+        bit_exprs.append(f"(CASE WHEN {proj} > 0 THEN {2**b} ELSE 0 END)")
+    sig = " + ".join(bit_exprs)
+    cells = (
+        emb.join(lbl, "vec_id")
+        .withColumn("bucket", F.expr(sig).cast("int"))
+        .groupBy("bucket", "lbl")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    nb = cells.groupBy("bucket").agg(F.sum("n").alias("n_b"))
+    nl = cells.groupBy("lbl").agg(F.sum("n").alias("n_l"))
+    joined = cells.join(nb, "bucket").join(nl, "lbl")
+    folded = joined.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.expr(
+            "sort_array(collect_list(struct(bucket, lbl, n, n_b, n_l)))"
+        ).alias("cells"),
+    )
+    margins = (
+        nb.select(F.col("bucket").alias("k"), F.col("n_b").alias("m"))
+        .unionAll(
+            nl.select(
+                (F.col("lbl") + 1_000_000).alias("k"), F.col("n_l").alias("m")
+            )
+        )
+        .agg(
+            F.expr(
+                "sort_array(collect_list(struct(k, m)))"
+            ).alias("ms")
+        )
+    )
+    both = folded.crossJoin(F.broadcast(margins))
+    mi = (
+        "aggregate(cells, 0D, (acc, c) -> acc"
+        " + (CAST(c.n AS DOUBLE) / n_total)"
+        " * ln(CAST(c.n AS DOUBLE) * n_total"
+        "      / (CAST(c.n_b AS DOUBLE) * CAST(c.n_l AS DOUBLE))))"
+    )
+    hb = (
+        "aggregate(filter(ms, x -> x.k < 1000000), 0D, (acc, x) -> acc"
+        " - (CAST(x.m AS DOUBLE) / n_total) * ln(CAST(x.m AS DOUBLE) / n_total))"
+    )
+    hl = (
+        "aggregate(filter(ms, x -> x.k >= 1000000), 0D, (acc, x) -> acc"
+        " - (CAST(x.m AS DOUBLE) / n_total) * ln(CAST(x.m AS DOUBLE) / n_total))"
+    )
+    return both.select(
+        "n_total",
+        F.expr("size(cells)").cast("long").alias("n_cells"),
+        F.expr(f"ROUND({mi}, 6)").alias("mi_nats"),
+        F.expr(f"ROUND({hb}, 6)").alias("h_bucket"),
+        F.expr(f"ROUND({hl}, 6)").alias("h_label"),
+        F.expr(f"ROUND({mi} / sqrt({hb} * {hl}), 6)").alias("nmi"),
+    )
+
+
+def _nmi_oracle_sql() -> str:
+    import hashlib
+
+    dims = 64
+    bit_sqls = []
+    for b in range(LSH_BITS):
+        acc = "0"
+        for i in range(dims):
+            sign = (
+                "1.0"
+                if hashlib.md5(f"{b}:{i}".encode()).hexdigest()[0] in "89abcdef"
+                else "-1.0"
+            )
+            acc = f"({acc} + v[{i + 1}] * {sign})"
+        bit_sqls.append(f"(CASE WHEN {acc} > 0 THEN {2**b} ELSE 0 END)")
+    sig = " + ".join(bit_sqls)
+    fold = "list_reduce(list_prepend(0.0, {xs}), (acc, t) -> acc + t)"
+    mi_terms = (
+        "list_transform(cells, c -> (CAST(c.n AS DOUBLE) / n_total)"
+        " * ln(CAST(c.n AS DOUBLE) * n_total"
+        " / (CAST(c.n_b AS DOUBLE) * CAST(c.n_l AS DOUBLE))))"
+    )
+    hb_terms = (
+        "list_transform(list_filter(ms, x -> x.k < 1000000), x ->"
+        " -(CAST(x.m AS DOUBLE) / n_total) * ln(CAST(x.m AS DOUBLE) / n_total))"
+    )
+    hl_terms = (
+        "list_transform(list_filter(ms, x -> x.k >= 1000000), x ->"
+        " -(CAST(x.m AS DOUBLE) / n_total) * ln(CAST(x.m AS DOUBLE) / n_total))"
+    )
+    mi, hb, hl = fold.format(xs=mi_terms), fold.format(xs=hb_terms), fold.format(xs=hl_terms)
+    return f"""
+        WITH e AS (
+            SELECT vec_id, label AS lbl,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), bk AS (
+            SELECT CAST({sig} AS INTEGER) AS bucket, lbl FROM e
+        ), cells0 AS (
+            SELECT bucket, lbl, CAST(COUNT(*) AS BIGINT) AS n
+            FROM bk GROUP BY bucket, lbl
+        ), nb AS (
+            SELECT bucket, CAST(SUM(n) AS BIGINT) AS n_b FROM cells0 GROUP BY bucket
+        ), nl AS (
+            SELECT lbl, CAST(SUM(n) AS BIGINT) AS n_l FROM cells0 GROUP BY lbl
+        ), folded AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+                   list(struct_pack(bucket := c.bucket, lbl := c.lbl, n := c.n,
+                                    n_b := nb.n_b, n_l := nl.n_l)
+                        ORDER BY c.bucket, c.lbl) AS cells
+            FROM cells0 c JOIN nb USING (bucket) JOIN nl USING (lbl)
+        ), ms_t AS (
+            SELECT list(struct_pack(k := k, m := m) ORDER BY k) AS ms FROM (
+                SELECT bucket AS k, n_b AS m FROM nb
+                UNION ALL
+                SELECT lbl + 1000000 AS k, n_l AS m FROM nl
+            )
+        )
+        SELECT n_total,
+               CAST(len(cells) AS BIGINT) AS n_cells,
+               ROUND({mi}, 6) AS mi_nats,
+               ROUND({hb}, 6) AS h_bucket,
+               ROUND({hl}, 6) AS h_label,
+               ROUND({mi} / sqrt({hb} * {hl}), 6) AS nmi
+        FROM folded CROSS JOIN ms_t
+    """
+
+
+QUERIES["lsh_label_nmi"] = lsh_label_nmi
+ORACLE_SQL["lsh_label_nmi"] = _nmi_oracle_sql()
