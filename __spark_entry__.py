@@ -94,7 +94,7 @@ _PRIORITY = [
     "session_gap_sweep", "doc_curriculum_phases", "funnel_ab_steps",
     "embedding_drift_report", "english_threshold_sweep",
     "event_value_median_ci", "dedup_cluster_sizes", "subsample_stability",
-    "lsh_label_nmi",
+    "lsh_label_nmi", "user_churn_rmst",
     # Leads with the round-3 FINAL-continuation eval/uncertainty batch
     # (bootstrap CI, ANN recall + probe sweep, BM25 eval, JS divergence,
     # DiD, seasonal decompose, revenue decomposition, k-anonymity,

@@ -2565,3 +2565,83 @@ def _qte_oracle_sql(pcts: tuple = QTE_PCTS) -> str:
 
 QUERIES["purchase_ab_qte"] = purchase_ab_qte
 ORACLE_SQL["purchase_ab_qte"] = _qte_oracle_sql()
+
+
+# ---- restricted mean survival time ------------------------------------------
+
+RMST_HORIZON_DAYS = 30
+
+
+def user_churn_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time at a 30-day horizon: the area
+    under the KM churn curve — 'expected active days per user within
+    the first month', the single-number lifetime summary a retention
+    team budgets with (medians hide the tail; means don't exist under
+    censoring; RMST is the estimand that always does).
+
+    Consumes the km_survival table's ROUNDED survival values, so the
+    area fold starts from numbers both engines already agree on
+    bit-for-bit; segment widths are exact integers clamped at the
+    horizon; the area itself is one sorted left fold.
+    """
+    H = RMST_HORIZON_DAYS
+    km = user_churn_survival(spark, sf_dir)
+    w = Window.orderBy("t")
+    terms = km.select(
+        "t",
+        F.coalesce(F.lag("survival").over(w), F.lit(1.0)).alias("s_prev"),
+        F.coalesce(F.lag("t").over(w), F.lit(0)).alias("t_prev"),
+        "survival",
+    ).select(
+        "t",
+        "survival",
+        F.expr(
+            f"s_prev * (least(CAST(t AS BIGINT), {H})"
+            f" - least(CAST(t_prev AS BIGINT), {H}))"
+        ).alias("term"),
+    )
+    folded = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_event_times"),
+        F.expr("sort_array(collect_list(struct(t, term)))").alias("ts"),
+        F.expr("max_by(survival, t)").alias("s_last"),
+        F.expr(f"least(CAST(max(t) AS BIGINT), {H})").alias("t_last_c"),
+    )
+    area = (
+        "aggregate(ts, 0D, (acc, x) -> acc + x.term)"
+        f" + s_last * ({H} - t_last_c)"
+    )
+    return folded.select(
+        F.lit(RMST_HORIZON_DAYS).cast("int").alias("horizon_days"),
+        "n_event_times",
+        F.expr(f"ROUND({area}, 6)").alias("rmst_days"),
+    )
+
+
+def _rmst_oracle_sql() -> str:
+    H = RMST_HORIZON_DAYS
+    km = _km_oracle_sql().strip()
+    fold = "list_reduce(list_prepend(0.0, list_transform(ts, x -> x.term)), (acc, t) -> acc + t)"
+    return f"""
+        WITH km AS ({km}),
+        terms AS (
+            SELECT t, survival,
+                   COALESCE(LAG(survival) OVER (ORDER BY t), 1.0)
+                   * (LEAST(CAST(t AS BIGINT), {H})
+                      - LEAST(CAST(COALESCE(LAG(t) OVER (ORDER BY t), 0) AS BIGINT), {H}))
+                       AS term
+            FROM km
+        ), folded AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_event_times,
+                   list(struct_pack(t := t, term := term) ORDER BY t) AS ts,
+                   arg_max(survival, t) AS s_last,
+                   LEAST(CAST(MAX(t) AS BIGINT), {H}) AS t_last_c
+            FROM terms
+        )
+        SELECT CAST({H} AS INTEGER) AS horizon_days, n_event_times,
+               ROUND({fold} + s_last * ({H} - t_last_c), 6) AS rmst_days
+        FROM folded
+    """
+
+
+QUERIES["user_churn_rmst"] = user_churn_rmst
+ORACLE_SQL["user_churn_rmst"] = _rmst_oracle_sql()
