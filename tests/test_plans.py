@@ -195,6 +195,10 @@ def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
             # one-row (N, V) totals broadcast, inherited from the
             # perplexity scorer it ranks over (as doc_perplexity_filter)
             "doc_curriculum_phases",
+            # one-row margins-list broadcast into the one-row cell fold
+            "lsh_label_nmi",
+            # one-row KM-total broadcast (inherited from km_survival)
+            "user_churn_rmst",
         ):
             bad[name] = joins
     assert not bad, bad
