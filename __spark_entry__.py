@@ -94,7 +94,8 @@ _PRIORITY = [
     "session_gap_sweep", "doc_curriculum_phases", "funnel_ab_steps",
     "embedding_drift_report", "english_threshold_sweep",
     "event_value_median_ci", "dedup_cluster_sizes", "subsample_stability",
-    "lsh_label_nmi", "user_churn_rmst",
+    "lsh_label_nmi", "user_churn_rmst", "event_volume_spearman",
+    "event_trigram_sequences",
     # Leads with the round-3 FINAL-continuation eval/uncertainty batch
     # (bootstrap CI, ANN recall + probe sweep, BM25 eval, JS divergence,
     # DiD, seasonal decompose, revenue decomposition, k-anonymity,

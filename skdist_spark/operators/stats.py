@@ -2432,3 +2432,79 @@ def _median_ci_sql() -> str:
 
 QUERIES["event_value_median_ci"] = event_value_median_ci
 ORACLE_SQL["event_value_median_ci"] = _median_ci_sql()
+
+
+# ---- pairwise daily-volume rank correlation ----------------------------------
+
+
+def event_volume_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Spearman rho between event TYPES' daily volumes — the
+    co-movement matrix ('do errors spike with clicks?') that decides
+    which metrics can share an anomaly detector and which need their
+    own.  Deterministic ranks per (type, day) via ROW_NUMBER with the
+    day as tiebreak; each pair's exact integer sum d^2 folds to one
+    rho division.  Work: one daily aggregate, then |types|^2-bounded
+    joins over the calendar frame.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("et").orderBy("n", "day")
+    ranked = daily.select(
+        "et", "day", F.row_number().over(w).alias("rk")
+    )
+    a = ranked.select(
+        F.col("et").alias("ta"), "day", F.col("rk").alias("ra")
+    )
+    b = ranked.select(
+        F.col("et").alias("tb"), "day", F.col("rk").alias("rb")
+    )
+    pairs = a.join(b, "day").where(F.col("ta") < F.col("tb"))
+    g = pairs.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(
+            (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
+        ).cast("long").alias("sum_d2"),
+    )
+    rho = (
+        "1 - CAST(6 * sum_d2 AS DOUBLE)"
+        " / (CAST(n_days AS BIGINT) * n_days * n_days - n_days)"
+    )
+    return g.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("n_days").cast("long").alias("n_days"),
+        "sum_d2",
+        F.expr(f"ROUND({rho}, 6)").alias("rho"),
+    ).orderBy("type_a", "type_b")
+
+
+def _volume_spearman_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT event_type AS et, CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ), ranked AS (
+            SELECT et, day,
+                   ROW_NUMBER() OVER (PARTITION BY et ORDER BY n, day) AS rk
+            FROM daily
+        ), pairs AS (
+            SELECT a.et AS ta, b.et AS tb, a.rk AS ra, b.rk AS rb
+            FROM ranked a JOIN ranked b ON a.day = b.day AND a.et < b.et
+        ), g AS (
+            SELECT ta, tb,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2
+            FROM pairs GROUP BY ta, tb
+        )
+        SELECT ta AS type_a, tb AS type_b, n_days, sum_d2,
+               ROUND(1 - CAST(6 * sum_d2 AS DOUBLE)
+                     / (n_days * n_days * n_days - n_days), 6) AS rho
+        FROM g ORDER BY type_a, type_b
+    """
+
+
+QUERIES["event_volume_spearman"] = event_volume_spearman
+ORACLE_SQL["event_volume_spearman"] = _volume_spearman_sql()

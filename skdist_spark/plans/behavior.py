@@ -2424,3 +2424,50 @@ def _funnel_ab_sql() -> str:
 
 ORACLE_SQL["funnel_ab_steps"] = _funnel_ab_sql()
 QUERIES["funnel_ab_steps"] = funnel_ab_steps
+
+
+# ---- trigram sequence mining --------------------------------------------------
+
+TRIGRAM_TOP = 25
+
+
+def event_trigram_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-step behavioral sequences (consecutive event-type
+    trigrams per user in time order) — one level deeper than the bigram
+    `event_transitions`: the pattern table behind 'what do users do
+    RIGHT BEFORE purchasing twice in a row'.
+
+    One user-keyed exchange; both lead() steps ride the same window
+    sort; the rollup is trigram-keyed with map-side combine.
+    Deterministic top-N by (count desc, trigram asc)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    return (
+        tri.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(TRIGRAM_TOP)
+    )
+
+
+ORACLE_SQL["event_trigram_sequences"] = f"""
+    WITH tri AS (
+        SELECT event_type AS e1,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tri WHERE e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n DESC, e1, e2, e3
+    LIMIT {TRIGRAM_TOP}
+"""
+
+QUERIES["event_trigram_sequences"] = event_trigram_sequences
