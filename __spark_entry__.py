@@ -95,7 +95,7 @@ _PRIORITY = [
     "embedding_drift_report", "english_threshold_sweep",
     "event_value_median_ci", "dedup_cluster_sizes", "subsample_stability",
     "lsh_label_nmi", "user_churn_rmst", "event_volume_spearman",
-    "event_trigram_sequences",
+    "event_trigram_sequences", "retention_halflife", "revenue_dow_anova",
     # Leads with the round-3 FINAL-continuation eval/uncertainty batch
     # (bootstrap CI, ANN recall + probe sweep, BM25 eval, JS divergence,
     # DiD, seasonal decompose, revenue decomposition, k-anonymity,

@@ -2508,3 +2508,91 @@ def _volume_spearman_sql() -> str:
 
 QUERIES["event_volume_spearman"] = event_volume_spearman
 ORACLE_SQL["event_volume_spearman"] = _volume_spearman_sql()
+
+
+# ---- one-way ANOVA ----------------------------------------------------------
+
+
+def revenue_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of daily purchase revenue across day-of-week
+    groups: is there ANY weekday effect at all, before staring at seven
+    separate averages.  F = (SSB/(k-1)) / (SSW/(n-k)) composed once
+    from exact integer group moments (cents): SSB and SSW come from
+    the sums/sum-of-squares identity, so the only floats are the final
+    divisions.  Observations are DAYS (calendar-bounded frame)."""
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.expr("CAST(floor(value * 100) AS BIGINT)")).alias("cents")
+    )
+    per_dow = daily.groupBy(F.dayofweek("day").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0))")).alias("s_g"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(19,0)) * cents")).alias("ss_g"),
+    )
+    g = per_dow.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        # SSW numerator pieces: sum over groups of s_g^2 / n_g — keep the
+        # per-group division exact via a sorted fold of (s_g^2, n_g)
+        F.expr(
+            "sort_array(collect_list(struct(dow, n_g, s_g)))"
+        ).alias("gs"),
+    )
+    # sum_g s_g^2/n_g as a sorted left fold (one division per group)
+    sgsq = (
+        "aggregate(gs, 0D, (acc, x) ->"
+        " acc + CAST(x.s_g * x.s_g AS DOUBLE) / x.n_g)"
+    )
+    ssb = f"({sgsq} - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)"
+    ssw = f"(CAST(ss AS DOUBLE) - {sgsq})"
+    f_stat = f"(({ssb} / (k - 1)) / ({ssw} / (n - k)))"
+    return g.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_days"),
+        F.expr(f"ROUND({ssb} / 10000.0, 6)").alias("ss_between"),
+        F.expr(f"ROUND({ssw} / 10000.0, 6)").alias("ss_within"),
+        F.expr(f"ROUND({f_stat}, 6)").alias("f_stat"),
+    )
+
+
+def _anova_sql() -> str:
+    sgsq = (
+        "list_reduce(list_prepend(0.0, list_transform(gs, x ->"
+        " CAST(x.s_g * x.s_g AS DOUBLE) / x.n_g)), (acc, t) -> acc + t)"
+    )
+    ssb = f"({sgsq} - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)"
+    ssw = f"(CAST(ss AS DOUBLE) - {sgsq})"
+    f_stat = f"(({ssb} / (k - 1)) / ({ssw} / (n - k)))"
+    return f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ), per_dow AS (
+            SELECT dayofweek(day) + 1 AS dow,
+                   CAST(COUNT(*) AS BIGINT) AS n_g,
+                   SUM(CAST(cents AS DECIMAL(38,0))) AS s_g,
+                   SUM(CAST(cents AS DECIMAL(19,0)) * cents) AS ss_g
+            FROM daily GROUP BY 1
+        ), g AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(n_g) AS BIGINT) AS n,
+                   SUM(s_g) AS s, SUM(ss_g) AS ss,
+                   list(struct_pack(dow := dow, n_g := n_g, s_g := s_g)
+                        ORDER BY dow) AS gs
+            FROM per_dow
+        )
+        SELECT k AS n_groups, n AS n_days,
+               ROUND({ssb} / 10000.0, 6) AS ss_between,
+               ROUND({ssw} / 10000.0, 6) AS ss_within,
+               ROUND({f_stat}, 6) AS f_stat
+        FROM g
+    """
+
+
+QUERIES["revenue_dow_anova"] = revenue_dow_anova
+ORACLE_SQL["revenue_dow_anova"] = _anova_sql()

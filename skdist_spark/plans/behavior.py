@@ -2471,3 +2471,98 @@ ORACLE_SQL["event_trigram_sequences"] = f"""
 """
 
 QUERIES["event_trigram_sequences"] = event_trigram_sequences
+
+
+# ---- retention half-life --------------------------------------------------
+
+
+def retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cohort retention half-life: the first week offset where the
+    cohort's active users fall below HALF of week 0 (exact integer
+    comparison — no curve fit to argue with), plus the final observed
+    retention share — the one-number retention summary per cohort.
+
+    Builds on the user_retention rollup (one user_id shuffle); the
+    half-life scan is a conditional MIN over the tiny cohort x week
+    frame."""
+    ev = load_table(spark, "events", sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    activity = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    j = activity.join(firsts, "user_id").select(
+        F.expr(
+            f"CAST(datediff(first_day, DATE '{_WEEK_EPOCH}') div 7 AS INT)"
+        ).alias("cohort_week"),
+        F.expr("CAST(datediff(day, first_day) div 7 AS INT)").alias(
+            "week_offset"
+        ),
+        "user_id",
+    )
+    weekly = j.groupBy("cohort_week", "week_offset").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    w0 = weekly.where(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_users").alias("n0")
+    )
+    g = (
+        weekly.join(w0, "cohort_week")
+        .groupBy("cohort_week")
+        .agg(
+            F.max("n0").cast("long").alias("cohort_size"),
+            F.min(
+                F.when(
+                    (F.col("week_offset") > 0)
+                    & (2 * F.col("n_users") < F.col("n0")),
+                    F.col("week_offset"),
+                )
+            ).cast("int").alias("halflife_weeks"),
+            F.max("week_offset").cast("int").alias("weeks_observed"),
+            F.max_by("n_users", "week_offset").cast("long").alias("n_last"),
+        )
+    )
+    return g.select(
+        "cohort_week",
+        "cohort_size",
+        "halflife_weeks",
+        "weeks_observed",
+        F.expr("CAST(n_last * 1000000 DIV cohort_size AS BIGINT)").alias(
+            "final_retention_ppm"
+        ),
+    ).orderBy("cohort_week")
+
+
+ORACLE_SQL["retention_halflife"] = f"""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), j AS (
+        SELECT CAST(date_diff('day', DATE '{_WEEK_EPOCH}', f.first_day) // 7 AS INTEGER)
+                   AS cohort_week,
+               CAST(date_diff('day', f.first_day, a.day) // 7 AS INTEGER)
+                   AS week_offset,
+               a.user_id
+        FROM activity a JOIN firsts f USING (user_id)
+    ), weekly AS (
+        SELECT cohort_week, week_offset,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM j GROUP BY 1, 2
+    ), w0 AS (
+        SELECT cohort_week, n_users AS n0 FROM weekly WHERE week_offset = 0
+    )
+    SELECT w.cohort_week,
+           CAST(MAX(n0) AS BIGINT) AS cohort_size,
+           CAST(MIN(CASE WHEN week_offset > 0 AND 2 * n_users < n0
+                         THEN week_offset END) AS INTEGER) AS halflife_weeks,
+           CAST(MAX(week_offset) AS INTEGER) AS weeks_observed,
+           CAST(arg_max(n_users, week_offset) * 1000000 // MAX(n0) AS BIGINT)
+               AS final_retention_ppm
+    FROM weekly w JOIN w0 USING (cohort_week)
+    GROUP BY w.cohort_week ORDER BY cohort_week
+"""
+
+QUERIES["retention_halflife"] = retention_halflife
