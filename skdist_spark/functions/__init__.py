@@ -7,6 +7,11 @@ the building blocks of this engine's Spark-vs-DuckDB exactness
 contract.
 """
 
+from .global_rank import (
+    ntile_from_row_number,
+    two_phase_row_number,
+    two_phase_running_agg,
+)
 from .columns import (
     decimal_money,
     epoch_micros_diff_seconds,
@@ -23,6 +28,9 @@ __all__ = [
     "hilbert_index",
     "knuth_bucket",
     "morton_value",
+    "ntile_from_row_number",
     "ppm_of_rank",
+    "two_phase_row_number",
+    "two_phase_running_agg",
     "words_array",
 ]

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.global_rank import ntile_from_row_number, two_phase_row_number
 from ..sources.catalog import load_table
 
 # epoch seconds of 2024-01-01T00:00:00Z — keeps x small enough that
@@ -762,13 +763,18 @@ def gini_moments(df: DataFrame, value_col: str, id_col: str) -> DataFrame:
     since equal x collapse).  Returns one row (n, sx, six); compose
     the final DOUBLE ratio with ``_gini_select()``.
 
-    The ordered window runs over the PRE-AGGREGATED unit dimension
-    (one row per id) — fine for user dimensions, wrong for raw facts;
-    aggregate first.
+    The rank over the PRE-AGGREGATED unit dimension (one row per id —
+    aggregate raw facts first) is the two-phase distributed rank
+    (``functions.two_phase_row_number``): percentile-bounded range
+    shards + local ranks + broadcast offsets — identical values to
+    ``ROW_NUMBER() OVER (ORDER BY ...)`` with no single-partition
+    exchange over the unit frame.
     """
-    w = Window.orderBy(F.col(value_col).asc(), F.col(id_col).asc())
-    ranked = df.select(
-        F.col(value_col).alias("x"), F.row_number().over(w).alias("i")
+    ranked = two_phase_row_number(
+        df.select(F.col(value_col).alias("x"), F.col(id_col).alias("_id")),
+        [F.col("x").asc(), F.col("_id").asc()],
+        F.col("x"),
+        "i",
     )
     return ranked.agg(
         F.count(F.lit(1)).alias("n"),
@@ -796,8 +802,12 @@ def user_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = ev.groupBy("user_id").agg(
         F.sum(F.expr("CAST(floor(value * 100) AS BIGINT)")).alias("cents")
     )
-    w = Window.orderBy(F.col("cents").asc(), F.col("user_id").asc())
-    ranked = per_user.select("cents", F.row_number().over(w).alias("i"))
+    ranked = two_phase_row_number(
+        per_user,
+        [F.col("cents").asc(), F.col("user_id").asc()],
+        F.col("cents"),
+        "i",
+    ).select("cents", "i")
     m = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.expr("CAST(cents AS DECIMAL(38,0))")).alias("sx"),
@@ -1079,13 +1089,27 @@ def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend ascending, each decile's exact revenue share and the
     cumulative share in ppm — the 80/20 readout next to
     user_revenue_gini's scalar.
+
+    The decile is the standard NTILE split recomposed from the
+    two-phase distributed rank plus the one-row user count (broadcast)
+    — same values as ``NTILE(10) OVER (ORDER BY ...)``, no
+    single-partition exchange over the user frame.
     """
     ev = load_table(spark, "events", sf_dir).where(F.col("event_type") == "purchase")
     per_user = ev.groupBy("user_id").agg(
         F.expr("SUM(CAST(floor(value * 100) AS BIGINT))").alias("cents")
     )
-    w = Window.orderBy(F.col("cents").asc(), F.col("user_id").asc())
-    deciled = per_user.select("cents", F.ntile(10).over(w).alias("decile"))
+    ranked = two_phase_row_number(
+        per_user,
+        [F.col("cents").asc(), F.col("user_id").asc()],
+        F.col("cents"),
+        "rn",
+        total_col="n_total",
+    )
+    deciled = ranked.select(
+        "cents",
+        F.expr(ntile_from_row_number("rn", "n_total", 10)).alias("decile"),
+    )
     per_dec = deciled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum(F.expr("CAST(cents AS DECIMAL(38,0))")).alias("dec_cents"),
@@ -2441,26 +2465,34 @@ def event_volume_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Spearman rho between event TYPES' daily volumes — the
     co-movement matrix ('do errors spike with clicks?') that decides
     which metrics can share an anomaly detector and which need their
-    own.  Deterministic ranks per (type, day) via ROW_NUMBER with the
-    day as tiebreak; each pair's exact integer sum d^2 folds to one
+    own.  Ranks are computed over each pair's SHARED days (join on day
+    FIRST, then ROW_NUMBER within the pair) so both rank vectors are
+    permutations of 1..n_days and rho stays in [-1, 1] even when a
+    type skips days — ranking each type over its own active days and
+    then inner-joining would break that invariant.  Deterministic via
+    the day tiebreak; each pair's exact integer sum d^2 folds to one
     rho division.  Work: one daily aggregate, then |types|^2-bounded
-    joins over the calendar frame.
+    windows over the shared calendar frame.
     """
     ev = load_table(spark, "events", sf_dir)
     daily = ev.groupBy(
         F.col("event_type").alias("et"), F.to_date("ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("et").orderBy("n", "day")
-    ranked = daily.select(
-        "et", "day", F.row_number().over(w).alias("rk")
+    a = daily.select(
+        F.col("et").alias("ta"), "day", F.col("n").alias("na")
     )
-    a = ranked.select(
-        F.col("et").alias("ta"), "day", F.col("rk").alias("ra")
+    b = daily.select(
+        F.col("et").alias("tb"), "day", F.col("n").alias("nb")
     )
-    b = ranked.select(
-        F.col("et").alias("tb"), "day", F.col("rk").alias("rb")
+    shared = a.join(b, "day").where(F.col("ta") < F.col("tb"))
+    wa = Window.partitionBy("ta", "tb").orderBy("na", "day")
+    wb = Window.partitionBy("ta", "tb").orderBy("nb", "day")
+    pairs = shared.select(
+        "ta",
+        "tb",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
     )
-    pairs = a.join(b, "day").where(F.col("ta") < F.col("tb"))
     g = pairs.groupBy("ta", "tb").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.sum(
@@ -2486,13 +2518,15 @@ def _volume_spearman_sql() -> str:
             SELECT event_type AS et, CAST(ts AS DATE) AS day,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM events GROUP BY 1, 2
-        ), ranked AS (
-            SELECT et, day,
-                   ROW_NUMBER() OVER (PARTITION BY et ORDER BY n, day) AS rk
-            FROM daily
+        ), shared AS (
+            SELECT a.et AS ta, b.et AS tb, a.day AS day,
+                   a.n AS na, b.n AS nb
+            FROM daily a JOIN daily b ON a.day = b.day AND a.et < b.et
         ), pairs AS (
-            SELECT a.et AS ta, b.et AS tb, a.rk AS ra, b.rk AS rb
-            FROM ranked a JOIN ranked b ON a.day = b.day AND a.et < b.et
+            SELECT ta, tb,
+                   ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY na, day) AS ra,
+                   ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY nb, day) AS rb
+            FROM shared
         ), g AS (
             SELECT ta, tb,
                    CAST(COUNT(*) AS BIGINT) AS n_days,

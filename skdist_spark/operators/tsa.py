@@ -39,6 +39,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.global_rank import (
+    ntile_from_row_number,
+    two_phase_row_number,
+    two_phase_running_agg,
+)
 from ..sources.catalog import load_table
 
 _WEEK_EPOCH = "2024-01-01"  # week-index base shared with behavior.py
@@ -2228,22 +2233,23 @@ def qini_curve(
     whether targeting the top-k% by this score beats random targeting
     (a useless score tracks the diagonal).
 
-    All cumulative counts are exact integers from one ordered window
-    pass; qini and cumulative uplift are single double expressions.
-    The rank is a global total order over the UNIT frame (one row per
-    unit, the same bounded-frame contract as the percentile-band
-    windows); bin ids come from exact integer arithmetic
-    FLOOR((rn-1)*bins/n), not percent_rank floats.
+    All cumulative counts are exact integers; qini and cumulative
+    uplift are single double expressions.  The rank over the UNIT
+    frame (one row per unit) is the two-phase distributed rank
+    (functions.two_phase_row_number — no single-partition exchange
+    over units), the unit count is a broadcast one-row aggregate, and
+    bin ids come from exact integer arithmetic FLOOR((rn-1)*bins/n),
+    not percent_rank floats.
     """
-    n_w = Window.partitionBy()
-    rn_w = Window.orderBy(F.desc(score_col), F.asc("unit_id"))
-    ranked = (
-        units.withColumn("n_units", F.count(F.lit(1)).over(n_w))
-        .withColumn("rn", F.row_number().over(rn_w))
-        .withColumn(
-            "bin",
-            F.expr(f"CAST((rn - 1) * {n_bins} DIV n_units AS INT)"),
-        )
+    ranked = two_phase_row_number(
+        units,
+        [F.desc(score_col), F.asc("unit_id")],
+        -F.col(score_col),
+        "rn",
+        total_col="n_units",
+    ).withColumn(
+        "bin",
+        F.expr(f"CAST((rn - 1) * {n_bins} DIV n_units AS INT)"),
     )
     per_bin = ranked.groupBy("bin").agg(
         F.sum(F.when(F.col(arm_col) == 1, 1).otherwise(0)).alias("n_t"),

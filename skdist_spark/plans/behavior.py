@@ -20,6 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.global_rank import (
+    ntile_from_row_number,
+    two_phase_row_number,
+    two_phase_running_agg,
+)
 from ..sources.catalog import load_table
 
 # Epoch anchor for integer week indexing (data starts 2024-01-01).
@@ -873,10 +878,12 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     segmentation ("555" = best customers).
 
     Plan: one aggregation shuffle on user_id builds the per-user RFM
-    frame; the three quintile windows are global NTILEs over USERS
-    (cardinality = |users|, already reduced by the aggregate — at 100 TB
-    score users per region/market partition if a single global sort of
-    the user dimension is too hot); recency ranks ascending (recent =
+    frame; the three quintiles are NTILE(5) values recomposed from
+    three chained two-phase distributed ranks
+    (functions.two_phase_row_number: percentile-bounded range shards +
+    local ranks + broadcast offsets) plus the one-row user count — the
+    same values as a global NTILE window with NO single-partition
+    exchange over the user dimension; recency ranks ascending (recent =
     high score) via DESC on days, ties broken by user_id everywhere.
     """
     ev = load_table(spark, "events", sf_dir)
@@ -897,15 +904,32 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    r = F.ntile(5).over(Window.orderBy(F.desc("recency_days"), F.asc("user_id")))
-    f = F.ntile(5).over(Window.orderBy(F.asc("frequency"), F.asc("user_id")))
-    m = F.ntile(5).over(Window.orderBy(F.asc("monetary"), F.asc("user_id")))
+    ranked = two_phase_row_number(
+        rfm,
+        [F.desc("recency_days"), F.asc("user_id")],
+        -F.col("recency_days"),
+        "rn_r",
+    )
+    ranked = two_phase_row_number(
+        ranked,
+        [F.asc("frequency"), F.asc("user_id")],
+        F.col("frequency"),
+        "rn_f",
+    )
+    ranked = two_phase_row_number(
+        ranked,
+        [F.asc("monetary"), F.asc("user_id")],
+        F.col("monetary"),
+        "rn_m",
+        total_col="n_total",
+    )
     return (
-        rfm.select(
+        ranked
+        .select(
             "user_id",
-            r.alias("r_score"),
-            f.alias("f_score"),
-            m.alias("m_score"),
+            F.expr(ntile_from_row_number("rn_r", "n_total", 5)).alias("r_score"),
+            F.expr(ntile_from_row_number("rn_f", "n_total", 5)).alias("f_score"),
+            F.expr(ntile_from_row_number("rn_m", "n_total", 5)).alias("m_score"),
         )
         .groupBy("r_score", "f_score", "m_score")
         .agg(F.count(F.lit(1)).alias("n_users"))
@@ -2241,7 +2265,7 @@ ORACLE_SQL["tier_occupancy_by_day"] = f"""
         SELECT tier, UNNEST(range(m_first, m_last + 1)) AS day_idx
         FROM spans WHERE m_first <= m_last
     )
-    SELECT CAST(make_timestamp(day_idx * {_DAY_US}) AS DATE) AS day,
+    SELECT make_timestamp(day_idx * {_DAY_US}) AS day,
            tier, CAST(COUNT(*) AS BIGINT) AS n_users
     FROM days GROUP BY day_idx, tier
     ORDER BY day, tier

@@ -47,7 +47,43 @@ RULES = {
         "task (global window/sort/limit without a partitioner). Fine "
         "for one-row aggregates; a scale bug for anything data-sized.",
     ),
+    "global-window": (
+        "warn",
+        "A Window with no PARTITION BY runs the whole input in ONE task "
+        "(Spark's 'No Partition Defined' warning). Sanctioned only for "
+        "provably bounded frames (calendar days, top-k lists, one row "
+        "per shard); for data-sized total orders use "
+        "functions.two_phase_row_number / two_phase_running_agg.",
+    ),
 }
+
+
+def _global_windows(plan: str) -> int:
+    """Count partition-less ORDERED Window nodes.
+
+    Plan-string shapes: ``Window [exprs], [partition], [order]`` (3
+    groups — fine), ``Window [exprs], [partition]`` (2 groups, no
+    order — partitioned, fine), ``Window [exprs], [order]`` (2 groups
+    where the second carries ASC/DESC sort tokens — the global-sort
+    single-task shape this rule exists for)."""
+    n = 0
+    for m in re.finditer(r"(?:^|\s)Window (\[.*)$", plan, re.MULTILINE):
+        depth = 0
+        groups: list[str] = []
+        for ch in m.group(1):
+            if ch == "[":
+                if depth == 0:
+                    groups.append("")
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+            if depth > 0 and groups:
+                groups[-1] += ch
+        if len(groups) == 2 and re.search(
+            r" (ASC|DESC) NULLS (FIRST|LAST)", groups[-1]
+        ):
+            n += 1
+    return n
 
 
 def plan_lint(df: DataFrame) -> list[dict]:
@@ -79,6 +115,9 @@ def plan_lint(df: DataFrame) -> list[dict]:
     n = len(re.findall(r"Exchange SinglePartition", plan))
     if n:
         hit("single-partition-exchange", f"{n} SinglePartition exchange(s)")
+    n = _global_windows(plan)
+    if n:
+        hit("global-window", f"{n} partition-less Window node(s)")
     for m in re.finditer(r"FileScan \w+ \[[^\]]*\][^\n]*", plan):
         scan = m.group(0)
         data_f = re.search(r"DataFilters: \[([^\]]*)\]", scan)

@@ -13,6 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.global_rank import (
+    ntile_from_row_number,
+    two_phase_row_number,
+    two_phase_running_agg,
+)
 from ..sources.catalog import load_table
 
 SESSION_GAP_MIN = 30
@@ -1589,11 +1594,12 @@ def peak_concurrency(
 
     Tie rule: an interval ending exactly when another starts does NOT
     overlap it (ends sort before starts at the same instant — delta
-    ascending).  One union + one ordered window over 2 rows per
-    interval — the sweep frame is 2 rows per SESSION, already orders of
-    magnitude under the event scan; at 100 TB, shard the sweep by
-    calendar day first and take the max of per-day peaks (sessions
-    spanning shard boundaries contribute to both)."""
+    ascending).  One union, then the global running sum is the
+    two-phase prefix sum (functions.two_phase_running_agg:
+    time-range shards from percentile boundaries, local prefix sums,
+    per-shard totals' exclusive prefix broadcast back) — identical
+    values to the ordered window with no single-partition exchange
+    over the sweep frame."""
     plus = intervals.select(
         F.col(start_col).alias("t"), F.lit(1).alias("delta")
     )
@@ -1601,8 +1607,14 @@ def peak_concurrency(
         F.col(end_col).alias("t"), F.lit(-1).alias("delta")
     )
     sweep = plus.unionAll(minus)
-    w = Window.orderBy("t", "delta").rowsBetween(Window.unboundedPreceding, 0)
-    run = sweep.select(F.sum("delta").over(w).alias("open_now"))
+    run = two_phase_running_agg(
+        sweep,
+        [F.col("t").asc(), F.col("delta").asc()],
+        F.col("t").cast("double"),
+        "delta",
+        "sum",
+        "open_now",
+    )
     return run.agg(
         F.max("open_now").cast("long").alias("peak_concurrent"),
         (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
@@ -1665,23 +1677,34 @@ def event_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts and the share of on-time (lateness 0) events — read the p99
     bucket and that's your `withWatermark` delay.
 
-    One global ordered window over (event_id); at 100 TB the same
-    profile shards by arrival partition (kafka partition / file) since
-    watermarks are per-partition-merged anyway."""
+    The running max over arrival order is the two-phase prefix max
+    (functions.two_phase_running_agg): event_id-range shards from
+    percentile boundaries, local running max, per-shard maxima's
+    exclusive prefix broadcast back — same values as the global
+    ordered window with no single-partition exchange over raw events
+    (the per-arrival-shard decomposition this docstring used to only
+    promise).  Sub-second positive lateness clamps to bucket 0 so it
+    cannot collide with the on-time sentinel -1 (and cannot emit
+    undocumented -2, -3... buckets)."""
     ev = load_table(spark, "events", sf_dir)
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
-    late = ev.select(
-        (
-            F.unix_micros(F.max("ts").over(w)) - F.unix_micros(F.col("ts"))
-        ).alias("late_us")
+    run = two_phase_running_agg(
+        ev.select("event_id", F.unix_micros("ts").alias("us")),
+        [F.col("event_id").asc()],
+        F.col("event_id"),
+        "us",
+        "max",
+        "run_max_us",
     )
+    late = run.select((F.col("run_max_us") - F.col("us")).alias("late_us"))
     return (
         late.select(
             F.when(
                 F.col("late_us") <= 0, F.lit(-1)
             )  # on time (the running max itself)
             .otherwise(
-                F.expr("CAST(floor(log2(late_us / 1000000.0)) AS INT)")
+                F.expr(
+                    "GREATEST(0, CAST(floor(log2(late_us / 1000000.0)) AS INT))"
+                )
             )
             .alias("log2_lateness_s")
         )
@@ -1704,7 +1727,7 @@ ORACLE_SQL["event_lateness_profile"] = """
         FROM events
     ), bucketed AS (
         SELECT CASE WHEN late_us <= 0 THEN -1
-                    ELSE CAST(floor(log2(late_us / 1000000.0)) AS INTEGER)
+                    ELSE GREATEST(0, CAST(floor(log2(late_us / 1000000.0)) AS INTEGER))
                END AS log2_lateness_s
         FROM late
     )

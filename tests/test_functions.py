@@ -47,3 +47,93 @@ def test_words_array_and_morton(spark):
     ).collect()[0].z
     # interleave(3=0b11, 5=0b101) -> x bits at even, y at odd: 0b100111
     assert z == 0b100111
+
+
+def test_two_phase_row_number_matches_global_window(spark):
+    """The distributed rank must equal ROW_NUMBER() OVER (ORDER BY ...)
+    exactly — including on a CACHED input (the repartitionByRange +
+    spark_partition_id design this helper replaces silently broke
+    there: range-partitioner sampling reseeds per physical RDD, so
+    unreused exchange branches disagreed on partition ids)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from skdist_spark.functions import two_phase_row_number
+
+    random.seed(7)
+    rows = [(i, random.randint(0, 50), random.random()) for i in range(5003)]
+    df = spark.createDataFrame(rows, "id long, v long, x double").repartition(16)
+    order = [F.col("v").asc(), F.col("id").asc()]
+    for frame in (df, df.cache()):
+        frame.count()
+        got = two_phase_row_number(frame, order, F.col("v"), "rn")
+        exp = frame.select(
+            "id", F.row_number().over(Window.orderBy(*order)).alias("ern")
+        )
+        assert (
+            got.select("id", "rn").join(exp, "id").where("rn != ern").count() == 0
+        )
+    df.unpersist()
+    # DESC order via negated shard key, plus the hash-sampled
+    # boundary path (sample only moves boundaries, never ranks)
+    order_d = [F.col("x").desc(), F.col("id").asc()]
+    got = two_phase_row_number(df, order_d, -F.col("x"), "rn", sample_mod=7)
+    exp = df.select(
+        "id", F.row_number().over(Window.orderBy(*order_d)).alias("ern")
+    )
+    assert got.select("id", "rn").join(exp, "id").where("rn != ern").count() == 0
+    # empty input
+    assert (
+        two_phase_row_number(df.where("v < 0"), order, F.col("v"), "rn").count()
+        == 0
+    )
+
+
+def test_two_phase_running_agg_matches_global_window(spark):
+    import random
+
+    from pyspark.sql import Window
+
+    from skdist_spark.functions import two_phase_running_agg
+
+    random.seed(11)
+    rows = [(i, random.randint(-20, 50), random.random()) for i in range(5003)]
+    df = spark.createDataFrame(rows, "id long, v long, x double").repartition(16)
+    order = [F.col("v").asc(), F.col("id").asc()]
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    for agg, col in (("sum", "v"), ("max", "x"), ("min", "x")):
+        got = two_phase_running_agg(df, order, F.col("v"), col, agg, "r")
+        exp = df.select(
+            "id", getattr(F, agg)(col).over(w).alias("er")
+        )
+        assert (
+            got.select("id", "r").join(exp, "id").where("r != er").count() == 0
+        ), agg
+
+
+def test_ntile_from_row_number_matches_spark_and_duckdb(spark):
+    import duckdb
+
+    from pyspark.sql import Window
+
+    from skdist_spark.functions import ntile_from_row_number
+
+    con = duckdb.connect()
+    for n, k in ((10007, 5), (100, 6), (7, 7), (3, 7), (4, 4)):
+        df = spark.range(1, n + 1).select(F.col("id").alias("rn"))
+        mine = df.select(
+            "rn", F.expr(ntile_from_row_number("rn", str(n), k)).alias("t")
+        )
+        ref = df.select(
+            "rn", F.ntile(k).over(Window.orderBy("rn")).alias("t2")
+        )
+        assert mine.join(ref, "rn").where("t != t2").count() == 0, (n, k)
+        duck = dict(
+            con.execute(
+                f"SELECT i, NTILE({k}) OVER (ORDER BY i)"
+                f" FROM range(1, {n} + 1) t(i)"
+            ).fetchall()
+        )
+        got = {r.rn: r.t for r in mine.collect()}
+        assert got == duck, (n, k)

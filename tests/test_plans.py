@@ -199,9 +199,70 @@ def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
             "lsh_label_nmi",
             # one-row KM-total broadcast (inherited from km_survival)
             "user_churn_rmst",
+            # one-row percentile-boundary-array broadcasts (two-phase
+            # distributed rank, functions/global_rank.py)
+            "purchase_uplift_qini", "peak_concurrent_sessions",
+            "event_lateness_profile",
         ):
             bad[name] = joins
     assert not bad, bad
+
+
+def test_no_oracle_query_has_unsanctioned_global_window(spark, sf_dir):
+    """Blanket audit (the r3 verdict's missing CI gate): every
+    oracle-checked query's plan must be free of partition-less ORDERED
+    Window nodes — the Exchange-SinglePartition one-task shape — except
+    the sanctioned bounded frames below, pinned to their EXACT node
+    count so a new global window in a sanctioned query still fails."""
+    import __spark_entry__ as entry_mod
+
+    from skdist_spark.plans.lint import _global_windows
+
+    # name -> exact allowed count of partition-less ordered Window
+    # nodes.  Three sanctioned shapes:
+    #  (a) two-phase-rank offsets: an exclusive prefix over ≤
+    #      shuffle-partitions rows, one per helper instantiation
+    #      (functions/global_rank.py) — gini 2x (m/top branches),
+    #      pareto 2x + its 10-row decile cumsum, rfm 3 ntiles,
+    #      qini 1 + its 10-row bin cumsum, lateness/peak 1 each;
+    #  (b) calendar-bounded series: one row per day/week/stage/
+    #      threshold — daily ACF/CCF/decompose/spearman/cusum/WoW,
+    #      rolling_revenue, slo_burn_rate, KM survival ladders
+    #      (churn family ranks distinct event DAYS), sequential-test
+    #      look counts, funnel stages, threshold sweeps;
+    #  (c) top-k / catalog-bounded frames: vocab top-V, zipf top
+    #      ranks, per-query top-k RRF lists, |sources| budget ledger,
+    #      top-k skew keys.
+    sanctioned = {
+        "churn_ab_logrank": 1, "click_purchase_ccf": 1,
+        "daily_revenue_acf": 1, "daily_revenue_decompose": 2,
+        "daily_spearman": 2, "doc_filter_funnel": 1,
+        "english_threshold_sweep": 1, "event_lateness_profile": 1,
+        "hybrid_search_rrf": 2, "peak_concurrent_sessions": 1,
+        "purchase_ab_sequential": 1, "purchase_uplift_qini": 2,
+        "revenue_cusum": 1, "revenue_pareto": 3, "rfm_segments": 1,
+        "rolling_revenue": 1, "slo_burn_rate": 1,
+        "source_token_budget": 1, "user_churn_hazard": 2,
+        "user_churn_rmst": 3, "user_churn_survival": 2,
+        "user_revenue_gini": 2, "user_skew_report": 1,
+        "vocab_coverage": 1, "vocab_growth": 1,
+        "weekly_revenue_wow": 1, "zipf_fit": 1,
+    }
+    queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    bad = {}
+    for name in sorted(oracles):
+        if name.startswith("stream_"):
+            continue
+        plan = (
+            queries[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        n = _global_windows(plan)
+        if n != sanctioned.get(name, 0):
+            bad[name] = (n, sanctioned.get(name, 0))
+    assert not bad, f"global-window count drift (got, sanctioned): {bad}"
 
 
 def test_approx_distinct_within_error(spark, sf_dir):
@@ -302,7 +363,15 @@ def test_plan_lint_detects_and_clears(spark, sf_dir):
     glob = spark.range(100).orderBy("id").withColumn(
         "rn", F.row_number().over(Window.orderBy("id"))
     )
-    assert {f["rule"] for f in plan_lint(glob)} >= {"single-partition-exchange"}
+    assert {f["rule"] for f in plan_lint(glob)} >= {
+        "single-partition-exchange",
+        "global-window",
+    }
+    # a PARTITIONED window (even order-less) must NOT trip global-window
+    parted = spark.range(100).withColumn(
+        "mn", F.min("id").over(Window.partitionBy(F.col("id") % 7))
+    )
+    assert "global-window" not in {f["rule"] for f in plan_lint(parted)}
 
     import pytest as _pytest
 
@@ -426,3 +495,64 @@ def test_revenue_decomposition_reconstructs_delta(spark):
         recon = r.volume_effect + r.price_effect + r.interaction
         assert abs(recon - r.delta) < 0.01, r
         assert abs((r.rev_1997 - r.rev_1996) - r.delta) < 0.01, r
+
+
+def test_event_lateness_profile_out_of_order_branch(spark, tmp_path):
+    """The positive-lateness branch (absent from the driver's in-order
+    test data) must bucket correctly on BOTH engines: sub-second
+    disorder clamps to bucket 0 (it used to collide with the on-time
+    sentinel -1 via floor(log2(x<1)) < 0), multi-second disorder lands
+    in its log2 bucket, and Spark stays hash-identical to DuckDB."""
+    import datetime
+
+    import pandas as pd
+
+    from skdist_spark.plans import windows as W
+    from tests.oracle_utils import compare_query
+
+    import __spark_entry__ as entry_mod
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    # arrival order = event_id; event 2 arrives 0.4 s late (clamps to
+    # bucket 0), event 4 arrives 10 s late (bucket 3), events 5-6 are
+    # increasingly late behind the running max set at event 3
+    rows = [
+        (0, at(0.0)), (1, at(5.0)), (2, at(4.6)), (3, at(20.0)),
+        (4, at(10.0)), (5, at(1.0)), (6, at(18.5)), (7, at(21.0)),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts"])
+    pdf["user_id"] = 1
+    pdf["event_type"] = "click"
+    pdf["value"] = 1.0
+    pdf["props"] = "{}"
+    sf_dir = str(tmp_path)
+    # single parquet FILE with microsecond timestamps, matching the
+    # driver's table layout (a Spark write would make a directory,
+    # which the DuckDB oracle's read_parquet cannot open)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    ts_idx = table.schema.get_field_index("ts")
+    table = table.set_column(
+        ts_idx, "ts", table.column("ts").cast(pa.timestamp("us"))
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    compare_query(
+        spark,
+        W.event_lateness_profile,
+        entry_mod.oracle_sql()["event_lateness_profile"],
+        sf_dir,
+        "event_lateness_profile[out-of-order]",
+    )
+    got = {
+        r.log2_lateness_s: r.n_events
+        for r in W.event_lateness_profile(spark, sf_dir).collect()
+    }
+    # on-time: 0,1,3,7 -> 4 events; 0.4s -> bucket 0; 10s/19s -> 3,4;
+    # 1.5s late at event 6 -> bucket 0 (20.0 - 18.5)
+    assert got == {-1: 4, 0: 2, 3: 1, 4: 1}, got
