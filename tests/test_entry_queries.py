@@ -62,3 +62,27 @@ def test_registry_has_no_cross_module_collisions():
             assert name in mod.QUERIES or name in seen, (
                 f"oracle {name!r} in {mod.__name__} has no queries() entry"
             )
+
+
+def test_readme_counts_match_registry():
+    """README's stated registry/oracle counts must equal the live
+    registry — count drift was flagged three rounds running; this
+    pins every number the README states to the source of truth."""
+    import os
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    n_q = len(entry_mod.queries())
+    n_o = len(entry_mod.oracle_sql())
+    readme = open(
+        os.path.join(os.path.dirname(__file__), "..", "README.md")
+    ).read()
+    m = re.search(r"exposes (\d+) named queries", readme)
+    assert m and int(m.group(1)) == n_q, (m and m.group(1), n_q)
+    m = re.search(r"provides (\d+) equivalent DuckDB statements", readme)
+    assert m and int(m.group(1)) == n_o, (m and m.group(1), n_o)
+    m = re.search(r"(\d+)-oracle sf0.01 lane", readme)
+    assert m and int(m.group(1)) == n_o, (m and m.group(1), n_o)
+    m = re.search(r"DuckDB oracle parity \((\d+) queries", readme)
+    assert m and int(m.group(1)) == n_o, (m and m.group(1), n_o)
