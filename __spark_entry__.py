@@ -74,8 +74,11 @@ _PRIORITY = [
     "funnel_ab_steps", "embedding_drift_report", "english_threshold_sweep",
     "event_value_median_ci", "dedup_cluster_sizes", "subsample_stability",
     "lsh_label_nmi", "user_churn_rmst", "event_trigram_sequences",
-    "retention_halflife", "revenue_dow_anova",
+    # 49-50: rows-only -> oracle promotions from this round (k-core
+    # unrolled-peel CTE; isotonic minimax closed form)
+    "part_kcore", "langid_isotonic",
     # -- ROUND-5 QUEUE (past the 50-entry cap; all locally green) --
+    "retention_halflife", "revenue_dow_anova",
     "event_value_bootstrap", "ann_recall_eval", "source_token_js",
     "daily_revenue_decompose", "blocking_eval", "customer_kanonymity",
     "purchase_ab_did", "revenue_change_decomposition", "bm25_eval",

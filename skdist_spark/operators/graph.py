@@ -867,9 +867,16 @@ def part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise at catalog scale); the surviving core is the stably
     cross-sold assortment.  Pair generation stays inside the order
     group (basket-size-squared fan-out, the basket_part_affinity
-    shape), never catalog-squared.  rows-only: iterative peeling is
-    not ANSI-SQL; correctness is pinned by the crafted-graph pytest
-    (known cores) + monotone-degree invariants.
+    shape), never catalog-squared.
+
+    Oracle-backed (upgraded from rows-only): the peel fixpoint IS the
+    k-core — a round-order-independent set — so the DuckDB oracle
+    unrolls the degree-filter round as chained CTEs
+    (_part_kcore_oracle_sql; rounds past the fixpoint are no-ops).
+    The unroll depth is 20 vs a measured fixpoint depth of 8 at
+    sf0.01 / 0 at sf0.001; pure integer arithmetic end to end.
+    The crafted-graph pytest (known cores) still pins the generic
+    k_core API on both the distributed and driver-finish paths.
     """
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
@@ -889,7 +896,49 @@ def part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(pairs, "pa", "pb", k=3)
 
 
+PART_KCORE_ORACLE_ROUNDS = 20
+
+
+def _part_kcore_oracle_sql(k: int = 3, rounds: int = PART_KCORE_ORACLE_ROUNDS) -> str:
+    """Unrolled peel: each round recomputes degrees and keeps edges
+    whose endpoints both still have degree >= k.  Once the true
+    fixpoint is reached every later round passes the edge set through
+    unchanged, so any unroll depth >= the data's peel depth yields
+    exactly the k-core Spark's iterate-to-fixpoint loop returns."""
+    parts = [
+        """e0 AS MATERIALIZED (
+            SELECT a.l_partkey AS a, b.l_partkey AS b
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        )"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+                SELECT node, COUNT(*) AS d FROM (
+                    SELECT a AS node FROM e{i}
+                    UNION ALL SELECT b FROM e{i}
+                ) GROUP BY node
+            ), ok{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE d >= {k}),
+            e{i + 1} AS MATERIALIZED (
+                SELECT a, b FROM e{i}
+                WHERE a IN (SELECT node FROM ok{i})
+                  AND b IN (SELECT node FROM ok{i})
+            )"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+            SELECT a AS node FROM e{rounds}
+            UNION ALL SELECT b FROM e{rounds}
+        ) GROUP BY node ORDER BY node
+    """
+    )
+
+
 QUERIES["part_kcore"] = part_kcore
+ORACLE_SQL["part_kcore"] = _part_kcore_oracle_sql()
 
 
 def local_clustering(

@@ -494,7 +494,11 @@ def isotonic_calibrate(
     task over that group's (x, y) points — the fit is sequential by
     nature but bounded per group; ties on x are pre-pooled so the
     result is deterministic under any partitioning.  Exactness is
-    pinned by a pure-Python PAV replay in the test suite.
+    pinned by a pure-Python PAV replay in the test suite AND a DuckDB
+    oracle built from the minimax closed form
+    fit(i) = max_{j<=i} min_{k>=i} mean(y[j..k]) — the same step
+    function PAV computes, expressible as two windows over the
+    O(n^2) (j,k) block grid (n = distinct x per group, bounded).
     """
     import numpy as np
     import pandas as pd
@@ -525,7 +529,11 @@ def isotonic_calibrate(
                 g,
                 float(xs[lo]),
                 float(xs[hi]),
-                round(float(s / c), 6),
+                # integer-exact half-up 6dp rounding: Python round() is
+                # half-to-even while SQL ROUND is half-away, and block
+                # means with power-of-two denominators (c = 128) DO land
+                # exactly on 6dp ties — one engine-portable formula
+                int((2_000_000 * int(s) + int(c)) // (2 * int(c))) / 1e6,
                 int(c),
             )
             for lo, hi, s, c in out
@@ -542,8 +550,20 @@ def isotonic_calibrate(
 def langid_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: isotonic calibration of the stopword-hit-ratio
     confidence against language-ID correctness, fitted per true
-    language (rows-only: PAV is order-sequential; a pure-Python PAV
-    replay pins exactness in pytest)."""
+    language.
+
+    Oracle-backed (upgraded from rows-only): PAV itself is
+    order-sequential, but its RESULT has the minimax closed form
+    fit(i) = max_{j<=i} min_{k>=i} mean(y[j..k]), and blocks are the
+    runs of equal fitted value (PAV merges on >=, so final block means
+    are strictly increasing) — _langid_isotonic_oracle_sql expresses
+    that with two windows over the bounded (j,k) block grid.  Float
+    safety: block means are single IEEE divisions of small exact
+    integers (numerator/denominator <= group size), so distinct
+    rationals differ by >> 1 ulp and every max/min comparison agrees
+    with exact arithmetic; the 6dp rate rounds half-up via integer
+    arithmetic on BOTH engines (Python round() is half-to-even and
+    c = 128 blocks land exactly on 6dp ties)."""
     from pyspark.sql import functions as F
 
     from .text import _SPARK_WORDS, _langid_exprs
@@ -563,7 +583,62 @@ def langid_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _langid_isotonic_oracle_sql() -> str:
+    from .text import _DUCK_WORDS, _langid_exprs
+
+    pred, hits = _langid_exprs("duck", words="wd")
+    return f"""
+        WITH words AS MATERIALIZED (
+            SELECT lang, {_DUCK_WORDS} AS wd FROM documents
+        ), scored AS (
+            SELECT lang,
+                   ROUND(CAST({hits} AS DOUBLE) / len(wd), 6) AS conf,
+                   CASE WHEN {pred} = lang THEN 1 ELSE 0 END AS correct
+            FROM words WHERE len(wd) > 0
+        ), pooled AS (
+            SELECT lang, conf AS x,
+                   CAST(SUM(correct) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM scored GROUP BY lang, conf
+        ), idx AS MATERIALIZED (
+            SELECT lang, x, s, c,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY x) AS i,
+                   SUM(s) OVER (PARTITION BY lang ORDER BY x) AS ss,
+                   SUM(c) OVER (PARTITION BY lang ORDER BY x) AS cc
+            FROM pooled
+        ), grid AS (
+            -- mean of block j..k, one exact-integer IEEE division
+            SELECT a.lang, a.i AS j, b.i AS k,
+                   CAST(b.ss - a.ss + a.s AS DOUBLE)
+                       / (b.cc - a.cc + a.c) AS m
+            FROM idx a JOIN idx b ON a.lang = b.lang AND a.i <= b.i
+        ), sm AS (
+            -- suffix min over k: min_{{k' >= k}} mean(j..k')
+            SELECT lang, j, k,
+                   MIN(m) OVER (PARTITION BY lang, j ORDER BY k DESC) AS sm
+            FROM grid
+        ), fit AS (
+            -- running max over j at k = i, evaluated at j = i:
+            -- fit(i) = max_{{j <= i}} min_{{k >= i}} mean(j..k)
+            SELECT lang, k AS i,
+                   MAX(sm) OVER (PARTITION BY lang, k ORDER BY j) AS fit,
+                   j
+            FROM sm
+        ), fitted AS (
+            SELECT lang, i, fit FROM fit WHERE j = i
+        )
+        SELECT lang, MIN(x) AS x_lo, MAX(x) AS x_hi,
+               CAST((2000000 * SUM(s) + SUM(c)) // (2 * SUM(c)) AS DOUBLE)
+                   / 1e6 AS rate,
+               CAST(SUM(c) AS BIGINT) AS n_obs
+        FROM fitted JOIN idx USING (lang, i)
+        GROUP BY lang, fit
+        ORDER BY lang, x_lo
+    """
+
+
 QUERIES["langid_isotonic"] = langid_isotonic
+ORACLE_SQL["langid_isotonic"] = _langid_isotonic_oracle_sql()
 
 
 # ---- k-anonymity / re-identification audit ----------------------------

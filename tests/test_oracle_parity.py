@@ -42,8 +42,8 @@ def test_every_query_declared(spark):
         "user_sketch_rollup", "value_percentile_sketch_rollup",
         "ann_diversified",
         "corpus_pipeline", "dedup_semantic", "embedding_pca",
-        "embedding_whiten", "langid_isotonic",
-        "bpe_merge_table", "part_kcore", "markov_attribution",
+        "embedding_whiten",
+        "bpe_merge_table", "markov_attribution",
         "unigram_vocab_table",
     )
     for name in QUERIES:

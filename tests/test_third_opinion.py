@@ -1114,7 +1114,10 @@ def test_third_langid_isotonic(spark):
                         i -= 1
                 else:
                     i += 1
-        return [(lo, hi, round(s / c, 6), int(c)) for lo, hi, s, c in segs]
+        return [
+            (lo, hi, (2_000_000 * int(s) + int(c)) // (2 * int(c)) / 1e6, int(c))
+            for lo, hi, s, c in segs
+        ]
 
     want = []
     for lang in sorted(pts):
