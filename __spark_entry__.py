@@ -73,12 +73,13 @@ _PRIORITY = [
     "shard_plan_documents", "session_gap_sweep", "doc_curriculum_phases",
     "funnel_ab_steps", "embedding_drift_report", "english_threshold_sweep",
     "event_value_median_ci", "dedup_cluster_sizes", "subsample_stability",
-    "lsh_label_nmi", "user_churn_rmst", "event_trigram_sequences",
-    # 49-50: rows-only -> oracle promotions from this round (k-core
-    # unrolled-peel CTE; isotonic minimax closed form)
-    "part_kcore", "langid_isotonic",
+    "lsh_label_nmi", "user_churn_rmst",
+    # 48-50: rows-only -> oracle promotions from this round (k-core
+    # unrolled-peel CTE; isotonic minimax closed form; BPE unrolled
+    # merge rounds)
+    "part_kcore", "langid_isotonic", "bpe_merge_table",
     # -- ROUND-5 QUEUE (past the 50-entry cap; all locally green) --
-    "retention_halflife", "revenue_dow_anova",
+    "event_trigram_sequences", "retention_halflife", "revenue_dow_anova",
     "event_value_bootstrap", "ann_recall_eval", "source_token_js",
     "daily_revenue_decompose", "blocking_eval", "customer_kanonymity",
     "purchase_ab_did", "revenue_change_decomposition", "bm25_eval",
@@ -118,8 +119,8 @@ _PRIORITY = [
     "weekly_revenue_forecast", "user_revenue_gini", "event_pagerank",
     "unigram_vocab_table", "ml_als_recommend", "stream_token_budget_gate",
     "ml_source_ablation", "stream_ann_enrich", "ann_diversified",
-    "embedding_whiten", "langid_isotonic", "pack_chunks", "ann_lsh", "ann_pq",
-    "dedup_semantic", "embedding_pca", "bpe_merge_table", "ml_kmeans",
+    "embedding_whiten", "pack_chunks", "ann_lsh", "ann_pq",
+    "dedup_semantic", "embedding_pca", "ml_kmeans",
     "ml_grid_search", "ml_random_search", "ml_ovr_predict",
     "ml_forest_predict", "ml_forest_regress", "ml_feature_elimination",
     "ml_multi_model_search", "ml_predict_udf", "encoderizer_features",

@@ -376,9 +376,17 @@ def bpe_train(
 
 def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: the learned BPE merge table over the documents
-    corpus (rows-only: iterative argmax training isn't one SQL
-    statement; pytest verifies exact equality with a pure-Python BPE
-    reference implementation)."""
+    corpus.
+
+    Oracle-backed (upgraded from rows-only): training is an iterative
+    argmax, but at the registry's fixed N_MERGES depth it unrolls into
+    chained DuckDB CTEs (_bpe_merge_oracle_sql) — one
+    (pair-count -> argmax -> merge-apply) block per round.  The greedy
+    left-to-right non-overlapping merge rule is exactly plain
+    ``replace()`` over a separator-wrapped symbol string
+    (each symbol rendered ``US sym US``), so both engines share
+    integer-exact counts and binary-UTF8 tiebreaks.  The pure-Python
+    BPE reference equality test remains as the third opinion."""
     docs = load_table(spark, "documents", sf_dir).select("text")
     merges = bpe_train(docs)
     return spark.createDataFrame(
@@ -387,7 +395,63 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_merge_oracle_sql(n_merges: int = N_MERGES) -> str:
+    """Unrolled BPE training rounds.  Symbol lists are encoded as
+    ``US a US US b US ...`` strings (US = chr(31), absent from
+    whitespace-split words), where merging (l, r) is
+    ``replace(s, US l US US r US, US lr US)`` — plain replace scans
+    left-to-right over non-overlapping occurrences, which IS the
+    greedy fold bpe_train evaluates in Spark SQL.  Each round's
+    argmax breaks count ties on (left, right) binary order, matching
+    Spark's TakeOrdered."""
+    from .text import _DUCK_WORDS
+
+    blocks = []
+    for t in range(n_merges):
+        blocks.append(f"""toks{t} AS (
+            SELECT string_split(trim(s, chr(31)), chr(31) || chr(31)) AS tk, n
+            FROM vocab{t}
+        ), pairs{t} AS (
+            SELECT p.l AS l, p.r AS r, CAST(SUM(n) AS BIGINT) AS cnt
+            FROM (
+                SELECT unnest(list_transform(range(1, len(tk)),
+                              i -> struct_pack(l := tk[i], r := tk[i + 1]))) AS p,
+                       n
+                FROM toks{t} WHERE len(tk) >= 2
+            ) GROUP BY p.l, p.r
+        ), best{t} AS MATERIALIZED (
+            SELECT l, r, l || r AS merged, cnt
+            FROM pairs{t} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+        ), vocab{t + 1} AS MATERIALIZED (
+            SELECT replace(v.s,
+                           chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
+                           chr(31) || b.merged || chr(31)) AS s, v.n
+            FROM vocab{t} v, best{t} b
+        )""")
+    finals = "\nUNION ALL\n".join(
+        f'SELECT {t} AS merge_idx, l AS "left", r AS "right", merged,'
+        f" cnt AS pair_count FROM best{t}"
+        for t in range(n_merges)
+    )
+    return f"""
+        WITH words AS (
+            SELECT unnest({_DUCK_WORDS}) AS word FROM documents
+        ), vocab0 AS MATERIALIZED (
+            SELECT rtrim(chr(31) || wrapped, chr(31)) || chr(31) AS s, n
+            FROM (
+                SELECT regexp_replace(word, '(.)',
+                           '\\1' || chr(31) || chr(31), 'g') AS wrapped, n
+                FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+                      FROM words GROUP BY word)
+            )
+        ),
+        {",".join(blocks)}
+        SELECT * FROM ({finals}) ORDER BY merge_idx
+    """
+
+
 QUERIES["bpe_merge_table"] = bpe_merge_table
+ORACLE_SQL["bpe_merge_table"] = _bpe_merge_oracle_sql()
 
 
 def bpe_encode(

@@ -42,8 +42,7 @@ def test_every_query_declared(spark):
         "user_sketch_rollup", "value_percentile_sketch_rollup",
         "ann_diversified",
         "corpus_pipeline", "dedup_semantic", "embedding_pca",
-        "embedding_whiten",
-        "bpe_merge_table", "markov_attribution",
+        "embedding_whiten", "markov_attribution",
         "unigram_vocab_table",
     )
     for name in QUERIES:
