@@ -92,8 +92,15 @@ def main() -> None:
     exchanges: dict[str, int] = {}
     shuffle_bytes: dict[str, int] = {}
     spill_bytes: dict[str, int] = {}
+    import gc
+
     t_all = time.perf_counter()
     for name in sorted(queries):
+        # drop py4j refs from the previous query so the JVM can free
+        # its localCheckpoint blocks (ContextCleaner runs on GC) —
+        # without this, storage pressure builds over 300+ queries and
+        # inflates the tail of the suite
+        gc.collect()
         t0 = time.perf_counter()
         try:
             df = queries[name](spark, sf_dir)

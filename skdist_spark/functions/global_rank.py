@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "two_phase_row_number",
     "two_phase_running_agg",
+    "two_phase_max_prefix_sum",
     "ntile_from_row_number",
 ]
 
@@ -206,6 +207,50 @@ def two_phase_running_agg(
         local.join(F.broadcast(offsets), _PART)
         .withColumn(out_col, combine)
         .drop(_PART, _LOCAL, _OFF)
+    )
+
+
+def two_phase_max_prefix_sum(
+    df: DataFrame,
+    order_by: list[Column],
+    shard_key: Column,
+    value_col: str,
+    num_partitions: int | None = None,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """One-row ``(max_prefix, n_rows)``: the maximum over the total
+    order of the running sum of ``value_col`` — the sweep-line peak —
+    WITHOUT materializing per-row ranks or joining offsets back.
+
+    Max-prefix-sum is associative: per shard compute (total, local max
+    prefix); the global answer is ``max_s(prefix_total(<s) +
+    local_max(s))`` — one window + one aggregate over the ≤ N-row
+    shard frame.  Cheaper than ``two_phase_running_agg`` + max when
+    only the peak is needed (no broadcast join over the data).
+    """
+    n = _num_partitions(df, num_partitions)
+    sharded = _sharded(df, shard_key, n, sample_mod)
+    w = (
+        Window.partitionBy(_PART)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = sharded.withColumn(_LOCAL, F.sum(value_col).over(w))
+    per_shard = local.groupBy(_PART).agg(
+        F.sum(value_col).alias("__tot"),
+        F.max(_LOCAL).alias("__mx"),
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    off_w = Window.orderBy(_PART).rowsBetween(Window.unboundedPreceding, -1)
+    combined = per_shard.select(
+        (
+            F.coalesce(F.sum("__tot").over(off_w), F.lit(0)) + F.col("__mx")
+        ).alias("__shard_peak"),
+        "__cnt",
+    )
+    return combined.agg(
+        F.max("__shard_peak").alias("max_prefix"),
+        F.sum("__cnt").cast("long").alias("n_rows"),
     )
 
 

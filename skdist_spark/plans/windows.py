@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.global_rank import (
     ntile_from_row_number,
+    two_phase_max_prefix_sum,
     two_phase_row_number,
     two_phase_running_agg,
 )
@@ -1594,12 +1595,11 @@ def peak_concurrency(
 
     Tie rule: an interval ending exactly when another starts does NOT
     overlap it (ends sort before starts at the same instant — delta
-    ascending).  One union, then the global running sum is the
-    two-phase prefix sum (functions.two_phase_running_agg:
-    time-range shards from percentile boundaries, local prefix sums,
-    per-shard totals' exclusive prefix broadcast back) — identical
-    values to the ordered window with no single-partition exchange
-    over the sweep frame."""
+    ascending).  One union, then the peak is the two-phase MAX PREFIX
+    SUM (functions.two_phase_max_prefix_sum): max-prefix-sum is
+    associative, so each time-range shard reduces to (total, local max
+    prefix) and the global peak combines on the tiny shard frame — no
+    single-partition exchange AND no per-row rank join-back."""
     plus = intervals.select(
         F.col(start_col).alias("t"), F.lit(1).alias("delta")
     )
@@ -1607,17 +1607,15 @@ def peak_concurrency(
         F.col(end_col).alias("t"), F.lit(-1).alias("delta")
     )
     sweep = plus.unionAll(minus)
-    run = two_phase_running_agg(
+    run = two_phase_max_prefix_sum(
         sweep,
         [F.col("t").asc(), F.col("delta").asc()],
         F.col("t").cast("double"),
         "delta",
-        "sum",
-        "open_now",
     )
-    return run.agg(
-        F.max("open_now").cast("long").alias("peak_concurrent"),
-        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+    return run.select(
+        F.col("max_prefix").cast("long").alias("peak_concurrent"),
+        (F.col("n_rows") / 2).cast("long").alias("n_intervals"),
     )
 
 

@@ -137,3 +137,28 @@ def test_ntile_from_row_number_matches_spark_and_duckdb(spark):
         )
         got = {r.rn: r.t for r in mine.collect()}
         assert got == duck, (n, k)
+
+
+def test_two_phase_max_prefix_sum_matches_global_window(spark):
+    import random
+
+    from pyspark.sql import Window
+
+    from skdist_spark.functions import two_phase_max_prefix_sum
+
+    random.seed(13)
+    rows = [(i, random.choice([1, -1]), random.randint(0, 400)) for i in range(4001)]
+    df = spark.createDataFrame(rows, "id long, delta long, t long").repartition(16)
+    order = [F.col("t").asc(), F.col("delta").asc(), F.col("id").asc()]
+    got = two_phase_max_prefix_sum(df, order, F.col("t"), "delta").collect()[0]
+    exp = (
+        df.select(
+            F.sum("delta")
+            .over(Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0))
+            .alias("run")
+        )
+        .agg(F.max("run").alias("mx"), F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+    )
+    assert got["max_prefix"] == exp["mx"]
+    assert got["n_rows"] == exp["n"]
