@@ -1,19 +1,25 @@
-"""Baseline JPEG (SOF0) codec in pure numpy + stdlib — no codec libs.
+"""JPEG codec (baseline SOF0 + progressive SOF2) in pure numpy +
+stdlib — no codec libs.
 
 Completes the REAL pixel-decode ladder in ``multimodal.py`` (BMP, PPM/
 PGM, PNG, GIF already decode for real; JPEG was the last gated format).
-Scope is baseline sequential DCT, the overwhelmingly common on-disk
-form: 8-bit samples, Huffman entropy coding, 1 or 3 components, any
-sampling factors (4:4:4 / 4:2:2 / 4:2:0 ...), restart intervals.
-Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical frames
-return ``None`` so callers fall back to the deterministic stub path —
-same contract as the other decoders.
+Scope: 8-bit samples, Huffman entropy coding, 1 or 3 components, any
+sampling factors (4:4:4 / 4:2:2 / 4:2:0 ...), restart intervals, and
+progressive frames (spectral selection + successive approximation: DC
+first/refine, AC first with EOB runs, AC refinement with correction
+bits).  Arithmetic coding, 12-bit, and hierarchical frames return
+``None`` so callers fall back to the deterministic stub path — same
+contract as the other decoders.
 
-The encoder exists so round-trip tests can pin the decoder without any
+The encoders exist so round-trip tests can pin the decoder without any
 external fixture: standard Annex K quantization + Huffman tables,
 optional 4:2:0 subsampling and restart markers, so every decoder code
 path (interleaved MCUs, chroma upsample, RST resync, grayscale
-single-component scans) is exercised by bytes we craft ourselves.
+single-component scans) is exercised by bytes we craft ourselves.  The
+progressive encoder writes the SAME quantized coefficients as the
+baseline one, so progressive decode is cross-checked for exact pixel
+equality against the already-trusted sequential path — not merely
+against its own encoder.
 
 Reference parity note: the reference (sk-dist) has no media layer at
 all; this exists for the training-data-pipeline surface (image feature
@@ -211,17 +217,18 @@ def _idct_batch(blocks: np.ndarray) -> np.ndarray:
 
 class _Component:
     __slots__ = ("cid", "h", "v", "tq", "dc_lut", "ac_lut", "blocks",
-                 "bw", "bh")
+                 "bw", "bh", "cbw", "cbh", "coefs")
 
     def __init__(self, cid, h, v, tq):
         self.cid, self.h, self.v, self.tq = cid, h, v, tq
 
 
 def decode_jpeg_pixels(b: bytes):
-    """Decode a baseline-sequential JPEG to an HxWxC uint8 array.
+    """Decode a baseline-sequential OR progressive JPEG to an HxWxC
+    uint8 array.
 
-    Returns ``None`` for anything outside baseline scope (progressive,
-    arithmetic, 12-bit, >3 components, truncated streams) so callers
+    Returns ``None`` for anything outside scope (arithmetic coding,
+    12-bit, hierarchical, >3 components, truncated streams) so callers
     can fall back — never raises on malformed input.
     """
     try:
@@ -239,6 +246,8 @@ def _decode_jpeg(b: bytes):
     comps: list[_Component] = []
     w = h = 0
     restart = 0
+    progressive = False
+    prog_ready = False
     i = 2
     n = len(b)
     while i < n - 1:
@@ -275,9 +284,10 @@ def _decode_jpeg(b: bytes):
                 vals = list(seg[j + 17:j + 17 + nsym])
                 (dc_luts if tc == 0 else ac_luts)[th] = _decode_lut(bits, vals)
                 j += 17 + nsym
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline(-ish) sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             if seg[0] != 8:  # sample precision
                 return None
+            progressive = marker == 0xC2
             h, w = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
             if nc not in (1, 3):
@@ -286,9 +296,24 @@ def _decode_jpeg(b: bytes):
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append(_Component(cid, hv >> 4, hv & 15, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if progressive:
+                hmax = max(c.h for c in comps)
+                vmax = max(c.v for c in comps)
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                for c in comps:
+                    # padded interleaved grid (DC scans write into it)
+                    # + the true non-interleaved grid (AC scans cover
+                    # only this; pad blocks keep zero AC, and all pad
+                    # pixels are cropped away)
+                    c.bw, c.bh = mcus_x * c.h, mcus_y * c.v
+                    c.cbw = -(-(-(-w * c.h // hmax)) // 8)
+                    c.cbh = -(-(-(-h * c.v // vmax)) // 8)
+                    c.coefs = np.zeros((c.bh * c.bw, 64), dtype=np.int64)
+                prog_ready = True
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            return None  # progressive / arithmetic / hierarchical
+            return None  # arithmetic / lossless / hierarchical
         elif marker == 0xDD:  # DRI
             restart = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS: header, then entropy data
@@ -297,8 +322,8 @@ def _decode_jpeg(b: bytes):
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
                 comp = next(cc for cc in comps if cc.cid == cs)
-                comp.dc_lut = dc_luts[tdta >> 4]
-                comp.ac_lut = ac_luts[tdta & 15]
+                comp.dc_lut = dc_luts.get(tdta >> 4)
+                comp.ac_lut = ac_luts.get(tdta & 15)
                 scan.append(comp)
             data_start = i + seg_len
             # entropy data ends at the first marker that is neither a
@@ -310,13 +335,172 @@ def _decode_jpeg(b: bytes):
                 ):
                     break
                 j += 1
-            pixels = _decode_scan(
-                b[data_start:j], scan, comps, qtabs, w, h, restart
+            if not progressive:
+                return _decode_scan(
+                    b[data_start:j], scan, comps, qtabs, w, h, restart
+                )
+            if not prog_ready:
+                return None
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            _decode_prog_scan(
+                b[data_start:j], scan, ss, se, ahal >> 4, ahal & 15, restart
             )
-            return pixels
+            i = j
+            continue
         # APPn / COM / others: skip
         i += seg_len
+    if progressive and prog_ready:
+        return _finish_progressive(comps, qtabs, w, h)
     return None
+
+
+def _decode_prog_scan(data, scan, ss, se, ah, al, restart):
+    """One progressive scan (T.81 G.2): DC first/refine over the
+    interleaved MCU grid (or a single component's own grid), AC
+    first/refine over one component's non-interleaved block grid,
+    accumulating into ``c.coefs`` (zigzag order).  Restart markers
+    reset DC predictors and the EOB run."""
+    if ss == 0:  # ---- DC scan ----
+        if se != 0:
+            raise ValueError("bad DC band")
+        if len(scan) == 1:
+            c = scan[0]
+            units = [(c, 0, 0)]
+            mcus_x, total = c.cbw, c.cbh * c.cbw
+        else:
+            c0 = scan[0]
+            mcus_x = c0.bw // c0.h
+            total = mcus_x * (c0.bh // c0.v)
+            units = [
+                (c, v, hh)
+                for c in scan
+                for v in range(c.v)
+                for hh in range(c.h)
+            ]
+        intervals = _split_restarts(data) if restart else [data]
+        mcu = 0
+        for chunk in intervals:
+            br = _BitReader(_destuff(chunk))
+            preds = {c.cid: 0 for c in scan}
+            limit = mcu + restart if restart else total
+            while mcu < min(limit, total):
+                for c, v, hh in units:
+                    if len(scan) == 1:
+                        by, bx = divmod(mcu, mcus_x)
+                    else:
+                        my, mx = divmod(mcu, mcus_x)
+                        by, bx = my * c.v + v, mx * c.h + hh
+                    pos = by * c.bw + bx
+                    if ah == 0:
+                        s = br.read_symbol(c.dc_lut)
+                        preds[c.cid] += _extend(br.read_bits(s), s)
+                        c.coefs[pos, 0] = preds[c.cid] << al
+                    elif br.read_bit():
+                        c.coefs[pos, 0] = int(c.coefs[pos, 0]) | (1 << al)
+                mcu += 1
+            if mcu >= total:
+                break
+        if mcu < total:
+            raise ValueError("truncated DC scan")
+        return
+    # ---- AC scan: exactly one component, non-interleaved ----
+    if len(scan) != 1:
+        raise ValueError("interleaved AC scan")
+    c = scan[0]
+    total = c.cbh * c.cbw
+    p1, m1 = 1 << al, -(1 << al)
+    intervals = _split_restarts(data) if restart else [data]
+    blk = 0
+    for chunk in intervals:
+        br = _BitReader(_destuff(chunk))
+        eobrun = 0
+        limit = blk + restart if restart else total
+        while blk < min(limit, total):
+            by, bx = divmod(blk, c.cbw)
+            row = c.coefs[by * c.bw + bx]
+            if ah == 0:  # ---- first pass over this band ----
+                if eobrun > 0:
+                    eobrun -= 1
+                else:
+                    k = ss
+                    while k <= se:
+                        rs = br.read_symbol(c.ac_lut)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += br.read_bits(r)
+                                break
+                            k += 16  # ZRL
+                            continue
+                        k += r
+                        row[k] = _extend(br.read_bits(s), s) << al
+                        k += 1
+            else:  # ---- refinement pass (correction bits, T.81 G.2) ----
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = br.read_symbol(c.ac_lut)
+                        r, s = rs >> 4, rs & 15
+                        insert = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.read_bits(r)
+                                break
+                            # r == 15: ZRL — skip 16 zero-history coefs
+                        else:
+                            insert = p1 if br.read_bit() else m1
+                        while k <= se:
+                            v = int(row[k])
+                            if v != 0:
+                                if br.read_bit() and (v & p1) == 0:
+                                    row[k] = v + (p1 if v > 0 else m1)
+                            else:
+                                if r == 0:
+                                    if insert:
+                                        row[k] = insert
+                                    k += 1
+                                    break
+                                r -= 1
+                            k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        v = int(row[k])
+                        if v != 0 and br.read_bit() and (v & p1) == 0:
+                            row[k] = v + (p1 if v > 0 else m1)
+                        k += 1
+                    eobrun -= 1
+            blk += 1
+        if blk >= total:
+            break
+    if blk < total:
+        raise ValueError("truncated AC scan")
+
+
+def _finish_progressive(comps, qtabs, w, h):
+    """Dequantize the accumulated coefficient arrays and reuse the
+    baseline IDCT / upsample / color path."""
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    planes = []
+    for c in comps:
+        qt = qtabs[c.tq]
+        blocks = np.zeros((c.bh * c.bw, 8, 8), dtype=np.float64)
+        blocks.reshape(c.bh * c.bw, 64)[:, ZIGZAG] = c.coefs * qt[None, :]
+        sp = _idct_batch(blocks)
+        plane = sp.reshape(c.bh, c.bw, 8, 8).transpose(0, 2, 1, 3)
+        plane = plane.reshape(c.bh * 8, c.bw * 8)
+        plane = np.repeat(
+            np.repeat(plane, vmax // c.v, axis=0), hmax // c.h, axis=1
+        )[:h, :w]
+        planes.append(plane)
+    if len(planes) == 1:
+        return planes[0][..., None]
+    return _ycbcr_to_rgb(np.stack(planes, axis=-1))
 
 
 def _decode_scan(data, scan, comps, qtabs, w, h, restart):
@@ -638,4 +822,264 @@ def encode_jpeg(
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) encoder — the decoder's round-trip partner.
+# ---------------------------------------------------------------------------
+
+# AC table for progressive scans: Annex K's AC tables lack the EOBn
+# symbols ((r<<4)|0, r>0) progressive streams need, so scans use this
+# flat table instead — every (run, size) the mode can emit, all at code
+# length 9 (176 codes < 511: canonical, no all-ones code).
+_AC_PROG_SYMS = [(r << 4) | s for r in range(16) for s in range(11)]
+_AC_PROG = ([0] * 8 + [len(_AC_PROG_SYMS)] + [0] * 7, _AC_PROG_SYMS)
+
+
+def _emit_eobrun(bw_, ac_codes, eobrun, be_run):
+    """Flush a pending EOB run, then the correction bits that ride it."""
+    if eobrun > 0:
+        nbits = eobrun.bit_length() - 1
+        code, length = ac_codes[nbits << 4]
+        bw_.write(code, length)
+        if nbits:
+            bw_.write(eobrun - (1 << nbits), nbits)
+    for bit in be_run:
+        bw_.write(bit, 1)
+    return 0, []
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    bands: "tuple[tuple[int, int], ...]" = ((1, 5), (6, 63)),
+    al: int = 1,
+) -> bytes:
+    """Progressive (SOF2) JFIF encoding of an HxWx{1,3} uint8 array.
+
+    Writes the SAME quantized coefficients as ``encode_jpeg`` as a
+    progressive scan script: interleaved DC first (Al=``al``) + DC
+    refinements down to 0, then per component an AC first scan per
+    spectral ``band`` at Al=``al`` followed by AC refinement scans —
+    exercising EOB runs, ZRL (both passes), correction bits, and
+    spectral selection.  Because the coefficients match the baseline
+    file exactly, ``decode_jpeg_pixels`` of this stream must equal the
+    decode of the baseline stream PIXEL-FOR-PIXEL — the cross-check
+    that pins the progressive scan machinery against the
+    already-trusted sequential path instead of against its own encoder.
+
+    Correction-bit discipline (T.81 G.1.2.3): ``be_run`` buffers bits
+    that ride the pending EOB run (emitted right after its EOBn
+    symbol); ``br`` buffers the current zero-run's bits (emitted right
+    after the next ZRL / new-coefficient symbol+sign).  Merging the
+    two buffers reorders bits and desyncs dense blocks.
+    """
+    if pixels.ndim == 2:
+        pixels = pixels[..., None]
+    h, w, nc = pixels.shape
+    gray = nc == 1
+    qt_l = _scaled_qtab(_Q_LUMA, quality)
+    qt_c = _scaled_qtab(_Q_CHROMA, quality)
+    if gray:
+        planes = [pixels[..., 0].astype(np.float64) - 128.0]
+        factors = [(1, 1)]
+        qts = [qt_l]
+    else:
+        ycc = _rgb_to_ycbcr(pixels)
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if subsample:
+            cb = _pad_to(cb, (h + 1) & ~1, (w + 1) & ~1)
+            cr = _pad_to(cr, (h + 1) & ~1, (w + 1) & ~1)
+            cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean(axis=(1, 3))
+            factors = [(2, 2), (1, 1), (1, 1)]
+        else:
+            factors = [(1, 1), (1, 1), (1, 1)]
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        qts = [qt_l, qt_c, qt_c]
+
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    coefs = []
+    for plane, (fh, fv), qt in zip(planes, factors, qts):
+        bw8, bh8 = mcus_x * fh * 8, mcus_y * fv * 8
+        coefs.append(_fdct_quant(_pad_to(plane, bh8, bw8), qt))
+
+    dc_l = _canonical_codes(*_DC_LUMA)
+    dc_c = _canonical_codes(*_DC_CHROMA)
+    ac_p = _canonical_codes(*_AC_PROG)
+    dc_tables = [dc_l] + [dc_c] * (0 if gray else 2)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tid, qt in enumerate([qt_l] if gray else [qt_l, qt_c]):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+        out += bytes(int(v) for v in qt[ZIGZAG])
+    out += b"\xff\xc2" + struct.pack(
+        ">HBHHB", 8 + 3 * len(planes), 8, h, w, len(planes)
+    )
+    for cid, (fh, fv) in enumerate(factors, start=1):
+        out += bytes([cid, (fh << 4) | fv, 0 if cid == 1 else 1])
+    for tc, th, (bits, vals) in [
+        (0, 0, _DC_LUMA), (1, 0, _AC_PROG),
+        *([] if gray else [(0, 1, _DC_CHROMA)]),
+    ]:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+
+    def sos_header(comp_ids, ss, se, ah, al_):
+        hdr = b"\xff\xda" + struct.pack(
+            ">HB", 6 + 2 * len(comp_ids), len(comp_ids)
+        )
+        for cid in comp_ids:
+            dc_id = 0 if cid == 1 else 1
+            hdr += bytes([cid, (dc_id << 4) | 0])  # AC table 0 everywhere
+        return hdr + bytes([ss, se, (ah << 4) | al_])
+
+    # ---- DC first scan: interleaved, point transform ``al`` ----
+    out += sos_header(list(range(1, len(planes) + 1)), 0, 0, 0, al)
+    writer = _BitWriter()
+    preds = [0] * len(planes)
+    for mcu in range(mcus_x * mcus_y):
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (fh, fv) in enumerate(factors):
+            for v in range(fv):
+                for hh in range(fh):
+                    dc = int(coefs[ci][my * fv + v, mx * fh + hh, 0]) >> al
+                    diff = dc - preds[ci]
+                    preds[ci] = dc
+                    s = _category(diff)
+                    code, length = dc_tables[ci][s]
+                    writer.write(code, length)
+                    if s:
+                        writer.write(
+                            diff if diff >= 0 else diff + (1 << s) - 1, s
+                        )
+    writer.flush()
+    out += writer.out
+
+    # ---- DC refinement scans: one raw bit per block per level ----
+    for lvl in range(al - 1, -1, -1):
+        out += sos_header(list(range(1, len(planes) + 1)), 0, 0, lvl + 1, lvl)
+        writer = _BitWriter()
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            for ci, (fh, fv) in enumerate(factors):
+                for v in range(fv):
+                    for hh in range(fh):
+                        dc = int(coefs[ci][my * fv + v, mx * fh + hh, 0])
+                        writer.write((dc >> lvl) & 1, 1)
+        writer.flush()
+        out += writer.out
+
+    # ---- AC scans: per component, per band; first then refinements ----
+    for ci, (fh, fv) in enumerate(factors):
+        cw = -(-w * fh // hmax)
+        chh = -(-h * fv // vmax)
+        cbw, cbh = -(-cw // 8), -(-chh // 8)
+        blocks = [
+            coefs[ci][by, bx] for by in range(cbh) for bx in range(cbw)
+        ]
+        for ss, se in bands:
+            # ---- first pass at Al=al ----
+            out += sos_header([ci + 1], ss, se, 0, al)
+            writer = _BitWriter()
+            eobrun = 0
+            for zz in blocks:
+                shifted = [
+                    (abs(int(v)) >> al) * (1 if v >= 0 else -1)
+                    for v in zz[ss:se + 1]
+                ]
+                nz = [k for k, v in enumerate(shifted) if v != 0]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        eobrun, _ = _emit_eobrun(writer, ac_p, eobrun, [])
+                    continue
+                eobrun, _ = _emit_eobrun(writer, ac_p, eobrun, [])
+                run = 0
+                for k in range(nz[-1] + 1):
+                    v = shifted[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_p[0xF0]
+                        writer.write(code, length)
+                        run -= 16
+                    s = _category(v)
+                    code, length = ac_p[(run << 4) | s]
+                    writer.write(code, length)
+                    writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if nz[-1] < se - ss:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        eobrun, _ = _emit_eobrun(writer, ac_p, eobrun, [])
+            _emit_eobrun(writer, ac_p, eobrun, [])
+            writer.flush()
+            out += writer.out
+            # ---- refinement passes down to Al=0 ----
+            for lvl in range(al - 1, -1, -1):
+                out += sos_header([ci + 1], ss, se, lvl + 1, lvl)
+                writer = _BitWriter()
+                eobrun = 0
+                be_run = []
+                for zz in blocks:
+                    absv = [abs(int(v)) >> lvl for v in zz[ss:se + 1]]
+                    new = [k for k, v in enumerate(absv) if v == 1]
+                    eob = new[-1] if new else -1
+                    run = 0
+                    br = []
+                    for k in range(eob + 1):
+                        v = absv[k]
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            eobrun, be_run = _emit_eobrun(
+                                writer, ac_p, eobrun, be_run
+                            )
+                            code, length = ac_p[0xF0]
+                            writer.write(code, length)
+                            run -= 16
+                            for bit in br:
+                                writer.write(bit, 1)
+                            br = []
+                        if v > 1:  # history nonzero: buffer correction bit
+                            br.append(v & 1)
+                            continue
+                        # newly visible coefficient
+                        eobrun, be_run = _emit_eobrun(
+                            writer, ac_p, eobrun, be_run
+                        )
+                        code, length = ac_p[(run << 4) | 1]
+                        writer.write(code, length)
+                        writer.write(1 if int(zz[ss + k]) >= 0 else 0, 1)
+                        for bit in br:
+                            writer.write(bit, 1)
+                        br = []
+                        run = 0
+                    # tail after the last new coefficient (or the whole
+                    # block when none): ends inside an EOB run; its
+                    # history corrections ride that run
+                    if eob < len(absv) - 1 or not new:
+                        for k in range(eob + 1, len(absv)):
+                            if absv[k] > 1:
+                                br.append(absv[k] & 1)
+                        eobrun += 1
+                        be_run.extend(br)
+                        if eobrun == 0x7FFF:
+                            eobrun, be_run = _emit_eobrun(
+                                writer, ac_p, eobrun, be_run
+                            )
+                _emit_eobrun(writer, ac_p, eobrun, be_run)
+                writer.flush()
+                out += writer.out
+    out += b"\xff\xd9"
     return bytes(out)

@@ -14,7 +14,7 @@ markers — see jpeg.py), WAV PCM waveforms, and Y4M video luma frames —
 all pure Python/numpy, no codec library. resize/feature-extract
 operate on those actual pixels (nearest-neighbor resample, luminance
 histograms), re-encoding to P6/P5 so stages compose. Only
-progressive/arithmetic JPEG, 16-bit PNG, and compressed audio
+arithmetic-coded JPEG, 16-bit PNG, and compressed audio
 (MP3/ogg) still need PIL/librosa/ffmpeg, which are NOT in this
 container; for those ``decode`` falls back to a clearly-marked
 deterministic stub (byte-histogram "signal") while container HEADERS
@@ -75,7 +75,7 @@ def _decode_stub(payload: bytes) -> np.ndarray:
 def decode_pixels(b: bytes):
     """(format, pixels HxWxC uint8) for BMP/PPM/PGM/PNG/GIF/baseline-
     JPEG payloads, or (None, None) when the container is unsupported
-    (progressive/arithmetic JPEG, 16-bit PNG, exotic codecs) — callers
+    (arithmetic-coded JPEG, 16-bit PNG, exotic codecs) — callers
     fall back to the stub path on None.  PNG decode is real (stdlib
     zlib inflate + scanline unfiltering, see decode_png_pixels); JPEG
     decode is real baseline SOF0 (see jpeg.decode_jpeg_pixels)."""

@@ -146,3 +146,63 @@ def test_dimension_edge_cases(h, w):
     out = decode_jpeg_pixels(encode_jpeg(img, quality=92))
     assert out.shape == (h, w, 3)
     assert _err(out, img).mean() < 6.0
+
+
+def test_progressive_decode_matches_baseline_exactly():
+    """The progressive encoder writes the SAME quantized coefficients
+    as the baseline encoder, so decoding the SOF2 stream must equal
+    decoding the SOF0 stream pixel-for-pixel — this pins the whole
+    progressive scan machinery (DC first/refine, AC first with EOB
+    runs, AC refinement correction bits, spectral selection, 4:2:0
+    non-interleaved AC grids) against the already-trusted sequential
+    path rather than against its own encoder."""
+    import numpy as np
+
+    from skdist_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(42)
+    smooth = (
+        (np.add.outer(np.arange(33) * 3, np.arange(41) * 2)[..., None] % 256)
+        .astype(np.uint8)
+        .repeat(3, axis=2)
+    )
+    cases = [
+        (rng.integers(0, 256, (16, 16), dtype=np.uint8), {}),
+        (rng.integers(0, 256, (24, 17, 3), dtype=np.uint8), {}),
+        (smooth, {}),  # sparse AC bands: long EOB runs
+        (rng.integers(0, 256, (40, 40, 3), dtype=np.uint8), {"subsample": True}),
+        (rng.integers(0, 256, (19, 23, 3), dtype=np.uint8), {"al": 2}),
+        (rng.integers(0, 256, (16, 16, 3), dtype=np.uint8), {"bands": ((1, 63),)}),
+        (rng.integers(0, 256, (8, 8), dtype=np.uint8), {}),
+        (
+            rng.integers(0, 256, (64, 48, 3), dtype=np.uint8),
+            {"subsample": True, "al": 2, "bands": ((1, 2), (3, 20), (21, 63))},
+        ),
+    ]
+    for px, kw in cases:
+        base = decode_jpeg_pixels(
+            encode_jpeg(px, quality=85, subsample=kw.get("subsample", False))
+        )
+        prog = decode_jpeg_pixels(encode_jpeg_progressive(px, quality=85, **kw))
+        assert prog is not None, kw
+        assert base.shape == prog.shape, kw
+        assert (base == prog).all(), (
+            kw,
+            int(np.abs(base.astype(int) - prog.astype(int)).max()),
+        )
+
+
+def test_progressive_rejects_out_of_scope():
+    from skdist_spark.operators.jpeg import decode_jpeg_pixels
+
+    # arithmetic-coded SOF9 still returns None (out of scope)
+    import struct
+
+    sof9 = bytearray(b"\xff\xd8")
+    sof9 += b"\xff\xc9" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    sof9 += b"\xff\xd9"
+    assert decode_jpeg_pixels(bytes(sof9)) is None
