@@ -79,6 +79,7 @@ _PRIORITY = [
     # merge rounds)
     "part_kcore", "langid_isotonic", "bpe_merge_table",
     # -- ROUND-5 QUEUE (past the 50-entry cap; all locally green) --
+    "gopher_quality_flags",
     "event_trigram_sequences", "retention_halflife", "revenue_dow_anova",
     "event_value_bootstrap", "ann_recall_eval", "source_token_js",
     "daily_revenue_decompose", "blocking_eval", "customer_kanonymity",

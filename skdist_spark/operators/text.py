@@ -2124,3 +2124,134 @@ ORACLE_SQL["shard_plan_documents"] = f"""
 """
 
 QUERIES["shard_plan_documents"] = shard_plan_documents
+
+
+# ---- Gopher quality-rule ledger ---------------------------------------------
+
+# The word-level repetition/quality rules from the Gopher corpus
+# pipeline (Rae et al. 2021, "Scaling Language Models", Appendix A —
+# public), as a per-rule failure ledger. Thresholds follow the paper;
+# every test is integer cross-multiplication (no division, no floats)
+# so both engines agree exactly.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule Gopher-filter failure counts over the corpus: for each
+    named rule, how many documents fail it and the ppm share — plus a
+    ``pass_all`` row — the rule-attribution ledger you read BEFORE
+    turning the composite filter on (which rule would delete half the
+    corpus?).  Complements text_quality (per-doc composite verdict)
+    and doc_filter_funnel (sequential survival).
+
+    One scan; per-doc flags are pure word-array expressions (no UDFs),
+    the rollup is one one-row aggregate unpivoted via stack — bounded
+    output, 100 TB-safe by construction.
+    """
+    docs = load_table(spark, "documents", sf_dir).select(
+        "text", F.expr(_SPARK_WORDS).alias("wd")
+    )
+    n_words = "size(wd)"
+    sum_wlen = "aggregate(transform(wd, x -> length(x)), 0L, (a, x) -> a + x)"
+    n_alpha = "size(filter(wd, x -> x rlike '[a-zA-Z]'))"
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    n_stop = f"size(filter(wd, x -> x IN ({stops})))"
+    n_hash = "length(text) - length(replace(text, '#', ''))"
+    n_ellipsis = "(length(text) - length(replace(text, '...', ''))) DIV 3"
+    flags = docs.select(
+        F.expr(f"{n_words} < {GOPHER_MIN_WORDS}").alias("too_few_words"),
+        F.expr(f"{n_words} > {GOPHER_MAX_WORDS}").alias("too_many_words"),
+        # mean word length outside [3, 10]: cross-multiplied
+        F.expr(f"{sum_wlen} < 3 * {n_words}").alias("mean_word_len_low"),
+        F.expr(f"{sum_wlen} > 10 * {n_words}").alias("mean_word_len_high"),
+        # symbol-to-word ratio (# + ellipsis) > 0.1
+        F.expr(f"({n_hash} + {n_ellipsis}) * 10 > {n_words}").alias(
+            "symbol_ratio_high"
+        ),
+        # < 80% of words contain an alphabetic character
+        F.expr(f"{n_alpha} * 10 < {n_words} * 8").alias("alpha_share_low"),
+        # fewer than 2 of the 8 required stopwords present
+        F.expr(f"{n_stop} < 2").alias("stopword_hits_low"),
+    )
+    rules = list(flags.columns)
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum(F.col(r).cast("long")).alias(f"f_{r}")
+            for r in rules
+        ],
+        F.sum(
+            (~F.expr(" OR ".join(rules))).cast("long")
+        ).alias("f_pass_all"),
+    )
+    entries = ", ".join(
+        f"'{r}', CAST(f_{r} AS BIGINT)" for r in rules
+    ) + ", 'pass_all', CAST(f_pass_all AS BIGINT)"
+    return (
+        agg.select(
+            "n_docs",
+            F.expr(
+                f"stack({len(rules) + 1}, {entries}) AS (rule, n_docs_flagged)"
+            ),
+        )
+        .select(
+            "rule",
+            "n_docs_flagged",
+            F.expr(
+                "CAST(n_docs_flagged * 1000000 DIV n_docs AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("rule")
+    )
+
+
+def _gopher_oracle_sql() -> str:
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    n_words = "len(wd)"
+    sum_wlen = "list_sum(list_transform(wd, x -> length(x)))"
+    n_alpha = "len(list_filter(wd, x -> regexp_matches(x, '[a-zA-Z]')))"
+    n_stop = f"len(list_filter(wd, x -> x IN ({stops})))"
+    n_hash = "length(text) - length(replace(text, '#', ''))"
+    n_ellipsis = "(length(text) - length(replace(text, '...', ''))) // 3"
+    rules = {
+        "too_few_words": f"{n_words} < {GOPHER_MIN_WORDS}",
+        "too_many_words": f"{n_words} > {GOPHER_MAX_WORDS}",
+        "mean_word_len_low": f"{sum_wlen} < 3 * {n_words}",
+        "mean_word_len_high": f"{sum_wlen} > 10 * {n_words}",
+        "symbol_ratio_high": f"({n_hash} + {n_ellipsis}) * 10 > {n_words}",
+        "alpha_share_low": f"{n_alpha} * 10 < {n_words} * 8",
+        "stopword_hits_low": f"{n_stop} < 2",
+    }
+    flag_cols = ",\n".join(
+        f"CASE WHEN {expr} THEN 1 ELSE 0 END AS f_{name}"
+        for name, expr in rules.items()
+    )
+    pass_all = " + ".join(f"f_{n}" for n in rules)
+    unions = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS rule, CAST(SUM(f_{name}) AS BIGINT)"
+        f" AS n_docs_flagged, CAST(COUNT(*) AS BIGINT) AS n FROM flags"
+        for name in rules
+    )
+    return f"""
+        WITH flags AS (
+            SELECT {flag_cols}
+            FROM (SELECT text, {_DUCK_WORDS} AS wd FROM documents)
+        ), rolled AS (
+            {unions}
+            UNION ALL
+            SELECT 'pass_all',
+                   CAST(SUM(CASE WHEN {pass_all} = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT)
+            FROM flags
+        )
+        SELECT rule, n_docs_flagged,
+               CAST(n_docs_flagged * 1000000 // n AS BIGINT) AS share_ppm
+        FROM rolled ORDER BY rule
+    """
+
+
+QUERIES["gopher_quality_flags"] = gopher_quality_flags
+ORACLE_SQL["gopher_quality_flags"] = _gopher_oracle_sql()
