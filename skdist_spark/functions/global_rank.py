@@ -47,6 +47,16 @@ __all__ = [
     "ntile_from_row_number",
 ]
 
+# Default boundary-sample modulus: boundaries come from an exact
+# percentile over the deterministic ``xxhash64 % 251 == 0`` sample, so
+# the aggregate's collected buffer is ~corpus/251 — bounded at 100 TB
+# (1e9-unit frame -> ~4M sampled keys) while still giving ~1% quantile
+# error, far finer than the shard count needs.  Tiny frames may sample
+# down to nothing — boundaries degrade toward fewer shards but ranks
+# are boundary-independent, so results never change (pinned by the
+# equality tests at sample_mod 1, 7, and the default).
+DEFAULT_SAMPLE_MOD = 251
+
 _PART = "__gr_part"
 _LOCAL = "__gr_local"
 _OFF = "__gr_off"
@@ -87,11 +97,11 @@ def _sharded(
 
     Boundaries are **exact** percentiles (``percentile`` sorts its
     collected buffer — merge-order insensitive, hence deterministic),
-    computed over a deterministic ``xxhash64 % sample_mod == 0`` sample
-    when ``sample_mod > 1``.  At test SFs the frames this helper ranks
-    are already aggregated unit dimensions, so the default unsampled
-    exact percentile is cheap; at 100 TB pass ``sample_mod`` (e.g. 251)
-    so the boundary aggregate's buffer stays ~corpus/251.
+    computed over the deterministic ``xxhash64 % sample_mod == 0``
+    sample (``DEFAULT_SAMPLE_MOD`` = 251, so the boundary aggregate's
+    buffer stays ~corpus/251 at ANY scale; pass ``sample_mod=1`` for
+    exact boundaries on small frames where perfect balance matters
+    more than buffer size).
     """
     if materialize:
         df = df.localCheckpoint(eager=False)
@@ -123,7 +133,7 @@ def two_phase_row_number(
     shard_key: Column,
     out_col: str = "rn",
     num_partitions: int | None = None,
-    sample_mod: int = 1,
+    sample_mod: int = DEFAULT_SAMPLE_MOD,
     total_col: str | None = None,
     materialize: bool = True,
 ) -> DataFrame:
@@ -169,7 +179,7 @@ def two_phase_running_agg(
     agg: str = "sum",
     out_col: str = "running",
     num_partitions: int | None = None,
-    sample_mod: int = 1,
+    sample_mod: int = DEFAULT_SAMPLE_MOD,
     materialize: bool = True,
 ) -> DataFrame:
     """Global running ``sum``/``max``/``min`` of ``value_col`` over the
@@ -216,7 +226,7 @@ def two_phase_max_prefix_sum(
     shard_key: Column,
     value_col: str,
     num_partitions: int | None = None,
-    sample_mod: int = 1,
+    sample_mod: int = DEFAULT_SAMPLE_MOD,
 ) -> DataFrame:
     """One-row ``(max_prefix, n_rows)``: the maximum over the total
     order of the running sum of ``value_col`` — the sweep-line peak —
