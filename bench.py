@@ -95,12 +95,14 @@ def main() -> None:
     import gc
 
     t_all = time.perf_counter()
-    for name in sorted(queries):
-        # drop py4j refs from the previous query so the JVM can free
-        # its localCheckpoint blocks (ContextCleaner runs on GC) —
-        # without this, storage pressure builds over 300+ queries and
-        # inflates the tail of the suite
-        gc.collect()
+    for qi, name in enumerate(sorted(queries)):
+        # drop py4j refs so the JVM can free localCheckpoint blocks
+        # (ContextCleaner runs on GC) — storage pressure otherwise
+        # builds over 300+ queries and inflates the tail.  Every 16th
+        # query: a full gc.collect() costs tens of ms each, ~30 s
+        # across the suite if run per query.
+        if qi % 16 == 0:
+            gc.collect()
         t0 = time.perf_counter()
         try:
             df = queries[name](spark, sf_dir)
