@@ -1519,3 +1519,53 @@ def test_third_time_decay_attribution(spark):
     }
     want = {ch: tuple(v) for ch, v in per_channel.items()}
     assert got == want and len(got) > 0
+
+
+def test_third_gopher_quality_flags(spark):
+    """Pure-Python replay of the Gopher rule ledger: same rule set,
+    integer cross-multiplication thresholds, exact-equality against
+    the Spark result."""
+    from skdist_spark.operators.text import (
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+        gopher_quality_flags,
+    )
+
+    docs = _table("documents")
+    fails = {
+        "too_few_words": 0, "too_many_words": 0, "mean_word_len_low": 0,
+        "mean_word_len_high": 0, "symbol_ratio_high": 0,
+        "alpha_share_low": 0, "stopword_hits_low": 0, "pass_all": 0,
+    }
+    stops = set(GOPHER_STOPWORDS)
+    alpha = re.compile(r"[a-zA-Z]")
+    for text in docs["text"]:
+        wd = [w for w in re.split(r"\s+", text.strip()) if w]
+        n = len(wd)
+        sum_wlen = sum(len(w) for w in wd)
+        n_alpha = sum(1 for w in wd if alpha.search(w))
+        n_stop = sum(1 for w in wd if w in stops)
+        n_sym = text.count("#") + text.count("...")
+        flags = {
+            "too_few_words": n < GOPHER_MIN_WORDS,
+            "too_many_words": n > GOPHER_MAX_WORDS,
+            "mean_word_len_low": sum_wlen < 3 * n,
+            "mean_word_len_high": sum_wlen > 10 * n,
+            "symbol_ratio_high": n_sym * 10 > n,
+            "alpha_share_low": n_alpha * 10 < n * 8,
+            "stopword_hits_low": n_stop < 2,
+        }
+        for k, v in flags.items():
+            fails[k] += int(v)
+        fails["pass_all"] += int(not any(flags.values()))
+    n_docs = len(docs)
+    want = sorted(
+        (rule, cnt, cnt * 1_000_000 // n_docs)
+        for rule, cnt in fails.items()
+    )
+    got = [
+        (r.rule, r.n_docs_flagged, r.share_ppm)
+        for r in gopher_quality_flags(spark, SF).collect()
+    ]
+    assert got == want
