@@ -61,6 +61,7 @@ _PART = "__gr_part"
 _LOCAL = "__gr_local"
 _OFF = "__gr_off"
 _KEY = "__gr_key"
+_TIE = "__gr_tie"
 _BNDS = "__gr_bnds"
 
 
@@ -70,61 +71,129 @@ def _num_partitions(df: DataFrame, num_partitions: int | None) -> int:
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
 
 
+def _materialized(df: DataFrame, materialize) -> DataFrame:
+    """Share ONE computed copy of ``df`` across the boundary aggregate,
+    the per-shard counts, and the main pass (without it each consumer
+    re-derives the full upstream lineage — measured 12x on a 3-rank
+    chain).
+
+    ``"persist"`` / ``True`` (default): lazy ``persist(MEMORY_AND_DISK)``
+    — spill-safe, FAULT-TOLERANT (lineage retained, lost executors
+    recompute), and the full logical plan stays visible to plan-based
+    audits (plan_lint, snapshot gates).  ``"checkpoint"``: lazy
+    ``localCheckpoint`` — truncates lineage to a LogicalRDD, which cuts
+    analyzer cost on very deep chains but (a) is NOT fault-tolerant
+    (executor loss fails the job) and (b) BLINDS every plan audit to
+    operators upstream of the cut; prefer persist unless planning time
+    is the bottleneck.  ``False``: keep pure lineage (e.g. under a
+    caller's own checkpoint/cache).
+    """
+    if materialize == "checkpoint":
+        return df.localCheckpoint(eager=False)
+    if materialize:  # True or "persist"
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+    return df
+
+
 def _sharded(
     df: DataFrame,
     shard_key: Column,
     n: int,
     sample_mod: int,
     total_col: str | None = None,
-    materialize: bool = True,
+    materialize=True,
+    nulls_last: bool = False,
+    tie_key: Column | None = None,
 ) -> DataFrame:
     """Attach a deterministic range-shard id in ``[0, n)``.
 
-    ``materialize=True`` (default) lazily ``localCheckpoint``s the
-    input first: the boundary aggregate, the per-shard counts, and the
-    main pass are three consumers of the same frame, and without a
-    shared RDD each one re-derives the full upstream lineage (measured
-    12x on a 3-rank chain).  The checkpoint pins ONE copy in executor
-    storage (MEMORY_AND_DISK, spill-safe) — at 100 TB that's the
-    projected unit frame, the standard persist-before-reuse posture.
-    Pass ``materialize=False`` to keep pure lineage (e.g. under a
-    caller's own checkpoint/cache).
+    ``materialize`` — see ``_materialized``.
 
     ``shard_key`` must be numeric and monotone non-decreasing in the
     caller's total order (negate for DESC).  The DOUBLE cast used for
     boundary math is monotone, so collapsed ties stay in one shard and
     the caller's exact order columns still decide ranks within it.
 
+    **NULL keys**: a NULL ``shard_key`` makes every boundary comparison
+    NULL, so the row lands in shard 0 — correct for ASC orders (Spark
+    sorts NULLS FIRST).  For DESC orders (a negated key: NULL stays
+    NULL) Spark sorts NULLs LAST: pass ``nulls_last=True`` to route
+    NULL-key rows to the last shard, where the in-shard window's own
+    NULLS LAST placement makes their ranks globally correct.
+
+    **Tie mass**: boundaries on ``shard_key`` alone cannot split a
+    value that carries a large tie mass (e.g. a coarse model score) —
+    correctness is unaffected but one shard does that value's whole
+    work.  Pass ``tie_key`` (numeric, monotone non-decreasing in the
+    caller's order WITHIN equal ``shard_key`` — i.e. the order's next
+    sort column, usually a unique id; negate for DESC) and boundaries
+    become (key, tie) pairs taken from a sorted deterministic sample,
+    splitting tie masses across shards while shard assignment stays
+    monotone in the total order.
+
     Boundaries are **exact** percentiles (``percentile`` sorts its
-    collected buffer — merge-order insensitive, hence deterministic),
-    computed over the deterministic ``xxhash64 % sample_mod == 0``
-    sample (``DEFAULT_SAMPLE_MOD`` = 251, so the boundary aggregate's
-    buffer stays ~corpus/251 at ANY scale; pass ``sample_mod=1`` for
-    exact boundaries on small frames where perfect balance matters
-    more than buffer size).
+    collected buffer — merge-order insensitive, hence deterministic) —
+    or, with ``tie_key``, evenly-spaced elements of the sorted sampled
+    pair list — computed over the deterministic ``xxhash64 %
+    sample_mod == 0`` sample (``DEFAULT_SAMPLE_MOD`` = 251, so the
+    boundary aggregate's buffer stays ~corpus/251 at ANY scale; pass
+    ``sample_mod=1`` for exact boundaries on small frames where
+    perfect balance matters more than buffer size).
     """
-    if materialize:
-        df = df.localCheckpoint(eager=False)
+    df = _materialized(df, materialize)
     kdf = df.withColumn(_KEY, shard_key.cast("double"))
-    key = _KEY
-    if sample_mod > 1:
-        # percentile skips NULLs, so sampling rides the SAME one-row
-        # aggregate as the exact total count
-        key = (
-            f"CASE WHEN pmod(xxhash64({_KEY}), {sample_mod}) = 0"
-            f" THEN {_KEY} END"
+    if tie_key is not None:
+        kdf = kdf.withColumn(_TIE, tie_key.cast("double"))
+        # sorted sample of (key, tie) pairs; struct sort_array orders
+        # lexicographically by field, matching the shard predicate
+        pair = f"CASE WHEN {_KEY} IS NOT NULL"
+        if sample_mod > 1:
+            pair += f" AND pmod(xxhash64({_KEY}, {_TIE}), {sample_mod}) = 0"
+        pair += f" THEN struct({_KEY} AS k, {_TIE} AS t) END"
+        aggs = [
+            F.expr(f"sort_array(collect_list({pair}))").alias("__gr_pairs")
+        ]
+        if total_col is not None:
+            aggs.append(F.count(F.lit(1)).alias(total_col))
+        # boundary i = sample element at ceil(i * |sample| / n)
+        # (try_element_at -> NULL when the sample is empty; filtered out)
+        bnds = kdf.agg(*aggs).withColumn(
+            _BNDS,
+            F.expr(
+                f"filter(transform(sequence(1, {n - 1}), i ->"
+                f" try_element_at(__gr_pairs, cast(ceil(i * size(__gr_pairs)"
+                f" / {n}) AS INT))), p -> p IS NOT NULL)"
+            ),
+        ).drop("__gr_pairs")
+        shard = F.expr(
+            f"size(filter({_BNDS}, p -> {_KEY} > p.k OR"
+            f" ({_KEY} = p.k AND {_TIE} > p.t)))"
         )
-    qs = ", ".join(f"{i / n!r}" for i in range(1, n))
-    aggs = [F.expr(f"percentile({key}, array({qs}))").alias(_BNDS)]
-    if total_col is not None:
-        aggs.append(F.count(F.lit(1)).alias(total_col))
-    bnds = kdf.agg(*aggs)
-    return kdf.crossJoin(F.broadcast(bnds)).withColumn(
-        _PART,
-        F.coalesce(
-            F.expr(f"size(filter({_BNDS}, b -> {_KEY} > b))"), F.lit(0)
-        ),
-    ).drop(_KEY, _BNDS)
+    else:
+        key = _KEY
+        if sample_mod > 1:
+            # percentile skips NULLs, so sampling rides the SAME one-row
+            # aggregate as the exact total count
+            key = (
+                f"CASE WHEN pmod(xxhash64({_KEY}), {sample_mod}) = 0"
+                f" THEN {_KEY} END"
+            )
+        qs = ", ".join(f"{i / n!r}" for i in range(1, n))
+        aggs = [F.expr(f"percentile({key}, array({qs}))").alias(_BNDS)]
+        if total_col is not None:
+            aggs.append(F.count(F.lit(1)).alias(total_col))
+        bnds = kdf.agg(*aggs)
+        shard = F.expr(f"size(filter({_BNDS}, b -> {_KEY} > b))")
+    part = F.coalesce(shard, F.lit(0))
+    if nulls_last:
+        part = F.when(F.col(_KEY).isNull(), F.lit(n - 1)).otherwise(part)
+    return (
+        kdf.crossJoin(F.broadcast(bnds))
+        .withColumn(_PART, part)
+        .drop(_KEY, _TIE, _BNDS)
+    )
 
 
 def two_phase_row_number(
@@ -135,7 +204,9 @@ def two_phase_row_number(
     num_partitions: int | None = None,
     sample_mod: int = DEFAULT_SAMPLE_MOD,
     total_col: str | None = None,
-    materialize: bool = True,
+    materialize=True,
+    nulls_last: bool = False,
+    tie_key: Column | None = None,
 ) -> DataFrame:
     """``ROW_NUMBER() OVER (ORDER BY order_by)`` without a
     single-partition exchange over the data.
@@ -143,13 +214,19 @@ def two_phase_row_number(
     ``order_by`` must be a TOTAL order (include a unique tiebreak
     column); ``shard_key`` is a numeric column monotone non-decreasing
     in that order (usually the first order column, negated for DESC).
-    Returns ``df`` plus a BIGINT 1-based ``out_col`` — and, when
-    ``total_col`` is set, the total row count as an extra column
-    (free: it rides the boundary aggregate; NTILE recomposition
+    Pass ``nulls_last=True`` when the leading order is DESC and
+    ``shard_key`` can be NULL, and ``tie_key`` (the next order column,
+    negated for DESC) when ``shard_key`` carries heavy tie masses —
+    see ``_sharded``.  Returns ``df`` plus a BIGINT 1-based ``out_col``
+    — and, when ``total_col`` is set, the total row count as an extra
+    column (free: it rides the boundary aggregate; NTILE recomposition
     needs exactly rn + n).
     """
     n = _num_partitions(df, num_partitions)
-    sharded = _sharded(df, shard_key, n, sample_mod, total_col, materialize)
+    sharded = _sharded(
+        df, shard_key, n, sample_mod, total_col, materialize,
+        nulls_last, tie_key,
+    )
     local = sharded.withColumn(
         _LOCAL,
         F.row_number().over(Window.partitionBy(_PART).orderBy(*order_by)),
@@ -180,7 +257,9 @@ def two_phase_running_agg(
     out_col: str = "running",
     num_partitions: int | None = None,
     sample_mod: int = DEFAULT_SAMPLE_MOD,
-    materialize: bool = True,
+    materialize=True,
+    nulls_last: bool = False,
+    tie_key: Column | None = None,
 ) -> DataFrame:
     """Global running ``sum``/``max``/``min`` of ``value_col`` over the
     total order ``order_by`` (ROWS UNBOUNDED PRECEDING .. CURRENT ROW),
@@ -194,7 +273,9 @@ def two_phase_running_agg(
         raise ValueError(f"unsupported running agg: {agg}")
     fn = {"sum": F.sum, "max": F.max, "min": F.min}[agg]
     n = _num_partitions(df, num_partitions)
-    sharded = _sharded(df, shard_key, n, sample_mod, None, materialize)
+    sharded = _sharded(
+        df, shard_key, n, sample_mod, None, materialize, nulls_last, tie_key
+    )
     local = sharded.withColumn(
         _LOCAL,
         fn(value_col).over(
@@ -227,6 +308,9 @@ def two_phase_max_prefix_sum(
     value_col: str,
     num_partitions: int | None = None,
     sample_mod: int = DEFAULT_SAMPLE_MOD,
+    materialize=True,
+    nulls_last: bool = False,
+    tie_key: Column | None = None,
 ) -> DataFrame:
     """One-row ``(max_prefix, n_rows)``: the maximum over the total
     order of the running sum of ``value_col`` — the sweep-line peak —
@@ -239,7 +323,9 @@ def two_phase_max_prefix_sum(
     only the peak is needed (no broadcast join over the data).
     """
     n = _num_partitions(df, num_partitions)
-    sharded = _sharded(df, shard_key, n, sample_mod)
+    sharded = _sharded(
+        df, shard_key, n, sample_mod, None, materialize, nulls_last, tie_key
+    )
     w = (
         Window.partitionBy(_PART)
         .orderBy(*order_by)

@@ -59,14 +59,20 @@ RULES = {
 
 
 def _global_windows(plan: str) -> int:
-    """Count partition-less ORDERED Window nodes.
+    """Count DISTINCT partition-less ORDERED Window operator instances.
 
     Plan-string shapes: ``Window [exprs], [partition], [order]`` (3
     groups — fine), ``Window [exprs], [partition]`` (2 groups, no
     order — partitioned, fine), ``Window [exprs], [order]`` (2 groups
     where the second carries ASC/DESC sort tokens — the global-sort
-    single-task shape this rule exists for)."""
-    n = 0
+    single-task shape this rule exists for).
+
+    Distinct, not raw matches: a persisted/cached subtree's plan is
+    re-PRINTED once per consumer, so one physical Window operator can
+    appear many times in the string.  Expression ids (``col#123``) are
+    unique per operator instance, so the exact matched text identifies
+    the instance — dedup counts operators, not printings."""
+    seen: set[str] = set()
     for m in re.finditer(r"(?:^|\s)Window (\[.*)$", plan, re.MULTILINE):
         depth = 0
         groups: list[str] = []
@@ -82,8 +88,8 @@ def _global_windows(plan: str) -> int:
         if len(groups) == 2 and re.search(
             r" (ASC|DESC) NULLS (FIRST|LAST)", groups[-1]
         ):
-            n += 1
-    return n
+            seen.add(m.group(1))
+    return len(seen)
 
 
 def plan_lint(df: DataFrame) -> list[dict]:
