@@ -904,7 +904,13 @@ def _part_kcore_oracle_sql(k: int = 3, rounds: int = PART_KCORE_ORACLE_ROUNDS) -
     whose endpoints both still have degree >= k.  Once the true
     fixpoint is reached every later round passes the edge set through
     unchanged, so any unroll depth >= the data's peel depth yields
-    exactly the k-core Spark's iterate-to-fixpoint loop returns."""
+    exactly the k-core Spark's iterate-to-fixpoint loop returns.
+
+    Self-identifying depth (ADVICE r4): if the last two rounds still
+    differ, the unroll was too shallow and the result is a SUPERSET of
+    the core — the oracle then emits a ``(-1, -1)`` sentinel row so
+    the parity failure reads as "oracle depth shortfall", not as a
+    Spark bug (without it the mismatch would present engine-side)."""
     parts = [
         """e0 AS MATERIALIZED (
             SELECT a.l_partkey AS a, b.l_partkey AS b
@@ -932,7 +938,12 @@ def _part_kcore_oracle_sql(k: int = 3, rounds: int = PART_KCORE_ORACLE_ROUNDS) -
         SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
             SELECT a AS node FROM e{rounds}
             UNION ALL SELECT b FROM e{rounds}
-        ) GROUP BY node ORDER BY node
+        ) GROUP BY node
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT) AS node, CAST(-1 AS BIGINT) AS core_degree
+        WHERE (SELECT COUNT(*) FROM e{rounds - 1})
+           <> (SELECT COUNT(*) FROM e{rounds})
+        ORDER BY node
     """
     )
 

@@ -2149,9 +2149,16 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     One scan; per-doc flags are pure word-array expressions (no UDFs),
     the rollup is one one-row aggregate unpivoted via stack — bounded
     output, 100 TB-safe by construction.
+
+    NULL text is excluded on BOTH engines (ADVICE r4): Spark's
+    ``~(f1 OR ...)`` of NULL flags is NULL (dropped by SUM) while a
+    SQL ``CASE WHEN ... THEN 1 ELSE 0`` would count the doc as
+    pass_all — the denominators must agree.
     """
-    docs = load_table(spark, "documents", sf_dir).select(
-        "text", F.expr(_SPARK_WORDS).alias("wd")
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("text", F.expr(_SPARK_WORDS).alias("wd"))
     )
     n_words = "size(wd)"
     sum_wlen = "aggregate(transform(wd, x -> length(x)), 0L, (a, x) -> a + x)"
@@ -2237,7 +2244,8 @@ def _gopher_oracle_sql() -> str:
     return f"""
         WITH flags AS (
             SELECT {flag_cols}
-            FROM (SELECT text, {_DUCK_WORDS} AS wd FROM documents)
+            FROM (SELECT text, {_DUCK_WORDS} AS wd FROM documents
+                  WHERE text IS NOT NULL)
         ), rolled AS (
             {unions}
             UNION ALL

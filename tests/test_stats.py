@@ -212,6 +212,23 @@ def test_k_core_deep_peel_past_50_rounds(spark):
     assert core == {0: 2, 200: 2, 201: 2}
 
 
+def test_part_kcore_oracle_depth_sentinel():
+    """ADVICE r4: a too-shallow unroll of the k-core peel oracle must
+    self-identify — it emits a (-1, -1) sentinel row when the last two
+    rounds still differ, so a depth shortfall reads as an oracle
+    problem instead of presenting as a Spark bug.  sf0.01's measured
+    peel depth is 8: 2 rounds must flag, 10+ must not."""
+    from skdist_spark.operators.graph import _part_kcore_oracle_sql
+
+    from tests.oracle_utils import run_oracle
+
+    sf = "/root/testdata/sf0.01"
+    shallow = run_oracle(_part_kcore_oracle_sql(k=3, rounds=2), sf)
+    assert ((shallow["node"] == -1) & (shallow["core_degree"] == -1)).any()
+    deep = run_oracle(_part_kcore_oracle_sql(k=3, rounds=10), sf)
+    assert not (deep["node"] == -1).any()
+
+
 def test_markov_removal_effect_crafted(spark):
     from skdist_spark.plans.behavior import markov_removal_effect
 

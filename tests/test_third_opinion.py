@@ -1540,7 +1540,8 @@ def test_third_gopher_quality_flags(spark):
     }
     stops = set(GOPHER_STOPWORDS)
     alpha = re.compile(r"[a-zA-Z]")
-    for text in docs["text"]:
+    # NULL text is excluded on both engines (ADVICE r4) — mirror that
+    for text in docs["text"].dropna():
         wd = [w for w in re.split(r"\s+", text.strip()) if w]
         n = len(wd)
         sum_wlen = sum(len(w) for w in wd)
