@@ -66,9 +66,10 @@ _PRIORITY = [
     "orders_fingerprint", "weighted_price_percentiles",
     "user_funnel_patterns", "weekly_revenue_forecast_hw", "cohort_ltv",
     # -- ROUND-6 QUEUE (past the 50-entry cap; all locally green).
-    # After the round-5 window lands, these 9 are the only oracles
-    # without a driver row; round 6 promotes them to positions 1-9 and
-    # can fill 10-50 with any round-5 failures + new promotions.
+    # After the round-5 window lands, these are the only oracles
+    # without a driver row; round 6 promotes them to positions 1-10 and
+    # can fill 11-50 with any round-5 failures + new promotions.
+    "ml_kmeans_exact",  # NEW r5: integer-exact quantized Lloyd rounds
     "zipf_fit", "text_readability", "daily_revenue_acf",
     "event_value_trimmed", "embedding_separability", "click_purchase_ccf",
     "part_cf_similarity", "price_elasticity", "ann_ivf",

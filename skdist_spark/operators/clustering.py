@@ -211,6 +211,200 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SQL: dict[str, str] = {}
+# ---- integer-exact quantized KMeans (oracle-backed) -------------------------
 
-QUERIES = {"ml_kmeans": ml_kmeans}
+# Quantization for the cross-engine-exact face: embeddings are float32
+# in (-1, 1), so e * 2^14 is EXACT in float64 (power-of-two scale) and
+# floor() of an exact value agrees on every engine; centroids carry a
+# further 2^10 sub-integer scale and are refreshed by floor(s*2^10/n)
+# — one IEEE division + floor, identical on both engines (the
+# oracle-parity rule: never more than one float op between integers).
+KMEANS_QUANT = 16_384  # 2^14: q = floor(e * 2^14), |q| <= 2^14
+KMEANS_CSCALE = 1_024  # 2^10: centroid fixed-point sub-scale
+KMEANS_EXACT_ROUNDS = 4
+_DIMS = 64  # embeddings are fixed 64-d (TESTDATA.md)
+
+
+def ml_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans with ALL arithmetic in scaled integers — the exact face
+    that verifies the float ``ml_kmeans`` algorithm cross-engine
+    (the part_kcore / pagerank promotion pattern: fix the rounds,
+    quantize the state, and the whole recurrence is engine-exact).
+
+    Fixed recurrence: seeds = the k lowest-id vectors; then
+    ``KMEANS_EXACT_ROUNDS`` Lloyd rounds of (argmin assignment by
+    integer squared distance, ties to the lowest cluster id; centroid
+    refresh ``floor(sum * 2^10 / n)`` per dimension, empty clusters
+    keep their centroid), then a final assignment.  Outputs per-cluster
+    sizes and exact integer inertia.
+
+    Scale posture: the N-row work per round is one broadcast of the
+    k-row centroid table + one map-side-combining (cluster, dim)
+    aggregation — shuffle volume O(partitions * k * d), never O(rows);
+    no Python in the loop, no driver collect (the centroid chain stays
+    lazy; each 8-row state is persisted so the forked lineage —
+    next-round join + empty-cluster fallback — shares one copy).
+
+    No reference counterpart (sk-dist has no clustering; net-new).
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    k = K_CLUSTERS
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE)"
+            f" * {KMEANS_QUANT}) AS BIGINT))"
+        ).alias("q"),
+    )
+    cent = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(
+            # bounded k-row frame: the sanctioned top-k global window
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
+                "cluster"
+            ),
+            F.expr(f"transform(q, v -> v * {KMEANS_CSCALE})").alias("c"),
+        )
+    )
+
+    def _assign(cent_df: DataFrame) -> DataFrame:
+        one = cent_df.agg(
+            F.expr("sort_array(collect_list(struct(cluster, c)))").alias(
+                "cents"
+            )
+        )
+        return (
+            emb.crossJoin(F.broadcast(one))
+            .select(
+                "vec_id",
+                "q",
+                F.expr(
+                    "sort_array(transform(cents, s -> named_struct("
+                    f"'d2', aggregate(zip_with(q, s.c, (a, b) ->"
+                    f" (a * {KMEANS_CSCALE} - b) * (a * {KMEANS_CSCALE} - b)),"
+                    " 0L, (acc, v) -> acc + v),"
+                    " 'cluster', s.cluster)))[0]"
+                ).alias("best"),
+            )
+            .select(
+                "vec_id",
+                "q",
+                F.col("best.cluster").alias("cluster"),
+                F.col("best.d2").alias("d2"),
+            )
+        )
+
+    for _ in range(KMEANS_EXACT_ROUNDS):
+        sums = (
+            _assign(cent)
+            .select("cluster", F.posexplode("q").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        newc = sums.groupBy("cluster").agg(
+            F.expr(
+                "transform(array_sort(collect_list(named_struct("
+                f"'pos', pos, 'v', CAST(floor(CAST(s * {KMEANS_CSCALE}"
+                " AS DOUBLE) / n) AS BIGINT)))), t -> t.v)"
+            ).alias("cu")
+        )
+        cent = (
+            cent.join(newc, "cluster", "left")
+            .select("cluster", F.coalesce("cu", "c").alias("c"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    return (
+        _assign(cent)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            # exact integer sum (DECIMAL(38,0) / HUGEINT on the oracle),
+            # then ONE deterministic round-to-nearest into DOUBLE — the
+            # engines agree because the pre-cast value is exact
+            F.sum(F.col("d2").cast("decimal(38,0)"))
+            .cast("double")
+            .alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _ml_kmeans_exact_oracle_sql(
+    k: int = K_CLUSTERS,
+    rounds: int = KMEANS_EXACT_ROUNDS,
+    dims: int = _DIMS,
+    quant: int = KMEANS_QUANT,
+    cscale: int = KMEANS_CSCALE,
+) -> str:
+    """Unrolled Lloyd rounds as chained CTEs (every round MATERIALIZED:
+    round t is referenced twice by round t+1 — assignment + the
+    empty-cluster fallback — and DuckDB inlines repeated CTEs into
+    exponential blowup otherwise)."""
+    d2 = (
+        f"CAST(list_sum(list_transform(range(1, {dims + 1}), i ->"
+        f" (q.q[i] * {cscale} - c.c[i]) * (q.q[i] * {cscale} - c.c[i])))"
+        " AS BIGINT)"
+    )
+    parts = [
+        f"""q AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding, e ->
+                       CAST(floor(CAST(e AS DOUBLE) * {quant}) AS BIGINT)) AS q
+            FROM embeddings
+        ), c0 AS MATERIALIZED (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS cluster,
+                   list_transform(q, v -> v * {cscale}) AS c
+            FROM q ORDER BY vec_id LIMIT {k}
+        )"""
+    ]
+    for r in range(rounds + 1):
+        parts.append(
+            f"""a{r} AS MATERIALIZED (
+                SELECT vec_id, q, cluster, d2 FROM (
+                    SELECT vec_id, q, cluster, d2,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d2, cluster) AS rn
+                    FROM (
+                        SELECT q.vec_id, q.q AS q, c.cluster AS cluster,
+                               {d2} AS d2
+                        FROM q, c{r} c
+                    )
+                ) WHERE rn = 1
+            )"""
+        )
+        if r == rounds:
+            break
+        parts.append(
+            f"""u{r} AS MATERIALIZED (
+                SELECT cluster, i, SUM(q[i]) AS s, COUNT(*) AS n
+                FROM a{r}, range(1, {dims + 1}) t(i)
+                GROUP BY cluster, i
+            ), c{r + 1} AS MATERIALIZED (
+                SELECT c.cluster,
+                       CASE WHEN u.cu IS NULL THEN c.c ELSE u.cu END AS c
+                FROM c{r} c LEFT JOIN (
+                    SELECT cluster,
+                           list(CAST(floor(CAST(s * {cscale} AS DOUBLE) / n)
+                                     AS BIGINT) ORDER BY i) AS cu
+                    FROM u{r} GROUP BY cluster
+                ) u USING (cluster)
+            )"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+        SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(SUM(d2) AS DOUBLE) AS inertia
+        FROM a{rounds} GROUP BY cluster ORDER BY cluster
+    """
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "ml_kmeans_exact": _ml_kmeans_exact_oracle_sql(),
+}
+
+QUERIES = {"ml_kmeans": ml_kmeans, "ml_kmeans_exact": ml_kmeans_exact}

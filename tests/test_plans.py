@@ -203,6 +203,9 @@ def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
             # distributed rank, functions/global_rank.py)
             "purchase_uplift_qini", "peak_concurrent_sessions",
             "event_lateness_profile",
+            # one-row k-centroid-array broadcasts, one per Lloyd round
+            # (integer-exact quantized KMeans)
+            "ml_kmeans_exact",
         ):
             bad[name] = joins
     assert not bad, bad
@@ -236,6 +239,11 @@ def test_no_oracle_query_has_unsanctioned_global_window(spark, sf_dir):
     sanctioned = {
         "churn_ab_logrank": 1, "click_purchase_ccf": 1,
         "daily_revenue_acf": 1, "daily_revenue_decompose": 2,
+        # the 8-row seed ranking (top-k list shape); counts as 2
+        # distinct instances because the persisted round-1 centroid
+        # subtree freezes one analyzed copy (its own expr ids) while
+        # the outer query re-analyzes another — same bounded window
+        "ml_kmeans_exact": 2,
         "daily_spearman": 2, "doc_filter_funnel": 1,
         "english_threshold_sweep": 1, "event_lateness_profile": 1,
         "hybrid_search_rrf": 2, "peak_concurrent_sessions": 1,
