@@ -157,14 +157,17 @@ def _sharded(
         ]
         if total_col is not None:
             aggs.append(F.count(F.lit(1)).alias(total_col))
-        # boundary i = sample element at ceil(i * |sample| / n)
-        # (try_element_at -> NULL when the sample is empty; filtered out)
+        # boundary i = sample element at ceil(i * |sample| / n); the
+        # index clamps to >= 1 because element_at rejects 0 (empty
+        # sample -> try_element_at returns NULL -> filtered out, so a
+        # tiny frame degrades to fewer shards, never to an error)
         bnds = kdf.agg(*aggs).withColumn(
             _BNDS,
             F.expr(
                 f"filter(transform(sequence(1, {n - 1}), i ->"
-                f" try_element_at(__gr_pairs, cast(ceil(i * size(__gr_pairs)"
-                f" / {n}) AS INT))), p -> p IS NOT NULL)"
+                f" try_element_at(__gr_pairs, greatest(1, cast(ceil("
+                f"i * size(__gr_pairs) / {n}) AS INT)))),"
+                " p -> p IS NOT NULL)"
             ),
         ).drop("__gr_pairs")
         shard = F.expr(

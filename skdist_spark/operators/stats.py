@@ -775,6 +775,7 @@ def gini_moments(df: DataFrame, value_col: str, id_col: str) -> DataFrame:
         [F.col("x").asc(), F.col("_id").asc()],
         F.col("x"),
         "i",
+        tie_key=F.col("_id"),  # repeated values (zero/modal spend) tie
     )
     return ranked.agg(
         F.count(F.lit(1)).alias("n"),
@@ -807,6 +808,7 @@ def user_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("cents").asc(), F.col("user_id").asc()],
         F.col("cents"),
         "i",
+        tie_key=F.col("user_id"),
     ).select("cents", "i")
     m = ranked.agg(
         F.count(F.lit(1)).alias("n"),
@@ -1105,6 +1107,7 @@ def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents"),
         "rn",
         total_col="n_total",
+        tie_key=F.col("user_id"),
     )
     deciled = ranked.select(
         "cents",

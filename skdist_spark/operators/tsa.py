@@ -2247,6 +2247,8 @@ def qini_curve(
         -F.col(score_col),
         "rn",
         total_col="n_units",
+        # model scores are coarse: split their tie mass across shards
+        tie_key=F.col("unit_id"),
     ).withColumn(
         "bin",
         F.expr(f"CAST((rn - 1) * {n_bins} DIV n_units AS INT)"),

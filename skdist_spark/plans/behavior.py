@@ -909,12 +909,14 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.desc("recency_days"), F.asc("user_id")],
         -F.col("recency_days"),
         "rn_r",
+        tie_key=F.col("user_id"),  # recency_days is day-coarse: heavy tie mass
     )
     ranked = two_phase_row_number(
         ranked,
         [F.asc("frequency"), F.asc("user_id")],
         F.col("frequency"),
         "rn_f",
+        tie_key=F.col("user_id"),  # small-integer order counts: tie-heavy
     )
     ranked = two_phase_row_number(
         ranked,
@@ -922,6 +924,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("monetary"),
         "rn_m",
         total_col="n_total",
+        tie_key=F.col("user_id"),
     )
     return (
         ranked

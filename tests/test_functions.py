@@ -189,6 +189,15 @@ def test_two_phase_row_number_tie_key_balances_tie_mass(spark):
         "id", F.row_number().over(Window.orderBy(*order_d)).alias("ern")
     )
     assert got.select("id", "rn").join(exp, "id").where("rn != ern").count() == 0
+    # tiny frame + default sampling -> EMPTY boundary sample: must
+    # degrade to one shard (index clamp), never raise element_at(0)
+    tiny = spark.createDataFrame(
+        [(i, 7) for i in range(40)], "id long, v long"
+    )
+    got = two_phase_row_number(
+        tiny, order, F.col("v"), "rn", tie_key=F.col("id")
+    )
+    assert sorted(r.rn for r in got.collect()) == list(range(1, 41))
 
 
 def test_two_phase_running_agg_matches_global_window(spark):
