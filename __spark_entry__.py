@@ -70,6 +70,7 @@ _PRIORITY = [
     # without a driver row; round 6 promotes them to positions 1-10 and
     # can fill 11-50 with any round-5 failures + new promotions.
     "ml_kmeans_exact",  # NEW r5: integer-exact quantized Lloyd rounds
+    "heavy_hitters_cms",  # PROMOTED r5: Knuth-hash CMS contents pinned
     "zipf_fit", "text_readability", "daily_revenue_acf",
     "event_value_trimmed", "embedding_separability", "click_purchase_ccf",
     "part_cf_similarity", "price_elasticity", "ann_ivf",

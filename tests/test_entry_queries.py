@@ -101,7 +101,9 @@ def test_survey_counts_match_registry():
     survey = open(
         os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")
     ).read()
-    notes = re.findall(r"Registry\s+(\d+) queries / (\d+) oracles", survey)
+    notes = re.findall(
+        r"Registry\s+(\d+)\s+queries\s*/\s*(\d+)\s+oracles", survey
+    )
     assert notes, "SURVEY.md lost its round-note registry lines"
     n_q, n_o = (int(x) for x in notes[-1])
     assert n_q == len(entry_mod.queries()), (n_q, len(entry_mod.queries()))
