@@ -61,6 +61,13 @@ def _current(spark, sf_dir) -> dict[str, dict[str, int]]:
     for name in sorted(entry_mod.oracle_sql()):
         if name in _SKIP:
             continue
+        # Compile every plan CACHE-FREE: lazy persist() registrations
+        # (global_rank materialization, the KMeans centroid chain)
+        # otherwise leak across queries AND across earlier tests in the
+        # same session — CacheManager substitutes any registered
+        # subtree into later matching plans, making fingerprints
+        # depend on session history instead of the query.
+        spark.catalog.clearCache()
         df = queries[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         out[name] = _fingerprint(plan)

@@ -104,6 +104,8 @@ def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
     queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     bad = {}
     for name in sorted(oracles):
+        # cache-free compile: see test_plan_snapshots._current
+        spark.catalog.clearCache()
         df = queries[name](spark, sf_dir)
         plan = _explain(spark, df, mode="simple")
         joins = [
@@ -264,6 +266,8 @@ def test_no_oracle_query_has_unsanctioned_global_window(spark, sf_dir):
     for name in sorted(oracles):
         if name.startswith("stream_"):
             continue
+        # cache-free compile: see test_plan_snapshots._current
+        spark.catalog.clearCache()
         plan = (
             queries[name](spark, sf_dir)
             ._jdf.queryExecution()
