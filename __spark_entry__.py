@@ -71,6 +71,7 @@ _PRIORITY = [
     # can fill 11-50 with any round-5 failures + new promotions.
     "ml_kmeans_exact",  # NEW r5: integer-exact quantized Lloyd rounds
     "heavy_hitters_cms",  # PROMOTED r5: Knuth-hash CMS contents pinned
+    "kmv_user_overlap",  # PROMOTED r5: portable-hash KMV estimates pinned
     "zipf_fit", "text_readability", "daily_revenue_acf",
     "event_value_trimmed", "embedding_separability", "click_purchase_ccf",
     "part_cf_similarity", "price_elasticity", "ann_ivf",

@@ -7,11 +7,16 @@ cardinality as (k-1)/v_k, and two sketches combine by taking the k
 smallest of their union — supporting |A ∪ B| and, via the inclusion
 fraction rho, |A ∩ B|. All mergeable, all bounded at k rows per set.
 
-Spark-first shape: hashes are xxhash64 (JVM codegen); the per-set
-top-k is a row_number window over DISTINCT hashes — one shuffle on the
-set key, never a collect_set of the whole domain. At 100 TB the sketch
-stays k rows per set no matter the input (the exact face re-shuffles
-every distinct member).
+Spark-first shape: hashes are an engine-portable 32-bit
+multiply-xorshift mix (pure BIGINT arithmetic — JVM codegen on the
+Spark side, the SAME integer ops in DuckDB), so the sketch CONTENTS
+are a deterministic function of the data and the oracle rebuilds the
+identical sketch (promoted rows-only -> oracle in round 5, the KMV
+entry in the "exact faces verify sketch faces" story beside
+heavy_hitters_cms).  The per-set top-k is a row_number window over
+DISTINCT hashes — one shuffle on the set key, never a collect_set of
+the whole domain. At 100 TB the sketch stays k rows per set no matter
+the input (the exact face re-shuffles every distinct member).
 """
 
 from __future__ import annotations
@@ -29,36 +34,85 @@ __all__ = [
 ]
 
 KMV_K = 256
-_TWO64 = float(1 << 64)
+_TWO32 = 1 << 32
+# multiply-xorshift-multiply-xorshift over BIGINT: the 31-bit mask
+# before each multiply keeps the product below 2^63 on BOTH engines
+# (Spark would wrap silently; DuckDB errors on overflow), constants are
+# the Knuth / murmur3 finalizer multipliers, and the output lives in
+# [0, 2^32).  Collisions merge members — standard sketch semantics —
+# and both engines compute bit-identical values.
+_H_MUL1 = 2654435761
+_H_MUL2 = 2246822507
+_M31 = 2147483647
+_M32 = 4294967295
+
+
+def hash_stage_exprs(col: str, engine: str) -> list[str]:
+    """The portable 32-bit hash as a pipeline of four SQL expressions.
+
+    Stage 0 consumes ``col``; stages 1-3 each consume the previous
+    stage's output aliased as ``col``.  ``engine`` picks the spelling
+    of xor/shift ('spark': ``^`` / shiftright; 'duck': ``xor()`` /
+    ``>>``) — the arithmetic is identical.
+    """
+    if engine == "spark":
+        xor = lambda a, b: f"({a} ^ {b})"  # noqa: E731
+        shr = lambda a, n: f"shiftright({a}, {n})"  # noqa: E731
+    else:
+        xor = lambda a, b: f"xor({a}, {b})"  # noqa: E731
+        shr = lambda a, n: f"({a} >> {n})"  # noqa: E731
+    return [
+        f"((({col} & {_M31}) * {_H_MUL1}) & {_M32})",
+        f"({xor(col, shr(col, 16))} & {_M31})",
+        f"(({col} * {_H_MUL2}) & {_M32})",
+        xor(col, shr(col, 15)),
+    ]
+
+
+def duck_hash32_cte(inner: str, keep: str, col: str = "h") -> str:
+    """DuckDB face of the portable hash: wrap ``inner`` (a SELECT
+    yielding ``keep`` columns plus ``col``) in one nested SELECT per
+    hash stage."""
+    q = inner
+    for expr in hash_stage_exprs(col, "duck"):
+        q = f"SELECT {keep}, {expr} AS {col} FROM ({q})"
+    return q
 
 
 def kmv_sketch(df: DataFrame, set_col: str, member_col: str, k: int = KMV_K) -> DataFrame:
-    """Per-set KMV sketch: the k smallest distinct normalized hashes.
+    """Per-set KMV sketch: the k smallest distinct 32-bit hashes.
 
     Returns (set_col, h, rn) with rn in 1..k — bounded k rows per set.
     """
-    hashed = df.select(
-        F.col(set_col),
-        ((F.xxhash64(F.col(member_col)).cast("double") / F.lit(_TWO64)) + 0.5).alias("h"),
-    ).distinct()
+    hashed = df.select(F.col(set_col), F.col(member_col).cast("bigint").alias("h"))
+    for expr in hash_stage_exprs("h", "spark"):
+        hashed = hashed.select(set_col, F.expr(expr).alias("h"))
+    hashed = hashed.distinct()
     w = Window.partitionBy(set_col).orderBy("h")
     return hashed.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
 
 
 def _kmv_estimate(k: int):
     """Estimate distinct count from a sketch aggregate: exact when the
-    set has fewer than k members (the sketch holds them all)."""
+    set has fewer than k members (the sketch holds them all); else
+    (k-1)/v_k with v_k = max_h/2^32 — computed as ONE IEEE division of
+    two exactly-represented values so both engines agree bit-for-bit."""
     return F.when(
         F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
-    ).otherwise((F.lit(float(k - 1))) / F.max("h"))
+    ).otherwise(F.lit(float((k - 1) * _TWO32)) / F.max("h").cast("double"))
 
 
 def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV estimates of |click users|, |purchase users|, their union
-    and intersection (rows-only: sketch estimates; the test bounds the
-    relative error vs ``user_overlap_exact``)."""
+    and intersection — ORACLE-BACKED (promoted r5): the portable hash
+    makes the sketch a pure function of the data, so the DuckDB oracle
+    rebuilds the same k-minimum values and the driver pins the sketch
+    ESTIMATES exactly (the pytest still bounds error vs
+    ``user_overlap_exact``)."""
     ev = load_table(spark, "events", sf_dir)
-    pair = ev.where(F.col("event_type").isin("click", "purchase"))
+    pair = ev.where(
+        F.col("event_type").isin("click", "purchase") & F.col("user_id").isNotNull()
+    )
     sk = kmv_sketch(pair, "event_type", "user_id").cache()
 
     per_set = sk.groupBy("event_type").agg(_kmv_estimate(KMV_K).alias("est"))
@@ -85,10 +139,10 @@ def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(union_est))
     )
     return wide.select(
-        F.round("click", 2).alias("est_click_users"),
-        F.round("purchase", 2).alias("est_purchase_users"),
-        F.round("est_union", 2).alias("est_union_users"),
-        F.round(F.col("rho") * F.col("est_union"), 2).alias("est_intersect_users"),
+        F.col("click").alias("est_click_users"),
+        F.col("purchase").alias("est_purchase_users"),
+        F.col("est_union").alias("est_union_users"),
+        (F.col("rho") * F.col("est_union")).alias("est_intersect_users"),
     )
 
 
@@ -118,7 +172,49 @@ def user_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_EST = (
+    f"CASE WHEN COUNT(*) < {KMV_K} THEN CAST(COUNT(*) AS DOUBLE)"
+    f" ELSE CAST({(KMV_K - 1) * _TWO32} AS DOUBLE) / CAST(MAX(h) AS DOUBLE) END"
+)
+
 ORACLE_SQL: dict[str, str] = {
+    # rebuilds the SAME sketch: identical portable hash, identical
+    # k-minimum selection, identical single-division estimates
+    "kmv_user_overlap": f"""
+        WITH hashed AS (
+            SELECT DISTINCT event_type, h FROM (
+                {{hash_cte}}
+            )
+        ), sk AS (
+            SELECT event_type, h FROM (
+                SELECT event_type, h,
+                       row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+                FROM hashed
+            ) WHERE rn <= {KMV_K}
+        ), per_set AS (
+            SELECT event_type, {_KMV_EST} AS est FROM sk GROUP BY event_type
+        ), merged AS (
+            SELECT h, COUNT(DISTINCT event_type) AS n_sets
+            FROM sk GROUP BY h ORDER BY h LIMIT {KMV_K}
+        ), u AS (
+            SELECT {_KMV_EST} AS est_union,
+                   CAST(SUM(CASE WHEN n_sets = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) AS rho
+            FROM merged
+        )
+        SELECT (SELECT est FROM per_set WHERE event_type = 'click') AS est_click_users,
+               (SELECT est FROM per_set WHERE event_type = 'purchase') AS est_purchase_users,
+               est_union AS est_union_users,
+               rho * est_union AS est_intersect_users
+        FROM u
+    """.replace(
+        "{hash_cte}",
+        duck_hash32_cte(
+            "SELECT DISTINCT event_type, user_id AS h FROM events"
+            " WHERE event_type IN ('click', 'purchase') AND user_id IS NOT NULL",
+            "event_type",
+        ),
+    ),
     "user_overlap_exact": """
         WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
              p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')

@@ -410,7 +410,7 @@ def test_kmv_estimator_error_bound_high_cardinality(spark):
         F.count(F.lit(1)).alias("cnt"), F.max("h").alias("vk")
     ).collect()[0]
     assert row.cnt == KMV_K
-    est = (KMV_K - 1) / row.vk
+    est = (KMV_K - 1) * 2**32 / row.vk
     # KMV relative std error ~ 1/sqrt(k) ~= 6.3%; allow 4 sigma
     assert abs(est - n) / n < 0.25, est
 

@@ -38,7 +38,7 @@ def test_every_query_declared(spark):
     # documented rows-only op (ml_*, streaming, lsh buckets, multimodal)
     rows_only_prefixes = (
         "ml_", "stream_", "ann_pq", "multimodal", "encoderizer", "approx_",
-        "kmv_", "order_percentiles_approx", "pack_chunks",
+        "order_percentiles_approx", "pack_chunks",
         "user_sketch_rollup", "value_percentile_sketch_rollup",
         "ann_diversified",
         "corpus_pipeline", "dedup_semantic", "embedding_pca",
