@@ -26,12 +26,13 @@ from skdist_spark.operators import (  # noqa: E402
 )
 from skdist_spark import pipeline  # noqa: E402
 from skdist_spark.plans import behavior, ml_queries, tpch, windows  # noqa: E402
+from skdist_spark.sources import io as sources_io  # noqa: E402
 from skdist_spark.streaming import ops as streaming_ops  # noqa: E402
 
 _MODULES = [
     tpch, windows, behavior, dedup, graph, text, lm, decomp, quality,
     similarity, setsim, sketches, stats, tsa, sampling, retrieval, clustering,
-    multimodal, recommend, ml_queries, streaming_ops, pipeline,
+    multimodal, recommend, ml_queries, streaming_ops, pipeline, sources_io,
 ]
 
 # The driver's CORRECTNESS sweep checks only the FIRST 50 registry entries
@@ -72,6 +73,7 @@ _PRIORITY = [
     "ml_kmeans_exact",  # NEW r5: integer-exact quantized Lloyd rounds
     "heavy_hitters_cms",  # PROMOTED r5: Knuth-hash CMS contents pinned
     "kmv_user_overlap",  # PROMOTED r5: portable-hash KMV estimates pinned
+    "zorder_layout",  # NEW r5: deterministic Morton file-layout audit
     "zipf_fit", "text_readability", "daily_revenue_acf",
     "event_value_trimmed", "embedding_separability", "click_purchase_ccf",
     "part_cf_similarity", "price_elasticity", "ann_ivf",

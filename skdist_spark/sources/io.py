@@ -707,3 +707,128 @@ def scan_skipping_report(
             " skipped_rows long, bytes long, skipped_bytes long"
         ),
     ).orderBy("file")
+
+
+# ---- z-order layout audit (registry face of zorder_by / z_value) --------
+
+# 16-bit Morton spread as four shift-or-mask stages (the classic
+# "spread bits" closed form) — pure BIGINT arithmetic both engines
+# share, so the layout is a deterministic function of the data and the
+# DuckDB oracle reproduces every file assignment bit-for-bit.
+_Z_SPREAD_STAGES = ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555))
+ZORDER_FILES_LOG2 = 6  # 64 key-space files
+_Z_PRED_LO, _Z_PRED_HI = 100, 300  # the audited pruning predicate on x
+
+
+def spread_bits_sql(col: str, engine: str) -> str:
+    """SQL for interleave-ready bit spreading of a 16-bit value:
+    bit i of ``col`` moves to bit 2i.  ``engine`` picks the shift
+    spelling ('spark': shiftleft; 'duck': ``<<``)."""
+    shl = (
+        (lambda a, n: f"shiftleft({a}, {n})")
+        if engine == "spark"
+        else (lambda a, n: f"({a} << {n})")
+    )
+    e = f"(CAST({col} AS BIGINT) & 65535)"
+    for sh, mask in _Z_SPREAD_STAGES:
+        e = f"(({e} | {shl(e, sh)}) & {mask})"
+    return e
+
+
+def morton_sql(x: str, y: str, engine: str) -> str:
+    """Portable 2-D Morton (z-order) key: x on even bits, y on odd —
+    the same bit layout as the ``z_value`` fold API."""
+    ysh = (
+        f"shiftleft({spread_bits_sql(y, engine)}, 1)"
+        if engine == "spark"
+        else f"({spread_bits_sql(y, engine)} << 1)"
+    )
+    return f"({spread_bits_sql(x, engine)} | {ysh})"
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering audit over lineitem — ORACLE-BACKED: cluster
+    on (part key, ship date) via the portable Morton key, split the
+    key space into 64 equal files (top 6 bits — deterministic, unlike
+    ``repartitionByRange``'s sampled boundaries, so both engines build
+    the SAME layout), and report per-file row counts + min/max spans
+    of BOTH dimensions plus whether a ship-window scan with
+    ``x BETWEEN 100 AND 300`` must read the file.
+
+    This is the registry face of ``zorder_by``/``z_value``: the
+    min/max spans are exactly what parquet writes as file stats, so
+    narrow spans on EVERY listed dimension == multi-column data
+    skipping (the Delta/Iceberg OPTIMIZE ZORDER posture).  One scan,
+    one bounded groupBy (64 groups); at 100 TB the same expression is
+    the sort key of a real clustered write (``zorder_by``), and this
+    audit reads only file stats.
+    """
+    from pyspark.sql import functions as F
+
+    from .catalog import load_table
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_partkey").cast("bigint").alias("rx"),
+        F.expr("CAST(datediff(l_shipdate, DATE'1992-01-01') AS BIGINT)").alias("ry"),
+    )
+    bounds = li.agg(
+        F.min("rx").alias("x0"), F.max("rx").alias("x1"),
+        F.min("ry").alias("y0"), F.max("ry").alias("y1"),
+    )
+    # deterministic integer min-max scaling onto the full 16-bit grid
+    # (the raw domains don't fill 16 bits, which would collapse the
+    # top-bit file split); DIV/greatest keep it exact on both engines
+    x = "((rx - x0) * 65535 DIV greatest(x1 - x0, 1))"
+    y = "((ry - y0) * 65535 DIV greatest(y1 - y0, 1))"
+    z = morton_sql(x, y, "spark")
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(f"CAST({z} >> {32 - ZORDER_FILES_LOG2} AS INT)").alias("file_id"),
+            F.expr(f"CAST({x} AS INT)").alias("x"),
+            F.expr(f"CAST({y} AS INT)").alias("y"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+        .withColumn(
+            "scan_for_x_pred",
+            ~((F.col("max_x") < _Z_PRED_LO) | (F.col("min_x") > _Z_PRED_HI)),
+        )
+        .orderBy("file_id")
+    )
+
+
+def _zorder_oracle_sql() -> str:
+    x = "((rx - x0) * 65535 // greatest(x1 - x0, 1))"
+    y = "((ry - y0) * 65535 // greatest(y1 - y0, 1))"
+    z = morton_sql(x, y, "duck")
+    return f"""
+        WITH raw AS (
+            SELECT CAST(l_partkey AS BIGINT) AS rx,
+                   CAST(date_diff('day', DATE '1992-01-01', l_shipdate) AS BIGINT) AS ry
+            FROM lineitem
+        ), bounds AS (
+            SELECT MIN(rx) AS x0, MAX(rx) AS x1, MIN(ry) AS y0, MAX(ry) AS y1
+            FROM raw
+        ), keyed AS (
+            SELECT CAST(({z} >> {32 - ZORDER_FILES_LOG2}) AS INT) AS file_id,
+                   CAST({x} AS INT) AS x, CAST({y} AS INT) AS y
+            FROM raw, bounds
+        )
+        SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(x) AS min_x, MAX(x) AS max_x,
+               MIN(y) AS min_y, MAX(y) AS max_y,
+               NOT (MAX(x) < {_Z_PRED_LO} OR MIN(x) > {_Z_PRED_HI})
+                 AS scan_for_x_pred
+        FROM keyed GROUP BY file_id ORDER BY file_id
+    """
+
+
+QUERIES = {"zorder_layout": zorder_layout}
+ORACLE_SQL = {"zorder_layout": _zorder_oracle_sql()}

@@ -598,3 +598,44 @@ def test_scan_skipping_report_rewards_clustering(spark, tmp_path):
     r_shuffled = ratio(shuffled_path)
     assert r_sorted > 0.9
     assert r_sorted > r_shuffled
+
+
+def test_portable_morton_matches_z_value_fold(spark):
+    """The portable spread-bits Morton key (zorder_layout's expression,
+    shared with the DuckDB oracle) must agree with the z_value fold API
+    and with a pure-Python interleave on the full 32x32 grid."""
+    from pyspark.sql import functions as F
+
+    from skdist_spark.sources.io import morton_sql, z_value
+
+    def morton(x, y, bits=16):
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    df = (
+        spark.createDataFrame(
+            [(x, y) for x in range(32) for y in range(32)], "x bigint, y bigint"
+        )
+        .withColumn("z_fold", z_value(["x", "y"]))
+        .withColumn("z_portable", F.expr(morton_sql("x", "y", "spark")))
+    )
+    for r in df.collect():
+        assert r.z_portable == r.z_fold == morton(r.x, r.y), (r.x, r.y)
+
+
+def test_zorder_layout_prunes_files(spark, sf_dir):
+    """The layout audit must show real multi-dim clustering: every file
+    holds rows, both per-file spans are far narrower than the 16-bit
+    domain, and the x-range predicate prunes a majority of files."""
+    from skdist_spark.sources.io import zorder_layout
+
+    rows = zorder_layout(spark, sf_dir).collect()
+    assert len(rows) > 1
+    assert all(r.n_rows > 0 for r in rows)
+    # each file is one top-3-bit tile per dim: span <= 2^13 per dim
+    assert all(r.max_x - r.min_x <= (1 << 13) for r in rows)
+    assert all(r.max_y - r.min_y <= (1 << 13) for r in rows)
+    scanned = sum(1 for r in rows if r.scan_for_x_pred)
+    assert scanned * 2 < len(rows), (scanned, len(rows))
