@@ -74,6 +74,7 @@ _PRIORITY = [
     "heavy_hitters_cms",  # PROMOTED r5: Knuth-hash CMS contents pinned
     "kmv_user_overlap",  # PROMOTED r5: portable-hash KMV estimates pinned
     "zorder_layout",  # NEW r5: deterministic Morton file-layout audit
+    "hll_portable_registers",  # NEW r5: portable-HLL register contents pinned
     "zipf_fit", "text_readability", "daily_revenue_acf",
     "event_value_trimmed", "embedding_separability", "click_purchase_ccf",
     "part_cf_similarity", "price_elasticity", "ann_ivf",

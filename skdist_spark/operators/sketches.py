@@ -293,11 +293,112 @@ def user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- portable HLL: register contents pinned cross-engine ----------------
+
+HLL_M = 256  # 2^8 registers; raw-estimate std error ~ 1.04/sqrt(m) ~ 6.5%
+_HLL_W_BITS = 32 - 8  # hash bits left after the bucket index
+# alpha_m * m^2 * 2^(w_bits+1), folded to ONE double literal in Python
+# so the estimate is a single IEEE division of identical operands on
+# both engines (Z is kept as an exact integer numerator over
+# 2^(w_bits+1): rho spans 1..25, so 2^-rho scales by 2^25).
+_HLL_ALPHA_M = 0.7213 / (1 + 1.079 / HLL_M)
+_HLL_EST_NUM = _HLL_ALPHA_M * HLL_M * HLL_M * float(1 << (_HLL_W_BITS + 1))
+
+
+def _hll_rho_sql(w: str) -> str:
+    """Leading-zero rank of the 24-bit suffix ``w`` (1-based; 25 when
+    w = 0) as a chained CASE — identical text on both engines."""
+    branches = " ".join(
+        f"WHEN {w} >= {1 << (_HLL_W_BITS - j)} THEN {j}"
+        for j in range(1, _HLL_W_BITS + 1)
+    )
+    return f"(CASE {branches} ELSE {_HLL_W_BITS + 1} END)"
+
+
+def hll_portable_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-HLL distinct-user sketch per event_type — ORACLE-BACKED:
+    the register table (bucket -> max leading-zero rank) is a pure
+    integer function of the data under the portable 32-bit hash, so
+    DuckDB rebuilds every register and the driver pins the sketch
+    CONTENTS — the HLL entry in the "exact faces verify sketch faces"
+    story (the Datasketches faces, ``user_sketch_rollup`` /
+    ``approx_user_distinct``, stay rows-only: their binary state is
+    JVM-internal).
+
+    Each output row is one non-empty register plus the per-type RAW
+    HLL estimate (alpha_m * m^2 / sum(2^-reg), absent registers
+    contributing 2^0): the estimate is exact-integer up to one final
+    IEEE division, so it hash-matches too.  Shape: one scan, one
+    bounded groupBy (types x 256 registers), map-side combinable —
+    the registers ARE the shuffle payload at 100 TB.
+    """
+    ev = load_table(spark, "events", sf_dir).where(F.col("user_id").isNotNull())
+    hashed = ev.select(F.col("event_type"), F.col("user_id").cast("bigint").alias("h"))
+    for expr in hash_stage_exprs("h", "spark"):
+        hashed = hashed.select("event_type", F.expr(expr).alias("h"))
+    regs = (
+        hashed.select(
+            "event_type",
+            F.expr(f"CAST(h & {HLL_M - 1} AS INT)").alias("bucket"),
+            F.expr(_hll_rho_sql("(h >> 8)")).alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    z = regs.groupBy("event_type").agg(
+        (
+            F.sum(F.expr(f"shiftleft(1L, {_HLL_W_BITS + 1} - reg)"))
+            + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(1 << (_HLL_W_BITS + 1))
+        ).alias("z_num")
+    )
+    return (
+        regs.join(F.broadcast(z), "event_type")
+        .select(
+            "event_type",
+            "bucket",
+            F.col("reg").cast("int").alias("reg"),
+            (F.lit(_HLL_EST_NUM) / F.col("z_num").cast("double")).alias(
+                "est_raw"
+            ),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+def _hll_oracle_sql() -> str:
+    hash_cte = duck_hash32_cte(
+        "SELECT event_type, user_id AS h FROM events WHERE user_id IS NOT NULL",
+        "event_type",
+    )
+    return f"""
+        WITH regs AS (
+            SELECT event_type, CAST(h & {HLL_M - 1} AS INT) AS bucket,
+                   MAX({_hll_rho_sql(f"(h >> 8)")}) AS reg
+            FROM ({hash_cte})
+            GROUP BY event_type, CAST(h & {HLL_M - 1} AS INT)
+        ), z AS (
+            SELECT event_type,
+                   CAST(SUM((1::BIGINT << ({_HLL_W_BITS + 1} - reg)))
+                        + ({HLL_M} - COUNT(*)) * {1 << (_HLL_W_BITS + 1)}
+                        AS BIGINT) AS z_num
+            FROM regs GROUP BY event_type
+        )
+        SELECT regs.event_type, bucket, CAST(reg AS INT) AS reg,
+               CAST({_HLL_EST_NUM!r} AS DOUBLE)
+                 / CAST(z_num AS DOUBLE) AS est_raw
+        FROM regs JOIN z ON regs.event_type = z.event_type
+        ORDER BY regs.event_type, bucket
+    """
+
+
 QUERIES = {
     "user_overlap_exact": user_overlap_exact,
     "kmv_user_overlap": kmv_user_overlap,
     "user_sketch_rollup": user_sketch_rollup,
+    "hll_portable_registers": hll_portable_registers,
 }
+
+ORACLE_SQL["hll_portable_registers"] = _hll_oracle_sql()
 
 
 def kmv_join_keys_estimate(

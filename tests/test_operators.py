@@ -2155,3 +2155,35 @@ def test_rendezvous_minimal_reshuffle(spark):
     for r in both:
         if r["s_full"] == n - 1:
             assert 0 <= r["s_reduced"] < n - 1
+
+
+def test_hll_portable_registers_estimate_accuracy(spark, sf_dir):
+    """The portable-HLL register table must yield accurate distinct
+    counts once the standard small-range (linear counting) correction
+    is applied: est = m*ln(m/V) when the raw estimate is below 2.5m and
+    zero registers remain, else the raw estimate."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from skdist_spark.operators.sketches import HLL_M, hll_portable_registers
+    from skdist_spark.sources.catalog import load_table
+
+    regs = hll_portable_registers(spark, sf_dir).collect()
+    per_type: dict[str, list] = {}
+    for r in regs:
+        per_type.setdefault(r.event_type, []).append(r)
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, "events", sf_dir)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for etype, rows in per_type.items():
+        raw = rows[0].est_raw
+        v = HLL_M - len(rows)
+        est = HLL_M * math.log(HLL_M / v) if (raw <= 2.5 * HLL_M and v > 0) else raw
+        rel = abs(est - exact[etype]) / exact[etype]
+        # raw HLL std error ~1.04/sqrt(256) ~ 6.5%; allow ~3 sigma
+        assert rel < 0.2, (etype, est, exact[etype], rel)
