@@ -75,6 +75,8 @@ _PRIORITY = [
     "kmv_user_overlap",  # PROMOTED r5: portable-hash KMV estimates pinned
     "zorder_layout",  # NEW r5: deterministic Morton file-layout audit
     "hll_portable_registers",  # NEW r5: portable-HLL register contents pinned
+    "bloom_filter_words",  # NEW r5: portable Bloom bitset contents pinned
+    "bloom_probe_audit",  # NEW r5: runtime-filter probe contract pinned
     "zipf_fit", "text_readability", "daily_revenue_acf",
     "event_value_trimmed", "embedding_separability", "click_purchase_ccf",
     "part_cf_similarity", "price_elasticity", "ann_ivf",

@@ -540,3 +540,186 @@ def value_percentile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 QUERIES["value_percentile_sketch_rollup"] = value_percentile_sketch_rollup
+
+
+# ---- portable Bloom filter: bitset contents + probe audit ---------------
+
+BLOOM_BITS = 16384  # 512 x 32-bit words; sized so sf0.1 fill ~ 50%
+BLOOM_K = 4  # Kirsch-Mitzenmacher-style seeded rehash per probe
+BLOOM_SPEND_THRESHOLD = 490000.0  # "big spender" member predicate
+_BLOOM_WORD_BITS = 32  # 32-bit words: bit 63 shifts overflow in DuckDB
+
+
+def _bloom_cells_spark(df: DataFrame, key_col: str) -> DataFrame:
+    """(key, word_idx, mask) cells for each of the BLOOM_K seeded
+    hashes of ``key_col`` — the seed offsets the key before the
+    portable hash pipeline (the CMS trick), the bit index takes the
+    TOP bits of the 32-bit hash."""
+    seeds = F.array(*[F.lit(j) for j in range(BLOOM_K)])
+    cells = df.select(
+        F.col(key_col).cast("bigint").alias("k"),
+        F.explode(seeds).alias("j"),
+    ).select("k", F.expr(f"k + j * {_H_MUL1}").alias("h"))
+    for expr in hash_stage_exprs("h", "spark"):
+        cells = cells.select("k", F.expr(expr).alias("h"))
+    return cells.select(
+        "k",
+        F.expr(f"CAST(h * {BLOOM_BITS} DIV {_TWO32} DIV {_BLOOM_WORD_BITS} AS INT)").alias(
+            "word_idx"
+        ),
+        F.expr(
+            f"shiftleft(1L, CAST(h * {BLOOM_BITS} DIV {_TWO32} AS INT) % {_BLOOM_WORD_BITS})"
+        ).alias("mask"),
+    )
+
+
+def _bloom_cells_duck(member_select: str) -> str:
+    """DuckDB twin of ``_bloom_cells_spark``: ``member_select`` must
+    yield a single BIGINT column ``k``."""
+    seeded = (
+        f"SELECT k, (k + j * {_H_MUL1}) AS h FROM ({member_select}),"
+        f" UNNEST([{', '.join(str(j) for j in range(BLOOM_K))}]) AS t(j)"
+    )
+    hashed = duck_hash32_cte(seeded, "k")
+    return f"""
+        SELECT k,
+               CAST(h * {BLOOM_BITS} // {_TWO32} // {_BLOOM_WORD_BITS} AS INT) AS word_idx,
+               (1::BIGINT << (CAST(h * {BLOOM_BITS} // {_TWO32} AS INT) % {_BLOOM_WORD_BITS})) AS mask
+        FROM ({hashed})
+    """
+
+
+_BLOOM_MEMBERS_DUCK = (
+    "SELECT DISTINCT CAST(o_custkey AS BIGINT) AS k FROM orders"
+    f" WHERE o_totalprice > {BLOOM_SPEND_THRESHOLD}"
+)
+
+
+def _bloom_members_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_totalprice") > BLOOM_SPEND_THRESHOLD)
+        .select(F.col("o_custkey").cast("bigint").alias("k"))
+        .distinct()
+    )
+
+
+def bloom_filter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom bitset a runtime filter would broadcast — ORACLE-
+    BACKED: members are the distinct big-spender custkeys, each setting
+    BLOOM_K bits of a 16384-bit filter under the portable seeded hash;
+    output is the non-empty 32-bit words (word_idx, word, n_bits).
+
+    The filter is a pure integer function of the data, so DuckDB
+    rebuilds the identical bitset — the Bloom entry in the "exact
+    faces verify sketch faces" story (``bloom_semi_join`` keeps the
+    xxhash64+numpy fast path; this face pins the semantics).  Bounded
+    state end-to-end: the bitset is <= 512 rows no matter the input —
+    at 100 TB the words ARE the broadcast payload.
+    """
+    cells = _bloom_cells_spark(_bloom_members_spark(spark, sf_dir), "k")
+    return (
+        cells.groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+        .select(
+            "word_idx",
+            "word",
+            F.bit_count("word").cast("int").alias("n_bits"),
+        )
+        .orderBy("word_idx")
+    )
+
+
+def bloom_probe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe EVERY customer key against the big-spender Bloom filter
+    and audit the runtime-filter contract — ORACLE-BACKED, one row:
+    n_probed, n_passed (keys with all BLOOM_K bits set), n_false_pos
+    (passed keys that are NOT members — the exact anti-join check),
+    pruned_ppm (scan rows a pre-shuffle filter would drop).
+
+    No member sneaks past (bloom guarantees no false negatives — the
+    pytest asserts it), and the false-positive rate is pinned exactly
+    by both engines rather than bounded.
+    """
+    members = _bloom_members_spark(spark, sf_dir)
+    words = (
+        _bloom_cells_spark(members, "k")
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    probes = (
+        load_table(spark, "customer", sf_dir)
+        .select(F.col("c_custkey").cast("bigint").alias("k"))
+        .distinct()
+    )
+    probe_cells = _bloom_cells_spark(probes, "k")
+    hits = (
+        probe_cells.join(F.broadcast(words), "word_idx", "left")
+        .select(
+            "k",
+            (
+                F.col("word").isNotNull()
+                & (F.col("word").bitwiseAND(F.col("mask")) == F.col("mask"))
+            )
+            .cast("int")
+            .alias("bit_set"),
+        )
+        .groupBy("k")
+        .agg((F.sum("bit_set") == BLOOM_K).alias("passed"))
+    )
+    flagged = hits.join(
+        members.withColumn("is_member", F.lit(1)), "k", "left"
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.col("passed").cast("long")).alias("n_passed"),
+        F.sum(
+            (F.col("passed") & F.col("is_member").isNull()).cast("long")
+        ).alias("n_false_pos"),
+        F.expr(
+            "CAST(SUM(CASE WHEN NOT passed THEN 1 ELSE 0 END) * 1000000"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("pruned_ppm"),
+    )
+
+
+def _bloom_words_oracle() -> str:
+    return f"""
+        SELECT word_idx, bit_or(mask) AS word,
+               CAST(bit_count(bit_or(mask)) AS INT) AS n_bits
+        FROM ({_bloom_cells_duck(_BLOOM_MEMBERS_DUCK)})
+        GROUP BY word_idx ORDER BY word_idx
+    """
+
+
+def _bloom_probe_oracle() -> str:
+    return f"""
+        WITH words AS (
+            SELECT word_idx, bit_or(mask) AS word
+            FROM ({_bloom_cells_duck(_BLOOM_MEMBERS_DUCK)})
+            GROUP BY word_idx
+        ), probes AS (
+            SELECT DISTINCT CAST(c_custkey AS BIGINT) AS k FROM customer
+        ), hits AS (
+            SELECT c.k,
+                   (COUNT(*) FILTER (WHERE w.word IS NOT NULL
+                                       AND (w.word & c.mask) = c.mask))
+                     = {BLOOM_K} AS passed
+            FROM ({_bloom_cells_duck("SELECT k FROM probes")}) c
+            LEFT JOIN words w USING (word_idx)
+            GROUP BY c.k
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+               CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_passed,
+               CAST(SUM(CASE WHEN passed AND m.k IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_false_pos,
+               CAST(SUM(CASE WHEN NOT passed THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT) AS pruned_ppm
+        FROM hits LEFT JOIN ({_BLOOM_MEMBERS_DUCK}) m USING (k)
+    """
+
+
+QUERIES["bloom_filter_words"] = bloom_filter_words
+QUERIES["bloom_probe_audit"] = bloom_probe_audit
+ORACLE_SQL["bloom_filter_words"] = _bloom_words_oracle()
+ORACLE_SQL["bloom_probe_audit"] = _bloom_probe_oracle()

@@ -2187,3 +2187,27 @@ def test_hll_portable_registers_estimate_accuracy(spark, sf_dir):
         rel = abs(est - exact[etype]) / exact[etype]
         # raw HLL std error ~1.04/sqrt(256) ~ 6.5%; allow ~3 sigma
         assert rel < 0.2, (etype, est, exact[etype], rel)
+
+
+def test_bloom_filter_words_bounded_and_no_false_negatives(spark, sf_dir):
+    """The Bloom word table must stay within its 512-word bound, and
+    every true member must pass the probe (no false negatives — the
+    Bloom guarantee the runtime-filter contract rests on)."""
+    from skdist_spark.operators.sketches import (
+        BLOOM_BITS,
+        _BLOOM_WORD_BITS,
+        bloom_probe_audit,
+        bloom_filter_words,
+        _bloom_members_spark,
+    )
+
+    words = bloom_filter_words(spark, sf_dir).collect()
+    assert 0 < len(words) <= BLOOM_BITS // _BLOOM_WORD_BITS
+    assert all(0 <= r.word_idx < BLOOM_BITS // _BLOOM_WORD_BITS for r in words)
+
+    audit = bloom_probe_audit(spark, sf_dir).collect()[0]
+    n_members = _bloom_members_spark(spark, sf_dir).count()
+    # every member is probed (members come from customer keys) and must
+    # pass: passed = members + false positives, exactly
+    assert audit.n_passed == n_members + audit.n_false_pos, audit
+    assert audit.n_probed >= audit.n_passed
