@@ -77,6 +77,7 @@ _PRIORITY = [
     "hll_portable_registers",  # NEW r5: portable-HLL register contents pinned
     "bloom_filter_words",  # NEW r5: portable Bloom bitset contents pinned
     "bloom_probe_audit",  # NEW r5: runtime-filter probe contract pinned
+    "c4_quality_flags",  # NEW r5: C4 rule ledger beside the Gopher one
     "zipf_fit", "text_readability", "daily_revenue_acf",
     "event_value_trimmed", "embedding_separability", "click_purchase_ccf",
     "part_cf_similarity", "price_elasticity", "ann_ivf",

@@ -2263,3 +2263,151 @@ def _gopher_oracle_sql() -> str:
 
 QUERIES["gopher_quality_flags"] = gopher_quality_flags
 ORACLE_SQL["gopher_quality_flags"] = _gopher_oracle_sql()
+
+
+# ---- C4 quality rule ledger ---------------------------------------------
+
+C4_MIN_SENTENCES = 3  # pages with fewer sentences are dropped
+C4_MIN_WORDS_PER_LINE = 5  # C4 drops shorter lines; ledger flags majority
+_C4_POLICY_PHRASES = ("terms of use", "privacy policy", "cookie policy")
+
+
+def c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule C4-filter failure counts over the corpus — the
+    rule-attribution ledger for the C4 (Colossal Clean Crawled Corpus)
+    heuristics, shaped exactly like ``gopher_quality_flags``: for each
+    named rule, documents failing it + ppm share + a ``pass_all`` row.
+
+    Doc-level renderings of the published line/page rules:
+    too-few-sentences (terminal-punctuation count < 3), a majority of
+    lines under 5 words, a majority of lines not ending in terminal
+    punctuation, and the page-kill substrings (lorem ipsum, curly
+    brace, javascript, policy boilerplate).  One scan, pure
+    string/array expressions, integer cross-multiplication — bounded
+    output, 100 TB-safe by construction.  NULL text excluded on both
+    engines (the gopher denominators rule).
+    """
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("text").isNotNull())
+        .select(
+            "text",
+            F.expr("filter(split(text, chr(10)), x -> length(trim(x)) > 0)").alias(
+                "ln"
+            ),
+        )
+    )
+    n_term = (
+        "((length(text) - length(replace(text, '.', '')))"
+        " + (length(text) - length(replace(text, '!', '')))"
+        " + (length(text) - length(replace(text, '?', ''))))"
+    )
+    n_lines = "size(ln)"
+    n_short = (
+        f"size(filter(ln, l -> size(filter(split(l, ' '), w -> w != ''))"
+        f" < {C4_MIN_WORDS_PER_LINE}))"
+    )
+    n_unterm = (
+        "size(filter(ln, l -> NOT (right(trim(l), 1) = '.'"
+        " OR right(trim(l), 1) = '!' OR right(trim(l), 1) = '?'"
+        " OR right(trim(l), 1) = '\"')))"
+    )
+    policy = " OR ".join(
+        f"contains(lower(text), '{p}')" for p in _C4_POLICY_PHRASES
+    )
+    flags = docs.select(
+        F.expr(f"{n_term} < {C4_MIN_SENTENCES}").alias("too_few_sentences"),
+        F.expr(f"2 * {n_short} > {n_lines}").alias("short_lines_majority"),
+        F.expr(f"2 * {n_unterm} > {n_lines}").alias("unterminated_lines_majority"),
+        F.expr("contains(lower(text), 'lorem ipsum')").alias("lorem_ipsum"),
+        F.expr("contains(text, '{')").alias("curly_brace"),
+        F.expr("contains(lower(text), 'javascript')").alias("javascript_mention"),
+        F.expr(f"({policy})").alias("policy_phrase"),
+    )
+    rules = list(flags.columns)
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.sum(F.col(r).cast("long")).alias(f"f_{r}") for r in rules],
+        F.sum((~F.expr(" OR ".join(rules))).cast("long")).alias("f_pass_all"),
+    )
+    entries = ", ".join(
+        f"'{r}', CAST(f_{r} AS BIGINT)" for r in rules
+    ) + ", 'pass_all', CAST(f_pass_all AS BIGINT)"
+    return (
+        agg.select(
+            "n_docs",
+            F.expr(f"stack({len(rules) + 1}, {entries}) AS (rule, n_docs_flagged)"),
+        )
+        .select(
+            "rule",
+            "n_docs_flagged",
+            F.expr("CAST(n_docs_flagged * 1000000 DIV n_docs AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("rule")
+    )
+
+
+def _c4_oracle_sql() -> str:
+    n_term = (
+        "((length(text) - length(replace(text, '.', '')))"
+        " + (length(text) - length(replace(text, '!', '')))"
+        " + (length(text) - length(replace(text, '?', ''))))"
+    )
+    n_lines = "len(ln)"
+    n_short = (
+        f"len(list_filter(ln, l -> len(list_filter(string_split(l, ' '),"
+        f" w -> w != '')) < {C4_MIN_WORDS_PER_LINE}))"
+    )
+    n_unterm = (
+        "len(list_filter(ln, l -> NOT (right(trim(l), 1) = '.'"
+        " OR right(trim(l), 1) = '!' OR right(trim(l), 1) = '?'"
+        " OR right(trim(l), 1) = '\"')))"
+    )
+    policy = " OR ".join(
+        f"contains(lower(text), '{p}')" for p in _C4_POLICY_PHRASES
+    )
+    rules = {
+        "too_few_sentences": f"{n_term} < {C4_MIN_SENTENCES}",
+        "short_lines_majority": f"2 * {n_short} > {n_lines}",
+        "unterminated_lines_majority": f"2 * {n_unterm} > {n_lines}",
+        "lorem_ipsum": "contains(lower(text), 'lorem ipsum')",
+        "curly_brace": "contains(text, '{')",
+        "javascript_mention": "contains(lower(text), 'javascript')",
+        "policy_phrase": f"({policy})",
+    }
+    flag_cols = ",\n".join(
+        f"CASE WHEN {expr} THEN 1 ELSE 0 END AS f_{name}"
+        for name, expr in rules.items()
+    )
+    pass_all = " + ".join(f"f_{n}" for n in rules)
+    unions = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS rule, CAST(SUM(f_{name}) AS BIGINT)"
+        f" AS n_docs_flagged, CAST(COUNT(*) AS BIGINT) AS n FROM flags"
+        for name in rules
+    )
+    return f"""
+        WITH flags AS (
+            SELECT {flag_cols}
+            FROM (SELECT text,
+                         list_filter(string_split(text, chr(10)),
+                                     x -> length(trim(x)) > 0) AS ln
+                  FROM documents WHERE text IS NOT NULL)
+        ), rolled AS (
+            {unions}
+            UNION ALL
+            SELECT 'pass_all',
+                   CAST(SUM(CASE WHEN {pass_all} = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT)
+            FROM flags
+        )
+        SELECT rule, n_docs_flagged,
+               CAST(n_docs_flagged * 1000000 // n AS BIGINT) AS share_ppm
+        FROM rolled ORDER BY rule
+    """
+
+
+QUERIES["c4_quality_flags"] = c4_quality_flags
+ORACLE_SQL["c4_quality_flags"] = _c4_oracle_sql()

@@ -1570,3 +1570,57 @@ def test_third_gopher_quality_flags(spark):
         for r in gopher_quality_flags(spark, SF).collect()
     ]
     assert got == want
+
+
+def test_third_c4_quality_flags(spark):
+    """Pure-Python replay of the C4 rule ledger: same doc-level
+    renderings of the published line/page rules, exact equality."""
+    from skdist_spark.operators.text import (
+        C4_MIN_SENTENCES,
+        C4_MIN_WORDS_PER_LINE,
+        _C4_POLICY_PHRASES,
+        c4_quality_flags,
+    )
+
+    docs = _table("documents")
+    names = (
+        "too_few_sentences", "short_lines_majority",
+        "unterminated_lines_majority", "lorem_ipsum", "curly_brace",
+        "javascript_mention", "policy_phrase",
+    )
+    fails = {n: 0 for n in (*names, "pass_all")}
+    texts = docs["text"].dropna()
+    for text in texts:
+        lines = [l for l in text.split("\n") if l.strip()]
+        n_lines = len(lines)
+        n_term = text.count(".") + text.count("!") + text.count("?")
+        n_short = sum(
+            1
+            for l in lines
+            if len([w for w in l.split(" ") if w]) < C4_MIN_WORDS_PER_LINE
+        )
+        n_unterm = sum(
+            1 for l in lines if not l.strip().endswith((".", "!", "?", '"'))
+        )
+        low = text.lower()
+        flags = {
+            "too_few_sentences": n_term < C4_MIN_SENTENCES,
+            "short_lines_majority": 2 * n_short > n_lines,
+            "unterminated_lines_majority": 2 * n_unterm > n_lines,
+            "lorem_ipsum": "lorem ipsum" in low,
+            "curly_brace": "{" in text,
+            "javascript_mention": "javascript" in low,
+            "policy_phrase": any(p in low for p in _C4_POLICY_PHRASES),
+        }
+        for k, v in flags.items():
+            fails[k] += int(v)
+        fails["pass_all"] += int(not any(flags.values()))
+    n_docs = len(texts)
+    want = sorted(
+        (rule, cnt, cnt * 1_000_000 // n_docs) for rule, cnt in fails.items()
+    )
+    got = [
+        (r.rule, r.n_docs_flagged, r.share_ppm)
+        for r in c4_quality_flags(spark, SF).collect()
+    ]
+    assert got == want
