@@ -723,3 +723,96 @@ QUERIES["bloom_filter_words"] = bloom_filter_words
 QUERIES["bloom_probe_audit"] = bloom_probe_audit
 ORACLE_SQL["bloom_filter_words"] = _bloom_words_oracle()
 ORACLE_SQL["bloom_probe_audit"] = _bloom_probe_oracle()
+
+
+def hll_portable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-TABLE rollup with the portable HLL — ORACLE-BACKED: build
+    the per-DAY register table once, then answer the weekly distinct
+    question by MAX-merging register rows (never re-touching events),
+    side by side with a direct weekly build and the merge-identity
+    check (register-sum diff must be 0 — max is associative).
+
+    This is ``user_sketch_rollup``'s pattern with the JVM-opaque
+    Datasketches state replaced by pinnable integers, so the oracle
+    verifies the MERGE itself — the mergeability contract that makes
+    sketch tables the 100 TB answer to "distinct users per arbitrary
+    grain".  Output per week: merged z-numerator, raw estimate (one
+    IEEE division), and the identity flag.
+    """
+    ev = load_table(spark, "events", sf_dir).where(F.col("user_id").isNotNull())
+    hashed = ev.select(
+        F.to_date("ts").alias("day"), F.col("user_id").cast("bigint").alias("h")
+    )
+    for expr in hash_stage_exprs("h", "spark"):
+        hashed = hashed.select("day", F.expr(expr).alias("h"))
+    binned = hashed.select(
+        F.expr("CAST(datediff(day, DATE'2024-01-01') AS INT) DIV 7").alias("week"),
+        "day",
+        F.expr(f"CAST(h & {HLL_M - 1} AS INT)").alias("bucket"),
+        F.expr(_hll_rho_sql("(h >> 8)")).alias("rho"),
+    )
+    daily = binned.groupBy("week", "day", "bucket").agg(F.max("rho").alias("reg"))
+    merged = daily.groupBy("week", "bucket").agg(F.max("reg").alias("reg_m"))
+    direct = binned.groupBy("week", "bucket").agg(F.max("rho").alias("reg_d"))
+    both = merged.join(direct, ["week", "bucket"])
+    return (
+        both.groupBy("week")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_regs"),
+            (
+                F.sum(F.expr(f"shiftleft(1L, {_HLL_W_BITS + 1} - reg_m)"))
+                + (F.lit(HLL_M) - F.count(F.lit(1)))
+                * F.lit(1 << (_HLL_W_BITS + 1))
+            ).alias("z_num"),
+            F.sum(F.expr("abs(reg_m - reg_d)")).cast("bigint").alias("merge_diff"),
+        )
+        .select(
+            "week",
+            "n_regs",
+            "z_num",
+            (F.lit(_HLL_EST_NUM) / F.col("z_num").cast("double")).alias("est_raw"),
+            (F.col("merge_diff") == 0).alias("merge_identity"),
+        )
+        .orderBy("week")
+    )
+
+
+def _hll_rollup_oracle_sql() -> str:
+    hash_cte = duck_hash32_cte(
+        "SELECT CAST(ts AS DATE) AS day, user_id AS h FROM events"
+        " WHERE user_id IS NOT NULL",
+        "day",
+    )
+    return f"""
+        WITH binned AS (
+            SELECT CAST(date_diff('day', DATE '2024-01-01', day) AS INT) // 7 AS week,
+                   day, CAST(h & {HLL_M - 1} AS INT) AS bucket,
+                   {_hll_rho_sql("(h >> 8)")} AS rho
+            FROM ({hash_cte})
+        ), daily AS (
+            SELECT week, day, bucket, MAX(rho) AS reg
+            FROM binned GROUP BY week, day, bucket
+        ), merged AS (
+            SELECT week, bucket, MAX(reg) AS reg_m FROM daily GROUP BY week, bucket
+        ), direct AS (
+            SELECT week, bucket, MAX(rho) AS reg_d FROM binned GROUP BY week, bucket
+        ), paired AS (
+            SELECT merged.week, merged.bucket, reg_m, reg_d
+            FROM merged JOIN direct
+              ON merged.week = direct.week AND merged.bucket = direct.bucket
+        )
+        SELECT week, CAST(COUNT(*) AS INT) AS n_regs,
+               CAST(SUM((1::BIGINT << ({_HLL_W_BITS + 1} - reg_m)))
+                    + ({HLL_M} - COUNT(*)) * {1 << (_HLL_W_BITS + 1)}
+                    AS BIGINT) AS z_num,
+               CAST({_HLL_EST_NUM!r} AS DOUBLE)
+                 / CAST(CAST(SUM((1::BIGINT << ({_HLL_W_BITS + 1} - reg_m)))
+                        + ({HLL_M} - COUNT(*)) * {1 << (_HLL_W_BITS + 1)}
+                        AS BIGINT) AS DOUBLE) AS est_raw,
+               CAST(SUM(abs(reg_m - reg_d)) AS BIGINT) = 0 AS merge_identity
+        FROM paired GROUP BY week ORDER BY week
+    """
+
+
+QUERIES["hll_portable_rollup"] = hll_portable_rollup
+ORACLE_SQL["hll_portable_rollup"] = _hll_rollup_oracle_sql()
