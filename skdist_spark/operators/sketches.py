@@ -746,7 +746,12 @@ def hll_portable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for expr in hash_stage_exprs("h", "spark"):
         hashed = hashed.select("day", F.expr(expr).alias("h"))
     binned = hashed.select(
-        F.expr("CAST(datediff(day, DATE'2024-01-01') AS INT) DIV 7").alias("week"),
+        # floor division (not DIV): Spark DIV truncates toward zero
+        # while the oracle's // floors — they disagree on any pre-epoch
+        # day, so keep both sides floor-consistent
+        F.expr("CAST(floor(datediff(day, DATE'2024-01-01') / 7.0) AS INT)").alias(
+            "week"
+        ),
         "day",
         F.expr(f"CAST(h & {HLL_M - 1} AS INT)").alias("bucket"),
         F.expr(_hll_rho_sql("(h >> 8)")).alias("rho"),
