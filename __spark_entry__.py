@@ -79,6 +79,7 @@ _PRIORITY = [
     "bloom_probe_audit",  # NEW r5: runtime-filter probe contract pinned
     "c4_quality_flags",  # NEW r5: C4 rule ledger beside the Gopher one
     "hll_portable_rollup",  # NEW r5: register-table MAX-merge pinned
+    "kmv_user_difference",  # NEW r5: theta A-not-B estimates pinned
     "zipf_fit", "text_readability", "daily_revenue_acf",
     "event_value_trimmed", "embedding_separability", "click_purchase_ccf",
     "part_cf_similarity", "price_elasticity", "ann_ivf",

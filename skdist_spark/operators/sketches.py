@@ -821,3 +821,71 @@ def _hll_rollup_oracle_sql() -> str:
 
 QUERIES["hll_portable_rollup"] = hll_portable_rollup
 ORACLE_SQL["hll_portable_rollup"] = _hll_rollup_oracle_sql()
+
+
+def kmv_user_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-style A-not-B estimates from the SAME portable KMV
+    sketches as ``kmv_user_overlap`` — ORACLE-BACKED: within the
+    k-minimum union sample, the share of hashes seen only in A
+    estimates |A \\ B| as share * |A union B| (and symmetrically),
+    the classic theta-sketch set-difference — still bounded at k rows
+    per set, still one shuffle.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    pair = ev.where(
+        F.col("event_type").isin("click", "purchase") & F.col("user_id").isNotNull()
+    )
+    sk = kmv_sketch(pair, "event_type", "user_id")
+    merged = (
+        sk.select("h", "event_type")
+        .groupBy("h")
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("in_c"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "in_p"
+            ),
+        )
+        .orderBy("h")
+        .limit(KMV_K)
+    )
+    return merged.agg(
+        _kmv_estimate(KMV_K).alias("est_union"),
+        (F.sum(F.expr("CASE WHEN in_c = 1 AND in_p = 0 THEN 1 ELSE 0 END")) / F.count(F.lit(1))).alias("rho_c"),
+        (F.sum(F.expr("CASE WHEN in_p = 1 AND in_c = 0 THEN 1 ELSE 0 END")) / F.count(F.lit(1))).alias("rho_p"),
+    ).select(
+        (F.col("rho_c") * F.col("est_union")).alias("est_click_only"),
+        (F.col("rho_p") * F.col("est_union")).alias("est_purchase_only"),
+        F.col("est_union").alias("est_union_users"),
+    )
+
+
+ORACLE_SQL["kmv_user_difference"] = f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type, h FROM (
+            {duck_hash32_cte(
+                "SELECT DISTINCT event_type, user_id AS h FROM events"
+                " WHERE event_type IN ('click', 'purchase')"
+                " AND user_id IS NOT NULL",
+                "event_type",
+            )}
+        )
+    ), sk AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM hashed
+        ) WHERE rn <= {KMV_K}
+    ), merged AS (
+        SELECT h,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_c,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_p
+        FROM sk GROUP BY h ORDER BY h LIMIT {KMV_K}
+    )
+    SELECT (CAST(SUM(CASE WHEN in_c = 1 AND in_p = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE)) * ({_KMV_EST}) AS est_click_only,
+           (CAST(SUM(CASE WHEN in_p = 1 AND in_c = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE)) * ({_KMV_EST}) AS est_purchase_only,
+           {_KMV_EST} AS est_union_users
+    FROM merged
+"""
+QUERIES["kmv_user_difference"] = kmv_user_difference
