@@ -67,9 +67,10 @@ _PRIORITY = [
     "orders_fingerprint", "weighted_price_percentiles",
     "user_funnel_patterns", "weekly_revenue_forecast_hw", "cohort_ltv",
     # -- ROUND-6 QUEUE (past the 50-entry cap; all locally green).
-    # After the round-5 window lands, these are the only oracles
-    # without a driver row; round 6 promotes them to positions 1-10 and
-    # can fill 11-50 with any round-5 failures + new promotions.
+    # After the round-5 window lands, these 19 are the only oracles
+    # without a driver row (10 r5 promotions/additions + the 9-entry
+    # tail); round 6 promotes them to positions 1-19 and can fill
+    # 20-50 with any round-5 failures + new promotions.
     "ml_kmeans_exact",  # NEW r5: integer-exact quantized Lloyd rounds
     "heavy_hitters_cms",  # PROMOTED r5: Knuth-hash CMS contents pinned
     "kmv_user_overlap",  # PROMOTED r5: portable-hash KMV estimates pinned
