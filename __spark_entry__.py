@@ -67,10 +67,10 @@ _PRIORITY = [
     "orders_fingerprint", "weighted_price_percentiles",
     "user_funnel_patterns", "weekly_revenue_forecast_hw", "cohort_ltv",
     # -- ROUND-6 QUEUE (past the 50-entry cap; all locally green).
-    # After the round-5 window lands, these 19 are the only oracles
-    # without a driver row (10 r5 promotions/additions + the 9-entry
-    # tail); round 6 promotes them to positions 1-19 and can fill
-    # 20-50 with any round-5 failures + new promotions.
+    # After the round-5 window lands, these 20 are the only oracles
+    # without a driver row (11 r5 promotions/additions + the 9-entry
+    # tail); round 6 promotes them to positions 1-20 and can fill
+    # 21-50 with any round-5 failures + new promotions.
     "ml_kmeans_exact",  # NEW r5: integer-exact quantized Lloyd rounds
     "heavy_hitters_cms",  # PROMOTED r5: Knuth-hash CMS contents pinned
     "kmv_user_overlap",  # PROMOTED r5: portable-hash KMV estimates pinned
@@ -81,6 +81,7 @@ _PRIORITY = [
     "c4_quality_flags",  # NEW r5: C4 rule ledger beside the Gopher one
     "hll_portable_rollup",  # NEW r5: register-table MAX-merge pinned
     "kmv_user_difference",  # NEW r5: theta A-not-B estimates pinned
+    "hilbert_layout",  # NEW r5: Hilbert curve walk pinned cross-engine
     "zipf_fit", "text_readability", "daily_revenue_acf",
     "event_value_trimmed", "embedding_separability", "click_purchase_ccf",
     "part_cf_similarity", "price_elasticity", "ann_ivf",

@@ -832,3 +832,113 @@ def _zorder_oracle_sql() -> str:
 
 QUERIES = {"zorder_layout": zorder_layout}
 ORACLE_SQL = {"zorder_layout": _zorder_oracle_sql()}
+
+
+def hilbert_duck_sql(inner: str, keep: str, bits: int = 16) -> str:
+    """DuckDB face of ``hilbert_value``: the stateful xy2d bit walk
+    unrolled into one SELECT per level (named-column chaining, no
+    expression blowup).  ``inner`` must yield ``keep`` columns plus
+    BIGINT ``x`` and ``y``; the result adds BIGINT ``d`` and replicates
+    the Spark fold's full-grid flips exactly."""
+    n1 = (1 << bits) - 1
+    q = f"SELECT {keep}, 0::BIGINT AS d, x, y FROM ({inner})"
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        q = f"""SELECT {keep},
+            d + ({1 << (2 * i)}::BIGINT) * xor(3 * {rx}, {ry}) AS d,
+            CASE WHEN {ry} = 0
+                 THEN (CASE WHEN {rx} = 1 THEN {n1} - y ELSE y END)
+                 ELSE x END AS x,
+            CASE WHEN {ry} = 0
+                 THEN (CASE WHEN {rx} = 1 THEN {n1} - x ELSE x END)
+                 ELSE y END AS y
+        FROM ({q})"""
+    return q
+
+
+def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout audit over lineitem — ORACLE-BACKED, the
+    higher-locality sibling of ``zorder_layout``: same deterministic
+    16-bit grid scaling and 64-way key-space file split, but clustered
+    along the Hilbert curve (every unit step is spatially adjacent, so
+    each file is one contiguous curve segment with a compact bounding
+    box — z-order jumps across power-of-two seams).
+
+    The Spark side runs the ``hilbert_value`` aggregate-fold (JVM
+    codegen); the oracle replays the identical bit walk unrolled into
+    16 SQL stages — the first cross-engine pin of the curve itself.
+    Output schema matches zorder_layout so the two audits compare
+    span tightness file-for-file.
+    """
+    from pyspark.sql import functions as F
+
+    from .catalog import load_table
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_partkey").cast("bigint").alias("rx"),
+        F.expr("CAST(datediff(l_shipdate, DATE'1992-01-01') AS BIGINT)").alias("ry"),
+    )
+    bounds = li.agg(
+        F.min("rx").alias("x0"), F.max("rx").alias("x1"),
+        F.min("ry").alias("y0"), F.max("ry").alias("y1"),
+    )
+    scaled = li.crossJoin(F.broadcast(bounds)).select(
+        F.expr("(rx - x0) * 65535 DIV greatest(x1 - x0, 1)").alias("hx"),
+        F.expr("(ry - y0) * 65535 DIV greatest(y1 - y0, 1)").alias("hy"),
+    )
+    return (
+        scaled.withColumn("d", hilbert_value("hx", "hy", 16))
+        .select(
+            F.expr(f"CAST(d >> {32 - ZORDER_FILES_LOG2} AS INT)").alias("file_id"),
+            F.col("hx").cast("int").alias("x"),
+            F.col("hy").cast("int").alias("y"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+        .withColumn(
+            "scan_for_x_pred",
+            ~((F.col("max_x") < _Z_PRED_LO) | (F.col("min_x") > _Z_PRED_HI)),
+        )
+        .orderBy("file_id")
+    )
+
+
+def _hilbert_oracle_sql() -> str:
+    scaled = """
+        SELECT (rx - x0) * 65535 // greatest(x1 - x0, 1) AS x,
+               (ry - y0) * 65535 // greatest(y1 - y0, 1) AS y,
+               (rx - x0) * 65535 // greatest(x1 - x0, 1) AS px,
+               (ry - y0) * 65535 // greatest(y1 - y0, 1) AS py
+        FROM (SELECT CAST(l_partkey AS BIGINT) AS rx,
+                     CAST(date_diff('day', DATE '1992-01-01', l_shipdate) AS BIGINT) AS ry
+              FROM lineitem),
+             (SELECT MIN(CAST(l_partkey AS BIGINT)) AS x0,
+                     MAX(CAST(l_partkey AS BIGINT)) AS x1,
+                     MIN(CAST(date_diff('day', DATE '1992-01-01', l_shipdate) AS BIGINT)) AS y0,
+                     MAX(CAST(date_diff('day', DATE '1992-01-01', l_shipdate) AS BIGINT)) AS y1
+              FROM lineitem)
+    """
+    walked = hilbert_duck_sql(scaled, "px, py")
+    return f"""
+        SELECT CAST(d >> {32 - ZORDER_FILES_LOG2} AS INT) AS file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(CAST(px AS INT)) AS min_x, MAX(CAST(px AS INT)) AS max_x,
+               MIN(CAST(py AS INT)) AS min_y, MAX(CAST(py AS INT)) AS max_y,
+               NOT (MAX(CAST(px AS INT)) < {_Z_PRED_LO}
+                    OR MIN(CAST(px AS INT)) > {_Z_PRED_HI}) AS scan_for_x_pred
+        FROM ({walked})
+        GROUP BY CAST(d >> {32 - ZORDER_FILES_LOG2} AS INT)
+        ORDER BY file_id
+    """
+
+
+QUERIES["hilbert_layout"] = hilbert_layout
+ORACLE_SQL["hilbert_layout"] = _hilbert_oracle_sql()

@@ -639,3 +639,20 @@ def test_zorder_layout_prunes_files(spark, sf_dir):
     assert all(r.max_y - r.min_y <= (1 << 13) for r in rows)
     scanned = sum(1 for r in rows if r.scan_for_x_pred)
     assert scanned * 2 < len(rows), (scanned, len(rows))
+
+
+def test_hilbert_layout_matches_fold_and_prunes(spark, sf_dir):
+    """The Hilbert layout audit must produce compact per-file bounding
+    boxes (curve segments are spatially contiguous) and prune a
+    majority of files for the x-range predicate, like zorder_layout."""
+    from skdist_spark.sources.io import hilbert_layout
+
+    rows = hilbert_layout(spark, sf_dir).collect()
+    assert len(rows) > 1
+    assert all(r.n_rows > 0 for r in rows)
+    # one contiguous 2^26-point curve segment per file: bbox stays
+    # within a 2^14 square (usually a single 2^13 tile)
+    assert all(r.max_x - r.min_x <= (1 << 14) for r in rows)
+    assert all(r.max_y - r.min_y <= (1 << 14) for r in rows)
+    scanned = sum(1 for r in rows if r.scan_for_x_pred)
+    assert scanned * 2 < len(rows), (scanned, len(rows))

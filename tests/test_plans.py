@@ -135,9 +135,9 @@ def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
             # one-row scalar broadcasts (grand totals)
             "value_benford", "event_value_chi2", "revenue_cusum",
             "supplier_concentration",
-            # one-row scalar broadcasts: KMV union estimate / z-order
+            # one-row scalar broadcasts: KMV union estimate / layout
             # min-max grid bounds
-            "kmv_user_overlap", "zorder_layout",
+            "kmv_user_overlap", "zorder_layout", "hilbert_layout",
             # bounded broadcast query side (as ann_topk)
             "ann_int8",
             # one-row scalar broadcasts: gini moments / corpus-end
