@@ -2211,3 +2211,37 @@ def test_bloom_filter_words_bounded_and_no_false_negatives(spark, sf_dir):
     # pass: passed = members + false positives, exactly
     assert audit.n_passed == n_members + audit.n_false_pos, audit
     assert audit.n_probed >= audit.n_passed
+
+
+def test_portable_hash_matches_python_replay(spark):
+    """Third-opinion pin of the portable 32-bit hash: the Spark
+    expression pipeline, the DuckDB CTE, and a pure-Python replay of
+    the multiply-xorshift stages must agree value-for-value (so a
+    refactor of either SQL spelling cannot silently change every
+    sketch oracle at once)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from skdist_spark.operators.sketches import duck_hash32_cte, hash_stage_exprs
+
+    def py_hash(x: int) -> int:
+        h = (x & 0x7FFFFFFF) * 2654435761 & 0xFFFFFFFF
+        h = (h ^ (h >> 16)) & 0x7FFFFFFF
+        h = h * 2246822507 & 0xFFFFFFFF
+        return h ^ (h >> 15)
+
+    keys = [0, 1, 2, 7, 255, 65535, 123456789, 2**31 - 1, 2**31, 2**40 + 17]
+    df = spark.createDataFrame([(k,) for k in keys], "h bigint")
+    for expr in hash_stage_exprs("h", "spark"):
+        df = df.select(F.expr(expr).alias("h"))
+    got_spark = [r.h for r in df.collect()]
+
+    con = duckdb.connect()
+    vals = ", ".join(f"({k}::BIGINT)" for k in keys)
+    sql = duck_hash32_cte(f"SELECT 1 AS g, h FROM (VALUES {vals}) t(h)", "g")
+    got_duck = [r[0] for r in con.execute(f"SELECT h FROM ({sql})").fetchall()]
+
+    want = [py_hash(k) for k in keys]
+    assert got_spark == want, (got_spark, want)
+    assert sorted(got_duck) == sorted(want)
+    assert all(0 <= h < 2**32 for h in want)
