@@ -2101,3 +2101,37 @@ def stream_ann_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["stream_ann_enrich"] = stream_ann_enrich
+
+
+def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming face of ``hll_portable_registers``: maintain the
+    per-type portable-HLL register table as a streaming aggregation —
+    groupBy(event_type, bucket) MAX(rho) in complete mode, so each
+    micro-batch folds its rows into at most types x 256 register rows
+    of state (the mergeability contract live: MAX is the merge).
+
+    rows-only (streaming); the pytest pins bit-equality of the final
+    register table against the batch face — the distinct-count sketch
+    you can keep continuously fresh at 100 TB because state never
+    exceeds the register grid no matter the throughput.
+    """
+    from ..operators.sketches import HLL_M, _hll_rho_sql, hash_stage_exprs
+
+    ev = _read_event_stream(spark, sf_dir).where(F.col("user_id").isNotNull())
+    hashed = ev.select("event_type", F.col("user_id").cast("bigint").alias("h"))
+    for expr in hash_stage_exprs("h", "spark"):
+        hashed = hashed.select("event_type", F.expr(expr).alias("h"))
+    regs = (
+        hashed.select(
+            "event_type",
+            F.expr(f"CAST(h & {HLL_M - 1} AS INT)").alias("bucket"),
+            F.expr(_hll_rho_sql("(h >> 8)")).alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").cast("int").alias("reg"))
+    )
+    out = run_stream_to_df(regs, output_mode="complete")
+    return out.orderBy("event_type", "bucket")
+
+
+QUERIES["stream_hll_registers"] = stream_hll_registers

@@ -810,3 +810,23 @@ def test_stream_ann_enrich_equals_batch(spark, sf_dir):
         for r in ivf_join(queries, corpus, cents, k=3, nprobe=2).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_hll_registers_equals_batch(spark, sf_dir):
+    """The streaming register table must be BIT-EQUAL to the batch
+    portable-HLL face — max-merge across micro-batches is the same
+    fold as the batch shuffle."""
+    from skdist_spark.operators.sketches import hll_portable_registers
+    from skdist_spark.streaming.ops import stream_hll_registers
+
+    got = [
+        (r.event_type, r.bucket, r.reg)
+        for r in stream_hll_registers(spark, sf_dir).collect()
+    ]
+    want = [
+        (r.event_type, r.bucket, r.reg)
+        for r in hll_portable_registers(spark, sf_dir)
+        .select("event_type", "bucket", "reg")
+        .collect()
+    ]
+    assert got == want and len(got) > 0
