@@ -67,9 +67,9 @@ _PRIORITY = [
     "orders_fingerprint", "weighted_price_percentiles",
     "user_funnel_patterns", "weekly_revenue_forecast_hw", "cohort_ltv",
     # -- ROUND-6 QUEUE (past the 50-entry cap; all locally green).
-    # After the round-5 window lands, these 20 are the only oracles
-    # without a driver row (11 r5 promotions/additions + the 9-entry
-    # tail); round 6 promotes them to positions 1-20 and can fill
+    # After the round-5 window lands, these 21 are the only oracles
+    # without a driver row (12 r5 promotions/additions + the 9-entry
+    # tail); round 6 promotes them to positions 1-21 and can fill
     # 21-50 with any round-5 failures + new promotions.
     "ml_kmeans_exact",  # NEW r5: integer-exact quantized Lloyd rounds
     "heavy_hitters_cms",  # PROMOTED r5: Knuth-hash CMS contents pinned
@@ -82,6 +82,7 @@ _PRIORITY = [
     "hll_portable_rollup",  # NEW r5: register-table MAX-merge pinned
     "kmv_user_difference",  # NEW r5: theta A-not-B estimates pinned
     "hilbert_layout",  # NEW r5: Hilbert curve walk pinned cross-engine
+    "embedding_covariance",  # NEW r5: exact Gram moments behind PCA
     "zipf_fit", "text_readability", "daily_revenue_acf",
     "event_value_trimmed", "embedding_separability", "click_purchase_ccf",
     "part_cf_similarity", "price_elasticity", "ann_ivf",

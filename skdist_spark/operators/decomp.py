@@ -567,3 +567,98 @@ def _drift_sql() -> str:
 
 QUERIES["embedding_drift_report"] = embedding_drift_report
 ORACLE_SQL["embedding_drift_report"] = _drift_sql()
+
+
+# ---- distributed covariance (the Gram heart of PCA), oracle-backed ------
+
+EMB_COV_SCALE = 1 << 14  # micro-quantization: floor(e * 2^14) is exact
+_EMB_COV_SCALE2 = float(EMB_COV_SCALE * EMB_COV_SCALE)
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed heart of PCA/whitening — ORACLE-BACKED: the full
+    upper-triangle covariance matrix of the embedding table from ONE
+    scan, computed on floor(e * 2^14) BIGINT coordinates (quantization
+    is the only approximation; every moment is an exact integer).
+
+    Shape: each row expands to its d*(d+1)/2 upper-triangle product
+    terms via a nested-sequence transform (one expression, JVM
+    codegen), then a map-side-combined groupBy leaves only 2080 moment
+    rows on the shuffle — at 100 TB the moments ARE the shuffle, which
+    is why ``fit_pca``'s driver step only ever sees a d x d matrix.
+    The covariance itself is derived from the exact moments by a fixed
+    IEEE sequence (three divisions, one multiply, one subtract), so
+    both engines emit bit-identical doubles.
+
+    ``embedding_pca`` stays rows-only (eigensolve); this pins the
+    distributed portion of the decomposition family cross-engine.
+    """
+    emb = load_table(spark, "embeddings", sf_dir).where(
+        F.col("embedding").isNotNull()
+    )
+    q = emb.select(
+        F.expr(
+            f"transform(embedding, e ->"
+            f" CAST(floor(CAST(e AS DOUBLE) * {EMB_COV_SCALE}) AS BIGINT))"
+        ).alias("q")
+    )
+    terms = q.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(q) - 1),"
+                " i -> transform(sequence(i, size(q) - 1),"
+                " j -> struct(i AS i, j AS j,"
+                " element_at(q, i + 1) * element_at(q, j + 1) AS p,"
+                " element_at(q, i + 1) AS qi,"
+                " element_at(q, j + 1) AS qj))))"
+            )
+        ).alias("t")
+    ).select("t.i", "t.j", "t.p", "t.qi", "t.qj")
+    mom = terms.groupBy(
+        F.col("i").cast("int").alias("i"), F.col("j").cast("int").alias("j")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qi").alias("s_i"),
+        F.sum("qj").alias("s_j"),
+        F.sum("p").alias("s_ij"),
+    )
+    cov = (
+        F.col("s_ij").cast("double") / F.col("n").cast("double")
+        - (F.col("s_i").cast("double") / F.col("n").cast("double"))
+        * (F.col("s_j").cast("double") / F.col("n").cast("double"))
+    ) / F.lit(_EMB_COV_SCALE2)
+    return mom.select("i", "j", "n", "s_i", "s_j", "s_ij", cov.alias("cov")).orderBy(
+        "i", "j"
+    )
+
+
+ORACLE_SQL["embedding_covariance"] = f"""
+    WITH q AS (
+        SELECT list_transform(embedding,
+                   e -> CAST(floor(CAST(e AS DOUBLE) * {EMB_COV_SCALE}) AS BIGINT)) AS q
+        FROM embeddings WHERE embedding IS NOT NULL
+    ), dims AS (
+        SELECT UNNEST(range(0, (SELECT len(q) FROM q LIMIT 1))) AS i
+    ), pairs AS (
+        SELECT a.i AS i, b.i AS j FROM dims a, dims b WHERE b.i >= a.i
+    ), terms AS (
+        SELECT p.i, p.j,
+               q.q[p.i + 1] * q.q[p.j + 1] AS prod,
+               q.q[p.i + 1] AS qi, q.q[p.j + 1] AS qj
+        FROM q, pairs p
+    ), mom AS (
+        SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(qi) AS BIGINT) AS s_i,
+               CAST(SUM(qj) AS BIGINT) AS s_j,
+               CAST(SUM(prod) AS BIGINT) AS s_ij
+        FROM terms GROUP BY i, j
+    )
+    SELECT i, j, n, s_i, s_j, s_ij,
+           (CAST(s_ij AS DOUBLE) / CAST(n AS DOUBLE)
+            - (CAST(s_i AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(s_j AS DOUBLE) / CAST(n AS DOUBLE)))
+             / {_EMB_COV_SCALE2!r} AS cov
+    FROM mom ORDER BY i, j
+"""
+QUERIES["embedding_covariance"] = embedding_covariance

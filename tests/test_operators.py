@@ -2245,3 +2245,22 @@ def test_portable_hash_matches_python_replay(spark):
     assert got_spark == want, (got_spark, want)
     assert sorted(got_duck) == sorted(want)
     assert all(0 <= h < 2**32 for h in want)
+
+
+def test_embedding_covariance_matches_numpy(spark, sf_dir):
+    """The quantized-exact covariance must agree with a float64 numpy
+    covariance of the raw embeddings to within quantization error
+    (coordinates are floored at 2^-14 resolution)."""
+    import numpy as np
+
+    from skdist_spark.operators.decomp import embedding_covariance
+    from skdist_spark.sources.catalog import load_table
+
+    rows = embedding_covariance(spark, sf_dir).collect()
+    pdf = load_table(spark, "embeddings", sf_dir).select("embedding").toPandas()
+    x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    c = np.cov(x, rowvar=False, bias=True)
+    got = {(r.i, r.j): r.cov for r in rows}
+    assert len(got) == x.shape[1] * (x.shape[1] + 1) // 2
+    for (i, j), v in got.items():
+        assert abs(v - c[i, j]) < 2e-4, (i, j, v, c[i, j])
