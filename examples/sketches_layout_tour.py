@@ -47,5 +47,5 @@ zorder_layout(spark, sf).show(5)
 
 print("-- Hilbert layout audit: contiguous curve segments --")
 hilbert_layout(spark, sf).show(5)
-
-spark.stop()
+# no spark.stop(): examples share the caller's session (getOrCreate) —
+# the smoke test runs every script in-process on one shared session
