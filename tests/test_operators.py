@@ -385,6 +385,55 @@ def test_sample_stratified_deterministic(spark, sf_dir):
     assert ids_a == ids_b and 0 < len(ids_a) < docs.count()
 
 
+def test_edit_distance_join_matches_bruteforce(spark):
+    """PassJoin losslessness: the segment-pigeonhole candidate join
+    must find EXACTLY the pairs a brute-force O(n^2) levenshtein scan
+    finds — same pairs, same distances — over a small-alphabet corpus
+    dense in near-duplicates, including empty and length-<d strings
+    (the segment-boundary edge cases)."""
+    import itertools
+    import random
+
+    from skdist_spark.operators.setsim import edit_distance_join
+
+    rng = random.Random(42)
+    alphabet = "abc "
+    rows = [
+        (
+            i,
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12))),
+            rng.randint(0, 1),
+        )
+        for i in range(250)
+    ]
+    df = spark.createDataFrame(rows, "id int, s string, blk int")
+    got = {
+        (r.id_a, r.id_b, r.edit_dist)
+        for r in edit_distance_join(
+            df, "id", "s", max_dist=2, block_cols=("blk",)
+        ).collect()
+    }
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (ia, ib, lev(sa, sb))
+        for (ia, sa, ba), (ib, sb, bb) in itertools.combinations(rows, 2)
+        if ba == bb and lev(sa, sb) <= 2
+    }
+    assert got == want
+    assert len(want) > 50  # the corpus actually exercises the join
+
+
 def test_kmv_overlap_matches_exact_at_small_cardinality(spark, sf_dir):
     from skdist_spark.operators import sketches
 
@@ -2225,12 +2274,19 @@ def test_portable_hash_matches_python_replay(spark):
     from skdist_spark.operators.sketches import duck_hash32_cte, hash_stage_exprs
 
     def py_hash(x: int) -> int:
-        h = (x & 0x7FFFFFFF) * 2654435761 & 0xFFFFFFFF
+        h = (
+            ((x & 0x7FFFFFFF) * 2654435761 & 0xFFFFFFFF)
+            + (((x >> 30) & 0x7FFFFFFF) * 2246822507 & 0xFFFFFFFF)
+            + (((x >> 61) & 7) * 1013904223)
+        )
         h = (h ^ (h >> 16)) & 0x7FFFFFFF
         h = h * 2246822507 & 0xFFFFFFFF
         return h ^ (h >> 15)
 
-    keys = [0, 1, 2, 7, 255, 65535, 123456789, 2**31 - 1, 2**31, 2**40 + 17]
+    keys = [
+        0, 1, 2, 7, 255, 65535, 123456789, 2**31 - 1, 2**31, 2**40 + 17,
+        2**62 + 3, 2**63 - 1, -1, -123456789,
+    ]
     df = spark.createDataFrame([(k,) for k in keys], "h bigint")
     for expr in hash_stage_exprs("h", "spark"):
         df = df.select(F.expr(expr).alias("h"))
@@ -2245,6 +2301,9 @@ def test_portable_hash_matches_python_replay(spark):
     assert got_spark == want, (got_spark, want)
     assert sorted(got_duck) == sorted(want)
     assert all(0 <= h < 2**32 for h in want)
+    # the high-bit fold means keys differing only in bits >= 31 no
+    # longer collide (hash(0) == hash(2^31) before the r6 fix)
+    assert len(set(want)) == len(keys), want
 
 
 def test_embedding_covariance_matches_numpy(spark, sf_dir):
