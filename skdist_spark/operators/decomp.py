@@ -573,6 +573,12 @@ ORACLE_SQL["embedding_drift_report"] = _drift_sql()
 
 EMB_COV_SCALE = 1 << 14  # micro-quantization: floor(e * 2^14) is exact
 _EMB_COV_SCALE2 = float(EMB_COV_SCALE * EMB_COV_SCALE)
+# the synthetic embeddings table is 64-dim; BOTH faces filter to exactly
+# this size so ragged or empty (non-NULL) embeddings are excluded
+# identically — without the pin, the oracle derived its dimension list
+# from one arbitrary row while Spark expanded per-row sizes, silently
+# diverging on ragged data and raising on a zero-length array.
+EMB_COV_DIM = 64
 
 
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -594,7 +600,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed portion of the decomposition family cross-engine.
     """
     emb = load_table(spark, "embeddings", sf_dir).where(
-        F.col("embedding").isNotNull()
+        F.col("embedding").isNotNull() & (F.size("embedding") == EMB_COV_DIM)
     )
     q = emb.select(
         F.expr(
@@ -636,9 +642,10 @@ ORACLE_SQL["embedding_covariance"] = f"""
     WITH q AS (
         SELECT list_transform(embedding,
                    e -> CAST(floor(CAST(e AS DOUBLE) * {EMB_COV_SCALE}) AS BIGINT)) AS q
-        FROM embeddings WHERE embedding IS NOT NULL
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = {EMB_COV_DIM}
     ), dims AS (
-        SELECT UNNEST(range(0, (SELECT len(q) FROM q LIMIT 1))) AS i
+        SELECT UNNEST(range(0, {EMB_COV_DIM})) AS i
     ), pairs AS (
         SELECT a.i AS i, b.i AS j FROM dims a, dims b WHERE b.i >= a.i
     ), terms AS (
