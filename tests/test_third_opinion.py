@@ -1591,7 +1591,10 @@ def test_third_c4_quality_flags(spark):
     fails = {n: 0 for n in (*names, "pass_all")}
     texts = docs["text"].dropna()
     for text in texts:
-        lines = [l for l in text.split("\n") if l.strip()]
+        # strip(' ') not strip(): the Spark/DuckDB faces use trim(),
+        # which removes only SPACES — a bare strip() would also eat
+        # \r/\t and silently diverge on CRLF or tab-padded lines
+        lines = [l for l in text.split("\n") if l.strip(" ")]
         n_lines = len(lines)
         n_term = text.count(".") + text.count("!") + text.count("?")
         n_short = sum(
@@ -1600,7 +1603,7 @@ def test_third_c4_quality_flags(spark):
             if len([w for w in l.split(" ") if w]) < C4_MIN_WORDS_PER_LINE
         )
         n_unterm = sum(
-            1 for l in lines if not l.strip().endswith((".", "!", "?", '"'))
+            1 for l in lines if not l.strip(" ").endswith((".", "!", "?", '"'))
         )
         low = text.lower()
         flags = {
