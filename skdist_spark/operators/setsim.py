@@ -123,6 +123,134 @@ def setsim_join(
     )
 
 
+def edit_distance_join(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_dist: int = 2,
+    block_cols: tuple = (),
+) -> DataFrame:
+    """Exact edit-distance self-join: every pair of rows (within
+    identical ``block_cols`` values) whose ``str_col`` values are
+    within levenshtein distance ``max_dist`` — candidate generation by
+    the PassJoin segment pigeonhole (Li/Deng/Feng, VLDB'11), never
+    row x row.
+
+    Pigeonhole: partition each string into d+1 contiguous segments; if
+    lev(a, b) <= d, at most d segments of ``a`` are touched by edits,
+    so at least one segment survives VERBATIM as a substring of ``b``,
+    shifted by at most the d indels that precede it.  Candidate
+    generation is therefore an equi-join on
+    (block, source-length L, segment index i, segment text): the index
+    side emits each string's d+1 exact segments; the probe side emits,
+    for every candidate source length L = len + k and every position
+    shift delta, the substring the pigeonhole would have to hit.  The
+    (k, i, delta) probe space is pruned by indel balance — the shift
+    before the preserved segment needs >= |delta| indels and the
+    remaining length difference (M-L) - delta needs >= |(M-L) - delta|
+    indels after it, so their sum cannot exceed d — leaving 39 probes
+    per row at d=2 (constant: the work is LINEAR in rows) with join
+    keys carrying full segment-text entropy.  This replaced a
+    (p_type, p_size) blocking join whose in-block pair count grew
+    quadratically (10x-data slope 8.1 in the r5 BENCH_SCALE).
+
+    Verification is one thresholded ``levenshtein(a, b, d)`` (early
+    exit above d) per DISTINCT candidate pair.  Lossless — no false
+    negatives, by the pigeonhole argument; the brute-force DuckDB
+    oracle for ``fuzzy_part_match`` pins that cross-engine at every
+    SF.  Returns (id_a, id_b, edit_dist) with id_a < id_b.
+    """
+    d = max_dist
+    n_seg = d + 1
+    blocks = list(block_cols)
+    base = df.where(F.col(str_col).isNotNull()).select(
+        *blocks,
+        F.col(id_col).alias("_id"),
+        F.col(str_col).alias("_s"),
+        F.length(str_col).alias("_l"),
+    )
+
+    # index side: the d+1 exact segments of each string (segment i of a
+    # length-L string spans [floor((i-1)L/(d+1)), floor(iL/(d+1))))
+    seg_structs = []
+    for i in range(1, n_seg + 1):
+        start = F.floor(F.lit(i - 1) * F.col("_l") / n_seg).cast("int")
+        end = F.floor(F.lit(i) * F.col("_l") / n_seg).cast("int")
+        seg_structs.append(
+            F.struct(
+                F.lit(i).alias("i"),
+                F.col("_l").cast("int").alias("L"),
+                F.col("_s").substr(start + F.lit(1), end - start).alias("seg"),
+            )
+        )
+    index = base.select(
+        *blocks,
+        F.col("_id").alias("_ida"),
+        F.col("_s").alias("_sa"),
+        F.explode(F.array(*seg_structs)).alias("k"),
+    ).select(*blocks, "_ida", "_sa", "k.i", "k.L", "k.seg")
+
+    # probe side: explode a LITERAL (k, i, delta) combo array first so
+    # the plan compiles ONE shared substring expression instead of 39
+    # inline branches (codegen stays small; runtime work is identical)
+    combos = [
+        (k, i, delta)
+        for k in range(-d, d + 1)
+        for i in range(1, n_seg + 1)
+        for delta in range(-d, d + 1)
+        if abs(delta) + abs(-k - delta) <= d
+    ]
+    combo_arr = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"), F.lit(i).alias("i"), F.lit(dl).alias("dl")
+            )
+            for k, i, dl in combos
+        ]
+    )
+    _L = (F.col("_l") + F.col("c.k")).cast("int")
+    _start0 = F.floor((F.col("c.i") - 1) * _L / n_seg).cast("int")
+    _end0 = F.floor(F.col("c.i") * _L / n_seg).cast("int")
+    _p = _start0 + F.col("c.dl")
+    probes = (
+        base.select(
+            *blocks,
+            F.col("_id").alias("_idb"),
+            F.col("_s").alias("_sb"),
+            "_l",
+            F.explode(combo_arr).alias("c"),
+        )
+        .where((_L >= 0) & (_p >= 0) & (_p + (_end0 - _start0) <= F.col("_l")))
+        .select(
+            *blocks,
+            "_idb",
+            "_sb",
+            F.col("c.i").alias("i"),
+            _L.alias("L"),
+            F.col("_sb").substr(_p + F.lit(1), _end0 - _start0).alias("seg"),
+        )
+    )
+    # per-row duplicate probes (clipped/empty segments) survive here;
+    # the candidate-level distinct() removes the duplicate pairs they
+    # produce — cheaper than a probe-side shuffle dedup
+
+    cand = (
+        index.join(probes, [*blocks, "i", "L", "seg"])
+        .where(F.col("_ida") < F.col("_idb"))
+        .select("_ida", "_idb", "_sa", "_sb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("edit_dist", F.levenshtein("_sa", "_sb", d))
+        .where(F.col("edit_dist") >= 0)
+        .select(
+            F.col("_ida").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            "edit_dist",
+        )
+    )
+
+
 def similar_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All document pairs with word-3-gram-shingle Jaccard >= 0.5 over
     the documents table — the exact-recall face of dedup_minhash."""

@@ -801,31 +801,29 @@ def setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy string matching: part-name pairs within edit distance 2,
-    blocked by (p_type, p_size) so the candidate space is per-block,
-    never corpus x corpus — the blocked fuzzy-join pattern (same
-    posture as the dedup suite: block -> candidate equi-join -> exact
-    verify with levenshtein, a JVM builtin in both engines)."""
+    """Fuzzy string matching: part-name pairs within edit distance 2
+    among parts sharing (p_type, p_size) — candidate generation by the
+    PassJoin segment pigeonhole (operators/setsim.py
+    ``edit_distance_join``), NOT a (p_type, p_size) block join: the
+    old blocking key had ~7,500 distinct values, so in-block pair
+    counts grew quadratically with data (BENCH_SCALE r5 slope 8.1);
+    the segment equi-join carries name-text entropy and is linear in
+    rows, with the same lossless result (the brute-force DuckDB
+    oracle pins that at every SF)."""
+    from ..operators.setsim import edit_distance_join
+
     part = load_table(spark, "part", sf_dir).select(
         "p_partkey", "p_name", "p_type", "p_size"
     )
-    a, b = part.alias("a"), part.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.p_type") == F.col("b.p_type"))
-            & (F.col("a.p_size") == F.col("b.p_size"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
-            # cheap length prefilter before the O(nm) edit distance
-            & (
-                F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))) <= 2
-            ),
+        edit_distance_join(
+            part, "p_partkey", "p_name", max_dist=2,
+            block_cols=("p_type", "p_size"),
         )
-        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 2)
         .select(
-            F.col("a.p_partkey").alias("part_a"),
-            F.col("b.p_partkey").alias("part_b"),
-            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("edit_dist"),
+            F.col("id_a").alias("part_a"),
+            F.col("id_b").alias("part_b"),
+            "edit_dist",
         )
         .orderBy("part_a", "part_b")
     )
