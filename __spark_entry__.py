@@ -66,7 +66,7 @@ _PRIORITY = [
     "part_cf_similarity", "price_elasticity", "ann_ivf",
     # 22-26: NEW or CHANGED this round (r6) — never attested in this form.
     "dedup_lines_docs",  # NEW r6: line-level dedup over multi-line docs
-    "ann_pq",  # PROMOTED r6: quantized PQ codebook + ADC pinned (was rows-only)
+    "ann_pq_exact",  # NEW r6: integer-exact PQ codebooks + ADC pinned
     "pack_chunks",  # PROMOTED r6: deterministic FFD bin manifest pinned
     "fuzzy_part_match",  # CHANGED r6: re-blocked on high-entropy key
     "part_entity_resolution",  # CHANGED r6: same re-blocking

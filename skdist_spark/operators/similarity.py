@@ -915,6 +915,260 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+# ---- integer-exact PQ: the oracle face of ann_pq -------------------------
+
+PQX_M = 4  # subspaces (64 dims -> 16 per subspace)
+PQX_SUB_D = 16
+PQX_K = 8  # centroids per subspace -> 3-bit codes
+PQX_ROUNDS = 2  # fixed Lloyd rounds per subspace codebook
+PQX_TRAIN = 256  # deterministic training set: vec_id < 256
+PQX_QUANT = 16_384  # 2^14: q = floor(e * 2^14) is exact (|e| < 1)
+PQX_CSCALE = 1_024  # 2^10: centroid fixed-point sub-scale
+
+
+def ann_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization with ALL arithmetic in scaled integers —
+    ORACLE-BACKED (promoted r6): the quantized-Lloyd trick that pinned
+    ``ml_kmeans_exact`` applied per SUBSPACE, so the codebooks, the
+    corpus codes, AND the asymmetric-distance (ADC) lookup tables are
+    exact integers the DuckDB oracle rebuilds bit-for-bit.  This is
+    the cross-engine verification face of the float ``ann_pq``
+    (which stays as the throughput face: Arrow-batched numpy ADC).
+
+    Fixed recurrence per subspace s: seeds = the k lowest-vec_id
+    sub-vectors; PQX_ROUNDS rounds of (integer argmin assignment, ties
+    to the lowest code; centroid refresh floor(sum * 2^10 / n); empty
+    clusters keep their centroid); corpus codes = final argmin;
+    approx_dist(query, neighbor) = sum over subspaces of the exact
+    integer LUT entry — one BIGINT per (query, code) pair.
+
+    Scale posture: codebook training touches only the bounded
+    PQX_TRAIN set; encoding is one broadcast of m*k centroid rows +
+    a map-side argmin; ADC is an equi-join of corpus codes against a
+    broadcast m*k*n_queries LUT followed by a (query, neighbor)
+    map-side-combined sum — shuffle O(corpus * n_queries), the
+    classic PQ serving shape, never corpus x corpus.
+    """
+    from pyspark import StorageLevel
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE)"
+            f" * {PQX_QUANT}) AS BIGINT))"
+        ).alias("q"),
+    )
+    sub = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.expr(
+                            f"slice(q, {s * PQX_SUB_D + 1}, {PQX_SUB_D})"
+                        ).alias("v"),
+                    )
+                    for s in range(PQX_M)
+                ]
+            )
+        ).alias("t"),
+    ).select("vec_id", "t.s", "t.v")
+
+    train = sub.where(F.col("vec_id") < PQX_TRAIN)
+    w_seed = Window.partitionBy("s").orderBy("vec_id")
+    cent = (
+        train.withColumn("rn", F.row_number().over(w_seed))
+        .where(F.col("rn") <= PQX_K)
+        .select(
+            "s",
+            (F.col("rn") - 1).cast("int").alias("cluster"),
+            F.expr(f"transform(v, x -> x * {PQX_CSCALE})").alias("c"),
+        )
+    )
+
+    def _assign(cent_df: DataFrame, pts: DataFrame) -> DataFrame:
+        one = cent_df.groupBy("s").agg(
+            F.expr("sort_array(collect_list(struct(cluster, c)))").alias(
+                "cents"
+            )
+        )
+        return pts.join(F.broadcast(one), "s").select(
+            "vec_id",
+            "s",
+            "v",
+            F.expr(
+                "sort_array(transform(cents, t -> named_struct("
+                f"'d2', aggregate(zip_with(v, t.c, (a, b) ->"
+                f" (a * {PQX_CSCALE} - b) * (a * {PQX_CSCALE} - b)),"
+                " 0L, (acc, x) -> acc + x),"
+                " 'cluster', t.cluster)))[0]"
+            ).alias("best"),
+        ).select(
+            "vec_id",
+            "s",
+            "v",
+            F.col("best.cluster").alias("cluster"),
+            F.col("best.d2").alias("d2"),
+        )
+
+    for _ in range(PQX_ROUNDS):
+        sums = (
+            _assign(cent, train)
+            .select("s", "cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("s", "cluster", "pos")
+            .agg(F.sum("val").alias("sm"), F.count(F.lit(1)).alias("n"))
+        )
+        newc = sums.groupBy("s", "cluster").agg(
+            F.expr(
+                "transform(array_sort(collect_list(named_struct("
+                f"'pos', pos, 'x', CAST(floor(CAST(sm * {PQX_CSCALE}"
+                " AS DOUBLE) / n) AS BIGINT)))), t -> t.x)"
+            ).alias("cu")
+        )
+        cent = (
+            cent.join(newc, ["s", "cluster"], "left")
+            .select("s", "cluster", F.coalesce("cu", "c").alias("c"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+    codes = _assign(cent, sub.where(F.col("vec_id") >= N_QUERIES)).select(
+        F.col("vec_id").alias("neighbor_id"), "s", F.col("cluster").alias("code")
+    )
+    # exact integer ADC lookup table: every (query, subspace, code) cell
+    lut = (
+        sub.where(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cent), "s")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "s",
+            F.col("cluster").alias("code"),
+            F.expr(
+                f"aggregate(zip_with(v, c, (a, b) ->"
+                f" (a * {PQX_CSCALE} - b) * (a * {PQX_CSCALE} - b)),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("d2"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("approx_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "approx_dist", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ann_pq_exact_oracle_sql(
+    m: int = PQX_M,
+    sub_d: int = PQX_SUB_D,
+    k: int = PQX_K,
+    rounds: int = PQX_ROUNDS,
+    train: int = PQX_TRAIN,
+    quant: int = PQX_QUANT,
+    cscale: int = PQX_CSCALE,
+    n_queries: int = N_QUERIES,
+    top_k: int = TOP_K,
+) -> str:
+    """Unrolled per-subspace Lloyd rounds as chained MATERIALIZED CTEs
+    (the ml_kmeans_exact oracle pattern with (s, cluster) keys)."""
+    d2 = (
+        f"CAST(list_sum(list_transform(range(1, {sub_d + 1}), i ->"
+        f" (t.v[i] * {cscale} - c.c[i]) * (t.v[i] * {cscale} - c.c[i])))"
+        " AS BIGINT)"
+    )
+    parts = [
+        f"""q AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding, e ->
+                       CAST(floor(CAST(e AS DOUBLE) * {quant}) AS BIGINT)) AS q
+            FROM embeddings
+        ), sub AS MATERIALIZED (
+            SELECT vec_id, ss.s AS s,
+                   list_transform(range(1, {sub_d + 1}),
+                                  i -> q[ss.s * {sub_d} + i]) AS v
+            FROM q, (SELECT unnest(range(0, {m})) AS s) ss
+        ), c0 AS MATERIALIZED (
+            SELECT s, CAST(rn - 1 AS INT) AS cluster,
+                   list_transform(v, x -> x * {cscale}) AS c
+            FROM (
+                SELECT s, v,
+                       row_number() OVER (PARTITION BY s ORDER BY vec_id) AS rn
+                FROM sub WHERE vec_id < {train}
+            ) WHERE rn <= {k}
+        )"""
+    ]
+    for r in range(rounds + 1):
+        pts = (
+            f"SELECT * FROM sub WHERE vec_id < {train}"
+            if r < rounds
+            else f"SELECT * FROM sub WHERE vec_id >= {n_queries}"
+        )
+        parts.append(
+            f"""a{r} AS MATERIALIZED (
+                SELECT vec_id, s, v, cluster, d2 FROM (
+                    SELECT vec_id, s, v, cluster, d2,
+                           row_number() OVER (PARTITION BY vec_id, s
+                                              ORDER BY d2, cluster) AS rn
+                    FROM (
+                        SELECT t.vec_id, t.s, t.v AS v, c.cluster AS cluster,
+                               {d2} AS d2
+                        FROM ({pts}) t JOIN c{r} c ON t.s = c.s
+                    )
+                ) WHERE rn = 1
+            )"""
+        )
+        if r == rounds:
+            break
+        parts.append(
+            f"""u{r} AS MATERIALIZED (
+                SELECT s, cluster, i, SUM(v[i]) AS sm, COUNT(*) AS n
+                FROM a{r}, range(1, {sub_d + 1}) t(i)
+                GROUP BY s, cluster, i
+            ), c{r + 1} AS MATERIALIZED (
+                SELECT c.s, c.cluster,
+                       CASE WHEN u.cu IS NULL THEN c.c ELSE u.cu END AS c
+                FROM c{r} c LEFT JOIN (
+                    SELECT s, cluster,
+                           list(CAST(floor(CAST(sm * {cscale} AS DOUBLE) / n)
+                                     AS BIGINT) ORDER BY i) AS cu
+                    FROM u{r} GROUP BY s, cluster
+                ) u USING (s, cluster)
+            )"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+        lut AS MATERIALIZED (
+            SELECT t.vec_id AS query_id, t.s, c.cluster AS code, {d2} AS d2
+            FROM (SELECT * FROM sub WHERE vec_id < {n_queries}) t
+            JOIN c{rounds} c ON t.s = c.s
+        ), scored AS (
+            SELECT l.query_id, a.vec_id AS neighbor_id,
+                   CAST(SUM(l.d2) AS BIGINT) AS approx_dist
+            FROM a{rounds} a
+            JOIN lut l ON l.s = a.s AND l.code = a.cluster
+            GROUP BY l.query_id, a.vec_id
+        )
+        SELECT query_id, neighbor_id, approx_dist, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT query_id, neighbor_id, approx_dist,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY approx_dist, neighbor_id)
+                       AS rank
+            FROM scored
+        ) WHERE rank <= {top_k}
+        ORDER BY query_id, rank
+    """
+    )
+
+
 QUERIES = {
     "ann_topk": ann_topk,
     "ann_lsh": ann_lsh,
@@ -923,6 +1177,7 @@ QUERIES = {
     "ann_filtered": ann_filtered,
     "ann_ivf_join": ann_ivf_join,
     "ann_pq": ann_pq,
+    "ann_pq_exact": ann_pq_exact,
     "embedding_corr": embedding_corr,
 }
 
@@ -1224,6 +1479,7 @@ def _recall_eval_oracle_sql() -> str:
 
 QUERIES["ann_recall_eval"] = ann_recall_eval
 ORACLE_SQL["ann_recall_eval"] = _recall_eval_oracle_sql()
+ORACLE_SQL["ann_pq_exact"] = _ann_pq_exact_oracle_sql()
 
 
 PROBE_SWEEP = (1, 2, 4, 8)

@@ -862,27 +862,32 @@ def pack_sequences(
     lengths) to bins of at most ``budget`` tokens — the context-window
     packing step that turns chunks into dense training sequences.
 
-    Packing is per-partition (embarrassingly parallel — no shuffle
-    beyond one deterministic hash repartition); first-fit-decreasing
-    within each partition; bin ids are globally unique
-    (partition_id * 2^32 + local bin). Items longer than ``budget``
-    get a bin of their own. Deterministic for a fixed
-    ``num_partitions`` (hash partitioning + in-partition sort, never
-    rand()).
+    Packing is per PACK GROUP — pk = portable_hash32(id) % P, the
+    engine-portable hash from operators/sketches.py, NOT Spark's
+    murmur partitioning — so the full bin manifest is a pure function
+    of the data that a DuckDB recursive CTE replays bit-for-bit
+    (ORACLE-BACKED via ``pack_chunks``, promoted r6).  Groups are
+    embarrassingly parallel (one shuffle on pk); first-fit-decreasing
+    within each group over items sorted by (length DESC, id ASC); bin
+    ids are globally unique (pk * 2^32 + local bin).  Items longer
+    than ``budget`` get a bin of their own.  Each group's items are
+    buffered in pandas before packing (FFD needs the whole group;
+    size groups via ``num_partitions`` so a group fits an executor).
     """
     import pandas as pd
-    from pyspark.sql.functions import spark_partition_id
+
+    from .sketches import hash_stage_exprs
 
     def _pack(batches):
-        bins: list[int] = []  # remaining capacity per open bin
-        part_base = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if part_base is None:
-                part_base = int(pdf["__pid"].iloc[0]) << 32
-            order = pdf.sort_values([len_col, id_col], ascending=[False, True])
-            out_ids, out_bins = [], []
+        frames = [pdf for pdf in batches if len(pdf)]
+        if not frames:
+            return
+        whole = pd.concat(frames, ignore_index=True)
+        out_ids, out_bins = [], []
+        for pk, grp in whole.groupby("__pk", sort=True):
+            bins: list[int] = []  # remaining capacity per open bin
+            base = int(pk) << 32
+            order = grp.sort_values([len_col, id_col], ascending=[False, True])
             for item_id, ln in zip(order[id_col], order[len_col]):
                 ln = int(ln)
                 placed = None
@@ -895,14 +900,17 @@ def pack_sequences(
                     bins.append(max(budget - ln, 0))
                     placed = len(bins) - 1
                 out_ids.append(int(item_id))
-                out_bins.append(part_base + placed)
-            yield pd.DataFrame({id_col: out_ids, "bin_id": out_bins})
+                out_bins.append(base + placed)
+        yield pd.DataFrame({id_col: out_ids, "bin_id": out_bins})
 
-    items = (
-        df.select(F.col(id_col), F.col(len_col))
-        .repartition(num_partitions, F.col(id_col))
-        .withColumn("__pid", spark_partition_id())
+    hashed = df.select(F.col(id_col), F.col(len_col)).withColumn(
+        "__pk", F.col(id_col).cast("bigint")
     )
+    for expr in hash_stage_exprs("__pk", "spark"):
+        hashed = hashed.select(id_col, len_col, F.expr(expr).alias("__pk"))
+    items = hashed.withColumn(
+        "__pk", F.pmod(F.col("__pk"), F.lit(num_partitions)).cast("int")
+    ).repartition(num_partitions, F.col("__pk"))
     assignments = items.mapInPandas(_pack, schema=f"{id_col} long, bin_id long")
     return assignments
 
@@ -927,6 +935,79 @@ def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+def _pack_chunks_oracle_sql(
+    budget: int = PACK_BUDGET, p: int = PACK_PARTITIONS
+) -> str:
+    """DuckDB replay of the FFD bin manifest: the chunker CTE from
+    ``doc_chunks``, the portable 32-bit hash for pack-group keys, and
+    a recursive CTE that walks each group's (length DESC, id ASC)
+    order carrying the open-bin capacity list — first-fit placement,
+    new bin on miss, oversize items alone — exactly the per-group
+    Python loop in ``pack_sequences``."""
+    from .sketches import duck_hash32_cte
+
+    hash_cte = duck_hash32_cte(
+        f"""SELECT chunk_uid, ln, chunk_uid AS h FROM (
+            SELECT doc_id * 10000 + chunk_id AS chunk_uid,
+                   CAST(len(toks[chunk_id * {CHUNK_STRIDE} + 1 :
+                               chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}])
+                        AS BIGINT) AS ln
+            FROM (
+                SELECT doc_id, toks,
+                       unnest(range(0, greatest(CAST(ceil((n - {CHUNK_TOKENS})
+                                / {CHUNK_STRIDE}.0) AS BIGINT), 0) + 1))
+                           AS chunk_id
+                FROM (
+                    SELECT doc_id, {_DUCK_WORDS} AS toks, len({_DUCK_WORDS}) AS n
+                    FROM documents
+                ) WHERE n > 0
+            )
+        )""",
+        "chunk_uid, ln",
+    )
+    return f"""
+        WITH RECURSIVE pkt AS (
+            SELECT chunk_uid, ln, CAST(h % {p} AS INT) AS pk
+            FROM ({hash_cte})
+        ), ranked AS (
+            SELECT pk, chunk_uid, ln,
+                   row_number() OVER (PARTITION BY pk
+                                      ORDER BY ln DESC, chunk_uid) AS r
+            FROM pkt
+        ), rec AS (
+            SELECT pk, CAST(0 AS BIGINT) AS r,
+                   CAST([] AS BIGINT[]) AS caps,
+                   CAST(NULL AS BIGINT) AS uid, CAST(NULL AS BIGINT) AS ln,
+                   CAST(NULL AS BIGINT) AS bin_idx
+            FROM (SELECT DISTINCT pk FROM ranked)
+          UNION ALL
+            SELECT pk, r,
+                   CASE WHEN idx > 0 THEN
+                            list_transform(range(1, len(caps0) + 1),
+                                j -> CASE WHEN j = idx THEN caps0[j] - ln
+                                          ELSE caps0[j] END)
+                        ELSE list_append(caps0, greatest({budget} - ln, 0))
+                   END AS caps,
+                   uid, ln,
+                   CASE WHEN idx > 0 THEN idx - 1 ELSE len(caps0) END AS bin_idx
+            FROM (
+                SELECT i.pk AS pk, i.r AS r, rec.caps AS caps0,
+                       i.chunk_uid AS uid, i.ln AS ln,
+                       COALESCE(list_position(
+                           list_transform(rec.caps, c -> c >= i.ln), true),
+                           0) AS idx
+                FROM rec JOIN ranked i ON i.pk = rec.pk AND i.r = rec.r + 1
+            )
+        )
+        SELECT CAST(pk * 4294967296 + bin_idx AS BIGINT) AS bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(ln) AS BIGINT) AS fill_tokens
+        FROM rec WHERE r >= 1
+        GROUP BY pk, bin_idx
+        ORDER BY bin_id
+    """
 
 
 _DUCK_PRED, _DUCK_HITS = _langid_exprs("duck")
@@ -1305,6 +1386,9 @@ ORACLE_SQL["source_token_budget"] = ORACLE_SQL_SOURCE_BUDGET
 # checked against the same independent DuckDB algorithm
 ORACLE_SQL["doc_chunks_udtf"] = ORACLE_SQL["doc_chunks"]
 ORACLE_SQL["text_blocklist"] = _blocklist_oracle_sql()
+# FFD bin manifest replay (promoted r6: was rows-only) — possible since
+# pack groups are keyed by the portable hash, not Spark's partitioner
+ORACLE_SQL["pack_chunks"] = _pack_chunks_oracle_sql()
 ORACLE_SQL["text_keyword_tags"] = _keyword_tags_oracle_sql()
 
 
@@ -1351,6 +1435,78 @@ def dedup_lines(
         )
         .orderBy(id_col)
     )
+
+
+def dedup_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level dedup over MULTI-LINE documents — ORACLE-BACKED
+    (new r6): the synthetic corpus ships single-line docs (on which
+    line dedup degenerates to exact dedup), so this face synthesizes
+    the multi-line shape deterministically INSIDE the query — a
+    per-source banner, a global nav line, the original body, and a
+    per-source footer, identically on both engines — then runs
+    ``dedup_lines``.  The banner/nav/footer lines repeat across
+    documents (line_df > 1) and are dropped; unique bodies survive;
+    bodies of exact-duplicate docs also exceed max_df and are dropped —
+    exactly the CCNet boilerplate-removal semantics the generic
+    operator implements, now pinned cross-engine (VERDICT r5 gap #2).
+    """
+    docs = load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
+    # every 11th doc gets a CONSTANT body, so whole documents reduce to
+    # boilerplate and come back EMPTY (kept, zero lines) — pinning the
+    # never-deletes-documents reassembly contract, not just line drops
+    body = F.when(
+        F.col("doc_id") % 11 == 0, F.lit("lorem duplicated body")
+    ).otherwise(F.col("text"))
+    multi = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("SOURCE: "), F.col("source"), F.lit(" | all rights reserved\n"),
+            F.lit("home | about | contact\n"),
+            body, F.lit("\n"),
+            F.lit("copyright "), F.col("source"),
+        ).alias("text"),
+    )
+    return dedup_lines(multi, "doc_id", "text").select(
+        "doc_id",
+        "clean_text",
+        F.col("n_lines_kept").cast("bigint").alias("n_lines_kept"),
+        F.col("n_lines_dropped").cast("bigint").alias("n_lines_dropped"),
+    )
+
+
+QUERIES["dedup_lines_docs"] = dedup_lines_docs
+ORACLE_SQL["dedup_lines_docs"] = """
+    WITH multi AS (
+        SELECT doc_id,
+               'SOURCE: ' || source || ' | all rights reserved' || chr(10)
+               || 'home | about | contact' || chr(10)
+               || CASE WHEN doc_id % 11 = 0 THEN 'lorem duplicated body'
+                       ELSE text END || chr(10)
+               || 'copyright ' || source AS mtext
+        FROM documents WHERE text IS NOT NULL
+    ), sp AS (
+        SELECT doc_id, string_split(mtext, chr(10)) AS ls FROM multi
+    ), lines AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ls) + 1),
+                      i -> struct_pack(pos := i - 1, line := ls[i]))) AS u
+        FROM sp
+    ), flat AS (
+        SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.line AS line FROM lines
+    ), dfreq AS (
+        SELECT trim(line) AS tl, COUNT(DISTINCT doc_id) AS line_df
+        FROM flat GROUP BY trim(line)
+    ), marked AS (
+        SELECT f.doc_id, f.pos, f.line, d.line_df <= 1 AS keep
+        FROM flat f JOIN dfreq d ON trim(f.line) = d.tl
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                      FILTER (WHERE keep), '') AS clean_text,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_lines_dropped
+    FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
 
 
 def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
