@@ -256,7 +256,13 @@ def range_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct users + events per event_type (the exact face of
     the HLL sketch below; Catalyst expands countDistinct to a two-phase
-    partial aggregate, no driver work)."""
+    partial aggregate, no driver work).
+
+    SCALE CONTRACT: this is the ORACLE face — countDistinct re-shuffles
+    every distinct (event_type, user_id) pair.  At 100 TB use the
+    bounded-state twins: ``approx_user_distinct`` (HLL++),
+    ``hll_portable_registers`` (oracle-pinned register table), or the
+    mergeable sketch-table rollup (``user_sketch_rollup``)."""
     ev = load_table(spark, "events", sf_dir)
     return (
         ev.groupBy("event_type")
@@ -374,6 +380,12 @@ def order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority. Spark's ``percentile`` and DuckDB's ``quantile_cont``
     share linear-interpolation semantics; outputs are rounded to 4
     decimals on both faces to absorb last-ulp interpolation drift.
+
+    SCALE CONTRACT: this is the ORACLE face — ``percentile()`` is an
+    ObjectHashAggregate that buffers every value per group.  At 100 TB
+    use the bounded-state twins: ``order_percentiles_approx``
+    (approx_percentile / GK sketch) or the KLL sketch-table rollup
+    (``value_percentile_sketch_rollup``).
     """
     orders = load_table(spark, "orders", sf_dir)
     return (
