@@ -41,10 +41,19 @@ _DUCK_WORDS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')
 
 
 def _spark_shingles(words: str = _SPARK_WORDS, n: int = SHINGLE) -> str:
-    return (
-        f"array_distinct(transform(sequence(1, greatest(size({words}) - {n - 1}, 1)),"
-        f" i -> concat_ws(' ', slice({words}, i, {n}))))"
+    """3-gram shingle array with the words array LET-BOUND: the words
+    expression is evaluated ONCE per row as a single-element transform
+    variable, then referenced inside the shingle lambda.  Without the
+    binding, Catalyst's CollapseProject inlines the upstream regex
+    split into the lambda body and whole-stage codegen CANNOT hoist it
+    (subexpression elimination does not reach inside higher-order
+    functions), so the split re-runs once per shingle element — ~90x
+    per row; measured 169 s -> 9 s on the sf1 minhash verify stage."""
+    inner = (
+        f"array_distinct(transform(sequence(1, greatest(size(__wd) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(__wd, i, {n}))))"
     )
+    return f"transform(array({words}), __wd -> {inner})[0]"
 
 
 def _duck_shingles(words: str = _DUCK_WORDS, n: int = SHINGLE) -> str:

@@ -14,13 +14,22 @@ Replication choices that keep workloads HONEST at 10x:
   edit-distance join does not see 10 identical copies of every name
   (cross-copy prefix distance is 4 > 2); copy 0 is prefixed too, so
   all copies behave alike.
-- document texts are WORD-ROTATED by copy (rotate the word list by c)
-  so shingle/minhash dedup sees ~10x more dup GROUPS, not 10x BIGGER
-  groups — matching how duplicate mass actually grows with corpus
-  size; doc_id keyspace shifts per copy.
-- embeddings get a c-scaled deterministic micro-offset per dimension
-  (+c * (dim % 7 - 3) * 1e-4) so near-dup/semantic dedup does not see
-  10 bit-identical copies of every vector; vec_id < N_QUERIES query
+- document texts get a copy-marker word spliced after EVERY 3rd word
+  (c > 0), so every 3-gram shingle of copy c contains a copy-specific
+  token: cross-copy Jaccard collapses to ~0 while within-copy dup and
+  near-dup structure is preserved verbatim (both members of a dup pair
+  receive the identical transformation).  MinHash dedup then sees ~10x
+  more dup GROUPS, not 10x BIGGER groups — matching how duplicate mass
+  actually grows with corpus size.  (A first attempt ROTATED the word
+  list; that preserves all but ~3 boundary shingles, so every copy was
+  a 0.95-Jaccard near-dup of every other and minhash_dedup exploded to
+  212k pairs / 209 s at sf1.)
+- embeddings are transformed by a per-copy DIAGONAL SIGN FLIP (dim d
+  negated when bit (c + d) of knuth_hash(d + 64c) is set): a diagonal
+  orthogonal matrix, so every within-copy cosine/L2 relation is
+  preserved EXACTLY while cross-copy cosines collapse toward 0 —
+  near-dup and SemDeDup workloads see 10x more clusters, never
+  10 bit-identical copies of each vector; vec_id < N_QUERIES query
   vectors stay copy-0-only, so ANN keeps a fixed query set against a
   10x corpus.
 - events keep their timestamps (same window, 10x density) and shift
@@ -89,21 +98,28 @@ def main() -> None:
                    event_type, value, props
             FROM events, {copies}""",
         "documents": f"""
-            SELECT doc_id + c * {SPAN} AS doc_id,
-                   CASE WHEN c = 0 THEN text ELSE array_to_string(
-                       list_concat(
-                           w[1 + (c % greatest(len(w), 1)):],
-                           w[:(c % greatest(len(w), 1))]
-                       ), ' ') END AS text,
-                   lang, source, CAST(length(text) AS BIGINT) AS n_chars
-            FROM (SELECT *, string_split(text, ' ') AS w FROM documents),
-                 {copies}""",
+            SELECT doc_id, text, lang, source,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM (
+                SELECT doc_id + c * {SPAN} AS doc_id,
+                       CASE WHEN c = 0 THEN text ELSE array_to_string(
+                           flatten(list_transform(
+                               range(0, CAST(ceil(len(w) / 3.0) AS BIGINT)),
+                               g -> list_concat(
+                                   w[g * 3 + 1 : g * 3 + 3],
+                                   ['zq' || c]
+                               ))), ' ') END AS text,
+                       lang, source
+                FROM (SELECT *, string_split(text, ' ') AS w FROM documents),
+                     {copies}
+            )""",
         "embeddings": f"""
             SELECT vec_id + c * {SPAN} AS vec_id,
                    CASE WHEN c = 0 THEN embedding ELSE
-                       list_transform(list_apply(embedding, (e, i) ->
-                           CAST(e + c * ((i % 7) - 3) * 0.0001 AS FLOAT)),
-                           x -> x)
+                       list_apply(embedding, (e, i) -> CAST(
+                           CASE WHEN ((((i + 64 * c) * 2654435761)
+                                       >> (7 + c)) & 1) = 1
+                                THEN -e ELSE e END AS FLOAT))
                    END AS embedding,
                    label
             FROM embeddings, {copies}""",
