@@ -276,17 +276,25 @@ def ml_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cents"
             )
         )
+        from .dedup import _let
+
+        # let-bind q: otherwise the upstream quantize transform inlines
+        # into the per-centroid lambda and re-runs k times per row
         return (
             emb.crossJoin(F.broadcast(one))
             .select(
                 "vec_id",
                 "q",
                 F.expr(
-                    "sort_array(transform(cents, s -> named_struct("
-                    f"'d2', aggregate(zip_with(q, s.c, (a, b) ->"
-                    f" (a * {KMEANS_CSCALE} - b) * (a * {KMEANS_CSCALE} - b)),"
-                    " 0L, (acc, v) -> acc + v),"
-                    " 'cluster', s.cluster)))[0]"
+                    _let(
+                        "q",
+                        "__q",
+                        "sort_array(transform(cents, s -> named_struct("
+                        f"'d2', aggregate(zip_with(__q, s.c, (a, b) ->"
+                        f" (a * {KMEANS_CSCALE} - b) * (a * {KMEANS_CSCALE} - b)),"
+                        " 0L, (acc, v) -> acc + v),"
+                        " 'cluster', s.cluster)))[0]",
+                    )
                 ).alias("best"),
             )
             .select(

@@ -599,24 +599,31 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``embedding_pca`` stays rows-only (eigensolve); this pins the
     distributed portion of the decomposition family cross-engine.
     """
+    from .dedup import _let
+
     emb = load_table(spark, "embeddings", sf_dir).where(
         F.col("embedding").isNotNull() & (F.size("embedding") == EMB_COV_DIM)
     )
-    q = emb.select(
-        F.expr(
-            f"transform(embedding, e ->"
-            f" CAST(floor(CAST(e AS DOUBLE) * {EMB_COV_SCALE}) AS BIGINT))"
-        ).alias("q")
+    # let-bind the quantized array: CollapseProject would inline the
+    # 64-multiply quantization into the nested pair lambdas otherwise —
+    # once per upper-triangle element, a d(d+1)/2 x blowup
+    q_expr = (
+        f"transform(embedding, e ->"
+        f" CAST(floor(CAST(e AS DOUBLE) * {EMB_COV_SCALE}) AS BIGINT))"
     )
-    terms = q.select(
+    terms = emb.select(
         F.explode(
             F.expr(
-                "flatten(transform(sequence(0, size(q) - 1),"
-                " i -> transform(sequence(i, size(q) - 1),"
-                " j -> struct(i AS i, j AS j,"
-                " element_at(q, i + 1) * element_at(q, j + 1) AS p,"
-                " element_at(q, i + 1) AS qi,"
-                " element_at(q, j + 1) AS qj))))"
+                _let(
+                    q_expr,
+                    "__q",
+                    "flatten(transform(sequence(0, size(__q) - 1),"
+                    " i -> transform(sequence(i, size(__q) - 1),"
+                    " j -> struct(i AS i, j AS j,"
+                    " element_at(__q, i + 1) * element_at(__q, j + 1) AS p,"
+                    " element_at(__q, i + 1) AS qi,"
+                    " element_at(__q, j + 1) AS qj))))",
+                )
             )
         ).alias("t")
     ).select("t.i", "t.j", "t.p", "t.qi", "t.qj")

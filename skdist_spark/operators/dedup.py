@@ -40,20 +40,25 @@ _SPARK_WORDS = "filter(split(trim(text), '\\\\s+'), x -> x != '')"
 _DUCK_WORDS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')"
 
 
+def _let(expr: str, var: str, body: str) -> str:
+    """SQL let-binding: evaluate ``expr`` ONCE per row and reference it
+    as ``var`` inside ``body`` (the transform-over-singleton-array
+    trick).  Catalyst's CollapseProject inlines upstream projection
+    columns into higher-order-function lambdas, and whole-stage codegen
+    cannot hoist them back out (subexpression elimination does not
+    reach inside HOF lambdas) — so an aliased regex split referenced in
+    a per-element lambda re-runs once per element unless let-bound
+    (measured 169 s -> 18 s on the sf1 minhash verify stage)."""
+    return f"transform(array({expr}), {var} -> {body})[0]"
+
+
 def _spark_shingles(words: str = _SPARK_WORDS, n: int = SHINGLE) -> str:
-    """3-gram shingle array with the words array LET-BOUND: the words
-    expression is evaluated ONCE per row as a single-element transform
-    variable, then referenced inside the shingle lambda.  Without the
-    binding, Catalyst's CollapseProject inlines the upstream regex
-    split into the lambda body and whole-stage codegen CANNOT hoist it
-    (subexpression elimination does not reach inside higher-order
-    functions), so the split re-runs once per shingle element — ~90x
-    per row; measured 169 s -> 9 s on the sf1 minhash verify stage."""
+    """3-gram shingle array with the words array let-bound (see _let)."""
     inner = (
         f"array_distinct(transform(sequence(1, greatest(size(__wd) - {n - 1}, 1)),"
         f" i -> concat_ws(' ', slice(__wd, i, {n}))))"
     )
-    return f"transform(array({words}), __wd -> {inner})[0]"
+    return _let(words, "__wd", inner)
 
 
 def _duck_shingles(words: str = _DUCK_WORDS, n: int = SHINGLE) -> str:
@@ -561,9 +566,11 @@ def dup_span_stats(
     never matters in practice).
     """
     words = _SPARK_WORDS.replace("text", text_col)
-    spans = (
-        f"transform(sequence(1, greatest(size({words}) - {n - 1}, 1)),"
-        f" i -> substring(md5(concat_ws(' ', slice({words}, i, {n}))), 1, 16))"
+    spans = _let(
+        words,
+        "__wd",
+        f"transform(sequence(1, greatest(size(__wd) - {n - 1}, 1)),"
+        f" i -> substring(md5(concat_ws(' ', slice(__wd, i, {n}))), 1, 16))",
     )
     occ = df.select(F.col(id_col), F.explode(F.expr(spans)).alias("span"))
     per_doc_span = occ.groupBy(id_col, "span").agg(F.count(F.lit(1)).alias("cnt"))
@@ -1066,21 +1073,23 @@ def winnow_fingerprints(
     total order, engine-independent).  Guarantee: two docs sharing a
     run of >= k + window - 1 words share >= 1 fingerprint.
     """
+    # let-bind BOTH stages: CollapseProject merges the chained selects,
+    # so without binding the kgram lambda re-splits the words per
+    # element and the window lambda re-hashes the kgrams per window —
+    # a words x kgrams x windows blowup
     kgrams = (
-        f"transform(sequence(1, greatest(size(wd) - {k - 1}, 1)),"
-        f" i -> md5(concat_ws(' ', slice(wd, i, {k}))))"
+        f"transform(sequence(1, greatest(size(__wd) - {k - 1}, 1)),"
+        f" i -> md5(concat_ws(' ', slice(__wd, i, {k}))))"
     )
     mins = (
         f"array_distinct(transform("
-        f"sequence(1, greatest(size(kg) - {window - 1}, 1)),"
-        f" j -> array_min(slice(kg, j, {window}))))"
+        f"sequence(1, greatest(size(__kg) - {window - 1}, 1)),"
+        f" j -> array_min(slice(__kg, j, {window}))))"
     )
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-        .select("doc_id", F.expr(_SPARK_WORDS).alias("wd"))
-        .select("doc_id", F.expr(kgrams).alias("kg"))
-        .select("doc_id", F.expr(mins).alias("fps"))
-    )
+    fps = _let(_SPARK_WORDS, "__wd", _let(kgrams, "__kg", mins))
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).select("doc_id", F.expr(fps).alias("fps"))
 
 
 def winnow_candidate_pairs(

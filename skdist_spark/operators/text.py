@@ -142,15 +142,21 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fingerprint_impl(docs: DataFrame) -> DataFrame:
-    # three-stage materialization: words column -> sorted hash column ->
-    # two cheap derivations. Inlining would re-split per shingle AND
-    # shingle+sort the whole array twice (once per output column).
-    words_df = docs.select("doc_id", F.expr(_SPARK_WORDS).alias("wd"))
-    hashes_df = words_df.select(
+    # let-bind the words array (CollapseProject merges the staged
+    # selects, so a plain wd column would re-split per shingle inside
+    # the lambda — see dedup._let); the two cheap output derivations
+    # share the hashes tree via top-level subexpression elimination
+    from .dedup import _let
+
+    hashes_df = docs.select(
         "doc_id",
         F.expr(
-            "array_sort(transform(sequence(1, greatest(size(wd) - 3, 1)),"
-            " i -> md5(concat_ws(' ', slice(wd, i, 4)))))"
+            _let(
+                _SPARK_WORDS,
+                "__wd",
+                "array_sort(transform(sequence(1, greatest(size(__wd) - 3, 1)),"
+                " i -> md5(concat_ws(' ', slice(__wd, i, 4)))))",
+            )
         ).alias("hashes"),
     )
     return hashes_df.select(
@@ -172,11 +178,11 @@ _DUP_BIGRAM_PPM_MAX = 600_000
 # explode + (doc, bigram) groupBy which shuffles every bigram. On this
 # synthetic corpus the fold is the whole query; at 100 TB it's the
 # difference between a map-only scan and a corpus-wide exchange.
-_REP_FOLD = """
+_REP_FOLD_BODY = """
     aggregate(
-      CASE WHEN size(wd) >= 2
-           THEN array_sort(transform(sequence(0, size(wd) - 2),
-                                     i -> concat(wd[i], ' ', wd[i + 1])))
+      CASE WHEN size(__wd) >= 2
+           THEN array_sort(transform(sequence(0, size(__wd) - 2),
+                                     i -> concat(__wd[i], ' ', __wd[i + 1])))
            ELSE array() END,
       named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT),
                    'best', CAST(0 AS BIGINT), 'dup', CAST(0 AS BIGINT)),
@@ -189,6 +195,9 @@ _REP_FOLD = """
                               THEN IF(acc.run = 1, CAST(2 AS BIGINT), CAST(1 AS BIGINT))
                               ELSE CAST(0 AS BIGINT) END))
 """
+# let-bound over the wd column: CollapseProject inlines wd's regex
+# split into the bigram lambda otherwise — once per bigram element
+_REP_FOLD = f"transform(array(wd), __wd -> {_REP_FOLD_BODY})[0]"
 
 
 def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
