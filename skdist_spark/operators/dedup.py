@@ -542,9 +542,17 @@ def _embedding_impl(raw: DataFrame) -> DataFrame:
 
 
 SPAN_N = 5  # word n-gram size for duplicated-span statistics
-SEMDEDUP_K = 8  # kmeans cells for semantic dedup
+SEMDEDUP_K = 8  # MINIMUM kmeans cells for semantic dedup
 SEMDEDUP_ITERS = 3  # partition quality saturates fast; SemDeDup needs cells, not convergence
-SEMDEDUP_FIT_N = 512  # centroid-fit sample size (deterministic lowest-id rows)
+SEMDEDUP_FIT_N = 512  # minimum centroid-fit sample size (deterministic lowest-id rows)
+# cells scale with the corpus so the EXPECTED CELL SIZE stays constant:
+# with a fixed k, cells fatten linearly with data and the in-cell pair
+# count grows quadratically (measured 10x-data slope 46 at the sf1
+# profile before this); k = clamp(n / TARGET, 8, 65536) keeps
+# sum_c |c|^2 linear in n.  The cap bounds the driver fit (4k x d
+# sample) and the broadcast centroid table at ~16 MB for d = 64.
+SEMDEDUP_TARGET_CELL = 256
+SEMDEDUP_MAX_K = 65_536
 
 
 def dup_span_stats(
@@ -688,7 +696,7 @@ def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = SEMDEDUP_K,
+    k: int | None = None,
     threshold: float = COSINE_THRESHOLD,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: partition the embedding
@@ -722,11 +730,17 @@ def semantic_dedup(
     # empty cells keep their centroid.
     import numpy as np
 
+    if k is None:
+        # constant expected cell size: k tracks the corpus (see
+        # SEMDEDUP_TARGET_CELL) so in-cell pair counts stay linear
+        n = df.count()
+        k = int(min(max(SEMDEDUP_K, n // SEMDEDUP_TARGET_CELL), SEMDEDUP_MAX_K))
+    fit_n = max(SEMDEDUP_FIT_N, 4 * k)
     sample = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(SEMDEDUP_FIT_N).toPandas()
+        df.select(id_col, vec_col).orderBy(id_col).limit(fit_n).toPandas()
     )
     x = np.vstack(sample[vec_col].to_numpy()).astype(np.float64)
-    centroids = x[:k].copy()
+    centroids = x[: min(k, len(x))].copy()
     for _ in range(SEMDEDUP_ITERS):
         d2 = (
             (x * x).sum(axis=1)[:, None]
@@ -735,7 +749,7 @@ def semantic_dedup(
         )
         assign = d2.argmin(axis=1)
         new_c = centroids.copy()
-        for c in range(k):
+        for c in range(len(centroids)):
             m = assign == c
             if m.any():
                 new_c[c] = x[m].mean(axis=0)

@@ -711,6 +711,14 @@ def _filtered_oracle_sql() -> str:
 # ---- Cross-corpus IVF similarity join --------------------------------
 
 IVF_JOIN_NPROBE = 4
+# cells scale with the corpus so the EXPECTED CELL SIZE stays constant:
+# with nlist fixed, cells fatten linearly and the probe-join candidate
+# count per query grows linearly — times a query side that also grows,
+# an O(N^2) join (measured 10x-data slope 31 at the sf1 profile before
+# this).  nlist = max(IVF_NLIST, corpus // TARGET) keeps it linear; at
+# the driver SFs (corpus <= 1000) the max() leaves nlist at 16, so
+# oracle results are unchanged there.
+IVF_JOIN_TARGET_CELL = 128
 
 
 def ivf_join(
@@ -826,10 +834,13 @@ def ann_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.where(F.col("label") % 2 == 0).select("vec_id", "v")
     queries = emb.where(F.col("label") % 2 == 1).select("vec_id", "v")
+    # corpus-scaled cell count (constant expected cell size); at the
+    # driver SFs this stays exactly IVF_NLIST so the oracle is stable
+    nlist = max(IVF_NLIST, corpus.count() // IVF_JOIN_TARGET_CELL)
     cents = (
         corpus.where(F.col("vec_id") >= _CENTROID_BASE)
         .orderBy("vec_id")
-        .limit(IVF_NLIST)
+        .limit(nlist)
     )
     return ivf_join(queries, corpus, cents)
 
@@ -848,8 +859,13 @@ def _ivf_join_oracle_sql() -> str:
         ), queries AS (
             SELECT vec_id, v FROM e WHERE label % 2 = 1
         ), c AS (
-            SELECT vec_id AS cent_id, v AS cv FROM corpus
-            WHERE vec_id >= {_CENTROID_BASE} ORDER BY vec_id LIMIT {IVF_NLIST}
+            SELECT cent_id, cv FROM (
+                SELECT vec_id AS cent_id, v AS cv,
+                       row_number() OVER (ORDER BY vec_id) AS rn
+                FROM corpus WHERE vec_id >= {_CENTROID_BASE}
+            ) WHERE rn <= (SELECT GREATEST({IVF_NLIST},
+                                           COUNT(*) // {IVF_JOIN_TARGET_CELL})
+                           FROM corpus)
         ), corp_scored AS (
             SELECT s.vec_id, s.v, c.cent_id,
                    {dot_vc} / ({_DUCK_NORM.format('s.v')} * {_DUCK_NORM.format('c.cv')})

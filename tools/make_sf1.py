@@ -10,10 +10,12 @@ a copy and never crosses copies) — written to a repo-local dir because
 
 Replication choices that keep workloads HONEST at 10x:
 - region/nation: fixed dimensions, copied once.
-- part names get a per-copy 4-char prefix ("c0: ", "c1: ", ...) so the
-  edit-distance join does not see 10 identical copies of every name
-  (cross-copy prefix distance is 4 > 2); copy 0 is prefixed too, so
-  all copies behave alike.
+- part names get a per-copy 4-char prefix ("000 ", "111 ", ...) so the
+  edit-distance join does not see 10 identical copies of every name:
+  the repeated digit means any two copies differ in >= 3 characters
+  (> the d=2 threshold; a first attempt used "c0: "/"c1: ", which are
+  edit distance 1 apart and made every part match its 9 copies).
+  Copy 0 is prefixed too, so all copies behave alike.
 - document texts get a copy-marker word spliced after EVERY 3rd word
   (c > 0), so every 3-gram shingle of copy c contains a copy-specific
   token: cross-copy Jaccard collapses to ~0 while within-copy dup and
@@ -77,7 +79,7 @@ def main() -> None:
             FROM supplier, {copies}""",
         "part": f"""
             SELECT p_partkey + c * {SPAN} AS p_partkey,
-                   'c' || c || ': ' || p_name AS p_name,
+                   c || '' || c || '' || c || ' ' || p_name AS p_name,
                    p_brand, p_type, p_size, p_retailprice
             FROM part, {copies}""",
         "orders": f"""
