@@ -241,16 +241,13 @@ def ml_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: the N-row work per round is one broadcast of the
     k-row centroid table + one map-side-combining (cluster, dim)
     aggregation — shuffle volume O(partitions * k * d), never O(rows);
-    no Python in the loop, no driver collect (the centroid chain stays
-    lazy; each 8-row state is persisted so the forked lineage —
-    next-round join + empty-cluster fallback — shares one copy).
+    no Python in the loop; each k-row centroid state is persisted (the
+    forked lineage — next-round join + empty-cluster fallback — shares
+    one copy), pinned with a k-row count() and the PRIOR round's cache
+    released, so cached partitions never accumulate across rounds.
 
     No reference counterpart (sk-dist has no clustering; net-new).
     """
-    from pyspark import StorageLevel
-    from pyspark.sql import Window
-
-    k = K_CLUSTERS
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id",
         F.expr(
@@ -258,6 +255,40 @@ def ml_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * {KMEANS_QUANT}) AS BIGINT))"
         ).alias("q"),
     )
+    return (
+        exact_lloyd_assign(emb, K_CLUSTERS, KMEANS_EXACT_ROUNDS)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            # exact integer sum (DECIMAL(38,0) / HUGEINT on the oracle),
+            # then ONE deterministic round-to-nearest into DOUBLE — the
+            # engines agree because the pre-cast value is exact
+            F.sum(F.col("d2").cast("decimal(38,0)"))
+            .cast("double")
+            .alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def exact_lloyd_assign(
+    emb: DataFrame,
+    k: int,
+    rounds: int,
+    cscale: int = KMEANS_CSCALE,
+) -> DataFrame:
+    """Integer-exact Lloyd recurrence shared by the oracle faces
+    (``ml_kmeans_exact`` here, ``dedup_semantic_exact`` in dedup.py):
+    ``emb`` is (vec_id, q: array<bigint>); seeds are the ``k``
+    lowest-id vectors scaled by ``cscale``; each round is (argmin
+    assignment by integer squared distance, ties to the lowest cluster
+    id; centroid refresh ``floor(sum * cscale / n)`` per dimension,
+    empty clusters keep their centroid).  Returns the FINAL assignment
+    ``(vec_id, q, cluster, d2)`` — every value a replayable integer.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
     cent = (
         emb.orderBy("vec_id")
         .limit(k)
@@ -266,7 +297,7 @@ def ml_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
                 "cluster"
             ),
-            F.expr(f"transform(q, v -> v * {KMEANS_CSCALE})").alias("c"),
+            F.expr(f"transform(q, v -> v * {cscale})").alias("c"),
         )
     )
 
@@ -291,7 +322,7 @@ def ml_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "__q",
                         "sort_array(transform(cents, s -> named_struct("
                         f"'d2', aggregate(zip_with(__q, s.c, (a, b) ->"
-                        f" (a * {KMEANS_CSCALE} - b) * (a * {KMEANS_CSCALE} - b)),"
+                        f" (a * {cscale} - b) * (a * {cscale} - b)),"
                         " 0L, (acc, v) -> acc + v),"
                         " 'cluster', s.cluster)))[0]",
                     )
@@ -305,7 +336,7 @@ def ml_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    for _ in range(KMEANS_EXACT_ROUNDS):
+    for _ in range(rounds):
         sums = (
             _assign(cent)
             .select("cluster", F.posexplode("q").alias("pos", "val"))
@@ -315,42 +346,38 @@ def ml_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         newc = sums.groupBy("cluster").agg(
             F.expr(
                 "transform(array_sort(collect_list(named_struct("
-                f"'pos', pos, 'v', CAST(floor(CAST(s * {KMEANS_CSCALE}"
+                f"'pos', pos, 'v', CAST(floor(CAST(s * {cscale}"
                 " AS DOUBLE) / n) AS BIGINT)))), t -> t.v)"
             ).alias("cu")
         )
+        prev = cent
         cent = (
-            cent.join(newc, "cluster", "left")
+            prev.join(newc, "cluster", "left")
             .select("cluster", F.coalesce("cu", "c").alias("c"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-    return (
-        _assign(cent)
-        .groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_points"),
-            # exact integer sum (DECIMAL(38,0) / HUGEINT on the oracle),
-            # then ONE deterministic round-to-nearest into DOUBLE — the
-            # engines agree because the pre-cast value is exact
-            F.sum(F.col("d2").cast("decimal(38,0)"))
-            .cast("double")
-            .alias("inertia"),
-        )
-        .orderBy("cluster")
-    )
+        # materialize the new k-row state, then release the prior
+        # round's cache — otherwise each round leaks cached partitions
+        cent.count()
+        if prev.is_cached:
+            prev.unpersist()
+    return _assign(cent)
 
 
-def _ml_kmeans_exact_oracle_sql(
-    k: int = K_CLUSTERS,
-    rounds: int = KMEANS_EXACT_ROUNDS,
+def exact_lloyd_cte_parts(
+    k: int,
+    rounds: int,
     dims: int = _DIMS,
     quant: int = KMEANS_QUANT,
     cscale: int = KMEANS_CSCALE,
-) -> str:
-    """Unrolled Lloyd rounds as chained CTEs (every round MATERIALIZED:
-    round t is referenced twice by round t+1 — assignment + the
-    empty-cluster fallback — and DuckDB inlines repeated CTEs into
-    exponential blowup otherwise)."""
+) -> list[str]:
+    """DuckDB replay of ``exact_lloyd_assign`` as a list of CTE
+    fragments; the caller joins them with ``"WITH " + ",\\n".join(...)``
+    and selects from the final assignment CTE ``a{rounds}``
+    (vec_id, q, cluster, d2).  Every round is MATERIALIZED: round t is
+    referenced twice by round t+1 — assignment + the empty-cluster
+    fallback — and DuckDB inlines repeated CTEs into exponential
+    blowup otherwise."""
     d2 = (
         f"CAST(list_sum(list_transform(range(1, {dims + 1}), i ->"
         f" (q.q[i] * {cscale} - c.c[i]) * (q.q[i] * {cscale} - c.c[i])))"
@@ -402,6 +429,14 @@ def _ml_kmeans_exact_oracle_sql(
                 ) u USING (cluster)
             )"""
         )
+    return parts
+
+
+def _ml_kmeans_exact_oracle_sql(
+    k: int = K_CLUSTERS,
+    rounds: int = KMEANS_EXACT_ROUNDS,
+) -> str:
+    parts = exact_lloyd_cte_parts(k, rounds)
     return (
         "WITH " + ",\n".join(parts) + f"""
         SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_points,

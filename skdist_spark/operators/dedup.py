@@ -553,6 +553,52 @@ SEMDEDUP_FIT_N = 512  # minimum centroid-fit sample size (deterministic lowest-i
 # sample) and the broadcast centroid table at ~16 MB for d = 64.
 SEMDEDUP_TARGET_CELL = 256
 SEMDEDUP_MAX_K = 65_536
+# Driver-fit distance slabs are CHUNKED: at the 65,536-cell cap a dense
+# (fit_n x k) float64 matrix would be fit_n*k*8 = n^2/2048 bytes (~137 GB
+# at the cap) — the argmin therefore streams row blocks sized so each
+# block's slab stays under this many float64 cells (128 MiB).
+SEMDEDUP_ARGMIN_BUDGET = 1 << 24
+
+
+def _lloyd_fit(x, k: int, iters: int, budget: int = SEMDEDUP_ARGMIN_BUDGET):
+    """Driver-side Lloyd fit with O(fit_n*d + k*d) memory.
+
+    Same math as ``clustering.dist_kmeans`` (lowest-id seeds, argmin
+    assignment, mean update, empty cells keep their centroid) but the
+    nearest-centroid assignment streams ROW BLOCKS — each block's
+    (block x k) distance slab is bounded by ``budget`` float64 cells —
+    and the mean update is a single scatter-add (``np.add.at``) +
+    ``bincount``, never a per-cluster mask sweep.  Nothing of shape
+    (fit_n x k) is ever materialized, so the fit survives the
+    SEMDEDUP_MAX_K cell cap that a dense matrix cannot.
+    """
+    import numpy as np
+
+    centroids = x[: min(k, len(x))].copy()
+    kk = len(centroids)
+    block = max(1, int(budget) // max(kk, 1))
+    assign = np.zeros(len(x), dtype=np.int64)
+    for _ in range(iters):
+        c_sq = (centroids * centroids).sum(axis=1)
+        for s in range(0, len(x), block):
+            xb = x[s : s + block]
+            d2 = (
+                (xb * xb).sum(axis=1)[:, None]
+                - 2.0 * (xb @ centroids.T)
+                + c_sq[None, :]
+            )
+            assign[s : s + len(xb)] = d2.argmin(axis=1)
+        sums = np.zeros_like(centroids)
+        np.add.at(sums, assign, x)
+        counts = np.bincount(assign, minlength=kk).astype(np.float64)
+        new_c = centroids.copy()
+        nz = counts > 0
+        new_c[nz] = sums[nz] / counts[nz, None]
+        done = float(np.abs(new_c - centroids).max()) < 1e-6
+        centroids = new_c
+        if done:
+            break
+    return centroids
 
 
 def dup_span_stats(
@@ -740,23 +786,9 @@ def semantic_dedup(
         df.select(id_col, vec_col).orderBy(id_col).limit(fit_n).toPandas()
     )
     x = np.vstack(sample[vec_col].to_numpy()).astype(np.float64)
-    centroids = x[: min(k, len(x))].copy()
-    for _ in range(SEMDEDUP_ITERS):
-        d2 = (
-            (x * x).sum(axis=1)[:, None]
-            - 2.0 * (x @ centroids.T)
-            + (centroids * centroids).sum(axis=1)[None, :]
-        )
-        assign = d2.argmin(axis=1)
-        new_c = centroids.copy()
-        for c in range(len(centroids)):
-            m = assign == c
-            if m.any():
-                new_c[c] = x[m].mean(axis=0)
-        if float(np.abs(new_c - centroids).max()) < 1e-6:
-            centroids = new_c
-            break
-        centroids = new_c
+    # Chunked fit: memory O(fit_n*d + k*d), never the dense (fit_n x k)
+    # slab — at SEMDEDUP_MAX_K that slab would be ~137 GB of driver RAM.
+    centroids = _lloyd_fit(x, k, SEMDEDUP_ITERS)
     assigned = kmeans_assign(df, centroids, id_col, vec_col).select(
         F.col(id_col), "cluster"
     )
@@ -1438,3 +1470,130 @@ ORACLE_SQL["dedup_savings_by_source"] = f"""
     FROM flagged GROUP BY source ORDER BY source
 """
 QUERIES["dedup_savings_by_source"] = dedup_savings_by_source
+
+
+# ---- integer-exact SemDeDup: the oracle face of dedup_semantic -----------
+
+# 2^10 quantization (coarser than the 2^14 of ml_kmeans_exact) is what
+# keeps EVERY pair statistic inside BIGINT: |q| <= 1024, so over d = 64
+# dims dot <= 64 * 1024^2 ~= 6.7e7, dot^2 <= 4.5e15, 400 * dot^2 <=
+# 1.8e18 and 81 * na2 * nb2 <= 3.6e17 — all < 2^63 (DuckDB BIGINT
+# errors on overflow; Spark wraps silently: both are avoided by bound,
+# the portability rule in the oracle-parity notes).
+SDX_QUANT = 1_024  # 2^10: q = floor(e * 2^10) is exact (|e| < 1)
+SDX_K = 8  # pinned cell count — the REPLAYABLE face; the corpus-scaled
+# throughput face stays semantic_dedup (k tracks n / SEMDEDUP_TARGET_CELL)
+SDX_ROUNDS = 2  # fixed integer Lloyd rounds (cells, not convergence)
+# COSINE_THRESHOLD = 0.45 exactly = 9/20: cos >= 9/20 on the quantized
+# integers <=> dot >= 0 AND 400 * dot^2 >= 81 * na2 * nb2 (both sides
+# nonnegative after the sign check), so the float threshold becomes a
+# pure-integer predicate both engines evaluate identically.
+SDX_THR_NUM, SDX_THR_DEN = 9, 20
+
+
+def dedup_semantic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with ALL arithmetic in scaled integers — ORACLE-BACKED
+    (r7): the quantized-Lloyd recipe that pinned ``ml_kmeans_exact``
+    and ``ann_pq_exact``, applied to the within-cell cosine-pair face
+    of ``semantic_dedup`` (the last big rows-only dedup operator).
+
+    Fixed recurrence: q = floor(e * 2^10); cells from SDX_ROUNDS
+    integer Lloyd rounds over the full corpus (lowest-id seeds, argmin
+    with ties to the lowest cluster, floor(sum * 2^10 / n) refresh —
+    ``clustering.exact_lloyd_assign``); pairs only WITHIN a cell, kept
+    iff the quantized cosine >= 9/20 via the integer cross-product
+    predicate.  Output (vec_a, vec_b, cluster, dot_q) is engine-exact.
+
+    Scale posture: identical to ``semantic_dedup`` — per-round Lloyd
+    work is one broadcast of the k-row centroid table + a map-side
+    combining (cluster, dim) aggregation; pair generation is an
+    equi-join on the cell id, never corpus x corpus.  k is PINNED at 8
+    here because the DuckDB oracle must replay the recurrence; the
+    corpus-scaled production face remains ``semantic_dedup``.
+    """
+    from .clustering import exact_lloyd_assign
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE)"
+            f" * {SDX_QUANT}) AS BIGINT))"
+        ).alias("q"),
+    )
+    vecs = exact_lloyd_assign(emb, SDX_K, SDX_ROUNDS).select(
+        "vec_id",
+        "q",
+        "cluster",
+        F.expr(
+            "aggregate(zip_with(q, q, (x, y) -> x * y), 0L,"
+            " (acc, v) -> acc + v)"
+        ).alias("n2"),
+    )
+    a, b = vecs.alias("a"), vecs.alias("b")
+    dot = (
+        "aggregate(zip_with(a.q, b.q, (x, y) -> x * y), 0L,"
+        " (acc, v) -> acc + v)"
+    )
+    thr2_num = SDX_THR_DEN * SDX_THR_DEN  # 400
+    thr2_den = SDX_THR_NUM * SDX_THR_NUM  # 81
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.cluster").alias("cluster"),
+            F.expr(dot).alias("dot_q"),
+            F.col("a.n2").alias("na2"),
+            F.col("b.n2").alias("nb2"),
+        )
+        .where(
+            (F.col("dot_q") >= 0)
+            & (F.col("na2") > 0)
+            & (F.col("nb2") > 0)
+            & (
+                F.lit(thr2_num) * F.col("dot_q") * F.col("dot_q")
+                >= F.lit(thr2_den) * F.col("na2") * F.col("nb2")
+            )
+        )
+        .select("vec_a", "vec_b", "cluster", "dot_q")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def _dedup_semantic_exact_oracle_sql(
+    k: int = SDX_K, rounds: int = SDX_ROUNDS, quant: int = SDX_QUANT
+) -> str:
+    from .clustering import exact_lloyd_cte_parts
+
+    parts = exact_lloyd_cte_parts(k, rounds, quant=quant)
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+        v AS MATERIALIZED (
+            SELECT vec_id, q, cluster,
+                   CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT)
+                       AS n2
+            FROM a{rounds}
+        )
+        SELECT vec_a, vec_b, cluster, dot_q FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   a.cluster AS cluster,
+                   CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+                        i -> a.q[i] * b.q[i])) AS BIGINT) AS dot_q,
+                   a.n2 AS na2, b.n2 AS nb2
+            FROM v a JOIN v b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        )
+        WHERE dot_q >= 0 AND na2 > 0 AND nb2 > 0
+          AND {SDX_THR_DEN * SDX_THR_DEN} * dot_q * dot_q
+              >= {SDX_THR_NUM * SDX_THR_NUM} * na2 * nb2
+        ORDER BY vec_a, vec_b
+    """
+    )
+
+
+QUERIES["dedup_semantic_exact"] = dedup_semantic_exact
+ORACLE_SQL["dedup_semantic_exact"] = _dedup_semantic_exact_oracle_sql()

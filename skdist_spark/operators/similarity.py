@@ -967,12 +967,22 @@ def ann_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark import StorageLevel
 
-    emb = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id",
-        F.expr(
-            f"transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE)"
-            f" * {PQX_QUANT}) AS BIGINT))"
-        ).alias("q"),
+    emb = (
+        load_table(spark, "embeddings", sf_dir)
+        # the EMB_COV_DIM rule: a NULL/ragged embedding yields NULL d2,
+        # which sorts NULLS FIRST in Spark's row_number window but
+        # NULLS LAST in DuckDB — guard BOTH faces identically
+        .where(
+            F.col("embedding").isNotNull()
+            & (F.size("embedding") == PQX_M * PQX_SUB_D)
+        )
+        .select(
+            "vec_id",
+            F.expr(
+                f"transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE)"
+                f" * {PQX_QUANT}) AS BIGINT))"
+            ).alias("q"),
+        )
     )
     sub = emb.select(
         "vec_id",
@@ -1042,11 +1052,17 @@ def ann_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " AS DOUBLE) / n) AS BIGINT)))), t -> t.x)"
             ).alias("cu")
         )
+        prev = cent
         cent = (
-            cent.join(newc, ["s", "cluster"], "left")
+            prev.join(newc, ["s", "cluster"], "left")
             .select("s", "cluster", F.coalesce("cu", "c").alias("c"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        # materialize the new state (m*k rows), then release the prior
+        # round's cache — otherwise each round leaks cached partitions
+        cent.count()
+        if prev.is_cached:
+            prev.unpersist()
 
     codes = _assign(cent, sub.where(F.col("vec_id") >= N_QUERIES)).select(
         F.col("vec_id").alias("neighbor_id"), "s", F.col("cluster").alias("code")
@@ -1106,6 +1122,7 @@ def _ann_pq_exact_oracle_sql(
                    list_transform(embedding, e ->
                        CAST(floor(CAST(e AS DOUBLE) * {quant}) AS BIGINT)) AS q
             FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = {m * sub_d}
         ), sub AS MATERIALIZED (
             SELECT vec_id, ss.s AS s,
                    list_transform(range(1, {sub_d + 1}),

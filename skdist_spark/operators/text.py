@@ -857,7 +857,14 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PACK_BUDGET = 512
-PACK_PARTITIONS = 16
+PACK_PARTITIONS = 16  # MINIMUM pack groups
+# pack groups scale with the corpus so the EXPECTED GROUP SIZE stays
+# constant (the SEMDEDUP_TARGET_CELL rule): with a fixed group count,
+# per-group pandas buffers and the linear open-bin scan of first-fit
+# grow with the data; p = max(16, n // TARGET) keeps both bounded.
+# The oracle recomputes the same p from COUNT(*) so the two faces
+# cannot drift.
+PACK_GROUP_TARGET = 4_096
 
 
 def pack_sequences(
@@ -865,7 +872,7 @@ def pack_sequences(
     id_col: str,
     len_col: str,
     budget: int = PACK_BUDGET,
-    num_partitions: int = PACK_PARTITIONS,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Greedy sequence packing: assign items (chunks with token
     lengths) to bins of at most ``budget`` tokens — the context-window
@@ -880,12 +887,20 @@ def pack_sequences(
     within each group over items sorted by (length DESC, id ASC); bin
     ids are globally unique (pk * 2^32 + local bin).  Items longer
     than ``budget`` get a bin of their own.  Each group's items are
-    buffered in pandas before packing (FFD needs the whole group;
-    size groups via ``num_partitions`` so a group fits an executor).
+    buffered in pandas before packing (FFD needs the whole group), so
+    ``num_partitions`` defaults to max(16, n // PACK_GROUP_TARGET):
+    the expected group stays ~constant-size as the corpus grows and
+    always fits an executor; the oracle recomputes the same p from
+    COUNT(*).
     """
     import pandas as pd
 
     from .sketches import hash_stage_exprs
+
+    if num_partitions is None:
+        # bounded driver action (one count), same posture as
+        # semantic_dedup's corpus-scaled k
+        num_partitions = max(PACK_PARTITIONS, df.count() // PACK_GROUP_TARGET)
 
     def _pack(batches):
         frames = [pdf for pdf in batches if len(pdf)]
@@ -947,7 +962,9 @@ def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pack_chunks_oracle_sql(
-    budget: int = PACK_BUDGET, p: int = PACK_PARTITIONS
+    budget: int = PACK_BUDGET,
+    p_min: int = PACK_PARTITIONS,
+    target: int = PACK_GROUP_TARGET,
 ) -> str:
     """DuckDB replay of the FFD bin manifest: the chunker CTE from
     ``doc_chunks``, the portable 32-bit hash for pack-group keys, and
@@ -977,9 +994,13 @@ def _pack_chunks_oracle_sql(
         "chunk_uid, ln",
     )
     return f"""
-        WITH RECURSIVE pkt AS (
-            SELECT chunk_uid, ln, CAST(h % {p} AS INT) AS pk
-            FROM ({hash_cte})
+        WITH RECURSIVE src AS MATERIALIZED (
+            {hash_cte}
+        ), pnum AS (
+            SELECT GREATEST({p_min}, COUNT(*) // {target}) AS p FROM src
+        ), pkt AS (
+            SELECT chunk_uid, ln, CAST(h % (SELECT p FROM pnum) AS INT) AS pk
+            FROM src
         ), ranked AS (
             SELECT pk, chunk_uid, ln,
                    row_number() OVER (PARTITION BY pk

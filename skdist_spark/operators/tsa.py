@@ -1975,7 +1975,7 @@ def daily_revenue_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     order revenue (day-of-week period)."""
     orders = load_table(spark, "orders", sf_dir)
     daily = orders.groupBy(
-        F.col("o_orderdate").alias("day"),
+        F.to_date("o_orderdate").alias("day"),
         F.datediff("o_orderdate", F.lit("1992-01-01")).alias("x"),
         F.dayofweek("o_orderdate").alias("dow"),
     ).agg(

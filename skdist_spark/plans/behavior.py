@@ -415,10 +415,11 @@ def daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative to the fact table at any scale factor.
     """
     ev = load_table(spark, "events", sf_dir)
-    # day as a midnight TIMESTAMP (date_trunc), the repo-wide convention
-    # for oracle-compared calendar buckets
+    # day as a DATE (to_date), matching the oracle's date_trunc DATE —
+    # same TYPE on both faces so parity never leans on pandas
+    # normalization (r7; the r6 verdict's representation-drift hazard)
     daily = ev.groupBy(
-        "event_type", F.date_trunc("DAY", "ts").alias("day")
+        "event_type", F.to_date("ts").alias("day")
     ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("v"))
     calendar = (
         daily.groupBy("event_type")
@@ -459,7 +460,7 @@ def user_daily_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     are sparse daily, so the interpolation actually exercises gaps.
     """
     ev = load_table(spark, "events", sf_dir)
-    daily = ev.groupBy("user_id", F.date_trunc("DAY", "ts").alias("day")).agg(
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v")
     )
     calendar = (
@@ -509,7 +510,7 @@ ORACLE_INTERPOLATE = """
     ), bounds AS (
         SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM daily GROUP BY 1
     ), calendar AS (
-        SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+        SELECT user_id, CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
         FROM bounds
     ), grid AS (
         SELECT c.user_id, c.day, d.v
@@ -764,7 +765,7 @@ ORACLE_SQL: dict[str, str] = {
           SELECT event_type, MIN(day) AS mn, MAX(day) AS mx FROM daily GROUP BY event_type),
         calendar AS (
           SELECT event_type,
-                 unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+                 CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
           FROM bounds)
         SELECT c.event_type, c.day,
                CAST(COALESCE(d.v, 0) AS DOUBLE) AS sum_value,
@@ -888,11 +889,11 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, "events", sf_dir)
     p = ev.where(F.col("event_type") == "purchase")
-    anchor = p.agg(F.max(F.date_trunc("DAY", "ts")).alias("mx"))
+    anchor = p.agg(F.max(F.to_date("ts")).alias("mx"))
     rfm = (
         p.groupBy("user_id")
         .agg(
-            F.max(F.date_trunc("DAY", "ts")).alias("last_day"),
+            F.max(F.to_date("ts")).alias("last_day"),
             F.count(F.lit(1)).alias("frequency"),
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("monetary"),
         )
@@ -1345,7 +1346,7 @@ def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup is a second small aggregation.  new_ppm is integer-exact.
     """
     ev = load_table(spark, "events", sf_dir).select(
-        "user_id", F.date_trunc("DAY", "ts").alias("day")
+        "user_id", F.to_date("ts").alias("day")
     )
     active = ev.distinct()
     first_seen = active.groupBy("user_id").agg(F.min("day").alias("first_day"))

@@ -191,7 +191,7 @@ def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, "events", sf_dir)
     return (
-        ev.withColumn("bucket", F.date_trunc("DAY", F.col("ts")))
+        ev.withColumn("bucket", F.to_date(F.col("ts")))
         .groupBy("bucket", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -302,7 +302,7 @@ def rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, "orders", sf_dir)
     daily = (
-        orders.withColumn("day", F.date_trunc("DAY", "o_orderdate"))
+        orders.withColumn("day", F.to_date("o_orderdate"))
         .groupBy("day")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("day_rev"))
     )
@@ -1313,7 +1313,7 @@ def daily_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = "CAST(round(value * 100) AS BIGINT)"
     return (
         ev.select(
-            F.date_trunc("DAY", "ts").alias("day"),
+            F.to_date("ts").alias("day"),
             "event_type",
             F.expr(cents).alias("c"),
         )
@@ -1446,7 +1446,7 @@ def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     sessions = with_sess.groupBy("user_id", "session_idx").agg(
-        F.date_trunc("day", F.min("ts")).alias("day"),
+        F.to_date(F.min("ts")).alias("day"),
         F.count(F.lit(1)).alias("n_events"),
     )
     return (

@@ -51,8 +51,14 @@ def run_oracle(sql: str, sf_dir: str):
 
 
 def _norm_cell(v):
+    import datetime
+
     if v is None:
         return None
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        # Spark DateType -> pandas object-of-date; DuckDB DATE ->
+        # datetime64 Timestamp: canonicalize both to midnight datetime
+        return datetime.datetime.combine(v, datetime.time())
     if isinstance(v, float):
         if math.isnan(v):
             return None

@@ -969,6 +969,52 @@ def test_semantic_dedup_matches_bruteforce_within_cells(spark, sf_dir):
         assert abs(r.cosine - cos[i, j]) < 1e-9
 
 
+def test_semantic_lloyd_fit_chunked_matches_dense():
+    """_lloyd_fit's block-streamed argmin must equal the dense-matrix
+    Lloyd it replaced, even when the budget forces many tiny blocks."""
+    import numpy as np
+
+    from skdist_spark.operators.dedup import _lloyd_fit
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(200, 8)).astype(np.float64)
+    k, iters = 13, 4
+
+    centroids = x[:k].copy()
+    for _ in range(iters):
+        d2 = ((x * x).sum(1)[:, None] - 2.0 * (x @ centroids.T)
+              + (centroids * centroids).sum(1)[None, :])
+        assign = d2.argmin(axis=1)
+        new_c = centroids.copy()
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                new_c[c] = x[m].mean(axis=0)
+        if float(np.abs(new_c - centroids).max()) < 1e-6:
+            centroids = new_c
+            break
+        centroids = new_c
+
+    got = _lloyd_fit(x, k, iters, budget=16)  # blocks of 1 row
+    assert np.allclose(got, centroids, atol=1e-12)
+
+
+def test_semantic_lloyd_fit_survives_max_k():
+    """The SEMDEDUP_MAX_K cell cap must fit without materializing the
+    dense (fit_n x k) slab — dense at k = 65,536 would be ~34 GB here
+    (and ~137 GB at fit_n = 4k); the chunked fit stays under the
+    128 MiB block budget."""
+    import numpy as np
+
+    from skdist_spark.operators.dedup import SEMDEDUP_MAX_K, _lloyd_fit
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(SEMDEDUP_MAX_K, 4)).astype(np.float64)
+    centroids = _lloyd_fit(x, SEMDEDUP_MAX_K, iters=1)
+    assert centroids.shape == (SEMDEDUP_MAX_K, 4)
+    assert np.isfinite(centroids).all()
+
+
 def test_embedding_pca_matches_numpy(spark, sf_dir):
     """Distributed covariance PCA must match a local full-matrix numpy
     PCA: same projections (after the deterministic sign convention) and
