@@ -36,51 +36,53 @@ _MODULES = [
 ]
 
 # The driver's CORRECTNESS sweep checks only the FIRST 50 registry entries
-# (observed in rounds 1-5: the sweep stops at exactly 50).  Registry order
+# (observed in rounds 1-6: the sweep stops at exactly 50).  Registry order
 # is therefore a verification budget.  Policy: front-load entries that have
-# not yet earned a driver row; demote verified ones.  Rounds 1-5 verified
-# 243 oracle rows cumulatively (zero repeat failures).  ROUND-6 ROTATION
-# (executed): the 50 entries verified in CORRECTNESS_r05 are demoted to the
-# verified block; positions 1-21 are the former ROUND-6 QUEUE (the only
-# oracles without a driver row), 22-26 are this round's NEW or CHANGED
-# oracles, and 27-50 re-attest the 24 OLDEST r1-vintage oracles so
-# round-1 work gets driver-level regression checks, not just local ones.
+# not yet earned a driver row for their CURRENT form; demote verified ones.
+# Rounds 1-6 attested 267/267 oracles cumulatively.  ROUND-7 ROTATION
+# (executed): positions 1-13 are this round's NEW or CHANGED oracles
+# (dedup_semantic_exact NEW; pack_chunks' group count and ann_pq_exact's
+# embedding guard changed; ml_kmeans_exact refactored through
+# exact_lloyd_assign; nine day-grain faces re-typed to DATE on both
+# engines) — all unattested in their current form; 14-33 re-attest the
+# 20 remaining oracles whose only driver row is ROUND 1; 34-50 re-attest
+# the 17 oldest round-2-vintage oracles, so after this round no oracle's
+# newest attestation is older than round 2 (and only 29 r2 rows remain
+# for the round-8 window).
 _PRIORITY = [
-    # -- ROUND-6 WINDOW (first 50 get a driver CORRECTNESS row) --
-    # 1-21: the former ROUND-6 QUEUE — after these land, cumulative
-    # driver attestation covers 100% of oracles at least once.
-    "ml_kmeans_exact",  # NEW r5: integer-exact quantized Lloyd rounds
-    "heavy_hitters_cms",  # PROMOTED r5: Knuth-hash CMS contents pinned
-    "kmv_user_overlap",  # PROMOTED r5: portable-hash KMV estimates pinned
-    "zorder_layout",  # NEW r5: deterministic Morton file-layout audit
-    "hll_portable_registers",  # NEW r5: portable-HLL register contents pinned
-    "bloom_filter_words",  # NEW r5: portable Bloom bitset contents pinned
-    "bloom_probe_audit",  # NEW r5: runtime-filter probe contract pinned
-    "c4_quality_flags",  # NEW r5: C4 rule ledger beside the Gopher one
-    "hll_portable_rollup",  # NEW r5: register-table MAX-merge pinned
-    "kmv_user_difference",  # NEW r5: theta A-not-B estimates pinned
-    "hilbert_layout",  # NEW r5: Hilbert curve walk pinned cross-engine
-    "embedding_covariance",  # NEW r5: exact Gram moments behind PCA
-    "zipf_fit", "text_readability", "daily_revenue_acf",
-    "event_value_trimmed", "embedding_separability", "click_purchase_ccf",
-    "part_cf_similarity", "price_elasticity", "ann_ivf",
-    # 22-26: NEW or CHANGED this round (r6) — never attested in this form.
-    "dedup_lines_docs",  # NEW r6: line-level dedup over multi-line docs
-    "ann_pq_exact",  # NEW r6: integer-exact PQ codebooks + ADC pinned
-    "pack_chunks",  # PROMOTED r6: deterministic FFD bin manifest pinned
-    "fuzzy_part_match",  # CHANGED r6: re-blocked on high-entropy key
-    "part_entity_resolution",  # CHANGED r6: same re-blocking
-    # 27-50: re-attestation of the 24 oldest (round-1) oracles.
-    "q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10", "q11",
-    "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19", "q20", "q21",
-    "q22", "events_topn", "order_percentiles",
-    # -- verified in round 5 (CORRECTNESS_r05: 50/50 green) --
-    "gopher_quality_flags",
+    # -- ROUND-7 WINDOW (first 50 get a driver CORRECTNESS row) --
+    "dedup_semantic_exact", "pack_chunks", "ann_pq_exact", "ml_kmeans_exact",
+    "daily_gapfill", "user_daily_interpolate", "daily_active_users",
+    "time_bucket_rollup", "rolling_revenue", "daily_percentile_bands",
+    "session_bounce_rate", "daily_revenue_decompose", "rfm_segments",
+    "setops_customers", "bloom_semi_sales", "events_value_windows",
+    "orders_date_features", "events_unpivot", "value_histogram",
+    "profile_documents", "user_event_features", "event_transitions",
+    "sales_grouping_sets", "events_cube", "heavy_hitters", "sales_rollup",
+    "asof_join", "sessionize_events", "range_join_clicks",
+    "user_distinct_counts", "events_pivot", "salted_event_totals",
+    "events_json", "ann_lsh", "basket_part_affinity",
+    "shipping_delay_percentiles", "events_json_schema", "value_ntile_buckets",
+    "sample_events_per_user", "events_funnel", "user_retention",
+    "user_event_paths", "weekly_revenue_wow", "interevent_latency_histogram",
+    "purchase_attribution", "user_value_ewma", "event_outliers",
+    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
+    # -- attested in earlier rounds; module order anchors --
+    "heavy_hitters_cms", "kmv_user_overlap", "zorder_layout",
+    "hll_portable_registers", "bloom_filter_words", "bloom_probe_audit",
+    "c4_quality_flags", "hll_portable_rollup", "kmv_user_difference",
+    "hilbert_layout", "embedding_covariance", "zipf_fit", "text_readability",
+    "daily_revenue_acf", "event_value_trimmed", "embedding_separability",
+    "click_purchase_ccf", "part_cf_similarity", "price_elasticity", "ann_ivf",
+    "dedup_lines_docs", "fuzzy_part_match", "part_entity_resolution", "q1",
+    "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10", "q11", "q12",
+    "q13", "q14", "q15", "q16", "q17", "q18", "q19", "q20", "q21", "q22",
+    "events_topn", "order_percentiles", "gopher_quality_flags",
     "event_trigram_sequences", "retention_halflife", "revenue_dow_anova",
     "event_value_bootstrap", "ann_recall_eval", "source_token_js",
-    "daily_revenue_decompose", "blocking_eval", "customer_kanonymity",
-    "purchase_ab_did", "revenue_change_decomposition", "bm25_eval",
-    "ann_probe_sweep", "orders_reconciliation", "source_neyman_allocation",
+    "blocking_eval", "customer_kanonymity", "purchase_ab_did",
+    "revenue_change_decomposition", "bm25_eval", "ann_probe_sweep",
+    "orders_reconciliation", "source_neyman_allocation",
     "daily_revenue_mannkendall", "part_return_rate_eb", "markov_predict_eval",
     "source_length_qq", "doc_keyphrases", "value_per_event_jackknife",
     "event_type_target_encoding", "doc_clustering_coeff",
@@ -90,57 +92,50 @@ _PRIORITY = [
     "doc_graph_assortativity", "user_churn_hazard", "churn_ab_logrank",
     "source_length_ks", "embedding_silhouette", "dedup_remove_spans",
     "text_blocklist", "text_keyword_tags", "events_json_variant",
-    "user_series_topk", "events_funnel_windowed",
-    "user_balance_resets", "doc_chunks_udtf", "funnel_conversion_intervals",
-    "orders_fingerprint", "weighted_price_percentiles",
-    "user_funnel_patterns", "weekly_revenue_forecast_hw", "cohort_ltv",
-    # -- verified in round 4 (CORRECTNESS_r04: 50/50 green) --
-    "dedup_minhash_eval", "decontaminate_exact_ngrams", "doc_filter_funnel",
-    "source_leakage", "source_boilerplate", "doc_perplexity_filter",
-    "user_split_summary", "user_value_theilsen", "event_training_pairs",
-    "doc_winnowing",
+    "user_series_topk", "events_funnel_windowed", "user_balance_resets",
+    "doc_chunks_udtf", "funnel_conversion_intervals", "orders_fingerprint",
+    "weighted_price_percentiles", "user_funnel_patterns",
+    "weekly_revenue_forecast_hw", "cohort_ltv", "dedup_minhash_eval",
+    "decontaminate_exact_ngrams", "doc_filter_funnel", "source_leakage",
+    "source_boilerplate", "doc_perplexity_filter", "user_split_summary",
+    "user_value_theilsen", "event_training_pairs", "doc_winnowing",
     "purchase_uplift_qini", "revenue_pareto", "peak_concurrent_sessions",
     "event_lateness_profile", "event_volume_spearman",
-    "tier_occupancy_by_day",
-    "slo_burn_rate",
-    "daily_spearman", "daily_kendall", "source_ngram_diversity",
-    "tfidf_doc_pairs", "time_decay_attribution", "ab_power_planner",
-    "event_value_winsorized", "customer_ldiversity",
-    "brand_copurchase_modularity", "source_vocab_richness",
-    "source_style_delta", "basket_triples", "budget_gate_summary",
-    "embedding_jl_eval", "langid_brier_decomposition", "purchase_ab_qte",
-    "fs_field_weights", "doc_shard_balance", "langid_confusion",
-    "shard_plan_documents", "session_gap_sweep", "doc_curriculum_phases",
-    "funnel_ab_steps", "embedding_drift_report", "english_threshold_sweep",
-    "event_value_median_ci", "dedup_cluster_sizes", "subsample_stability",
-    "lsh_label_nmi", "user_churn_rmst",
-    "part_kcore", "langid_isotonic", "bpe_merge_table",
-    # -- verified in rounds 1-3 or rows-only; module order anchors --
-    "sample_documents", "mixture_sample_sources", "session_bounce_rate",
-    "audience_overlap", "user_burstiness", "user_behavior_entropy",
-    "growth_accounting", "user_streaks", "dsir_doc_weights", "vocab_growth",
-    "langid_eval", "purchase_ab_welch", "user_churn_survival",
-    "purchase_ab_cuped", "purchase_ab_mannwhitney", "purchase_ab_conversion",
-    "inverted_postings", "user_value_trend", "event_value_drift",
-    "event_value_pmi", "user_skew_report", "ann_ivf_join", "ann_filtered",
-    "similar_doc_pairs", "user_tier_history", "events_at_tier",
-    "doc_perplexity_bigram", "contrastive_negatives", "phrase_search_docs",
-    "bm25_search", "hybrid_search_rrf", "daily_revenue_anomaly",
-    "source_token_budget", "text_entropy", "transition_probs",
-    "sales_share_of_parent", "sessionize_native", "value_benford",
-    "event_value_chi2", "revenue_cusum", "doc_containment",
-    "time_to_first_purchase", "daily_active_users", "daily_percentile_bands",
-    "supplier_concentration", "events_dow_hour_heatmap", "ann_int8",
-    "weekly_revenue_forecast", "user_revenue_gini", "event_pagerank",
-    "unigram_vocab_table", "ml_als_recommend", "stream_token_budget_gate",
-    "ml_source_ablation", "stream_ann_enrich", "ann_diversified",
-    "embedding_whiten", "ann_lsh",
-    "dedup_semantic", "embedding_pca", "ml_kmeans",
-    "ml_grid_search", "ml_random_search", "ml_ovr_predict",
-    "ml_forest_predict", "ml_forest_regress", "ml_feature_elimination",
-    "ml_multi_model_search", "ml_predict_udf", "encoderizer_features",
-    "ml_quality_classifier", "stream_windowed_counts", "stream_sliding_users",
-    "stream_sessionize", "stream_psi_drift", "stream_filter_funnel",
+    "tier_occupancy_by_day", "slo_burn_rate", "daily_spearman",
+    "daily_kendall", "source_ngram_diversity", "tfidf_doc_pairs",
+    "time_decay_attribution", "ab_power_planner", "event_value_winsorized",
+    "customer_ldiversity", "brand_copurchase_modularity",
+    "source_vocab_richness", "source_style_delta", "basket_triples",
+    "budget_gate_summary", "embedding_jl_eval", "langid_brier_decomposition",
+    "purchase_ab_qte", "fs_field_weights", "doc_shard_balance",
+    "langid_confusion", "shard_plan_documents", "session_gap_sweep",
+    "doc_curriculum_phases", "funnel_ab_steps", "embedding_drift_report",
+    "english_threshold_sweep", "event_value_median_ci", "dedup_cluster_sizes",
+    "subsample_stability", "lsh_label_nmi", "user_churn_rmst", "part_kcore",
+    "langid_isotonic", "bpe_merge_table", "sample_documents",
+    "mixture_sample_sources", "audience_overlap", "user_burstiness",
+    "user_behavior_entropy", "growth_accounting", "user_streaks",
+    "dsir_doc_weights", "vocab_growth", "langid_eval", "purchase_ab_welch",
+    "user_churn_survival", "purchase_ab_cuped", "purchase_ab_mannwhitney",
+    "purchase_ab_conversion", "inverted_postings", "user_value_trend",
+    "event_value_drift", "event_value_pmi", "user_skew_report",
+    "ann_ivf_join", "ann_filtered", "similar_doc_pairs", "user_tier_history",
+    "events_at_tier", "doc_perplexity_bigram", "contrastive_negatives",
+    "phrase_search_docs", "bm25_search", "hybrid_search_rrf",
+    "daily_revenue_anomaly", "source_token_budget", "text_entropy",
+    "transition_probs", "sales_share_of_parent", "sessionize_native",
+    "value_benford", "event_value_chi2", "revenue_cusum", "doc_containment",
+    "time_to_first_purchase", "supplier_concentration",
+    "events_dow_hour_heatmap", "ann_int8", "weekly_revenue_forecast",
+    "user_revenue_gini", "event_pagerank", "unigram_vocab_table",
+    "ml_als_recommend", "stream_token_budget_gate", "ml_source_ablation",
+    "stream_ann_enrich", "ann_diversified", "embedding_whiten",
+    "dedup_semantic", "embedding_pca", "ml_kmeans", "ml_grid_search",
+    "ml_random_search", "ml_ovr_predict", "ml_forest_predict",
+    "ml_forest_regress", "ml_feature_elimination", "ml_multi_model_search",
+    "ml_predict_udf", "encoderizer_features", "ml_quality_classifier",
+    "stream_windowed_counts", "stream_sliding_users", "stream_sessionize",
+    "stream_psi_drift", "stream_filter_funnel",
     "value_percentile_sketch_rollup", "stream_value_quantiles",
     "stream_dedup_users_ttl", "corpus_pipeline",
 ]

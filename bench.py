@@ -118,6 +118,26 @@ def main() -> None:
             print(f"# bench error {name}: {exc}", file=sys.stderr)
     total = round(time.perf_counter() - t_all, 4)
 
+    # Host-speed controls (r7): cross-round wall comparisons were
+    # confounded by host scheduling (identical r6 code measured 496 /
+    # 665 / 676 s on three hosts) — emit two fixed-work scalars so a
+    # BENCH_r{N} can be read in units of host speed.
+    # control_jvm_sec: a pure whole-stage-codegen spin (no IO, no
+    # shuffle, data-independent).  control_q9_sec: one solo re-run of
+    # the unchanged q9 plan on a warm JVM.
+    t0 = time.perf_counter()
+    try:
+        spark.range(200_000_000).selectExpr("sum(id * 2 + 1)").collect()
+        control_jvm = round(time.perf_counter() - t0, 4)
+    except Exception:  # pragma: no cover
+        control_jvm = -1.0
+    t0 = time.perf_counter()
+    try:
+        entry_mod.queries()["q9"](spark, sf_dir).collect()
+        control_q9 = round(time.perf_counter() - t0, 4)
+    except Exception:  # pragma: no cover
+        control_q9 = -1.0
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
@@ -160,6 +180,8 @@ def main() -> None:
                 "n_queries": len(times),
                 "n_errors": n_errors,
                 "median_query_sec": median_q,
+                "control_jvm_sec": control_jvm,
+                "control_q9_sec": control_q9,
                 # name->sec for the 5 slowest only; full map in BENCH_DETAIL.json
                 "queries": dict(
                     sorted(times.items(), key=lambda kv: -kv[1])[:5]

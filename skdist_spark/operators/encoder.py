@@ -231,11 +231,11 @@ class Encoderizer(BaseEstimator, TransformerMixin):
             fu = FeatureUnion(tl, transformer_weights=tw)
             for pdf in batches:
                 T = np.asarray(fu.transform(pdf[fields]), dtype=np.float64)
+                # numpy row views, not .tolist(): Arrow converts
+                # float64 rows directly — the per-element Python float
+                # boxing was O(rows * dims) of pure conversion cost
                 yield pd.DataFrame(
-                    {
-                        id_col: pdf[id_col],
-                        "features": [row.tolist() for row in T],
-                    }
+                    {id_col: pdf[id_col], "features": list(T)}
                 )
 
         return sdf.mapInPandas(run, schema=f"{id_col} long, features array<double>")

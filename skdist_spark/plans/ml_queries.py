@@ -29,6 +29,11 @@ from ..sources.catalog import load_table
 # if the embeddings table is ever regenerated 100x larger. The limit is
 # deterministic (vec_id order), so results are stable at any scale.
 _MAX_DRIVER_ROWS = 100_000
+# encoder FIT sample: category/dim discovery saturates far below the
+# generic driver bound, and the fit sample is shipped into every
+# per-transformer fit task — keep it small and constant (see
+# encoderizer_features)
+_ENC_FIT_ROWS = 10_000
 
 
 def _load_xy(spark: SparkSession, sf_dir: str):
@@ -216,8 +221,13 @@ def encoderizer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "n_chars", "text"
     )  # parallel=False: driver-side fit + Arrow transform; floor costs more than it buys
     # fit on a bounded id-ordered sample (deterministic); transform stays
-    # distributed over the full corpus — same bound as every other ml entry
-    pdf = docs.orderBy("doc_id").limit(_MAX_DRIVER_ROWS).toPandas()
+    # distributed over the full corpus.  The FIT bound is much tighter
+    # than _MAX_DRIVER_ROWS: fitting only discovers onehot categories
+    # and hashing dims, so 10k rows saturate it — at the sf1 profile the
+    # 50k-row fit was 32.8 s of the query's 70 s (the whole sample is
+    # pickled into every per-transformer fit task); capping makes fit
+    # CONSTANT in corpus size while the transform stays honest per-row.
+    pdf = docs.orderBy("doc_id").limit(_ENC_FIT_ROWS).toPandas()
     enc = Encoderizer(size="small", sc=spark, config={
         "n_chars": "numeric",
         "lang": "onehotencoder",
