@@ -286,7 +286,6 @@ def exact_lloyd_assign(
     empty clusters keep their centroid).  Returns the FINAL assignment
     ``(vec_id, q, cluster, d2)`` — every value a replayable integer.
     """
-    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     cent = (
@@ -350,17 +349,17 @@ def exact_lloyd_assign(
                 " AS DOUBLE) / n) AS BIGINT)))), t -> t.v)"
             ).alias("cu")
         )
-        prev = cent
+        # localCheckpoint (eager): materializes the k-row state AND
+        # truncates lineage — the forked downstream (next-round join +
+        # empty-cluster fallback) reads one stored copy, prior rounds'
+        # blocks are unreferenced and ContextCleaner-collected, and the
+        # plan stays round-count-flat (a persist chain re-expands every
+        # cached subtree in explain/snapshot output)
         cent = (
-            prev.join(newc, "cluster", "left")
+            cent.join(newc, "cluster", "left")
             .select("cluster", F.coalesce("cu", "c").alias("c"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint()
         )
-        # materialize the new k-row state, then release the prior
-        # round's cache — otherwise each round leaks cached partitions
-        cent.count()
-        if prev.is_cached:
-            prev.unpersist()
     return _assign(cent)
 
 

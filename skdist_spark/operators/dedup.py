@@ -1510,6 +1510,8 @@ def dedup_semantic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the cell id, never corpus x corpus.  k is PINNED at 8
     here because the DuckDB oracle must replay the recurrence; the
     corpus-scaled production face remains ``semantic_dedup``.
+
+    No reference counterpart (sk-dist has no dedup; net-new).
     """
     from .clustering import exact_lloyd_assign
 
@@ -1520,14 +1522,21 @@ def dedup_semantic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * {SDX_QUANT}) AS BIGINT))"
         ).alias("q"),
     )
-    vecs = exact_lloyd_assign(emb, SDX_K, SDX_ROUNDS).select(
-        "vec_id",
-        "q",
-        "cluster",
-        F.expr(
-            "aggregate(zip_with(q, q, (x, y) -> x * y), 0L,"
-            " (acc, v) -> acc + v)"
-        ).alias("n2"),
+    vecs = (
+        exact_lloyd_assign(emb, SDX_K, SDX_ROUNDS)
+        .select(
+            "vec_id",
+            "q",
+            "cluster",
+            F.expr(
+                "aggregate(zip_with(q, q, (x, y) -> x * y), 0L,"
+                " (acc, v) -> acc + v)"
+            ).alias("n2"),
+        )
+        # eager localCheckpoint: the self-join consumes this twice —
+        # without it each side replays the whole Lloyd assignment chain
+        # (measured 11.4 -> 7.5 s at sf0.1)
+        .localCheckpoint()
     )
     a, b = vecs.alias("a"), vecs.alias("b")
     dot = (

@@ -965,8 +965,6 @@ def ann_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined sum — shuffle O(corpus * n_queries), the
     classic PQ serving shape, never corpus x corpus.
     """
-    from pyspark import StorageLevel
-
     emb = (
         load_table(spark, "embeddings", sf_dir)
         # the EMB_COV_DIM rule: a NULL/ragged embedding yields NULL d2,
@@ -1052,17 +1050,15 @@ def ann_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " AS DOUBLE) / n) AS BIGINT)))), t -> t.x)"
             ).alias("cu")
         )
-        prev = cent
+        # localCheckpoint (eager): materializes the m*k-row state AND
+        # truncates lineage — prior rounds' blocks fall out of scope
+        # for ContextCleaner instead of accumulating in the cache, and
+        # the plan stays round-count-flat
         cent = (
-            prev.join(newc, ["s", "cluster"], "left")
+            cent.join(newc, ["s", "cluster"], "left")
             .select("s", "cluster", F.coalesce("cu", "c").alias("c"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint()
         )
-        # materialize the new state (m*k rows), then release the prior
-        # round's cache — otherwise each round leaks cached partitions
-        cent.count()
-        if prev.is_cached:
-            prev.unpersist()
 
     codes = _assign(cent, sub.where(F.col("vec_id") >= N_QUERIES)).select(
         F.col("vec_id").alias("neighbor_id"), "s", F.col("cluster").alias("code")
@@ -1454,6 +1450,187 @@ def ann_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ann_diversified"] = ann_diversified
+
+
+# ---- exact diversified top-k: the oracle face of ann_diversified -------
+
+# Tighter threshold than the float face's 0.98: testdata cosines top out
+# ~0.6, so at 0.98 the greedy never drops anything and the oracle would
+# only re-prove plain top-k.  At 0.25 the drop branch fires on ~1/4 of
+# the picks (measured at sf0.01), so the RECURRENCE itself is pinned.
+MMRX_THR = 0.25
+
+
+def ann_diversified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-k with every float produced in the fixed
+    operation order both engines share — ORACLE-BACKED (r7): the
+    greedy rank-order scan (keep a candidate iff fewer than k kept and
+    its max cosine to every kept result <= MMRX_THR) is replayed by a
+    DuckDB RECURSIVE CTE carrying the kept-id list, the first
+    sequential-control-flow operator pinned that way (the iterative
+    siblings — ml_kmeans_exact, ann_pq_exact, dedup_semantic_exact —
+    unroll fixed rounds; this one recurses data-dependently per rank).
+
+    Float discipline: vectors are normalized ONCE (u = v / sqrt(fold
+    v*v), the repo's sequential-fold idiom proven bit-equal to DuckDB's
+    list_reduce), pool cosines and candidate-vs-kept similarities are
+    sequential folds of u products, and the greedy's Python loop
+    replays the identical left-to-right accumulation — so the kept set
+    is decided on bit-identical doubles, never a normalizer's mercy.
+
+    Scale posture: same as diversified_topk — broadcast query side,
+    map-only scoring, per-query top-M window pool (M = MMR_CANDIDATES
+    bounded), then the inherently sequential greedy runs on <= M rows
+    per query inside applyInPandas.
+
+    No reference counterpart (sk-dist has no retrieval; net-new).
+    """
+    import pandas as pd
+
+    from .dedup import _let
+
+    emb = load_table(spark, "embeddings", sf_dir).where(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
+    u_expr = _let(
+        "transform(embedding, x -> CAST(x AS DOUBLE))",
+        "__v",
+        _let(
+            "sqrt(aggregate(transform(__v, x -> x * x), 0D,"
+            " (acc, x) -> acc + x))",
+            "__n",
+            "transform(__v, x -> x / __n)",
+        ),
+    )
+    nv = emb.select("vec_id", F.expr(u_expr).alias("u"))
+    q = F.broadcast(
+        nv.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.col("u").alias("qu")
+        )
+    )
+    cos = (
+        "aggregate(zip_with(qu, u, (x, y) -> x * y), 0D,"
+        " (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    pool = (
+        q.join(nv, F.col("qid") != F.col("vec_id"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(cos).alias("cosine"),
+            F.col("u").alias("nu"),
+        )
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= MMR_CANDIDATES)
+        .withColumn("cos6", F.round("cosine", 6))
+    )
+
+    k, thr = TOP_K, MMRX_THR
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("r")
+        kept_u: "list[list[float]]" = []
+        rows = []
+        for row in pdf.itertuples():
+            if len(rows) >= k:
+                break
+            cu = list(row.nu)
+            m = None
+            for ku in kept_u:
+                acc = 0.0
+                for x, y in zip(cu, ku):  # left-to-right: list_reduce order
+                    acc += x * y
+                m = acc if m is None or acc > m else m
+            if m is not None and m > thr:
+                continue
+            kept_u.append(cu)
+            rows.append(
+                (int(row.query_id), len(rows) + 1, int(row.neighbor_id),
+                 float(row.cos6))
+            )
+        return pd.DataFrame(
+            rows, columns=["query_id", "div_rank", "neighbor_id", "cosine"]
+        )
+
+    return (
+        pool.groupBy("query_id")
+        .applyInPandas(
+            greedy,
+            schema="query_id long, div_rank int, neighbor_id long,"
+            " cosine double",
+        )
+        .orderBy("query_id", "div_rank")
+    )
+
+
+def _ann_diversified_exact_oracle_sql(
+    k: int = TOP_K,
+    m: int = MMR_CANDIDATES,
+    n_queries: int = N_QUERIES,
+    thr: float = MMRX_THR,
+) -> str:
+    dot = _DUCK_DOT.format(a="q.u", b="c.u")
+    kdot = _DUCK_DOT.format(a="cu.u", b="ku.u")
+    return f"""
+    WITH RECURSIVE nv AS MATERIALIZED (
+        SELECT vec_id, list_transform(v, x -> x / nrm) AS u
+        FROM (
+            SELECT vec_id, v, {_DUCK_NORM.format("v")} AS nrm
+            FROM (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+                WHERE embedding IS NOT NULL AND len(embedding) = 64
+            )
+        )
+    ), pool AS MATERIALIZED (
+        SELECT query_id, neighbor_id, cosine, r, ROUND(cosine, 6) AS cos6
+        FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {dot} AS cosine,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {dot} DESC, c.vec_id ASC) AS r
+            FROM nv q JOIN nv c ON q.vec_id != c.vec_id
+            WHERE q.vec_id < {n_queries}
+        ) WHERE r <= {m}
+    ), rec AS (
+        SELECT query_id, CAST(0 AS BIGINT) AS r,
+               CAST([] AS BIGINT[]) AS kept, 0 AS n_kept,
+               CAST(NULL AS BIGINT) AS pick, CAST(NULL AS DOUBLE) AS pick_cos
+        FROM (SELECT DISTINCT query_id FROM pool)
+      UNION ALL
+        SELECT query_id, r,
+               CASE WHEN ok THEN list_append(kept, neighbor_id) ELSE kept END,
+               CASE WHEN ok THEN n_kept + 1 ELSE n_kept END,
+               CASE WHEN ok THEN neighbor_id END,
+               CASE WHEN ok THEN cos6 END
+        FROM (
+            SELECT rec.query_id, p.r, rec.kept, rec.n_kept,
+                   p.neighbor_id, p.cos6,
+                   (rec.n_kept < {k}
+                    AND (ms.mx IS NULL OR ms.mx <= {thr})) AS ok
+            FROM rec
+            JOIN pool p ON p.query_id = rec.query_id AND p.r = rec.r + 1
+            LEFT JOIN LATERAL (
+                SELECT MAX({kdot}) AS mx
+                FROM unnest(rec.kept) AS t(kid)
+                JOIN nv ku ON ku.vec_id = t.kid
+                JOIN nv cu ON cu.vec_id = p.neighbor_id
+            ) ms ON true
+        )
+    )
+    SELECT query_id, CAST(n_kept AS INT) AS div_rank,
+           pick AS neighbor_id, pick_cos AS cosine
+    FROM rec WHERE pick IS NOT NULL
+    ORDER BY query_id, div_rank
+    """
+
+
+QUERIES["ann_diversified_exact"] = ann_diversified_exact
+ORACLE_SQL["ann_diversified_exact"] = _ann_diversified_exact_oracle_sql()
 
 
 # ---- ANN recall evaluation --------------------------------------------

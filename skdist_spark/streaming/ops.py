@@ -660,7 +660,11 @@ def stream_rollup_maintenance(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
+        # group on the TIMESTAMP date_trunc (watermark eviction needs an
+        # event-time-typed key), then surface DATE — matching the batch
+        # face's r7 DATE re-typing (plans.windows.time_bucket_rollup)
         .withColumn("day", F.date_format("bucket", "yyyy-MM-dd"))
+        .withColumn("bucket", F.to_date("bucket"))
     )
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:

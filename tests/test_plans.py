@@ -248,11 +248,11 @@ def test_no_oracle_query_has_unsanctioned_global_window(spark, sf_dir):
     sanctioned = {
         "churn_ab_logrank": 1, "click_purchase_ccf": 1,
         "daily_revenue_acf": 1, "daily_revenue_decompose": 2,
-        # the 8-row seed ranking (top-k list shape); counts as 2
-        # distinct instances because the persisted round-1 centroid
-        # subtree freezes one analyzed copy (its own expr ids) while
-        # the outer query re-analyzes another — same bounded window
-        "ml_kmeans_exact": 2,
+        # ml_kmeans_exact's 8-row seed ranking is a bounded top-k
+        # window, but since the r7 localCheckpoint switch each round's
+        # lineage is truncated, so NO window survives into the final
+        # audited plan (same for the other integer-Lloyd faces) — it
+        # needs no sanction entry anymore
         "daily_spearman": 2, "doc_filter_funnel": 1,
         "english_threshold_sweep": 1, "event_lateness_profile": 1,
         "hybrid_search_rrf": 2, "peak_concurrent_sessions": 1,

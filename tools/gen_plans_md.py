@@ -34,6 +34,10 @@ scans = parquet FileScan count; joins = strategy x count
 pushed = a non-empty PushedFilters reached the scan.
 Regenerate: python tools/gen_plans_md.py (fingerprints enforced in CI by
 tests/test_plan_snapshots.py).
+Integer-Lloyd queries (ml_kmeans_exact, ann_pq_exact,
+dedup_semantic_exact) localCheckpoint each round, so their rows count
+only the FINAL stage — the per-round assignment plans run eagerly at
+construction and are lineage-truncated out of the audited plan.
 
 | query | shuffles | scans | joins | pushed |
 |---|---|---|---|---|
