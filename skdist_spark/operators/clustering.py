@@ -285,8 +285,19 @@ def exact_lloyd_assign(
     id; centroid refresh ``floor(sum * cscale / n)`` per dimension,
     empty clusters keep their centroid).  Returns the FINAL assignment
     ``(vec_id, q, cluster, d2)`` — every value a replayable integer.
+
+    The per-row assign cost is O(k*d) of interpreted HOF work, so it
+    must run on ALL cores: when the input has fewer partitions than
+    the cluster's parallelism (one small parquet file), spread it
+    first — measured 97 s -> 13 s on the sf1 profile at k = 78.  At
+    real scale the input already has >= parallelism splits and the
+    spread is a no-op.
     """
     from pyspark.sql import Window
+
+    sc = emb.sparkSession.sparkContext
+    if emb.rdd.getNumPartitions() < sc.defaultParallelism:
+        emb = emb.repartition(sc.defaultParallelism)
 
     cent = (
         emb.orderBy("vec_id")
@@ -364,7 +375,7 @@ def exact_lloyd_assign(
 
 
 def exact_lloyd_cte_parts(
-    k: int,
+    k: "int | str",
     rounds: int,
     dims: int = _DIMS,
     quant: int = KMEANS_QUANT,
@@ -376,7 +387,9 @@ def exact_lloyd_cte_parts(
     (vec_id, q, cluster, d2).  Every round is MATERIALIZED: round t is
     referenced twice by round t+1 — assignment + the empty-cluster
     fallback — and DuckDB inlines repeated CTEs into exponential
-    blowup otherwise."""
+    blowup otherwise.  ``k`` may be a SQL expression string (e.g. a
+    COUNT(*)-derived scalar subquery over the ``q`` CTE) so callers can
+    corpus-scale the cell count on both faces identically."""
     d2 = (
         f"CAST(list_sum(list_transform(range(1, {dims + 1}), i ->"
         f" (q.q[i] * {cscale} - c.c[i]) * (q.q[i] * {cscale} - c.c[i])))"

@@ -1481,8 +1481,13 @@ QUERIES["dedup_savings_by_source"] = dedup_savings_by_source
 # errors on overflow; Spark wraps silently: both are avoided by bound,
 # the portability rule in the oracle-parity notes).
 SDX_QUANT = 1_024  # 2^10: q = floor(e * 2^10) is exact (|e| < 1)
-SDX_K = 8  # pinned cell count — the REPLAYABLE face; the corpus-scaled
-# throughput face stays semantic_dedup (k tracks n / SEMDEDUP_TARGET_CELL)
+# MINIMUM cell count; like semantic_dedup, k tracks the corpus
+# (k = max(SDX_K, n // SEMDEDUP_TARGET_CELL)) so in-cell pair counts
+# stay LINEAR — a first cut pinned k = 8 and the sf1 scale profile
+# measured slope 37 (13 s -> 499 s): 8 fixed cells make sum |c|^2
+# quadratic.  The oracle recomputes the same k from COUNT(*) (the
+# pack_chunks recipe), so the recurrence stays replayable.
+SDX_K = 8
 SDX_ROUNDS = 2  # fixed integer Lloyd rounds (cells, not convergence)
 # COSINE_THRESHOLD = 0.45 exactly = 9/20: cos >= 9/20 on the quantized
 # integers <=> dot >= 0 AND 400 * dot^2 >= 81 * na2 * nb2 (both sides
@@ -1507,9 +1512,9 @@ def dedup_semantic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: identical to ``semantic_dedup`` — per-round Lloyd
     work is one broadcast of the k-row centroid table + a map-side
     combining (cluster, dim) aggregation; pair generation is an
-    equi-join on the cell id, never corpus x corpus.  k is PINNED at 8
-    here because the DuckDB oracle must replay the recurrence; the
-    corpus-scaled production face remains ``semantic_dedup``.
+    equi-join on the cell id, never corpus x corpus, because k scales
+    with the corpus (constant expected cell size) and the oracle
+    recomputes the same k from COUNT(*).
 
     No reference counterpart (sk-dist has no dedup; net-new).
     """
@@ -1522,8 +1527,10 @@ def dedup_semantic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * {SDX_QUANT}) AS BIGINT))"
         ).alias("q"),
     )
+    # bounded driver action (one count), same posture as semantic_dedup
+    k = max(SDX_K, emb.count() // SEMDEDUP_TARGET_CELL)
     vecs = (
-        exact_lloyd_assign(emb, SDX_K, SDX_ROUNDS)
+        exact_lloyd_assign(emb, k, SDX_ROUNDS)
         .select(
             "vec_id",
             "q",
@@ -1574,11 +1581,16 @@ def dedup_semantic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_semantic_exact_oracle_sql(
-    k: int = SDX_K, rounds: int = SDX_ROUNDS, quant: int = SDX_QUANT
+    k_min: int = SDX_K, rounds: int = SDX_ROUNDS, quant: int = SDX_QUANT
 ) -> str:
     from .clustering import exact_lloyd_cte_parts
 
-    parts = exact_lloyd_cte_parts(k, rounds, quant=quant)
+    # same corpus-scaled k as the Spark face, recomputed from the data
+    k_sql = (
+        f"(SELECT GREATEST({k_min}, COUNT(*) // {SEMDEDUP_TARGET_CELL})"
+        " FROM q)"
+    )
+    parts = exact_lloyd_cte_parts(k_sql, rounds, quant=quant)
     return (
         "WITH " + ",\n".join(parts) + f""",
         v AS MATERIALIZED (
