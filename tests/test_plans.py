@@ -135,7 +135,7 @@ def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
             # one-row scalar broadcasts (corpus stats / totals)
             "bm25_search", "doc_perplexity_bigram", "source_token_budget",
             # bounded broadcast query sides (as ann_topk)
-            "ann_filtered", "hybrid_search_rrf",
+            "ann_filtered", "hybrid_search_rrf", "ann_diversified_exact",
             # one-row scalar broadcasts (grand totals)
             "value_benford", "event_value_chi2", "revenue_cusum",
             "supplier_concentration",
