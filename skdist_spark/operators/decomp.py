@@ -676,3 +676,191 @@ ORACLE_SQL["embedding_covariance"] = f"""
     FROM mom ORDER BY i, j
 """
 QUERIES["embedding_covariance"] = embedding_covariance
+
+
+# ---- integer-exact PCA power iteration: the oracle face of the
+# ---- eigensolve behind embedding_pca --------------------------------------
+
+PCX_QUANT = 1_024  # 2^10 (coarser than embedding_covariance's 2^14):
+# scatter entries are n*s_ij - s_i*s_j <= n^2 * 2^20, inside BIGINT up
+# to ~2e9 rows; the covariance face keeps the finer quant for moments
+PCX_ROUNDS = 96  # fixed power-iteration rounds: the testdata eigengap
+# ratio is ~0.988, so 96 rounds reach |cos| ~ 0.99 to the true leading
+# eigenvector (measured; 12 rounds stalled at 0.60) — each round is a
+# d-row matvec, trivially cheap on both faces
+PCX_VSCALE = 1_024  # iterate renormalized to max|v| = 2^10 each round
+PCX_SSCALE = 1 << 20  # scatter renormalized to max|S| ~ 2^20 once
+
+
+def _pcx_power_iteration(moments):
+    """The shared integer recurrence, in arbitrary-precision Python
+    ints (the Spark face runs this on the collected 2080-row moment
+    table; the DuckDB oracle unrolls the identical rounds in SQL).
+    Division discipline: DuckDB ``//`` TRUNCATES toward zero on
+    negatives (-7 // 2 = -3) while Python ``//`` floors (-4) — every
+    division here goes through ``_tdiv`` (truncating) so the two
+    faces agree on negative intermediates:
+
+    S = n*s_ij - s_i*s_j (full symmetric scatter; eigenvectors of S
+    equal eigenvectors of the covariance), renormalized ONCE by
+    floor-div with GREATEST(max|S| // 2^20, 1); then PCX_ROUNDS rounds
+    of (w = S v; v = (w * 2^10) // GREATEST(max|w|, 1)); output the
+    final integer iterate and the exact Rayleigh pair
+    (v' S v, v' v).
+    """
+    def _tdiv(a: int, b: int) -> int:
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    d = EMB_COV_DIM
+    s = [[0] * d for _ in range(d)]
+    for i, j, n, s_i, s_j, s_ij in moments:
+        val = n * s_ij - s_i * s_j
+        s[i][j] = val
+        s[j][i] = val
+    div = max(max(abs(x) for row in s for x in row) // PCX_SSCALE, 1)
+    sq = [[_tdiv(x, div) for x in row] for row in s]
+    v = [1] * d
+    for _ in range(PCX_ROUNDS):
+        w = [sum(sq[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(max(abs(x) for x in w), 1)
+        v = [_tdiv(x * PCX_VSCALE, m) for x in w]
+    rq_num = sum(v[i] * sq[i][j] * v[j] for i in range(d) for j in range(d))
+    rq_den = sum(x * x for x in v)
+    return v, rq_num, rq_den
+
+
+def embedding_pca_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA's eigensolve with ALL arithmetic in integers — ORACLE-BACKED
+    (r7): ``embedding_covariance`` pinned the distributed moments; this
+    pins the POWER ITERATION on top of them, so the whole
+    moments -> scatter -> leading-eigenvector chain is replayed
+    bit-for-bit by DuckDB (fixed rounds, floor-div renormalization by
+    a data-derived integer — the quantized-recurrence recipe of
+    ml_kmeans_exact / ann_pq_exact / dedup_semantic_exact).
+
+    Scale posture: the data-sized work is the ONE moment scan (each
+    row expands to its d(d+1)/2 upper-triangle products, map-side
+    combined to 2080 moment rows — identical to embedding_covariance);
+    the iteration itself touches only the d x d integer matrix, run
+    driver-side in arbitrary-precision Python (the documented bounded
+    fit posture).  The float ``embedding_pca`` stays the numeric face;
+    this face pins the RECURRENCE — with a small eigengap the iterate
+    is convergence-incomplete but still engine-exact.
+
+    No reference counterpart (sk-dist has no decomposition; net-new).
+    """
+    from .dedup import _let
+
+    emb = load_table(spark, "embeddings", sf_dir).where(
+        F.col("embedding").isNotNull() & (F.size("embedding") == EMB_COV_DIM)
+    )
+    q_expr = (
+        f"transform(embedding, e ->"
+        f" CAST(floor(CAST(e AS DOUBLE) * {PCX_QUANT}) AS BIGINT))"
+    )
+    terms = emb.select(
+        F.explode(
+            F.expr(
+                _let(
+                    q_expr,
+                    "__q",
+                    "flatten(transform(sequence(0, size(__q) - 1),"
+                    " i -> transform(sequence(i, size(__q) - 1),"
+                    " j -> struct(i AS i, j AS j,"
+                    " element_at(__q, i + 1) * element_at(__q, j + 1) AS p,"
+                    " element_at(__q, i + 1) AS qi,"
+                    " element_at(__q, j + 1) AS qj))))",
+                )
+            )
+        ).alias("t")
+    ).select("t.i", "t.j", "t.p", "t.qi", "t.qj")
+    mom = (
+        terms.groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qi").alias("s_i"),
+            F.sum("qj").alias("s_j"),
+            F.sum("p").alias("s_ij"),
+        )
+        .collect()  # bounded: d(d+1)/2 = 2080 rows, the fit posture
+    )
+    v, rq_num, rq_den = _pcx_power_iteration(
+        [(int(r.i), int(r.j), int(r.n), int(r.s_i), int(r.s_j), int(r.s_ij))
+         for r in mom]
+    )
+    rows = [(i, v[i], rq_num, rq_den) for i in range(EMB_COV_DIM)]
+    return spark.createDataFrame(
+        rows, schema="pos int, loading bigint, rq_num bigint, rq_den bigint"
+    ).orderBy("pos")
+
+
+def _embedding_pca_exact_oracle_sql(
+    quant: int = PCX_QUANT,
+    rounds: int = PCX_ROUNDS,
+    vscale: int = PCX_VSCALE,
+    sscale: int = PCX_SSCALE,
+    d: int = EMB_COV_DIM,
+) -> str:
+    parts = [
+        f"""q AS MATERIALIZED (
+            SELECT list_transform(embedding,
+                       e -> CAST(floor(CAST(e AS DOUBLE) * {quant}) AS BIGINT)) AS q
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = {d}
+        ), dims AS (
+            SELECT UNNEST(range(0, {d})) AS i
+        ), mom AS MATERIALIZED (
+            SELECT p.i, p.j,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(q.q[p.i + 1]) AS BIGINT) AS s_i,
+                   CAST(SUM(q.q[p.j + 1]) AS BIGINT) AS s_j,
+                   CAST(SUM(q.q[p.i + 1] * q.q[p.j + 1]) AS BIGINT) AS s_ij
+            FROM q, (SELECT a.i AS i, b.i AS j FROM dims a, dims b
+                     WHERE b.i >= a.i) p
+            GROUP BY p.i, p.j
+        ), sfull AS MATERIALIZED (
+            SELECT i, j, n * s_ij - s_i * s_j AS s FROM mom
+            UNION ALL
+            SELECT j, i, n * s_ij - s_i * s_j FROM mom WHERE i != j
+        ), sdiv AS (
+            SELECT GREATEST(MAX(ABS(s)) // {sscale}, 1) AS dv FROM sfull
+        ), sq AS MATERIALIZED (
+            SELECT i, j, s // (SELECT dv FROM sdiv) AS sq FROM sfull
+        ), v0 AS (
+            SELECT i, CAST(1 AS BIGINT) AS v FROM dims
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""w{r} AS MATERIALIZED (
+                SELECT sq.i AS i, CAST(SUM(sq.sq * v.v) AS BIGINT) AS w
+                FROM sq JOIN v{r - 1} v ON v.i = sq.j
+                GROUP BY sq.i
+            ), m{r} AS (
+                SELECT GREATEST(MAX(ABS(w)), 1) AS m FROM w{r}
+            ), v{r} AS MATERIALIZED (
+                SELECT i, (w * {vscale}) // (SELECT m FROM m{r}) AS v
+                FROM w{r}
+            )"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+        rq AS (
+            SELECT CAST(SUM(a.v * sq.sq * b.v) AS BIGINT) AS num
+            FROM sq
+            JOIN v{rounds} a ON a.i = sq.i
+            JOIN v{rounds} b ON b.i = sq.j
+        ), den AS (
+            SELECT CAST(SUM(v * v) AS BIGINT) AS den FROM v{rounds}
+        )
+        SELECT CAST(v.i AS INT) AS pos, CAST(v.v AS BIGINT) AS loading,
+               (SELECT num FROM rq) AS rq_num,
+               (SELECT den FROM den) AS rq_den
+        FROM v{rounds} v ORDER BY pos
+    """
+    )
+
+
+QUERIES["embedding_pca_exact"] = embedding_pca_exact
+ORACLE_SQL["embedding_pca_exact"] = _embedding_pca_exact_oracle_sql()

@@ -1015,6 +1015,35 @@ def test_semantic_lloyd_fit_survives_max_k():
     assert np.isfinite(centroids).all()
 
 
+def test_embedding_pca_exact_aligns_with_numpy(spark, sf_dir):
+    """The integer power-iteration face must land on the TRUE leading
+    eigenvector of the quantized scatter (|cos| >= 0.95 at the pinned
+    round count), not just be deterministic — the recurrence is
+    oracle-pinned; this test pins that it MEANS PCA."""
+    import numpy as np
+
+    from skdist_spark.operators import decomp
+    from skdist_spark.sources.catalog import load_table
+
+    rows = load_table(spark, "embeddings", sf_dir).select("embedding").collect()
+    x = np.floor(
+        np.array([r.embedding for r in rows], dtype=np.float64)
+        * decomp.PCX_QUANT
+    )
+    n = len(x)
+    scat = n * (x.T @ x) - np.outer(x.sum(0), x.sum(0))
+    _, eigvecs = np.linalg.eigh(scat)
+    top = eigvecs[:, -1]
+
+    got = decomp.embedding_pca_exact(spark, sf_dir).collect()
+    v = np.array([r.loading for r in sorted(got, key=lambda r: r.pos)],
+                 dtype=np.float64)
+    assert len(got) == decomp.EMB_COV_DIM
+    assert len({(r.rq_num, r.rq_den) for r in got}) == 1  # scalar pair
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos >= 0.95, cos
+
+
 def test_embedding_pca_matches_numpy(spark, sf_dir):
     """Distributed covariance PCA must match a local full-matrix numpy
     PCA: same projections (after the deterministic sign convention) and
