@@ -40,19 +40,21 @@ _MODULES = [
 # is therefore a verification budget.  Policy: front-load entries that have
 # not yet earned a driver row for their CURRENT form; demote verified ones.
 # Rounds 1-6 attested 267/267 oracles cumulatively.  ROUND-7 ROTATION
-# (executed): positions 1-15 are this round's NEW or CHANGED oracles
+# (executed): positions 1-16 are this round's NEW or CHANGED oracles
 # (dedup_semantic_exact + ann_diversified_exact + embedding_pca_exact
-# NEW; pack_chunks' group
+# NEW; embedding_covariance's moment scan is now an Arrow-GEMM
+# mapInPandas (same integers, new plan); pack_chunks' group
 # count and ann_pq_exact's embedding guard changed; ml_kmeans_exact
 # refactored through exact_lloyd_assign; nine day-grain faces re-typed
 # to DATE on both engines) — all unattested in their current form;
-# 16-35 re-attest the 20 remaining oracles whose only driver row is
-# ROUND 1; 36-50 re-attest the 15 oldest round-2-vintage oracles, so
+# 17-36 re-attest the 20 remaining oracles whose only driver row is
+# ROUND 1; 37-50 re-attest the 14 oldest round-2-vintage oracles, so
 # after this round no oracle's newest attestation is older than round 2
-# (and only 31 r2 rows remain for the round-8 window).
+# (and 32 r2 rows remain for the round-8 window).
 _PRIORITY = [
     # -- ROUND-7 WINDOW (first 50 get a driver CORRECTNESS row) --
     "dedup_semantic_exact", "ann_diversified_exact", "embedding_pca_exact",
+    "embedding_covariance",  # CHANGED r7: Arrow-GEMM moment scan
     "pack_chunks", "ann_pq_exact", "ml_kmeans_exact",
     "daily_gapfill", "user_daily_interpolate", "daily_active_users",
     "time_bucket_rollup", "rolling_revenue", "daily_percentile_bands",
@@ -68,9 +70,8 @@ _PRIORITY = [
     "sample_events_per_user", "events_funnel", "user_retention",
     "user_event_paths", "weekly_revenue_wow", "interevent_latency_histogram",
     "purchase_attribution", "user_value_ewma", "event_outliers",
-    "dedup_exact",
     # -- attested in earlier rounds; module order anchors --
-    "dedup_minhash", "dedup_ngram_jaccard",
+    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
     "heavy_hitters_cms", "kmv_user_overlap", "zorder_layout",
     "hll_portable_registers", "bloom_filter_words", "bloom_probe_audit",
     "c4_quality_flags", "hll_portable_rollup", "kmv_user_difference",

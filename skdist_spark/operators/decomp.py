@@ -581,60 +581,86 @@ _EMB_COV_SCALE2 = float(EMB_COV_SCALE * EMB_COV_SCALE)
 EMB_COV_DIM = 64
 
 
+def exact_moment_scan(emb: DataFrame, quant: int) -> DataFrame:
+    """Exact integer second moments of the embedding table from ONE
+    Arrow-batched scan: (i, j, n, s_i, s_j, s_ij) for every
+    upper-triangle pair i <= j, on floor(e * quant) BIGINT coordinates.
+
+    Each Arrow batch contributes ONE int64 GEMM partial (x.T @ x is
+    exact integer arithmetic in numpy — no BLAS float path for int64 —
+    with |entry| <= rows_per_partition * d * quant^2, far inside
+    int64), emitted as 2080 partial rows per partition; a map-side
+    combined groupBy folds partials into the global moments.  This
+    replaced a per-row 2080-element HOF explode (interpreted flatten /
+    transform per row — measured 4x slower at the sf1 profile for the
+    identical integers).  At 100 TB the 2080-row partials per
+    partition ARE the shuffle.
+    """
+    d = EMB_COV_DIM
+
+    def part(batches):
+        import numpy as np
+        import pandas as pd
+
+        P = np.zeros((d, d), dtype=np.int64)
+        s = np.zeros(d, dtype=np.int64)
+        cnt = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.floor(
+                np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+                * quant
+            ).astype(np.int64)
+            P += x.T @ x
+            s += x.sum(axis=0)
+            cnt += len(x)
+        if cnt == 0:
+            return
+        iu = np.triu_indices(d)
+        yield pd.DataFrame(
+            {
+                "i": iu[0].astype(np.int32),
+                "j": iu[1].astype(np.int32),
+                "n_p": np.full(len(iu[0]), cnt, dtype=np.int64),
+                "si_p": s[iu[0]],
+                "sj_p": s[iu[1]],
+                "p_p": P[iu],
+            }
+        )
+
+    partials = emb.select("embedding").mapInPandas(
+        part, schema="i int, j int, n_p long, si_p long, sj_p long, p_p long"
+    )
+    return partials.groupBy("i", "j").agg(
+        F.sum("n_p").alias("n"),
+        F.sum("si_p").alias("s_i"),
+        F.sum("sj_p").alias("s_j"),
+        F.sum("p_p").alias("s_ij"),
+    )
+
+
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The distributed heart of PCA/whitening — ORACLE-BACKED: the full
     upper-triangle covariance matrix of the embedding table from ONE
     scan, computed on floor(e * 2^14) BIGINT coordinates (quantization
     is the only approximation; every moment is an exact integer).
 
-    Shape: each row expands to its d*(d+1)/2 upper-triangle product
-    terms via a nested-sequence transform (one expression, JVM
-    codegen), then a map-side-combined groupBy leaves only 2080 moment
-    rows on the shuffle — at 100 TB the moments ARE the shuffle, which
-    is why ``fit_pca``'s driver step only ever sees a d x d matrix.
-    The covariance itself is derived from the exact moments by a fixed
-    IEEE sequence (three divisions, one multiply, one subtract), so
-    both engines emit bit-identical doubles.
+    Shape: one Arrow-batched GEMM partial per partition
+    (``exact_moment_scan``), then a map-side-combined groupBy leaves
+    only 2080 moment rows on the shuffle — at 100 TB the moments ARE
+    the shuffle, which is why ``fit_pca``'s driver step only ever sees
+    a d x d matrix.  The covariance itself is derived from the exact
+    moments by a fixed IEEE sequence (three divisions, one multiply,
+    one subtract), so both engines emit bit-identical doubles.
 
     ``embedding_pca`` stays rows-only (eigensolve); this pins the
     distributed portion of the decomposition family cross-engine.
     """
-    from .dedup import _let
-
     emb = load_table(spark, "embeddings", sf_dir).where(
         F.col("embedding").isNotNull() & (F.size("embedding") == EMB_COV_DIM)
     )
-    # let-bind the quantized array: CollapseProject would inline the
-    # 64-multiply quantization into the nested pair lambdas otherwise —
-    # once per upper-triangle element, a d(d+1)/2 x blowup
-    q_expr = (
-        f"transform(embedding, e ->"
-        f" CAST(floor(CAST(e AS DOUBLE) * {EMB_COV_SCALE}) AS BIGINT))"
-    )
-    terms = emb.select(
-        F.explode(
-            F.expr(
-                _let(
-                    q_expr,
-                    "__q",
-                    "flatten(transform(sequence(0, size(__q) - 1),"
-                    " i -> transform(sequence(i, size(__q) - 1),"
-                    " j -> struct(i AS i, j AS j,"
-                    " element_at(__q, i + 1) * element_at(__q, j + 1) AS p,"
-                    " element_at(__q, i + 1) AS qi,"
-                    " element_at(__q, j + 1) AS qj))))",
-                )
-            )
-        ).alias("t")
-    ).select("t.i", "t.j", "t.p", "t.qi", "t.qj")
-    mom = terms.groupBy(
-        F.col("i").cast("int").alias("i"), F.col("j").cast("int").alias("j")
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("qi").alias("s_i"),
-        F.sum("qj").alias("s_j"),
-        F.sum("p").alias("s_ij"),
-    )
+    mom = exact_moment_scan(emb, EMB_COV_SCALE)
     cov = (
         F.col("s_ij").cast("double") / F.col("n").cast("double")
         - (F.col("s_i").cast("double") / F.col("n").cast("double"))
@@ -750,41 +776,11 @@ def embedding_pca_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No reference counterpart (sk-dist has no decomposition; net-new).
     """
-    from .dedup import _let
-
     emb = load_table(spark, "embeddings", sf_dir).where(
         F.col("embedding").isNotNull() & (F.size("embedding") == EMB_COV_DIM)
     )
-    q_expr = (
-        f"transform(embedding, e ->"
-        f" CAST(floor(CAST(e AS DOUBLE) * {PCX_QUANT}) AS BIGINT))"
-    )
-    terms = emb.select(
-        F.explode(
-            F.expr(
-                _let(
-                    q_expr,
-                    "__q",
-                    "flatten(transform(sequence(0, size(__q) - 1),"
-                    " i -> transform(sequence(i, size(__q) - 1),"
-                    " j -> struct(i AS i, j AS j,"
-                    " element_at(__q, i + 1) * element_at(__q, j + 1) AS p,"
-                    " element_at(__q, i + 1) AS qi,"
-                    " element_at(__q, j + 1) AS qj))))",
-                )
-            )
-        ).alias("t")
-    ).select("t.i", "t.j", "t.p", "t.qi", "t.qj")
-    mom = (
-        terms.groupBy("i", "j")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("qi").alias("s_i"),
-            F.sum("qj").alias("s_j"),
-            F.sum("p").alias("s_ij"),
-        )
-        .collect()  # bounded: d(d+1)/2 = 2080 rows, the fit posture
-    )
+    mom = exact_moment_scan(emb, PCX_QUANT).collect()
+    # bounded: d(d+1)/2 = 2080 rows, the fit posture
     v, rq_num, rq_den = _pcx_power_iteration(
         [(int(r.i), int(r.j), int(r.n), int(r.s_i), int(r.s_j), int(r.s_ij))
          for r in mom]
