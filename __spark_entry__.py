@@ -39,56 +39,68 @@ _MODULES = [
 # (observed in rounds 1-6: the sweep stops at exactly 50).  Registry order
 # is therefore a verification budget.  Policy: front-load entries that have
 # not yet earned a driver row for their CURRENT form; demote verified ones.
-# Rounds 1-6 attested 267/267 oracles cumulatively.  ROUND-7 ROTATION
-# (executed): positions 1-16 are this round's NEW or CHANGED oracles
-# (dedup_semantic_exact + ann_diversified_exact + embedding_pca_exact
-# NEW; embedding_covariance's moment scan is now an Arrow-GEMM
-# mapInPandas (same integers, new plan); pack_chunks' group
-# count and ann_pq_exact's embedding guard changed; ml_kmeans_exact
-# refactored through exact_lloyd_assign; nine day-grain faces re-typed
-# to DATE on both engines) — all unattested in their current form;
-# 17-36 re-attest the 20 remaining oracles whose only driver row is
-# ROUND 1; 37-50 re-attest the 14 oldest round-2-vintage oracles, so
-# after this round no oracle's newest attestation is older than round 2
-# (and 32 r2 rows remain for the round-8 window).
+# Rounds 1-7 attested 270/270 oracles cumulatively (no row older than
+# round 2 after r7).  ROUND-8 ROTATION (executed): positions 1-4 are
+# this round's CHANGED faces (doc_perplexity_filter + the composing
+# doc_curriculum_phases now rank through two_phase_group_row_number —
+# the dominant-source salt, VERDICT r7 #3; pack_chunks gained the
+# caller-supplied n_items sizing path; embedding_pca_exact gained the
+# BIGINT scatter fail-fast) — values identical, plans changed, so they
+# re-earn their rows; 5-33 re-attest the 29 remaining round-2-vintage
+# oracles, completing the rotation so NO attestation predates round 3;
+# 34-50 start the third pass with the 17 oldest round-3-vintage rows
+# (30 r3 rows remain for the round-9 window).
 _PRIORITY = [
-    # -- ROUND-7 WINDOW (first 50 get a driver CORRECTNESS row) --
-    "dedup_semantic_exact", "ann_diversified_exact", "embedding_pca_exact",
-    "embedding_covariance",  # CHANGED r7: Arrow-GEMM moment scan
-    "pack_chunks", "ann_pq_exact", "ml_kmeans_exact",
-    "daily_gapfill", "user_daily_interpolate", "daily_active_users",
-    "time_bucket_rollup", "rolling_revenue", "daily_percentile_bands",
-    "session_bounce_rate", "daily_revenue_decompose", "rfm_segments",
-    "setops_customers", "bloom_semi_sales", "events_value_windows",
-    "orders_date_features", "events_unpivot", "value_histogram",
-    "profile_documents", "user_event_features", "event_transitions",
-    "sales_grouping_sets", "events_cube", "heavy_hitters", "sales_rollup",
-    "asof_join", "sessionize_events", "range_join_clicks",
-    "user_distinct_counts", "events_pivot", "salted_event_totals",
-    "events_json", "ann_lsh", "basket_part_affinity",
-    "shipping_delay_percentiles", "events_json_schema", "value_ntile_buckets",
-    "sample_events_per_user", "events_funnel", "user_retention",
-    "user_event_paths", "weekly_revenue_wow", "interevent_latency_histogram",
-    "purchase_attribution", "user_value_ewma", "event_outliers",
+    # -- ROUND-8 WINDOW (first 50 get a driver CORRECTNESS row) --
+    "doc_perplexity_filter", "doc_curriculum_phases", "pack_chunks",
+    "embedding_pca_exact", "dedup_exact", "dedup_minhash",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding",
+    "dedup_clusters", "dedup_clusters_star", "dedup_keep_best",
+    "doc_triangles", "text_langid", "text_tokens", "text_quality",
+    "text_repetition", "language_rebalance", "tfidf_search",
+    "text_fingerprint", "text_clean", "doc_chunks", "text_scrub_pii",
+    "decontaminate_docs", "ann_topk", "embedding_corr", "user_overlap_exact",
+    "doc_perplexity", "vocab_coverage", "dup_ngram_spans", "dq_orders",
+    "weighted_doc_sample", "doc_graph_distances", "sample_documents",
+    "mixture_sample_sources", "event_pagerank", "audience_overlap",
+    "user_burstiness", "user_behavior_entropy", "growth_accounting",
+    "user_streaks", "dsir_doc_weights", "vocab_growth", "langid_eval",
+    "purchase_ab_welch", "user_churn_survival", "purchase_ab_cuped",
+    "purchase_ab_mannwhitney", "purchase_ab_conversion", "inverted_postings",
     # -- attested in earlier rounds; module order anchors --
-    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
+    "dedup_semantic_exact", "ann_diversified_exact", "embedding_covariance",
+    "ann_pq_exact", "ml_kmeans_exact", "daily_gapfill",
+    "user_daily_interpolate", "daily_active_users", "time_bucket_rollup",
+    "rolling_revenue", "daily_percentile_bands", "session_bounce_rate",
+    "daily_revenue_decompose", "rfm_segments", "setops_customers",
+    "bloom_semi_sales", "events_value_windows", "orders_date_features",
+    "events_unpivot", "value_histogram", "profile_documents",
+    "user_event_features", "event_transitions", "sales_grouping_sets",
+    "events_cube", "heavy_hitters", "sales_rollup", "asof_join",
+    "sessionize_events", "range_join_clicks", "user_distinct_counts",
+    "events_pivot", "salted_event_totals", "events_json", "ann_lsh",
+    "basket_part_affinity", "shipping_delay_percentiles",
+    "events_json_schema", "value_ntile_buckets", "sample_events_per_user",
+    "events_funnel", "user_retention", "user_event_paths",
+    "weekly_revenue_wow", "interevent_latency_histogram",
+    "purchase_attribution", "user_value_ewma", "event_outliers",
     "heavy_hitters_cms", "kmv_user_overlap", "zorder_layout",
     "hll_portable_registers", "bloom_filter_words", "bloom_probe_audit",
     "c4_quality_flags", "hll_portable_rollup", "kmv_user_difference",
-    "hilbert_layout", "embedding_covariance", "zipf_fit", "text_readability",
-    "daily_revenue_acf", "event_value_trimmed", "embedding_separability",
-    "click_purchase_ccf", "part_cf_similarity", "price_elasticity", "ann_ivf",
-    "dedup_lines_docs", "fuzzy_part_match", "part_entity_resolution", "q1",
-    "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10", "q11", "q12",
-    "q13", "q14", "q15", "q16", "q17", "q18", "q19", "q20", "q21", "q22",
-    "events_topn", "order_percentiles", "gopher_quality_flags",
-    "event_trigram_sequences", "retention_halflife", "revenue_dow_anova",
-    "event_value_bootstrap", "ann_recall_eval", "source_token_js",
-    "blocking_eval", "customer_kanonymity", "purchase_ab_did",
-    "revenue_change_decomposition", "bm25_eval", "ann_probe_sweep",
-    "orders_reconciliation", "source_neyman_allocation",
-    "daily_revenue_mannkendall", "part_return_rate_eb", "markov_predict_eval",
-    "source_length_qq", "doc_keyphrases", "value_per_event_jackknife",
+    "hilbert_layout", "zipf_fit", "text_readability", "daily_revenue_acf",
+    "event_value_trimmed", "embedding_separability", "click_purchase_ccf",
+    "part_cf_similarity", "price_elasticity", "ann_ivf", "dedup_lines_docs",
+    "fuzzy_part_match", "part_entity_resolution", "q1", "q2", "q3", "q4",
+    "q5", "q6", "q7", "q8", "q9", "q10", "q11", "q12", "q13", "q14", "q15",
+    "q16", "q17", "q18", "q19", "q20", "q21", "q22", "events_topn",
+    "order_percentiles", "gopher_quality_flags", "event_trigram_sequences",
+    "retention_halflife", "revenue_dow_anova", "event_value_bootstrap",
+    "ann_recall_eval", "source_token_js", "blocking_eval",
+    "customer_kanonymity", "purchase_ab_did", "revenue_change_decomposition",
+    "bm25_eval", "ann_probe_sweep", "orders_reconciliation",
+    "source_neyman_allocation", "daily_revenue_mannkendall",
+    "part_return_rate_eb", "markov_predict_eval", "source_length_qq",
+    "doc_keyphrases", "value_per_event_jackknife",
     "event_type_target_encoding", "doc_clustering_coeff",
     "event_value_quantile_norm", "langid_calibration",
     "weekly_forecast_conformal", "tokenizer_fertility",
@@ -101,45 +113,39 @@ _PRIORITY = [
     "weighted_price_percentiles", "user_funnel_patterns",
     "weekly_revenue_forecast_hw", "cohort_ltv", "dedup_minhash_eval",
     "decontaminate_exact_ngrams", "doc_filter_funnel", "source_leakage",
-    "source_boilerplate", "doc_perplexity_filter", "user_split_summary",
-    "user_value_theilsen", "event_training_pairs", "doc_winnowing",
-    "purchase_uplift_qini", "revenue_pareto", "peak_concurrent_sessions",
-    "event_lateness_profile", "event_volume_spearman",
-    "tier_occupancy_by_day", "slo_burn_rate", "daily_spearman",
-    "daily_kendall", "source_ngram_diversity", "tfidf_doc_pairs",
-    "time_decay_attribution", "ab_power_planner", "event_value_winsorized",
-    "customer_ldiversity", "brand_copurchase_modularity",
-    "source_vocab_richness", "source_style_delta", "basket_triples",
-    "budget_gate_summary", "embedding_jl_eval", "langid_brier_decomposition",
-    "purchase_ab_qte", "fs_field_weights", "doc_shard_balance",
-    "langid_confusion", "shard_plan_documents", "session_gap_sweep",
-    "doc_curriculum_phases", "funnel_ab_steps", "embedding_drift_report",
-    "english_threshold_sweep", "event_value_median_ci", "dedup_cluster_sizes",
-    "subsample_stability", "lsh_label_nmi", "user_churn_rmst", "part_kcore",
-    "langid_isotonic", "bpe_merge_table", "sample_documents",
-    "mixture_sample_sources", "audience_overlap", "user_burstiness",
-    "user_behavior_entropy", "growth_accounting", "user_streaks",
-    "dsir_doc_weights", "vocab_growth", "langid_eval", "purchase_ab_welch",
-    "user_churn_survival", "purchase_ab_cuped", "purchase_ab_mannwhitney",
-    "purchase_ab_conversion", "inverted_postings", "user_value_trend",
-    "event_value_drift", "event_value_pmi", "user_skew_report",
-    "ann_ivf_join", "ann_filtered", "similar_doc_pairs", "user_tier_history",
-    "events_at_tier", "doc_perplexity_bigram", "contrastive_negatives",
-    "phrase_search_docs", "bm25_search", "hybrid_search_rrf",
-    "daily_revenue_anomaly", "source_token_budget", "text_entropy",
-    "transition_probs", "sales_share_of_parent", "sessionize_native",
-    "value_benford", "event_value_chi2", "revenue_cusum", "doc_containment",
+    "source_boilerplate", "user_split_summary", "user_value_theilsen",
+    "event_training_pairs", "doc_winnowing", "purchase_uplift_qini",
+    "revenue_pareto", "peak_concurrent_sessions", "event_lateness_profile",
+    "event_volume_spearman", "tier_occupancy_by_day", "slo_burn_rate",
+    "daily_spearman", "daily_kendall", "source_ngram_diversity",
+    "tfidf_doc_pairs", "time_decay_attribution", "ab_power_planner",
+    "event_value_winsorized", "customer_ldiversity",
+    "brand_copurchase_modularity", "source_vocab_richness",
+    "source_style_delta", "basket_triples", "budget_gate_summary",
+    "embedding_jl_eval", "langid_brier_decomposition", "purchase_ab_qte",
+    "fs_field_weights", "doc_shard_balance", "langid_confusion",
+    "shard_plan_documents", "session_gap_sweep", "funnel_ab_steps",
+    "embedding_drift_report", "english_threshold_sweep",
+    "event_value_median_ci", "dedup_cluster_sizes", "subsample_stability",
+    "lsh_label_nmi", "user_churn_rmst", "part_kcore", "langid_isotonic",
+    "bpe_merge_table", "user_value_trend", "event_value_drift",
+    "event_value_pmi", "user_skew_report", "ann_ivf_join", "ann_filtered",
+    "similar_doc_pairs", "user_tier_history", "events_at_tier",
+    "doc_perplexity_bigram", "contrastive_negatives", "phrase_search_docs",
+    "bm25_search", "hybrid_search_rrf", "daily_revenue_anomaly",
+    "source_token_budget", "text_entropy", "transition_probs",
+    "sales_share_of_parent", "sessionize_native", "value_benford",
+    "event_value_chi2", "revenue_cusum", "doc_containment",
     "time_to_first_purchase", "supplier_concentration",
     "events_dow_hour_heatmap", "ann_int8", "weekly_revenue_forecast",
-    "user_revenue_gini", "event_pagerank", "unigram_vocab_table",
-    "ml_als_recommend", "stream_token_budget_gate", "ml_source_ablation",
-    "stream_ann_enrich", "ann_diversified", "embedding_whiten",
-    "dedup_semantic", "embedding_pca", "ml_kmeans", "ml_grid_search",
-    "ml_random_search", "ml_ovr_predict", "ml_forest_predict",
-    "ml_forest_regress", "ml_feature_elimination", "ml_multi_model_search",
-    "ml_predict_udf", "encoderizer_features", "ml_quality_classifier",
-    "stream_windowed_counts", "stream_sliding_users", "stream_sessionize",
-    "stream_psi_drift", "stream_filter_funnel",
+    "user_revenue_gini", "unigram_vocab_table", "ml_als_recommend",
+    "stream_token_budget_gate", "ml_source_ablation", "stream_ann_enrich",
+    "ann_diversified", "embedding_whiten", "dedup_semantic", "embedding_pca",
+    "ml_kmeans", "ml_grid_search", "ml_random_search", "ml_ovr_predict",
+    "ml_forest_predict", "ml_forest_regress", "ml_feature_elimination",
+    "ml_multi_model_search", "ml_predict_udf", "encoderizer_features",
+    "ml_quality_classifier", "stream_windowed_counts", "stream_sliding_users",
+    "stream_sessionize", "stream_psi_drift", "stream_filter_funnel",
     "value_percentile_sketch_rollup", "stream_value_quantiles",
     "stream_dedup_users_ttl", "corpus_pipeline",
 ]

@@ -9,6 +9,7 @@ contract.
 
 from .global_rank import (
     ntile_from_row_number,
+    two_phase_group_row_number,
     two_phase_max_prefix_sum,
     two_phase_row_number,
     two_phase_running_agg,
@@ -31,6 +32,7 @@ __all__ = [
     "morton_value",
     "ntile_from_row_number",
     "ppm_of_rank",
+    "two_phase_group_row_number",
     "two_phase_max_prefix_sum",
     "two_phase_row_number",
     "two_phase_running_agg",

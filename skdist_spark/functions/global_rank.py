@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "two_phase_row_number",
+    "two_phase_group_row_number",
     "two_phase_running_agg",
     "two_phase_max_prefix_sum",
     "ntile_from_row_number",
@@ -243,6 +244,77 @@ def two_phase_row_number(
     offsets = counts.select(_PART, F.sum("__cnt").over(off_w).alias(_OFF))
     return (
         local.join(F.broadcast(offsets), _PART)
+        .withColumn(
+            out_col,
+            (F.col(_LOCAL) + F.coalesce(F.col(_OFF), F.lit(0))).cast("long"),
+        )
+        .drop(_PART, _LOCAL, _OFF)
+    )
+
+
+def two_phase_group_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    shard_key: Column,
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+    sample_mod: int = DEFAULT_SAMPLE_MOD,
+    total_col: str | None = None,
+    materialize=True,
+    nulls_last: bool = False,
+    tie_key: Column | None = None,
+) -> DataFrame:
+    """``ROW_NUMBER() OVER (PARTITION BY group_cols ORDER BY order_by)``
+    without a per-group hot partition.
+
+    ``Window.partitionBy(group)`` puts each group's ENTIRE mass in one
+    task — fine for many small groups, a job-killer when one group
+    dominates (the perplexity-filter shape: one source = 90% of a
+    100 TB corpus).  This computes the same values with the window
+    partitioned by ``(group, range-shard)``: boundaries are GLOBAL
+    percentiles of ``shard_key`` (the dominant group drives the global
+    distribution, so its rows spread across all shards; minor groups
+    may concentrate but are small by definition), local ranks merge
+    with a per-(group, shard) exclusive-prefix offset table — one row
+    per (group, shard), windowed per group over ≤ n rows and broadcast
+    back.  ``shard_key`` must be numeric and monotone non-decreasing
+    in ``order_by`` WITHIN each group (the usual case: the leading
+    order column).  Values are exactly the per-group window's —
+    boundary placement only picks which task does the work — so DuckDB
+    oracles keep plain partitioned ``ROW_NUMBER()``.
+
+    ``total_col``: also attach each group's total row count (rides the
+    same offset table — the rank + count pair every keep-top-percent
+    cut needs, without a second per-group window).
+    """
+    n = _num_partitions(df, num_partitions)
+    sharded = _sharded(
+        df, shard_key, n, sample_mod, None, materialize, nulls_last, tie_key
+    )
+    local = sharded.withColumn(
+        _LOCAL,
+        F.row_number().over(
+            Window.partitionBy(*group_cols, _PART).orderBy(*order_by)
+        ),
+    )
+    counts = local.groupBy(*group_cols, _PART).agg(
+        F.max(_LOCAL).cast("long").alias("__gr_cnt")
+    )
+    off_w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(_PART)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(_OFF, F.sum("__gr_cnt").over(off_w))
+    if total_col is not None:
+        offsets = offsets.withColumn(
+            total_col,
+            F.sum("__gr_cnt").over(Window.partitionBy(*group_cols)),
+        )
+    offsets = offsets.drop("__gr_cnt")
+    return (
+        local.join(F.broadcast(offsets), [*group_cols, _PART])
         .withColumn(
             out_col,
             (F.col(_LOCAL) + F.coalesce(F.col(_OFF), F.lit(0))).cast("long"),

@@ -738,6 +738,27 @@ def _pcx_power_iteration(moments):
         q = abs(a) // b
         return q if a >= 0 else -q
 
+    # Fail-fast on the BIGINT scatter contract (the KMV non-integral
+    # precedent, sketches.py): the Python face computes n*s_ij - s_i*s_j
+    # in arbitrary precision, but the DuckDB oracle evaluates the SAME
+    # products in BIGINT — both factors and the difference must stay
+    # under 2^63 or the oracle face overflows.  With |q| <= n_rows-
+    # independent 2^10 per component, the bound n^2 * 2^20 crosses
+    # 2^63 at n ~ 2.9e9 embedding rows; a 100 TB embedding table must
+    # use the float ``fit_pca`` face (unaffected) — this face refuses
+    # loudly instead of letting the two engines diverge.
+    _I64 = 1 << 63
+    for i, j, n, s_i, s_j, s_ij in moments:
+        worst = max(abs(n * s_ij), abs(s_i * s_j), abs(n * s_ij - s_i * s_j))
+        if worst >= _I64:
+            raise ValueError(
+                "embedding_pca_exact: scatter term for dims "
+                f"({i},{j}) reaches {worst} >= 2^63 — the integer-exact "
+                "face is BIGINT-bounded to ~2.9e9 embedding rows "
+                "(n^2 * 2^20 < 2^63); use the float fit_pca face at "
+                "this scale"
+            )
+
     d = EMB_COV_DIM
     s = [[0] * d for _ in range(d)]
     for i, j, n, s_i, s_j, s_ij in moments:
@@ -773,6 +794,12 @@ def embedding_pca_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit posture).  The float ``embedding_pca`` stays the numeric face;
     this face pins the RECURRENCE — with a small eigengap the iterate
     is convergence-incomplete but still engine-exact.
+
+    Contract: BIGINT-bounded to ~2.9e9 embedding rows (scatter terms
+    n*s_ij - s_i*s_j <= n^2 * 2^20 must stay under 2^63 for the DuckDB
+    face); ``_pcx_power_iteration`` fail-fasts past the bound instead
+    of letting the engines silently diverge — beyond it, use the float
+    ``fit_pca`` face.
 
     No reference counterpart (sk-dist has no decomposition; net-new).
     """

@@ -746,29 +746,39 @@ def perplexity_filter(
     same ranking at two thresholds).
 
     Scale: the LM scoring is ``doc_logprob`` (one corpus scan, shuffle
-    bounded by distinct (doc, word)); the ranking is one window per
-    source partition — the 100 TB shape as long as no single source
-    dominates the corpus (salt the window by hash-bucket within source
-    if one does, then recombine ranks by offsetting per-bucket counts).
+    bounded by distinct (doc, word)); the ranking goes through
+    ``two_phase_group_row_number`` — the per-source window is
+    partitioned by (source, perplexity-range shard), NEVER by source
+    alone, so one source owning 90% of a 100 TB corpus still spreads
+    its ranking across every shard (the dominant source drives the
+    global boundary percentiles).  Ranks and the per-source count ride
+    one offset table; values are exactly the plain partitioned
+    window's, so the DuckDB oracle keeps ``ROW_NUMBER() OVER
+    (PARTITION BY source ...)``.
     """
+    from ..functions.global_rank import two_phase_group_row_number
+
     scored = doc_logprob(
         df.select(F.col(id_col), F.col(text_col)), id_col, text_col
     )
     meta = df.select(F.col(id_col), F.col(group_col))
     joined = scored.join(meta, id_col)
-    w = Window.partitionBy(group_col).orderBy("perplexity", id_col)
-    wn = Window.partitionBy(group_col)
-    return (
-        joined.withColumn("ppx_rank", F.row_number().over(w))
-        .withColumn("n_grp", F.count(F.lit(1)).over(wn))
-        .select(
-            id_col,
-            group_col,
-            "n_tokens",
-            "perplexity",
-            F.col("ppx_rank").cast("int").alias("ppx_rank"),
-            (F.col("ppx_rank") * 100 <= F.col("n_grp") * keep_pct).alias("kept"),
-        )
+    ranked = two_phase_group_row_number(
+        joined,
+        [group_col],
+        [F.col("perplexity").asc(), F.col(id_col).asc()],
+        shard_key=F.col("perplexity"),
+        out_col="ppx_rank",
+        total_col="n_grp",
+        tie_key=F.col(id_col),
+    )
+    return ranked.select(
+        id_col,
+        group_col,
+        "n_tokens",
+        "perplexity",
+        F.col("ppx_rank").cast("int").alias("ppx_rank"),
+        (F.col("ppx_rank") * 100 <= F.col("n_grp") * keep_pct).alias("kept"),
     )
 
 

@@ -873,6 +873,7 @@ def pack_sequences(
     len_col: str,
     budget: int = PACK_BUDGET,
     num_partitions: int | None = None,
+    n_items: int | None = None,
 ) -> DataFrame:
     """Greedy sequence packing: assign items (chunks with token
     lengths) to bins of at most ``budget`` tokens — the context-window
@@ -891,16 +892,20 @@ def pack_sequences(
     ``num_partitions`` defaults to max(16, n // PACK_GROUP_TARGET):
     the expected group stays ~constant-size as the corpus grows and
     always fits an executor; the oracle recomputes the same p from
-    COUNT(*).
+    COUNT(*).  Callers that already know the item count can pass
+    ``n_items`` to skip that count job (it would re-scan ``df``'s
+    lineage); the group count derived from it is identical.
     """
     import pandas as pd
 
     from .sketches import hash_stage_exprs
 
     if num_partitions is None:
-        # bounded driver action (one count), same posture as
-        # semantic_dedup's corpus-scaled k
-        num_partitions = max(PACK_PARTITIONS, df.count() // PACK_GROUP_TARGET)
+        if n_items is None:
+            # bounded driver action (one count), same posture as
+            # semantic_dedup's corpus-scaled k
+            n_items = df.count()
+        num_partitions = max(PACK_PARTITIONS, n_items // PACK_GROUP_TARGET)
 
     def _pack(batches):
         frames = [pdf for pdf in batches if len(pdf)]

@@ -108,7 +108,13 @@ def build_training_corpus(
         .withColumn("chunk_uid", F.col("doc_id") * 10000 + F.col("chunk_id"))
         .localCheckpoint()
     )
-    packed = pack_sequences(chunks, "chunk_uid", "n_chunk_tokens", budget=budget)
+    # the eager checkpoint above already materialized every chunk, so
+    # count() here is a scan of the in-memory RDD; passing it lets
+    # pack_sequences skip its own sizing count of the same frame
+    packed = pack_sequences(
+        chunks, "chunk_uid", "n_chunk_tokens", budget=budget,
+        n_items=chunks.count(),
+    )
     return (
         chunks.join(packed, "chunk_uid")
         .select("doc_id", "chunk_id", "n_chunk_tokens", "bin_id")

@@ -1044,6 +1044,34 @@ def test_embedding_pca_exact_aligns_with_numpy(spark, sf_dir):
     assert cos >= 0.95, cos
 
 
+def test_pcx_power_iteration_refuses_bigint_overflow():
+    """VERDICT r7 watch #1: the integer-exact face is BIGINT-bounded
+    (scatter terms n*s_ij - s_i*s_j and both factors must stay under
+    2^63, i.e. n up to ~2.9e9 rows at the 2^10 quant).  Python computes
+    them fine in arbitrary precision, but the DuckDB oracle face would
+    overflow — so past the bound the recurrence must refuse loudly
+    (the KMV non-integral fail-fast precedent), never let the two
+    engines silently diverge."""
+    import pytest as _pytest
+
+    from skdist_spark.operators.decomp import _pcx_power_iteration
+
+    # a legal moment row with nonzero scatter: well under the bound
+    ok = [(0, 0, 3, 1, 1, 5)]  # scatter 3*5 - 1 = 14
+    v, rq_num, rq_den = _pcx_power_iteration(ok)
+    assert rq_den > 0
+
+    # n ~ 4e9 rows at max |q| = 2^10 per component: n*s_ij alone
+    # crosses 2^63 — must raise, naming the contract
+    n_big = 4_000_000_000
+    s = n_big * 1024  # every component at the quant ceiling
+    s_ij = n_big * 1024 * 1024
+    bad = [(0, 0, n_big, s, s, s_ij)]
+    assert n_big * s_ij >= 1 << 63  # the premise the guard checks
+    with _pytest.raises(ValueError, match="2\\^63"):
+        _pcx_power_iteration(bad)
+
+
 def test_embedding_pca_matches_numpy(spark, sf_dir):
     """Distributed covariance PCA must match a local full-matrix numpy
     PCA: same projections (after the deterministic sign convention) and
