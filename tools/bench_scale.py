@@ -33,13 +33,21 @@ SF1 = os.environ.get(
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                  ".localdata", "sf1"),
 )
+# third decade: 100x upsample (tools/make_sf10.py); only the TOP_SF10
+# most expensive sf1 queries run there
+SF10 = os.environ.get(
+    "SPARK_GRAFT_SF10_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".localdata", "sf10"),
+)
 TOP_SF1 = 30
+TOP_SF10 = 15
 MARK_LO = "<!-- BENCH_SCALE:begin -->"
 MARK_HI = "<!-- BENCH_SCALE:end -->"
 TOP_N = 15
 
 
-def _run_suite(spark, queries, sf_dir) -> dict[str, float]:
+def _run_suite(spark, queries, sf_dir, rows_out=None) -> dict[str, float]:
     import gc
 
     times: dict[str, float] = {}
@@ -48,8 +56,12 @@ def _run_suite(spark, queries, sf_dir) -> dict[str, float]:
             gc.collect()  # free prior queries' localCheckpoint blocks
         t0 = time.perf_counter()
         try:
-            queries[name](spark, sf_dir).collect()
+            out = queries[name](spark, sf_dir).collect()
             times[name] = round(time.perf_counter() - t0, 4)
+            if rows_out is not None:
+                # output cardinality: the evidence behind every
+                # "output-bound" slope claim (VERDICT r7 #8)
+                rows_out[name] = len(out)
         except Exception as exc:  # pragma: no cover
             times[name] = -1.0
             print(f"# scale-bench error {name}@{sf_dir}: {exc}", file=sys.stderr)
@@ -71,20 +83,37 @@ def main() -> None:
     except Exception:
         pass
     small = _run_suite(spark, queries, SF_SMALL)
-    big = _run_suite(spark, queries, SF_BIG)
+    rows_big: dict[str, int] = {}
+    big = _run_suite(spark, queries, SF_BIG, rows_big)
 
     # sf1 spot profile: the TOP_SF1 most expensive sf0.1 queries get a
     # second decade (sf0.1 -> sf1) so their slopes are data-dominated
     sf1: dict[str, float] = {}
+    rows_sf1: dict[str, int] = {}
     if os.path.isdir(SF1):
         top = sorted(
             (n for n in queries if big.get(n, -1) > 0),
             key=lambda n: -big[n],
         )[:TOP_SF1]
-        sf1 = _run_suite(spark, {n: queries[n] for n in top}, SF1)
+        sf1 = _run_suite(spark, {n: queries[n] for n in top}, SF1, rows_sf1)
     else:
         print(f"# no sf1 dir at {SF1}; run tools/make_sf1.py for the"
               " second-decade profile", file=sys.stderr)
+
+    # sf10 spot profile (third decade, VERDICT r7 #1): the TOP_SF10
+    # most expensive sf1 queries at 100x sf0.1
+    sf10: dict[str, float] = {}
+    rows_sf10: dict[str, int] = {}
+    if sf1 and os.path.isdir(SF10):
+        top10 = sorted(
+            (n for n in sf1 if sf1.get(n, -1) > 0),
+            key=lambda n: -sf1[n],
+        )[:TOP_SF10]
+        sf10 = _run_suite(spark, {n: queries[n] for n in top10}, SF10,
+                          rows_sf10)
+    elif sf1:
+        print(f"# no sf10 dir at {SF10}; run tools/make_sf10.py for the"
+              " third-decade profile", file=sys.stderr)
     spark.stop()
 
     slopes = {
@@ -97,14 +126,24 @@ def main() -> None:
         for n in sf1
         if sf1.get(n, -1) > 0 and big.get(n, -1) > 0
     }
+    slopes_sf10 = {
+        n: round(sf10[n] / sf1[n], 3)
+        for n in sf10
+        if sf10.get(n, -1) > 0 and sf1.get(n, -1) > 0
+    }
     out = {
         "sf_small": 0.01,
         "sf_big": 0.1,
         "times_small": small,
         "times_big": big,
         "times_sf1": sf1,
+        "times_sf10": sf10,
+        "rows_big": rows_big,
+        "rows_sf1": rows_sf1,
+        "rows_sf10": rows_sf10,
         "slopes": slopes,
         "slopes_sf1": slopes_sf1,
+        "slopes_sf10": slopes_sf10,
     }
     path = os.path.join(REPO, "BENCH_SCALE.json")
     with open(path, "w") as fh:
@@ -137,14 +176,39 @@ def main() -> None:
             f"Second decade (sf0.1 -> sf1, the {len(slopes_sf1)} most",
             "expensive sf0.1 queries, data from `tools/make_sf1.py`) —",
             "this is the decade where per-query fixed cost stops",
-            "dominating, so these slopes re-rank the outliers above:",
+            "dominating, so these slopes re-rank the outliers above.",
+            "The `rows` columns are each query's OUTPUT cardinality at",
+            "that sf: a slope tracking its own output-row growth is",
+            "output-bound by measurement, not by claim:",
             "",
-            "| query | sf0.1 s | sf1 s | slope (10x data) |",
-            "|---|---|---|---|",
+            "| query | sf0.1 s | sf1 s | slope (10x data) "
+            "| rows sf0.1 | rows sf1 |",
+            "|---|---|---|---|---|---|",
         ]
         for n, sl in sorted(slopes_sf1.items(), key=lambda kv: -kv[1]):
-            lines.append(f"| {n} | {big[n]} | {sf1[n]} | {sl} |")
+            lines.append(
+                f"| {n} | {big[n]} | {sf1[n]} | {sl} "
+                f"| {rows_big.get(n, '')} | {rows_sf1.get(n, '')} |"
+            )
         lines += ["", f"Median second-decade slope: **{med1}**."]
+    if slopes_sf10:
+        med10 = sorted(slopes_sf10.values())[len(slopes_sf10) // 2]
+        lines += [
+            "",
+            f"Third decade (sf1 -> sf10, the {len(slopes_sf10)} most",
+            "expensive sf1 queries, data from `tools/make_sf10.py` —",
+            "100x the driver's sf0.1):",
+            "",
+            "| query | sf1 s | sf10 s | slope (10x data) "
+            "| rows sf1 | rows sf10 |",
+            "|---|---|---|---|---|---|",
+        ]
+        for n, sl in sorted(slopes_sf10.items(), key=lambda kv: -kv[1]):
+            lines.append(
+                f"| {n} | {sf1[n]} | {sf10[n]} | {sl} "
+                f"| {rows_sf1.get(n, '')} | {rows_sf10.get(n, '')} |"
+            )
+        lines += ["", f"Median third-decade slope: **{med10}**."]
     lines += ["", MARK_HI]
     scaling = os.path.join(REPO, "SCALING.md")
     text = open(scaling).read()
