@@ -270,6 +270,76 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PR_DEC = "decimal(28,12)"
 
 
+_PR_DRIVER_MAX_EDGES = 100_000  # bounded driver-finish threshold
+
+
+def _pagerank_driver_fixed_point(
+    spark: SparkSession,
+    frac_rows,
+    node_type,
+    damping: float,
+    iterations: int,
+) -> DataFrame:
+    """Exact integer ("pico") replay of the distributed DECIMAL fixed
+    point, run on the driver when the AGGREGATED edge frame is bounded
+    (<= _PR_DRIVER_MAX_EDGES rows) — the same bounded-remnant contract
+    as connected_components' union-find finish and k-core's numpy peel.
+
+    Every iteration of the distributed loop is a full Spark job over a
+    tiny frame, so rounds are pure job latency once the graph has been
+    aggregated (event_pagerank: a 5-node transition graph paying 8
+    distributed rounds).  The replay is arithmetic-identical, not
+    approximately so: ``frac`` values are the SPARK-computed
+    decimal(28,12) edge fractions (collected, so the (38,10)-rounded
+    division is already baked in), and each round applies the same
+    three HALF-UP quantizations the DECIMAL plan does — contributions
+    cast to scale 12, dangling redistribution via scale 32, the
+    damping product cast back to scale 12 — using HALF_UP(n/d) ==
+    (2n + d) // (2d) on integers.  Verified bit-equal three ways: the
+    DuckDB HUGEINT oracle, the pure-Python pytest replay, and the
+    pre-change distributed plan at sf0.001/sf0.01/sf0.1.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    P = 10**12
+
+    def half_up(num: int, den: int) -> int:
+        return (2 * num + den) // (2 * den)
+
+    frac = {(r[0], r[1]): int(Decimal(r[2]).scaleb(12)) for r in frac_rows}
+    out_srcs = {s for s, _ in frac}
+    nodes = sorted(out_srcs | {t for _, t in frac})
+    n = len(nodes)
+    d_pico = int(
+        Decimal(damping).quantize(Decimal(1).scaleb(-12), ROUND_HALF_UP).scaleb(12)
+    )
+    base = int(
+        Decimal((1.0 - damping) / n).scaleb(12).quantize(Decimal(1), ROUND_HALF_UP)
+    )
+    rank = {
+        v: int(Decimal(1.0 / n).scaleb(12).quantize(Decimal(1), ROUND_HALF_UP))
+        for v in nodes
+    }
+    for _ in range(iterations):
+        dangling = sum(rank[v] for v in nodes if v not in out_srcs)
+        redist = half_up(half_up(dangling * 10**20, n), 10**20)
+        contrib = dict.fromkeys(nodes, 0)
+        for (s, t), f in frac.items():
+            contrib[t] += rank[s] * f
+        rank = {
+            v: half_up(base * P + d_pico * (half_up(contrib[v], P) + redist), P)
+            for v in nodes
+        }
+    schema = StructType(
+        [StructField("node", node_type), StructField("rank", DoubleType())]
+    )
+    return spark.createDataFrame(
+        [(v, float(Decimal(rank[v]) / P)) for v in nodes], schema
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -311,6 +381,19 @@ def pagerank(
         .select("src", "dst", (F.col("w") / F.col("out_w")).cast(_PR_DEC).alias("frac"))
         .localCheckpoint()
     )
+    # Bounded driver finish: once the graph is AGGREGATED to an edge
+    # frame that fits the bounded-driver-state contract, the remaining
+    # ``iterations`` distributed rounds are pure per-job latency —
+    # replay the identical integer fixed point on the driver instead
+    # (one cheap count of the checkpointed frac decides the branch).
+    if frac.count() <= _PR_DRIVER_MAX_EDGES:
+        return _pagerank_driver_fixed_point(
+            edges.sparkSession,
+            frac.collect(),
+            frac.schema["src"].dataType,
+            damping,
+            iterations,
+        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
