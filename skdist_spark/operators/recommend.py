@@ -43,6 +43,13 @@ from ..sources.catalog import load_table
 ALS_K = 4          # latent dimensions
 ALS_REG = 0.1      # L2 regularization (lambda)
 ALS_SWEEPS = 2     # full alternations (item solve + user solve each)
+# Broadcast a factor table into the ratings join when the entity count
+# is bounded (guide posture: broadcast the side that fits — a factor
+# table is k doubles per entity, ~40 B/row, so 1M rows is ~40 MB
+# payload).  mapInPandas output has no size statistics, so the planner
+# can NEVER pick this join by itself; above the bound the sort-merge
+# join is kept (factor sides at true scale are data-sized).
+ALS_BROADCAST_MAX_ROWS = 1_000_000
 _KNUTH = 2654435761
 _MOD = 2**32
 
@@ -63,9 +70,17 @@ def _solve_side(
     fixed_factors: DataFrame,
     k: int = ALS_K,
     reg: float = ALS_REG,
+    broadcast_fixed: bool = False,
 ) -> DataFrame:
     """One ALS half-sweep: re-solve ``solve_col``'s factors given
-    ``fixed_col``'s.  join -> groupBy(solve_col) -> k x k solve."""
+    ``fixed_col``'s.  join -> groupBy(solve_col) -> k x k solve.
+
+    ``broadcast_fixed``: hash-join the factor table into the ratings
+    scan instead of shuffling both sides (caller asserts the factor
+    side is bounded).  With ratings pre-partitioned by ``solve_col``
+    the groupBy then reuses that partitioning and the half-sweep runs
+    with ZERO new exchanges; join strategy cannot change values — the
+    per-entity fold order is canonicalized by the fid-sorted collect."""
     out_schema = StructType(
         [
             StructField("id", LongType()),
@@ -82,13 +97,13 @@ def _solve_side(
     # per-row Python dicts in pandas and the conversion dwarfs the
     # k x k solves.  The fid-sorted struct collect fixes the fold
     # order; the projection then strips the structs away.
+    fixed = fixed_factors.select(
+        F.col("id").alias(fixed_col), F.col("factors").alias("ff")
+    )
+    if broadcast_fixed:
+        fixed = F.broadcast(fixed)
     grouped = (
-        ratings.join(
-            fixed_factors.select(
-                F.col("id").alias(fixed_col), F.col("factors").alias("ff")
-            ),
-            fixed_col,
-        )
+        ratings.join(fixed, fixed_col)
         .groupBy(F.col(solve_col).alias("sid"))
         .agg(
             F.sort_array(
@@ -173,18 +188,40 @@ def als_train(
         .mapInPandas(init_batch, init_schema)
         .localCheckpoint(eager=False)
     )
+    # Entity counts decide the join strategy for every half-sweep (and
+    # are bounded driver scalars).  When a factor side fits the
+    # broadcast bound, pre-partition the ratings by the SOLVE key once:
+    # the broadcast join preserves that partitioning, so the groupBy
+    # behind every subsequent solve of that side reuses the exchange —
+    # the half-sweep moves no ratings at all (2 upfront shuffles
+    # replace 2 per half-sweep).
+    n_items = item_factors.count()
+    n_users = r.select("u").distinct().count()
+    bc_items = n_items <= ALS_BROADCAST_MAX_ROWS
+    bc_users = n_users <= ALS_BROADCAST_MAX_ROWS
+    r_u = (
+        r.repartition("u").localCheckpoint(eager=False) if bc_items else r
+    )
+    r_i = (
+        r.select(F.col("i"), F.col("u"), "rating")
+        .repartition("i")
+        .localCheckpoint(eager=False)
+        if bc_users
+        else r.select(F.col("i"), F.col("u"), "rating")
+    )
     user_factors = None
     for _ in range(sweeps):
         user_factors = _solve_side(
-            r, "u", "i", item_factors, k, reg
+            r_u, "u", "i", item_factors, k, reg, broadcast_fixed=bc_items
         ).localCheckpoint(eager=False)
         item_factors = _solve_side(
-            r.select(F.col("i"), F.col("u"), "rating"),
+            r_i,
             "i",
             "u",
             user_factors,
             k,
             reg,
+            broadcast_fixed=bc_users,
         ).localCheckpoint(eager=False)
     return user_factors, item_factors
 
@@ -195,18 +232,32 @@ def als_rmse(
     item_factors: DataFrame,
     user_col: str = "u",
     item_col: str = "i",
+    broadcast_factors: bool | None = None,
 ) -> DataFrame:
     """Training RMSE of the factor model — the fit readout.  Dot
     products run JVM-side (zip_with + aggregate); one exact COUNT and
-    one DOUBLE sum of squared errors."""
+    one DOUBLE sum of squared errors.
+
+    ``broadcast_factors``: hash-join the (bounded) factor tables into
+    the ratings scan — None decides from their row counts (cheap: both
+    are checkpointed k-double-per-entity frames)."""
+    if broadcast_factors is None:
+        broadcast_factors = (
+            user_factors.count() <= ALS_BROADCAST_MAX_ROWS
+            and item_factors.count() <= ALS_BROADCAST_MAX_ROWS
+        )
+    uf_t = user_factors.select(F.col("id").alias("u"), F.col("factors").alias("uf"))
+    if_t = item_factors.select(F.col("id").alias("i"), F.col("factors").alias("if_"))
+    if broadcast_factors:
+        uf_t, if_t = F.broadcast(uf_t), F.broadcast(if_t)
     r = ratings.select(
         F.col(user_col).cast("long").alias("u"),
         F.col(item_col).cast("long").alias("i"),
         F.col("rating").cast("double").alias("rating"),
     )
     j = (
-        r.join(user_factors.select(F.col("id").alias("u"), F.col("factors").alias("uf")), "u")
-        .join(item_factors.select(F.col("id").alias("i"), F.col("factors").alias("if_")), "i")
+        r.join(uf_t, "u")
+        .join(if_t, "i")
         .select(
             "rating",
             F.expr(
