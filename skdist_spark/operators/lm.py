@@ -336,7 +336,7 @@ def bpe_train(
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("sym", F.expr("filter(split(word, ''), x -> x != '')"))
         .select("sym", "n")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[str, str, str, int]] = []
     for _ in range(n_merges):
@@ -367,10 +367,14 @@ def bpe_train(
             f"THEN concat(slice(acc, 1, size(acc) - 1), array('{mq}')) "
             "ELSE concat(acc, array(x)) END)"
         )
-        # per-round checkpoint: the next round's pair-count collect
-        # re-executes the whole fold lineage otherwise (measured slower
-        # than the extra materialization job)
-        vocab = vocab.withColumn("sym", F.expr(fold)).localCheckpoint()
+        # per-round checkpoint, LAZY: the next round's pair-count
+        # TakeOrdered pulls every vocab partition anyway, so it
+        # materializes the checkpoint as a side effect — lineage stays
+        # flat at ONE job per merge round instead of two (an eager
+        # checkpoint here paid a separate materialization job per
+        # round; no checkpoint at all re-executes the growing fold
+        # chain, measured slower still)
+        vocab = vocab.withColumn("sym", F.expr(fold)).localCheckpoint(eager=False)
     return merges
 
 
