@@ -524,7 +524,15 @@ def chunk_documents_udtf(
 
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="chunk_id int, n_chunk_tokens int, chunk_md5 string")
+    # useArrow: eval is still called per row (the UDTF contract), but
+    # batches cross the JVM<->Python boundary as Arrow instead of
+    # pickled rows (guide: the serialization is the controllable cost).
+    # Returns are exact int/int/hex-str, so the Arrow/pickle coercion
+    # difference cannot bite.
+    @udtf(
+        returnType="chunk_id int, n_chunk_tokens int, chunk_md5 string",
+        useArrow=True,
+    )
     class ChunkDoc:
         def eval(self, text: str):  # noqa: D401 - UDTF protocol
             toks = [t for t in (text or "").strip().split() if t]
