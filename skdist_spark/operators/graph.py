@@ -726,6 +726,7 @@ def bfs_distances(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = BFS_MAX_DEPTH,
+    local_finish_edges: int = 500_000,
 ) -> DataFrame:
     """Multi-source BFS over an undirected edge list: (node, distance)
     = minimum hop count from any node in ``sources`` (one ``node``
@@ -736,11 +737,48 @@ def bfs_distances(
     label propagation, a scalar (reached, sum) convergence probe per
     round, and localCheckpoint lineage cuts — rounds = graph
     eccentricity, capped at ``max_iterations``.
+
+    When the symmetrized edge set fits ``local_finish_edges`` (the
+    connected_components bounded-driver-state contract), the distances
+    come from one driver-side frontier BFS instead — hop counts are
+    exact integers, so the finish is trivially value-identical and the
+    per-round Spark-job latency disappears.  Pass
+    ``local_finish_edges=0`` to force the distributed path.
     """
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = und.union(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct().localCheckpoint()
+    if 0 < und.count() <= 2 * local_finish_edges:
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        adj: dict = {}
+        for r in und.collect():
+            adj.setdefault(r["a"], []).append(r["b"])
+        seeds = [
+            r["node"]
+            for r in sources.select(F.col("node")).distinct().collect()
+            if r["node"] in adj
+        ]
+        dist = dict.fromkeys(seeds, 0)
+        frontier = seeds
+        for depth in range(1, max_iterations + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = depth
+                        nxt.append(v)
+            if not nxt:
+                break
+            frontier = nxt
+        schema = StructType(
+            [
+                StructField("node", und.schema["a"].dataType),
+                StructField("distance", IntegerType()),
+            ]
+        )
+        return und.sparkSession.createDataFrame(sorted(dist.items()), schema)
     nodes = und.select(F.col("a").alias("node")).distinct()
     labels = (
         nodes.join(sources.select(F.col("node")), "node", "left_semi")

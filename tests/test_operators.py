@@ -1254,6 +1254,15 @@ def test_bfs_distances_on_chain_and_fork(spark):
     got2 = {r.node: r.distance for r in bfs_distances(edges, two_seeds).collect()}
     assert got2 == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0, 6: 3}
 
+    # the driver frontier finish and the distributed rounds must agree
+    # (local_finish_edges=0 forces the distributed path — the
+    # connected_components test convention)
+    got_dist = {
+        r.node: r.distance
+        for r in bfs_distances(edges, two_seeds, local_finish_edges=0).collect()
+    }
+    assert got_dist == got2
+
 
 def test_dup_span_stats_span_count_formula(spark):
     """n_spans per doc must equal max(n_words - SPAN_N + 1, 1) — the
