@@ -286,92 +286,137 @@ def exact_lloyd_assign(
     empty clusters keep their centroid).  Returns the FINAL assignment
     ``(vec_id, q, cluster, d2)`` — every value a replayable integer.
 
-    The per-row assign cost is O(k*d) of interpreted HOF work, so it
-    must run on ALL cores: when the input has fewer partitions than
-    the cluster's parallelism (one small parquet file), spread it
-    first — measured 97 s -> 13 s on the sf1 profile at k = 78.  At
-    real scale the input already has >= parallelism splits and the
-    spread is a no-op.
+    The centroid state is a bounded O(k*d) driver matrix (exactly what
+    the old broadcast centroid table held), so the rounds are
+    driver-coordinated: each round is ONE job — a mapInPandas that
+    assigns its partition by blocked integer GEMM and emits per-
+    partition (cluster, dim) partial sums, reduced by a (cluster, pos)
+    groupBy and collected as <= k*d bounded rows; the floor refresh
+    replays the identical BIGINT->DOUBLE cast arithmetic in Python
+    (both are IEEE-754 nearest + floor).  This replaces the old
+    per-round DataFrame dance (HOF argmin per row x k centroids,
+    posexplode of EVERY row, collect_list join, eager checkpoint) —
+    O(k*d) interpreted lambda evals per row became one GEMM per Arrow
+    batch, and the per-round shuffle dropped from O(rows * d) exploded
+    values to O(partitions * k * d) partials.  int64 GEMM is exact
+    (|q*cscale| <= 2^20 keeps every term < 2^48) and np.argmin ties
+    break to the FIRST (= lowest) cluster with ascending blocks and a
+    strict '<' cross-block update — bit-identical to the old
+    sort_array tiebreak.  Blocks bound the (rows x k) distance slab to
+    ~128 MiB (the SemDeDup driver-fit recipe), so a corpus-scaled k
+    cannot blow batch memory.
+
+    The quantized corpus is lazily localCheckpointed: rounds + 1
+    passes read one materialized copy instead of re-running the
+    scan + quantize lineage per round.
     """
-    from pyspark.sql import Window
+    import math
 
     sc = emb.sparkSession.sparkContext
     if emb.rdd.getNumPartitions() < sc.defaultParallelism:
         emb = emb.repartition(sc.defaultParallelism)
+    emb = emb.localCheckpoint(eager=False)
 
-    cent = (
-        emb.orderBy("vec_id")
-        .limit(k)
-        .select(
-            # bounded k-row frame: the sanctioned top-k global window
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
-                "cluster"
-            ),
-            F.expr(f"transform(q, v -> v * {cscale})").alias("c"),
-        )
+    seed_rows = sorted(
+        emb.orderBy("vec_id").limit(k).collect(), key=lambda r: r["vec_id"]
     )
+    C = np.array([list(r["q"]) for r in seed_rows], dtype=np.int64) * cscale
 
-    def _assign(cent_df: DataFrame) -> DataFrame:
-        one = cent_df.agg(
-            F.expr("sort_array(collect_list(struct(cluster, c)))").alias(
-                "cents"
+    def _blocked_argmin(Qs, C, c2):
+        """(rows, d) x (k, d) -> (cluster, d2) per row; ties to the
+        lowest cluster; slab-bounded."""
+        q2 = np.einsum("ij,ij->i", Qs, Qs)
+        step = max(1, (16 << 20) // max(len(Qs), 1))
+        best_d2 = None
+        best_c = None
+        for s in range(0, len(C), step):
+            d2b = q2[:, None] + c2[None, s : s + step] - 2 * (
+                Qs @ C[s : s + step].T
             )
-        )
-        from .dedup import _let
-
-        # let-bind q: otherwise the upstream quantize transform inlines
-        # into the per-centroid lambda and re-runs k times per row
-        return (
-            emb.crossJoin(F.broadcast(one))
-            .select(
-                "vec_id",
-                "q",
-                F.expr(
-                    _let(
-                        "q",
-                        "__q",
-                        "sort_array(transform(cents, s -> named_struct("
-                        f"'d2', aggregate(zip_with(__q, s.c, (a, b) ->"
-                        f" (a * {cscale} - b) * (a * {cscale} - b)),"
-                        " 0L, (acc, v) -> acc + v),"
-                        " 'cluster', s.cluster)))[0]",
-                    )
-                ).alias("best"),
-            )
-            .select(
-                "vec_id",
-                "q",
-                F.col("best.cluster").alias("cluster"),
-                F.col("best.d2").alias("d2"),
-            )
-        )
+            bi = d2b.argmin(axis=1)
+            bd = d2b[np.arange(len(Qs)), bi]
+            if best_d2 is None:
+                best_d2, best_c = bd, bi + s
+            else:
+                upd = bd < best_d2
+                best_d2 = np.where(upd, bd, best_d2)
+                best_c = np.where(upd, bi + s, best_c)
+        return best_c, best_d2
 
     for _ in range(rounds):
-        sums = (
-            _assign(cent)
-            .select("cluster", F.posexplode("q").alias("pos", "val"))
+        Cr = C
+        c2 = np.einsum("ij,ij->i", Cr, Cr)
+        kk, d = Cr.shape
+
+        def partial_sums(batches, Cr=Cr, c2=c2, kk=kk, d=d):
+            import pandas as pd
+
+            sums = np.zeros((kk, d), dtype=np.int64)
+            cnts = np.zeros(kk, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                Q = np.array(
+                    [np.asarray(v) for v in pdf["q"]], dtype=np.int64
+                )
+                best_c, _ = _blocked_argmin(Q * cscale, Cr, c2)
+                np.add.at(sums, best_c, Q)
+                np.add.at(cnts, best_c, 1)
+            nz = np.nonzero(cnts)[0]
+            if not len(nz):
+                return
+            yield pd.DataFrame(
+                {
+                    "cluster": np.repeat(nz, d).astype(np.int32),
+                    "pos": np.tile(np.arange(d, dtype=np.int32), len(nz)),
+                    "sm": sums[nz].ravel(),
+                    "n": np.repeat(cnts[nz], d),
+                }
+            )
+
+        rows = (
+            emb.mapInPandas(
+                partial_sums, schema="cluster int, pos int, sm long, n long"
+            )
             .groupBy("cluster", "pos")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("sm").alias("sm"), F.sum("n").alias("n"))
+            .collect()
         )
-        newc = sums.groupBy("cluster").agg(
-            F.expr(
-                "transform(array_sort(collect_list(named_struct("
-                f"'pos', pos, 'v', CAST(floor(CAST(s * {cscale}"
-                " AS DOUBLE) / n) AS BIGINT)))), t -> t.v)"
-            ).alias("cu")
-        )
-        # localCheckpoint (eager): materializes the k-row state AND
-        # truncates lineage — the forked downstream (next-round join +
-        # empty-cluster fallback) reads one stored copy, prior rounds'
-        # blocks are unreferenced and ContextCleaner-collected, and the
-        # plan stays round-count-flat (a persist chain re-expands every
-        # cached subtree in explain/snapshot output)
-        cent = (
-            cent.join(newc, "cluster", "left")
-            .select("cluster", F.coalesce("cu", "c").alias("c"))
-            .localCheckpoint()
-        )
-    return _assign(cent)
+        C = Cr.copy()
+        for r in rows:
+            # identical to SQL floor(CAST(sm * cscale AS DOUBLE) / n):
+            # exact int -> IEEE double (round-nearest), IEEE divide,
+            # floor toward -inf — Python floats ARE IEEE doubles
+            C[r["cluster"], r["pos"]] = math.floor(
+                float(r["sm"] * cscale) / r["n"]
+            )
+
+    c2 = np.einsum("ij,ij->i", C, C)
+
+    def assign_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Qs = (
+                np.array([np.asarray(v) for v in pdf["q"]], dtype=np.int64)
+                * cscale
+            )
+            best_c, best_d2 = _blocked_argmin(Qs, C, c2)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "q": pdf["q"],
+                    "cluster": best_c.astype(np.int32),
+                    "d2": best_d2,
+                }
+            )
+
+    return emb.mapInPandas(
+        assign_batches,
+        schema="vec_id long, q array<bigint>, cluster int, d2 long",
+    )
 
 
 def exact_lloyd_cte_parts(

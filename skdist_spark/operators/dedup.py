@@ -1529,53 +1529,53 @@ def dedup_semantic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bounded driver action (one count), same posture as semantic_dedup
     k = max(SDX_K, emb.count() // SEMDEDUP_TARGET_CELL)
-    vecs = (
-        exact_lloyd_assign(emb, k, SDX_ROUNDS)
-        .select(
-            "vec_id",
-            "q",
-            "cluster",
-            F.expr(
-                "aggregate(zip_with(q, q, (x, y) -> x * y), 0L,"
-                " (acc, v) -> acc + v)"
-            ).alias("n2"),
-        )
-        # eager localCheckpoint: the self-join consumes this twice —
-        # without it each side replays the whole Lloyd assignment chain
-        # (measured 11.4 -> 7.5 s at sf0.1)
-        .localCheckpoint()
+    vecs = exact_lloyd_assign(emb, k, SDX_ROUNDS).select(
+        "vec_id", "q", "cluster"
     )
-    a, b = vecs.alias("a"), vecs.alias("b")
-    dot = (
-        "aggregate(zip_with(a.q, b.q, (x, y) -> x * y), 0L,"
-        " (acc, v) -> acc + v)"
-    )
+
     thr2_num = SDX_THR_DEN * SDX_THR_DEN  # 400
     thr2_den = SDX_THR_NUM * SDX_THR_NUM  # 81
+
+    def cell_pairs(pdf):
+        # One integer Gram matrix per cell replaces the within-cell
+        # self-join's per-pair interpreted HOF dot (the Arrow-GEMM
+        # recipe from embedding_covariance).  int64 exact: |q| <= 2^10
+        # and d = 64 give |dot| <= 2^26, so 400 * dot^2 <= 2^58 and
+        # 81 * na2 * nb2 <= 2^59 — no overflow, every value identical
+        # to the SQL expression's.  Cells are constant-expected-size by
+        # the corpus-scaled k, so the per-group state is bounded.
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        Q = np.array([np.asarray(v) for v in pdf["q"]], dtype=np.int64)
+        G = Q @ Q.T
+        n2 = np.diag(G)
+        ia, ib = np.triu_indices(len(ids), 1)  # vec_a < vec_b (sorted)
+        dot = G[ia, ib]
+        na2, nb2 = n2[ia], n2[ib]
+        keep = (
+            (dot >= 0)
+            & (na2 > 0)
+            & (nb2 > 0)
+            & (thr2_num * dot * dot >= thr2_den * na2 * nb2)
+        )
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia[keep]],
+                "vec_b": ids[ib[keep]],
+                "cluster": pdf["cluster"].iloc[0],
+                "dot_q": dot[keep],
+            }
+        )
+
     return (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        vecs.groupBy("cluster")
+        .applyInPandas(
+            cell_pairs,
+            schema="vec_a long, vec_b long, cluster int, dot_q long",
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.cluster").alias("cluster"),
-            F.expr(dot).alias("dot_q"),
-            F.col("a.n2").alias("na2"),
-            F.col("b.n2").alias("nb2"),
-        )
-        .where(
-            (F.col("dot_q") >= 0)
-            & (F.col("na2") > 0)
-            & (F.col("nb2") > 0)
-            & (
-                F.lit(thr2_num) * F.col("dot_q") * F.col("dot_q")
-                >= F.lit(thr2_den) * F.col("na2") * F.col("nb2")
-            )
-        )
-        .select("vec_a", "vec_b", "cluster", "dot_q")
         .orderBy("vec_a", "vec_b")
     )
 
