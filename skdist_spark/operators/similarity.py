@@ -959,12 +959,24 @@ def ann_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer LUT entry — one BIGINT per (query, code) pair.
 
     Scale posture: codebook training touches only the bounded
-    PQX_TRAIN set; encoding is one broadcast of m*k centroid rows +
-    a map-side argmin; ADC is an equi-join of corpus codes against a
-    broadcast m*k*n_queries LUT followed by a (query, neighbor)
-    map-side-combined sum — shuffle O(corpus * n_queries), the
-    classic PQ serving shape, never corpus x corpus.
+    PQX_TRAIN set (vec_id < 256 — bounded driver state by
+    construction, the ml fit-cap precedent), so the per-subspace Lloyd
+    recurrence runs in driver numpy with the IDENTICAL integer
+    arithmetic the old per-round DataFrame dance computed: np.argmin's
+    first-minimum tiebreak == the (d2, cluster) sort, and the floor
+    refresh replays the same BIGINT->DOUBLE cast (both IEEE-754).
+    Serving is ONE corpus pass: a mapInPandas that encodes each row
+    against the m*k driver codebooks and sums the exact integer LUT
+    entries — the classic ADC shape with the codebook shipped in the
+    closure instead of three broadcast joins and an m-way explode of
+    every corpus row.  Each Arrow batch pre-prunes to its local top-k
+    per query under the final (approx_dist, neighbor_id) order — a
+    superset of the global top-k by construction — so the ranking
+    window receives O(batches * k * n_queries) rows, never
+    corpus * n_queries.
     """
+    import numpy as np
+
     emb = (
         load_table(spark, "embeddings", sf_dir)
         # the EMB_COV_DIM rule: a NULL/ragged embedding yields NULL d2,
@@ -982,106 +994,93 @@ def ann_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q"),
         )
     )
-    sub = emb.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.expr(
-                            f"slice(q, {s * PQX_SUB_D + 1}, {PQX_SUB_D})"
-                        ).alias("v"),
-                    )
-                    for s in range(PQX_M)
-                ]
+
+    train_rows = sorted(
+        emb.where(F.col("vec_id") < PQX_TRAIN).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    T = np.array([list(r["q"]) for r in train_rows], dtype=np.int64)
+    q_ids = [r["vec_id"] for r in train_rows if r["vec_id"] < N_QUERIES]
+    QV = T[: len(q_ids)]  # query sub-vectors (ids sorted first)
+
+    def _sub(M: np.ndarray, s: int) -> np.ndarray:
+        return M[:, s * PQX_SUB_D : (s + 1) * PQX_SUB_D]
+
+    def _codes(V: np.ndarray, C: np.ndarray) -> np.ndarray:
+        # d2 to every centroid; ties -> lowest cluster (argmin = first)
+        d2 = np.einsum("ij,ij->i", V, V)[:, None] + np.einsum(
+            "ij,ij->i", C, C
+        )[None, :] - 2 * (V @ C.T)
+        return d2.argmin(axis=1)
+
+    codebooks = []
+    for s in range(PQX_M):
+        V = _sub(T, s)
+        C = V[:PQX_K] * PQX_CSCALE  # seeds: k lowest train vec_ids
+        for _ in range(PQX_ROUNDS):
+            assign = _codes(V * PQX_CSCALE, C)
+            Cn = C.copy()
+            for c in range(len(C)):
+                m = assign == c
+                n = int(m.sum())
+                if n:
+                    # identical to SQL floor(CAST(sm*cscale AS DOUBLE)/n)
+                    Cn[c] = np.floor(
+                        (V[m].sum(axis=0) * PQX_CSCALE).astype(np.float64)
+                        / n
+                    ).astype(np.int64)
+            C = Cn
+        codebooks.append(C)
+
+    # exact integer ADC lookup table, driver-side: (s, query, code)
+    lut = np.stack(
+        [
+            np.array(
+                [
+                    [
+                        int(((vq * PQX_CSCALE - c) ** 2).sum())
+                        for c in codebooks[s]
+                    ]
+                    for vq in _sub(QV, s)
+                ],
+                dtype=np.int64,
             )
-        ).alias("t"),
-    ).select("vec_id", "t.s", "t.v")
-
-    train = sub.where(F.col("vec_id") < PQX_TRAIN)
-    w_seed = Window.partitionBy("s").orderBy("vec_id")
-    cent = (
-        train.withColumn("rn", F.row_number().over(w_seed))
-        .where(F.col("rn") <= PQX_K)
-        .select(
-            "s",
-            (F.col("rn") - 1).cast("int").alias("cluster"),
-            F.expr(f"transform(v, x -> x * {PQX_CSCALE})").alias("c"),
-        )
+            for s in range(PQX_M)
+        ]
     )
+    qid_arr = np.array(q_ids, dtype=np.int64)
+    nq = len(q_ids)
 
-    def _assign(cent_df: DataFrame, pts: DataFrame) -> DataFrame:
-        one = cent_df.groupBy("s").agg(
-            F.expr("sort_array(collect_list(struct(cluster, c)))").alias(
-                "cents"
+    def score_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf) or not nq:
+                continue
+            Q = np.array([np.asarray(v) for v in pdf["q"]], dtype=np.int64)
+            ids = pdf["vec_id"].to_numpy()
+            dist = np.zeros((len(Q), nq), dtype=np.int64)
+            for s in range(PQX_M):
+                code = _codes(_sub(Q, s) * PQX_CSCALE, codebooks[s])
+                dist += lut[s][:, code].T  # (rows, nq)
+            keep = min(TOP_K, len(Q))
+            out_q, out_n, out_d = [], [], []
+            for qi in range(nq):
+                order = np.lexsort((ids, dist[:, qi]))[:keep]
+                out_q.append(np.full(keep, qid_arr[qi]))
+                out_n.append(ids[order])
+                out_d.append(dist[order, qi])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "approx_dist": np.concatenate(out_d),
+                }
             )
-        )
-        return pts.join(F.broadcast(one), "s").select(
-            "vec_id",
-            "s",
-            "v",
-            F.expr(
-                "sort_array(transform(cents, t -> named_struct("
-                f"'d2', aggregate(zip_with(v, t.c, (a, b) ->"
-                f" (a * {PQX_CSCALE} - b) * (a * {PQX_CSCALE} - b)),"
-                " 0L, (acc, x) -> acc + x),"
-                " 'cluster', t.cluster)))[0]"
-            ).alias("best"),
-        ).select(
-            "vec_id",
-            "s",
-            "v",
-            F.col("best.cluster").alias("cluster"),
-            F.col("best.d2").alias("d2"),
-        )
 
-    for _ in range(PQX_ROUNDS):
-        sums = (
-            _assign(cent, train)
-            .select("s", "cluster", F.posexplode("v").alias("pos", "val"))
-            .groupBy("s", "cluster", "pos")
-            .agg(F.sum("val").alias("sm"), F.count(F.lit(1)).alias("n"))
-        )
-        newc = sums.groupBy("s", "cluster").agg(
-            F.expr(
-                "transform(array_sort(collect_list(named_struct("
-                f"'pos', pos, 'x', CAST(floor(CAST(sm * {PQX_CSCALE}"
-                " AS DOUBLE) / n) AS BIGINT)))), t -> t.x)"
-            ).alias("cu")
-        )
-        # localCheckpoint (eager): materializes the m*k-row state AND
-        # truncates lineage — prior rounds' blocks fall out of scope
-        # for ContextCleaner instead of accumulating in the cache, and
-        # the plan stays round-count-flat
-        cent = (
-            cent.join(newc, ["s", "cluster"], "left")
-            .select("s", "cluster", F.coalesce("cu", "c").alias("c"))
-            .localCheckpoint()
-        )
-
-    codes = _assign(cent, sub.where(F.col("vec_id") >= N_QUERIES)).select(
-        F.col("vec_id").alias("neighbor_id"), "s", F.col("cluster").alias("code")
-    )
-    # exact integer ADC lookup table: every (query, subspace, code) cell
-    lut = (
-        sub.where(F.col("vec_id") < N_QUERIES)
-        .join(F.broadcast(cent), "s")
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "s",
-            F.col("cluster").alias("code"),
-            F.expr(
-                f"aggregate(zip_with(v, c, (a, b) ->"
-                f" (a * {PQX_CSCALE} - b) * (a * {PQX_CSCALE} - b)),"
-                " 0L, (acc, x) -> acc + x)"
-            ).alias("d2"),
-        )
-    )
-    scored = (
-        codes.join(F.broadcast(lut), ["s", "code"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("d2").alias("approx_dist"))
+    scored = emb.where(F.col("vec_id") >= N_QUERIES).mapInPandas(
+        score_batches,
+        schema="query_id long, neighbor_id long, approx_dist long",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("approx_dist"), F.asc("neighbor_id")
