@@ -792,29 +792,63 @@ def semantic_dedup(
     assigned = kmeans_assign(df, centroids, id_col, vec_col).select(
         F.col(id_col), "cluster"
     )
-    nrm = "sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"
     vecs = (
         df.select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
         )
-        .withColumn("v", F.expr(f"transform(v, x -> x / {nrm})"))
         .join(assigned, id_col)
     )
-    dot = "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-    a, b = vecs.alias("a"), vecs.alias("b")
+
+    def cell_pairs(pdf):
+        # One cosine tile per cell (the dedup_embedding GEMM recipe)
+        # instead of the within-cell self-join's per-pair interpreted
+        # HOF dot.  Floats are IDENTICAL, not approximately so: the
+        # norm is the same left-fold sum of squares + one IEEE divide,
+        # and the tile accumulates one DIMENSION at a time (outer-
+        # product adds), which reproduces the zip_with left fold
+        # bit-for-bit — the documented _embedding_impl determinism
+        # trick.  Row blocks bound the (block x cell) tile, so a
+        # pathologically hot cell degrades to streaming, not OOM.
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        V = np.array([np.asarray(x) for x in pdf["v"]], dtype=np.float64)
+        m = len(V)
+        acc = np.zeros(m)
+        for i in range(V.shape[1]):
+            acc += V[:, i] * V[:, i]
+        V /= np.sqrt(acc)[:, None]
+        out_a, out_b, out_c = [], [], []
+        step = max(1, (1 << 24) // max(m, 1))
+        for s in range(0, m, step):
+            Vb = V[s : s + step]
+            tile = np.zeros((len(Vb), m))
+            for i in range(V.shape[1]):
+                tile += np.outer(Vb[:, i], V[:, i])
+            ia, ib = np.nonzero(
+                (tile >= threshold)
+                & (ids[s : s + len(Vb), None] < ids[None, :])
+            )
+            out_a.append(ids[s + ia])
+            out_b.append(ids[ib])
+            out_c.append(tile[ia, ib])
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a) if out_a else [],
+                "vec_b": np.concatenate(out_b) if out_b else [],
+                "cluster": pdf["cluster"].iloc[0],
+                "cosine": np.concatenate(out_c) if out_c else [],
+            }
+        )
+
     return (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a." + id_col) < F.col("b." + id_col)),
+        vecs.groupBy("cluster")
+        .applyInPandas(
+            cell_pairs,
+            schema="vec_a long, vec_b long, cluster int, cosine double",
         )
-        .select(
-            F.col("a." + id_col).alias("vec_a"),
-            F.col("b." + id_col).alias("vec_b"),
-            F.col("a.cluster").alias("cluster"),
-            F.expr(dot).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
         .orderBy("vec_a", "vec_b")
     )
 
