@@ -745,76 +745,159 @@ def ivf_join(
     self-match filter is applied.  Ties replicate ann_ivf: cell
     assignment takes the highest cent_id on equal cosine, probe order
     the lowest.
+
+    Implementation (r8): every cosine is produced by the
+    dimension-at-a-time numpy accumulation that reproduces the SQL
+    left fold BIT-FOR-BIT (the _embedding_impl determinism trick), so
+    the DuckDB oracle and the streaming replica see identical doubles
+    while the per-pair interpreted HOF evaluation — |side| x nlist x d
+    lambda evals in the centroid stages, |candidates| x d in the
+    serving join — becomes three vectorized stages: a mapInPandas
+    cell assignment, a mapInPandas probe-list builder (the centroid
+    matrix rides each closure; it is the same bounded state the old
+    plan broadcast), and a per-cell COGROUP that scores each query
+    block against its cell's members in one tile and pre-prunes to
+    the per-cell top-k under the final (cosine desc, neighbor_id)
+    order — a superset of the global top-k by construction, so the
+    rank window reads O(cells x k) rows per query, never every
+    candidate.
     """
-    cents = F.broadcast(
+    import numpy as np
+
+    cent_rows = sorted(
         centroids_df.select(
             F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
-        )
+        ).collect(),
+        key=lambda r: r["cent_id"],
     )
-    dot_cv = "aggregate(zip_with(v, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-    norm = "sqrt(aggregate(transform({0}, x -> x * x), 0D, (acc, x) -> acc + x))"
-    cent_cos = F.expr(f"{dot_cv} / ({norm.format('v')} * {norm.format('cv')})")
+    C_ids = np.array([r["cent_id"] for r in cent_rows], dtype=np.int64)
+    CV = np.array([list(r["cv"]) for r in cent_rows], dtype=np.float64)
+    ncent = len(C_ids)
 
-    # pin scoring parallelism: the centroid cross-score is the
-    # compute-heavy stage (|side| x nlist x dim multiply-adds) and the
-    # test corpora arrive as single-split scans; repartitioning on the
-    # id BELOW the scoring is free at plan level because the groupBy on
-    # the same key reuses the exchange (no additional shuffle), while
-    # AQE would otherwise coalesce the tiny-byte stage onto one task
+    def _norms(M: np.ndarray) -> np.ndarray:
+        # left-fold sum of squares + one sqrt — same op sequence as
+        # sqrt(aggregate(transform(v, x -> x*x), 0D, +))
+        acc = np.zeros(len(M))
+        for i in range(M.shape[1]):
+            acc += M[:, i] * M[:, i]
+        return np.sqrt(acc)
+
+    def _cos_tile(A, B, an, bn) -> np.ndarray:
+        # dimension-at-a-time outer-product adds == the zip_with left
+        # fold; then dot / (norm_a * norm_b) in the SQL's op order
+        tile = np.zeros((len(A), len(B)))
+        for i in range(A.shape[1]):
+            tile += np.outer(A[:, i], B[:, i])
+        return tile / (an[:, None] * bn[None, :])
+
+    cnorm = _norms(CV) if ncent else np.zeros(0)
+
+    # pin scoring parallelism: the centroid scoring stages are the
+    # compute-heavy passes and the test corpora arrive as single-split
+    # scans — without the spread AQE coalesces the tiny-byte stage
+    # onto one task
     n_par = corpus_df.sparkSession.sparkContext.defaultParallelism
     corpus = corpus_df.select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("v")
     ).repartition(n_par, F.col("cid"))
-    cells = (
-        corpus.crossJoin(cents)
-        .withColumn("cent_cos", cent_cos)
-        .groupBy("cid")
-        .agg(
-            F.max_by("cent_id", F.struct("cent_cos", "cent_id")).alias("cell"),
-            F.first("v").alias("v"),
-        )
-    )
     queries = queries_df.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")
     ).repartition(n_par, F.col("query_id"))
-    probes = (
-        queries.crossJoin(cents)
-        .withColumn("cent_cos", cent_cos)
-        .groupBy("query_id")
-        .agg(
-            F.first("v").alias("qv"),
-            F.slice(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(F.negate(F.col("cent_cos")).alias("neg"), F.col("cent_id"))
-                    )
-                ),
-                1,
-                nprobe,
-            ).alias("probe_cells"),
-        )
-        .select(
-            "query_id", "qv", F.explode_outer(F.col("probe_cells.cent_id")).alias("cell")
-        )
+
+    def assign_cells(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf) or not ncent:
+                continue
+            V = np.array([np.asarray(x) for x in pdf["v"]], dtype=np.float64)
+            cos = _cos_tile(V, CV, _norms(V), cnorm)
+            # ties -> HIGHEST cent_id (max_by struct(cent_cos, cent_id)):
+            # argmax over reversed columns returns the LAST max
+            j = (ncent - 1) - np.argmax(cos[:, ::-1], axis=1)
+            yield pd.DataFrame(
+                {"cell": C_ids[j], "cid": pdf["cid"], "v": pdf["v"]}
+            )
+
+    cells = corpus.mapInPandas(
+        assign_cells, schema="cell long, cid long, v array<double>"
     )
-    cand_cos = (
-        "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-        f" / ({norm.format('qv')} * {norm.format('v')})"
+
+    take = min(nprobe, ncent) if ncent else 0
+
+    def probe_lists(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf) or not take:
+                continue
+            Q = np.array([np.asarray(x) for x in pdf["v"]], dtype=np.float64)
+            cos = _cos_tile(Q, CV, _norms(Q), cnorm)
+            neg = -cos
+            cells_out = np.empty((len(Q), take), dtype=np.int64)
+            for r in range(len(Q)):
+                # ascending (neg_cos, cent_id) == the array_sort of
+                # struct(negate(cent_cos), cent_id): ties -> lowest id
+                cells_out[r] = C_ids[np.lexsort((C_ids, neg[r]))[:take]]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(
+                        pdf["query_id"].to_numpy(), take
+                    ),
+                    "qv": [v for v in pdf["v"] for _ in range(take)],
+                    "cell": cells_out.ravel(),
+                }
+            )
+
+    probes = queries.mapInPandas(
+        probe_lists, schema="query_id long, qv array<double>, cell long"
+    )
+
+    def cell_candidates(qpdf, cpdf):
+        import pandas as pd
+
+        if not len(qpdf) or not len(cpdf):
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+        Q = np.array([np.asarray(x) for x in qpdf["qv"]], dtype=np.float64)
+        C = np.array([np.asarray(x) for x in cpdf["v"]], dtype=np.float64)
+        cos = _cos_tile(Q, C, _norms(Q), _norms(C))
+        nids = cpdf["cid"].to_numpy()
+        keep = min(k, len(nids))
+        qids = qpdf["query_id"].to_numpy()
+        out_q, out_n, out_c = [], [], []
+        for r in range(len(Q)):
+            order = np.lexsort((nids, -cos[r]))[:keep]
+            out_q.append(np.full(keep, qids[r]))
+            out_n.append(nids[order])
+            out_c.append(cos[r, order])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    cand = (
+        probes.groupby("cell")
+        .cogroup(cells.groupby("cell"))
+        .applyInPandas(
+            cell_candidates,
+            schema="query_id long, neighbor_id long, cosine double",
+        )
     )
     # note: scoring parallelism is capped at the cell count by the
-    # `cell` equi-join; salting it to (cell, hash(cid) % S) was tried
-    # and measured SLOWER here (the candidate stage is not the
-    # bottleneck at these sizes) — operators/joins.salted_join remains
-    # the escape hatch if a production corpus develops hot cells
+    # cogroup; operators/joins.salted_join remains the escape hatch if
+    # a production corpus develops hot cells
     w_k = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        probes.join(cells, "cell")
-        .select(
-            "query_id",
-            F.col("cid").alias("neighbor_id"),
-            F.expr(cand_cos).alias("cosine"),
-        )
-        .withColumn("rank", F.row_number().over(w_k))
+        cand.withColumn("rank", F.row_number().over(w_k))
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
