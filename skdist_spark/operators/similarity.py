@@ -254,57 +254,126 @@ def ann_ivf(spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE) -> DataF
     EQUI-join on cell id (this is what kills the cross join at 100 TB:
     candidates per query drop by ~NLIST/NPROBE); exact cosine re-rank
     inside candidates only. Rows-only (recall-vs-exact is tested).
+
+    Implementation (r8): the same exact left-fold GEMM stages as
+    ``ivf_join`` (cosines bit-identical to the SQL fold, ties
+    identical), with the self-match filter applied inside the per-cell
+    cogroup BEFORE its top-k prune.
     """
+    import numpy as np
+
     emb = _emb(spark, sf_dir)
-    cents = F.broadcast(
+    cent_rows = sorted(
         emb.where(
             (F.col("vec_id") >= _CENTROID_BASE)
             & (F.col("vec_id") < _CENTROID_BASE + IVF_NLIST)
-        ).select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
-    )
-    dot_cv = "aggregate(zip_with(v, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-    norm = "sqrt(aggregate(transform({0}, x -> x * x), 0D, (acc, x) -> acc + x))"
-    cent_cos = F.expr(f"{dot_cv} / ({norm.format('v')} * {norm.format('cv')})")
-
-    scored = emb.crossJoin(cents).withColumn("cent_cos", cent_cos)
-    # ONE aggregation pass produces both the argmax cell assignment and
-    # the top-NPROBE probe list: cells and probes then share an
-    # identical shuffle child, so the expensive scoring cross join is
-    # evaluated once (exchange reuse) instead of once per consumer.
-    assigned = scored.groupBy("vec_id").agg(
-        F.max_by("cent_id", F.struct("cent_cos", "cent_id")).alias("cell"),
-        F.first("v").alias("v"),
-        F.slice(
-            F.array_sort(
-                F.collect_list(F.struct(F.negate(F.col("cent_cos")).alias("neg"), F.col("cent_id")))
-            ),
-            1,
-            nprobe,
-        ).alias("probe_cells"),
-    )
-    cells = assigned.select("vec_id", "cell", "v")
-    probes = (
-        assigned.where(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.explode_outer(F.col("probe_cells.cent_id")).alias("cell"),
         )
+        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
+        .collect(),
+        key=lambda r: r["cent_id"],
     )
-    cand_cos = (
-        "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-        f" / ({norm.format('qv')} * {norm.format('v')})"
+    C_ids = np.array([r["cent_id"] for r in cent_rows], dtype=np.int64)
+    CV = np.array([list(r["cv"]) for r in cent_rows], dtype=np.float64)
+    ncent = len(C_ids)
+
+    def _norms(M):
+        acc = np.zeros(len(M))
+        for i in range(M.shape[1]):
+            acc += M[:, i] * M[:, i]
+        return np.sqrt(acc)
+
+    def _cos_tile(A, B, an, bn):
+        tile = np.zeros((len(A), len(B)))
+        for i in range(A.shape[1]):
+            tile += np.outer(A[:, i], B[:, i])
+        return tile / (an[:, None] * bn[None, :])
+
+    cnorm = _norms(CV) if ncent else np.zeros(0)
+    take = min(nprobe, ncent) if ncent else 0
+
+    def assign_cells(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf) or not ncent:
+                continue
+            V = np.array([np.asarray(x) for x in pdf["v"]], dtype=np.float64)
+            cos = _cos_tile(V, CV, _norms(V), cnorm)
+            j = (ncent - 1) - np.argmax(cos[:, ::-1], axis=1)
+            yield pd.DataFrame(
+                {"cell": C_ids[j], "vec_id": pdf["vec_id"], "v": pdf["v"]}
+            )
+
+    cells = emb.mapInPandas(
+        assign_cells, schema="cell long, vec_id long, v array<double>"
+    )
+
+    def probe_lists(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf) or not take:
+                continue
+            Q = np.array([np.asarray(x) for x in pdf["v"]], dtype=np.float64)
+            neg = -_cos_tile(Q, CV, _norms(Q), cnorm)
+            out = np.empty((len(Q), take), dtype=np.int64)
+            for r in range(len(Q)):
+                out[r] = C_ids[np.lexsort((C_ids, neg[r]))[:take]]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf["vec_id"].to_numpy(), take),
+                    "qv": [v for v in pdf["v"] for _ in range(take)],
+                    "cell": out.ravel(),
+                }
+            )
+
+    probes = emb.where(F.col("vec_id") < N_QUERIES).mapInPandas(
+        probe_lists, schema="query_id long, qv array<double>, cell long"
+    )
+
+    def cell_candidates(qpdf, cpdf):
+        import pandas as pd
+
+        if not len(qpdf) or not len(cpdf):
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+        Q = np.array([np.asarray(x) for x in qpdf["qv"]], dtype=np.float64)
+        C = np.array([np.asarray(x) for x in cpdf["v"]], dtype=np.float64)
+        cos = _cos_tile(Q, C, _norms(Q), _norms(C))
+        nids = cpdf["vec_id"].to_numpy()
+        qids = qpdf["query_id"].to_numpy()
+        out_q, out_n, out_c = [], [], []
+        for r in range(len(Q)):
+            mask = nids != qids[r]  # self-match filter BEFORE the prune
+            cand_n, cand_c = nids[mask], cos[r, mask]
+            order = np.lexsort((cand_n, -cand_c))[: min(TOP_K, len(cand_n))]
+            out_q.append(np.full(len(order), qids[r]))
+            out_n.append(cand_n[order])
+            out_c.append(cand_c[order])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q) if out_q else [],
+                "neighbor_id": np.concatenate(out_n) if out_n else [],
+                "cosine": np.concatenate(out_c) if out_c else [],
+            }
+        )
+
+    cand = (
+        probes.groupby("cell")
+        .cogroup(cells.groupby("cell"))
+        .applyInPandas(
+            cell_candidates,
+            schema="query_id long, neighbor_id long, cosine double",
+        )
     )
     w_k = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        probes.join(cells, "cell")
-        .where(F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.expr(cand_cos).alias("cosine"),
-        )
-        .withColumn("rank", F.row_number().over(w_k))
+        cand.withColumn("rank", F.row_number().over(w_k))
         .where(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )
