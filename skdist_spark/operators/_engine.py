@@ -106,12 +106,16 @@ def run_tasks(
             payloads = [cp.dumps(fn(tasks_l[i], shared_l)) for i in ids]
             yield pd.DataFrame({"task_id": ids, "payload": payloads})
 
-    task_df = spark.range(len(tasks)).withColumnRenamed("id", "task_id")
-    out_rows = (
-        task_df.repartitionByRange(n_parts, "task_id")
-        .mapInPandas(_run_batch, schema="task_id long, payload binary")
-        .collect()
+    # spark.range with an explicit partition count already yields
+    # CONTIGUOUS equal id ranges per partition — the repartitionByRange
+    # this replaces paid a RangePartitioner SAMPLING job plus an
+    # exchange+sort per run_tasks call to produce the same layout
+    task_df = spark.range(0, len(tasks), 1, n_parts).withColumnRenamed(
+        "id", "task_id"
     )
+    out_rows = task_df.mapInPandas(
+        _run_batch, schema="task_id long, payload binary"
+    ).collect()
     bc.unpersist()
     results: list[Any] = [None] * len(tasks)
     for row in out_rows:
