@@ -36,23 +36,74 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: queries (vec_id < N_QUERIES) x corpus.
 
-    The query side is broadcast, so the "cross join" is really a map-side
-    nested loop over a few rows — linear in corpus size, no shuffle of
-    the big side; top-k via window on the query key.
+    The query side is bounded (N_QUERIES ids), so the scan is one
+    map-side pass over the corpus — linear in corpus size, no shuffle
+    of the big side; top-k via window on the query key.
+
+    Implementation (r8): the bounded query block rides the mapInPandas
+    closure (the same state the old plan broadcast) and each Arrow
+    batch computes one cosine tile whose values reproduce the SQL left
+    fold bit-for-bit (dimension-at-a-time accumulation + the same
+    norm/divide order), pre-pruned to the per-batch top-k per query
+    under the final (cosine desc, neighbor_id) order — a superset of
+    the global top-k, so the window reads O(batches * k) rows per
+    query instead of the whole corpus.
     """
+    import numpy as np
+
     emb = _emb(spark, sf_dir)
-    queries = F.broadcast(emb.where(F.col("vec_id") < N_QUERIES)).alias("q")
-    corpus = emb.alias("c")
-    cos = f"{_DOT} / ({_NORM.format('q.v')} * {_NORM.format('c.v')})"
+    q_rows = sorted(
+        emb.where(F.col("vec_id") < N_QUERIES).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    QV = np.array([list(r["v"]) for r in q_rows], dtype=np.float64)
+    nq = len(qids)
+
+    def _norms(M):
+        acc = np.zeros(len(M))
+        for i in range(M.shape[1]):
+            acc += M[:, i] * M[:, i]
+        return np.sqrt(acc)
+
+    qnorm = _norms(QV) if nq else np.zeros(0)
+
+    def score_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf) or not nq:
+                continue
+            C = np.array([np.asarray(x) for x in pdf["v"]], dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            tile = np.zeros((nq, len(C)))
+            for i in range(C.shape[1]):
+                tile += np.outer(QV[:, i], C[:, i])
+            cos = tile / (qnorm[:, None] * _norms(C)[None, :])
+            out_q, out_n, out_c = [], [], []
+            for r in range(nq):
+                mask = ids != qids[r]
+                cand_n, cand_c = ids[mask], cos[r, mask]
+                order = np.lexsort((cand_n, -cand_c))[
+                    : min(TOP_K, len(cand_n))
+                ]
+                out_q.append(np.full(len(order), qids[r]))
+                out_n.append(cand_n[order])
+                out_c.append(cand_c[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q) if out_q else [],
+                    "neighbor_id": np.concatenate(out_n) if out_n else [],
+                    "cosine": np.concatenate(out_c) if out_c else [],
+                }
+            )
+
+    scored = emb.mapInPandas(
+        score_batches, schema="query_id long, neighbor_id long, cosine double"
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        queries.join(corpus, F.col("q.vec_id") != F.col("c.vec_id"))
-        .select(
-            F.col("q.vec_id").alias("query_id"),
-            F.col("c.vec_id").alias("neighbor_id"),
-            F.expr(cos).alias("cosine"),
-        )
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )
