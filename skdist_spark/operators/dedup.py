@@ -348,7 +348,9 @@ def _ngram_jaccard_impl(raw: DataFrame) -> DataFrame:
     postings = docs.select(
         "doc_id", "source", F.explode_outer("sh").alias("shingle")
     )
-    a, b = postings.alias("a"), postings.alias("b")
+    # merge hint: exploded corpus sides must never be broadcast — the
+    # estimator cannot see the explode fan-out (sf10 OOM class)
+    a, b = postings.alias("a").hint("merge"), postings.alias("b")
     inter_counts = (
         a.join(
             b,
@@ -630,7 +632,7 @@ def dup_span_stats(
     per_doc_span = occ.groupBy(id_col, "span").agg(F.count(F.lit(1)).alias("cnt"))
     span_df = per_doc_span.groupBy("span").agg(F.count(F.lit(1)).alias("nd"))
     return (
-        per_doc_span.join(span_df, "span")
+        per_doc_span.hint("merge").join(span_df, "span")
         .groupBy(id_col)
         .agg(
             F.sum("cnt").alias("n_spans"),
@@ -699,7 +701,7 @@ def remove_dup_spans(
         .select("h")
     )
     covered = (
-        grams.join(dup, "h")
+        grams.hint("merge").join(dup, "h")
         .select(
             "doc_id",
             F.explode(F.expr(f"sequence(start, start + {n - 1})")).alias("pos"),
@@ -1057,7 +1059,9 @@ def containment_pairs(
     ).select("doc_id", F.expr(_spark_shingles(words="wd")).alias("sh"))
     sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
     postings = docs.select("doc_id", F.explode_outer("sh").alias("shingle"))
-    a, b = postings.alias("a"), postings.alias("b")
+    # merge hint: exploded corpus sides must never be broadcast — the
+    # estimator cannot see the explode fan-out (sf10 OOM class)
+    a, b = postings.alias("a").hint("merge"), postings.alias("b")
     inter = (
         a.join(
             b,
@@ -1286,7 +1290,9 @@ def minhash_eval(
     ).select("doc_id", F.expr(_spark_shingles(words="wd")).alias("sh"))
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     postings = sh.select("doc_id", F.explode_outer("sh").alias("shingle"))
-    a, b = postings.alias("a"), postings.alias("b")
+    # merge hint: exploded corpus sides must never be broadcast — the
+    # estimator cannot see the explode fan-out (sf10 OOM class)
+    a, b = postings.alias("a").hint("merge"), postings.alias("b")
     inter = (
         a.join(
             b,

@@ -501,7 +501,9 @@ def tf_cosine_pairs(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     docfreq = postings.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    pruned = postings.join(
+    # merge hint: both sides are corpus-vocabulary-sized — the pruned
+    # gram list must never be broadcast on a size estimate
+    pruned = postings.hint("merge").join(
         docfreq.where(F.col("df") <= df_prune).select("g"), "g"
     )
     norms = pruned.groupBy("doc").agg(
@@ -510,7 +512,7 @@ def tf_cosine_pairs(
     a = pruned.select(F.col("doc").alias("da"), "g", F.col("tf").alias("tfa"))
     b = pruned.select(F.col("doc").alias("db"), "g", F.col("tf").alias("tfb"))
     dots = (
-        a.join(b, "g")
+        a.hint("merge").join(b, "g")
         .where(F.col("da") < F.col("db"))
         .groupBy("da", "db")
         .agg(F.sum(F.col("tfa") * F.col("tfb")).alias("dot"))

@@ -1463,7 +1463,7 @@ def dedup_lines(
         lines.select("lh", id_col).distinct()
         .groupBy("lh").agg(F.count(F.lit(1)).alias("line_df"))
     )
-    marked = lines.join(dfreq, "lh").withColumn(
+    marked = lines.hint("merge").join(dfreq, "lh").withColumn(
         "keep", F.col("line_df") <= max_df
     )
     return (
@@ -1892,7 +1892,9 @@ def source_leakage_matrix(
         .select("src", F.explode_outer(F.expr(_spark_shingles(words="wd", n=n))).alias("gram"))
         .distinct()
     )
-    a = grams.alias("a")
+    # merge hint: exploded corpus sides must never be broadcast (the
+    # estimator cannot see the explode fan-out)
+    a = grams.alias("a").hint("merge")
     b = grams.alias("b")
     return (
         a.join(
@@ -1959,7 +1961,7 @@ def boilerplate_ratio(
         .agg(F.count(F.lit(1)).alias("line_df"))
     )
     return (
-        lines.join(dfreq, "lh")
+        lines.hint("merge").join(dfreq, "lh")
         .groupBy("src")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
@@ -2088,7 +2090,7 @@ def doc_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("score_ppm"), F.asc("word")
     )
     return (
-        tf.join(dfreq, "word")
+        tf.hint("merge").join(dfreq, "word")
         .crossJoin(n_docs)
         .where(F.expr("df * 2 < n_docs"))
         .select(
