@@ -64,7 +64,7 @@ def setsim_join(
     # canonical order: ascending (document frequency, shingle) — rarest
     # first, total and engine-independent
     ordered = (
-        tok.join(dfreq, "s")
+        tok.hint("merge").join(dfreq, "s")
         .groupBy("doc")
         .agg(F.sort_array(F.collect_list(F.struct("dfr", "s"))).alias("ord"))
         .select(
@@ -80,7 +80,10 @@ def setsim_join(
         "len",
         F.posexplode_outer(F.expr(f"slice(toks, 1, {plen})")).alias("pos", "s"),
     )
-    a, b = prefix.alias("a"), prefix.alias("b")
+    # merge hint: the prefix sides are EXPLODED from the corpus — the
+    # estimator cannot see the fan-out, and a broadcast of a corpus-
+    # sized side is the sf10 OOM class
+    a, b = prefix.alias("a").hint("merge"), prefix.alias("b")
     # required overlap for the PAIR: o = ceil(t/(1+t) * (la+lb))
     o_pair = f"(({t_num} * (a.len + b.len)) + {t_num} + {t_den} - 1) div ({t_num} + {t_den})"
     cand = (
@@ -107,8 +110,8 @@ def setsim_join(
     ta = ordered.select(F.col("doc").alias("da"), F.col("toks").alias("toks_a"), F.col("len").alias("la"))
     tb = ordered.select(F.col("doc").alias("db"), F.col("toks").alias("toks_b"), F.col("len").alias("lb"))
     return (
-        cand.join(ta, "da")
-        .join(tb, "db")
+        cand.join(ta.hint("merge"), "da")
+        .join(tb.hint("merge"), "db")
         .withColumn("inter", F.size(F.array_intersect("toks_a", "toks_b")))
         .withColumn("uni", F.expr("la + lb - inter"))
         .where(F.expr(f"{t_den} * inter >= {t_num} * uni"))
@@ -231,14 +234,18 @@ def edit_distance_join(
         )
     )
     # per-row duplicate probes (clipped/empty segments) survive here;
-    # the candidate-level distinct() removes the duplicate pairs they
-    # produce — cheaper than a probe-side shuffle dedup
-
+    # verification runs BEFORE the pair-level dedup so the distinct()
+    # shuffle carries only VERIFIED pairs (output-sized), never the
+    # candidate set: a hot (block, i, L, seg) key — strings sharing a
+    # long common suffix — makes candidates quadratic while the
+    # thresholded levenshtein (early exit above d, O(d*len) per call)
+    # kills them map-side; re-verifying a pair once per matching
+    # segment combo costs a bounded constant (<= the 39-probe space),
+    # the candidate-sized exchange cost O(pairs * |s|) bytes
     cand = (
-        index.join(probes, [*blocks, "i", "L", "seg"])
+        index.hint("merge").join(probes, [*blocks, "i", "L", "seg"])
         .where(F.col("_ida") < F.col("_idb"))
         .select("_ida", "_idb", "_sa", "_sb")
-        .distinct()
     )
     return (
         cand.withColumn("edit_dist", F.levenshtein("_sa", "_sb", d))
@@ -248,6 +255,7 @@ def edit_distance_join(
             F.col("_idb").alias("id_b"),
             "edit_dist",
         )
+        .distinct()
     )
 
 

@@ -1592,29 +1592,81 @@ def diversified_topk(
     the same document; diversified top-k returns k *different* answers.
 
     Two stages, both bounded: (1) the DISTRIBUTED part scores the
-    corpus per query (broadcast query side, map-only) and keeps a
+    corpus per query (bounded query block rides the mapInPandas
+    closure — the same state the old plan broadcast) and keeps a
     candidate pool of ``candidates`` rows per query via window top-M
     — data-sized work ends here; (2) the greedy diversification scan,
     inherently sequential in rank order, runs per query inside one
     applyInPandas over the PER-QUERY candidate pool (O(M*k) dot
     products on <= M rows — bounded state, never the corpus).
+
+    Implementation (r8): each Arrow batch computes one cosine tile
+    whose values reproduce the old per-pair SQL left fold bit-for-bit
+    (dimension-at-a-time accumulation + the same norm-multiply-divide
+    order — the ann_topk recipe), pre-pruned to the per-batch top-M
+    per query under the final (cosine desc, neighbor_id) order — a
+    superset of the global top-M pool, so the window reads
+    O(batches * M) rows per query instead of the whole corpus, and no
+    interpreted HOF runs per pair.
     """
     import numpy as np
     import pandas as pd
 
-    q = F.broadcast(queries.select(F.col("vec_id").alias("qid"), F.col("v"))).alias("q")
-    c = emb.alias("c")
-    cos = f"{_DOT} / ({_NORM.format('q.v')} * {_NORM.format('c.v')})"
+    q_rows = sorted(
+        queries.select("vec_id", "v").collect(), key=lambda r: r["vec_id"]
+    )
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    QV = np.array([list(r["v"]) for r in q_rows], dtype=np.float64)
+    nq = len(qids)
+
+    def _norms(M):
+        acc = np.zeros(len(M))
+        for i in range(M.shape[1]):
+            acc += M[:, i] * M[:, i]
+        return np.sqrt(acc)
+
+    qnorm = _norms(QV) if nq else np.zeros(0)
+    m_keep = candidates
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf) or not nq:
+                continue
+            C = np.array([np.asarray(x) for x in pdf["v"]], dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            vs = pdf["v"].to_numpy()
+            tile = np.zeros((nq, len(C)))
+            for i in range(C.shape[1]):
+                tile += np.outer(QV[:, i], C[:, i])
+            cos = tile / (qnorm[:, None] * _norms(C)[None, :])
+            frames = []
+            for r in range(nq):
+                mask = ids != qids[r]
+                cand_n, cand_c = ids[mask], cos[r, mask]
+                order = np.lexsort((cand_n, -cand_c))[
+                    : min(m_keep, len(cand_n))
+                ]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(order), qids[r]),
+                            "neighbor_id": cand_n[order],
+                            "cosine": cand_c[order],
+                            "nv": [list(v) for v in vs[mask][order]],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = emb.select("vec_id", "v").mapInPandas(
+        score_batches,
+        schema="query_id long, neighbor_id long, cosine double,"
+        " nv array<double>",
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     pool = (
-        q.join(c, F.col("q.qid") != F.col("c.vec_id"))
-        .select(
-            F.col("q.qid").alias("query_id"),
-            F.col("c.vec_id").alias("neighbor_id"),
-            F.expr(cos).alias("cosine"),
-            F.col("c.v").alias("nv"),
-        )
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= candidates)
     )
 
@@ -1680,52 +1732,88 @@ def ann_diversified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the identical left-to-right accumulation — so the kept set
     is decided on bit-identical doubles, never a normalizer's mercy.
 
-    Scale posture: same as diversified_topk — broadcast query side,
-    map-only scoring, per-query top-M window pool (M = MMR_CANDIDATES
-    bounded), then the inherently sequential greedy runs on <= M rows
-    per query inside applyInPandas.
+    Scale posture: same as diversified_topk — bounded query block in
+    the mapInPandas closure, map-only scoring, per-query top-M window
+    pool (M = MMR_CANDIDATES bounded), then the inherently sequential
+    greedy runs on <= M rows per query inside applyInPandas.
+
+    Implementation (r8): each Arrow batch normalizes its block with
+    the same left-fold sum of squares + per-element IEEE divide the
+    old SQL ``transform`` computed, then scores one cosine tile
+    accumulated dimension-at-a-time — the exact op sequence of the
+    ``aggregate(zip_with(qu, u, ...))`` fold, so every double matches
+    the DuckDB RECURSIVE oracle bit-for-bit.  Per-batch top-M pruning
+    keeps the window input at O(batches * M) rows per query.
 
     No reference counterpart (sk-dist has no retrieval; net-new).
     """
+    import numpy as np
     import pandas as pd
 
-    from .dedup import _let
+    emb = (
+        load_table(spark, "embeddings", sf_dir)
+        .where(F.col("embedding").isNotNull() & (F.size("embedding") == 64))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
 
-    emb = load_table(spark, "embeddings", sf_dir).where(
-        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    def _norms(M: "np.ndarray") -> "np.ndarray":
+        # left-fold sum of squares, one dimension at a time — the same
+        # op order as aggregate(transform(v, x -> x*x), 0D, +)
+        acc = np.zeros(len(M))
+        for i in range(M.shape[1]):
+            acc += M[:, i] * M[:, i]
+        return np.sqrt(acc)
+
+    q_rows = sorted(
+        emb.where(F.col("vec_id") < N_QUERIES).collect(),
+        key=lambda r: r["vec_id"],
     )
-    u_expr = _let(
-        "transform(embedding, x -> CAST(x AS DOUBLE))",
-        "__v",
-        _let(
-            "sqrt(aggregate(transform(__v, x -> x * x), 0D,"
-            " (acc, x) -> acc + x))",
-            "__n",
-            "transform(__v, x -> x / __n)",
-        ),
-    )
-    nv = emb.select("vec_id", F.expr(u_expr).alias("u"))
-    q = F.broadcast(
-        nv.where(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("qid"), F.col("u").alias("qu")
-        )
-    )
-    cos = (
-        "aggregate(zip_with(qu, u, (x, y) -> x * y), 0D,"
-        " (acc, x) -> acc + x)"
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    QV = np.array([list(r["v"]) for r in q_rows], dtype=np.float64)
+    nq = len(qids)
+    QU = QV / _norms(QV)[:, None] if nq else QV
+    m_keep = MMR_CANDIDATES
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf) or not nq:
+                continue
+            V = np.array([np.asarray(x) for x in pdf["v"]], dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            U = V / _norms(V)[:, None]
+            tile = np.zeros((nq, len(U)))
+            for i in range(U.shape[1]):
+                tile += np.outer(QU[:, i], U[:, i])
+            frames = []
+            for r in range(nq):
+                mask = ids != qids[r]
+                cand_n, cand_c = ids[mask], tile[r, mask]
+                order = np.lexsort((cand_n, -cand_c))[
+                    : min(m_keep, len(cand_n))
+                ]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(order), qids[r]),
+                            "neighbor_id": cand_n[order],
+                            "cosine": cand_c[order],
+                            "nu": [list(u) for u in U[mask][order]],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = emb.mapInPandas(
+        score_batches,
+        schema="query_id long, neighbor_id long, cosine double,"
+        " nu array<double>",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
     pool = (
-        q.join(nv, F.col("qid") != F.col("vec_id"))
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("vec_id").alias("neighbor_id"),
-            F.expr(cos).alias("cosine"),
-            F.col("u").alias("nu"),
-        )
-        .withColumn("r", F.row_number().over(w))
+        scored.withColumn("r", F.row_number().over(w))
         .where(F.col("r") <= MMR_CANDIDATES)
         .withColumn("cos6", F.round("cosine", 6))
     )
