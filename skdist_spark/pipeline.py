@@ -56,22 +56,40 @@ def build_training_corpus(
     # columns over one tokenization instead of materializing two
     # side frames and semi-joining them back: two fewer shuffles and
     # two fewer passes over the regex-heavy cleaned text.
-    from .operators.text import _SPARK_WORDS, _hits_expr, _langid_exprs
+    #
+    # The whole gate is ONE _let-bound predicate: CollapseProject
+    # inlines an aliased `wd` column into every reference inside the
+    # pushed-down filter, and subexpression elimination cannot reach
+    # inside HOF lambdas — without the binding the regex split re-runs
+    # per conjunct and each language's stopword-hit filter re-runs per
+    # CASE branch (same values, ~4x the row work; the dedup._let
+    # precedent).  Hit counts, tie-break order (LANG_PROFILES dict
+    # order) and every comparison are unchanged.
+    from .operators.dedup import _let
+    from .operators.text import _SPARK_WORDS, _hits_expr
 
-    pred_lang, _ = _langid_exprs("spark", words="wd")
-    en_hits = _hits_expr("wd", LANG_PROFILES["en"], "spark")
-    kept = (
-        cleaned.withColumn("wd", F.expr(_SPARK_WORDS))
-        .where(
-            F.expr(pred_lang).isin(*KEEP_LANGS)
-            & (F.expr("size(wd)") >= MIN_WORDS)
-            & (
-                (F.expr(en_hits).cast("double") / F.expr("size(wd)"))
-                <= MAX_STOPWORD_RATIO
-            )
-        )
-        .select("doc_id", "text")
+    langs = list(LANG_PROFILES)
+    hit_exprs = ", ".join(
+        _hits_expr("__wd", sw, "spark") for sw in LANG_PROFILES.values()
     )
+    mx = "greatest(" + ", ".join(f"__h[{i}]" for i in range(len(langs))) + ")"
+    cases = " ".join(
+        f"WHEN __h[{i}] = __mx AND __mx > 0 THEN '{lang}'"
+        for i, lang in enumerate(langs)
+    )
+    keep_list = ", ".join(f"'{lang}'" for lang in KEEP_LANGS)
+    en_idx = langs.index("en")
+    body = (
+        f"(CASE {cases} ELSE 'und' END) IN ({keep_list})"
+        f" AND size(__wd) >= {MIN_WORDS}"
+        f" AND CAST(__h[{en_idx}] AS DOUBLE) / size(__wd)"
+        f" <= {MAX_STOPWORD_RATIO}"
+    )
+    keep_expr = _let(
+        _SPARK_WORDS, "__wd",
+        _let(f"array({hit_exprs})", "__h", _let(mx, "__mx", body)),
+    )
+    kept = cleaned.where(F.expr(keep_expr)).select("doc_id", "text")
 
     # exact dedup: keep the minimum doc id per identical cleaned text.
     # localCheckpoint: this frame feeds BOTH the MinHash pair stage and
