@@ -210,22 +210,28 @@ def _minhash_impl(docs: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # exact-Jaccard verify recomputes shingles ONLY for candidate docs
-    # (joined from the raw text, not the full sh_df subtree): candidates
-    # are a tiny fraction of the corpus, so the expensive shingling runs
-    # on |candidates| rows instead of 2x the corpus
-    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
-    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
-    wa = "filter(split(trim(text_a), '\\\\s+'), x -> x != '')"
-    wb = "filter(split(trim(text_b), '\\\\s+'), x -> x != '')"
+    # exact-Jaccard verify shingles each DISTINCT candidate doc once
+    # (the old per-pair-row spelling re-ran the split+shingle fold for
+    # every pair a doc appears in — ~3x the corpus shingling cost at
+    # sf1); the lazy checkpoint shares the one candidate-shingle pass
+    # between the two join sides, whose exchanges hash different keys
+    # and can never be reused against each other
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = (
+        docs.join(cand_ids, "doc_id")
+        .select("doc_id", F.expr(_spark_shingles()).alias("sh"))
+        .localCheckpoint(eager=False)
+    )
+    sa = sh_cand.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh_cand.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        pairs.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .withColumn("wd_a", F.expr(wa))
-        .withColumn("wd_b", F.expr(wb))
-        .withColumn("sh_a", F.expr(_spark_shingles(words="wd_a")))
-        .withColumn("sh_b", F.expr(_spark_shingles(words="wd_b")))
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter),
