@@ -217,9 +217,12 @@ def encoderizer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.encoder import Encoderizer
 
-    docs = load_table(spark, "documents", sf_dir, parallel=False).select(
+    docs = load_table(spark, "documents", sf_dir).select(
         "doc_id", "lang", "source", "n_chars", "text"
-    )  # parallel=False: driver-side fit + Arrow transform; floor costs more than it buys
+    )  # keep the parallelism floor: the Arrow transform is the Python
+    # cost center (per-gram crc32 hashing), and the raw documents scan
+    # is 1-2 parquet splits locally — without the floor the whole
+    # corpus vectorizes in one Python worker (measured 4x at sf1)
     # fit on a bounded id-ordered sample (deterministic); transform stays
     # distributed over the full corpus.  The FIT bound is much tighter
     # than _MAX_DRIVER_ROWS: fitting only discovers onehot categories
