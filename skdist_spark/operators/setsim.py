@@ -54,6 +54,8 @@ def setsim_join(
     Returns (doc_a, doc_b, inter, uni, jaccard_ppm) with doc_a < doc_b,
     ordered by (doc_a, doc_b).  See module docstring for the plan.
     """
+    from ..functions.global_rank import two_phase_row_number
+
     words = _SPARK_WORDS.replace("text", text_col)
     sh = df.select(
         F.col(id_col).alias("doc"),
@@ -62,16 +64,34 @@ def setsim_join(
     tok = sh.select("doc", F.explode_outer("sh").alias("s"))
     dfreq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("dfr"))
     # canonical order: ascending (document frequency, shingle) — rarest
-    # first, total and engine-independent
+    # first, total and engine-independent.  Each shingle gets a DENSE
+    # INTEGER id = its rank in that order (two-phase row_number: no
+    # single-partition window, vocabulary-sized input).  The rank is a
+    # bijection monotone in (dfr, s), so sorting by sid, prefix
+    # selection, the candidate equi-join, and array_intersect sizes
+    # are all IDENTICAL to the string formulation — but every
+    # downstream shuffle ships packed bigint arrays instead of ~20x
+    # wider string arrays, and the verify stage intersects ints (the
+    # measured verify wall at sf1 was ~6x the candidate stages, all of
+    # it array bytes).
+    sids = two_phase_row_number(
+        dfreq,
+        order_by=[F.col("dfr"), F.col("s")],
+        shard_key=F.col("dfr"),
+        out_col="sid",
+    ).select("s", "sid")
+    # lazy checkpoint: ordered is read FOUR times downstream (both
+    # prefix sides + both verify sides) — materialize the shingle/
+    # rank/collect subtree once instead of compiling it per reference
+    # (the ml_kmeans_exact / dedup-verify precedent); also keeps the
+    # two-phase rank's bounded offset window out of every downstream
+    # compiled plan
     ordered = (
-        tok.hint("merge").join(dfreq, "s")
+        tok.hint("merge").join(sids, "s")
         .groupBy("doc")
-        .agg(F.sort_array(F.collect_list(F.struct("dfr", "s"))).alias("ord"))
-        .select(
-            "doc",
-            F.col("ord.s").alias("toks"),
-            F.size("ord").alias("len"),
-        )
+        .agg(F.sort_array(F.collect_list("sid")).alias("toks"))
+        .select("doc", "toks", F.size("toks").alias("len"))
+        .localCheckpoint(eager=False)
     )
     # prefix length = L - ceil(t*L) + 1 (integer ceil-division)
     plen = f"len - (len * {t_num} + {t_den} - 1) div {t_den} + 1"
@@ -99,8 +119,35 @@ def setsim_join(
             # elements remain including the shared one)
             & (F.expr(f"least(a.len - a.pos, b.len - b.pos) >= {o_pair}")),
         )
-        .select(F.col("a.doc").alias("da"), F.col("b.doc").alias("db"))
-        .distinct()
+        .groupBy(
+            F.col("a.doc").alias("da"),
+            F.col("b.doc").alias("db"),
+            F.col("a.len").alias("la2"),
+            F.col("b.len").alias("lb2"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("kpf"),
+            F.max("a.pos").alias("mpa"),
+            F.max("b.pos").alias("mpb"),
+        )
+        # pair-level positional bound (PPJoin verification-side): the
+        # match chain of a pair has both coordinates increasing, and
+        # the per-occurrence filter above can only drop a SUFFIX of
+        # that chain — so every shared shingle not counted in kpf sits
+        # strictly after (mpa, mpb) in BOTH df-ordered arrays, giving
+        # inter <= kpf + least(la-1-mpa, lb-1-mpb).  Pairs that cannot
+        # reach the required overlap o = ceil(t/(1+t)*(la+lb)) never
+        # enter the array-verify join: with a small shingle vocabulary
+        # (synthetic text) the raw candidate set is ~3600x the true
+        # pair set at sf1 and the verify join was the whole wall.
+        .where(
+            F.expr(
+                f"kpf + least(la2 - 1 - mpa, lb2 - 1 - mpb) >= "
+                f"((({t_num} * (la2 + lb2)) + {t_num} + {t_den} - 1)"
+                f" div ({t_num} + {t_den}))"
+            )
+        )
+        .select("da", "db")
         # the verify stage below is compute-bound (array_intersect per
         # pair), and its shuffle is tiny — AQE would coalesce it onto
         # one task; pin a real partition count so the CPU spreads

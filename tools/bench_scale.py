@@ -47,6 +47,9 @@ MARK_HI = "<!-- BENCH_SCALE:end -->"
 TOP_N = 15
 
 
+PARTIAL = os.path.join(REPO, "BENCH_SCALE.partial.json")
+
+
 def _run_suite(spark, queries, sf_dir, rows_out=None) -> dict[str, float]:
     import gc
 
@@ -65,6 +68,15 @@ def _run_suite(spark, queries, sf_dir, rows_out=None) -> dict[str, float]:
         except Exception as exc:  # pragma: no cover
             times[name] = -1.0
             print(f"# scale-bench error {name}@{sf_dir}: {exc}", file=sys.stderr)
+        # checkpoint per query: a lane interrupted mid-run (the r8
+        # first-session sf10 death) should not lose its measurements
+        try:
+            with open(PARTIAL, "a") as fh:
+                fh.write(json.dumps(
+                    {"sf_dir": sf_dir, "query": name, "sec": times[name],
+                     "rows": (rows_out or {}).get(name)}) + "\n")
+        except OSError:
+            pass
     return times
 
 
@@ -72,6 +84,10 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from skdist_spark.sources.session import get_session
 
+    try:
+        open(PARTIAL, "w").close()  # fresh checkpoint log per run
+    except OSError:
+        pass
     spark = get_session("skdist_spark-bench-scale")
     queries = entry_mod.queries()
     subset = os.environ.get("SPARK_GRAFT_QUERIES")
