@@ -60,6 +60,32 @@ def test_setsim_no_pairs(spark):
     assert _run(spark, docs, 1, 2) == []
 
 
+def test_setsim_small_vocab_candidate_storm(spark):
+    """The r8 regression shape: a tiny word vocabulary makes every
+    posting list long, so the prefix filter generates orders of
+    magnitude more candidates than true pairs and the pair-level
+    positional prune + integer-rank verify carry the load.  Brute
+    force equality proves the prune lossless and the rank bijection
+    intersection-exact on a corpus where candidates vastly outnumber
+    matches (including near-threshold pairs on both sides of t)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 30))))
+        for i in range(40)
+    ]
+    # planted near-dups: one word appended (just above t=0.5), and a
+    # half-replaced tail (just below)
+    base = " ".join(rng.choice(vocab) for _ in range(20))
+    docs += [(100, base), (101, base + " w0"), (102, base.rsplit(" ", 8)[0] + " x1 x2 x3 x4 x5 x6 x7 x8")]
+    got = _run(spark, docs, 1, 2)
+    want = _brute(docs, 1, 2)
+    assert got == want
+    assert (100, 101) in {(a, b) for a, b, _, _ in got}
+
+
 def test_setsim_ppm_integer_exact(spark):
     docs = [(1, "a b c d e"), (2, "a b c d e")]  # identical: J = 1
     df = spark.createDataFrame(docs, "doc_id bigint, text string")
