@@ -23,7 +23,11 @@ distributed-rank shape (TeraSort's partitioner applied to ranking):
 2. **Local rank + offset merge.**  A window PARTITIONED by shard id
    gives each row its local rank; per-shard counts (≤ N rows, tiny)
    turn into exclusive-prefix offsets via a window over the N-row
-   frame, broadcast back, and ``global = local + offset(shard)``.
+   frame, merged back with a shuffled-hash join on the shard id —
+   the data side leaves the window ALREADY hash-partitioned by shard,
+   so the join adds no exchange over the data and no broadcast job
+   (the offsets side pays one ≤ N-row exchange); then
+   ``global = local + offset(shard)``.
 
 No stage ever sees more than ~1/N of the data (given sane boundaries),
 and every step is JVM-side (whole-stage codegen; no UDFs).  Values are
@@ -242,8 +246,13 @@ def two_phase_row_number(
     # bounded-frame global window
     off_w = Window.orderBy(_PART).rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(_PART, F.sum("__cnt").over(off_w).alias(_OFF))
+    # shuffled-hash, NOT broadcast: ``local`` is already hash-partitioned
+    # by the shard id (the window's exchange), so the join inserts no
+    # exchange on the data side and skips the broadcast-materialization
+    # job a ``F.broadcast(offsets)`` would run; only the ≤ n-row offsets
+    # side shuffles
     return (
-        local.join(F.broadcast(offsets), _PART)
+        local.join(offsets.hint("shuffle_hash"), _PART)
         .withColumn(
             out_col,
             (F.col(_LOCAL) + F.coalesce(F.col(_OFF), F.lit(0))).cast("long"),
@@ -313,8 +322,13 @@ def two_phase_group_row_number(
             F.sum("__gr_cnt").over(Window.partitionBy(*group_cols)),
         )
     offsets = offsets.drop("__gr_cnt")
+    # shuffled-hash, NOT broadcast: the offsets table here is one row
+    # per (group, shard) — it GROWS with the group count, so broadcast
+    # is a scale hazard on high-cardinality groups; the data side is
+    # already hash-partitioned by (group, shard) from the window, so
+    # the join costs one offsets-sized exchange and nothing else
     return (
-        local.join(F.broadcast(offsets), [*group_cols, _PART])
+        local.join(offsets.hint("shuffle_hash"), [*group_cols, _PART])
         .withColumn(
             out_col,
             (F.col(_LOCAL) + F.coalesce(F.col(_OFF), F.lit(0))).cast("long"),
@@ -369,8 +383,9 @@ def two_phase_running_agg(
         "max": F.greatest(F.col(_LOCAL), F.col(_OFF)),
         "min": F.least(F.col(_LOCAL), F.col(_OFF)),
     }[agg]
+    # shuffled-hash offsets merge — see two_phase_row_number
     return (
-        local.join(F.broadcast(offsets), _PART)
+        local.join(offsets.hint("shuffle_hash"), _PART)
         .withColumn(out_col, combine)
         .drop(_PART, _LOCAL, _OFF)
     )

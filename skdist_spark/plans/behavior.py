@@ -878,25 +878,46 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     quintiles, rolled up to segment sizes — the classic lifecycle
     segmentation ("555" = best customers).
 
-    Plan: one aggregation shuffle on user_id builds the per-user RFM
-    frame; the three quintiles are NTILE(5) values recomposed from
-    three chained two-phase distributed ranks
-    (functions.two_phase_row_number: percentile-bounded range shards +
-    local ranks + broadcast offsets) plus the one-row user count — the
-    same values as a global NTILE window with NO single-partition
-    exchange over the user dimension; recency ranks ascending (recent =
-    high score) via DESC on days, ties broken by user_id everywhere.
+    Plan: ONE events scan and one aggregation shuffle on user_id build
+    the per-user RFM frame, persisted once and shared (the corpus
+    anchor date is the max of the per-user maxes — no second scan);
+    the three quintiles are NTILE(5)
+    values recomposed from three INDEPENDENT two-phase distributed
+    ranks over that frame (functions.two_phase_row_number:
+    percentile-bounded range shards + local ranks + shuffled-hash
+    offset merge) plus the one-row user count, reassembled per user by
+    ONE slim union + pivot-aggregate on user_id — the same values as
+    three global NTILE windows with NO single-partition exchange over
+    the user dimension; recency ranks ascending (recent = high score)
+    via DESC on days, ties broken by user_id everywhere.
+    Independent-then-reassemble beats the chained rank-of-rank-of-rank
+    shape it replaces: each rank's plan references only the shared
+    base (the chain tripled the plan tree per link — 391 Exchange
+    mentions in the formatted plan — and serialized the three boundary
+    jobs, which now run concurrently), and the reassembly rows are
+    just (user_id, dim, rank) — no join strategy to get wrong at
+    corpus scale, no sorts.
     """
+    from pyspark import StorageLevel
+
     ev = load_table(spark, "events", sf_dir)
     p = ev.where(F.col("event_type") == "purchase")
-    anchor = p.agg(F.max(F.to_date("ts")).alias("mx"))
-    rfm = (
+    # ONE events scan: the corpus max date is the max of the per-user
+    # maxes (DATE order statistic — exactly the global max), so the
+    # anchor aggregates the persisted user-sized frame instead of
+    # re-scanning events a second time
+    per_user = (
         p.groupBy("user_id")
         .agg(
             F.max(F.to_date("ts")).alias("last_day"),
             F.count(F.lit(1)).alias("frequency"),
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("monetary"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    anchor = per_user.agg(F.max("last_day").alias("mx"))
+    rfm = (
+        per_user
         .crossJoin(F.broadcast(anchor))
         .select(
             "user_id",
@@ -905,30 +926,52 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    ranked = two_phase_row_number(
+    r_rank = two_phase_row_number(
         rfm,
         [F.desc("recency_days"), F.asc("user_id")],
         -F.col("recency_days"),
-        "rn_r",
+        "rn",
         tie_key=F.col("user_id"),  # recency_days is day-coarse: heavy tie mass
+        materialize=False,  # per_user is persisted above, shared by all three
+    ).select(
+        "user_id", F.lit(1).alias("dim"), "rn",
+        F.lit(None).cast("long").alias("n_total"),
     )
-    ranked = two_phase_row_number(
-        ranked,
+    f_rank = two_phase_row_number(
+        rfm,
         [F.asc("frequency"), F.asc("user_id")],
         F.col("frequency"),
-        "rn_f",
+        "rn",
         tie_key=F.col("user_id"),  # small-integer order counts: tie-heavy
+        materialize=False,
+    ).select(
+        "user_id", F.lit(2).alias("dim"), "rn",
+        F.lit(None).cast("long").alias("n_total"),
     )
-    ranked = two_phase_row_number(
-        ranked,
+    m_rank = two_phase_row_number(
+        rfm,
         [F.asc("monetary"), F.asc("user_id")],
         F.col("monetary"),
-        "rn_m",
-        total_col="n_total",
+        "rn",
+        total_col="nt",
         tie_key=F.col("user_id"),
+        materialize=False,
+    ).select(
+        "user_id", F.lit(3).alias("dim"), "rn",
+        F.col("nt").alias("n_total"),
+    )
+    triple = (
+        r_rank.unionByName(f_rank).unionByName(m_rank)
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("dim") == 1, F.col("rn"))).alias("rn_r"),
+            F.max(F.when(F.col("dim") == 2, F.col("rn"))).alias("rn_f"),
+            F.max(F.when(F.col("dim") == 3, F.col("rn"))).alias("rn_m"),
+            F.max("n_total").alias("n_total"),
+        )
     )
     return (
-        ranked
+        triple
         .select(
             "user_id",
             F.expr(ntile_from_row_number("rn_r", "n_total", 5)).alias("r_score"),
