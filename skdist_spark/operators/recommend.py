@@ -50,6 +50,17 @@ ALS_SWEEPS = 2     # full alternations (item solve + user solve each)
 # can NEVER pick this join by itself; above the bound the sort-merge
 # join is kept (factor sides at true scale are data-sized).
 ALS_BROADCAST_MAX_ROWS = 1_000_000
+# Scale-adaptive parallelism for the per-entity gather aggregation:
+# each half-sweep collects (fid, rating, ff) structs per entity, and
+# an ObjectHashAggregate over a core-count-constant partition count
+# concentrates the WHOLE ratings relation into ~32 object maps — at
+# the third scale decade (sf10, ~60M lineitem rows) that OOMs the
+# executor pool.  The solve partition count is instead derived from
+# the (already-paid) bounded ratings count so each aggregation task
+# holds ~ALS_ROWS_PER_SOLVE_PART rating structs regardless of scale;
+# at bench scale (sf0.1) the derived count equals the session default,
+# so local plans and timings are unchanged.
+ALS_ROWS_PER_SOLVE_PART = 250_000
 _KNUTH = 2654435761
 _MOD = 2**32
 
@@ -71,6 +82,7 @@ def _solve_side(
     k: int = ALS_K,
     reg: float = ALS_REG,
     broadcast_fixed: bool = False,
+    solve_parts: int | None = None,
 ) -> DataFrame:
     """One ALS half-sweep: re-solve ``solve_col``'s factors given
     ``fixed_col``'s.  join -> groupBy(solve_col) -> k x k solve.
@@ -80,7 +92,14 @@ def _solve_side(
     side is bounded).  With ratings pre-partitioned by ``solve_col``
     the groupBy then reuses that partitioning and the half-sweep runs
     with ZERO new exchanges; join strategy cannot change values — the
-    per-entity fold order is canonicalized by the fid-sorted collect."""
+    per-entity fold order is canonicalized by the fid-sorted collect.
+
+    ``solve_parts``: on the NON-broadcast path, repartition the joined
+    ratings by ``solve_col`` to this count before the gather, so the
+    aggregation runs complete-mode over data-sized parallelism (each
+    task holds its own entities only) instead of pushing the whole
+    relation through a core-count-constant partial ObjectHashAggregate
+    — the map-side object maps are what OOM at the third decade."""
     out_schema = StructType(
         [
             StructField("id", LongType()),
@@ -102,8 +121,11 @@ def _solve_side(
     )
     if broadcast_fixed:
         fixed = F.broadcast(fixed)
+    joined = ratings.join(fixed, fixed_col)
+    if solve_parts and not broadcast_fixed:
+        joined = joined.repartition(solve_parts, solve_col)
     grouped = (
-        ratings.join(fixed, fixed_col)
+        joined
         .groupBy(F.col(solve_col).alias("sid"))
         .agg(
             F.sort_array(
@@ -199,12 +221,23 @@ def als_train(
     n_users = r.select("u").distinct().count()
     bc_items = n_items <= ALS_BROADCAST_MAX_ROWS
     bc_users = n_users <= ALS_BROADCAST_MAX_ROWS
+    # data-derived gather parallelism (bounded scalar; r is already
+    # materialized by the counts above) — equals the session default
+    # at bench scale, grows with the ratings relation past it
+    spark = r.sparkSession
+    base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_ratings = r.count()
+    solve_parts = max(
+        base_parts, -(-n_ratings // ALS_ROWS_PER_SOLVE_PART)
+    )
     r_u = (
-        r.repartition("u").localCheckpoint(eager=False) if bc_items else r
+        r.repartition(solve_parts, "u").localCheckpoint(eager=False)
+        if bc_items
+        else r
     )
     r_i = (
         r.select(F.col("i"), F.col("u"), "rating")
-        .repartition("i")
+        .repartition(solve_parts, "i")
         .localCheckpoint(eager=False)
         if bc_users
         else r.select(F.col("i"), F.col("u"), "rating")
@@ -212,7 +245,14 @@ def als_train(
     user_factors = None
     for _ in range(sweeps):
         user_factors = _solve_side(
-            r_u, "u", "i", item_factors, k, reg, broadcast_fixed=bc_items
+            r_u,
+            "u",
+            "i",
+            item_factors,
+            k,
+            reg,
+            broadcast_fixed=bc_items,
+            solve_parts=solve_parts,
         ).localCheckpoint(eager=False)
         item_factors = _solve_side(
             r_i,
@@ -222,6 +262,7 @@ def als_train(
             k,
             reg,
             broadcast_fixed=bc_users,
+            solve_parts=solve_parts,
         ).localCheckpoint(eager=False)
     return user_factors, item_factors
 
