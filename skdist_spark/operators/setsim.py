@@ -42,17 +42,19 @@ T_NUM = 1
 T_DEN = 2
 
 
-def setsim_join(
+def _setsim_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     t_num: int = T_NUM,
     t_den: int = T_DEN,
-) -> DataFrame:
-    """Exact self-join: all pairs with shingle Jaccard >= t_num/t_den.
-
-    Returns (doc_a, doc_b, inter, uni, jaccard_ppm) with doc_a < doc_b,
-    ordered by (doc_a, doc_b).  See module docstring for the plan.
+) -> tuple[DataFrame, DataFrame]:
+    """The candidate-generation stages of ``setsim_join``, split out so
+    the scale ledger (tools/count_setsim_candidates.py) can measure the
+    pruned candidate cardinality — 3 slim bigints per row — without
+    paying the array-verify join.  Returns ``(cand, ordered)``:
+    ``cand`` = (da, db) pruned candidate pairs, ``ordered`` = per-doc
+    df-ordered integer shingle-rank arrays for the verify stage.
     """
     from ..functions.global_rank import two_phase_row_number
 
@@ -150,9 +152,26 @@ def setsim_join(
         .select("da", "db")
         # the verify stage below is compute-bound (array_intersect per
         # pair), and its shuffle is tiny — AQE would coalesce it onto
-        # one task; pin a real partition count so the CPU spreads
-        .repartition(32, "da", "db")
+        # one task; pin the session's parallelism (the catalog-floor
+        # idiom, NOT a hard-coded local core count) so the CPU spreads
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "da", "db")
     )
+    return cand, ordered
+
+
+def setsim_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    t_num: int = T_NUM,
+    t_den: int = T_DEN,
+) -> DataFrame:
+    """Exact self-join: all pairs with shingle Jaccard >= t_num/t_den.
+
+    Returns (doc_a, doc_b, inter, uni, jaccard_ppm) with doc_a < doc_b,
+    ordered by (doc_a, doc_b).  See module docstring for the plan.
+    """
+    cand, ordered = _setsim_candidates(df, id_col, text_col, t_num, t_den)
     # verification: exact intersection over the full ordered token sets
     ta = ordered.select(F.col("doc").alias("da"), F.col("toks").alias("toks_a"), F.col("len").alias("la"))
     tb = ordered.select(F.col("doc").alias("db"), F.col("toks").alias("toks_b"), F.col("len").alias("lb"))
