@@ -80,7 +80,49 @@ def _run_suite(spark, queries, sf_dir, rows_out=None) -> dict[str, float]:
     return times
 
 
+def _from_partial(path: str) -> tuple:
+    """Rebuild the per-SF time/row dicts from a (possibly interrupted)
+    run's per-query checkpoint log — the reason the log exists: a lane
+    whose Spark session dies mid-decade keeps every measurement it
+    already took."""
+    small: dict[str, float] = {}
+    big: dict[str, float] = {}
+    sf1: dict[str, float] = {}
+    sf10: dict[str, float] = {}
+    rows_big: dict[str, int] = {}
+    rows_sf1: dict[str, int] = {}
+    rows_sf10: dict[str, int] = {}
+    buckets = {
+        SF_SMALL: (small, None),
+        SF_BIG: (big, rows_big),
+        SF1: (sf1, rows_sf1),
+        SF10: (sf10, rows_sf10),
+    }
+    with open(path) as fh:
+        for line in fh:
+            try:
+                d = json.loads(line)
+            except ValueError:
+                continue
+            times, rows = buckets.get(d.get("sf_dir"), (None, None))
+            if times is None:
+                continue
+            times[d["query"]] = d["sec"]
+            if rows is not None and d.get("rows") is not None:
+                rows[d["query"]] = d["rows"]
+    return small, big, sf1, sf10, rows_big, rows_sf1, rows_sf10
+
+
 def main() -> None:
+    if "--from-partial" in sys.argv:
+        idx = sys.argv.index("--from-partial")
+        src = sys.argv[idx + 1] if len(sys.argv) > idx + 1 else PARTIAL
+        (small, big, sf1, sf10,
+         rows_big, rows_sf1, rows_sf10) = _from_partial(src)
+        _write_outputs(small, big, sf1, sf10,
+                       rows_big, rows_sf1, rows_sf10, set(small))
+        return
+
     import __spark_entry__ as entry_mod
     from skdist_spark.sources.session import get_session
 
@@ -132,9 +174,35 @@ def main() -> None:
               " third-decade profile", file=sys.stderr)
     spark.stop()
 
+    # SPARK_GRAFT_MERGE=1 (subset runs only): patch this run's
+    # measurements into the existing BENCH_SCALE.json instead of
+    # overwriting it, so a targeted re-measure after a fix refreshes
+    # just its own rows while the slope table regenerates from the
+    # full merged data
+    if os.environ.get("SPARK_GRAFT_MERGE") and subset:
+        try:
+            with open(os.path.join(REPO, "BENCH_SCALE.json")) as fh:
+                prev = json.load(fh)
+        except (OSError, ValueError):
+            prev = {}
+        small = {**prev.get("times_small", {}), **small}
+        big = {**prev.get("times_big", {}), **big}
+        sf1 = {**prev.get("times_sf1", {}), **sf1}
+        sf10 = {**prev.get("times_sf10", {}), **sf10}
+        rows_big = {**prev.get("rows_big", {}), **rows_big}
+        rows_sf1 = {**prev.get("rows_sf1", {}), **rows_sf1}
+        rows_sf10 = {**prev.get("rows_sf10", {}), **rows_sf10}
+        queries = {n: None for n in small}
+
+    _write_outputs(small, big, sf1, sf10,
+                   rows_big, rows_sf1, rows_sf10, set(queries))
+
+
+def _write_outputs(small, big, sf1, sf10,
+                   rows_big, rows_sf1, rows_sf10, names) -> None:
     slopes = {
         n: round(big[n] / small[n], 3)
-        for n in queries
+        for n in names
         if small.get(n, -1) > 0 and big.get(n, -1) > 0
     }
     slopes_sf1 = {
