@@ -841,14 +841,113 @@ IVF_JOIN_NPROBE = 4
 IVF_JOIN_TARGET_CELL = 128
 
 
-def ivf_join(
-    queries_df: DataFrame,
+def _ivf_norms(M):
+    # left-fold sum of squares + one sqrt — same op sequence as
+    # sqrt(aggregate(transform(v, x -> x*x), 0D, +))
+    import numpy as np
+
+    acc = np.zeros(len(M))
+    for i in range(M.shape[1]):
+        acc += M[:, i] * M[:, i]
+    return np.sqrt(acc)
+
+
+def _ivf_cos_tile(A, B, an, bn):
+    # dimension-at-a-time outer-product adds == the zip_with left
+    # fold; then dot / (norm_a * norm_b) in the SQL's op order
+    import numpy as np
+
+    tile = np.zeros((len(A), len(B)))
+    for i in range(A.shape[1]):
+        tile += np.outer(A[:, i], B[:, i])
+    return tile / (an[:, None] * bn[None, :])
+
+
+class _IvfIndex:
+    """The STATIC side of ``ivf_join``, built once and served many
+    times: the collected centroid matrix (bounded — it is the same
+    state every prior plan broadcast) plus the corpus cell-assignment
+    frame.  The one consumer that amortizes it is the streaming
+    replica: cell assignment is the O(|corpus| x nlist) stage, and
+    re-deriving it per micro-batch re-paid the whole static-side cost
+    for every trigger of a stream whose static corpus never changes."""
+
+    __slots__ = ("C_ids", "CV", "cnorm", "ncent", "cells")
+
+    def __init__(self, C_ids, CV, cnorm, ncent, cells):
+        self.C_ids = C_ids
+        self.CV = CV
+        self.cnorm = cnorm
+        self.ncent = ncent
+        self.cells = cells
+
+
+def ivf_build_index(
     corpus_df: DataFrame,
     centroids_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    reuse: bool = True,
+) -> "_IvfIndex":
+    """Collect the centroids and assign every corpus vector to its
+    cell — ``ivf_join``'s static side.  With ``reuse=True`` the cell
+    frame is lazily localCheckpoint'ed so the first consumer
+    materializes it and every later one (the next micro-batch) reads
+    the stored rows instead of re-scoring the corpus."""
+    import numpy as np
+
+    cent_rows = sorted(
+        centroids_df.select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+        ).collect(),
+        key=lambda r: r["cent_id"],
+    )
+    C_ids = np.array([r["cent_id"] for r in cent_rows], dtype=np.int64)
+    CV = np.array([list(r["cv"]) for r in cent_rows], dtype=np.float64)
+    ncent = len(C_ids)
+    cnorm = _ivf_norms(CV) if ncent else np.zeros(0)
+
+    # pin scoring parallelism: the centroid scoring stages are the
+    # compute-heavy passes and the test corpora arrive as single-split
+    # scans — without the spread AQE coalesces the tiny-byte stage
+    # onto one task
+    n_par = corpus_df.sparkSession.sparkContext.defaultParallelism
+    corpus = corpus_df.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("v")
+    ).repartition(n_par, F.col("cid"))
+
+    def assign_cells(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf) or not ncent:
+                continue
+            V = np.array([np.asarray(x) for x in pdf["v"]], dtype=np.float64)
+            cos = _ivf_cos_tile(V, CV, _ivf_norms(V), cnorm)
+            # ties -> HIGHEST cent_id (max_by struct(cent_cos, cent_id)):
+            # argmax over reversed columns returns the LAST max
+            j = (ncent - 1) - np.argmax(cos[:, ::-1], axis=1)
+            yield pd.DataFrame(
+                {"cell": C_ids[j], "cid": pdf["cid"], "v": pdf["v"]}
+            )
+
+    cells = corpus.mapInPandas(
+        assign_cells, schema="cell long, cid long, v array<double>"
+    )
+    if reuse:
+        cells = cells.localCheckpoint(eager=False)
+    return _IvfIndex(C_ids, CV, cnorm, ncent, cells)
+
+
+def ivf_join(
+    queries_df: DataFrame,
+    corpus_df: DataFrame = None,
+    centroids_df: DataFrame = None,
     k: int = TOP_K,
     nprobe: int = IVF_JOIN_NPROBE,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    index: "_IvfIndex | None" = None,
 ) -> DataFrame:
     """Cross-corpus ANN join: for every QUERY vector, the k nearest
     CORPUS vectors, with both sides arbitrarily large.
@@ -881,67 +980,26 @@ def ivf_join(
     order — a superset of the global top-k by construction, so the
     rank window reads O(cells x k) rows per query, never every
     candidate.
+    ``index``: a prebuilt ``ivf_build_index`` result; the batch faces
+    build it inline per call (``reuse=False`` — no checkpoint storage
+    for a once-read frame, plans unchanged), the streaming replica
+    builds it ONCE and serves every micro-batch from it instead of
+    re-assigning the static corpus per trigger.
     """
     import numpy as np
 
-    cent_rows = sorted(
-        centroids_df.select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
-        ).collect(),
-        key=lambda r: r["cent_id"],
-    )
-    C_ids = np.array([r["cent_id"] for r in cent_rows], dtype=np.int64)
-    CV = np.array([list(r["cv"]) for r in cent_rows], dtype=np.float64)
-    ncent = len(C_ids)
+    if index is None:
+        index = ivf_build_index(
+            corpus_df, centroids_df, id_col, vec_col, reuse=False
+        )
+    C_ids, CV, cnorm, ncent = index.C_ids, index.CV, index.cnorm, index.ncent
+    cells = index.cells
+    _norms, _cos_tile = _ivf_norms, _ivf_cos_tile
 
-    def _norms(M: np.ndarray) -> np.ndarray:
-        # left-fold sum of squares + one sqrt — same op sequence as
-        # sqrt(aggregate(transform(v, x -> x*x), 0D, +))
-        acc = np.zeros(len(M))
-        for i in range(M.shape[1]):
-            acc += M[:, i] * M[:, i]
-        return np.sqrt(acc)
-
-    def _cos_tile(A, B, an, bn) -> np.ndarray:
-        # dimension-at-a-time outer-product adds == the zip_with left
-        # fold; then dot / (norm_a * norm_b) in the SQL's op order
-        tile = np.zeros((len(A), len(B)))
-        for i in range(A.shape[1]):
-            tile += np.outer(A[:, i], B[:, i])
-        return tile / (an[:, None] * bn[None, :])
-
-    cnorm = _norms(CV) if ncent else np.zeros(0)
-
-    # pin scoring parallelism: the centroid scoring stages are the
-    # compute-heavy passes and the test corpora arrive as single-split
-    # scans — without the spread AQE coalesces the tiny-byte stage
-    # onto one task
-    n_par = corpus_df.sparkSession.sparkContext.defaultParallelism
-    corpus = corpus_df.select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("v")
-    ).repartition(n_par, F.col("cid"))
+    n_par = queries_df.sparkSession.sparkContext.defaultParallelism
     queries = queries_df.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")
     ).repartition(n_par, F.col("query_id"))
-
-    def assign_cells(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf) or not ncent:
-                continue
-            V = np.array([np.asarray(x) for x in pdf["v"]], dtype=np.float64)
-            cos = _cos_tile(V, CV, _norms(V), cnorm)
-            # ties -> HIGHEST cent_id (max_by struct(cent_cos, cent_id)):
-            # argmax over reversed columns returns the LAST max
-            j = (ncent - 1) - np.argmax(cos[:, ::-1], axis=1)
-            yield pd.DataFrame(
-                {"cell": C_ids[j], "cid": pdf["cid"], "v": pdf["v"]}
-            )
-
-    cells = corpus.mapInPandas(
-        assign_cells, schema="cell long, cid long, v array<double>"
-    )
 
     take = min(nprobe, ncent) if ncent else 0
 
@@ -953,12 +1011,14 @@ def ivf_join(
                 continue
             Q = np.array([np.asarray(x) for x in pdf["v"]], dtype=np.float64)
             cos = _cos_tile(Q, CV, _norms(Q), cnorm)
-            neg = -cos
-            cells_out = np.empty((len(Q), take), dtype=np.int64)
-            for r in range(len(Q)):
-                # ascending (neg_cos, cent_id) == the array_sort of
-                # struct(negate(cent_cos), cent_id): ties -> lowest id
-                cells_out[r] = C_ids[np.lexsort((C_ids, neg[r]))[:take]]
+            # ascending (neg_cos, cent_id) == the array_sort of
+            # struct(negate(cent_cos), cent_id): ties -> lowest id.
+            # C_ids is ascending, so a STABLE argsort of -cos (ties ->
+            # lowest column index -> lowest cent_id) is exactly the
+            # per-row lexsort((C_ids, -cos[r])) — but one C-level sort
+            # over the whole tile instead of a Python loop per row
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :take]
+            cells_out = C_ids[order]
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(
@@ -986,21 +1046,22 @@ def ivf_join(
             )
         Q = np.array([np.asarray(x) for x in qpdf["qv"]], dtype=np.float64)
         C = np.array([np.asarray(x) for x in cpdf["v"]], dtype=np.float64)
-        cos = _cos_tile(Q, C, _norms(Q), _norms(C))
         nids = cpdf["cid"].to_numpy()
+        # pre-sort the cell block by neighbor id so the per-row tie
+        # order (cosine desc, neighbor_id asc) falls out of ONE stable
+        # argsort over the whole tile — identical to the per-row
+        # lexsort((nids, -cos[r])) it replaces, without the Python loop
+        ordn = np.argsort(nids, kind="stable")
+        nids = nids[ordn]
+        cos = _cos_tile(Q, C[ordn], _norms(Q), _norms(C)[ordn])
         keep = min(k, len(nids))
         qids = qpdf["query_id"].to_numpy()
-        out_q, out_n, out_c = [], [], []
-        for r in range(len(Q)):
-            order = np.lexsort((nids, -cos[r]))[:keep]
-            out_q.append(np.full(keep, qids[r]))
-            out_n.append(nids[order])
-            out_c.append(cos[r, order])
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :keep]
         return pd.DataFrame(
             {
-                "query_id": np.concatenate(out_q),
-                "neighbor_id": np.concatenate(out_n),
-                "cosine": np.concatenate(out_c),
+                "query_id": np.repeat(qids, keep),
+                "neighbor_id": nids[order].ravel(),
+                "cosine": np.take_along_axis(cos, order, axis=1).ravel(),
             }
         )
 

@@ -2007,17 +2007,21 @@ def ann_stream_enrich(
     Per-query results are independent of batching, so the drained
     stream is EXACTLY the batch `ivf_join` over the same vectors
     (pytest asserts row equality) — the streaming face costs no
-    accuracy, only the per-batch trigger latency.  State: none (the
-    corpus cells are a static frame the planner reuses per batch)."""
-    from ..operators.similarity import ivf_join
+    accuracy, only the per-batch trigger latency.  State: the static
+    IVF index (centroid matrix + corpus cell assignment) is built
+    ONCE before the stream starts; re-deriving it inside every
+    micro-batch re-paid the O(|corpus| x nlist) assignment — the
+    data-sized stage — per trigger."""
+    from ..operators.similarity import ivf_build_index, ivf_join
 
     spark = stream_vecs.sparkSession
+    index = ivf_build_index(corpus_df, centroids_df)
     rows: list = []
 
     def on_batch(bdf: DataFrame, batch_id: int) -> None:
         if not bdf.take(1):
             return
-        got = ivf_join(bdf, corpus_df, centroids_df, k=k, nprobe=nprobe)
+        got = ivf_join(bdf, k=k, nprobe=nprobe, index=index)
         for r in got.collect():
             rows.append(
                 (int(batch_id), r["query_id"], r["neighbor_id"], float(r["cosine"]))

@@ -146,6 +146,34 @@ def test_ivf_join_partial_probe_recall(spark):
     assert all(sorted(v) == list(range(1, TOP_K + 1)) for v in by_q.values())
 
 
+def test_ivf_join_prebuilt_index_identical(spark):
+    # the streaming replica builds the static index ONCE and serves
+    # every micro-batch from it; the prebuilt-index path must return
+    # row-for-row exactly what the inline path returns, including when
+    # the SAME index is served twice (second serve reads the lazily
+    # checkpointed cell assignment instead of re-scoring the corpus)
+    from skdist_spark.operators.similarity import ivf_build_index
+
+    dims = 8
+    corpus_rows = [(1000 + i, v) for i, v in enumerate(_unit_vecs(60, dims))]
+    query_rows = [(i, v) for i, v in enumerate(_unit_vecs(8, dims, seed_stride=11))]
+    corpus = spark.createDataFrame(corpus_rows, "vec_id long, v array<double>")
+    queries = spark.createDataFrame(query_rows, "vec_id long, v array<double>")
+    cents = corpus.orderBy("vec_id").limit(8)
+
+    want = [
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+        for r in ivf_join(queries, corpus, cents, k=TOP_K, nprobe=3).collect()
+    ]
+    idx = ivf_build_index(corpus, cents)
+    for _ in range(2):
+        got = [
+            (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+            for r in ivf_join(queries, k=TOP_K, nprobe=3, index=idx).collect()
+        ]
+        assert got == want
+
+
 def test_classification_report_crafted(spark):
     from skdist_spark.operators.quality import classification_report
 
