@@ -82,18 +82,22 @@ def _setsim_candidates(
         shard_key=F.col("dfr"),
         out_col="sid",
     ).select("s", "sid")
-    # lazy checkpoint: ordered is read FOUR times downstream (both
+    # EAGER checkpoint: ordered is read FOUR times downstream (both
     # prefix sides + both verify sides) — materialize the shingle/
     # rank/collect subtree once instead of compiling it per reference
     # (the ml_kmeans_exact / dedup-verify precedent); also keeps the
     # two-phase rank's bounded offset window out of every downstream
-    # compiled plan
+    # compiled plan.  Eager, not lazy: the verify cogroup's two map
+    # stages (pairs side, blocks side) are submitted CONCURRENTLY, and
+    # with a lazy checkpoint both stages race to compute the subtree
+    # before either stores it — measured ~2x the subtree wall at sf1.
+    # Eager materialization is the same work, sequenced once.
     ordered = (
         tok.hint("merge").join(sids, "s")
         .groupBy("doc")
         .agg(F.sort_array(F.collect_list("sid")).alias("toks"))
         .select("doc", "toks", F.size("toks").alias("len"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     # prefix length = L - ceil(t*L) + 1 (integer ceil-division)
     plen = f"len - (len * {t_num} + {t_den} - 1) div {t_den} + 1"
@@ -150,13 +154,20 @@ def _setsim_candidates(
             )
         )
         .select("da", "db")
-        # the verify stage below is compute-bound (array_intersect per
-        # pair), and its shuffle is tiny — AQE would coalesce it onto
-        # one task; pin the session's parallelism (the catalog-floor
-        # idiom, NOT a hard-coded local core count) so the CPU spreads
-        .repartition(df.sparkSession.sparkContext.defaultParallelism, "da", "db")
     )
     return cand, ordered
+
+
+# verify-stage doc blocking: candidate pairs meet both docs' shingle
+# arrays inside a (block_a, block_b) cogroup, so each doc's array is
+# shipped ONCE PER BLOCK (O(P * corpus) bytes) instead of once per
+# candidate pair (O(candidates * doc bytes): at the sf10 profile that
+# intermediate is ~193M pairs x two ~95-element bigint arrays ≈ 300 GB
+# and killed the lane on spill disk).  P changes DISTRIBUTION only,
+# never results, so it scales with session parallelism and is
+# caller-overridable for clusters where the corpus-bytes-per-block
+# budget, not core count, should set it.
+SETSIM_VERIFY_BLOCKS_FLOOR = 8
 
 
 def setsim_join(
@@ -165,23 +176,133 @@ def setsim_join(
     text_col: str = "text",
     t_num: int = T_NUM,
     t_den: int = T_DEN,
+    verify_blocks: int | None = None,
 ) -> DataFrame:
     """Exact self-join: all pairs with shingle Jaccard >= t_num/t_den.
 
     Returns (doc_a, doc_b, inter, uni, jaccard_ppm) with doc_a < doc_b,
     ordered by (doc_a, doc_b).  See module docstring for the plan.
-    """
+
+    Verification (r8): the old shape joined BOTH full shingle-rank
+    arrays onto every candidate row through two sort-merge joins — an
+    O(candidates x doc bytes) shuffle that dies on disk when the
+    prefix filter is unselective (small shingle vocabulary).  Now the
+    slim (da, db) pairs and the doc arrays are co-grouped by
+    (pmod(da, P), pmod(db, P)): the arrays relation is replicated P
+    ways (corpus-linear bytes), and each group verifies its pairs in
+    numpy via a sorted-array membership count — toks are ranks of
+    array_distinct shingles, so the count equals
+    size(array_intersect(...)) exactly, and inter/uni/jaccard_ppm keep
+    the identical integer arithmetic and output types (int, int,
+    bigint)."""
+    import math
+
     cand, ordered = _setsim_candidates(df, id_col, text_col, t_num, t_den)
-    # verification: exact intersection over the full ordered token sets
-    ta = ordered.select(F.col("doc").alias("da"), F.col("toks").alias("toks_a"), F.col("len").alias("la"))
-    tb = ordered.select(F.col("doc").alias("db"), F.col("toks").alias("toks_b"), F.col("len").alias("lb"))
+    spark = df.sparkSession
+    if verify_blocks is None:
+        # ceil(sqrt(2 * cores)): 64+ cogroup keys on a 32-core session
+        verify_blocks = max(
+            SETSIM_VERIFY_BLOCKS_FLOOR,
+            math.isqrt(2 * spark.sparkContext.defaultParallelism - 1) + 1,
+        )
+    p_blocks = int(verify_blocks)
+    pairs = cand.select(
+        "da",
+        "db",
+        F.pmod(F.col("da"), F.lit(p_blocks)).alias("pa"),
+        F.pmod(F.col("db"), F.lit(p_blocks)).alias("pb"),
+    )
+
+    # replicate each doc's array to every block-pair row/column that
+    # may need it: side 0 rows serve da lookups, side 1 rows db — an
+    # explode of a P-literal array, never a join
+    def _others():
+        return F.explode(
+            F.array(*[F.lit(i).cast("long") for i in range(p_blocks)])
+        )
+
+    side_a = ordered.select(
+        F.pmod(F.col("doc"), F.lit(p_blocks)).alias("pa"),
+        _others().alias("pb"),
+        F.lit(0).alias("side"),
+        "doc",
+        "toks",
+        "len",
+    )
+    side_b = ordered.select(
+        _others().alias("pa"),
+        F.pmod(F.col("doc"), F.lit(p_blocks)).alias("pb"),
+        F.lit(1).alias("side"),
+        "doc",
+        "toks",
+        "len",
+    )
+    blocks = side_a.unionByName(side_b)
+
+    def _verify(pair_pdf, block_pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "da": pd.Series(dtype="int64"),
+                "db": pd.Series(dtype="int64"),
+                "inter": pd.Series(dtype="int32"),
+                "uni": pd.Series(dtype="int32"),
+            }
+        )
+        if not len(pair_pdf) or not len(block_pdf):
+            return empty
+        lookup: dict = {}
+        sides = block_pdf["side"].to_numpy().tolist()
+        docs = block_pdf["doc"].to_numpy().tolist()
+        lens = block_pdf["len"].to_numpy().tolist()
+        toks = block_pdf["toks"]
+        a_docs: dict = {}
+        b_docs: dict = {}
+        for i in range(len(block_pdf)):
+            d = docs[i]
+            entry = lookup.get(d)
+            if entry is None:
+                # toks are ranks of array_distinct shingles, so a
+                # Python set intersection length (C-level, iterates
+                # the smaller operand) equals
+                # size(array_intersect(a, b)) exactly
+                entry = (set(np.asarray(toks.iloc[i]).tolist()), lens[i])
+                lookup[d] = entry
+            (a_docs if sides[i] == 0 else b_docs)[d] = entry
+        out_da, out_db, out_inter, out_uni = [], [], [], []
+        for da, db in zip(
+            pair_pdf["da"].to_numpy().tolist(),
+            pair_pdf["db"].to_numpy().tolist(),
+        ):
+            sa, la = a_docs[da]
+            sb, lb = b_docs[db]
+            inter = len(sa & sb)
+            uni = la + lb - inter
+            if t_den * inter >= t_num * uni:
+                out_da.append(da)
+                out_db.append(db)
+                out_inter.append(inter)
+                out_uni.append(uni)
+        if not out_da:
+            return empty
+        return pd.DataFrame(
+            {
+                "da": np.asarray(out_da, dtype=np.int64),
+                "db": np.asarray(out_db, dtype=np.int64),
+                "inter": np.asarray(out_inter, dtype=np.int32),
+                "uni": np.asarray(out_uni, dtype=np.int32),
+            }
+        )
+
+    verified = (
+        pairs.groupby("pa", "pb")
+        .cogroup(blocks.groupby("pa", "pb"))
+        .applyInPandas(_verify, schema="da long, db long, inter int, uni int")
+    )
     return (
-        cand.join(ta.hint("merge"), "da")
-        .join(tb.hint("merge"), "db")
-        .withColumn("inter", F.size(F.array_intersect("toks_a", "toks_b")))
-        .withColumn("uni", F.expr("la + lb - inter"))
-        .where(F.expr(f"{t_den} * inter >= {t_num} * uni"))
-        .select(
+        verified.select(
             F.col("da").alias("doc_a"),
             F.col("db").alias("doc_b"),
             "inter",
