@@ -209,13 +209,22 @@ def _minhash_impl(docs: DataFrame) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+        # eager checkpoint: pairs feeds the final join AND (via
+        # cand_ids) the shingle pass below; storing the slim id pairs
+        # once keeps AQE's per-action re-planning from re-running the
+        # band self-join per consumer
+        .localCheckpoint(eager=True)
     )
     # exact-Jaccard verify shingles each DISTINCT candidate doc once
     # (the old per-pair-row spelling re-ran the split+shingle fold for
     # every pair a doc appears in — ~3x the corpus shingling cost at
-    # sf1); the lazy checkpoint shares the one candidate-shingle pass
+    # sf1); the EAGER checkpoint shares the one candidate-shingle pass
     # between the two join sides, whose exchanges hash different keys
-    # and can never be reused against each other
+    # and can never be reused against each other.  Eager, not lazy:
+    # the final join submits both sides' map stages CONCURRENTLY, and
+    # a lazy checkpoint lets them race to compute this subtree (the
+    # whole candidate pipeline) before either stores it — the setsim
+    # verify measured ~2x the subtree wall from the same race.
     cand_ids = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -224,7 +233,7 @@ def _minhash_impl(docs: DataFrame) -> DataFrame:
     sh_cand = (
         docs.join(cand_ids, "doc_id")
         .select("doc_id", F.expr(_spark_shingles()).alias("sh"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     sa = sh_cand.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh_cand.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
