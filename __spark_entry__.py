@@ -40,20 +40,24 @@ _MODULES = [
 # is therefore a verification budget.  Policy: front-load entries that have
 # not yet earned a driver row for their CURRENT form; demote verified ones.
 # Rounds 1-7 attested 270/270 oracles cumulatively (no row older than
-# round 2 after r7).  ROUND-8 ROTATION (executed): positions 1-4 are
+# round 2 after r7).  ROUND-8 ROTATION (executed): positions 1-7 are
 # this round's CHANGED faces (doc_perplexity_filter + the composing
 # doc_curriculum_phases now rank through two_phase_group_row_number —
 # the dominant-source salt, VERDICT r7 #3; pack_chunks gained the
 # caller-supplied n_items sizing path; embedding_pca_exact gained the
-# BIGINT scatter fail-fast) — values identical, plans changed, so they
-# re-earn their rows; 5-33 re-attest the 29 remaining round-2-vintage
-# oracles, completing the rotation so NO attestation predates round 3;
-# 34-50 start the third pass with the 17 oldest round-3-vintage rows
-# (30 r3 rows remain for the round-9 window).
+# BIGINT scatter fail-fast; similar_doc_pairs' verify became the
+# blocked cogroup; dedup_savings_by_source / dedup_minhash_eval ride
+# the eager-checkpointed MinHash verify) — values identical, plans
+# changed, so they re-earn their rows; then the 29 remaining
+# round-2-vintage oracles, completing the rotation so NO attestation
+# predates round 3; the tail starts the third pass with the oldest
+# round-3-vintage rows (the 3 displaced by this session's changed
+# faces slip to the round-9 window).
 _PRIORITY = [
     # -- ROUND-8 WINDOW (first 50 get a driver CORRECTNESS row) --
     "doc_perplexity_filter", "doc_curriculum_phases", "pack_chunks",
-    "embedding_pca_exact", "dedup_exact", "dedup_minhash",
+    "embedding_pca_exact", "similar_doc_pairs", "dedup_savings_by_source",
+    "dedup_minhash_eval", "dedup_exact", "dedup_minhash",
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding",
     "dedup_clusters", "dedup_clusters_star", "dedup_keep_best",
     "doc_triangles", "text_langid", "text_tokens", "text_quality",
@@ -104,14 +108,14 @@ _PRIORITY = [
     "event_type_target_encoding", "doc_clustering_coeff",
     "event_value_quantile_norm", "langid_calibration",
     "weekly_forecast_conformal", "tokenizer_fertility",
-    "dedup_savings_by_source", "purchase_ab_sequential",
+    "purchase_ab_sequential",
     "doc_graph_assortativity", "user_churn_hazard", "churn_ab_logrank",
     "source_length_ks", "embedding_silhouette", "dedup_remove_spans",
     "text_blocklist", "text_keyword_tags", "events_json_variant",
     "user_series_topk", "events_funnel_windowed", "user_balance_resets",
     "doc_chunks_udtf", "funnel_conversion_intervals", "orders_fingerprint",
     "weighted_price_percentiles", "user_funnel_patterns",
-    "weekly_revenue_forecast_hw", "cohort_ltv", "dedup_minhash_eval",
+    "weekly_revenue_forecast_hw", "cohort_ltv",
     "decontaminate_exact_ngrams", "doc_filter_funnel", "source_leakage",
     "source_boilerplate", "user_split_summary", "user_value_theilsen",
     "event_training_pairs", "doc_winnowing", "purchase_uplift_qini",
@@ -130,7 +134,7 @@ _PRIORITY = [
     "lsh_label_nmi", "user_churn_rmst", "part_kcore", "langid_isotonic",
     "bpe_merge_table", "user_value_trend", "event_value_drift",
     "event_value_pmi", "user_skew_report", "ann_ivf_join", "ann_filtered",
-    "similar_doc_pairs", "user_tier_history", "events_at_tier",
+    "user_tier_history", "events_at_tier",
     "doc_perplexity_bigram", "contrastive_negatives", "phrase_search_docs",
     "bm25_search", "hybrid_search_rrf", "daily_revenue_anomaly",
     "source_token_budget", "text_entropy", "transition_probs",
