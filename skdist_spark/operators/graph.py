@@ -308,7 +308,15 @@ def _pagerank_driver_fixed_point(
     def half_up(num: int, den: int) -> int:
         return (2 * num + den) // (2 * den)
 
-    frac = {(r[0], r[1]): int(Decimal(r[2]).scaleb(12)) for r in frac_rows}
+    # ACCUMULATE per (src, dst): the edge frame may carry multi-edges
+    # (the distributed plan sums one product per edge ROW, and
+    # rank * (f1 + f2) == rank * f1 + rank * f2 exactly in integers);
+    # a plain dict comprehension here silently collapsed multi-edges
+    # and dropped their contributions
+    frac: dict = {}
+    for r in frac_rows:
+        key = (r[0], r[1])
+        frac[key] = frac.get(key, 0) + int(Decimal(r[2]).scaleb(12))
     out_srcs = {s for s, _ in frac}
     nodes = sorted(out_srcs | {t for _, t in frac})
     n = len(nodes)

@@ -828,6 +828,31 @@ def test_pagerank_precision_on_large_graph(spark):
     assert np.abs(got - rank).max() < 1e-9
 
 
+def test_pagerank_multi_edges_keep_all_contributions(spark):
+    """Multi-edges (two rows with the same src AND dst) each carry a
+    contribution in the distributed plan (one product per edge ROW);
+    the bounded driver replay must accumulate them too — its first cut
+    keyed a dict on (src, dst) and silently dropped duplicates."""
+    from skdist_spark.operators.graph import pagerank
+
+    # node 0 -> 1 twice plus 0 -> 2: node 1 must receive 2/3 of node
+    # 0's rank share, not 1/3; 1 and 2 both feed back to 0
+    rows = [(0, 1), (0, 1), (0, 2), (1, 0), (2, 0)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=8).collect()}
+    damp, n = 0.85, 3
+    rank = {v: 1.0 / n for v in range(n)}
+    for _ in range(8):
+        contrib = {
+            0: rank[1] + rank[2],
+            1: 2.0 * rank[0] / 3.0,
+            2: rank[0] / 3.0,
+        }
+        rank = {v: (1 - damp) / n + damp * contrib[v] for v in range(n)}
+    for v in range(n):
+        assert abs(got[v] - rank[v]) < 1e-9, (v, got[v], rank[v])
+
+
 def test_salted_agg_degenerate_salt_is_loud(spark):
     """With no non-group columns a derived salt would be constant (one
     reducer for the hot key) — the operator must refuse, not silently
