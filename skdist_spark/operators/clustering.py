@@ -116,10 +116,16 @@ def dist_kmeans(
     pass); 'farthest' runs deterministic farthest-first traversal
     (better-spread seeds, k-1 extra passes).
     """
+    # EAGER checkpoint: every iteration's mapInPandas (plus the init
+    # pass) re-ran the scan + array cast lineage — max_iterations + 1
+    # source passes for one materialization (guide §5: reuse >>
+    # recompute).  The checkpoint preserves partitioning, so per-batch
+    # partial sums — and therefore the float fold — are unchanged
+    # (A/B-verified row-identical at sf0.1).
     vecs = df.select(
         F.col(id_col).alias(id_col),
         F.col(vec_col).cast("array<double>").alias(vec_col),
-    )
+    ).localCheckpoint(eager=True)
     if init == "farthest":
         centroids = _farthest_first_init(vecs, id_col, vec_col, k)
     elif init == "first":

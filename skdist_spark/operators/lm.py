@@ -766,7 +766,14 @@ def perplexity_filter(
         df.select(F.col(id_col), F.col(text_col)), id_col, text_col
     )
     meta = df.select(F.col(id_col), F.col(group_col))
-    joined = scored.join(meta, id_col)
+    # EAGER checkpoint: two_phase_group_row_number references its input
+    # from three subtrees (boundary aggregate, main pass, offsets), and
+    # the input here is the whole LM scoring pipeline (token explode +
+    # tf/cf aggregates) — without the checkpoint the compiled plan
+    # carried 16 FileScans / 12 Generates and the scored subtree
+    # executed per reference (measured 14.6 -> 3.8 s cold at sf0.1).
+    # One slim row per doc, so the stored frame is output-sized.
+    joined = scored.join(meta, id_col).localCheckpoint(eager=True)
     ranked = two_phase_group_row_number(
         joined,
         [group_col],

@@ -266,10 +266,15 @@ def classification_report(
     inside BIGINT), so the report is bit-exact across engines; classes
     with zero denominators report NULL rather than dividing by zero.
     """
+    # EAGER checkpoint: cm (bounded by classes^2 rows) feeds by_label,
+    # by_pred, tp and the (all) row — without it each reference
+    # re-derives the caller's whole prediction subtree (for langid_eval
+    # the stopword-HOF language_id pass: snapshot 8 FileScans).
     cm = (
         df.select(F.col(label_col).alias("label"), F.col(pred_col).alias("pred"))
         .groupBy("label", "pred")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
     by_label = cm.groupBy(F.col("label").alias("cls")).agg(
         F.sum("n").alias("support")

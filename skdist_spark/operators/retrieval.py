@@ -502,9 +502,18 @@ def tf_cosine_pairs(
     )
     docfreq = postings.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     # merge hint: both sides are corpus-vocabulary-sized — the pruned
-    # gram list must never be broadcast on a size estimate
-    pruned = postings.hint("merge").join(
-        docfreq.where(F.col("df") <= df_prune).select("g"), "g"
+    # gram list must never be broadcast on a size estimate.
+    # EAGER checkpoint: pruned feeds THREE branches (norms, both dot
+    # sides) and the df-prune join sits above the gram-explode of the
+    # whole corpus — without it the compiled plan re-derived the
+    # explode subtree up to 10x (measured: FileScan x10 / Generate x10
+    # / 31 Exchanges at sf0.1; 0 / 0 / 11 after).  Eager, not lazy:
+    # the setsim/minhash race finding — concurrent downstream stages
+    # would each recompute the subtree before either stores it.
+    pruned = (
+        postings.hint("merge")
+        .join(docfreq.where(F.col("df") <= df_prune).select("g"), "g")
+        .localCheckpoint(eager=True)
     )
     norms = pruned.groupBy("doc").agg(
         F.sum(F.col("tf") * F.col("tf")).alias("n2")

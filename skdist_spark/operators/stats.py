@@ -159,9 +159,21 @@ def psi_drift(
     p (early) and q (late).  Industry thresholds: <0.1 stable,
     0.1-0.25 drifting, >0.25 shifted.
     """
-    counts = df.groupBy(group_col, bin_col).agg(
-        F.sum(F.expr(f"CASE WHEN {half_col} = 'early' THEN 1 ELSE 0 END")).alias("early_c"),
-        F.sum(F.expr(f"CASE WHEN {half_col} = 'late' THEN 1 ELSE 0 END")).alias("late_c"),
+    # EAGER checkpoint: counts (groups x bins rows) feeds the grid
+    # distinct AND the dense join — without it each reference re-ran
+    # the caller's fact scan + aggregation (snapshot: 8 FileScans for
+    # event_value_drift).
+    counts = (
+        df.groupBy(group_col, bin_col)
+        .agg(
+            F.sum(
+                F.expr(f"CASE WHEN {half_col} = 'early' THEN 1 ELSE 0 END")
+            ).alias("early_c"),
+            F.sum(
+                F.expr(f"CASE WHEN {half_col} = 'late' THEN 1 ELSE 0 END")
+            ).alias("late_c"),
+        )
+        .localCheckpoint(eager=True)
     )
     # dense grid: every group x every bin 0..PSI_BINS-1, built from the
     # aggregated frame (tiny), not the fact table
@@ -803,13 +815,21 @@ def user_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = ev.groupBy("user_id").agg(
         F.sum(F.expr("CAST(floor(value * 100) AS BIGINT)")).alias("cents")
     )
-    ranked = two_phase_row_number(
-        per_user,
-        [F.col("cents").asc(), F.col("user_id").asc()],
-        F.col("cents"),
-        "i",
-        tie_key=F.col("user_id"),
-    ).select("cents", "i")
+    # EAGER checkpoint: ranked feeds the moments aggregate AND the
+    # top-decile branch, and each reference re-derived the events scan
+    # + per-user rollup + the two-phase rank (snapshot: 12 FileScans).
+    # One slim (cents, i) row per user.
+    ranked = (
+        two_phase_row_number(
+            per_user,
+            [F.col("cents").asc(), F.col("user_id").asc()],
+            F.col("cents"),
+            "i",
+            tie_key=F.col("user_id"),
+        )
+        .select("cents", "i")
+        .localCheckpoint(eager=True)
+    )
     m = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.expr("CAST(cents AS DECIMAL(38,0))")).alias("sx"),
@@ -1113,9 +1133,16 @@ def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.expr(ntile_from_row_number("rn", "n_total", 10)).alias("decile"),
     )
-    per_dec = deciled.groupBy("decile").agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.sum(F.expr("CAST(cents AS DECIMAL(38,0))")).alias("dec_cents"),
+    # EAGER checkpoint: per_dec (<= 10 rows) feeds both the total and
+    # the cumulative window — each reference re-derived the whole
+    # ranked subtree (snapshot: 8 FileScans) for a 10-row frame.
+    per_dec = (
+        deciled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.expr("CAST(cents AS DECIMAL(38,0))")).alias("dec_cents"),
+        )
+        .localCheckpoint(eager=True)
     )
     wd = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
     tot = per_dec.agg(F.sum("dec_cents").alias("tot_cents"))

@@ -195,6 +195,29 @@ def test_hilbert_value_matches_reference(spark):
         assert r.h == _xy2d_ref(bits, r.x, r.y), (r.x, r.y)
 
 
+def test_hilbert_d_np_matches_sql_fold(spark):
+    """The vectorized numpy walk (the hilbert_layout serving path) is
+    bit-identical to the SQL aggregate fold AND the classic reference
+    — full 16x16 grid at bits=4 plus edge coordinates at bits=16."""
+    import numpy as np
+
+    from skdist_spark.sources.io import hilbert_d_np
+
+    bits, side = 4, 16
+    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
+    xs, ys = xs.ravel(), ys.ravel()
+    d = hilbert_d_np(xs, ys, bits)
+    for x, y, dv in zip(xs.tolist(), ys.tolist(), d.tolist()):
+        assert dv == _xy2d_ref(bits, x, y), (x, y)
+    # bits=16 spot lattice incl. the domain corners the flip reflects
+    pts = np.array([0, 1, 2, 255, 32767, 32768, 65534, 65535], dtype=np.int64)
+    px, py = np.meshgrid(pts, pts)
+    px, py = px.ravel(), py.ravel()
+    d16 = hilbert_d_np(px, py, 16)
+    for x, y, dv in zip(px.tolist(), py.tolist(), d16.tolist()):
+        assert dv == _xy2d_ref(16, x, y), (x, y)
+
+
 def test_hilbert_consecutive_cells_are_adjacent(spark):
     """The defining Hilbert property (which Morton lacks): consecutive
     curve positions are unit-distance neighbors in space."""

@@ -260,11 +260,16 @@ def test_no_oracle_query_has_unsanctioned_global_window(spark, sf_dir):
         # rfm: 3 two-phase offset prefixes (one per R/F/M rank) — all
         # visible since the persist() switch (the checkpoint default
         # used to truncate the first two out of the plan string)
-        "revenue_cusum": 1, "revenue_pareto": 3, "rfm_segments": 3,
+        # pareto/gini (r8 sixth session): the eager checkpoint of the
+        # ranked/decile frames truncates the two-phase offset prefixes
+        # out of the audited plan (the ml_kmeans_exact precedent
+        # above); pareto keeps only its 10-row decile cumsum, gini
+        # keeps none
+        "revenue_cusum": 1, "revenue_pareto": 1, "rfm_segments": 3,
         "rolling_revenue": 1, "slo_burn_rate": 1,
         "source_token_budget": 1, "user_churn_hazard": 2,
         "user_churn_rmst": 3, "user_churn_survival": 2,
-        "user_revenue_gini": 2, "user_skew_report": 1,
+        "user_skew_report": 1,
         "vocab_coverage": 1, "vocab_growth": 1,
         "weekly_revenue_wow": 1, "zipf_fit": 1,
     }
