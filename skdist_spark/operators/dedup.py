@@ -1300,9 +1300,15 @@ def minhash_eval(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sh = d.select(
-        "doc_id", F.expr(_SPARK_WORDS).alias("wd")
-    ).select("doc_id", F.expr(_spark_shingles(words="wd")).alias("sh"))
+    # EAGER checkpoint: the shingle pass feeds sizes (read twice via
+    # sa/sb) AND both posting join sides — without it the split +
+    # shingle fold re-ran per reference (snapshot: 6 FileScan / 4
+    # Generate for dedup_minhash_eval).
+    sh = (
+        d.select("doc_id", F.expr(_SPARK_WORDS).alias("wd"))
+        .select("doc_id", F.expr(_spark_shingles(words="wd")).alias("sh"))
+        .localCheckpoint(eager=True)
+    )
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     postings = sh.select("doc_id", F.explode_outer("sh").alias("shingle"))
     # merge hint: exploded corpus sides must never be broadcast — the

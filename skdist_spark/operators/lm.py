@@ -72,10 +72,14 @@ def doc_logprob(
     (the LM is trained on the same frame), so the tf-cf join is inner.
     """
     words = F.expr(_SPARK_WORDS.replace("text", text_col))
+    # EAGER checkpoint: tf feeds cf, the totals (via cf), and the score
+    # join — without it the token explode + (doc, word) aggregation ran
+    # 3x per scoring pass.  One slim row per distinct (doc, word).
     tf = (
         df.select(F.col(id_col), F.explode(words).alias("word"))
         .groupBy(id_col, "word")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
     cf = tf.groupBy("word").agg(F.sum("tf").alias("cf"))
     totals = cf.agg(
@@ -172,7 +176,14 @@ def doc_logprob_bigram(
         )
         .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     )
-    tf2 = pairs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    # EAGER checkpoint: tf2 feeds cf2 (read twice more via c1) and the
+    # score join — without it the bigram zip-explode ran up to 4x
+    # (snapshot: 4 FileScans / 4 Generates).
+    tf2 = (
+        pairs.groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     cf2 = tf2.groupBy("w1", "w2").agg(F.sum("tf").alias("cf"))
     c1 = cf2.groupBy("w1").agg(F.sum("cf").alias("c1"))
     vocab = df.select(F.explode(words).alias("word")).agg(

@@ -138,7 +138,14 @@ def bm25_rank(
     bit-identical; a doc sums at most |terms| of them).
     """
     words = _SPARK_WORDS.replace("text", text_col)
-    base = df.select(F.col(id_col), F.expr(words).alias("wd"))
+    # EAGER checkpoint: base (the regex word split over the corpus)
+    # feeds dl (referenced by stats AND the score join) and tokens
+    # (referenced by tf, itself read twice via dfreq) — without it the
+    # split re-ran up to 4x per query (snapshot: 4-6 FileScans across
+    # the bm25 family).
+    base = df.select(F.col(id_col), F.expr(words).alias("wd")).localCheckpoint(
+        eager=True
+    )
     dl = base.select(id_col, F.size("wd").alias("dl"))
     tokens = base.select(id_col, F.explode("wd").alias("word"))
     tf = (
@@ -408,6 +415,9 @@ def bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     ranked = bm25_rank(docs).select("doc_id")
     words = F.expr(_SPARK_WORDS)
+    # EAGER checkpoint: truth (the few all-terms docs) feeds the hits
+    # join AND the n_relevant count — each reference re-ran the token
+    # explode + distinct-term aggregation over the corpus.
     truth = (
         docs.select("doc_id", F.explode(words).alias("word"))
         .where(F.col("word").isin(*BM25_TERMS))
@@ -415,6 +425,7 @@ def bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("word").alias("n_terms"))
         .where(F.col("n_terms") == len(BM25_TERMS))
         .select("doc_id")
+        .localCheckpoint(eager=True)
     )
     hits = ranked.join(truth, "doc_id").agg(F.count(F.lit(1)).alias("hits"))
     n_rel = truth.agg(F.count(F.lit(1)).alias("n_relevant"))

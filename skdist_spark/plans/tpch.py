@@ -912,7 +912,10 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject.
     """
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
-    op = li.distinct()
+    # EAGER checkpoint: op feeds both self-join sides plus the part
+    # and total aggregates — without it each reference re-ran the
+    # lineitem scan + distinct shuffle (snapshot: 4-5 FileScans).
+    op = li.distinct().localCheckpoint(eager=True)
     a, b = op.alias("a").hint("merge"), op.alias("b").hint("merge")
     pair_counts = (
         a.join(
@@ -1495,7 +1498,10 @@ def part_cf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break.
     """
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
-    op = li.distinct()
+    # EAGER checkpoint: op feeds both self-join sides plus the part
+    # and total aggregates — without it each reference re-ran the
+    # lineitem scan + distinct shuffle (snapshot: 4-5 FileScans).
+    op = li.distinct().localCheckpoint(eager=True)
     a, b = op.alias("a").hint("merge"), op.alias("b").hint("merge")
     pair_counts = (
         a.join(
