@@ -91,3 +91,66 @@ def test_setsim_ppm_integer_exact(spark):
     df = spark.createDataFrame(docs, "doc_id bigint, text string")
     rows = setsim_join(df).collect()
     assert len(rows) == 1 and rows[0]["jaccard_ppm"] == 1000000
+
+
+def test_setsim_vectorized_verify_equals_set_reference():
+    """The offset-encoded searchsorted verify (r8) counts exactly
+    |A ∩ B| for sorted unique rank arrays — pinned against the
+    per-pair Python-set reference it replaced, on randomized groups
+    including empty token arrays and docs on both sides."""
+    import inspect
+    import random
+    import textwrap
+
+    import numpy as np
+    import pandas as pd
+
+    import skdist_spark.operators.setsim as S
+
+    t_num, t_den = 1, 2
+    src = inspect.getsource(S.setsim_join)
+    body = "def _verify(" + src.split("    def _verify(")[1].split(
+        "    verified = ("
+    )[0]
+    ns = {"t_num": t_num, "t_den": t_den}
+    exec(textwrap.dedent(body), ns)
+    _verify = ns["_verify"]
+
+    rng = random.Random(7)
+    for trial in range(100):
+        n_docs = rng.randint(1, 12)
+        vocab = rng.randint(1, 25)
+        toks = {
+            d: sorted(rng.sample(range(vocab), min(rng.randint(0, 8), vocab)))
+            for d in range(n_docs)
+        }
+        rows = [
+            (0, 0, side, d, tk, len(tk))
+            for d, tk in toks.items()
+            for side in (0, 1)
+            if rng.random() < 0.9
+        ]
+        if not rows:
+            continue
+        block = pd.DataFrame(
+            rows, columns=["pa", "pb", "side", "doc", "toks", "len"]
+        )
+        a_av = sorted(set(block[block.side == 0]["doc"]))
+        b_av = sorted(set(block[block.side == 1]["doc"]))
+        prs = [(a, b) for a in a_av for b in b_av if rng.random() < 0.5]
+        if not prs:
+            continue
+        pairs = pd.DataFrame(prs, columns=["da", "db"])
+        got = sorted(
+            tuple(r) for r in _verify(pairs, block).itertuples(index=False)
+        )
+        want = []
+        for da, db in prs:
+            sa, sb = set(toks[da]), set(toks[db])
+            if da not in a_av or db not in b_av:
+                continue
+            inter = len(sa & sb)
+            uni = len(toks[da]) + len(toks[db]) - inter
+            if t_den * inter >= t_num * uni:
+                want.append((da, db, inter, uni))
+        assert got == sorted(want), trial
