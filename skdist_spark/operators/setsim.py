@@ -110,20 +110,21 @@ def _setsim_candidates(
     # estimator cannot see the fan-out, and a broadcast of a corpus-
     # sized side is the sf10 OOM class
     a, b = prefix.alias("a").hint("merge"), prefix.alias("b")
-    # required overlap for the PAIR: o = ceil(t/(1+t) * (la+lb))
-    o_pair = f"(({t_num} * (a.len + b.len)) + {t_num} + {t_den} - 1) div ({t_num} + {t_den})"
+    # NOTE (r9): the classic per-occurrence PPJoin positional filter
+    # (least(a.len - a.pos, b.len - b.pos) >= o) is deliberately NOT
+    # applied inside the join anymore.  It measured ~zero selectivity
+    # on this corpus (rare shingles sit EARLY in the df-ordered
+    # prefix, so the remaining-suffix allowance is almost the whole
+    # array), and dropping occurrence rows makes kpf an UNDERCOUNT of
+    # the shared-prefix-token total — which is exactly the statistic
+    # the generalized prefix-filter bound below needs to be exact.
     cand = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.doc") < F.col("b.doc"))
             # length filter: J >= t forces t*max(la,lb) <= min(la,lb)
-            & (F.expr(f"{t_den} * least(a.len, b.len) >= {t_num} * greatest(a.len, b.len)"))
-            # positional filter (PPJoin): tokens before pos can't help,
-            # so the best-case overlap from here is bounded by the
-            # shorter remaining suffix (pos is 0-based -> len - pos
-            # elements remain including the shared one)
-            & (F.expr(f"least(a.len - a.pos, b.len - b.pos) >= {o_pair}")),
+            & (F.expr(f"{t_den} * least(a.len, b.len) >= {t_num} * greatest(a.len, b.len)")),
         )
         .groupBy(
             F.col("a.doc").alias("da"),
@@ -136,21 +137,43 @@ def _setsim_candidates(
             F.max("a.pos").alias("mpa"),
             F.max("b.pos").alias("mpb"),
         )
-        # pair-level positional bound (PPJoin verification-side): the
-        # match chain of a pair has both coordinates increasing, and
-        # the per-occurrence filter above can only drop a SUFFIX of
-        # that chain — so every shared shingle not counted in kpf sits
-        # strictly after (mpa, mpb) in BOTH df-ordered arrays, giving
-        # inter <= kpf + least(la-1-mpa, lb-1-mpb).  Pairs that cannot
-        # reach the required overlap o = ceil(t/(1+t)*(la+lb)) never
-        # enter the array-verify join: with a small shingle vocabulary
-        # (synthetic text) the raw candidate set is ~3600x the true
-        # pair set at sf1 and the verify join was the whole wall.
+        # Two LOSSLESS pair-level bounds gate the verify stage.  kpf is
+        # now the EXACT shared-prefix-token count (tokens are distinct
+        # within a doc, and no occurrence row is dropped pre-aggregate).
+        #
+        # (1) Suffix allowance: every shared shingle not counted in kpf
+        #     sits strictly after (mpa, mpb) in BOTH df-ordered arrays
+        #     (proof: a token in a's suffix ranks >= a's prefix
+        #     boundary; if it sat at b-position < mpb it would rank
+        #     below the mpb match token, which sits inside a's prefix —
+        #     contradiction with the shared global order), so
+        #     inter <= kpf + least(la-1-mpa, lb-1-mpb) and pairs that
+        #     cannot reach o = ceil(t/(1+t)*(la+lb)) are dropped.
+        #
+        # (2) Generalized prefix-filtering principle (the k-extension
+        #     of Xiao et al. WWW'08 Lemma 1): if |A∩B| >= o then the
+        #     (|A|-o+k)-prefixes share >= k tokens.  Our stored prefix
+        #     of A is its (la - o_a + 1)-prefix with o_a = ceil(t*la),
+        #     i.e. the (la - o + k_a)-prefix for k_a = o - o_a + 1; the
+        #     length filter guarantees o >= max(o_a, o_b), so with
+        #     k = o - max(o_a, o_b) + 1 >= 1 the k-extended prefixes
+        #     are sub-prefixes of the stored ones and a qualifying pair
+        #     must share kpf >= k prefix tokens — not merely one.  At
+        #     t=0.5 and equal lengths L this demands ~L/6 shared prefix
+        #     tokens, which prunes the small-vocabulary candidate storm
+        #     (pairs sharing 1-2 incidental shingles: ~3600x the true
+        #     pair set at sf1) to output scale before any array moves.
         .where(
             F.expr(
                 f"kpf + least(la2 - 1 - mpa, lb2 - 1 - mpb) >= "
                 f"((({t_num} * (la2 + lb2)) + {t_num} + {t_den} - 1)"
                 f" div ({t_num} + {t_den}))"
+            )
+            & F.expr(
+                f"kpf >= ((({t_num} * (la2 + lb2)) + {t_num} + {t_den} - 1)"
+                f" div ({t_num} + {t_den}))"
+                f" - greatest((la2 * {t_num} + {t_den} - 1) div {t_den},"
+                f" (lb2 * {t_num} + {t_den} - 1) div {t_den}) + 1"
             )
         )
         .select("da", "db")
@@ -169,75 +192,25 @@ def _setsim_candidates(
 # budget, not core count, should set it.
 SETSIM_VERIFY_BLOCKS_FLOOR = 8
 
+# Verify-strategy gate (r9): when the pruned candidate set is small,
+# joining both doc arrays onto the pairs directly is strictly cheaper
+# than replicating the corpus P ways into the cogroup — the pair-side
+# intermediate is O(candidates x doc bytes), which this bound caps at
+# ~1.6 GB (1M pairs x two ~800 B arrays) BEFORE the plan is chosen (the
+# candidate count is already paid: the slim pairs are checkpointed for
+# the verify either way).  Above the bound — adversarial corpora where
+# the prefix/positional bounds cannot prune — the blocked cogroup keeps
+# array bytes corpus-linear.  A byte budget, not a core-count tunable:
+# the same cap is safe on one executor or a thousand.
+SETSIM_DIRECT_VERIFY_MAX_PAIRS = 1_000_000
 
-def setsim_join(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    t_num: int = T_NUM,
-    t_den: int = T_DEN,
-    verify_blocks: int | None = None,
-) -> DataFrame:
-    """Exact self-join: all pairs with shingle Jaccard >= t_num/t_den.
 
-    Returns (doc_a, doc_b, inter, uni, jaccard_ppm) with doc_a < doc_b,
-    ordered by (doc_a, doc_b).  See module docstring for the plan.
-
-    Verification (r8): the old shape joined BOTH full shingle-rank
-    arrays onto every candidate row through two sort-merge joins — an
-    O(candidates x doc bytes) shuffle that dies on disk when the
-    prefix filter is unselective (small shingle vocabulary).  Now the
-    slim (da, db) pairs and the doc arrays are co-grouped by
-    (pmod(da, P), pmod(db, P)): the arrays relation is replicated P
-    ways (corpus-linear bytes), and each group verifies its pairs in
-    numpy via a sorted-array membership count — toks are ranks of
-    array_distinct shingles, so the count equals
-    size(array_intersect(...)) exactly, and inter/uni/jaccard_ppm keep
-    the identical integer arithmetic and output types (int, int,
-    bigint)."""
-    import math
-
-    cand, ordered = _setsim_candidates(df, id_col, text_col, t_num, t_den)
-    spark = df.sparkSession
-    if verify_blocks is None:
-        # ceil(sqrt(2 * cores)): 64+ cogroup keys on a 32-core session
-        verify_blocks = max(
-            SETSIM_VERIFY_BLOCKS_FLOOR,
-            math.isqrt(2 * spark.sparkContext.defaultParallelism - 1) + 1,
-        )
-    p_blocks = int(verify_blocks)
-    pairs = cand.select(
-        "da",
-        "db",
-        F.pmod(F.col("da"), F.lit(p_blocks)).alias("pa"),
-        F.pmod(F.col("db"), F.lit(p_blocks)).alias("pb"),
-    )
-
-    # replicate each doc's array to every block-pair row/column that
-    # may need it: side 0 rows serve da lookups, side 1 rows db — an
-    # explode of a P-literal array, never a join
-    def _others():
-        return F.explode(
-            F.array(*[F.lit(i).cast("long") for i in range(p_blocks)])
-        )
-
-    side_a = ordered.select(
-        F.pmod(F.col("doc"), F.lit(p_blocks)).alias("pa"),
-        _others().alias("pb"),
-        F.lit(0).alias("side"),
-        "doc",
-        "toks",
-        "len",
-    )
-    side_b = ordered.select(
-        _others().alias("pa"),
-        F.pmod(F.col("doc"), F.lit(p_blocks)).alias("pb"),
-        F.lit(1).alias("side"),
-        "doc",
-        "toks",
-        "len",
-    )
-    blocks = side_a.unionByName(side_b)
+def _setsim_verify_fn(t_num: int, t_den: int):
+    """Per-cogroup verifier for the blocked verify path: build each
+    block's doc-id -> (token set, len) lookup once, then test every
+    candidate pair with a Python set intersection.  Module-level (not a
+    closure inside ``setsim_join``) so tests can import and pin it
+    directly against a brute-force reference."""
 
     def _verify(pair_pdf, block_pdf):
         import numpy as np
@@ -296,6 +269,124 @@ def setsim_join(
             }
         )
 
+    return _verify
+
+
+def setsim_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    t_num: int = T_NUM,
+    t_den: int = T_DEN,
+    verify_blocks: int | None = None,
+) -> DataFrame:
+    """Exact self-join: all pairs with shingle Jaccard >= t_num/t_den.
+
+    Returns (doc_a, doc_b, inter, uni, jaccard_ppm) with doc_a < doc_b,
+    ordered by (doc_a, doc_b).  See module docstring for the plan.
+
+    Verification (r8): the old shape joined BOTH full shingle-rank
+    arrays onto every candidate row through two sort-merge joins — an
+    O(candidates x doc bytes) shuffle that dies on disk when the
+    prefix filter is unselective (small shingle vocabulary).  The
+    blocked shape co-groups the slim (da, db) pairs and the doc arrays
+    by (pmod(da, P), pmod(db, P)): the arrays relation is replicated P
+    ways (corpus-linear bytes), and each group verifies its pairs in
+    Python via a set intersection — toks are ranks of array_distinct
+    shingles, so the count equals size(array_intersect(...)) exactly,
+    and inter/uni/jaccard_ppm keep the identical integer arithmetic
+    and output types (int, int, bigint).
+
+    r9: the generalized prefix-filter bound in candidate generation
+    prunes the candidate set to output scale on ordinary corpora, so
+    the verify strategy is now COUNT-GATED: the slim pairs are
+    checkpointed (the verify reads them either way), and when they
+    number <= SETSIM_DIRECT_VERIFY_MAX_PAIRS the arrays are joined
+    straight onto the pairs (JVM array_intersect, bounded pair-side
+    bytes, no corpus replication); above the gate the blocked cogroup
+    runs unchanged.  Both paths compute the identical integer
+    arithmetic — pinned by tests on the same inputs."""
+    import math
+
+    cand, ordered = _setsim_candidates(df, id_col, text_col, t_num, t_den)
+    # the verify stage consumes the pairs no matter the strategy; the
+    # count that picks the strategy is a metadata read of this store
+    cand = cand.localCheckpoint(eager=True)
+    n_cand = cand.count()
+    if n_cand <= SETSIM_DIRECT_VERIFY_MAX_PAIRS:
+        inter = "size(array_intersect(ta, tb))"
+        va = ordered.select(
+            F.col("doc").alias("da"), F.col("toks").alias("ta"),
+            F.col("len").alias("la"),
+        )
+        vb = ordered.select(
+            F.col("doc").alias("db"), F.col("toks").alias("tb"),
+            F.col("len").alias("lb"),
+        )
+        # broadcast the gated slim pairs into the corpus scan (no
+        # exchange over ordered); the second join's pair side carries
+        # one array and is capped by the gate, the corpus side ships
+        # each needed array once — merge, never broadcast, for the
+        # corpus-sized side
+        direct = (
+            va.join(F.broadcast(cand), "da")
+            .hint("merge")
+            .join(vb, "db")
+            .where(F.expr(f"{t_den} * {inter} >= {t_num} * (la + lb - {inter})"))
+            .select(
+                F.col("da").alias("doc_a"),
+                F.col("db").alias("doc_b"),
+                F.expr(inter).alias("inter"),
+                F.expr(f"la + lb - {inter}").alias("uni"),
+                F.expr(
+                    f"CAST(({inter}) * 1000000 div (la + lb - {inter}) AS BIGINT)"
+                ).alias("jaccard_ppm"),
+            )
+            .orderBy("doc_a", "doc_b")
+        )
+        return direct
+    spark = df.sparkSession
+    if verify_blocks is None:
+        # ceil(sqrt(2 * cores)): 64+ cogroup keys on a 32-core session
+        verify_blocks = max(
+            SETSIM_VERIFY_BLOCKS_FLOOR,
+            math.isqrt(2 * spark.sparkContext.defaultParallelism - 1) + 1,
+        )
+    p_blocks = int(verify_blocks)
+    pairs = cand.select(
+        "da",
+        "db",
+        F.pmod(F.col("da"), F.lit(p_blocks)).alias("pa"),
+        F.pmod(F.col("db"), F.lit(p_blocks)).alias("pb"),
+    )
+
+    # replicate each doc's array to every block-pair row/column that
+    # may need it: side 0 rows serve da lookups, side 1 rows db — an
+    # explode of a P-literal array, never a join
+    def _others():
+        return F.explode(
+            F.array(*[F.lit(i).cast("long") for i in range(p_blocks)])
+        )
+
+    side_a = ordered.select(
+        F.pmod(F.col("doc"), F.lit(p_blocks)).alias("pa"),
+        _others().alias("pb"),
+        F.lit(0).alias("side"),
+        "doc",
+        "toks",
+        "len",
+    )
+    side_b = ordered.select(
+        _others().alias("pa"),
+        F.pmod(F.col("doc"), F.lit(p_blocks)).alias("pb"),
+        F.lit(1).alias("side"),
+        "doc",
+        "toks",
+        "len",
+    )
+    blocks = side_a.unionByName(side_b)
+
+    _verify = _setsim_verify_fn(t_num, t_den)
     verified = (
         pairs.groupby("pa", "pb")
         .cogroup(blocks.groupby("pa", "pb"))

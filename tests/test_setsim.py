@@ -50,6 +50,29 @@ def test_setsim_matches_brute_force_t05(spark):
     assert len(got) >= 3  # the crafted dups must surface
 
 
+def test_setsim_cogroup_path_equals_direct(spark, monkeypatch):
+    """Force the count gate to the blocked-cogroup verify and pin it
+    row-for-row against the direct array-join verify (the r9 gate's
+    two strategies must be indistinguishable on the same corpus)."""
+    import random
+
+    import skdist_spark.operators.setsim as S
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(15)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 25))))
+        for i in range(30)
+    ]
+    base = " ".join(rng.choice(vocab) for _ in range(18))
+    docs += [(200, base), (201, base + " w1")]
+    direct = _run(spark, docs, 1, 2)
+    monkeypatch.setattr(S, "SETSIM_DIRECT_VERIFY_MAX_PAIRS", -1)
+    cogrouped = _run(spark, docs, 1, 2)
+    assert cogrouped == direct == _brute(docs, 1, 2)
+    assert (200, 201) in {(a, b) for a, b, _, _ in direct}
+
+
 def test_setsim_matches_brute_force_t08(spark):
     got = _run(spark, DOCS, 4, 5)
     assert got == _brute(DOCS, 4, 5)
@@ -93,28 +116,21 @@ def test_setsim_ppm_integer_exact(spark):
     assert len(rows) == 1 and rows[0]["jaccard_ppm"] == 1000000
 
 
-def test_setsim_vectorized_verify_equals_set_reference():
-    """The offset-encoded searchsorted verify (r8) counts exactly
-    |A ∩ B| for sorted unique rank arrays — pinned against the
-    per-pair Python-set reference it replaced, on randomized groups
-    including empty token arrays and docs on both sides."""
-    import inspect
+def test_setsim_blocked_verify_equals_set_reference():
+    """The blocked-cogroup verifier (the per-pair Python-set
+    implementation used above the direct-verify gate) counts exactly
+    |A ∩ B| for sorted unique rank arrays — pinned against an
+    independent set reference on randomized groups including empty
+    token arrays and docs on both sides.  Imported directly from the
+    module (r9 hoisted it out of setsim_join for exactly this test)."""
     import random
-    import textwrap
 
-    import numpy as np
     import pandas as pd
 
-    import skdist_spark.operators.setsim as S
+    from skdist_spark.operators.setsim import _setsim_verify_fn
 
     t_num, t_den = 1, 2
-    src = inspect.getsource(S.setsim_join)
-    body = "def _verify(" + src.split("    def _verify(")[1].split(
-        "    verified = ("
-    )[0]
-    ns = {"t_num": t_num, "t_den": t_den}
-    exec(textwrap.dedent(body), ns)
-    _verify = ns["_verify"]
+    _verify = _setsim_verify_fn(t_num, t_den)
 
     rng = random.Random(7)
     for trial in range(100):

@@ -20,7 +20,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-OUT_DIR = os.path.join(REPO, "plans", "r08")
+OUT_DIR = os.path.join(REPO, "plans", os.environ.get("PLANS_ROUND", "r09"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
