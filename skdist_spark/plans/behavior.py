@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions.global_rank import (
     ntile_from_row_number,
-    two_phase_row_number,
+    two_phase_group_row_number,
     two_phase_running_agg,
 )
 from ..sources.catalog import load_table
@@ -881,22 +881,22 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: ONE events scan and one aggregation shuffle on user_id build
     the per-user RFM frame, persisted once and shared (the corpus
     anchor date is the max of the per-user maxes — no second scan);
-    the three quintiles are NTILE(5)
-    values recomposed from three INDEPENDENT two-phase distributed
-    ranks over that frame (functions.two_phase_row_number:
-    percentile-bounded range shards + local ranks + shuffled-hash
-    offset merge) plus the one-row user count, reassembled per user by
-    ONE slim union + pivot-aggregate on user_id — the same values as
-    three global NTILE windows with NO single-partition exchange over
-    the user dimension; recency ranks ascending (recent = high score)
-    via DESC on days, ties broken by user_id everywhere.
-    Independent-then-reassemble beats the chained rank-of-rank-of-rank
-    shape it replaces: each rank's plan references only the shared
-    base (the chain tripled the plan tree per link — 391 Exchange
-    mentions in the formatted plan — and serialized the three boundary
-    jobs, which now run concurrently), and the reassembly rows are
-    just (user_id, dim, rank) — no join strategy to get wrong at
-    corpus scale, no sorts.
+    the three quintiles are NTILE(5) values recomposed from ONE
+    grouped two-phase distributed rank
+    (functions.two_phase_group_row_number, group = dimension id) over
+    the slim unioned (user_id, dim, key) rows — each dimension's
+    NTILE order is expressed as ascending (key, user_id) with
+    key = -recency_days / frequency / monetary, so one window pass,
+    one boundary aggregate and one shuffled-hash offset merge rank all
+    three dimensions (r8 ran three independent two_phase calls: 3x the
+    boundary jobs and ~3x the compiled plan tree, 127 Exchange
+    mentions).  The key column is DOUBLE: exact for day counts and
+    purchase counts (integers < 2^53) and identity on monetary, so
+    each dimension's (key, user_id) order equals its original order
+    bit-for-bit.  Recency ranks ascending (recent = high score) via
+    the negated day count, ties broken by user_id everywhere; the
+    reassembly rows are just (user_id, dim, rank) — no join strategy
+    to get wrong at corpus scale, no sorts.
     """
     from pyspark import StorageLevel
 
@@ -926,48 +926,37 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    r_rank = two_phase_row_number(
-        rfm,
-        [F.desc("recency_days"), F.asc("user_id")],
-        -F.col("recency_days"),
-        "rn",
-        tie_key=F.col("user_id"),  # recency_days is day-coarse: heavy tie mass
-        materialize=False,  # per_user is persisted above, shared by all three
-    ).select(
-        "user_id", F.lit(1).alias("dim"), "rn",
-        F.lit(None).cast("long").alias("n_total"),
+    dims = rfm.select(
+        "user_id", F.lit(1).alias("dim"),
+        (-F.col("recency_days")).cast("double").alias("key"),
+    ).unionByName(
+        rfm.select(
+            "user_id", F.lit(2).alias("dim"),
+            F.col("frequency").cast("double").alias("key"),
+        )
+    ).unionByName(
+        rfm.select(
+            "user_id", F.lit(3).alias("dim"),
+            F.col("monetary").alias("key"),
+        )
     )
-    f_rank = two_phase_row_number(
-        rfm,
-        [F.asc("frequency"), F.asc("user_id")],
-        F.col("frequency"),
+    ranked = two_phase_group_row_number(
+        dims,
+        ["dim"],
+        [F.asc("key"), F.asc("user_id")],
+        F.col("key"),
         "rn",
-        tie_key=F.col("user_id"),  # small-integer order counts: tie-heavy
-        materialize=False,
-    ).select(
-        "user_id", F.lit(2).alias("dim"), "rn",
-        F.lit(None).cast("long").alias("n_total"),
-    )
-    m_rank = two_phase_row_number(
-        rfm,
-        [F.asc("monetary"), F.asc("user_id")],
-        F.col("monetary"),
-        "rn",
-        total_col="nt",
-        tie_key=F.col("user_id"),
-        materialize=False,
-    ).select(
-        "user_id", F.lit(3).alias("dim"), "rn",
-        F.col("nt").alias("n_total"),
+        total_col="nt",  # per-dim total = the user count NTILE needs
+        tie_key=F.col("user_id"),  # day/count keys carry heavy tie mass
     )
     triple = (
-        r_rank.unionByName(f_rank).unionByName(m_rank)
+        ranked
         .groupBy("user_id")
         .agg(
             F.max(F.when(F.col("dim") == 1, F.col("rn"))).alias("rn_r"),
             F.max(F.when(F.col("dim") == 2, F.col("rn"))).alias("rn_f"),
             F.max(F.when(F.col("dim") == 3, F.col("rn"))).alias("rn_m"),
-            F.max("n_total").alias("n_total"),
+            F.max("nt").alias("n_total"),
         )
     )
     return (

@@ -257,15 +257,16 @@ def test_no_oracle_query_has_unsanctioned_global_window(spark, sf_dir):
         "english_threshold_sweep": 1, "event_lateness_profile": 1,
         "hybrid_search_rrf": 2, "peak_concurrent_sessions": 1,
         "purchase_ab_sequential": 1, "purchase_uplift_qini": 2,
-        # rfm: 3 two-phase offset prefixes (one per R/F/M rank) — all
-        # visible since the persist() switch (the checkpoint default
-        # used to truncate the first two out of the plan string)
+        # rfm (r9): the three per-dimension ranks fold into ONE
+        # grouped two-phase call whose offset window is PARTITIONED by
+        # the dimension id — no partition-less window remains, so rfm
+        # needs no sanction entry anymore.
         # pareto/gini (r8 sixth session): the eager checkpoint of the
         # ranked/decile frames truncates the two-phase offset prefixes
         # out of the audited plan (the ml_kmeans_exact precedent
         # above); pareto keeps only its 10-row decile cumsum, gini
         # keeps none
-        "revenue_cusum": 1, "revenue_pareto": 1, "rfm_segments": 3,
+        "revenue_cusum": 1, "revenue_pareto": 1,
         "rolling_revenue": 1, "slo_burn_rate": 1,
         "source_token_budget": 1, "user_churn_hazard": 2,
         "user_churn_rmst": 3, "user_churn_survival": 2,
