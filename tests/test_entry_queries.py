@@ -1,10 +1,17 @@
 """Smoke every rows-only queries() entry (oracle-backed ones are
 covered by test_oracle_parity): runs, non-degenerate, stable schema,
-and deterministic across two invocations."""
+and deterministic across two invocations.
+
+Marked ``slow`` (r9): executing all ~57 rows-only queries twice is
+~7 min of the default lane, which must finish inside the driver's
+verify budget.  Run per change with ``pytest -m slow`` (coverage is
+unchanged — only the default selection is)."""
 
 import pytest
 
 import __spark_entry__ as entry_mod
+
+pytestmark = pytest.mark.slow
 
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()

