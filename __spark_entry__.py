@@ -39,29 +39,44 @@ _MODULES = [
 # (observed in rounds 1-6: the sweep stops at exactly 50).  Registry order
 # is therefore a verification budget.  Policy: front-load entries that have
 # not yet earned a driver row for their CURRENT form; demote verified ones.
-# Rounds 1-7 attested 270/270 oracles cumulatively (no row older than
-# round 2 after r7).  ROUND-8 ROTATION (executed): positions 1-7 are
-# this round's CHANGED faces (doc_perplexity_filter + the composing
-# doc_curriculum_phases now rank through two_phase_group_row_number —
-# the dominant-source salt, VERDICT r7 #3; pack_chunks gained the
-# caller-supplied n_items sizing path; embedding_pca_exact gained the
-# BIGINT scatter fail-fast; similar_doc_pairs' verify became the
-# blocked cogroup; dedup_savings_by_source / dedup_minhash_eval ride
-# the eager-checkpointed MinHash verify) — values identical, plans
-# changed, so they re-earn their rows; then the 29 remaining
-# round-2-vintage oracles, completing the rotation so NO attestation
-# predates round 3; the tail starts the third pass with the oldest
-# round-3-vintage rows (the 3 displaced by this session's changed
-# faces slip to the round-9 window).
+# Rounds 1-8 attested 270/270 oracles cumulatively (no row older than
+# round 3 after r8).  ROUND-9 ROTATION (executed, VERDICT r8 #2):
+# positions 1-2 are THIS round's changed faces (similar_doc_pairs:
+# generalized prefix-filter candidate bound + count-gated verify;
+# rfm_segments: one grouped two-phase rank replaces three chained
+# ones); positions 3-28 are the r8 sessions-3-6 rewrites that landed
+# AFTER the r8 window was set and so never re-earned a driver row for
+# their current form (GEMM Lloyd, PQ/diversified ANN, edit-join
+# verify-before-dedup, the re-derived-subtree checkpoint sweep, the
+# vectorized Hilbert walk); positions 29-31 are the three displaced
+# from the r8 window; the remainder continues the third pass with the
+# oldest round-3-vintage rows.
 _PRIORITY = [
-    # -- ROUND-8 WINDOW (first 50 get a driver CORRECTNESS row) --
+    # -- ROUND-9 WINDOW (first 50 get a driver CORRECTNESS row) --
+    "similar_doc_pairs", "rfm_segments", "ml_kmeans_exact",
+    "dedup_semantic_exact", "ann_pq_exact", "ann_diversified_exact",
+    "user_revenue_gini", "revenue_pareto", "blocking_eval",
+    "fuzzy_part_match", "part_entity_resolution", "tfidf_doc_pairs",
+    "brand_copurchase_modularity", "hilbert_layout", "bm25_eval",
+    "bm25_search", "hybrid_search_rrf", "basket_part_affinity",
+    "part_cf_similarity", "doc_perplexity_bigram", "event_value_drift",
+    "lsh_label_nmi", "ann_probe_sweep", "ann_ivf", "ann_ivf_join",
+    "doc_containment", "doc_keyphrases", "source_leakage",
+    "purchase_ab_mannwhitney", "purchase_ab_conversion", "inverted_postings",
+    "embedding_covariance", "daily_gapfill", "user_daily_interpolate",
+    "daily_active_users", "time_bucket_rollup", "rolling_revenue",
+    "daily_percentile_bands", "session_bounce_rate",
+    "daily_revenue_decompose", "setops_customers", "bloom_semi_sales",
+    "events_value_windows", "orders_date_features", "events_unpivot",
+    "value_histogram", "profile_documents", "user_event_features",
+    "event_transitions", "sales_grouping_sets",
+    # -- attested in earlier rounds; module order anchors --
     "doc_perplexity_filter", "doc_curriculum_phases", "pack_chunks",
-    "embedding_pca_exact", "similar_doc_pairs", "dedup_savings_by_source",
-    "dedup_minhash_eval", "dedup_exact", "dedup_minhash",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding",
-    "dedup_clusters", "dedup_clusters_star", "dedup_keep_best",
-    "doc_triangles", "text_langid", "text_tokens", "text_quality",
-    "text_repetition", "language_rebalance", "tfidf_search",
+    "embedding_pca_exact", "dedup_savings_by_source", "dedup_minhash_eval",
+    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_embedding", "dedup_clusters", "dedup_clusters_star",
+    "dedup_keep_best", "doc_triangles", "text_langid", "text_tokens",
+    "text_quality", "text_repetition", "language_rebalance", "tfidf_search",
     "text_fingerprint", "text_clean", "doc_chunks", "text_scrub_pii",
     "decontaminate_docs", "ann_topk", "embedding_corr", "user_overlap_exact",
     "doc_perplexity", "vocab_coverage", "dup_ngram_spans", "dq_orders",
@@ -70,82 +85,63 @@ _PRIORITY = [
     "user_burstiness", "user_behavior_entropy", "growth_accounting",
     "user_streaks", "dsir_doc_weights", "vocab_growth", "langid_eval",
     "purchase_ab_welch", "user_churn_survival", "purchase_ab_cuped",
-    "purchase_ab_mannwhitney", "purchase_ab_conversion", "inverted_postings",
-    # -- attested in earlier rounds; module order anchors --
-    "dedup_semantic_exact", "ann_diversified_exact", "embedding_covariance",
-    "ann_pq_exact", "ml_kmeans_exact", "daily_gapfill",
-    "user_daily_interpolate", "daily_active_users", "time_bucket_rollup",
-    "rolling_revenue", "daily_percentile_bands", "session_bounce_rate",
-    "daily_revenue_decompose", "rfm_segments", "setops_customers",
-    "bloom_semi_sales", "events_value_windows", "orders_date_features",
-    "events_unpivot", "value_histogram", "profile_documents",
-    "user_event_features", "event_transitions", "sales_grouping_sets",
     "events_cube", "heavy_hitters", "sales_rollup", "asof_join",
     "sessionize_events", "range_join_clicks", "user_distinct_counts",
     "events_pivot", "salted_event_totals", "events_json", "ann_lsh",
-    "basket_part_affinity", "shipping_delay_percentiles",
-    "events_json_schema", "value_ntile_buckets", "sample_events_per_user",
-    "events_funnel", "user_retention", "user_event_paths",
-    "weekly_revenue_wow", "interevent_latency_histogram",
+    "shipping_delay_percentiles", "events_json_schema", "value_ntile_buckets",
+    "sample_events_per_user", "events_funnel", "user_retention",
+    "user_event_paths", "weekly_revenue_wow", "interevent_latency_histogram",
     "purchase_attribution", "user_value_ewma", "event_outliers",
     "heavy_hitters_cms", "kmv_user_overlap", "zorder_layout",
     "hll_portable_registers", "bloom_filter_words", "bloom_probe_audit",
     "c4_quality_flags", "hll_portable_rollup", "kmv_user_difference",
-    "hilbert_layout", "zipf_fit", "text_readability", "daily_revenue_acf",
+    "zipf_fit", "text_readability", "daily_revenue_acf",
     "event_value_trimmed", "embedding_separability", "click_purchase_ccf",
-    "part_cf_similarity", "price_elasticity", "ann_ivf", "dedup_lines_docs",
-    "fuzzy_part_match", "part_entity_resolution", "q1", "q2", "q3", "q4",
-    "q5", "q6", "q7", "q8", "q9", "q10", "q11", "q12", "q13", "q14", "q15",
-    "q16", "q17", "q18", "q19", "q20", "q21", "q22", "events_topn",
+    "price_elasticity", "dedup_lines_docs", "q1", "q2", "q3", "q4", "q5",
+    "q6", "q7", "q8", "q9", "q10", "q11", "q12", "q13", "q14", "q15", "q16",
+    "q17", "q18", "q19", "q20", "q21", "q22", "events_topn",
     "order_percentiles", "gopher_quality_flags", "event_trigram_sequences",
     "retention_halflife", "revenue_dow_anova", "event_value_bootstrap",
-    "ann_recall_eval", "source_token_js", "blocking_eval",
-    "customer_kanonymity", "purchase_ab_did", "revenue_change_decomposition",
-    "bm25_eval", "ann_probe_sweep", "orders_reconciliation",
-    "source_neyman_allocation", "daily_revenue_mannkendall",
-    "part_return_rate_eb", "markov_predict_eval", "source_length_qq",
-    "doc_keyphrases", "value_per_event_jackknife",
+    "ann_recall_eval", "source_token_js", "customer_kanonymity",
+    "purchase_ab_did", "revenue_change_decomposition",
+    "orders_reconciliation", "source_neyman_allocation",
+    "daily_revenue_mannkendall", "part_return_rate_eb", "markov_predict_eval",
+    "source_length_qq", "value_per_event_jackknife",
     "event_type_target_encoding", "doc_clustering_coeff",
     "event_value_quantile_norm", "langid_calibration",
     "weekly_forecast_conformal", "tokenizer_fertility",
-    "purchase_ab_sequential",
-    "doc_graph_assortativity", "user_churn_hazard", "churn_ab_logrank",
-    "source_length_ks", "embedding_silhouette", "dedup_remove_spans",
-    "text_blocklist", "text_keyword_tags", "events_json_variant",
-    "user_series_topk", "events_funnel_windowed", "user_balance_resets",
-    "doc_chunks_udtf", "funnel_conversion_intervals", "orders_fingerprint",
-    "weighted_price_percentiles", "user_funnel_patterns",
-    "weekly_revenue_forecast_hw", "cohort_ltv",
-    "decontaminate_exact_ngrams", "doc_filter_funnel", "source_leakage",
-    "source_boilerplate", "user_split_summary", "user_value_theilsen",
-    "event_training_pairs", "doc_winnowing", "purchase_uplift_qini",
-    "revenue_pareto", "peak_concurrent_sessions", "event_lateness_profile",
-    "event_volume_spearman", "tier_occupancy_by_day", "slo_burn_rate",
-    "daily_spearman", "daily_kendall", "source_ngram_diversity",
-    "tfidf_doc_pairs", "time_decay_attribution", "ab_power_planner",
-    "event_value_winsorized", "customer_ldiversity",
-    "brand_copurchase_modularity", "source_vocab_richness",
-    "source_style_delta", "basket_triples", "budget_gate_summary",
-    "embedding_jl_eval", "langid_brier_decomposition", "purchase_ab_qte",
-    "fs_field_weights", "doc_shard_balance", "langid_confusion",
-    "shard_plan_documents", "session_gap_sweep", "funnel_ab_steps",
-    "embedding_drift_report", "english_threshold_sweep",
+    "purchase_ab_sequential", "doc_graph_assortativity", "user_churn_hazard",
+    "churn_ab_logrank", "source_length_ks", "embedding_silhouette",
+    "dedup_remove_spans", "text_blocklist", "text_keyword_tags",
+    "events_json_variant", "user_series_topk", "events_funnel_windowed",
+    "user_balance_resets", "doc_chunks_udtf", "funnel_conversion_intervals",
+    "orders_fingerprint", "weighted_price_percentiles",
+    "user_funnel_patterns", "weekly_revenue_forecast_hw", "cohort_ltv",
+    "decontaminate_exact_ngrams", "doc_filter_funnel", "source_boilerplate",
+    "user_split_summary", "user_value_theilsen", "event_training_pairs",
+    "doc_winnowing", "purchase_uplift_qini", "peak_concurrent_sessions",
+    "event_lateness_profile", "event_volume_spearman",
+    "tier_occupancy_by_day", "slo_burn_rate", "daily_spearman",
+    "daily_kendall", "source_ngram_diversity", "time_decay_attribution",
+    "ab_power_planner", "event_value_winsorized", "customer_ldiversity",
+    "source_vocab_richness", "source_style_delta", "basket_triples",
+    "budget_gate_summary", "embedding_jl_eval", "langid_brier_decomposition",
+    "purchase_ab_qte", "fs_field_weights", "doc_shard_balance",
+    "langid_confusion", "shard_plan_documents", "session_gap_sweep",
+    "funnel_ab_steps", "embedding_drift_report", "english_threshold_sweep",
     "event_value_median_ci", "dedup_cluster_sizes", "subsample_stability",
-    "lsh_label_nmi", "user_churn_rmst", "part_kcore", "langid_isotonic",
-    "bpe_merge_table", "user_value_trend", "event_value_drift",
-    "event_value_pmi", "user_skew_report", "ann_ivf_join", "ann_filtered",
-    "user_tier_history", "events_at_tier",
-    "doc_perplexity_bigram", "contrastive_negatives", "phrase_search_docs",
-    "bm25_search", "hybrid_search_rrf", "daily_revenue_anomaly",
-    "source_token_budget", "text_entropy", "transition_probs",
-    "sales_share_of_parent", "sessionize_native", "value_benford",
-    "event_value_chi2", "revenue_cusum", "doc_containment",
+    "user_churn_rmst", "part_kcore", "langid_isotonic", "bpe_merge_table",
+    "user_value_trend", "event_value_pmi", "user_skew_report", "ann_filtered",
+    "user_tier_history", "events_at_tier", "contrastive_negatives",
+    "phrase_search_docs", "daily_revenue_anomaly", "source_token_budget",
+    "text_entropy", "transition_probs", "sales_share_of_parent",
+    "sessionize_native", "value_benford", "event_value_chi2", "revenue_cusum",
     "time_to_first_purchase", "supplier_concentration",
     "events_dow_hour_heatmap", "ann_int8", "weekly_revenue_forecast",
-    "user_revenue_gini", "unigram_vocab_table", "ml_als_recommend",
-    "stream_token_budget_gate", "ml_source_ablation", "stream_ann_enrich",
-    "ann_diversified", "embedding_whiten", "dedup_semantic", "embedding_pca",
-    "ml_kmeans", "ml_grid_search", "ml_random_search", "ml_ovr_predict",
+    "unigram_vocab_table", "ml_als_recommend", "stream_token_budget_gate",
+    "ml_source_ablation", "stream_ann_enrich", "ann_diversified",
+    "embedding_whiten", "dedup_semantic", "embedding_pca", "ml_kmeans",
+    "ml_grid_search", "ml_random_search", "ml_ovr_predict",
     "ml_forest_predict", "ml_forest_regress", "ml_feature_elimination",
     "ml_multi_model_search", "ml_predict_udf", "encoderizer_features",
     "ml_quality_classifier", "stream_windowed_counts", "stream_sliding_users",
