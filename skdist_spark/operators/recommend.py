@@ -94,6 +94,15 @@ def _solve_side(
     with ZERO new exchanges; join strategy cannot change values — the
     per-entity fold order is canonicalized by the fid-sorted collect.
 
+    Above the broadcast bound (r9): the caller pre-partitions the
+    ratings by the FIXED key instead, and the factor join is forced to
+    a SHUFFLED-HASH join — the entity-sized factor table shuffles to
+    the ratings' existing layout while the ratings relation neither
+    moves nor sorts (the r8 shape was a sort-merge join that re-sorted
+    the whole ratings relation every half-sweep).  Each half-sweep
+    then moves the ratings exactly once (the solve-key gather below) —
+    the §2.4 floor for alternating solves.
+
     ``solve_parts``: on the NON-broadcast path, repartition the joined
     ratings by ``solve_col`` to this count before the gather, so the
     aggregation runs complete-mode over data-sized parallelism (each
@@ -121,6 +130,10 @@ def _solve_side(
     )
     if broadcast_fixed:
         fixed = F.broadcast(fixed)
+    else:
+        # entity-sized side shuffles onto the ratings' fixed-key
+        # layout; never sort-merge (ratings-sized sort per half-sweep)
+        fixed = fixed.hint("shuffle_hash")
     joined = ratings.join(fixed, fixed_col)
     if solve_parts and not broadcast_fixed:
         joined = joined.repartition(solve_parts, solve_col)
@@ -230,17 +243,21 @@ def als_train(
     solve_parts = max(
         base_parts, -(-n_ratings // ALS_ROWS_PER_SOLVE_PART)
     )
+    # The user-solve input: under the broadcast bound, partitioned by
+    # the SOLVE key (the broadcast join preserves it, so the gather
+    # reuses the exchange and the half-sweep moves nothing); above the
+    # bound, partitioned by the FIXED key (the shuffled-hash factor
+    # join then needs no ratings exchange or sort, and the gather's
+    # solve-key repartition is the half-sweep's single ratings move).
+    # Both sweeps' solves of a side reuse the same stored layout.
     r_u = (
-        r.repartition(solve_parts, "u").localCheckpoint(eager=False)
-        if bc_items
-        else r
+        r.repartition(solve_parts, "u" if bc_items else "i")
+        .localCheckpoint(eager=False)
     )
     r_i = (
         r.select(F.col("i"), F.col("u"), "rating")
-        .repartition(solve_parts, "i")
+        .repartition(solve_parts, "i" if bc_users else "u")
         .localCheckpoint(eager=False)
-        if bc_users
-        else r.select(F.col("i"), F.col("u"), "rating")
     )
     user_factors = None
     for _ in range(sweeps):
@@ -291,6 +308,11 @@ def als_rmse(
     if_t = item_factors.select(F.col("id").alias("i"), F.col("factors").alias("if_"))
     if broadcast_factors:
         uf_t, if_t = F.broadcast(uf_t), F.broadcast(if_t)
+    else:
+        # entity-sized build sides; stream the ratings without sorting
+        # them twice (the default was two ratings-sized sort-merge
+        # joins above the broadcast bound)
+        uf_t, if_t = uf_t.hint("shuffle_hash"), if_t.hint("shuffle_hash")
     r = ratings.select(
         F.col(user_col).cast("long").alias("u"),
         F.col(item_col).cast("long").alias("i"),
